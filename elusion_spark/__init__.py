@@ -1,0 +1,68 @@
+"""elusion_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of DataBora/elusion (reference read-only at
+/root/reference), re-designed Spark-first for 100 TB scale.
+
+Public surface mirrors the reference's ``CustomDataFrame`` builder
+(SURVEY.md §2) plus LLM-data-pipeline operators (dedup, similarity,
+text analysis, multimodal plumbing) the reference lacks.
+"""
+
+from .dataframe import CustomDataFrame
+from .errors import (
+    ElusionError,
+    FeatureNotAvailable,
+    GroupByAllError,
+    InvalidOperation,
+    LoaderError,
+    SchemaMismatchError,
+    WriterError,
+)
+from .session import get_spark
+from .sources.loaders import (
+    execute_raw_sql,
+    load,
+    load_csv,
+    load_delta,
+    load_folder,
+    load_json,
+    load_parquet,
+)
+from .cache import (
+    cache_stats,
+    clear_cache,
+    create_view,
+    drop_view,
+    from_view,
+    invalidate_cache,
+    list_views,
+    refresh_view,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "CustomDataFrame",
+    "get_spark",
+    "load",
+    "load_csv",
+    "load_json",
+    "load_parquet",
+    "load_delta",
+    "load_folder",
+    "execute_raw_sql",
+    "create_view",
+    "from_view",
+    "refresh_view",
+    "drop_view",
+    "list_views",
+    "cache_stats",
+    "clear_cache",
+    "invalidate_cache",
+    "ElusionError",
+    "InvalidOperation",
+    "GroupByAllError",
+    "SchemaMismatchError",
+    "LoaderError",
+    "WriterError",
+    "FeatureNotAvailable",
+]

@@ -1,0 +1,145 @@
+"""Result cache + TTL materialized views.
+
+Parity target: features/cashandview.rs — query cache (LRU max 100 entries,
+TTL 3600 s, key = hash of the generated SQL; cashandview.rs:36-100,
+239-242) and materialized views (max 50, per-view TTL;
+cashandview.rs:102-242).
+
+Spark mapping: the cache key is the canonical *analyzed plan* string (the
+Spark analogue of the reference's SQL string); a hit returns the already
+``.cache()``-ed DataFrame so repeated actions reuse in-memory columnar
+blocks across queries — the same observable effect as the reference's
+RecordBatch cache.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import OrderedDict
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .errors import ElusionError
+
+MAX_CACHE = 100   # cashandview.rs:239-242
+CACHE_TTL = 3600.0
+MAX_VIEWS = 50
+
+_query_cache: "OrderedDict[str, tuple[DataFrame, float]]" = OrderedDict()
+_views: dict[str, dict] = {}
+_stats = {"hits": 0, "misses": 0}
+
+
+def _plan_key(df: DataFrame) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def cached_elusion(cdf, alias: str):
+    """elusion_with_cache (elusion.rs:554-637)."""
+    from .dataframe import CustomDataFrame
+
+    out = cdf._assemble()
+    key = _plan_key(out)
+    now = time.time()
+    hit = _query_cache.get(key)
+    if hit is not None and now - hit[1] < CACHE_TTL:
+        _stats["hits"] += 1
+        _query_cache.move_to_end(key)
+        cached = hit[0]
+    else:
+        _stats["misses"] += 1
+        cached = out.cache()
+        _query_cache[key] = (cached, now)
+        _query_cache.move_to_end(key)
+        while len(_query_cache) > MAX_CACHE:
+            _, (old, _t) = _query_cache.popitem(last=False)
+            old.unpersist()
+    cached.createOrReplaceTempView(alias)
+    return CustomDataFrame(cached, alias)
+
+
+def cache_stats() -> dict:
+    total = _stats["hits"] + _stats["misses"]
+    return {
+        **_stats,
+        "hit_rate": (_stats["hits"] / total) if total else 0.0,
+        "entries": len(_query_cache),
+    }
+
+
+def clear_cache() -> None:
+    for df, _ in _query_cache.values():
+        df.unpersist()
+    _query_cache.clear()
+
+
+def invalidate_cache(_table: str | None = None) -> None:
+    """Table-based invalidation clears the whole cache — the reference
+    does the same coarse clear (cashandview.rs:93-99)."""
+    clear_cache()
+
+
+# ------------------------------------------------------------------- views
+
+def create_view(cdf, name: str, ttl_seconds: float = 3600.0):
+    """Materialized view = cached DataFrame + temp view + TTL metadata
+    (elusion.rs:465-551)."""
+    if len(_views) >= MAX_VIEWS and name not in _views:
+        raise ElusionError(
+            f"View limit reached ({MAX_VIEWS})",
+            "Drop unused views with drop_view() (cashandview.rs:239-242).",
+        )
+    df = cdf._assemble().cache()
+    df.createOrReplaceTempView(name)
+    _views[name] = {"df": df, "created": time.time(), "ttl": ttl_seconds,
+                    "source": cdf}
+    return from_view(name, df.sparkSession)
+
+
+def from_view(name: str, spark: SparkSession | None = None):
+    from .dataframe import CustomDataFrame
+
+    meta = _views.get(name)
+    if meta is None:
+        raise ElusionError(
+            f"Unknown view {name!r}",
+            f"Known views: {sorted(_views)} (elusion.rs:489-526).",
+        )
+    if time.time() - meta["created"] > meta["ttl"]:
+        drop_view(name)
+        raise ElusionError(
+            f"View {name!r} expired",
+            "Recreate it with create_view() (TTL semantics, cashandview.rs).",
+        )
+    return CustomDataFrame(meta["df"], name)
+
+
+def refresh_view(name: str):
+    meta = _views.get(name)
+    if meta is None:
+        raise ElusionError(f"Unknown view {name!r}")
+    src = meta["source"]
+    meta["df"].unpersist()
+    df = src._assemble().cache()
+    df.createOrReplaceTempView(name)
+    _views[name] = {"df": df, "created": time.time(), "ttl": meta["ttl"],
+                    "source": src}
+    return from_view(name)
+
+
+def drop_view(name: str) -> bool:
+    meta = _views.pop(name, None)
+    if meta is None:
+        return False
+    meta["df"].unpersist()
+    spark = meta["df"].sparkSession
+    spark.catalog.dropTempView(name)
+    return True
+
+
+def list_views() -> list[dict]:
+    return [
+        {"name": n, "created": m["created"], "ttl": m["ttl"],
+         "expired": time.time() - m["created"] > m["ttl"]}
+        for n, m in _views.items()
+    ]

@@ -1,0 +1,742 @@
+"""The central clause-accumulator DataFrame.
+
+Parity target: ``CustomDataFrame`` (/root/reference/src/elusion.rs:157-188)
+— a builder whose methods may arrive in ANY order (README.md:24-27); the
+query is assembled only at ``.elusion(alias)``.  The reference assembles a
+SQL string for DataFusion; we assemble a *lazy PySpark DataFrame chain*
+(joins → filter → groupBy/agg → having → windows → project → orderBy →
+limit → queued cleaning ops) and let Catalyst plan it.  No eager
+materialization: where the reference collects into a MemTable at every
+``.elusion()`` (elusion.rs:3844-3943), we stay lazy and expose
+``.cache()`` / ``elusion_with_cache`` for explicit reuse.
+
+Scale notes (100 TB stance):
+- joins/aggs are plain shuffles on their keys; small dimensions should be
+  broadcast — ``.broadcast()`` marks a frame so every join uses a
+  broadcast hint, and AQE converts eligible joins automatically anyway.
+- nothing here collects to the driver except explicitly driver-sided APIs
+  (``display``, ``tail``, pivot's distinct-value discovery — the same
+  2-phase design Spark's own ``pivot()`` uses).
+- the fill_down / skip_rows family depends on row order; they take an
+  explicit order column when one exists, else fall back to
+  ``monotonically_increasing_id()`` over a single window partition —
+  documented as the only deliberately non-scalable fidelity shims
+  (SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+from typing import Callable, Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import normalize as N
+from .errors import ElusionError, GroupByAllError, InvalidOperation
+
+
+@dataclass
+class _Join:
+    other: "CustomDataFrame"
+    conditions: list[str]
+    how: str
+
+
+_JOIN_TYPES = {
+    "INNER": "inner",
+    "LEFT": "left",
+    "RIGHT": "right",
+    "FULL": "full",
+    "LEFT SEMI": "left_semi",
+    "LEFT ANTI": "left_anti",
+    "RIGHT SEMI": "right_semi",
+    "RIGHT ANTI": "right_anti",
+    "LEFT MARK": "left_mark",
+}
+
+
+def _as_list(x) -> list:
+    if x is None:
+        return []
+    if isinstance(x, (list, tuple)):
+        return list(x)
+    return [x]
+
+
+class CustomDataFrame:
+    """Order-insensitive query builder over a lazy Spark DataFrame."""
+
+    def __init__(self, df: DataFrame, alias: str = "tbl"):
+        self.df = df
+        self.table_alias = alias
+        self._broadcast = False
+        self._reset_state()
+
+    # ------------------------------------------------------------------ state
+
+    def _reset_state(self) -> None:
+        self.selected: list[str] = []
+        self.aggregations: list[str] = []
+        self.window_fns: list[str] = []
+        self.group_by_cols: list[str] = []
+        self.group_by_all_flag = False
+        self.filters: list[str] = []
+        self.havings: list[str] = []
+        self.order_bys: list[tuple[str, bool]] = []
+        self.limit_n: int | None = None
+        self.joins: list[_Join] = []
+        self.set_ops: list[tuple[str, object]] = []
+
+    def _clone(self) -> "CustomDataFrame":
+        c = CustomDataFrame(self.df, self.table_alias)
+        c._broadcast = self._broadcast
+        c.selected = list(self.selected)
+        c.aggregations = list(self.aggregations)
+        c.window_fns = list(self.window_fns)
+        c.group_by_cols = list(self.group_by_cols)
+        c.group_by_all_flag = self.group_by_all_flag
+        c.filters = list(self.filters)
+        c.havings = list(self.havings)
+        c.order_bys = list(self.order_bys)
+        c.limit_n = self.limit_n
+        c.joins = list(self.joins)
+        c.set_ops = list(self.set_ops)
+        return c
+
+    # ------------------------------------------------------------ constructors
+
+    @classmethod
+    def from_spark(cls, df: DataFrame, alias: str) -> "CustomDataFrame":
+        """Wrap an existing Spark DataFrame (column names normalized the way
+        every reference loader does — elusion.rs:6724)."""
+        return cls(N.normalize_columns(df), alias)
+
+    @classmethod
+    def new(cls, path: str, alias: str, spark: SparkSession | None = None,
+            **options) -> "CustomDataFrame":
+        """Extension-dispatch loader (elusion.rs:282-318, 6716-6760)."""
+        from .sources.loaders import load
+
+        return load(path, alias, spark=spark, **options)
+
+    @classmethod
+    def empty(cls, spark: SparkSession | None = None) -> "CustomDataFrame":
+        """1-row dummy frame used as a scalar-expression host
+        (elusion.rs:322-367: ``SELECT 1 AS dummy``)."""
+        spark = spark or SparkSession.getActiveSession()
+        return cls(spark.range(1).select(F.lit(1).alias("dummy")), "empty")
+
+    # ------------------------------------------------------------ builder api
+
+    def select(self, columns: Sequence[str] | str, *more: str) -> "CustomDataFrame":
+        """Add projection items; aggregates found here are routed to the
+        aggregation slot like the reference's classifier (elusion.rs:2972-3070).
+        Supports ``*`` and ``alias.*`` with duplicate-base-name dedup."""
+        c = self._clone()
+        for item in _as_list(columns) + list(more):
+            body, _ = N.split_alias(item)
+            if N.is_window_expression(body):
+                c.window_fns.append(item)
+            elif N.is_aggregate_expression(body):
+                c.aggregations.append(item)
+            else:
+                c.selected.append(item)
+        return c
+
+    select_vec = select
+
+    def agg(self, aggregations: Sequence[str] | str, *more: str) -> "CustomDataFrame":
+        c = self._clone()
+        items = _as_list(aggregations) + list(more)
+        for item in items:
+            body, _ = N.split_alias(item)
+            if not N.is_aggregate_expression(body):
+                raise InvalidOperation(
+                    f"agg() item is not an aggregate expression: {item!r}",
+                    "Use one of the whitelisted aggregate functions "
+                    "(SUM/AVG/MIN/MAX/COUNT/... — SURVEY §2.5).",
+                )
+        c.aggregations.extend(items)
+        return c
+
+    def filter(self, condition: str) -> "CustomDataFrame":
+        c = self._clone()
+        c.filters.append(condition)
+        return c
+
+    def filter_many(self, conditions: Sequence[str]) -> "CustomDataFrame":
+        c = self._clone()
+        c.filters.extend(_as_list(conditions))
+        return c
+
+    def having(self, condition: str) -> "CustomDataFrame":
+        c = self._clone()
+        c.havings.append(condition)
+        return c
+
+    def having_many(self, conditions: Sequence[str]) -> "CustomDataFrame":
+        c = self._clone()
+        c.havings.extend(_as_list(conditions))
+        return c
+
+    def group_by(self, columns: Sequence[str] | str, *more: str) -> "CustomDataFrame":
+        c = self._clone()
+        c.group_by_cols.extend(_as_list(columns) + list(more))
+        return c
+
+    def group_by_all(self) -> "CustomDataFrame":
+        """Auto-group on every groupable select item (elusion.rs:999-1046)."""
+        c = self._clone()
+        c.group_by_all_flag = True
+        return c
+
+    def window(self, window_expr: str) -> "CustomDataFrame":
+        """Raw ``EXPR OVER (...) AS alias`` window item (elusion.rs:1161-1165)."""
+        c = self._clone()
+        c.window_fns.append(window_expr)
+        return c
+
+    def string_functions(self, exprs: Sequence[str] | str, *more: str) -> "CustomDataFrame":
+        """Computed scalar columns (elusion.rs:1192-1208). On Spark these are
+        just projection items; they also join GROUP BY when group_by_all is
+        active only if they are plain columns — computed ones stay select-only,
+        matching the reference's groupability rules."""
+        c = self._clone()
+        c.selected.extend(_as_list(exprs) + list(more))
+        return c
+
+    datetime_functions = string_functions
+
+    def order_by(self, columns: Sequence[str] | str, dirs: Sequence[str] | str | None = None) -> "CustomDataFrame":
+        cols = _as_list(columns)
+        ds = _as_list(dirs) if dirs is not None else ["ASC"] * len(cols)
+        if len(ds) == 1 and len(cols) > 1:
+            ds = ds * len(cols)
+        if len(cols) != len(ds):
+            raise InvalidOperation(
+                "order_by: columns and directions length mismatch",
+                "Pass one direction per column, e.g. order_by(['a','b'], ['ASC','DESC']).",
+            )
+        c = self._clone()
+        for col, d in zip(cols, ds):
+            du = str(d).strip().upper()
+            if du not in ("ASC", "DESC"):
+                raise InvalidOperation(
+                    f"order_by: invalid direction {d!r}",
+                    "Use 'ASC' or 'DESC' (elusion.rs:1103-1152).",
+                )
+            c.order_bys.append((col, du == "ASC"))
+        return c
+
+    def order_by_many(self, pairs: Sequence[tuple[str, str]]) -> "CustomDataFrame":
+        return self.order_by([p[0] for p in pairs], [p[1] for p in pairs])
+
+    def limit(self, n: int) -> "CustomDataFrame":
+        c = self._clone()
+        c.limit_n = int(n)
+        return c
+
+    def broadcast(self) -> "CustomDataFrame":
+        """Mark this frame as broadcast-preferred in joins (scale knob —
+        dims under ~1 GB should take this path on a 1000-executor cluster)."""
+        c = self._clone()
+        c._broadcast = True
+        return c
+
+    # ---------------------------------------------------------------- joins
+
+    def join(self, other: "CustomDataFrame", conditions: Sequence[str] | str,
+             join_type: str = "INNER") -> "CustomDataFrame":
+        jt = str(join_type).strip().upper()
+        if jt not in _JOIN_TYPES:
+            raise InvalidOperation(
+                f"Unknown join type {join_type!r}",
+                f"Supported: {', '.join(sorted(_JOIN_TYPES))} (README.md:2752-2757).",
+            )
+        c = self._clone()
+        c.joins.append(_Join(other, _as_list(conditions), jt))
+        return c
+
+    def join_many(self, specs: Sequence[tuple]) -> "CustomDataFrame":
+        """N-way chained joins (elusion.rs:936-960): [(df, conds, type), ...]."""
+        c = self
+        for other, conds, jt in specs:
+            c = c.join(other, conds, jt)
+        return c
+
+    # -------------------------------------------------- null/cleaning queue
+
+    def fill_null(self, columns: Sequence[str] | None, value) -> "CustomDataFrame":
+        """Queued sentinel-aware null fill (elusion.rs:2513-2640): NULL or
+        any of {'', 'null', 'NA', 'N/A', 'NONE', '-', '?', 'NaN'} → value."""
+        c = self._clone()
+        c.set_ops.append(("FILL_NULL", (_as_list(columns) or None, value)))
+        return c
+
+    def drop_null(self, columns: Sequence[str] | None = None) -> "CustomDataFrame":
+        c = self._clone()
+        c.set_ops.append(("DROP_NULL", _as_list(columns) or None))
+        return c
+
+    def fill_down(self, columns: Sequence[str], order_by: str | None = None) -> "CustomDataFrame":
+        """Forward-fill (elusion.rs:2169-2185, 2369-2470). The reference uses
+        file order; pass ``order_by`` for a scalable deterministic ordering,
+        else we fall back to ``monotonically_increasing_id()`` in a single
+        window partition (fidelity shim — SURVEY §7.4)."""
+        c = self._clone()
+        c.set_ops.append(("FILL_DOWN", (_as_list(columns), order_by)))
+        return c
+
+    def skip_rows(self, n: int) -> "CustomDataFrame":
+        c = self._clone()
+        c.set_ops.append(("SKIP_ROWS", int(n)))
+        return c
+
+    # ------------------------------------------------------------- assembly
+
+    def _alias_map(self) -> dict[str, DataFrame]:
+        m = {self.table_alias: self.df}
+        for j in self.joins:
+            m[j.other.table_alias] = j.other.df
+        return m
+
+    def _expand_stars(self, item: str) -> list[str]:
+        """``*`` / ``alias.*`` expansion with duplicate-base-name removal,
+        main-table-first (elusion.rs:3073-3147). Explicit columns never dedup."""
+        s = item.strip()
+        if s == "*":
+            seen: set[str] = set()
+            out: list[str] = []
+            for alias, df in self._alias_map().items():
+                for col in df.columns:
+                    if col in seen:
+                        continue
+                    seen.add(col)
+                    out.append(f"{alias}.{col}" if self.joins else col)
+            return out
+        m = s.split(".")
+        if len(m) == 2 and m[1] == "*":
+            df = self._alias_map().get(m[0])
+            if df is None:
+                raise InvalidOperation(
+                    f"Unknown table alias in {s!r}",
+                    f"Known aliases: {', '.join(self._alias_map())}.",
+                )
+            return [f"{m[0]}.{c}" for c in df.columns]
+        return [s]
+
+    def _assemble(self) -> DataFrame:
+        cur = self.df.alias(self.table_alias)
+
+        # joins — broadcast hints propagate from the marked side
+        for j in self.joins:
+            cond = " AND ".join(
+                f"({N.normalize_expression(x)})" for x in j.conditions
+            )
+            how = _JOIN_TYPES[j.how]
+            right = j.other.df.alias(j.other.table_alias)
+            if j.other._broadcast:
+                right = F.broadcast(right)
+            if how == "right_semi":
+                cur = right.join(cur, F.expr(cond), "left_semi")
+            elif how == "right_anti":
+                cur = right.join(cur, F.expr(cond), "left_anti")
+            elif how == "left_mark":
+                # exact emulation: semi ∪ anti with a boolean mark column
+                matched = cur.join(right, F.expr(cond), "left_semi").withColumn(
+                    "mark", F.lit(True)
+                )
+                unmatched = cur.join(right, F.expr(cond), "left_anti").withColumn(
+                    "mark", F.lit(False)
+                )
+                cur = matched.unionAll(unmatched)
+            else:
+                cur = cur.join(right, F.expr(cond), how)
+
+        # WHERE
+        if self.filters:
+            cond = " AND ".join(
+                f"({N.normalize_expression(x)})" for x in self.filters
+            )
+            cur = cur.filter(F.expr(cond))
+
+        # classify select items
+        sel_items: list[tuple[str, str | None]] = []
+        agg_items: list[tuple[str, str]] = []
+        for raw in self.selected:
+            for expanded in self._expand_stars(raw):
+                body, al = N.split_alias(expanded)
+                body = N.normalize_expression(body)
+                sel_items.append((body, al))
+        for raw in self.aggregations:
+            body, al = N.split_alias(raw)
+            body = N.normalize_expression(body)
+            agg_items.append((body, al or N.default_alias(body)))
+
+        win_items: list[tuple[str, str]] = []
+        for raw in self.window_fns:
+            body, al = N.split_alias(raw)
+            body = N.normalize_expression(body)
+            win_items.append((body, al or N.default_alias(body)))
+
+        grouped = bool(agg_items) and (
+            bool(self.group_by_cols) or self.group_by_all_flag or bool(sel_items)
+        )
+        has_agg = bool(agg_items)
+
+        if has_agg:
+            if self.group_by_all_flag:
+                group_exprs = [b for b, _ in sel_items if N.is_simple_column(b)]
+                bad = [b for b, _ in sel_items if not N.is_simple_column(b)]
+                if bad and not group_exprs:
+                    raise GroupByAllError(
+                        f"group_by_all(): no groupable select columns; computed "
+                        f"expressions found: {bad}",
+                        "Add plain columns to .select() or use .group_by() with "
+                        "explicit expressions (elusion.rs:999-1046).",
+                    )
+            else:
+                group_exprs = [
+                    N.normalize_expression(g) for g in self.group_by_cols
+                ]
+
+            gcols = [F.expr(g).alias(f"__g{i}") for i, g in enumerate(group_exprs)]
+            canon_group = {
+                N.canonical(g): f"__g{i}" for i, g in enumerate(group_exprs)
+            }
+
+            # HAVING: alias refs pass through; raw agg calls become hidden aggs
+            hidden: list[tuple[str, str]] = []
+            havings: list[str] = []
+            known_aggs = {N.canonical(b): a for b, a in agg_items}
+            for h in self.havings:
+                h2 = N.normalize_expression(h)
+                for call in N.extract_agg_calls(h2):
+                    key = N.canonical(call)
+                    if key in known_aggs:
+                        h2 = h2.replace(call, known_aggs[key])
+                    else:
+                        hal = f"__h{len(hidden)}"
+                        hidden.append((call, hal))
+                        h2 = h2.replace(call, hal)
+                        known_aggs[key] = hal
+                havings.append(h2)
+
+            aggcols = [F.expr(b).alias(a) for b, a in agg_items]
+            aggcols += [F.expr(b).alias(a) for b, a in hidden]
+            if gcols:
+                cur = cur.groupBy(*gcols).agg(*aggcols)
+            else:
+                cur = cur.agg(*aggcols)
+
+            if havings:
+                cur = cur.filter(F.expr(" AND ".join(f"({h})" for h in havings)))
+
+            # windows evaluate over the grouped result (SQL semantics)
+            if win_items:
+                cur = cur.selectExpr("*", *[f"{b} AS {a}" for b, a in win_items])
+
+            # final projection: aggregations first, then selected columns,
+            # then window columns (build_select_parts — elusion.rs:3634-3657)
+            proj: list[Column] = [F.col(a) for _, a in agg_items]
+            for b, al in sel_items:
+                key = N.canonical(b)
+                if key in canon_group:
+                    proj.append(F.col(canon_group[key]).alias(al or N.base_name(b)))
+                else:
+                    raise GroupByAllError(
+                        f"Selected column {b!r} is neither aggregated nor in "
+                        f"GROUP BY",
+                        "Add it to .group_by() / make it groupable, or wrap it "
+                        "in an aggregate (elusion.rs:3951-4480 validation).",
+                    )
+            proj += [F.col(a) for _, a in win_items]
+            cur = cur.select(*proj)
+        else:
+            # windows first so they can reference unselected base columns
+            if win_items:
+                cur = cur.selectExpr("*", *[f"{b} AS {a}" for b, a in win_items])
+            if sel_items:
+                proj = [
+                    F.expr(b).alias(al) if al else F.expr(b)
+                    for b, al in sel_items
+                ]
+                proj += [F.col(a) for _, a in win_items]
+                cur = cur.select(*proj)
+
+        # ORDER BY / LIMIT
+        if self.order_bys:
+            cols = [
+                F.expr(N.normalize_expression(e)).asc() if asc
+                else F.expr(N.normalize_expression(e)).desc()
+                for e, asc in self.order_bys
+            ]
+            cur = cur.orderBy(*cols)
+        if self.limit_n is not None:
+            cur = cur.limit(self.limit_n)
+
+        # queued cleaning ops, in arrival order (elusion.rs:3613-3616)
+        for tag, payload in self.set_ops:
+            if tag == "FILL_NULL":
+                cols, value = payload
+                cur = _fill_null(cur, cols, value)
+            elif tag == "DROP_NULL":
+                cur = _drop_null(cur, payload)
+            elif tag == "FILL_DOWN":
+                cols, order_col = payload
+                cur = _fill_down(cur, cols, order_col)
+            elif tag == "SKIP_ROWS":
+                cur = cur.offset(int(payload))
+        return cur
+
+    # ------------------------------------------------------------- execution
+
+    def elusion(self, alias: str = "result") -> "CustomDataFrame":
+        """Assemble pending clauses into a lazy DataFrame, register it as a
+        temp view under ``alias`` and return a fresh builder over it.
+
+        The reference eagerly materializes here (elusion.rs:3844-3943); we
+        keep Catalyst lazy — analysis errors still surface at this boundary
+        because assembly resolves the full plan."""
+        out = self._assemble()
+        out.createOrReplaceTempView(alias)
+        return CustomDataFrame(out, alias)
+
+    def elusion_with_cache(self, alias: str = "result") -> "CustomDataFrame":
+        """Materialization-preserving variant (cashandview.rs:36-100): the
+        assembled result is Spark-cached for reuse across actions."""
+        from .cache import cached_elusion
+
+        return cached_elusion(self, alias)
+
+    def display(self, n: int = 20, truncate: bool = False) -> None:
+        self._assemble().show(n, truncate=truncate)
+
+    show = display
+
+    def collect(self):
+        return self._assemble().collect()
+
+    def to_spark(self) -> DataFrame:
+        return self._assemble()
+
+    def cache(self) -> "CustomDataFrame":
+        return CustomDataFrame(self._assemble().cache(), self.table_alias)
+
+    def df_schema(self) -> list[tuple[str, str]]:
+        """Name/type listing (elusion.rs:4538-4564)."""
+        return [(f.name, f.dataType.simpleString()) for f in self._assemble().schema.fields]
+
+    def display_query(self) -> str:
+        """The assembled plan, analogous to the reference's generated SQL
+        (elusion.rs:4567-4671)."""
+        plan = self._assemble()._jdf.queryExecution().toString()
+        print(plan)
+        return plan
+
+    def explain(self, mode: str = "formatted") -> None:
+        self._assemble().explain(mode)
+
+    # ------------------------------------------------------------ set ops
+
+    def _binary(self, other: "CustomDataFrame", fn: Callable[[DataFrame, DataFrame], DataFrame],
+                alias: str) -> "CustomDataFrame":
+        out = fn(self._assemble(), other._assemble())
+        return CustomDataFrame(out, alias)
+
+    def union(self, other: "CustomDataFrame", alias: str = "union_result") -> "CustomDataFrame":
+        """Positional UNION DISTINCT (elusion.rs:1427-1497: ``SELECT DISTINCT *
+        … UNION``). Positional on purpose — NOT unionByName."""
+        return self._binary(other, lambda a, b: a.union(b).distinct(), alias)
+
+    def union_many(self, others: Sequence["CustomDataFrame"], alias: str = "union_result") -> "CustomDataFrame":
+        dfs = [self._assemble()] + [o._assemble() for o in others]
+        return CustomDataFrame(reduce(DataFrame.union, dfs).distinct(), alias)
+
+    def union_all(self, other: "CustomDataFrame", alias: str = "union_all_result") -> "CustomDataFrame":
+        return self._binary(other, DataFrame.union, alias)
+
+    def union_all_many(self, others: Sequence["CustomDataFrame"], alias: str = "union_all_result") -> "CustomDataFrame":
+        dfs = [self._assemble()] + [o._assemble() for o in others]
+        return CustomDataFrame(reduce(DataFrame.union, dfs), alias)
+
+    def append(self, other: "CustomDataFrame", alias: str = "appended") -> "CustomDataFrame":
+        """Physical concat, no dedup (elusion.rs:1254-1425) ≡ UNION ALL."""
+        return self.union_all(other, alias)
+
+    def append_many(self, others: Sequence["CustomDataFrame"], alias: str = "appended") -> "CustomDataFrame":
+        return self.union_all_many(others, alias)
+
+    def except_(self, other: "CustomDataFrame", alias: str = "except_result") -> "CustomDataFrame":
+        """SQL EXCEPT = distinct semantics (elusion.rs:1739-1809)."""
+        return self._binary(other, DataFrame.subtract, alias)
+
+    def intersect(self, other: "CustomDataFrame", alias: str = "intersect_result") -> "CustomDataFrame":
+        return self._binary(other, DataFrame.intersect, alias)
+
+    # --------------------------------------------------------- eager helpers
+
+    def drop_duplicates(self, alias: str = "dedup") -> "CustomDataFrame":
+        """Full-row dedup (elusion.rs:3348-3540)."""
+        return CustomDataFrame(self._assemble().dropDuplicates(), alias)
+
+    def drop_duplicates_by_column(self, columns: Sequence[str], alias: str = "dedup",
+                                  order_by: str | None = None) -> "CustomDataFrame":
+        """Keep one row per key. The reference keeps an arbitrary row
+        (``ROW_NUMBER() … ORDER BY 1`` — elusion.rs:3544-3563); pass
+        ``order_by`` for a deterministic keep-first-by-ordering that stays
+        correct under parallel execution."""
+        df = self._assemble()
+        cols = _as_list(columns)
+        if order_by:
+            w = Window.partitionBy(*cols).orderBy(F.expr(order_by))
+            df = (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            df = df.dropDuplicates(cols)
+        return CustomDataFrame(df, alias)
+
+    def head(self, n: int = 5, alias: str = "head") -> "CustomDataFrame":
+        return CustomDataFrame(self._assemble().limit(n), alias)
+
+    def tail(self, n: int = 5, alias: str = "tail") -> "CustomDataFrame":
+        """Last n rows in current order (elusion.rs:2818-2890 does
+        COUNT(*) then LIMIT/OFFSET — same 2-phase approach)."""
+        df = self._assemble()
+        total = df.count()
+        return CustomDataFrame(df.offset(max(total - n, 0)), alias)
+
+    def peek(self, n: int = 5) -> None:
+        self._assemble().show(n, truncate=False)
+
+    # ------------------------------------------------------------- pivoting
+
+    def pivot(self, row_keys: Sequence[str], pivot_col: str, value_col: str,
+              agg_func: str = "SUM", alias: str = "pivoted") -> "CustomDataFrame":
+        """2-phase pivot (elusion.rs:1883-2065): discover distinct pivot
+        values (driver-side — same as Spark's own pivot without a value
+        list), then ``groupBy(keys).pivot(col, values).agg``.  Output
+        columns are named ``{pivot_col}_{value}`` with COALESCE(...,0)
+        (elusion.rs:2015-2020)."""
+        df = self._assemble()
+        vals = [
+            r[0]
+            for r in df.select(pivot_col).distinct().orderBy(pivot_col).collect()
+            if r[0] is not None
+        ]
+        p = (
+            df.groupBy(*_as_list(row_keys))
+            .pivot(pivot_col, vals)
+            .agg(F.expr(f"{agg_func}({value_col})"))
+        )
+        for v in vals:
+            p = p.withColumnRenamed(str(v), f"{pivot_col}_{v}")
+        value_cols = [f"{pivot_col}_{v}" for v in vals]
+        p = p.fillna(0, subset=value_cols)
+        return CustomDataFrame(p, alias)
+
+    def unpivot(self, id_columns: Sequence[str], value_columns: Sequence[str],
+                name_column: str = "name", value_column: str = "value",
+                alias: str = "unpivoted") -> "CustomDataFrame":
+        """UNION-ALL-per-column semantics (elusion.rs:2068-2166) via Spark's
+        native ``unpivot`` (one pass, no N× scan)."""
+        df = self._assemble()
+        vals = _as_list(value_columns)
+        # unify value types the way implicit UNION ALL casting would
+        types = {df.schema[c].dataType.simpleString() for c in vals}
+        if len(types) > 1:
+            num = {"int", "bigint", "smallint", "tinyint", "float", "double", "decimal"}
+            target = "double" if all(
+                any(t.startswith(x) for x in num) for t in types
+            ) else "string"
+            df = df.withColumns({c: F.col(c).cast(target) for c in vals})
+        out = df.unpivot(_as_list(id_columns), vals, name_column, value_column)
+        return CustomDataFrame(out, alias)
+
+    # ------------------------------------------------------------- writers
+
+    def write_to_parquet(self, mode: str, path: str, **opts) -> None:
+        from .sinks.writers import write_to_parquet
+
+        write_to_parquet(self._assemble(), mode, path, **opts)
+
+    def write_to_csv(self, mode: str, path: str, options=None) -> None:
+        from .sinks.writers import write_to_csv
+
+        write_to_csv(self._assemble(), mode, path, options)
+
+    def write_to_json(self, path: str, pretty: bool = False) -> None:
+        from .sinks.writers import write_to_json
+
+        write_to_json(self._assemble(), path, pretty)
+
+    def write_to_delta_table(self, mode: str, path: str,
+                             partition_by: Sequence[str] | None = None) -> None:
+        from .sinks.writers import write_to_delta
+
+        write_to_delta(self._assemble(), mode, path, partition_by)
+
+
+# ---------------------------------------------------------------- cleaning
+
+def _string_sentinel_cond(col: Column) -> Column:
+    """NULL-or-sentinel predicate (elusion.rs:2558-2568)."""
+    t = F.trim(col)
+    return col.isNull() | (t == "") | F.lower(t).isin(*N.SENTINEL_NULLS)
+
+
+def _fill_null(df: DataFrame, cols: Sequence[str] | None, value) -> DataFrame:
+    cols = cols or df.columns
+    updates = {}
+    for c in cols:
+        dt = df.schema[c].dataType
+        col = F.col(c)
+        if isinstance(dt, T.StringType):
+            updates[c] = F.when(_string_sentinel_cond(col), F.lit(value)).otherwise(col)
+        else:
+            updates[c] = F.when(col.isNull(), F.lit(value)).otherwise(col)
+    return df.withColumns(updates)
+
+
+def _drop_null(df: DataFrame, cols: Sequence[str] | None) -> DataFrame:
+    cols = cols or df.columns
+    cond = None
+    for c in cols:
+        dt = df.schema[c].dataType
+        col = F.col(c)
+        this = (
+            ~_string_sentinel_cond(col)
+            if isinstance(dt, T.StringType)
+            else col.isNotNull()
+        )
+        cond = this if cond is None else (cond & this)
+    return df.filter(cond) if cond is not None else df
+
+
+def _fill_down(df: DataFrame, cols: Sequence[str], order_col: str | None) -> DataFrame:
+    if order_col:
+        w = Window.orderBy(F.expr(order_col))
+    else:
+        # fidelity shim: file order via a single global window — fine for the
+        # report-sheet sizes this op targets; pass order_col at scale.
+        df = df.withColumn("__mid", F.monotonically_increasing_id())
+        w = Window.orderBy("__mid")
+    w = w.rowsBetween(Window.unboundedPreceding, 0)
+    updates = {}
+    for c in cols:
+        dt = df.schema[c].dataType
+        col = F.col(c)
+        base = (
+            F.when(_string_sentinel_cond(col), F.lit(None)).otherwise(col)
+            if isinstance(dt, T.StringType)
+            else col
+        )
+        updates[c] = F.last(base, ignorenulls=True).over(w)
+    out = df.withColumns(updates)
+    return out.drop("__mid") if not order_col else out

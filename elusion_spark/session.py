@@ -1,0 +1,53 @@
+"""SparkSession factory tuned for this engine.
+
+Scale stance: these defaults are the *local[32] test* profile.  On a real
+cluster the same code runs unchanged — AQE handles partition coalescing and
+skew joins at runtime, shuffle partitions should be sized to cluster cores
+(set ``spark.sql.shuffle.partitions`` via ``extra_conf`` or spark-submit),
+and Arrow is enabled for every pandas-interop boundary.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.ui.enabled": "false",
+    # parquet scans: keep splits big enough to amortize task overhead at
+    # 100 TB but small enough to parallelize; 128 MB is the sweet spot.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+}
+
+
+def get_spark(
+    app_name: str = "elusion_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a session.  ``SPARK_GRAFT_CPUS`` drives local
+    parallelism; shuffle partitions default to the same so a local run has
+    one shuffle partition per core (not the 200 cluster default)."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    b = SparkSession.builder.master(master).appName(app_name)
+    conf = dict(_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
+    conf["spark.driver.memory"] = os.environ.get("SPARK_DRIVER_MEMORY", "16g")
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

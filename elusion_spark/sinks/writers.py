@@ -1,0 +1,238 @@
+"""Writers.
+
+Parity targets: write_to_parquet overwrite/append (elusion.rs:5182-5374),
+write_to_csv with CsvWriteOptions (elusion.rs:5377-5723), write_to_json
+array-form (elusion.rs:5013-5180), Delta writes (elusion.rs:5725-5765),
+streaming chunked write (elusion.rs:8235-8467).
+
+Fidelity vs scale: the reference writes ONE file at ``path``.  When the
+target path looks like a single file (has an extension) we coalesce(1)
+and rename the part file — correct for the report-sized outputs this API
+targets.  When the target is a directory we use Spark's native
+distributed write (the 100 TB path: one file per task, no driver
+bottleneck).  Append for parquet is Spark-native — no read+UNION+rewrite
+like the reference (elusion.rs:5317-5321), same observable result.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from ..errors import WriterError
+
+
+@dataclass
+class CsvWriteOptions:
+    """csvwrite/csvwriteops.rs options surface."""
+
+    delimiter: str = ","
+    quote: str = '"'
+    escape: str = '"'
+    null_value: str = ""
+    header: bool = True
+
+
+def _is_single_file(path: str) -> bool:
+    return bool(os.path.splitext(path)[1])
+
+
+def _write_single_file(df: DataFrame, path: str, fmt: str, options: dict,
+                       append: bool = False) -> None:
+    """coalesce(1) → temp dir → atomic move of the part file (the same
+    write-temp-then-rename the reference does at elusion.rs:5322-5370)."""
+    tmp = tempfile.mkdtemp(prefix="elusion_write_")
+    try:
+        (df.coalesce(1).write.format(fmt).options(**options).mode("overwrite")
+         .save(os.path.join(tmp, "out")))
+        part = None
+        for f in os.listdir(os.path.join(tmp, "out")):
+            if f.startswith("part-"):
+                part = os.path.join(tmp, "out", f)
+                break
+        if part is None:
+            raise WriterError(f"No part file produced for {path}")
+        if append and os.path.exists(path) and fmt == "csv":
+            with open(path, "a") as dst, open(part) as src:
+                first = True
+                for line in src:
+                    if first and options.get("header") == "true":
+                        first = False
+                        continue  # don't repeat the header on append
+                    first = False
+                    dst.write(line)
+        else:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            shutil.move(part, path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def write_to_parquet(df: DataFrame, mode: str, path: str,
+                     single_file: bool | None = None) -> None:
+    mode = mode.lower()
+    if mode not in ("overwrite", "append"):
+        raise WriterError(
+            f"Invalid write mode {mode!r}",
+            "Use 'overwrite' or 'append' (elusion.rs:5182-5374).",
+        )
+    single = _is_single_file(path) if single_file is None else single_file
+    if not single:
+        df.write.mode(mode).parquet(path)
+        return
+    if mode == "append" and os.path.exists(path):
+        # single-file append: read existing + union + rewrite (the
+        # reference's approach, elusion.rs:5317-5321) — bounded outputs only
+        spark = df.sparkSession
+        existing = spark.read.parquet(path)
+        if set(existing.columns) != set(df.columns):
+            raise WriterError(
+                "Append schema mismatch",
+                f"Existing columns {existing.columns} vs new {df.columns}.",
+            )
+        merged = existing.select(*existing.columns).union(
+            df.select(*existing.columns)
+        )
+        tmp_path = path + ".tmp.parquet"
+        _write_single_file(merged, tmp_path, "parquet", {})
+        os.replace(tmp_path, path)
+        return
+    _write_single_file(df, path, "parquet", {})
+
+
+def write_to_csv(df: DataFrame, mode: str, path: str,
+                 options: CsvWriteOptions | None = None) -> None:
+    opts = options or CsvWriteOptions()
+    spark_opts = {
+        "sep": opts.delimiter,
+        "quote": opts.quote,
+        "escape": opts.escape,
+        "nullValue": opts.null_value,
+        # header on overwrite, not append (elusion.rs:5377-5723)
+        "header": "true" if (opts.header and mode.lower() == "overwrite") or
+                  (opts.header and not os.path.exists(path)) else "false",
+    }
+    if _is_single_file(path):
+        if mode.lower() == "append" and os.path.exists(path):
+            spark_opts["header"] = "true" if opts.header else "false"
+            _write_single_file(df, path, "csv", spark_opts, append=True)
+        else:
+            _write_single_file(df, path, "csv", spark_opts)
+    else:
+        df.write.mode(mode.lower()).options(**spark_opts).csv(path)
+
+
+def write_to_json(df: DataFrame, path: str, pretty: bool = False) -> None:
+    """Overwrite-only array-form JSON (elusion.rs:5013-5180).  Driver-side
+    only for the pretty array form (bounded report outputs); directory
+    targets use the distributed line-JSON writer."""
+    if not _is_single_file(path):
+        df.write.mode("overwrite").json(path)
+        return
+    import json
+
+    rows = [r.asDict(recursive=True) for r in df.collect()]
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        if pretty:
+            json.dump(rows, f, indent=2, default=str)
+        else:
+            json.dump(rows, f, default=str)
+
+
+def write_to_delta(df: DataFrame, mode: str, path: str,
+                   partition_by=None) -> None:
+    """elusion.rs:5725-5765; requires delta-spark in the session."""
+    try:
+        w = df.write.format("delta").mode(mode.lower())
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.save(path)
+    except Exception as e:
+        from ..errors import FeatureNotAvailable
+
+        raise FeatureNotAvailable(
+            f"Delta write unavailable: {e}",
+            "Run with delta-spark configured "
+            "(spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension).",
+        )
+
+
+def stream_write(df: DataFrame, path: str, fmt: str = "csv",
+                 batch_rows: int = 50_000,
+                 options: CsvWriteOptions | None = None) -> int:
+    """``elusion_streaming_write`` parity (elusion.rs:8235-8467): iterate
+    result batches, append to one file incrementally (parquet buffered at
+    50k rows like the reference).  Uses ``toLocalIterator`` so only one
+    partition is resident driver-side at a time.  Returns rows written.
+
+    Scale note: this exists for single-file fidelity; the distributed path
+    is plain ``df.write`` which already streams per task.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    total = 0
+    if fmt == "parquet":
+        schema = pa.schema(
+            [pa.field(f.name, _arrow_type(f.dataType)) for f in df.schema.fields]
+        )
+        writer = pq.ParquetWriter(path, schema, compression="snappy")
+        buf: list[dict] = []
+        try:
+            for row in df.toLocalIterator():
+                buf.append(row.asDict())
+                if len(buf) >= batch_rows:
+                    writer.write_table(pa.Table.from_pylist(buf, schema=schema))
+                    total += len(buf)
+                    buf = []
+            if buf:
+                writer.write_table(pa.Table.from_pylist(buf, schema=schema))
+                total += len(buf)
+        finally:
+            writer.close()
+        return total
+    opts = options or CsvWriteOptions()
+    import csv as _csv
+    import json as _json
+
+    with open(path, "w", newline="") as f:
+        if fmt == "csv":
+            w = _csv.writer(f, delimiter=opts.delimiter, quotechar=opts.quote)
+            if opts.header:
+                w.writerow(df.columns)
+            for row in df.toLocalIterator():
+                w.writerow(list(row))
+                total += 1
+        elif fmt == "json":
+            for row in df.toLocalIterator():
+                f.write(_json.dumps(row.asDict(), default=str) + "\n")
+                total += 1
+        else:
+            raise WriterError(f"Unsupported stream format {fmt!r}")
+    return total
+
+
+def _arrow_type(dt):
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    mapping = {
+        T.StringType: pa.string(),
+        T.LongType: pa.int64(),
+        T.IntegerType: pa.int32(),
+        T.DoubleType: pa.float64(),
+        T.FloatType: pa.float32(),
+        T.BooleanType: pa.bool_(),
+        T.DateType: pa.date32(),
+        T.TimestampType: pa.timestamp("us", tz="UTC"),
+    }
+    for k, v in mapping.items():
+        if isinstance(dt, k):
+            return v
+    return pa.string()

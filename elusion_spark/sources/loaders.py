@@ -1,0 +1,357 @@
+"""File/source loaders with the reference's observable semantics.
+
+Parity targets: the unified extension dispatcher (elusion.rs:282-318,
+6716-6760), CSV delimiter sniffing + sampled type inference
+(features/csv.rs:41-90, 168-205, 340-447), JSON promote-to-string schema
+(helper_funcs/infer_schema_json.rs:30-68), folder loaders with schema
+verification and the filename variant (elusion.rs:6765-7778).
+
+Spark-first: every loader returns a *lazy* DataFrame with normalized
+column names; nothing is collected to the driver except the 100-row CSV
+type-inference sample (the same sample size the reference uses).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json as _json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import normalize as N
+from ..errors import FeatureNotAvailable, LoaderError, SchemaMismatchError
+from .csv_inference import classify_column, cast_expression
+
+
+def _spark(spark: SparkSession | None) -> SparkSession:
+    s = spark or SparkSession.getActiveSession()
+    if s is None:
+        from ..session import get_spark
+
+        s = get_spark()
+    return s
+
+
+def _wrap(df: DataFrame, alias: str):
+    from ..dataframe import CustomDataFrame
+
+    return CustomDataFrame(N.normalize_columns(df), alias)
+
+
+# ------------------------------------------------------------------ dispatch
+
+def load(path: str, alias: str, spark: SparkSession | None = None, **options):
+    """Extension-dispatch loader (elusion.rs:6716-6760): Delta dir check
+    first, then by extension."""
+    if os.path.isdir(path):
+        if os.path.isdir(os.path.join(path, "_delta_log")):
+            return load_delta(path, alias, spark)
+        return load_folder(path, None, alias, spark=spark)
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".parquet":
+        return load_parquet(path, alias, spark)
+    if ext == ".csv":
+        return load_csv(path, alias, spark, **options)
+    if ext in (".json", ".ndjson", ".jsonl"):
+        return load_json(path, alias, spark)
+    if ext in (".xlsx", ".xls"):
+        return load_excel(path, alias, spark)
+    if ext == ".xml":
+        return load_xml(path, alias, spark)
+    raise LoaderError(
+        f"Unsupported file extension: {ext!r} ({path})",
+        "Supported: .parquet .csv .json .xlsx .xml or a Delta/table directory "
+        "(elusion.rs:6716-6760).",
+    )
+
+
+def load_parquet(path: str, alias: str, spark: SparkSession | None = None):
+    """elusion.rs:6358-6449 — native parquet read (we stay lazy: no
+    MemTable collect; Catalyst gets pushdown + pruning on the scan)."""
+    return _wrap(_spark(spark).read.parquet(path), alias)
+
+
+# ---------------------------------------------------------------------- csv
+
+def sniff_delimiter(path: str, candidates: str = ",;\t|", lines: int = 10) -> str:
+    """Delimiter sniffing (features/csv.rs:41-90): count candidate
+    occurrences over the first 10 lines; pick the candidate with a
+    consistent nonzero count; ',' wins ties."""
+    with open(path, "r", encoding="utf-8", errors="replace") as f:
+        sample = [f.readline() for _ in range(lines)]
+    sample = [l for l in sample if l.strip()]
+    best, best_score = ",", -1.0
+    for cand in candidates:
+        counts = [l.count(cand) for l in sample]
+        if not counts or counts[0] == 0:
+            continue
+        consistency = sum(1 for c in counts if c == counts[0]) / len(counts)
+        score = consistency * 1000 + counts[0]
+        if score > best_score:
+            best, best_score = cand, score
+    return best
+
+
+def load_csv(path: str, alias: str, spark: SparkSession | None = None,
+             delimiter: str | None = None, infer: bool = True,
+             schema: T.StructType | None = None):
+    """CSV load with the reference's smart-typing pipeline
+    (features/csv.rs:93-166): read everything as string, sample 100 rows,
+    regex-vote a type per column at an 80% majority (csv.rs:340-447 —
+    EU decimals, thousands separators, %, currency, multilingual booleans),
+    then apply one vectorized cast/cleanup projection (csv.rs:293-317).
+    The cleanup runs as built-in Spark expressions — JVM-side, codegen'd —
+    so the same pass scales to a 100 TB folder of CSVs."""
+    s = _spark(spark)
+    sep = delimiter or sniff_delimiter(path)
+    reader = (
+        s.read.option("header", "true")
+        .option("sep", sep)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("multiLine", "true")
+    )
+    if schema is not None:
+        df = reader.schema(schema).csv(path)
+        return _wrap(df, alias)
+    df = N.normalize_columns(reader.csv(path))  # all columns arrive as string
+    if not infer:
+        return _wrap(df, alias)
+    sample = df.limit(100).collect()  # same 100-row sample as csv.rs:168-205
+    updates = {}
+    for c in df.columns:
+        values = [row[c] for row in sample]
+        inferred = classify_column(values)
+        expr = cast_expression(c, inferred)
+        if expr is not None:
+            updates[c] = expr
+    if updates:
+        df = df.withColumns(updates)
+    return _wrap(df, alias)
+
+
+def load_csv_with_schema(path: str, schema: T.StructType, alias: str,
+                         spark: SparkSession | None = None,
+                         delimiter: str | None = None):
+    """Predefined-schema variant (features/with_schema.rs:90-136)."""
+    return load_csv(path, alias, spark, delimiter=delimiter, infer=False,
+                    schema=schema)
+
+
+# --------------------------------------------------------------------- json
+
+def load_json(path: str, alias: str, spark: SparkSession | None = None):
+    """JSON load (elusion.rs:6451-6604). Schema fidelity: the reference
+    promotes every non-(int/float/string) value — arrays, objects — to a
+    *string* (infer_schema_json.rs:50-51); we read natively then stringify
+    nested fields with ``to_json`` so the observable schema matches while
+    the parse itself stays distributed."""
+    s = _spark(spark)
+    with open(path, "r", encoding="utf-8", errors="replace") as f:
+        head = ""
+        while True:
+            ch = f.read(1)
+            if not ch or not ch.isspace():
+                head = ch
+                break
+    multiline = head == "["
+    df = s.read.option("multiLine", multiline).json(path)
+    for f_ in df.schema.fields:
+        if isinstance(f_.dataType, (T.ArrayType, T.StructType, T.MapType)):
+            df = df.withColumn(f_.name, F.to_json(F.col(f_.name)))
+        elif isinstance(f_.dataType, T.BooleanType):
+            pass  # booleans stay
+    return _wrap(df, alias)
+
+
+# -------------------------------------------------------------------- delta
+
+def load_delta(path: str, alias: str, spark: SparkSession | None = None):
+    """elusion.rs:6607-6710. The reference disables parquet pruning for
+    Delta scans; we deliberately do NOT replicate that (SURVEY §4) — Spark
+    prunes partitions and pushes filters. Requires delta-spark; without it
+    we fall back to reading the current snapshot's parquet files from the
+    transaction log."""
+    s = _spark(spark)
+    try:
+        return _wrap(s.read.format("delta").load(path), alias)
+    except Exception:
+        pass
+    # Fallback: parse the delta log for the active file set (public layout).
+    log_dir = os.path.join(path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise LoaderError(
+            f"Not a Delta table: {path}",
+            "No _delta_log directory found (elusion.rs:6607-6710).",
+        )
+    active: dict[str, bool] = {}
+    for logfile in sorted(_glob.glob(os.path.join(log_dir, "*.json"))):
+        with open(logfile) as f:
+            for line in f:
+                try:
+                    action = _json.loads(line)
+                except _json.JSONDecodeError:
+                    continue
+                if "add" in action:
+                    active[action["add"]["path"]] = True
+                elif "remove" in action:
+                    active.pop(action["remove"]["path"], None)
+    files = [os.path.join(path, p) for p in active]
+    if not files:
+        raise LoaderError(f"Delta table {path} has no active files")
+    return _wrap(s.read.parquet(*files), alias)
+
+
+# -------------------------------------------------------------------- excel
+
+def load_excel(path: str, alias: str, spark: SparkSession | None = None,
+               sheet: str | int = 0):
+    """features/excel.rs:385-645 — no Spark-native reader; pandas/openpyxl
+    bridge with the reference's header sanitation, gated on availability."""
+    s = _spark(spark)
+    try:
+        import pandas as pd
+
+        pdf = pd.read_excel(path, sheet_name=sheet)
+    except ImportError as e:
+        raise FeatureNotAvailable(
+            f"Excel support needs pandas+openpyxl: {e}",
+            "pip install openpyxl (not available in this environment).",
+        )
+    pdf.columns = _dedup_headers([N.normalize_column_name(str(c)) for c in pdf.columns])
+    return _wrap(s.createDataFrame(pdf), alias)
+
+
+def _dedup_headers(cols: list[str]) -> list[str]:
+    """Header dedup (excel.rs header sanitize): a, a → a, a_1."""
+    seen: dict[str, int] = {}
+    out = []
+    for c in cols:
+        if c in seen:
+            seen[c] += 1
+            out.append(f"{c}_{seen[c]}")
+        else:
+            seen[c] = 0
+            out.append(c)
+    return out
+
+
+# ---------------------------------------------------------------------- xml
+
+def load_xml(path: str, alias: str, spark: SparkSession | None = None,
+             row_tag: str | None = None):
+    """features/xml.rs:182-1860 (Standard mode): rows = repeated elements;
+    each row's child elements/attributes become string columns.  The
+    Cartesian header-detail strategy (xml.rs:1808-1860) is TODO.  Parsing
+    happens driver-side (stdlib etree) — acceptable for the config-file
+    sizes this loader targets; big XML should convert to parquet first."""
+    import xml.etree.ElementTree as ET
+
+    s = _spark(spark)
+    tree = ET.parse(path)
+    root = tree.getroot()
+    if row_tag is None:
+        # most frequent child tag = row element (xml.rs auto-analysis)
+        from collections import Counter
+
+        counts = Counter(child.tag for child in root)
+        if not counts:
+            raise LoaderError(f"XML file {path} has no row elements")
+        row_tag = counts.most_common(1)[0][0]
+    rows = []
+    for el in root.iter(row_tag):
+        rec: dict[str, str] = {}
+        for k, v in el.attrib.items():
+            rec[N.normalize_column_name(k)] = v
+        for child in el:
+            txt = (child.text or "").strip()
+            rec[N.normalize_column_name(child.tag)] = txt
+        if rec:
+            rows.append(rec)
+    if not rows:
+        raise LoaderError(f"No <{row_tag}> rows found in {path}")
+    cols = sorted({k for r in rows for k in r})
+    data = [tuple(r.get(c) for c in cols) for r in rows]
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in cols])
+    return _wrap(s.createDataFrame(data, schema), alias)
+
+
+# ------------------------------------------------------------------- folder
+
+def load_folder(directory: str, extensions: list[str] | None, alias: str,
+                spark: SparkSession | None = None,
+                add_filename_column: bool = False):
+    """elusion.rs:6765-7267 (+filename variant 7269-7778): load every
+    matching file, verify schema compatibility, combine.
+
+    Scale design: same-format files go through ONE multi-path reader call
+    (a single distributed scan — Spark parallelizes by file block, no
+    per-file loop), `unionByName` only bridges across formats.  The
+    filename column is `input_file_name()` evaluated executor-side, not
+    the reference's literal-per-file rewrite."""
+    s = _spark(spark)
+    exts = [e.lower().lstrip(".") for e in (extensions or ["csv", "json", "parquet"])]
+    groups: dict[str, list[str]] = {}
+    for f in sorted(os.listdir(directory)):
+        full = os.path.join(directory, f)
+        if not os.path.isfile(full):
+            continue
+        ext = os.path.splitext(f)[1].lower().lstrip(".")
+        if ext in exts:
+            groups.setdefault(ext, []).append(full)
+    if not groups:
+        raise LoaderError(
+            f"No files with extensions {exts} in {directory}",
+            "Check the extensions filter (elusion.rs:6765-7267).",
+        )
+    parts: list[DataFrame] = []
+    for ext, files in groups.items():
+        if ext == "parquet":
+            d = s.read.parquet(*files)
+        elif ext == "csv":
+            d = (
+                s.read.option("header", "true")
+                .option("inferSchema", "true")
+                .csv(files)
+            )
+        else:
+            d = s.read.json(files)
+        d = N.normalize_columns(d)
+        if add_filename_column:
+            d = d.withColumn(
+                "filename_added",
+                F.element_at(F.split(F.input_file_name(), "/"), -1),
+            )
+        parts.append(d)
+    first = parts[0]
+    for p in parts[1:]:
+        if set(p.columns) != set(first.columns):
+            raise SchemaMismatchError(
+                f"Folder files have incompatible schemas: {sorted(first.columns)} "
+                f"vs {sorted(p.columns)}",
+                "All files in the folder must share column names "
+                "(elusion.rs:6765-7267 schema verification).",
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=False)
+    return _wrap(out, alias)
+
+
+# ------------------------------------------------------------------ raw sql
+
+def execute_raw_sql(sql: str, alias: str, dfs: dict[str, object] | None = None,
+                    spark: SparkSession | None = None):
+    """The ``sql!`` macro (features/raw_sql.rs:4-88): register each frame
+    under its alias, run raw SQL, wrap the result."""
+    from ..dataframe import CustomDataFrame
+
+    s = _spark(spark)
+    for name, d in (dfs or {}).items():
+        sdf = d.df if isinstance(d, CustomDataFrame) else d
+        sdf.createOrReplaceTempView(name)
+    return CustomDataFrame(s.sql(sql), alias)
