@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the flagship query mix at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver collect, no column-pruning shortcut a bare count() would allow).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "q01_pricing_summary",    # scan + group agg (decimal-exact sums)
+    "q03_region_rollup",      # broadcast star join + agg + having
+    "q04_segment_monthly",    # join + multi-key group
+    "q05_window_rank",        # partitioned window rank
+    "q06_running_total",      # running window sum
+    "q07_pivot_linestatus",   # 2-phase pivot
+    "q10_text_stats",         # text analytics projection
+    "q18_cosine_topk",        # brute-force ANN baseline (64-dim)
+    "q30_minhash_pairs",      # MinHash-LSH near-dup pipeline
+    "q32_embedding_near_dup", # hyperplane-LSH embedding dedup
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from elusion_spark.session import get_spark
+    from elusion_spark.suite import QUERIES
+
+    spark = get_spark("elusion_spark_bench")
+    # warm up JVM / file listing with a trivial action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -26,6 +26,7 @@ Scale notes (100 TB stance):
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from functools import reduce
 from typing import Callable, Iterable, Sequence
@@ -614,6 +615,55 @@ class CustomDataFrame:
 
     def peek(self, n: int = 5) -> None:
         self._assemble().show(n, truncate=False)
+
+    # ---------------------------------------------------------- json columns
+
+    def json(self, exprs: Sequence[str] | str, *more: str) -> "CustomDataFrame":
+        """Extract scalar keys from a flat JSON string column.
+
+        Reference syntax ``"col.'$Key' AS alias"`` (elusion.rs:3150-3221,
+        implemented there via POSITION/SUBSTRING string surgery). Spark-first:
+        ``get_json_object`` — a real JSON parser, JVM-side, and identical
+        observable output."""
+        c = self._clone()
+        for e in _as_list(exprs) + list(more):
+            body, al = N.split_alias(e)
+            m = re.match(r"^(\w+(?:\.\w+)?)\s*\.\s*'\$(\w+)'$", body.strip())
+            if not m:
+                raise InvalidOperation(
+                    f"json(): cannot parse {e!r}",
+                    "Use \"column.'$Key' AS alias\" (README.md:2806-2841).",
+                )
+            col, key = m.groups()
+            c.selected.append(
+                f"get_json_object({col}, '$.{key}') AS {al or key.lower()}"
+            )
+        return c
+
+    def json_array(self, exprs: Sequence[str] | str, *more: str) -> "CustomDataFrame":
+        """Extract a field from a JSON array-of-objects column by matching
+        another field: ``"col.'$Value:Id=Date' AS alias"``
+        (elusion.rs:3224-3323 does this with regexp_match; we parse the
+        array once with ``from_json`` and filter it — same output)."""
+        c = self._clone()
+        for e in _as_list(exprs) + list(more):
+            body, al = N.split_alias(e)
+            m = re.match(
+                r"^(\w+(?:\.\w+)?)\s*\.\s*'\$(\w+):(\w+)=([^']+)'$", body.strip()
+            )
+            if not m:
+                raise InvalidOperation(
+                    f"json_array(): cannot parse {e!r}",
+                    "Use \"column.'$Field:MatchField=MatchValue' AS alias\" "
+                    "(README.md:2852-2891).",
+                )
+            col, want, mf, mv = m.groups()
+            expr = (
+                f"filter(from_json({col}, 'array<map<string,string>>'), "
+                f"x -> x['{mf}'] = '{mv}')[0]['{want}']"
+            )
+            c.selected.append(f"{expr} AS {al or want.lower()}")
+        return c
 
     # ------------------------------------------------------------- pivoting
 

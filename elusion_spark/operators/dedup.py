@@ -1,0 +1,252 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Beyond-parity module (SURVEY §7.2 step 10) for training-data pipelines.
+
+100 TB design notes
+-------------------
+- *Exact*: a hash-groupBy — one shuffle on the content hash.  At scale the
+  content hash (md5) is tiny compared to the payload, so we shuffle only
+  (hash, id) pairs and never move document bodies.
+- *MinHash-LSH*: the classic shingle → minhash → band → bucket-join
+  pipeline, entirely with built-in collection functions (no Python UDFs):
+  O(H·S) JVM work per doc, then ONE shuffle on (band_idx, band_hash).
+  Candidate verification joins shingle sets only for candidate pairs.
+  Hot buckets (boilerplate docs) are capped with ``max_bucket_size`` —
+  the standard skew guard: a bucket of B docs yields B² pairs, so a
+  100k-doc boilerplate bucket would explode; capped buckets degrade
+  recall gracefully instead of OOMing an executor.
+- *SimHash*: 64-bit signature via bitwise token-hash majority; candidates
+  via 4×16-bit band blocking; Hamming-distance verify with bit_count.
+- *n-gram Jaccard*: exact verify primitive shared by the above.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------------- exact
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Keep one row per distinct (cols) combination — hash-groupBy shuffle."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group identical texts by content hash: (text_hash, keep_id,
+    dup_count).  Shuffles only (hash, id) — not the text bodies."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).cast("bigint").alias("keep_id"),
+            F.count("*").cast("bigint").alias("dup_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- shingles
+
+def shingle_expr(text_col: str, k: int = 3) -> Column:
+    """Distinct word-k-shingles as an array column (guarding short docs —
+    Spark's ``sequence(0, -1)`` would generate a *descending* range)."""
+    toks = f"split(lower(trim({text_col})), ' +')"
+    return F.expr(
+        f"CASE WHEN size({toks}) < {k} THEN array(concat_ws(' ', {toks})) "
+        f"ELSE array_distinct(transform(sequence(0, size({toks}) - {k}), "
+        f"i -> concat_ws(' ', slice({toks}, i + 1, {k})))) END"
+    )
+
+
+def jaccard_expr(a: str, b: str) -> Column:
+    """Exact Jaccard similarity of two (distinct-element) array columns."""
+    return F.expr(
+        f"CAST(size(array_intersect({a}, {b})) AS DOUBLE) / "
+        f"CAST(size(array_union({a}, {b})) AS DOUBLE)"
+    )
+
+
+# ------------------------------------------------------------- minhash-lsh
+
+def minhash_signature(text_col: str, num_hashes: int = 64, k: int = 3) -> Column:
+    """MinHash signature as an array<bigint>: sig[i] = min over shingles of
+    xxhash64(seed_i ++ shingle).  Each hash family member is a seeded
+    xxhash64 — JVM-side, codegen'd, no UDF."""
+    return F.expr(
+        f"transform(sequence(0, {num_hashes - 1}), h -> "
+        f"array_min(transform(__shingles, s -> xxhash64(h, s))))"
+    ).alias("__sig")
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    Pipeline: shingle → minhash(H) → B bands of H/B rows → bucket join on
+    (band_idx, band_hash) → exact Jaccard verify on shingle sets.
+    """
+    rows = num_hashes // bands
+    base = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .withColumn("__shingles", shingle_expr("__text", shingle_k))
+        .drop("__text")
+        .withColumn(
+            "__sig",
+            F.expr(
+                f"transform(sequence(0, {num_hashes - 1}), h -> "
+                f"array_min(transform(__shingles, s -> xxhash64(h, s))))"
+            ),
+        )
+    )
+    banded = base.select(
+        "__id",
+        "__shingles",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"hash(slice(__sig, b * {rows} + 1, {rows})))"
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    # skew guard: cap pathological buckets (boilerplate explosion)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_idx", "band_hash").orderBy("__id")
+    banded = (
+        banded.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_bucket_size)
+        .drop("__rn")
+    )
+    left = banded.select(
+        F.col("__id").alias("id_a"),
+        F.col("__shingles").alias("sh_a"),
+        "band_idx",
+        "band_hash",
+    )
+    right = banded.select(
+        F.col("__id").alias("id_b"),
+        F.col("__shingles").alias("sh_b"),
+        "band_idx",
+        "band_hash",
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("jaccard", jaccard_expr("sh_a", "sh_b"))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("id_a").cast("bigint"),
+            F.col("id_b").cast("bigint"),
+            "jaccard",
+        )
+    )
+
+
+def minhash_dedup(
+    df: DataFrame, id_col: str, text_col: str, **kwargs
+) -> DataFrame:
+    """Drop near-duplicates, keeping the smallest id of each duplicate
+    cluster (single-link via the pair list — connected components are
+    approximated by min-id propagation over candidate pairs; exact CC
+    would iterate, unnecessary at the usual dedup thresholds)."""
+    pairs = minhash_dedup_pairs(df, id_col, text_col, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ----------------------------------------------------------------- simhash
+
+def simhash_expr(text_col: str, bits: int = 64) -> Column:
+    """SimHash signature: per-bit majority vote over token xxhash64s.
+    O(bits · tokens) JVM expression work per row, no UDF."""
+    toks = f"array_distinct(split(lower(trim({text_col})), ' +'))"
+    return F.expr(
+        f"aggregate(transform(sequence(0, {bits - 1}), i -> "
+        f"  CASE WHEN aggregate(transform({toks}, t -> xxhash64(t)), 0L, "
+        f"       (acc, h) -> acc + CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) > 0 "
+        f"  THEN shiftleft(1L, i) ELSE 0L END), 0L, (a, b) -> a | b)"
+    )
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on one of 4 16-bit bands (a pair
+    within Hamming distance 3 of a 64-bit signature must agree on at
+    least one band — pigeonhole), verify with bit_count(xor)."""
+    width = 64 // bands
+    sigged = df.select(
+        F.col(id_col).alias("__id"), simhash_expr(text_col).alias("__sim")
+    )
+    banded = sigged.select(
+        "__id",
+        "__sim",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"(__sim >> (b * {width})) & {(1 << width) - 1}L)"
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    l = banded.select(
+        F.col("__id").alias("id_a"), F.col("__sim").alias("sim_a"),
+        "band_idx", "band_val",
+    )
+    r = banded.select(
+        F.col("__id").alias("id_b"), F.col("__sim").alias("sim_b"),
+        "band_idx", "band_val",
+    )
+    return (
+        l.join(r, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming",
+            F.expr("bit_count(sim_a ^ sim_b)").cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"), "hamming"
+        )
+    )
+
+
+# ----------------------------------------------------------- ngram jaccard
+
+def ngram_jaccard_vs_reference(
+    df: DataFrame, id_col: str, text_col: str, ref_text: DataFrame, n: int = 2
+) -> DataFrame:
+    """Jaccard similarity of every doc's word-n-gram set against a single
+    reference doc (1-row DataFrame with column ``text``).  Linear scan +
+    broadcast of the reference — the oracle-checkable primitive."""
+    bg = (
+        f"CASE WHEN size(split({text_col}, ' ')) < {n} THEN array({text_col}) "
+        f"ELSE array_distinct(transform(sequence(0, size(split({text_col}, ' ')) - {n}), "
+        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))) END"
+    )
+    left = df.select(F.col(id_col), F.expr(bg).alias("__bg"))
+    ref = ref_text.select(
+        F.expr(bg.replace(text_col, "text")).alias("__ref_bg")
+    )
+    return (
+        left.crossJoin(F.broadcast(ref))
+        .withColumn("jaccard", jaccard_expr("__bg", "__ref_bg"))
+        .select(id_col, "jaccard")
+    )

@@ -1,0 +1,222 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond-parity module (SURVEY §7.2 step 10).
+
+100 TB design notes
+-------------------
+- *Brute-force top-k* is the correctness baseline: one linear scan, no
+  shuffle (the query vector is a literal folded into codegen), then a
+  global top-k which Spark executes as per-partition top-k + merge
+  (TakeOrderedAndProject) — no full sort.
+- *Random-hyperplane LSH* is the scale path for pair search: 16 sign bits
+  → 65k buckets → bucket-join candidates → exact cosine verify.  One
+  shuffle on the bucket key.
+- *IVF* is the scale path for query search: k-means centroids fitted on a
+  driver-side SAMPLE (fit is O(sample); assignment is a broadcast of
+  nlist·dim floats), stored as a cluster-id column; queries probe only
+  ``nprobe`` nearest clusters — partition-prunable when the table is
+  written partitioned by cluster id.
+
+All hot-path math is built-in higher-order functions (zip_with/aggregate)
+— JVM-side, no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _vec_literal(vec: list[float]) -> str:
+    return "array(" + ", ".join(repr(float(x)) for x in vec) + ")"
+
+
+def dot_expr(vec_col: str, query: list[float]) -> Column:
+    """Dot product against a literal query vector via zip_with+aggregate
+    (sequential fold — deterministic element order)."""
+    q = _vec_literal(query)
+    return F.expr(
+        f"aggregate(zip_with({vec_col}, {q}, (x, y) -> CAST(x AS DOUBLE) * y), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def norm_expr(vec_col: str) -> Column:
+    return F.expr(
+        f"sqrt(aggregate(transform({vec_col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+
+
+def cosine_expr(vec_col: str, query: list[float]) -> Column:
+    import math
+
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in query))
+    return (dot_expr(vec_col, query) / (norm_expr(vec_col) * F.lit(qnorm))).alias(
+        "cosine"
+    )
+
+
+def cosine_topk(
+    df: DataFrame, vec_col: str, id_col: str, query: list[float], k: int = 10
+) -> DataFrame:
+    """Brute-force cosine top-k — the exact baseline. Executes as a single
+    scan + TakeOrderedAndProject (per-partition heap + driver merge)."""
+    return (
+        df.select(F.col(id_col), cosine_expr(vec_col, query).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------- lsh pairs
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no numpy dependency in the
+    hot path; generated once driver-side and folded into the plan)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def hyperplane_bucket_expr(vec_col: str, dim: int, n_planes: int = 16,
+                           seed: int = 42) -> Column:
+    """Sign-bit LSH bucket id (int): bit i = sign of <v, plane_i>."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bits = []
+    for i, p in enumerate(planes):
+        d = dot_expr(vec_col, p)
+        bits.append(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    cosine_threshold: float = 0.95,
+    n_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate embedding pairs: bucket on hyperplane signature,
+    verify exact cosine within buckets.  One shuffle on the bucket id."""
+    b = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        hyperplane_bucket_expr(vec_col, dim, n_planes, seed).alias("__bucket"),
+    )
+    l = b.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("va"), "__bucket"
+    )
+    r = b.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("vb"), "__bucket"
+    )
+    pairs = (
+        l.join(r, "__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.expr(
+                "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                "CAST(0 AS DOUBLE), (a, v) -> a + v) / "
+                "(sqrt(aggregate(transform(va, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (a, v) -> a + v)) * "
+                " sqrt(aggregate(transform(vb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (a, v) -> a + v)))"
+            ),
+        )
+        .filter(F.col("cosine") >= cosine_threshold)
+        .select(
+            F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"), "cosine"
+        )
+    )
+    return pairs.dropDuplicates(["id_a", "id_b"])
+
+
+# --------------------------------------------------------------------- ivf
+
+def ivf_build(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    nlist: int = 16,
+    sample_fraction: float = 0.1,
+    iters: int = 5,
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Fit IVF centroids on a sample (driver-side Lloyd iterations over at
+    most ~100k sampled vectors), then assign every row a cluster id via a
+    broadcast argmin expression.  Returns (df+cluster_id, centroids).
+
+    At 100 TB: sample-fit cost is constant; assignment is one scan; write
+    the result partitioned by cluster_id so probes prune partitions."""
+    rows = (
+        df.select(vec_col)
+        .sample(fraction=min(sample_fraction, 1.0), seed=seed)
+        .limit(100_000)
+        .collect()
+    )
+    import random
+
+    rng = random.Random(seed)
+    pts = [list(map(float, r[0])) for r in rows if r[0] is not None]
+    if len(pts) < nlist:
+        raise ValueError(f"not enough sample points ({len(pts)}) for nlist={nlist}")
+    centroids = [list(p) for p in rng.sample(pts, nlist)]
+    for _ in range(iters):
+        sums = [[0.0] * dim for _ in range(nlist)]
+        counts = [0] * nlist
+        for p in pts:
+            best, bd = 0, float("inf")
+            for ci, c in enumerate(centroids):
+                d = sum((a - b) ** 2 for a, b in zip(p, c))
+                if d < bd:
+                    best, bd = ci, d
+            for j in range(dim):
+                sums[best][j] += p[j]
+            counts[best] += 1
+        for ci in range(nlist):
+            if counts[ci]:
+                centroids[ci] = [s / counts[ci] for s in sums[ci]]
+    # assignment expression: argmin over nlist squared distances
+    dists = [
+        f"aggregate(zip_with({vec_col}, {_vec_literal(c)}, "
+        f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        f"CAST(0 AS DOUBLE), (a, v) -> a + v)"
+        for c in centroids
+    ]
+    arr = "array(" + ", ".join(dists) + ")"
+    assigned = df.withColumn(
+        "cluster_id", F.expr(f"array_position({arr}, array_min({arr})) - 1").cast("int")
+    )
+    return assigned, centroids
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe the nprobe closest clusters only, then exact cosine top-k
+    within them.  With cluster-partitioned storage this prunes ~(1 -
+    nprobe/nlist) of the scan."""
+    order = sorted(
+        range(len(centroids)),
+        key=lambda ci: sum(
+            (float(a) - b) ** 2 for a, b in zip(query, centroids[ci])
+        ),
+    )
+    probe = order[:nprobe]
+    return (
+        assigned.filter(F.col("cluster_id").isin(probe))
+        .select(F.col(id_col), cosine_expr(vec_col, query).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

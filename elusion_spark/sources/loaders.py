@@ -71,8 +71,39 @@ def load(path: str, alias: str, spark: SparkSession | None = None, **options):
 
 def load_parquet(path: str, alias: str, spark: SparkSession | None = None):
     """elusion.rs:6358-6449 — native parquet read (we stay lazy: no
-    MemTable collect; Catalyst gets pushdown + pruning on the scan)."""
-    return _wrap(_spark(spark).read.parquet(path), alias)
+    MemTable collect; Catalyst gets pushdown + pruning on the scan).
+
+    Files written with TIMESTAMP(NANOS) (which the Spark reader rejects)
+    are handled by reading nanos as long and rebuilding the timestamp at
+    microsecond precision — still a distributed scan, no driver detour."""
+    s = _spark(spark)
+    try:
+        df = s.read.parquet(path)
+        df.schema  # force footer read so nanos files fail here
+        return _wrap(df, alias)
+    except Exception as e:
+        if "NANOS" not in str(e):
+            raise
+    import pyarrow.parquet as pq
+
+    arrow_schema = pq.read_schema(path)
+    nano_cols = [
+        f.name
+        for f in arrow_schema
+        if str(f.type).startswith("timestamp[ns")
+    ]
+    prev = s.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        df = s.read.parquet(path)
+        for c in nano_cols:
+            df = df.withColumn(
+                c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS BIGINT))")
+            )
+    finally:
+        if prev is not None:
+            s.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    return _wrap(df, alias)
 
 
 # ---------------------------------------------------------------------- csv

@@ -1,0 +1,847 @@
+"""Query suite: every implemented operator exercised end-to-end, each with
+a DuckDB oracle (the driver's t2 correctness gate) where SQL-expressible.
+
+Determinism rules that make Spark and DuckDB hash-identical:
+- float aggregation goes through exact decimal accumulation:
+  ``CAST(SUM(CAST(x AS DECIMAL(38,9))) AS DOUBLE)`` on BOTH sides — bit
+  identical under any partitioning/association order;
+- pure double arithmetic (products, divisions, sqrt) is IEEE-identical
+  when the operand order is identical, so derived expressions are written
+  with the same left-associated shape in both dialects;
+- integer-typed results are CAST to BIGINT (DuckDB's default width);
+- any LIMIT has a total deterministic ORDER BY (unique key tiebreak).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .dataframe import CustomDataFrame
+from .operators import dedup as D
+from .operators import similarity as S
+from .operators import text as TX
+from .sources.loaders import execute_raw_sql, load_parquet
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+EMB_DIM = 64
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str, alias: str | None = None) -> CustomDataFrame:
+    return load_parquet(f"{sf_dir}/{table}.parquet", alias or table, spark)
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def DSUM(x: str) -> str:
+    return f"CAST(SUM(CAST({x} AS DECIMAL(38,9))) AS DOUBLE)"
+
+
+# =====================================================================
+# Relational core
+# =====================================================================
+
+@q(
+    "q01_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {DSUM('l_quantity')} AS sum_qty,
+           {DSUM('l_extendedprice')} AS sum_base_price,
+           {DSUM('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {DSUM('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf):
+    li = _t(spark, sf, "lineitem", "l")
+    return (
+        li.filter("l_shipdate <= '1998-09-02'")
+        .select(["l_returnflag", "l_linestatus"])
+        .agg([
+            f"{DSUM('l_quantity')} AS sum_qty",
+            f"{DSUM('l_extendedprice')} AS sum_base_price",
+            f"{DSUM('l_extendedprice * (1 - l_discount)')} AS sum_disc_price",
+            f"{DSUM('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge",
+            "CAST(COUNT(*) AS BIGINT) AS count_order",
+        ])
+        .group_by_all()
+        .to_spark()
+    )
+
+
+@q(
+    "q02_top_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders WHERE o_totalprice > 300000
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q02(spark, sf):
+    return (
+        _t(spark, sf, "orders", "o")
+        .select(["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+        .filter("o_totalprice > 300000")
+        .order_by(["o_totalprice", "o_orderkey"], ["DESC", "ASC"])
+        .limit(10)
+        .to_spark()
+    )
+
+
+@q(
+    "q03_region_rollup",
+    f"""
+    SELECT r_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {DSUM('c_acctbal')} AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name HAVING COUNT(*) > 250
+    """,
+)
+def q03(spark, sf):
+    c = _t(spark, sf, "customer", "c")
+    n = _t(spark, sf, "nation", "n").broadcast()
+    r = _t(spark, sf, "region", "r").broadcast()
+    return (
+        c.join_many([
+            (n, ["c.c_nationkey = n.n_nationkey"], "INNER"),
+            (r, ["n.n_regionkey = r.r_regionkey"], "INNER"),
+        ])
+        .select(["r.r_name"])
+        .agg([
+            "CAST(COUNT(*) AS BIGINT) AS n_customers",
+            f"{DSUM('c.c_acctbal')} AS total_bal",
+        ])
+        .group_by_all()
+        .having("COUNT(*) > 250")
+        .to_spark()
+    )
+
+
+@q(
+    "q04_segment_monthly",
+    f"""
+    SELECT c_mktsegment AS segment,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(month(o_orderdate) AS BIGINT) AS order_month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {DSUM('o_totalprice')} AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment, CAST(year(o_orderdate) AS BIGINT),
+             CAST(month(o_orderdate) AS BIGINT)
+    """,
+)
+def q04(spark, sf):
+    o = _t(spark, sf, "orders", "o")
+    c = _t(spark, sf, "customer", "c").broadcast()
+    return (
+        o.join(c, ["o.o_custkey = c.c_custkey"], "INNER")
+        .select([
+            "c.c_mktsegment AS segment",
+            "CAST(year(o.o_orderdate) AS BIGINT) AS order_year",
+            "CAST(month(o.o_orderdate) AS BIGINT) AS order_month",
+        ])
+        .agg([
+            "CAST(COUNT(*) AS BIGINT) AS n_orders",
+            f"{DSUM('o.o_totalprice')} AS total_price",
+        ])
+        .group_by([
+            "c.c_mktsegment",
+            "CAST(year(o.o_orderdate) AS BIGINT)",
+            "CAST(month(o.o_orderdate) AS BIGINT)",
+        ])
+        .to_spark()
+    )
+
+
+@q(
+    "q05_window_rank",
+    """
+    SELECT * FROM (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                  ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+      FROM customer) t
+    WHERE rn <= 5
+    """,
+)
+def q05(spark, sf):
+    c = _t(spark, sf, "customer", "c")
+    base = (
+        c.select(["c_custkey", "c_mktsegment", "c_acctbal"])
+        .window(
+            "CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment "
+            "ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn"
+        )
+        .elusion("q05_base")
+    )
+    return base.filter("rn <= 5").to_spark()
+
+
+@q(
+    "q06_running_total",
+    f"""
+    SELECT event_id, user_id, value,
+           CAST(SUM(CAST(value AS DECIMAL(38,9))) OVER (
+                PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_value
+    FROM events
+    """,
+)
+def q06(spark, sf):
+    e = _t(spark, sf, "events", "e")
+    return (
+        e.select(["event_id", "user_id", "value"])
+        .window(
+            "CAST(SUM(CAST(value AS DECIMAL(38,9))) OVER ("
+            "PARTITION BY user_id ORDER BY event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) "
+            "AS running_value"
+        )
+        .to_spark()
+    )
+
+
+@q(
+    "q07_pivot_linestatus",
+    f"""
+    SELECT l_returnflag,
+           CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F'
+                THEN CAST(l_quantity AS DECIMAL(38,9)) END), 0) AS DOUBLE) AS status_f,
+           CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O'
+                THEN CAST(l_quantity AS DECIMAL(38,9)) END), 0) AS DOUBLE) AS status_o
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q07(spark, sf):
+    li = _t(spark, sf, "lineitem", "l")
+    base = li.select([
+        "l_returnflag",
+        "l_linestatus",
+        "CAST(l_quantity AS DECIMAL(38,9)) AS qty_dec",
+    ]).elusion("q07_base")
+    p = base.pivot(["l_returnflag"], "l_linestatus", "qty_dec", "SUM",
+                   alias="q07_piv")
+    return p.select([
+        "l_returnflag",
+        "CAST(COALESCE(l_linestatus_F, 0) AS DOUBLE) AS status_f",
+        "CAST(COALESCE(l_linestatus_O, 0) AS DOUBLE) AS status_o",
+    ]).to_spark()
+
+
+@q(
+    "q08_unpivot_part",
+    """
+    SELECT p_partkey, 'p_retailprice' AS measure, CAST(p_retailprice AS DOUBLE) AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS val FROM part
+    """,
+)
+def q08(spark, sf):
+    p = _t(spark, sf, "part", "p")
+    return p.unpivot(["p_partkey"], ["p_retailprice", "p_size"],
+                     "measure", "val").to_spark()
+
+
+@q(
+    "q09_dedup_exact",
+    """
+    SELECT md5(text) AS text_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q09(spark, sf):
+    d = _t(spark, sf, "documents", "d")
+    return D.exact_dup_groups(d.df, "text", "doc_id")
+
+
+# =====================================================================
+# Text analytics (training-data ops)
+# =====================================================================
+
+_TOKENS = ("CASE WHEN length(trim(text)) = 0 THEN 0 "
+           "ELSE length(text) - length(replace(text, ' ', '')) + 1 END")
+
+@q(
+    "q10_text_stats",
+    f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST({_TOKENS} AS BIGINT) AS n_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe_est,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 1
+                  ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS DOUBLE)
+             AS avg_token_len
+    FROM documents
+    """,
+)
+def q10(spark, sf):
+    from pyspark.sql import functions as F
+
+    d = _t(spark, sf, "documents", "d").df
+    return d.select(
+        "doc_id",
+        TX.char_count("text").alias("n_chars_calc"),
+        TX.token_count("text").alias("n_tokens"),
+        TX.bpe_token_estimate("text").alias("n_tokens_bpe_est"),
+        TX.avg_token_length("text").alias("avg_token_len"),
+    )
+
+
+def _lang_case_sql(col: str) -> str:
+    padded = f"concat(' ', lower({col}), ' ')"
+    scores = {
+        lang: " + ".join(
+            f"(CASE WHEN {padded} LIKE '% {w} %' THEN 1 ELSE 0 END)"
+            for w in words
+        )
+        for lang, words in TX.STOPWORDS.items()
+    }
+    order = list(TX.STOPWORDS)
+    sql = "CASE WHEN " + " AND ".join(f"({scores[l]}) = 0" for l in order)
+    sql += " THEN 'und' "
+    for lang in order:
+        conds = " AND ".join(
+            f"({scores[lang]}) >= ({scores[o]})" for o in order if o != lang
+        )
+        sql += f"WHEN {conds} THEN '{lang}' "
+    sql += "END"
+    return sql
+
+
+@q(
+    "q11_lang_id",
+    f"""
+    SELECT lang, {_lang_case_sql('text')} AS lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang, {_lang_case_sql('text')}
+    """,
+)
+def q11(spark, sf):
+    d = _t(spark, sf, "documents", "d")
+    expr = _lang_case_sql("text")
+    return (
+        d.select(["lang", f"{expr} AS lang_pred"])
+        .agg(["CAST(COUNT(*) AS BIGINT) AS n_docs"])
+        .group_by(["lang", expr])
+        .to_spark()
+    )
+
+
+@q(
+    "q12_fill_null",
+    """
+    SELECT CASE WHEN event_type = 'error' THEN 'was_error' ELSE event_type END AS et,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q12(spark, sf):
+    e = _t(spark, sf, "events", "e")
+    base = (
+        e.select(["event_id", "NULLIF(event_type, 'error') AS et"])
+        .fill_null(["et"], "was_error")
+        .elusion("q12_base")
+    )
+    return (
+        base.select(["et"])
+        .agg(["CAST(COUNT(*) AS BIGINT) AS n"])
+        .group_by_all()
+        .to_spark()
+    )
+
+
+@q(
+    "q13_drop_null",
+    """
+    SELECT event_type AS et, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events WHERE event_type <> 'view' GROUP BY event_type
+    """,
+)
+def q13(spark, sf):
+    e = _t(spark, sf, "events", "e")
+    base = (
+        e.select(["event_id", "NULLIF(event_type, 'view') AS et"])
+        .drop_null(["et"])
+        .elusion("q13_base")
+    )
+    return (
+        base.select(["et"])
+        .agg(["CAST(COUNT(*) AS BIGINT) AS n"])
+        .group_by_all()
+        .to_spark()
+    )
+
+
+@q(
+    "q14_fill_down",
+    """
+    SELECT doc_id, source,
+           last_value(CASE WHEN source = 'src1' THEN NULL ELSE lang END IGNORE NULLS)
+             OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS lang_gap
+    FROM documents
+    """,
+)
+def q14(spark, sf):
+    d = _t(spark, sf, "documents", "d")
+    return (
+        d.select([
+            "doc_id",
+            "source",
+            "CASE WHEN source = 'src1' THEN NULL ELSE lang END AS lang_gap",
+        ])
+        .fill_down(["lang_gap"], order_by="doc_id")
+        .to_spark()
+    )
+
+
+# =====================================================================
+# Set operations
+# =====================================================================
+
+@q(
+    "q15_except",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_acctbal < 1000
+    """,
+)
+def q15(spark, sf):
+    c = _t(spark, sf, "customer", "c")
+    a = c.filter("c_mktsegment = 'BUILDING'").select(["c_custkey"]).elusion("q15_a")
+    b = c.filter("c_acctbal < 1000").select(["c_custkey"]).elusion("q15_b")
+    return a.except_(b).to_spark()
+
+
+@q(
+    "q16_intersect",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def q16(spark, sf):
+    c = _t(spark, sf, "customer", "c")
+    a = c.filter("c_mktsegment = 'BUILDING'").select(["c_custkey"]).elusion("q16_a")
+    b = c.filter("c_acctbal > 5000").select(["c_custkey"]).elusion("q16_b")
+    return a.intersect(b).to_spark()
+
+
+@q(
+    "q17_union",
+    """
+    SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000
+    UNION
+    SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    """,
+)
+def q17(spark, sf):
+    c = _t(spark, sf, "customer", "c")
+    a = c.filter("c_acctbal > 5000").select(["c_custkey", "c_name"]).elusion("q17_a")
+    b = c.filter("c_mktsegment = 'AUTOMOBILE'").select(["c_custkey", "c_name"]).elusion("q17_b")
+    return a.union(b).to_spark()
+
+
+# =====================================================================
+# Similarity search
+# =====================================================================
+
+_QVEC = [((i * 37) % 97) / 97.0 for i in range(EMB_DIM)]
+_QNORM = math.sqrt(sum(x * x for x in _QVEC))
+
+
+def _cosine_chain(one_based: bool) -> tuple[str, str]:
+    off = 1 if one_based else 0
+    dot = " + ".join(
+        f"CAST(embedding[{i + off}] AS DOUBLE) * {_QVEC[i]!r}"
+        for i in range(EMB_DIM)
+    )
+    nrm = " + ".join(
+        f"CAST(embedding[{i + off}] AS DOUBLE) * CAST(embedding[{i + off}] AS DOUBLE)"
+        for i in range(EMB_DIM)
+    )
+    return dot, nrm
+
+
+_SPARK_DOT, _SPARK_NRM = _cosine_chain(one_based=False)
+_DUCK_DOT, _DUCK_NRM = _cosine_chain(one_based=True)
+
+@q(
+    "q18_cosine_topk",
+    f"""
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS BIGINT) AS label,
+           round(({_DUCK_DOT}) / (sqrt({_DUCK_NRM}) * {_QNORM!r}), 9) AS cosine
+    FROM embeddings
+    ORDER BY cosine DESC, vec_id LIMIT 20
+    """,
+)
+def q18(spark, sf):
+    # cosine is rounded to 9 decimals on both sides: the 64-term
+    # multiply-add chain differs between engines in the last ulp (FMA).
+    e = _t(spark, sf, "embeddings", "e")
+    return (
+        e.select([
+            "CAST(vec_id AS BIGINT) AS vec_id",
+            "CAST(label AS BIGINT) AS label",
+            f"round(({_SPARK_DOT}) / (sqrt({_SPARK_NRM}) * {_QNORM!r}), 9) AS cosine",
+        ])
+        .order_by(["cosine", "vec_id"], ["DESC", "ASC"])
+        .limit(20)
+        .to_spark()
+    )
+
+
+@q(
+    "q19_ngram_jaccard",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         g AS (SELECT doc_id,
+                      CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+                           ELSE list_distinct([concat(toks[i], ' ', toks[i+1])
+                                               for i in generate_series(1, len(toks) - 1)])
+                      END AS bg
+               FROM t),
+         r AS (SELECT bg AS ref_bg FROM g WHERE doc_id = 0)
+    SELECT g.doc_id,
+           CAST(len(list_intersect(g.bg, r.ref_bg)) AS DOUBLE) /
+           CAST(len(list_distinct(list_concat(g.bg, r.ref_bg))) AS DOUBLE) AS jaccard
+    FROM g CROSS JOIN r
+    """,
+)
+def q19(spark, sf):
+    d = _t(spark, sf, "documents", "d").df
+    ref = d.filter("doc_id = 0").select("text")
+    return D.ngram_jaccard_vs_reference(d, "doc_id", "text", ref, n=2)
+
+
+# =====================================================================
+# Raw SQL / CTE / dates / stats
+# =====================================================================
+
+_Q20_SQL = f"""
+WITH sn AS (
+  SELECT s_suppkey, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       {DSUM('s_acctbal')} AS total_bal
+FROM sn GROUP BY n_name
+"""
+
+@q("q20_raw_sql_cte", _Q20_SQL)
+def q20(spark, sf):
+    s = _t(spark, sf, "supplier", "supplier")
+    n = _t(spark, sf, "nation", "nation")
+    return execute_raw_sql(
+        _Q20_SQL, "q20", {"supplier": s, "nation": n}, spark
+    ).to_spark()
+
+
+@q(
+    "q21_date_breakdown",
+    f"""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {DSUM('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+)
+def q21(spark, sf):
+    o = _t(spark, sf, "orders", "o")
+    return (
+        o.select([
+            "CAST(year(o_orderdate) AS BIGINT) AS order_year",
+            "CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter",
+            "CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start",
+        ])
+        .agg([
+            "CAST(COUNT(*) AS BIGINT) AS n_orders",
+            f"{DSUM('o_totalprice')} AS total_price",
+        ])
+        .group_by([
+            "CAST(year(o_orderdate) AS BIGINT)",
+            "CAST(quarter(o_orderdate) AS BIGINT)",
+            "CAST(date_trunc('month', o_orderdate) AS DATE)",
+        ])
+        .to_spark()
+    )
+
+
+@q(
+    "q22_corr_manual",
+    f"""
+    SELECT (n * sxy - sx * sy) /
+           (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+    FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 {DSUM('l_quantity')} AS sx,
+                 {DSUM('l_extendedprice')} AS sy,
+                 {DSUM('l_quantity * l_extendedprice')} AS sxy,
+                 {DSUM('l_quantity * l_quantity')} AS sxx,
+                 {DSUM('l_extendedprice * l_extendedprice')} AS syy
+          FROM lineitem) t
+    """,
+)
+def q22(spark, sf):
+    li = _t(spark, sf, "lineitem", "l")
+    base = li.agg([
+        "CAST(COUNT(*) AS DOUBLE) AS n",
+        f"{DSUM('l_quantity')} AS sx",
+        f"{DSUM('l_extendedprice')} AS sy",
+        f"{DSUM('l_quantity * l_extendedprice')} AS sxy",
+        f"{DSUM('l_quantity * l_quantity')} AS sxx",
+        f"{DSUM('l_extendedprice * l_extendedprice')} AS syy",
+    ]).elusion("q22_base")
+    return base.select([
+        "(n * sxy - sx * sy) / "
+        "(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price"
+    ]).to_spark()
+
+
+_Q23_COLS = ["event_id", "et", "value"]
+
+@q(
+    "q23_null_analysis",
+    " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name, CAST(COUNT(*) AS BIGINT) AS total_rows,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+               (CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) /
+                CAST(COUNT(*) AS BIGINT)) * 100.0 AS null_percentage
+        FROM (SELECT event_id, NULLIF(event_type, 'click') AS et, value FROM events) t
+        """
+        for c in _Q23_COLS
+    ),
+)
+def q23(spark, sf):
+    from .functions.stats import null_analysis
+
+    e = _t(spark, sf, "events", "e")
+    base = e.select(
+        ["event_id", "NULLIF(event_type, 'click') AS et", "value"]
+    ).to_spark()
+    return null_analysis(base)
+
+
+@q(
+    "q24_string_group",
+    f"""
+    SELECT UPPER(c_mktsegment) AS seg_upper,
+           SUBSTRING(c_mktsegment, 1, 3) AS seg3,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {DSUM('c_acctbal')} AS total_bal
+    FROM customer
+    GROUP BY UPPER(c_mktsegment), SUBSTRING(c_mktsegment, 1, 3)
+    """,
+)
+def q24(spark, sf):
+    c = _t(spark, sf, "customer", "c")
+    return (
+        c.select([
+            "UPPER(c_mktsegment) AS seg_upper",
+            "SUBSTRING(c_mktsegment, 1, 3) AS seg3",
+        ])
+        .agg([
+            "CAST(COUNT(*) AS BIGINT) AS n",
+            f"{DSUM('c_acctbal')} AS total_bal",
+        ])
+        .group_by(["UPPER(c_mktsegment)", "SUBSTRING(c_mktsegment, 1, 3)"])
+        .to_spark()
+    )
+
+
+@q(
+    "q25_having_raw",
+    """
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_custkey
+    HAVING SUM(CAST(o_totalprice AS DECIMAL(38,9))) > 1500000
+    """,
+)
+def q25(spark, sf):
+    o = _t(spark, sf, "orders", "o")
+    return (
+        o.select(["o_custkey"])
+        .agg(["CAST(COUNT(*) AS BIGINT) AS n_orders"])
+        .group_by_all()
+        .having("SUM(CAST(o_totalprice AS DECIMAL(38,9))) > 1500000")
+        .to_spark()
+    )
+
+
+_TIER = ("CASE WHEN c_acctbal < 0 THEN 'negative' "
+         "WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END")
+
+@q(
+    "q26_case_tier",
+    f"""
+    SELECT {_TIER} AS tier, CAST(COUNT(*) AS BIGINT) AS n,
+           {DSUM('c_acctbal')} AS total_bal
+    FROM customer GROUP BY {_TIER}
+    """,
+)
+def q26(spark, sf):
+    c = _t(spark, sf, "customer", "c")
+    return (
+        c.select([f"{_TIER} AS tier"])
+        .agg([
+            "CAST(COUNT(*) AS BIGINT) AS n",
+            f"{DSUM('c_acctbal')} AS total_bal",
+        ])
+        .group_by([_TIER])
+        .to_spark()
+    )
+
+
+@q(
+    "q27_offset",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_orderkey LIMIT 50 OFFSET 10
+    """,
+)
+def q27(spark, sf):
+    o = _t(spark, sf, "orders", "o")
+    return (
+        o.select(["o_orderkey", "o_totalprice"])
+        .order_by(["o_orderkey"])
+        .limit(60)
+        .skip_rows(10)
+        .to_spark()
+    )
+
+
+@q(
+    "q28_calendar",
+    """
+    WITH d AS (SELECT CAST(gs AS DATE) AS date
+               FROM generate_series(DATE '2025-01-01', DATE '2025-03-31',
+                                    INTERVAL 1 DAY) t(gs))
+    SELECT date,
+           CAST(year(date) AS BIGINT) AS year,
+           CAST(month(date) AS BIGINT) AS month,
+           CAST(day(date) AS BIGINT) AS day,
+           CAST(quarter(date) AS BIGINT) AS quarter,
+           CAST(week(date) AS BIGINT) AS week_num,
+           CAST(dayofweek(date) + 1 AS BIGINT) AS day_of_week,
+           dayname(date) AS day_of_week_name,
+           CAST(dayofyear(date) AS BIGINT) AS day_of_year,
+           date - CAST((dayofweek(date) + 6) % 7 AS INTEGER) AS week_start,
+           CAST(date_trunc('month', date) AS DATE) AS month_start,
+           CAST(date_trunc('quarter', date) AS DATE) AS quarter_start,
+           CAST(date_trunc('year', date) AS DATE) AS year_start,
+           dayofweek(date) IN (0, 6) AS is_weekend
+    FROM d
+    """,
+)
+def q28(spark, sf):
+    from .functions.calendar import create_date_range_table
+
+    return create_date_range_table(spark, "2025-01-01", "2025-03-31").df
+
+
+@q(
+    "q29_json_extract",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q29(spark, sf):
+    e = _t(spark, sf, "events", "e")
+    base = e.select(["event_id"]).json(["props.'$k' AS k_str"]).elusion("q29_base")
+    return (
+        base.select(["CAST(k_str AS BIGINT) % 10 AS k_bucket"])
+        .agg(["CAST(COUNT(*) AS BIGINT) AS n"])
+        .group_by(["CAST(k_str AS BIGINT) % 10"])
+        .to_spark()
+    )
+
+
+# =====================================================================
+# Rows-only checks (non-SQL-expressible: LSH pipelines, IVF)
+# =====================================================================
+
+@q("q30_minhash_pairs")
+def q30(spark, sf):
+    d = _t(spark, sf, "documents", "d").df
+    return D.minhash_dedup_pairs(d, "doc_id", "text", num_hashes=64,
+                                 bands=16, shingle_k=3, threshold=0.5)
+
+
+@q("q31_simhash_pairs")
+def q31(spark, sf):
+    d = _t(spark, sf, "documents", "d").df
+    return D.simhash_dedup_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+@q("q32_embedding_near_dup")
+def q32(spark, sf):
+    e = _t(spark, sf, "embeddings", "e").df
+    return S.embedding_near_dup_pairs(e, "vec_id", "embedding", EMB_DIM,
+                                      cosine_threshold=0.99, n_planes=12)
+
+
+@q("q33_ivf_topk")
+def q33(spark, sf):
+    e = _t(spark, sf, "embeddings", "e").df
+    assigned, centroids = S.ivf_build(e, "embedding", EMB_DIM, nlist=8,
+                                      sample_fraction=1.0, iters=3)
+    return S.ivf_search(assigned, centroids, "embedding", "vec_id",
+                        _QVEC, k=10, nprobe=3)
+
+
+_QUALITY = (
+    "CAST(0.4 * (CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 "
+    "WHEN length(text) < 50 THEN length(text) / 50.0 ELSE 0.5 END) "
+    "+ 0.4 * (CASE WHEN (CAST(length(replace(text, ' ', '')) AS DOUBLE) / "
+    "greatest((CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(text) - "
+    "length(replace(text, ' ', '')) + 1 END), 1)) BETWEEN 3.0 AND 12.0 "
+    "THEN 1.0 ELSE 0.3 END) "
+    "+ 0.2 * (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE length(text) - length(replace(text, ' ', '')) + 1 END) >= 10 THEN 1.0 "
+    "ELSE (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(text) - "
+    "length(replace(text, ' ', '')) + 1 END) / 10.0 END) AS DOUBLE)"
+)
+
+@q(
+    "q34_quality_fingerprint",
+    f"""
+    SELECT doc_id, {_QUALITY} AS quality,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+    FROM documents
+    """,
+)
+def q34(spark, sf):
+    d = _t(spark, sf, "documents", "d")
+    return d.select([
+        "doc_id",
+        f"{_QUALITY} AS quality",
+        "md5(lower(trim(regexp_replace(text, '\\\\s+', ' ')))) AS fp",
+    ]).to_spark()

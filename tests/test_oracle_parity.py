@@ -1,0 +1,107 @@
+"""Replays the driver's t2 comparison: run every suite query on Spark AND
+its DuckDB oracle on the same parquet, compare row count, column names and
+(order-insensitively) values.
+
+This test IS the correctness surface — keep it green before committing.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # driver-style value hash tolerance: floats compared exactly —
+        # our decimal-exact discipline should make them bit-identical;
+        # round only to absorb float32→repr noise in display
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return v
+
+
+def _rowset(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(_norm_cell(r[i]) for i in idx))
+    return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def all_query_names():
+    from elusion_spark.suite import ORACLES
+
+    return sorted(ORACLES)
+
+
+@pytest.mark.parametrize("name", all_query_names())
+def test_oracle_parity(spark, duck, name):
+    from elusion_spark.suite import ORACLES, QUERIES
+
+    sdf = QUERIES[name](spark, SF)
+    scols = [c.lower() for c in sdf.columns]
+    srows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(ORACLES[name])
+    ocols = [d[0].lower() for d in res.description]
+    orows = res.fetchall()
+
+    assert sorted(scols) == sorted(ocols), (
+        f"{name}: column mismatch spark={sorted(scols)} oracle={sorted(ocols)}"
+    )
+    assert len(srows) == len(orows), (
+        f"{name}: row count spark={len(srows)} oracle={len(orows)}"
+    )
+    sc, sv = _rowset(scols, srows)
+    oc, ov = _rowset(ocols, orows)
+    mismatches = [
+        (a, b) for a, b in zip(sv, ov) if a != b
+    ]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} row mismatches; first 3: {mismatches[:3]}"
+    )
+
+
+def test_rows_only_queries_run(spark):
+    from elusion_spark.suite import ORACLES, QUERIES
+
+    for name, fn in QUERIES.items():
+        if name in ORACLES:
+            continue
+        df = fn(spark, SF)
+        n = df.count()
+        assert n >= 0, name
+        assert df.columns, name
