@@ -210,7 +210,8 @@ def canonical(expr: str) -> str:
     def fix(seg: str) -> str:
         seg = seg.lower()
         seg = seg.replace('"', "").replace("`", "")
-        return re.sub(r"\s+", " ", seg)
+        seg = re.sub(r"\s+", " ", seg)
+        return re.sub(r"\s*([(),*/+=<>%-])\s*", r"\1", seg)
 
     return _map_nonliteral(expr.strip(), fix).strip()
 

@@ -47,6 +47,9 @@ def classify_value(v: str | None) -> str:
     s = v.strip()
     if s == "" or s.lower() in ("null", "na", "n/a", "none", "-", "?", "nan"):
         return "null"
+    for rx in _DATE_RES:  # date-like beats version-like (15.01.2024)
+        if rx.match(s):
+            return "date"
     if _VERSION_RE.match(s):
         return "string"
     if _INT_RE.match(s):
@@ -65,9 +68,6 @@ def classify_value(v: str | None) -> str:
         return "currency"
     if s.lower() in _BOOL_SET:
         return "boolean"
-    for rx in _DATE_RES:
-        if rx.match(s):
-            return "date"
     return "string"
 
 

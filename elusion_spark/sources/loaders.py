@@ -329,10 +329,10 @@ def load_folder(directory: str, extensions: list[str] | None, alias: str,
     groups: dict[str, list[str]] = {}
     for f in sorted(os.listdir(directory)):
         full = os.path.join(directory, f)
-        if not os.path.isfile(full):
-            continue
         ext = os.path.splitext(f)[1].lower().lstrip(".")
-        if ext in exts:
+        # spark-written datasets are directories named *.parquet/*.csv —
+        # accept both plain files and those dataset dirs
+        if ext in exts and (os.path.isfile(full) or os.path.isdir(full)):
             groups.setdefault(ext, []).append(full)
     if not groups:
         raise LoaderError(
@@ -342,6 +342,23 @@ def load_folder(directory: str, extensions: list[str] | None, alias: str,
     parts: list[DataFrame] = []
     for ext, files in groups.items():
         if ext == "parquet":
+            # per-file schema verification (elusion.rs:6765-7267) via
+            # pyarrow footer reads — metadata only, no data scan
+            import pyarrow.dataset as pads
+
+            schemas = [
+                (f, set(pads.dataset(f, format="parquet").schema.names))
+                for f in files
+            ]
+            first_names = schemas[0][1]
+            for fname, names in schemas[1:]:
+                if names != first_names:
+                    raise SchemaMismatchError(
+                        f"Folder file {os.path.basename(fname)} has columns "
+                        f"{sorted(names)}, expected {sorted(first_names)}",
+                        "All files in the folder must share column names "
+                        "(elusion.rs:6765-7267 schema verification).",
+                    )
             d = s.read.parquet(*files)
         elif ext == "csv":
             d = (

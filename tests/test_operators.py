@@ -1,0 +1,319 @@
+"""Operator tests on crafted data: dedup family, similarity, text,
+calendar, stats, cache/views, writers round-trips."""
+
+import time
+
+import pytest
+
+from elusion_spark import CustomDataFrame
+
+
+# ------------------------------------------------------------------ dedup
+
+def test_minhash_finds_near_duplicates(spark):
+    from elusion_spark.operators.dedup import minhash_dedup, minhash_dedup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    other = "completely different content about spark query engines at scale"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], ["doc_id", "text"]
+    )
+    pairs = minhash_dedup_pairs(df, "doc_id", "text", num_hashes=64,
+                                bands=32, shingle_k=2, threshold=0.3).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    assert 0.3 <= pairs[0]["jaccard"] <= 1.0
+    kept = minhash_dedup(df, "doc_id", "text", num_hashes=64, bands=32,
+                         shingle_k=2, threshold=0.3)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+
+
+def test_simhash_identical_and_near(spark):
+    from elusion_spark.operators.dedup import simhash_dedup_pairs
+
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, a), (2, a), (3, "unrelated words entirely disjoint vocabulary")],
+        ["doc_id", "text"],
+    )
+    pairs = simhash_dedup_pairs(df, "doc_id", "text", max_hamming=0).collect()
+    assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
+
+
+def test_exact_dup_groups(spark):
+    from elusion_spark.operators.dedup import exact_dup_groups
+
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "different")], ["doc_id", "text"]
+    )
+    rows = {r["keep_id"]: r["dup_count"] for r in
+            exact_dup_groups(df, "text", "doc_id").collect()}
+    assert rows == {1: 2, 3: 1}
+
+
+# -------------------------------------------------------------- similarity
+
+def test_cosine_topk_hand_computed(spark):
+    from elusion_spark.operators.similarity import cosine_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    out = cosine_topk(df, "embedding", "vec_id", [1.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in out] == [1, 3]
+    assert abs(out[0]["cosine"] - 1.0) < 1e-12
+    assert abs(out[1]["cosine"] - 0.7071067811865475) < 1e-12
+
+
+def test_embedding_near_dup(spark):
+    from elusion_spark.operators.similarity import embedding_near_dup_pairs
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.1, 0.0, 0.2]), (2, [1.0, 0.1, 0.0, 0.2001]),
+         (3, [-1.0, 0.5, 2.0, -0.3])],
+        ["vec_id", "embedding"],
+    )
+    pairs = embedding_near_dup_pairs(df, "vec_id", "embedding", dim=4,
+                                     cosine_threshold=0.999).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+
+
+def test_ivf_matches_brute_force(spark):
+    from elusion_spark.operators.similarity import (
+        cosine_topk, ivf_build, ivf_search,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = [rng.uniform(-1, 1) for _ in range(8)]
+    assigned, cents = ivf_build(df, "embedding", 8, nlist=4,
+                                sample_fraction=1.0, iters=3)
+    # probing ALL clusters must equal brute force exactly
+    ivf_all = ivf_search(assigned, cents, "embedding", "vec_id", q, k=5, nprobe=4)
+    brute = cosine_topk(df, "embedding", "vec_id", q, k=5)
+    assert [r["vec_id"] for r in ivf_all.collect()] == \
+        [r["vec_id"] for r in brute.collect()]
+
+
+# -------------------------------------------------------------------- text
+
+def test_text_stats_and_lang(spark):
+    from elusion_spark.operators.text import add_text_stats
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog is here"),
+         (2, "der hund und die katze ist da"),
+         (3, "zzz qqq")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in add_text_stats(df, "text").collect()}
+    assert out[1]["lang_pred"] == "en"
+    assert out[2]["lang_pred"] == "de"
+    assert out[3]["lang_pred"] == "und"
+    assert out[1]["n_tokens"] == 7
+    assert out[1]["n_chars_calc"] == 27
+    assert out[3]["quality"] < out[1]["quality"] or out[3]["quality"] <= 1.0
+    assert len(out[1]["fingerprint"]) == 32
+
+
+# ------------------------------------------------------- calendar & stats
+
+def test_calendar_golden(spark):
+    from elusion_spark.functions.calendar import create_date_range_table
+
+    cal = create_date_range_table(spark, "2025-01-01", "2025-01-07").df
+    rows = {str(r["date"]): r for r in cal.collect()}
+    assert len(rows) == 7
+    r = rows["2025-01-01"]  # a Wednesday
+    assert r["day_of_week_name"] == "Wednesday"
+    assert r["year"] == 2025 and r["quarter"] == 1 and r["day_of_year"] == 1
+    assert str(r["week_start"]) == "2024-12-30"  # Monday convention
+    assert str(r["month_start"]) == "2025-01-01"
+    assert not r["is_weekend"]
+    assert rows["2025-01-04"]["is_weekend"]  # Saturday
+    assert rows["2025-01-05"]["is_weekend"]  # Sunday
+
+
+def test_calendar_formatted(spark):
+    from elusion_spark.functions.calendar import create_formatted_date_range_table
+
+    cal = create_formatted_date_range_table(
+        spark, "2025-02-01", "2025-02-01", date_format="dd.MM.yyyy"
+    ).df
+    r = cal.collect()[0]
+    assert r["date_formatted"] == "01.02.2025"
+    assert str(r["month_end"]) == "2025-02-28"
+    assert str(r["quarter_end"]) == "2025-03-31"
+    assert str(r["year_end"]) == "2025-12-31"
+
+
+def test_null_analysis_and_stats(spark):
+    from elusion_spark.functions.stats import column_stats, null_analysis
+
+    df = spark.createDataFrame(
+        [(1, None, 1.0), (2, "x", None), (3, "y", 3.0)], ["id", "s", "v"]
+    )
+    na = {r["column_name"]: r for r in null_analysis(df).collect()}
+    assert na["s"]["null_count"] == 1 and na["v"]["null_count"] == 1
+    assert abs(na["s"]["null_percentage"] - 33.33333) < 0.01
+    st = {r["column_name"]: r for r in column_stats(df, ["id", "v"]).collect()}
+    assert st["id"]["min_value"] == 1.0 and st["id"]["max_value"] == 3.0
+    assert st["v"]["non_null_rows"] == 2
+
+
+# ------------------------------------------------------------ cache/views
+
+def test_views_ttl_and_refresh(spark):
+    import elusion_spark.cache as C
+
+    df = CustomDataFrame(spark.createDataFrame([(1,)], ["x"]), "t")
+    C.create_view(df, "v_test", ttl_seconds=3600)
+    got = C.from_view("v_test", spark)
+    assert got.to_spark().count() == 1
+    assert any(v["name"] == "v_test" for v in C.list_views())
+    C.refresh_view("v_test")
+    assert C.drop_view("v_test")
+    with pytest.raises(Exception):
+        C.from_view("v_test", spark)
+
+
+def test_view_expiry(spark):
+    import elusion_spark.cache as C
+
+    df = CustomDataFrame(spark.createDataFrame([(1,)], ["x"]), "t")
+    C.create_view(df, "v_exp", ttl_seconds=0.5)
+    time.sleep(0.6)
+    with pytest.raises(Exception, match="expired"):
+        C.from_view("v_exp", spark)
+
+
+def test_elusion_with_cache_hits(spark):
+    import elusion_spark.cache as C
+
+    C.clear_cache()
+    before = C.cache_stats()["misses"]
+    df = CustomDataFrame(spark.createDataFrame([(i,) for i in range(10)], ["x"]), "t")
+    q = df.filter("x > 3")
+    q.elusion_with_cache("cached_q")
+    q.elusion_with_cache("cached_q")
+    stats = C.cache_stats()
+    assert stats["misses"] == before + 1
+    assert stats["hits"] >= 1
+
+
+# ---------------------------------------------------------------- writers
+
+def test_parquet_single_file_roundtrip_append(spark, tmp_path):
+    from elusion_spark.sinks.writers import write_to_parquet
+
+    p = str(tmp_path / "out.parquet")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    write_to_parquet(df, "overwrite", p)
+    assert spark.read.parquet(p).count() == 2
+    write_to_parquet(df, "append", p)
+    assert spark.read.parquet(p).count() == 4
+
+
+def test_csv_append_no_duplicate_header(spark, tmp_path):
+    from elusion_spark.sinks.writers import write_to_csv
+
+    p = str(tmp_path / "out.csv")
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    write_to_csv(df, "overwrite", p)
+    write_to_csv(df, "append", p)
+    lines = open(p).read().strip().splitlines()
+    assert lines[0] == "k,v"
+    assert len(lines) == 3  # header + 2 rows
+
+
+def test_stream_write_parquet(spark, tmp_path):
+    from elusion_spark.sinks.writers import stream_write
+
+    p = str(tmp_path / "stream.parquet")
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], ["k", "v"])
+    n = stream_write(df, p, fmt="parquet", batch_rows=30)
+    assert n == 100
+    assert spark.read.parquet(p).count() == 100
+
+
+def test_json_array_write(spark, tmp_path):
+    import json
+
+    from elusion_spark.sinks.writers import write_to_json
+
+    p = str(tmp_path / "out.json")
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    write_to_json(df, p, pretty=True)
+    data = json.load(open(p))
+    assert data == [{"k": 1, "v": "a"}]
+
+
+# ---------------------------------------------------------------- loaders
+
+def test_json_loader_stringifies_nested(spark, tmp_path):
+    p = tmp_path / "nested.json"
+    p.write_text(
+        '[{"id": 1, "name": "n", "fields": [{"key": "a"}]},\n'
+        ' {"id": 2, "name": "m", "fields": [{"key": "b"}]}]'
+    )
+    from elusion_spark.sources.loaders import load_json
+
+    cdf = load_json(str(p), "j", spark)
+    schema = {f.name: f.dataType.simpleString() for f in cdf.df.schema.fields}
+    assert schema["fields"] == "string"  # arrays stringified on load
+    assert cdf.df.count() == 2
+
+
+def test_folder_loader_with_filename(spark, tmp_path):
+    d = tmp_path / "folder"
+    d.mkdir()
+    df = spark.createDataFrame([(1,)], ["x"])
+    df.coalesce(1).write.parquet(str(d / "f1.parquet"))
+    df.coalesce(1).write.parquet(str(d / "f2.parquet"))
+    from elusion_spark.sources.loaders import load_folder
+
+    cdf = load_folder(str(d), ["parquet"], "f", spark, add_filename_column=True)
+    out = cdf.df.collect()
+    assert len(out) == 2
+    assert "filename_added" in cdf.df.columns
+    assert all(r["filename_added"] for r in out)
+
+
+def test_folder_loader_schema_mismatch(spark, tmp_path):
+    from elusion_spark.errors import SchemaMismatchError
+    from elusion_spark.sources.loaders import load_folder
+
+    d = tmp_path / "folder2"
+    d.mkdir()
+    spark.createDataFrame([(1,)], ["x"]).coalesce(1).write.parquet(
+        str(d / "f1.parquet")
+    )
+    spark.createDataFrame([("a",)], ["y"]).coalesce(1).write.parquet(
+        str(d / "f2.parquet")
+    )
+    with pytest.raises(Exception):
+        load_folder(str(d), ["parquet"], "f", spark).df.collect()
+
+
+def test_xml_loader(spark, tmp_path):
+    p = tmp_path / "data.xml"
+    p.write_text(
+        "<root><row><a>1</a><b>x</b></row><row><a>2</a><b>y</b></row></root>"
+    )
+    from elusion_spark.sources.loaders import load_xml
+
+    cdf = load_xml(str(p), "x", spark)
+    assert cdf.df.count() == 2
+    assert set(cdf.df.columns) == {"a", "b"}
+
+
+def test_raw_sql(spark):
+    from elusion_spark.sources.loaders import execute_raw_sql
+
+    a = CustomDataFrame(spark.createDataFrame([(1, "x")], ["k", "v"]), "ta")
+    out = execute_raw_sql("SELECT k + 1 AS k2 FROM ta", "res", {"ta": a}, spark)
+    assert out.collect()[0]["k2"] == 2
