@@ -18,11 +18,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: 3-table star join + broadcast dims + group/having
-    on /root/testdata/sf0.001."""
+    """Flagship query: TPC-H Q1-style pricing summary (filter → group →
+    7 aggregates → order) on /root/testdata/sf0.001 — non-empty at every
+    scale factor (q03's HAVING threshold empties it below sf0.01)."""
     from elusion_spark.suite import QUERIES
 
-    return QUERIES["q03_region_rollup"](spark, "/root/testdata/sf0.001")
+    return QUERIES["q01_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

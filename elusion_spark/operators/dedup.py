@@ -69,14 +69,18 @@ def jaccard_expr(a: str, b: str) -> Column:
 
 # ------------------------------------------------------------- minhash-lsh
 
-def minhash_signature(text_col: str, num_hashes: int = 64, k: int = 3) -> Column:
-    """MinHash signature as an array<bigint>: sig[i] = min over shingles of
-    xxhash64(seed_i ++ shingle).  Each hash family member is a seeded
-    xxhash64 — JVM-side, codegen'd, no UDF."""
+def minhash_signature(shingles_col: str, num_hashes: int = 64) -> Column:
+    """MinHash signature as an array<bigint>.
+
+    Cost shape matters at scale: each shingle STRING is xxhash64'd exactly
+    once; the H-member hash family is then derived by re-hashing the
+    resulting long (xxhash64(i, h) — fixed-width input, ~free), so
+    signature cost is O(S + H·S_long) instead of O(H·S_string)."""
     return F.expr(
-        f"transform(sequence(0, {num_hashes - 1}), h -> "
-        f"array_min(transform(__shingles, s -> xxhash64(h, s))))"
-    ).alias("__sig")
+        f"transform(sequence(0, {num_hashes - 1}), i -> "
+        f"array_min(transform(transform({shingles_col}, s -> xxhash64(s)), "
+        f"h -> xxhash64(i, h))))"
+    )
 
 
 def minhash_dedup_pairs(
@@ -88,28 +92,41 @@ def minhash_dedup_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_bucket_size: int = 200,
+    verify: str = "estimate",
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
     Pipeline: shingle → minhash(H) → B bands of H/B rows → bucket join on
-    (band_idx, band_hash) → exact Jaccard verify on shingle sets.
-    """
+    (band_idx, band_hash) → Jaccard filter.
+
+    ``verify='estimate'`` (the 100 TB path) scores pairs by signature
+    agreement (matching components / H — the unbiased MinHash estimator,
+    σ≈sqrt(j(1-j)/H)): no shingle sets ever cross a shuffle, per-pair
+    work is a 2×H array compare.  ``verify='exact'`` joins the shingle
+    sets back for candidate pairs and computes true Jaccard.
+
+    Intermediates (id+signature, and id+shingles for exact mode) are
+    persisted MEMORY_AND_DISK: they are referenced by multiple plan
+    branches (banding, both sides of the pair join) and would otherwise
+    be recomputed per branch.  Size is O(docs · H · 8B) — tiny next to
+    the corpus.  Caller may ``.unpersist()`` the result's ancestors after
+    consuming."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
     rows = num_hashes // bands
     base = (
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
         .withColumn("__shingles", shingle_expr("__text", shingle_k))
         .drop("__text")
-        .withColumn(
-            "__sig",
-            F.expr(
-                f"transform(sequence(0, {num_hashes - 1}), h -> "
-                f"array_min(transform(__shingles, s -> xxhash64(h, s))))"
-            ),
-        )
     )
-    banded = base.select(
+    sig_df = base.select(
+        "__id", minhash_signature("__shingles", num_hashes).alias("__sig")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # band explode carries ONLY (id, band_idx, band_hash)
+    banded = sig_df.select(
         "__id",
-        "__shingles",
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), b -> "
@@ -117,41 +134,46 @@ def minhash_dedup_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
-    # skew guard: cap pathological buckets (boilerplate explosion)
-    from pyspark.sql import Window
-
+    # skew guard: cap pathological buckets (boilerplate explosion) —
+    # a bucket of B docs yields B² candidate pairs
     w = Window.partitionBy("band_idx", "band_hash").orderBy("__id")
     banded = (
         banded.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= max_bucket_size)
         .drop("__rn")
     )
-    left = banded.select(
-        F.col("__id").alias("id_a"),
-        F.col("__shingles").alias("sh_a"),
-        "band_idx",
-        "band_hash",
-    )
-    right = banded.select(
-        F.col("__id").alias("id_b"),
-        F.col("__shingles").alias("sh_b"),
-        "band_idx",
-        "band_hash",
-    )
     cand = (
-        left.join(right, ["band_idx", "band_hash"])
+        banded.alias("l")
+        .join(banded.alias("r"), ["band_idx", "band_hash"])
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
-        cand.withColumn("jaccard", jaccard_expr("sh_a", "sh_b"))
-        .filter(F.col("jaccard") >= threshold)
-        .select(
-            F.col("id_a").cast("bigint"),
-            F.col("id_b").cast("bigint"),
-            "jaccard",
+    if verify == "estimate":
+        scored = (
+            cand.join(sig_df.select(F.col("__id").alias("id_a"),
+                                    F.col("__sig").alias("sig_a")), "id_a")
+            .join(sig_df.select(F.col("__id").alias("id_b"),
+                                F.col("__sig").alias("sig_b")), "id_b")
+            .withColumn(
+                "jaccard",
+                F.expr(
+                    f"CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), "
+                    f"v -> v)) AS DOUBLE) / {float(num_hashes)!r}"
+                ),
+            )
         )
+    else:
+        sh = base.select("__id", "__shingles").persist(StorageLevel.MEMORY_AND_DISK)
+        scored = (
+            cand.join(sh.select(F.col("__id").alias("id_a"),
+                                F.col("__shingles").alias("sh_a")), "id_a")
+            .join(sh.select(F.col("__id").alias("id_b"),
+                            F.col("__shingles").alias("sh_b")), "id_b")
+            .withColumn("jaccard", jaccard_expr("sh_a", "sh_b"))
+        )
+    return scored.filter(F.col("jaccard") >= threshold).select(
+        F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"), "jaccard"
     )
 
 

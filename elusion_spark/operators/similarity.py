@@ -101,31 +101,48 @@ def embedding_near_dup_pairs(
     dim: int,
     cosine_threshold: float = 0.95,
     n_planes: int = 16,
+    n_tables: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """Near-duplicate embedding pairs: bucket on hyperplane signature,
-    verify exact cosine within buckets.  One shuffle on the bucket id."""
+    """Near-duplicate embedding pairs: bucket on hyperplane signatures,
+    verify exact cosine within buckets.
+
+    Recall is OR-amplified across ``n_tables`` independent hash tables
+    (a pair is a candidate if it collides in ANY table): with per-plane
+    collision probability p = 1 - θ/π, candidate probability is
+    1 - (1 - p^n_planes)^n_tables.  The band explode carries only
+    (id, vec, norm) × n_tables; candidates are deduped on (id_a, id_b)
+    BEFORE the cosine verify so multi-table collisions are scored once.
+    One shuffle on the (table, bucket) key, one on the pair dedup."""
+    # norms are computed ONCE per row before the pair join — per-pair work
+    # is then a single dot product instead of dot + two norms
+    tables = F.array(*[
+        hyperplane_bucket_expr(vec_col, dim, n_planes, seed + 7919 * t)
+        for t in range(n_tables)
+    ])
     b = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
-        hyperplane_bucket_expr(vec_col, dim, n_planes, seed).alias("__bucket"),
+        norm_expr(vec_col).alias("__norm"),
+        F.posexplode(tables).alias("__t", "__bucket"),
     )
     l = b.select(
-        F.col("__id").alias("id_a"), F.col("__v").alias("va"), "__bucket"
+        F.col("__id").alias("id_a"), F.col("__v").alias("va"),
+        F.col("__norm").alias("na"), "__t", "__bucket",
     )
     r = b.select(
-        F.col("__id").alias("id_b"), F.col("__v").alias("vb"), "__bucket"
+        F.col("__id").alias("id_b"), F.col("__v").alias("vb"),
+        F.col("__norm").alias("nb"), "__t", "__bucket",
     )
-    pairs = (
-        l.join(r, "__bucket")
+    return (
+        l.join(r, ["__t", "__bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
         .withColumn(
             "cosine",
             F.expr(
                 "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-                "CAST(0 AS DOUBLE), (a, v) -> a + v) / "
-                "(sqrt(aggregate(transform(va, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (a, v) -> a + v)) * "
-                " sqrt(aggregate(transform(vb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (a, v) -> a + v)))"
+                "CAST(0 AS DOUBLE), (a, v) -> a + v) / (na * nb)"
             ),
         )
         .filter(F.col("cosine") >= cosine_threshold)
@@ -133,7 +150,6 @@ def embedding_near_dup_pairs(
             F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"), "cosine"
         )
     )
-    return pairs.dropDuplicates(["id_a", "id_b"])
 
 
 # --------------------------------------------------------------------- ivf

@@ -75,23 +75,38 @@ def load_parquet(path: str, alias: str, spark: SparkSession | None = None):
 
     Files written with TIMESTAMP(NANOS) (which the Spark reader rejects)
     are handled by reading nanos as long and rebuilding the timestamp at
-    microsecond precision — still a distributed scan, no driver detour."""
+    microsecond precision — still a distributed scan, no driver detour.
+    The footer is sniffed with pyarrow up front (metadata-only, driver
+    side) so the common no-nanos case never pays a failed Spark job."""
     s = _spark(spark)
+    nano_cols: list[str] | None = None
     try:
-        df = s.read.parquet(path)
-        df.schema  # force footer read so nanos files fail here
-        return _wrap(df, alias)
-    except Exception as e:
-        if "NANOS" not in str(e):
-            raise
-    import pyarrow.parquet as pq
+        import pyarrow.dataset as pads
 
-    arrow_schema = pq.read_schema(path)
-    nano_cols = [
-        f.name
-        for f in arrow_schema
-        if str(f.type).startswith("timestamp[ns")
-    ]
+        arrow_schema = pads.dataset(path, format="parquet").schema
+        nano_cols = [
+            f.name for f in arrow_schema
+            if str(f.type).startswith("timestamp[ns")
+        ]
+    except Exception:
+        pass  # remote/unreadable footer — fall through to optimistic read
+    if nano_cols is None:
+        try:
+            df = s.read.parquet(path)
+            df.schema  # force footer read so nanos files fail here
+            return _wrap(df, alias)
+        except Exception as e:
+            if "NANOS" not in str(e):
+                raise
+            import pyarrow.parquet as pq
+
+            arrow_schema = pq.read_schema(path)
+            nano_cols = [
+                f.name for f in arrow_schema
+                if str(f.type).startswith("timestamp[ns")
+            ]
+    if not nano_cols:
+        return _wrap(s.read.parquet(path), alias)
     prev = s.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:

@@ -18,6 +18,7 @@ import math
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .dataframe import CustomDataFrame
 from .operators import dedup as D
@@ -803,9 +804,23 @@ def q31(spark, sf):
 
 @q("q32_embedding_near_dup")
 def q32(spark, sf):
+    """The synthetic embeddings are near-orthogonal (max pairwise cosine
+    ≈0.51), so the table is unioned with a deterministically perturbed
+    copy of itself — every row gains exactly one ~0.9999-cosine
+    companion — and the LSH path must recover those pairs."""
     e = _t(spark, sf, "embeddings", "e").df
-    return S.embedding_near_dup_pairs(e, "vec_id", "embedding", EMB_DIM,
-                                      cosine_threshold=0.99, n_planes=12)
+    pert = e.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> "
+            "CAST(x + 0.01d * sin(CAST(vec_id * 31 + i AS DOUBLE)) AS FLOAT))"
+        ).alias("embedding"),
+        "label",
+    )
+    both = e.unionByName(pert)
+    return S.embedding_near_dup_pairs(both, "vec_id", "embedding", EMB_DIM,
+                                      cosine_threshold=0.99, n_planes=12,
+                                      n_tables=4)
 
 
 @q("q33_ivf_topk")

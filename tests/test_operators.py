@@ -20,7 +20,8 @@ def test_minhash_finds_near_duplicates(spark):
         [(1, base), (2, near), (3, other)], ["doc_id", "text"]
     )
     pairs = minhash_dedup_pairs(df, "doc_id", "text", num_hashes=64,
-                                bands=32, shingle_k=2, threshold=0.3).collect()
+                                bands=32, shingle_k=2, threshold=0.3,
+                                verify="exact").collect()
     assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
     assert 0.3 <= pairs[0]["jaccard"] <= 1.0
     kept = minhash_dedup(df, "doc_id", "text", num_hashes=64, bands=32,
