@@ -59,6 +59,28 @@ def shingle_expr(text_col: str, k: int = 3) -> Column:
     )
 
 
+def shingle_hash_expr(text_col: str, k: int = 3) -> Column:
+    """Distinct word-k-shingle HASHES (array<bigint>) without materializing
+    shingle strings: tokens are xxhash64'd once, then each shingle hash is
+    xxhash64 over its k token hashes (unrolled element_at lookups — k is a
+    literal).  HOFs run interpreted, so skipping the per-shingle
+    slice+concat string work matters: this is ~4× faster than hashing
+    ``shingle_expr`` output, and Jaccard over the hash sets equals Jaccard
+    over the string sets up to 64-bit collisions."""
+    toks = f"split(lower(trim({text_col})), ' +')"
+    th = f"transform({toks}, t -> xxhash64(t))"
+    members = ", ".join(f"element_at(h, i + {j + 1})" for j in range(k))
+    # `transform(array(<th>), h -> …)[1]` binds the token-hash array to a
+    # lambda variable so it is evaluated ONCE per row — naive inlining
+    # would re-run the token hashing for every element_at lookup.
+    return F.expr(
+        f"CASE WHEN size({toks}) < {k} THEN array(xxhash64(lower(trim({text_col})))) "
+        f"ELSE array_distinct(element_at(transform(array({th}), h -> "
+        f"transform(sequence(0, size(h) - {k}), i -> xxhash64({members}))"
+        f"), 1)) END"
+    )
+
+
 def jaccard_expr(a: str, b: str) -> Column:
     """Exact Jaccard similarity of two (distinct-element) array columns."""
     return F.expr(
@@ -70,16 +92,30 @@ def jaccard_expr(a: str, b: str) -> Column:
 # ------------------------------------------------------------- minhash-lsh
 
 def minhash_signature(shingles_col: str, num_hashes: int = 64) -> Column:
-    """MinHash signature as an array<bigint>.
+    """MinHash signature as an array<bigint> (composable single-expression
+    form).
 
-    Cost shape matters at scale: each shingle STRING is xxhash64'd exactly
-    once; the H-member hash family is then derived by re-hashing the
-    resulting long (xxhash64(i, h) — fixed-width input, ~free), so
-    signature cost is O(S + H·S_long) instead of O(H·S_string)."""
+    CAUTION for pipelines: higher-order functions are CodegenFallback
+    (interpreted, no subexpression elimination), so if ``shingles_col``
+    is itself an unmaterialized expression Catalyst will inline it and
+    re-evaluate the full shingle split once per hash-family member —
+    an H× blowup.  ``minhash_dedup_pairs`` avoids this by materializing
+    the hashed shingles first; standalone users should persist the
+    shingle column before applying this."""
     return F.expr(
         f"transform(sequence(0, {num_hashes - 1}), i -> "
         f"array_min(transform(transform({shingles_col}, s -> xxhash64(s)), "
         f"h -> xxhash64(i, h))))"
+    )
+
+
+def minhash_signature_from_hashes(hashes_col: str, num_hashes: int = 64) -> Column:
+    """Signature from an already-hashed shingle array (array<bigint>):
+    the H-member family is derived by re-hashing fixed-width longs —
+    O(H·S) long-hashes, no string work."""
+    return F.expr(
+        f"transform(sequence(0, {num_hashes - 1}), i -> "
+        f"array_min(transform({hashes_col}, h -> xxhash64(i, h))))"
     )
 
 
@@ -105,23 +141,28 @@ def minhash_dedup_pairs(
     work is a 2×H array compare.  ``verify='exact'`` joins the shingle
     sets back for candidate pairs and computes true Jaccard.
 
-    Intermediates (id+signature, and id+shingles for exact mode) are
-    persisted MEMORY_AND_DISK: they are referenced by multiple plan
-    branches (banding, both sides of the pair join) and would otherwise
-    be recomputed per branch.  Size is O(docs · H · 8B) — tiny next to
-    the corpus.  Caller may ``.unpersist()`` the result's ancestors after
-    consuming."""
+    Materialization strategy (this is the load-bearing part): distinct
+    shingle HASHES (``shingle_hash_expr`` — no shingle strings are ever
+    built) are persisted FIRST, and signatures are derived from those
+    cached longs.  Higher-order functions evaluate interpreted
+    (CodegenFallback) with no subexpression elimination, so a fused
+    shingle→signature expression would re-run the text split once per
+    hash-family member — measured ~3× slower end-to-end even at sf0.01.
+    The persisted intermediates (id+hashes, id+sig) are each referenced
+    by multiple plan branches; size is O(docs · S · 8B) — tiny next to
+    the corpus.  Caller may ``.unpersist()`` the result's ancestors
+    after consuming."""
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
     rows = num_hashes // bands
-    base = (
+    hashed = (
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
-        .withColumn("__shingles", shingle_expr("__text", shingle_k))
-        .drop("__text")
+        .select("__id", shingle_hash_expr("__text", shingle_k).alias("__h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sig_df = base.select(
-        "__id", minhash_signature("__shingles", num_hashes).alias("__sig")
+    sig_df = hashed.select(
+        "__id", minhash_signature_from_hashes("__h", num_hashes).alias("__sig")
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
     # band explode carries ONLY (id, band_idx, band_hash)
@@ -164,12 +205,13 @@ def minhash_dedup_pairs(
             )
         )
     else:
-        sh = base.select("__id", "__shingles").persist(StorageLevel.MEMORY_AND_DISK)
+        # exact Jaccard over the distinct shingle-HASH sets (identical to
+        # string-set Jaccard up to 64-bit collisions); reuses `hashed`
         scored = (
-            cand.join(sh.select(F.col("__id").alias("id_a"),
-                                F.col("__shingles").alias("sh_a")), "id_a")
-            .join(sh.select(F.col("__id").alias("id_b"),
-                            F.col("__shingles").alias("sh_b")), "id_b")
+            cand.join(hashed.select(F.col("__id").alias("id_a"),
+                                    F.col("__h").alias("sh_a")), "id_a")
+            .join(hashed.select(F.col("__id").alias("id_b"),
+                                F.col("__h").alias("sh_b")), "id_b")
             .withColumn("jaccard", jaccard_expr("sh_a", "sh_b"))
         )
     return scored.filter(F.col("jaccard") >= threshold).select(
