@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from .dataframe import CustomDataFrame
 from .operators import dedup as D
+from .operators import multimodal as MM
 from .operators import similarity as S
 from .operators import text as TX
 from .sources.loaders import execute_raw_sql, load_parquet
@@ -860,3 +861,86 @@ def q34(spark, sf):
         f"{_QUALITY} AS quality",
         "md5(lower(trim(regexp_replace(text, '\\\\s+', ' ')))) AS fp",
     ]).to_spark()
+
+
+# =====================================================================
+# Multimodal: binary payloads, magic sniffing, Arrow-batched decode
+# =====================================================================
+
+def _media_df(spark, sf):
+    """Synthetic media table: documents' text bytes wrapped in real
+    container headers chosen by doc_id % 3 (PNG / RIFF-WAVE / raw)."""
+    d = _t(spark, sf, "documents", "d").df
+    return d.selectExpr(
+        "doc_id AS id",
+        "CASE CAST(doc_id % 3 AS INT) "
+        " WHEN 0 THEN concat(X'89504E470D0A1A0A', encode(text, 'UTF-8')) "
+        " WHEN 1 THEN concat(X'52494646', X'00000000', X'57415645', encode(text, 'UTF-8')) "
+        " ELSE encode(text, 'UTF-8') END AS payload",
+    )
+
+
+@q(
+    "q35_media_kinds",
+    """
+    SELECT CASE CAST(doc_id % 3 AS INT)
+             WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+             ELSE 'application/octet-stream' END AS kind,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(octet_length(encode(text)) +
+                    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 8 WHEN 1 THEN 12 ELSE 0 END)
+                AS BIGINT) AS total_bytes
+    FROM documents GROUP BY 1
+    """,
+)
+def q35(spark, sf):
+    """Oracle checks the SNIFFER end-to-end: Spark derives kind from the
+    constructed payload's magic bytes; DuckDB derives it from doc_id —
+    they agree only if the sniffing is correct."""
+    m = MM.with_media_metadata(_media_df(spark, sf))
+    return (
+        m.groupBy(F.col("media.kind").alias("kind"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("media.n_bytes").cast("bigint").alias("total_bytes"),
+        )
+    )
+
+
+@q("q36_image_decode")
+def q36(spark, sf):
+    """Arrow-batched decode (deterministic fake — PIL absent): per-bucket
+    aggregate over decoded dimensions."""
+    imgs = _media_df(spark, sf).filter("id % 3 = 0")
+    dec = MM.decode_images(imgs, "id", "payload")
+    return (
+        dec.groupBy((F.col("width") % 4).cast("int").alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.avg("mean_luma").alias("avg_luma"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@q("q37_frame_sample")
+def q37(spark, sf):
+    """Video frame sampling: one row per kept frame; count frames per
+    video, then histogram video counts by frames kept."""
+    vids = _media_df(spark, sf).filter("id % 3 = 1")
+    frames = MM.sample_frames(vids, every_n=30, max_frames=8)
+    per_video = frames.groupBy("id").agg(F.count("*").alias("n_frames"))
+    return (
+        per_video.groupBy("n_frames")
+        .agg(F.count("*").cast("bigint").alias("n_videos"))
+        .orderBy("n_frames")
+    )
+
+
+@q("q38_media_features_topk")
+def q38(spark, sf):
+    """Feature-extract every blob (fake embedding, numpy per Arrow batch)
+    then brute-force cosine top-k against the first blob's vector."""
+    feats = MM.extract_features(_media_df(spark, sf), dim=16)
+    probe = [float(x) for x in feats.orderBy("id").first()["embedding"]]
+    return S.cosine_topk(feats, "embedding", "id", probe, k=5)
