@@ -1,0 +1,13 @@
+"""Structured Streaming capability layer (see core.py docstring)."""
+
+from .core import (  # noqa: F401
+    dedup_stream,
+    read_file_stream,
+    read_rate_stream,
+    run_available_now_to_memory,
+    run_available_now_update_to_memory,
+    running_totals_stateful,
+    session_agg,
+    stream_write_files,
+    windowed_agg,
+)

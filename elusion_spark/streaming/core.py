@@ -1,0 +1,248 @@
+"""Structured Streaming capability layer.
+
+The reference's "streaming" is incremental batch iteration over a
+DataFusion RecordBatchStream (elusion.rs:8173-8467) — display and chunked
+file writing; it has no watermarks, event-time windows, or state (SURVEY
+§1.4).  That parity surface is covered by ``sinks.writers.stream_write``.
+This module is the capability *upgrade*: real Spark Structured Streaming
+re-using the same engine idioms, so a pipeline written on the batch
+builder can run incrementally.
+
+Scale notes
+-----------
+- Watermarks bound state: every windowed/dedup operator here requires
+  one, so state stores don't grow unboundedly at 100 TB/day ingest.
+- ``availableNow`` triggers give exactly-once batch-of-the-backlog runs
+  (the pattern for scheduled incremental jobs); continuous micro-batch is
+  the default for live sources.
+- The stateful operator uses ``applyInPandasWithState`` — Arrow-batched
+  per-group state, the supported custom-operator escape hatch.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+# ------------------------------------------------------------------ sources
+
+def read_file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "parquet",
+    **options,
+) -> DataFrame:
+    """File-source stream (the bulk-ingest pattern: files land in a
+    directory, Spark discovers them incrementally).  Schema is mandatory
+    for streaming file sources."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def read_rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Synthetic rate source (testing/demo)."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+
+
+# --------------------------------------------------------------- operators
+
+def windowed_agg(
+    sdf: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    aggs: dict[str, str],
+    keys: list[str] | None = None,
+    slide: str | None = None,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Event-time tumbling/sliding window aggregation with a watermark.
+
+    ``aggs`` maps output alias -> SQL aggregate over the stream, e.g.
+    ``{"n": "count(*)", "total": "sum(value)"}``.  Late rows beyond
+    ``watermark_delay`` are dropped and their windows finalized — this is
+    what bounds state size."""
+    w = (
+        F.window(ts_col, window_duration, slide)
+        if slide
+        else F.window(ts_col, window_duration)
+    )
+    grouped = (
+        sdf.withWatermark(ts_col, watermark_delay)
+        .groupBy(w.alias("window"), *[F.col(k) for k in (keys or [])])
+    )
+    return grouped.agg(
+        *[F.expr(expr).alias(alias) for alias, expr in aggs.items()]
+    ).select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *(keys or []),
+        *aggs.keys(),
+    )
+
+
+def session_agg(
+    sdf: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: list[str],
+    aggs: dict[str, str],
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Session-window aggregation (dynamic-length windows closed after
+    ``gap`` of inactivity per key) — Spark's built-in session_window, no
+    custom state needed."""
+    grouped = (
+        sdf.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("session"),
+            *[F.col(k) for k in keys],
+        )
+    )
+    return grouped.agg(
+        *[F.expr(expr).alias(alias) for alias, expr in aggs.items()]
+    ).select(
+        F.col("session.start").alias("session_start"),
+        F.col("session.end").alias("session_end"),
+        *keys,
+        *aggs.keys(),
+    )
+
+
+def dedup_stream(
+    sdf: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup within the watermark horizon —
+    ``dropDuplicatesWithinWatermark`` keeps the state store bounded
+    (a plain dropDuplicates on a stream retains keys forever)."""
+    return sdf.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+def running_totals_stateful(
+    sdf: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-key
+    running (count, sum) carried across micro-batches.  Demonstrates the
+    pattern for operators Spark lacks natively: state is a tiny
+    fixed-width tuple per key, input arrives as Arrow batches."""
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+    )
+
+    def update(key, pdfs: Iterator["pd.DataFrame"], state: GroupState):  # noqa: F821
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["__v"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"key": [key[0]], "n": [n], "total": [total]})
+
+    prepared = sdf.select(
+        F.col(key_col).cast("string").alias("__k"), F.col(value_col).alias("__v")
+    )
+    return prepared.groupBy("__k").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ------------------------------------------------------------------- sinks
+
+def run_available_now_to_memory(sdf: DataFrame, name: str | None = None,
+                                timeout_s: int = 120) -> DataFrame:
+    """Process the entire backlog once (availableNow) into a memory sink
+    and return the result table.  The test-harness pattern; memory
+    sinks are driver-bounded — never for production data volumes."""
+    name = name or f"mem_{uuid.uuid4().hex[:8]}"
+    spark = sdf.sparkSession
+    with tempfile.TemporaryDirectory(prefix="es_ckpt_") as ckpt:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete" if _has_agg(sdf) else "append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+    return spark.table(name)
+
+
+def run_available_now_update_to_memory(sdf: DataFrame, name: str | None = None,
+                                       timeout_s: int = 120) -> DataFrame:
+    """availableNow → memory sink in *update* mode (required by
+    applyInPandasWithState / dropDuplicatesWithinWatermark outputs)."""
+    name = name or f"mem_{uuid.uuid4().hex[:8]}"
+    spark = sdf.sparkSession
+    with tempfile.TemporaryDirectory(prefix="es_ckpt_") as ckpt:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+    return spark.table(name)
+
+
+def stream_write_files(
+    sdf: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    partition_by: list[str] | None = None,
+):
+    """File-sink stream write (append mode — the only mode file sinks
+    support).  Returns the StreamingQuery; caller awaits/stops."""
+    ckpt = checkpoint or os.path.join(path, "_checkpoint")
+    w = (
+        sdf.writeStream.format(fmt)
+        .outputMode("append")
+        .option("path", path)
+        .option("checkpointLocation", ckpt)
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def _has_agg(sdf: DataFrame) -> bool:
+    return "Aggregate" in sdf._jdf.queryExecution().analyzed().toString()

@@ -1,0 +1,105 @@
+"""Structured Streaming layer: every streaming result is cross-checked
+against the equivalent batch computation on the same files — the
+streaming engine must converge to the batch answer once the backlog is
+fully processed (availableNow)."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from elusion_spark import streaming as ST
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Events re-written by Spark (micros timestamps) so the streaming
+    file source can read them with a plain schema."""
+    src = "/root/testdata/sf0.001/events.parquet"
+    from elusion_spark.sources.loaders import load_parquet
+
+    out = str(tmp_path_factory.mktemp("stream_src") / "events")
+    load_parquet(src, "e", spark).df.coalesce(2).write.parquet(out)
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def events_schema(spark, events_dir):
+    return spark.read.parquet(events_dir).schema
+
+
+def test_windowed_agg_matches_batch(spark, events_dir, events_schema):
+    stream = ST.read_file_stream(spark, events_dir, events_schema)
+    agg = ST.windowed_agg(
+        stream, "ts", "1 hour",
+        aggs={"n": "count(*)", "total": "sum(value)"},
+        keys=["event_type"], watermark_delay="1 minute",
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], round(r["total"], 6))
+        for r in ST.run_available_now_to_memory(agg).collect()
+    }
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+    )
+    want = {
+        (r["w"]["start"], r["event_type"]): (r["n"], round(r["total"], 6))
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_session_agg_runs(spark, events_dir, events_schema):
+    stream = ST.read_file_stream(spark, events_dir, events_schema)
+    ses = ST.session_agg(
+        stream, "ts", "30 minutes", keys=["user_id"],
+        aggs={"n": "count(*)"}, watermark_delay="1 minute",
+    )
+    out = ST.run_available_now_to_memory(ses)
+    assert out.count() > 0
+    row = out.first()
+    assert row["session_end"] > row["session_start"]
+
+
+def test_dedup_stream_matches_batch(spark, events_dir, events_schema):
+    # duplicate the source: every event twice -> stream dedup must halve it
+    dup_df = spark.read.parquet(events_dir)
+    dup_dir = events_dir + "_dup"
+    dup_df.union(dup_df).write.mode("overwrite").parquet(dup_dir)
+    try:
+        stream = ST.read_file_stream(spark, dup_dir, events_schema)
+        deduped = ST.dedup_stream(stream, ["event_id"], "ts", "1 minute")
+        out = ST.run_available_now_update_to_memory(deduped)
+        assert out.count() == dup_df.count()
+    finally:
+        shutil.rmtree(dup_dir, ignore_errors=True)
+
+
+def test_stateful_running_totals(spark, events_dir, events_schema):
+    stream = ST.read_file_stream(spark, events_dir, events_schema)
+    totals = ST.running_totals_stateful(stream, "user_id", "value")
+    out = ST.run_available_now_update_to_memory(totals)
+    # update-mode memory sink may emit a row per micro-batch per key;
+    # the LAST emission per key must equal the batch totals
+    final = (
+        out.groupBy("key").agg(F.max("n").alias("n"), F.max("total").alias("total"))
+    )
+    got = {r["key"]: (r["n"], round(r["total"], 6)) for r in final.collect()}
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.col("user_id").cast("string").alias("key"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+    )
+    want = {r["key"]: (r["n"], round(r["total"], 6)) for r in batch.collect()}
+    assert got == want
+
+
+def test_stream_write_files_roundtrip(spark, events_dir, events_schema, tmp_path):
+    stream = ST.read_file_stream(spark, events_dir, events_schema)
+    out_dir = str(tmp_path / "out")
+    q = ST.stream_write_files(stream, out_dir, "parquet")
+    q.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == spark.read.parquet(events_dir).count()
