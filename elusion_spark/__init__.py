@@ -37,6 +37,21 @@ from .cache import (
     list_views,
     refresh_view,
 )
+from .functions.extract import extract_row_from_df, extract_value_from_df
+from .scheduler import PipelineScheduler
+from .sinks.copydata import CopyConfig, copy_data, copy_file_to_csv, copy_file_to_parquet
+from .sources.connectors import (
+    ElusionApi,
+    from_api_to_df,
+    from_azure_with_sas_token,
+    from_ftp,
+    from_ftp_folder,
+    from_mysql,
+    from_postgres,
+    load_from_sharepoint,
+    write_to_ftp,
+)
+from .sources.schema import FileSchema, SchemaBuilder, schema_from_json
 
 __version__ = "0.1.0"
 
@@ -65,4 +80,23 @@ __all__ = [
     "LoaderError",
     "WriterError",
     "FeatureNotAvailable",
+    "FileSchema",
+    "SchemaBuilder",
+    "schema_from_json",
+    "PipelineScheduler",
+    "CopyConfig",
+    "copy_data",
+    "copy_file_to_parquet",
+    "copy_file_to_csv",
+    "extract_value_from_df",
+    "extract_row_from_df",
+    "ElusionApi",
+    "from_api_to_df",
+    "from_postgres",
+    "from_mysql",
+    "from_ftp",
+    "from_ftp_folder",
+    "write_to_ftp",
+    "from_azure_with_sas_token",
+    "load_from_sharepoint",
 ]

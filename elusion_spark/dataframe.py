@@ -90,6 +90,7 @@ class CustomDataFrame:
         self.limit_n: int | None = None
         self.joins: list[_Join] = []
         self.set_ops: list[tuple[str, object]] = []
+        self.ctes: list[str] = []
 
     def _clone(self) -> "CustomDataFrame":
         c = CustomDataFrame(self.df, self.table_alias)
@@ -105,6 +106,7 @@ class CustomDataFrame:
         c.limit_n = self.limit_n
         c.joins = list(self.joins)
         c.set_ops = list(self.set_ops)
+        c.ctes = list(self.ctes)
         return c
 
     # ------------------------------------------------------------ constructors
@@ -122,6 +124,16 @@ class CustomDataFrame:
         from .sources.loaders import load
 
         return load(path, alias, spark=spark, **options)
+
+    @classmethod
+    def new_with_schema(cls, path: str, file_schema, alias: str,
+                        spark: SparkSession | None = None) -> "CustomDataFrame":
+        """Load with a predefined schema (elusion.rs:415-452;
+        with_schema.rs:90-136).  ``file_schema`` is a ``FileSchema``, a
+        ``SchemaBuilder`` (built implicitly), or a plain StructType."""
+        from .sources.loaders import load_with_schema
+
+        return load_with_schema(path, file_schema, alias, spark)
 
     @classmethod
     def empty(cls, spark: SparkSession | None = None) -> "CustomDataFrame":
@@ -296,6 +308,22 @@ class CustomDataFrame:
         c.set_ops.append(("SKIP_ROWS", int(n)))
         return c
 
+    def with_ctes(self, ctes: Sequence[str] | str, *more: str) -> "CustomDataFrame":
+        """Raw CTE strings ``"name AS (SELECT …)"`` (elusion.rs:1169-1183).
+
+        Spark-first realization: each CTE becomes a lazy temp view at
+        assembly time (after the main and join frames are registered
+        under their aliases, so CTE bodies may reference them).  The CTE
+        names are then usable from ``execute_raw_sql``, ``from_view``,
+        and subsequent loads — the same visibility the reference's
+        ``WITH``-prefix gives its final SQL string."""
+        c = self._clone()
+        c.ctes.extend(_as_list(ctes) + list(more))
+        return c
+
+    def with_cte_single(self, cte: str) -> "CustomDataFrame":
+        return self.with_ctes([cte])
+
     # ------------------------------------------------------------- assembly
 
     def _alias_map(self) -> dict[str, DataFrame]:
@@ -330,6 +358,13 @@ class CustomDataFrame:
         return [s]
 
     def _assemble(self) -> DataFrame:
+        if self.ctes:
+            spark = self.df.sparkSession
+            for alias, df in self._alias_map().items():
+                df.createOrReplaceTempView(alias)
+            for cte in self.ctes:
+                name, body = N.split_cte(cte)
+                spark.sql(body).createOrReplaceTempView(name)
         cur = self.df.alias(self.table_alias)
 
         # joins — broadcast hints propagate from the marked side

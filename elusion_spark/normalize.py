@@ -235,3 +235,18 @@ def extract_agg_calls(condition: str) -> list[str]:
             i += 1
         calls.append(s[m.start() : i])
     return calls
+
+
+_CTE_RE = re.compile(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\((.*)\)\s*$",
+                     re.IGNORECASE | re.DOTALL)
+
+
+def split_cte(cte: str) -> tuple[str, str]:
+    """Parse ``"name AS (SELECT …)"`` into (name, body SQL)
+    (sqlbuild.rs:17-24 prepends these verbatim)."""
+    m = _CTE_RE.match(cte)
+    if m is None:
+        raise ValueError(
+            f"CTE must look like 'name AS (SELECT …)', got: {cte!r}"
+        )
+    return m.group(1), m.group(2)

@@ -1,0 +1,270 @@
+"""External-source connectors.
+
+Parity targets: ``from_postgres``/``from_mysql`` (elusion.rs:866-903;
+features/postgres.rs, mysql.rs), the FTP family (elusion.rs:5956-6344;
+features/ftp.rs), the REST API family (features/api.rs:1-457), and the
+Azure/Fabric/SharePoint downloads (elusion.rs:693-864, 5826-5954).
+
+Spark-first stance per SURVEY §2.1:
+- Databases go through Spark's JDBC source (predicate pushdown, parallel
+  partitioned reads via partitionColumn) — NOT a driver-side row loop.
+  The JDBC driver jar must be on the Spark classpath; without it the
+  error is surfaced as FeatureNotAvailable with setup instructions.
+- FTP is stdlib ftplib: download to a temp file, then the normal loader
+  (same shape as the reference: fetch bytes → local read).  Driver-side
+  download is inherent to the protocol; big data should not live on FTP.
+- REST APIs write a JSON file (the reference's from_api_* writes a file,
+  NOT a DataFrame — api.rs:76-113); ``load_json`` then reads it.
+- Azure/Fabric/SharePoint need OAuth/SAS infrastructure absent from this
+  container; they raise FeatureNotAvailable with the exact config they
+  would use (abfss:// URI + hadoop-azure keys) so the capability surface
+  is explicit.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import SparkSession
+
+from ..errors import FeatureNotAvailable
+from .loaders import _spark, _wrap, load, load_json
+
+
+# ------------------------------------------------------------------- jdbc
+
+def _jdbc(url: str, query: str, alias: str, spark: SparkSession | None,
+          driver: str, props: dict | None = None,
+          partition_column: str | None = None, num_partitions: int = 8,
+          lower_bound=None, upper_bound=None):
+    s = _spark(spark)
+    reader = (
+        s.read.format("jdbc")
+        .option("url", url)
+        .option("query", query)
+        .option("driver", driver)
+    )
+    for k, v in (props or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        # parallel partitioned read — the 100 TB-side of JDBC ingest
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", num_partitions)
+            .option("lowerBound", lower_bound)
+            .option("upperBound", upper_bound)
+        )
+    try:
+        return _wrap(reader.load(), alias)
+    except Exception as e:
+        if "ClassNotFoundException" in str(e) or "No suitable driver" in str(e):
+            raise FeatureNotAvailable(
+                f"JDBC driver {driver!r} is not on the Spark classpath",
+                "Add the driver jar via spark.jars / spark.jars.packages "
+                "(e.g. org.postgresql:postgresql) and retry "
+                "(elusion.rs:866-903 parity).",
+            )
+        raise
+
+
+def from_postgres(conn: str, query: str, alias: str,
+                  spark: SparkSession | None = None, **kw):
+    """elusion.rs:866-881.  ``conn`` is a jdbc:postgresql:// URL (the
+    reference's keyword conn-string maps 1:1).  NUMERIC arrives as
+    Decimal — cast to double downstream for the reference's NUMERIC→
+    Float64 fidelity (postgres.rs:268)."""
+    return _jdbc(conn, query, alias, spark, "org.postgresql.Driver", **kw)
+
+
+def from_mysql(conn: str, query: str, alias: str,
+               spark: SparkSession | None = None, **kw):
+    """elusion.rs:883-903."""
+    return _jdbc(conn, query, alias, spark, "com.mysql.cj.jdbc.Driver", **kw)
+
+
+# -------------------------------------------------------------------- ftp
+
+def _ftp_client(server: str, username: str, password: str, port: int = 21,
+                secure: bool = False):
+    import ftplib
+
+    cls = ftplib.FTP_TLS if secure else ftplib.FTP
+    ftp = cls()
+    ftp.connect(server, port, timeout=30)
+    ftp.login(username, password)
+    if secure:
+        ftp.prot_p()
+    return ftp
+
+
+def from_ftp(server: str, username: str, password: str, remote_path: str,
+             alias: str, spark: SparkSession | None = None, port: int = 21,
+             secure: bool = False):
+    """Download one file over FTP(S) then load by extension
+    (elusion.rs:5956-6022; features/ftp.rs)."""
+    suffix = os.path.splitext(remote_path)[1] or ".bin"
+    ftp = _ftp_client(server, username, password, port, secure)
+    try:
+        fd, tmp = tempfile.mkstemp(suffix=suffix, prefix="es_ftp_")
+        with os.fdopen(fd, "wb") as f:
+            ftp.retrbinary(f"RETR {remote_path}", f.write)
+    finally:
+        ftp.quit()
+    return load(tmp, alias, spark)
+
+
+def from_ftp_folder(server: str, username: str, password: str,
+                    remote_dir: str, extensions: list[str] | None, alias: str,
+                    spark: SparkSession | None = None, port: int = 21,
+                    secure: bool = False, add_filename_column: bool = False):
+    """Folder variant (elusion.rs:6024-6222): download every matching
+    file into one temp dir, then the standard folder loader (schema
+    verification + optional filename column)."""
+    from .loaders import load_folder
+
+    exts = [e.lower().lstrip(".") for e in (extensions or ["csv", "json", "parquet"])]
+    ftp = _ftp_client(server, username, password, port, secure)
+    tmpdir = tempfile.mkdtemp(prefix="es_ftpdir_")
+    try:
+        names = ftp.nlst(remote_dir)
+        for name in names:
+            base = os.path.basename(name)
+            ext = os.path.splitext(base)[1].lower().lstrip(".")
+            if ext not in exts:
+                continue
+            with open(os.path.join(tmpdir, base), "wb") as f:
+                ftp.retrbinary(f"RETR {name}", f.write)
+    finally:
+        ftp.quit()
+    return load_folder(tmpdir, exts, alias, spark,
+                       add_filename_column=add_filename_column)
+
+
+def write_to_ftp(local_path: str, server: str, username: str, password: str,
+                 remote_path: str, port: int = 21, secure: bool = False) -> None:
+    """STOR upload (elusion.rs:6223-6344): callers first write locally
+    with the normal writers, then ship the file."""
+    ftp = _ftp_client(server, username, password, port, secure)
+    try:
+        with open(local_path, "rb") as f:
+            ftp.storbinary(f"STOR {remote_path}", f)
+    finally:
+        ftp.quit()
+
+
+# ------------------------------------------------------------------- rest
+
+class ElusionApi:
+    """REST → JSON file (features/api.rs:1-457).  Mirrors the reference
+    exactly in that ``from_api*`` writes a JSON FILE (api.rs:76-113), not
+    a DataFrame; chain ``load_json`` to query it."""
+
+    def _get(self, url: str, headers: dict | None, params: dict | None) -> bytes:
+        try:
+            import requests
+
+            r = requests.get(url, headers=headers or {}, params=params or {},
+                             timeout=60)
+            r.raise_for_status()
+            return r.content
+        except ImportError:
+            import urllib.parse
+            import urllib.request
+
+            if params:
+                url = url + "?" + urllib.parse.urlencode(params)
+            req = urllib.request.Request(url, headers=headers or {})
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                return resp.read()
+
+    def from_api(self, url: str, output_path: str,
+                 headers: dict | None = None) -> str:
+        data = self._get(url, headers, None)
+        with open(output_path, "wb") as f:
+            f.write(data)
+        return output_path
+
+    def from_api_with_params(self, url: str, params: dict, output_path: str,
+                             headers: dict | None = None) -> str:
+        data = self._get(url, headers, params)
+        with open(output_path, "wb") as f:
+            f.write(data)
+        return output_path
+
+    def from_api_with_dates(self, url: str, date_from: str, date_to: str,
+                            output_path: str, headers: dict | None = None) -> str:
+        """api.rs date-window variant: dates go in as query params."""
+        return self.from_api_with_params(
+            url, {"from": date_from, "to": date_to}, output_path, headers
+        )
+
+    def from_api_with_pagination(self, url: str, page_param: str, start_page: int,
+                                 max_pages: int, output_path: str,
+                                 headers: dict | None = None) -> str:
+        """Fetch pages until empty/max, concatenating JSON arrays
+        (api.rs pagination variant)."""
+        import json
+
+        all_rows: list = []
+        for page in range(start_page, start_page + max_pages):
+            raw = self._get(url, headers, {page_param: page})
+            chunk = json.loads(raw)
+            rows = chunk if isinstance(chunk, list) else chunk.get("data", [])
+            if not rows:
+                break
+            all_rows.extend(rows)
+        with open(output_path, "w") as f:
+            json.dump(all_rows, f)
+        return output_path
+
+
+def from_api_to_df(url: str, alias: str, spark: SparkSession | None = None,
+                   headers: dict | None = None, params: dict | None = None):
+    """Convenience beyond the reference: GET → temp json → DataFrame."""
+    fd, tmp = tempfile.mkstemp(suffix=".json", prefix="es_api_")
+    os.close(fd)
+    ElusionApi().from_api_with_params(url, params or {}, tmp, headers)
+    return load_json(tmp, alias, spark)
+
+
+# ----------------------------------------------------- azure / sharepoint
+
+_AZURE_HELP = (
+    "Native path on a real cluster: hadoop-azure on the classpath, then "
+    "spark.conf.set('fs.azure.sas.<container>.<account>.blob.core.windows.net', "
+    "'<sas>') and spark.read.load('abfss://container@account.dfs.core.windows.net/path') "
+    "— distributed reads with no local download (SURVEY §2.1)."
+)
+
+
+def from_azure_with_sas_token(endpoint: str, sas_token: str, path_filter: str,
+                              alias: str, spark: SparkSession | None = None):
+    """elusion.rs:5826-5846.  Requires hadoop-azure (not in this
+    container)."""
+    raise FeatureNotAvailable(
+        "Azure Blob access needs the hadoop-azure filesystem or network "
+        "egress, neither available here",
+        _AZURE_HELP,
+    )
+
+
+def from_fabric(onelake_url: str, alias: str,
+                spark: SparkSession | None = None, **auth):
+    """elusion.rs:5848-5901 (OneLake = ABFSS; same gate as Azure)."""
+    raise FeatureNotAvailable(
+        "Fabric OneLake access needs azure-identity + hadoop-azure",
+        _AZURE_HELP,
+    )
+
+
+def load_from_sharepoint(site_url: str, file_path: str, alias: str,
+                         spark: SparkSession | None = None, **auth):
+    """elusion.rs:693-864 (Graph API download).  Needs msal + network."""
+    raise FeatureNotAvailable(
+        "SharePoint access needs MS Graph auth (msal) and network egress",
+        "Authenticate with msal, GET the file via "
+        "https://graph.microsoft.com/v1.0/sites/{site}/drive/root:/path:/content "
+        "to a temp file, then CustomDataFrame.new(temp, alias) "
+        "(features/sharepoint.rs parity).",
+    )

@@ -188,6 +188,32 @@ def load_csv_with_schema(path: str, schema: T.StructType, alias: str,
                     schema=schema)
 
 
+def load_with_schema(path: str, file_schema, alias: str,
+                     spark: SparkSession | None = None):
+    """Extension dispatch with a user-predefined schema
+    (elusion.rs:415-452).  Accepts FileSchema / SchemaBuilder / StructType."""
+    from .schema import FileSchema, SchemaBuilder
+
+    if isinstance(file_schema, SchemaBuilder):
+        file_schema = file_schema.build()
+    struct = (
+        file_schema.struct if isinstance(file_schema, FileSchema) else file_schema
+    )
+    s = _spark(spark)
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".csv":
+        return load_csv_with_schema(path, struct, alias, spark)
+    if ext in (".json", ".ndjson", ".jsonl"):
+        return _wrap(s.read.schema(struct).json(path), alias)
+    if ext == ".parquet":
+        return _wrap(s.read.schema(struct).parquet(path), alias)
+    raise LoaderError(
+        f"new_with_schema: unsupported extension {ext!r}",
+        "Supported with predefined schema: .csv .json .parquet "
+        "(with_schema.rs:90-123).",
+    )
+
+
 # --------------------------------------------------------------------- json
 
 def load_json(path: str, alias: str, spark: SparkSession | None = None):

@@ -1,0 +1,207 @@
+"""Service layer: CTEs, predefined schemas, scheduler, copy_data,
+extract helpers, REST API connector (local HTTP server), dashboard."""
+
+import http.server
+import json
+import os
+import threading
+import time
+
+import pytest
+from pyspark.sql import types as T
+
+import elusion_spark as es
+from elusion_spark.functions import dashboard as DB
+
+
+# ---------------------------------------------------------------- ctes
+
+def test_with_ctes_visible_to_raw_sql(spark):
+    df = es.CustomDataFrame.from_spark(
+        spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], ["id", "v"]),
+        "base_t",
+    )
+    out = (
+        df.with_ctes(["big AS (SELECT * FROM base_t WHERE v > 15)"])
+        .select(["id"])
+        .elusion("cte_main")
+    )
+    assert out.df.count() == 3  # main query unaffected by the CTE
+    # the CTE is a registered view usable from raw SQL / from_view
+    assert spark.sql("SELECT count(*) AS n FROM big").first()["n"] == 2
+    got = es.execute_raw_sql(
+        "SELECT base_t.id FROM base_t JOIN big ON base_t.id = big.id",
+        "joined", spark=spark,
+    )
+    assert sorted(r["id"] for r in got.df.collect()) == [2, 3]
+
+
+def test_split_cte_rejects_garbage():
+    from elusion_spark.normalize import split_cte
+
+    with pytest.raises(ValueError):
+        split_cte("not a cte")
+
+
+# -------------------------------------------------------------- schemas
+
+def test_schema_builder_and_json_spec(spark, tmp_path):
+    fs = (
+        es.SchemaBuilder()
+        .field("id", "int64", False)
+        .field("name", "string")
+        .field("score", "f64")
+        .build()
+    )
+    assert [f.dataType for f in fs.struct.fields] == [
+        T.LongType(), T.StringType(), T.DoubleType()
+    ]
+    spec = json.dumps({"fields": [
+        {"name": "id", "type": "i64", "nullable": False},
+        {"name": "when", "type": "timestamp"},
+    ]})
+    fs2 = es.schema_from_json(spec)
+    assert isinstance(fs2.struct["when"].dataType, T.TimestampType)
+    assert fs2.struct["id"].nullable is False
+    with pytest.raises(ValueError, match="Unsupported data type"):
+        es.schema_from_json('{"fields": [{"name": "x", "type": "blob"}]}')
+
+    p = tmp_path / "t.csv"
+    p.write_text("id,name,score\n1,a,2.5\n2,b,3.5\n")
+    cdf = es.CustomDataFrame.new_with_schema(str(p), fs, "t", spark)
+    assert dict(cdf.df.dtypes) == {"id": "bigint", "name": "string",
+                                   "score": "double"}
+    assert cdf.df.count() == 2
+
+
+# ------------------------------------------------------------ scheduler
+
+def test_scheduler_runs_and_stops():
+    from elusion_spark.scheduler import parse_frequency
+
+    assert parse_frequency("1min") == 60
+    assert parse_frequency("30days") == 2592000
+    with pytest.raises(ValueError):
+        parse_frequency("7min")
+
+    hits = []
+    s = es.PipelineScheduler("1min", lambda: hits.append(1),
+                             _interval_override=0.05).start()
+    time.sleep(0.4)
+    s.shutdown()
+    n = len(hits)
+    assert n >= 3
+    time.sleep(0.2)
+    assert len(hits) == n  # no ticks after shutdown
+
+
+def test_scheduler_survives_job_errors():
+    errs = []
+
+    def bad():
+        raise RuntimeError("boom")
+
+    s = es.PipelineScheduler("1min", bad, on_error=lambda e: errs.append(e),
+                             _interval_override=0.05).start()
+    time.sleep(0.25)
+    s.shutdown()
+    assert len(errs) >= 2  # kept ticking after the first failure
+
+
+# ------------------------------------------------------------ copy_data
+
+def test_copy_data_csv_to_parquet(spark, tmp_path):
+    src = tmp_path / "in.csv"
+    src.write_text("a,b\n1,x\n2,y\n3,z\n")
+    dest = str(tmp_path / "out.parquet")
+    n = es.copy_file_to_parquet(str(src), dest, spark=spark)
+    assert n == 3
+    assert spark.read.parquet(dest).count() == 3
+    back = str(tmp_path / "back.csv")
+    assert es.copy_file_to_csv(dest, back, spark=spark) == 3
+
+
+# -------------------------------------------------------------- extract
+
+def test_extract_value_and_row(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "s"]).orderBy("id")
+    assert es.extract_value_from_df(df, "s", 1) == "b"
+    assert es.extract_value_from_df(df, "s", 99) is None
+    assert es.extract_row_from_df(df, 0) == {"id": 1, "s": "a"}
+    assert es.extract_row_from_df(df, 99) is None
+
+
+# ------------------------------------------------------------------ api
+
+@pytest.fixture(scope="module")
+def http_srv():
+    payload = [{"id": 1, "v": "x"}, {"id": 2, "v": "y"}]
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path.startswith("/page"):
+                page = int(self.path.split("p=")[-1])
+                body = json.dumps(payload if page < 2 else []).encode()
+            else:
+                body = json.dumps(payload).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def test_from_api_writes_file_then_loads(spark, http_srv, tmp_path):
+    out = str(tmp_path / "api.json")
+    got = es.ElusionApi().from_api(f"{http_srv}/data", out)
+    assert got == out and os.path.exists(out)
+    cdf = es.from_api_to_df(f"{http_srv}/data", "api", spark)
+    assert sorted(r["id"] for r in cdf.df.collect()) == [1, 2]
+
+
+def test_from_api_pagination(http_srv, tmp_path):
+    out = str(tmp_path / "pages.json")
+    es.ElusionApi().from_api_with_pagination(
+        f"{http_srv}/page", "p", 0, 5, out
+    )
+    rows = json.load(open(out))
+    assert len(rows) == 4  # 2 pages x 2 rows, stops on empty page
+
+
+# ---------------------------------------------------------- gated stubs
+
+def test_azure_sharepoint_gated():
+    with pytest.raises(es.FeatureNotAvailable):
+        es.from_azure_with_sas_token("https://x.blob.core.windows.net", "sas",
+                                     "path", "a")
+    with pytest.raises(es.FeatureNotAvailable):
+        es.load_from_sharepoint("https://x.sharepoint.com", "f.csv", "a")
+
+
+# ------------------------------------------------------------ dashboard
+
+def test_plots_and_report(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 3.0), ("c", 2.0)], ["k", "v"]
+    )
+    line = DB.plot_line(df, "k", "v", "L")
+    assert line["data"][0]["type"] == "scatter" and line["data"][0]["y"] == [1.0, 3.0, 2.0]
+    pie = DB.plot_donut(df, "k", "v")
+    assert pie["data"][0]["hole"] == 0.4
+    path = str(tmp_path / "r.html")
+    out = DB.create_report(
+        plots=[("Line", line), ("Bar", DB.plot_bar(df, "k", "v"))],
+        tables=[("Data", df)],
+        report_title="T", filename=path,
+    )
+    html = open(out).read()
+    assert "Plotly.newPlot('plot0'" in html and "Plotly.newPlot('plot1'" in html
+    assert "<td>a</td>" in html and "T</h1>" in html
