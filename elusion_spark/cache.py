@@ -143,3 +143,70 @@ def list_views() -> list[dict]:
          "expired": time.time() - m["created"] > m["ttl"]}
         for n, m in _views.items()
     ]
+
+
+# ----------------------------------------------------------------- redis
+
+class ElusionRedisCache:
+    """Distributed result cache — parity with features/redis.rs (1191 LoC;
+    README.md:118-123 claims 6-10x on repeated queries).
+
+    Design (implemented when a redis client is present): results are
+    serialized as Arrow IPC stream bytes (pyarrow) keyed by the
+    canonicalized logical-plan string — the same key ``_plan_key`` uses —
+    with a TTL; readers deserialize straight into a DataFrame via
+    ``spark.createDataFrame(table.to_pandas())``.  Cache the AGGREGATED
+    result, never raw scans: the value must fit a Redis string (512 MB).
+    """
+
+    def __init__(self, host: str = "localhost", port: int = 6379,
+                 ttl_seconds: int = 3600):
+        try:
+            import redis  # noqa: F401
+        except ImportError:
+            from .errors import FeatureNotAvailable
+
+            raise FeatureNotAvailable(
+                "Redis cache needs the redis client (not in this environment)",
+                "pip install redis; keys = plan hash, values = Arrow IPC "
+                "bytes with TTL (features/redis.rs parity).",
+            )
+        self._client = redis.Redis(host=host, port=port)
+        self.ttl = ttl_seconds
+        self.hits = 0
+        self.misses = 0
+
+    def get_or_compute(self, cdf, alias: str):
+        import io
+
+        import pyarrow as pa
+
+        key = "elusion:" + _plan_key(cdf._assemble())
+        blob = self._client.get(key)
+        if blob is not None:
+            self.hits += 1
+            reader = pa.ipc.open_stream(io.BytesIO(blob))
+            table = reader.read_all()
+            spark = cdf.df.sparkSession
+            out = spark.createDataFrame(table.to_pandas())
+        else:
+            self.misses += 1
+            out = cdf._assemble()
+            pdf = out.toPandas()
+            table = pa.Table.from_pandas(pdf)
+            sink = io.BytesIO()
+            with pa.ipc.new_stream(sink, table.schema) as w:
+                w.write_table(table)
+            self._client.setex(key, self.ttl, sink.getvalue())
+        from .dataframe import CustomDataFrame
+
+        out.createOrReplaceTempView(alias)
+        return CustomDataFrame(out, alias)
+
+    def stats(self) -> dict:
+        total = self.hits + self.misses
+        return {
+            "hits": self.hits,
+            "misses": self.misses,
+            "hit_rate": (self.hits / total) if total else 0.0,
+        }

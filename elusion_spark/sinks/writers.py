@@ -162,6 +162,24 @@ def write_to_delta(df: DataFrame, mode: str, path: str,
         )
 
 
+def write_to_excel(df: DataFrame, path: str, sheet: str = "Sheet1",
+                   max_rows: int = 1_000_000) -> None:
+    """elusion.rs:5767-5783 (rust_xlsxwriter; overwrite only).  Excel is a
+    driver-sided bounded-result sink by nature (the format caps at ~1M
+    rows); gated on openpyxl which this container lacks."""
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError:
+        from ..errors import FeatureNotAvailable
+
+        raise FeatureNotAvailable(
+            "Excel write needs openpyxl (not in this environment)",
+            "pip install openpyxl; the write is df.limit(max_rows)"
+            ".toPandas().to_excel(path, sheet_name=sheet).",
+        )
+    df.limit(max_rows).toPandas().to_excel(path, sheet_name=sheet, index=False)
+
+
 def stream_write(df: DataFrame, path: str, fmt: str = "csv",
                  batch_rows: int = 50_000,
                  options: CsvWriteOptions | None = None) -> int:
