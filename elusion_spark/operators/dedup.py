@@ -155,9 +155,13 @@ def minhash_dedup_pairs(
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
+    from .similarity import _ensure_parallelism
+
     rows = num_hashes // bands
     hashed = (
-        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        _ensure_parallelism(
+            df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        )
         .select("__id", shingle_hash_expr("__text", shingle_k).alias("__h"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -235,13 +239,20 @@ def minhash_dedup(
 
 def simhash_expr(text_col: str, bits: int = 64) -> Column:
     """SimHash signature: per-bit majority vote over token xxhash64s.
-    O(bits · tokens) JVM expression work per row, no UDF."""
+    O(bits · tokens) JVM expression work per row, no UDF.  The token-hash
+    array is lambda-bound (``transform(array(…), h -> …)[1]``) so the
+    tokenize+hash runs once per row, not once per bit — HOFs evaluate
+    interpreted with no subexpression elimination."""
     toks = f"array_distinct(split(lower(trim({text_col})), ' +'))"
+    th = f"transform({toks}, t -> xxhash64(t))"
+    # `shiftright(v, i)` not `v >> i`: the `>>` token breaks the SQL
+    # parser at this lambda-nesting depth (read as two `>`)
     return F.expr(
+        f"element_at(transform(array({th}), h -> "
         f"aggregate(transform(sequence(0, {bits - 1}), i -> "
-        f"  CASE WHEN aggregate(transform({toks}, t -> xxhash64(t)), 0L, "
-        f"       (acc, h) -> acc + CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) > 0 "
-        f"  THEN shiftleft(1L, i) ELSE 0L END), 0L, (a, b) -> a | b)"
+        f"  CASE WHEN aggregate(h, 0L, "
+        f"       (acc, v) -> acc + CASE WHEN (shiftright(v, i) & 1) = 1 THEN 1 ELSE -1 END) > 0 "
+        f"  THEN shiftleft(1L, i) ELSE 0L END), 0L, (a, b) -> a | b)), 1)"
     )
 
 
@@ -251,13 +262,23 @@ def simhash_dedup_pairs(
     text_col: str,
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket_size: int = 200,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on one of 4 16-bit bands (a pair
     within Hamming distance 3 of a 64-bit signature must agree on at
-    least one band — pigeonhole), verify with bit_count(xor)."""
+    least one band — pigeonhole), verify with bit_count(xor).
+    ``max_bucket_size`` caps templated-text buckets (B docs → B² pairs)
+    the same way the MinHash path does — degraded recall beats an OOM."""
+    from pyspark import StorageLevel
+
+    from .similarity import _ensure_parallelism
+
     width = 64 // bands
-    sigged = df.select(
-        F.col(id_col).alias("__id"), simhash_expr(text_col).alias("__sim")
+    # persisted: the O(bits·tokens) signature feeds both join sides
+    sigged = (
+        _ensure_parallelism(df)
+        .select(F.col(id_col).alias("__id"), simhash_expr(text_col).alias("__sim"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     banded = sigged.select(
         "__id",
@@ -265,9 +286,17 @@ def simhash_dedup_pairs(
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), b -> "
-                f"(__sim >> (b * {width})) & {(1 << width) - 1}L)"
+                f"shiftright(__sim, b * {width}) & {(1 << width) - 1}L)"
             )
         ).alias("band_idx", "band_val"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_idx", "band_val").orderBy("__id")
+    banded = (
+        banded.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_bucket_size)
+        .drop("__rn")
     )
     l = banded.select(
         F.col("__id").alias("id_a"), F.col("__sim").alias("sim_a"),
