@@ -146,20 +146,131 @@ def write_to_json(df: DataFrame, path: str, pretty: bool = False) -> None:
 
 def write_to_delta(df: DataFrame, mode: str, path: str,
                    partition_by=None) -> None:
-    """elusion.rs:5725-5765; requires delta-spark in the session."""
+    """elusion.rs:5725-5765.  Uses delta-spark when the session has it;
+    otherwise falls back to writing the public Delta transaction-log
+    layout directly (parquet part files + _delta_log JSON actions) —
+    interoperable with any Delta reader, including our ``load_delta``
+    fallback."""
     try:
         w = df.write.format("delta").mode(mode.lower())
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.save(path)
+        return
     except Exception as e:
-        from ..errors import FeatureNotAvailable
+        if "DATA_SOURCE_NOT_FOUND" not in str(e) and "delta" not in str(e).lower():
+            raise
+    _write_delta_fallback(df, mode.lower(), path, partition_by)
 
-        raise FeatureNotAvailable(
-            f"Delta write unavailable: {e}",
-            "Run with delta-spark configured "
-            "(spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension).",
-        )
+
+def _list_table_files(path: str) -> dict[str, int]:
+    """Relative path -> size for every parquet data file under the table
+    root (skipping the log)."""
+    out: dict[str, int] = {}
+    for root, _dirs, files in os.walk(path):
+        if "_delta_log" in root:
+            continue
+        for f in files:
+            if f.endswith(".parquet"):
+                full = os.path.join(root, f)
+                out[os.path.relpath(full, path)] = os.path.getsize(full)
+    return out
+
+
+def _active_delta_files(log_dir: str) -> list[str]:
+    import glob as _glob
+    import json as _json
+
+    active: dict[str, bool] = {}
+    for logfile in sorted(_glob.glob(os.path.join(log_dir, "*.json"))):
+        with open(logfile) as f:
+            for line in f:
+                try:
+                    action = _json.loads(line)
+                except _json.JSONDecodeError:
+                    continue
+                if "add" in action:
+                    active[action["add"]["path"]] = True
+                elif "remove" in action:
+                    active.pop(action["remove"]["path"], None)
+    return list(active)
+
+
+def _write_delta_fallback(df: DataFrame, mode: str, path: str,
+                          partition_by) -> None:
+    """Minimal writer for the public Delta protocol: data as ordinary
+    distributed parquet writes, then one atomic commit JSON per version
+    (protocol/metaData on v0, add actions, remove actions on overwrite).
+    Scale: the data write is Spark-native (one file per task); only the
+    commit metadata touches the driver."""
+    import json as _json
+    import time as _time
+    import uuid as _uuid
+
+    if mode not in ("overwrite", "append"):
+        raise WriterError(f"Delta write mode must be overwrite/append, got {mode!r}")
+    log_dir = os.path.join(path, "_delta_log")
+    versions = sorted(
+        int(os.path.splitext(f)[0])
+        for f in (os.listdir(log_dir) if os.path.isdir(log_dir) else [])
+        if f.endswith(".json") and os.path.splitext(f)[0].isdigit()
+    )
+    version = (versions[-1] + 1) if versions else 0
+    removed = _active_delta_files(log_dir) if (mode == "overwrite" and versions) else []
+
+    before = set(_list_table_files(path))
+    w = df.write.mode("append")  # append at the FS level; log decides visibility
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    after = _list_table_files(path)
+    new_files = {p: s for p, s in after.items() if p not in before}
+
+    now_ms = int(_time.time() * 1000)
+    actions: list[dict] = []
+    if version == 0:
+        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+        actions.append({
+            "metaData": {
+                "id": str(_uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": df.schema.json(),
+                "partitionColumns": list(partition_by or []),
+                "configuration": {},
+                "createdTime": now_ms,
+            }
+        })
+    for rel in removed:
+        actions.append({
+            "remove": {"path": rel, "deletionTimestamp": now_ms,
+                       "dataChange": True}
+        })
+    for rel, size in sorted(new_files.items()):
+        part_values = {
+            seg.split("=", 1)[0]: seg.split("=", 1)[1]
+            for seg in rel.split(os.sep)[:-1]
+            if "=" in seg
+        }
+        actions.append({
+            "add": {
+                "path": rel.replace(os.sep, "/"),
+                "partitionValues": part_values,
+                "size": size,
+                "modificationTime": now_ms,
+                "dataChange": True,
+            }
+        })
+    actions.append({
+        "commitInfo": {"timestamp": now_ms, "operation": "WRITE",
+                       "operationParameters": {"mode": mode}}
+    })
+    os.makedirs(log_dir, exist_ok=True)
+    commit = os.path.join(log_dir, f"{version:020d}.json")
+    tmp = commit + ".tmp"
+    with open(tmp, "w") as f:
+        for a in actions:
+            f.write(_json.dumps(a) + "\n")
+    os.rename(tmp, commit)  # atomic commit — readers never see a partial log
 
 
 def write_to_excel(df: DataFrame, path: str, sheet: str = "Sheet1",

@@ -275,7 +275,8 @@ def load_delta(path: str, alias: str, spark: SparkSession | None = None):
     files = [os.path.join(path, p) for p in active]
     if not files:
         raise LoaderError(f"Delta table {path} has no active files")
-    return _wrap(s.read.parquet(*files), alias)
+    # basePath keeps hive-style partition columns (key=val dirs) in the schema
+    return _wrap(s.read.option("basePath", path).parquet(*files), alias)
 
 
 # -------------------------------------------------------------------- excel

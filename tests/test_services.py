@@ -205,3 +205,24 @@ def test_plots_and_report(spark, tmp_path):
     html = open(out).read()
     assert "Plotly.newPlot('plot0'" in html and "Plotly.newPlot('plot1'" in html
     assert "<td>a</td>" in html and "T</h1>" in html
+
+
+# ---------------------------------------------------------------- delta
+
+def test_delta_fallback_roundtrip(spark, tmp_path):
+    from elusion_spark.sinks.writers import write_to_delta
+    from elusion_spark.sources.loaders import load, load_delta
+
+    d = str(tmp_path / "dt")
+    df = spark.range(10).selectExpr("id", "id % 3 AS k",
+                                    "CAST(id * 1.5 AS DOUBLE) AS v")
+    write_to_delta(df, "overwrite", d, partition_by=["k"])
+    assert load_delta(d, "t", spark).df.count() == 10
+    write_to_delta(df.filter("id < 5"), "append", d, partition_by=["k"])
+    assert load_delta(d, "t", spark).df.count() == 15
+    write_to_delta(df.filter("id >= 8"), "overwrite", d, partition_by=["k"])
+    got = load_delta(d, "t", spark).df
+    assert sorted(r["id"] for r in got.collect()) == [8, 9]
+    assert "k" in got.columns  # partition column survives the log fallback
+    # the extension dispatcher recognizes the delta dir
+    assert load(d, "t2", spark).df.count() == 2
