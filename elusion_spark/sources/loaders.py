@@ -316,41 +316,108 @@ def _dedup_headers(cols: list[str]) -> list[str]:
 # ---------------------------------------------------------------------- xml
 
 def load_xml(path: str, alias: str, spark: SparkSession | None = None,
-             row_tag: str | None = None):
-    """features/xml.rs:182-1860 (Standard mode): rows = repeated elements;
-    each row's child elements/attributes become string columns.  The
-    Cartesian header-detail strategy (xml.rs:1808-1860) is TODO.  Parsing
-    happens driver-side (stdlib etree) — acceptable for the config-file
-    sizes this loader targets; big XML should convert to parquet first."""
+             row_tag: str | None = None, mode: str = "auto"):
+    """features/xml.rs:182-1860: Standard mode (rows = repeated elements,
+    child elements/attributes become string columns) plus the Cartesian
+    header-detail strategy with the reference's auto-detection rule
+    (xml.rs:1808-1860): a parent whose children include ≥2 DIFFERENT
+    repeated element types → cross-product the groups per parent,
+    prefixing columns with the group tag; exactly one repeated child
+    type → Standard.  Parsing happens driver-side (stdlib etree) —
+    acceptable for the config-file sizes this loader targets; big XML
+    should convert to parquet first."""
     import xml.etree.ElementTree as ET
+    from collections import Counter
 
     s = _spark(spark)
     tree = ET.parse(path)
     root = tree.getroot()
-    if row_tag is None:
-        # most frequent child tag = row element (xml.rs auto-analysis)
-        from collections import Counter
 
-        counts = Counter(child.tag for child in root)
-        if not counts:
-            raise LoaderError(f"XML file {path} has no row elements")
-        row_tag = counts.most_common(1)[0][0]
-    rows = []
-    for el in root.iter(row_tag):
-        rec: dict[str, str] = {}
-        for k, v in el.attrib.items():
-            rec[N.normalize_column_name(k)] = v
-        for child in el:
-            txt = (child.text or "").strip()
-            rec[N.normalize_column_name(child.tag)] = txt
-        if rec:
-            rows.append(rec)
+    if mode == "auto" and row_tag is None:
+        mode = _detect_xml_mode(root)
+    if mode == "cartesian":
+        rows = _xml_cartesian_rows(root)
+    else:
+        if row_tag is None:
+            counts = Counter(child.tag for child in root)
+            if not counts:
+                raise LoaderError(f"XML file {path} has no row elements")
+            row_tag = counts.most_common(1)[0][0]
+        rows = []
+        for el in root.iter(row_tag):
+            rec: dict[str, str] = {}
+            for k, v in el.attrib.items():
+                rec[N.normalize_column_name(k)] = v
+            for child in el:
+                txt = (child.text or "").strip()
+                rec[N.normalize_column_name(child.tag)] = txt
+            if rec:
+                rows.append(rec)
     if not rows:
-        raise LoaderError(f"No <{row_tag}> rows found in {path}")
+        raise LoaderError(f"No rows found in {path}")
     cols = sorted({k for r in rows for k in r})
     data = [tuple(r.get(c) for c in cols) for r in rows]
     schema = T.StructType([T.StructField(c, T.StringType()) for c in cols])
     return _wrap(s.createDataFrame(data, schema), alias)
+
+
+def _repeated_child_tags(el) -> list[str]:
+    from collections import Counter
+
+    counts = Counter(child.tag for child in el)
+    return [t for t, n in counts.items() if n > 1]
+
+
+def _detect_xml_mode(root) -> str:
+    """xml.rs:1808-1860 decision rule: one parent element type whose
+    instances contain ≥2 distinct repeated child types, each repeating
+    → 'cartesian'; otherwise 'standard'."""
+    for parent in root.iter():
+        if len(_repeated_child_tags(parent)) >= 2:
+            return "cartesian"
+    return "standard"
+
+
+def _xml_cartesian_rows(root) -> list[dict]:
+    """One output row per element of the cross product of each parent's
+    repeated child groups; scalar children + attributes of the parent
+    repeat onto every row (header-detail flattening).  Columns are
+    ``{group}_{field}`` for group members, plain names for header
+    fields."""
+    import itertools
+
+    rows: list[dict] = []
+    for parent in root.iter():
+        groups = _repeated_child_tags(parent)
+        if len(groups) < 2:
+            continue
+        header: dict[str, str] = {}
+        for k, v in parent.attrib.items():
+            header[N.normalize_column_name(k)] = v
+        for child in parent:
+            if child.tag not in groups and len(child) == 0:
+                header[N.normalize_column_name(child.tag)] = (child.text or "").strip()
+        group_rows: list[list[dict]] = []
+        for g in groups:
+            members = []
+            for el in parent.findall(g):
+                rec: dict[str, str] = {}
+                for k, v in el.attrib.items():
+                    rec[N.normalize_column_name(f"{g}_{k}")] = v
+                if len(el) == 0:
+                    rec[N.normalize_column_name(g)] = (el.text or "").strip()
+                for sub in el:
+                    rec[N.normalize_column_name(f"{g}_{sub.tag}")] = (
+                        sub.text or ""
+                    ).strip()
+                members.append(rec)
+            group_rows.append(members)
+        for combo in itertools.product(*group_rows):
+            out = dict(header)
+            for rec in combo:
+                out.update(rec)
+            rows.append(out)
+    return rows
 
 
 # ------------------------------------------------------------------- folder

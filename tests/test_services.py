@@ -226,3 +226,39 @@ def test_delta_fallback_roundtrip(spark, tmp_path):
     assert "k" in got.columns  # partition column survives the log fallback
     # the extension dispatcher recognizes the delta dir
     assert load(d, "t2", spark).df.count() == 2
+
+
+# ------------------------------------------------------------------ xml
+
+def test_xml_standard_mode(spark, tmp_path):
+    p = tmp_path / "rows.xml"
+    p.write_text(
+        "<data><row id='1'><name>a</name><v>10</v></row>"
+        "<row id='2'><name>b</name><v>20</v></row></data>"
+    )
+    from elusion_spark.sources.loaders import load_xml
+
+    df = load_xml(str(p), "x", spark).df
+    assert df.count() == 2
+    assert sorted(df.columns) == ["id", "name", "v"]
+
+
+def test_xml_cartesian_auto_detect(spark, tmp_path):
+    # one order with 2 item elements AND 2 payment elements -> 4 rows
+    p = tmp_path / "hd.xml"
+    p.write_text(
+        "<orders><order><order_id>7</order_id>"
+        "<item><sku>A</sku><qty>1</qty></item>"
+        "<item><sku>B</sku><qty>2</qty></item>"
+        "<payment><method>card</method></payment>"
+        "<payment><method>cash</method></payment>"
+        "</order></orders>"
+    )
+    from elusion_spark.sources.loaders import load_xml
+
+    df = load_xml(str(p), "x", spark).df
+    rows = [r.asDict() for r in df.collect()]
+    assert len(rows) == 4  # 2 items x 2 payments
+    assert all(r["order_id"] == "7" for r in rows)
+    combos = {(r["item_sku"], r["payment_method"]) for r in rows}
+    assert combos == {("A", "card"), ("A", "cash"), ("B", "card"), ("B", "cash")}
