@@ -944,3 +944,213 @@ def q38(spark, sf):
     feats = MM.extract_features(_media_df(spark, sf), dim=16)
     probe = [float(x) for x in feats.orderBy("id").first()["embedding"]]
     return S.cosine_topk(feats, "embedding", "id", probe, k=5)
+
+
+# =====================================================================
+# Scalar-function whitelists (SURVEY §2.9) and remaining builder ops
+# =====================================================================
+
+@q(
+    "q39_string_functions",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS pretty_name,
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+           split_part(p_type, ' ', 1) AS type_head,
+           translate(p_brand, '#', '_') AS brand_u,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           reverse(substring(p_name, 1, 8)) AS rev_prefix,
+           coalesce(nullif(trim(p_type), ''), 'EMPTY') AS t2,
+           concat_ws('|', p_brand, p_type) AS joined,
+           CAST(position('a' IN p_name) AS BIGINT) AS a_pos,
+           repeat(left(p_brand, 2), 2) AS rep2
+    FROM part
+    """,
+)
+def q39(spark, sf):
+    p = _t(spark, sf, "part", "p")
+    return p.select([
+        "p_partkey",
+        "UPPER(p_name) AS pretty_name",
+        "LPAD(CAST(p_partkey AS STRING), 8, '0') AS padded",
+        "SPLIT_PART(p_type, ' ', 1) AS type_head",
+        "TRANSLATE(p_brand, '#', '_') AS brand_u",
+        "CAST(LENGTH(p_name) AS BIGINT) AS name_len",
+        "REVERSE(SUBSTRING(p_name, 1, 8)) AS rev_prefix",
+        "COALESCE(NULLIF(TRIM(p_type), ''), 'EMPTY') AS t2",
+        "CONCAT_WS('|', p_brand, p_type) AS joined",
+        "CAST(POSITION('a' IN p_name) AS BIGINT) AS a_pos",
+        "REPEAT(LEFT(p_brand, 2), 2) AS rep2",
+    ]).to_spark()
+
+
+@q(
+    "q40_datetime_functions",
+    """
+    SELECT o_orderkey,
+           CAST(date_part('year', o_orderdate) AS BIGINT) AS y,
+           CAST(date_part('quarter', o_orderdate) AS BIGINT) AS q,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(last_day(o_orderdate) AS DATE) AS month_end,
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           CAST(make_date(2024, 1, CAST(date_part('day', o_orderdate) AS INT))
+                AS DATE) AS mapped
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+)
+def q40(spark, sf):
+    o = _t(spark, sf, "orders", "o")
+    return (
+        o.filter("o_orderkey <= 1000")
+        .select([
+            "o_orderkey",
+            "CAST(DATE_PART('YEAR', o_orderdate) AS BIGINT) AS y",
+            "CAST(DATE_PART('QUARTER', o_orderdate) AS BIGINT) AS q",
+            "CAST(DATE_TRUNC('MONTH', o_orderdate) AS DATE) AS month_start",
+            "CAST(LAST_DAY(o_orderdate) AS DATE) AS month_end",
+            "DATE_FORMAT(o_orderdate, 'yyyy-MM') AS ym",
+            "MAKE_DATE(2024, 1, CAST(DATE_PART('DAY', o_orderdate) AS INT)) AS mapped",
+        ])
+        .to_spark()
+    )
+
+
+@q(
+    "q41_math_functions",
+    """
+    SELECT p_partkey,
+           CAST(round(sqrt(p_retailprice), 4) AS DOUBLE) AS sq,
+           CAST(floor(p_retailprice) AS DOUBLE) AS fl,
+           CAST(ceil(p_retailprice) AS DOUBLE) AS ce,
+           abs(p_retailprice - 1000.0) AS dist,
+           CAST(round(ln(p_retailprice), 6) AS DOUBLE) AS lnp,
+           CAST(round(log10(p_retailprice), 6) AS DOUBLE) AS lgp,
+           CAST(round(pow(p_size, 2), 2) AS DOUBLE) AS size_sq,
+           CAST(sign(p_retailprice - 1500.0) AS DOUBLE) AS sgn
+    FROM part WHERE p_partkey <= 500
+    """,
+)
+def q41(spark, sf):
+    p = _t(spark, sf, "part", "p")
+    return (
+        p.filter("p_partkey <= 500")
+        .select([
+            "p_partkey",
+            "CAST(ROUND(SQRT(p_retailprice), 4) AS DOUBLE) AS sq",
+            "CAST(FLOOR(p_retailprice) AS DOUBLE) AS fl",
+            "CAST(CEIL(p_retailprice) AS DOUBLE) AS ce",
+            "ABS(p_retailprice - 1000.0) AS dist",
+            "CAST(ROUND(LN(p_retailprice), 6) AS DOUBLE) AS lnp",
+            "CAST(ROUND(LOG10(p_retailprice), 6) AS DOUBLE) AS lgp",
+            "CAST(ROUND(POW(p_size, 2), 2) AS DOUBLE) AS size_sq",
+            "CAST(SIGNUM(p_retailprice - 1500.0) AS DOUBLE) AS sgn",
+        ])
+        .to_spark()
+    )
+
+
+@q(
+    "q42_union_all_append",
+    """
+    SELECT * FROM (
+      SELECT n_nationkey AS k, n_name AS name FROM nation
+      UNION ALL
+      SELECT r_regionkey AS k, r_name AS name FROM region
+    ) t ORDER BY k, name
+    """,
+)
+def q42(spark, sf):
+    n = _t(spark, sf, "nation", "n").select(["n_nationkey AS k", "n_name AS name"]).elusion("n_part")
+    r = _t(spark, sf, "region", "r").select(["r_regionkey AS k", "r_name AS name"]).elusion("r_part")
+    return n.append(r).order_by(["k", "name"], ["ASC", "ASC"]).to_spark()
+
+
+@q(
+    "q43_drop_duplicates_by_col",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_kept FROM (
+      SELECT c_mktsegment, c_nationkey,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment, c_nationkey
+                                ORDER BY c_custkey) AS rn
+      FROM customer) t WHERE rn = 1
+    """,
+)
+def q43(spark, sf):
+    c = _t(spark, sf, "customer", "c")
+    kept = c.drop_duplicates_by_column(
+        ["c_mktsegment", "c_nationkey"], order_by="c_custkey"
+    )
+    return (
+        kept.agg(["CAST(COUNT(*) AS BIGINT) AS n_kept"]).group_by_all().to_spark()
+    )
+
+
+@q(
+    "q44_window_frames",
+    f"""
+    SELECT event_id, user_id,
+           CAST(AVG(CAST(value AS DECIMAL(38,9))) OVER (
+                PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_avg,
+           CAST(LAG(value, 1, 0.0) OVER (
+                PARTITION BY user_id ORDER BY event_id) AS DOUBLE) AS prev_v,
+           CAST(LEAD(value, 1, 0.0) OVER (
+                PARTITION BY user_id ORDER BY event_id) AS DOUBLE) AS next_v,
+           CAST(NTILE(4) OVER (
+                PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS quartile,
+           CAST(FIRST_VALUE(value) OVER (
+                PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS first_v
+    FROM events WHERE user_id <= 50
+    """,
+)
+def q44(spark, sf):
+    e = _t(spark, sf, "events", "e")
+    return (
+        e.filter("user_id <= 50")
+        .select(["event_id", "user_id"])
+        .window(
+            "CAST(AVG(CAST(value AS DECIMAL(38,9))) OVER (PARTITION BY user_id "
+            "ORDER BY event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_avg"
+        )
+        .window("CAST(LAG(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY event_id) AS DOUBLE) AS prev_v")
+        .window("CAST(LEAD(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY event_id) AS DOUBLE) AS next_v")
+        .window("CAST(NTILE(4) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS quartile")
+        .window(
+            "CAST(FIRST_VALUE(value) OVER (PARTITION BY user_id ORDER BY event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS first_v"
+        )
+        .to_spark()
+    )
+
+
+@q(
+    "q45_agg_whitelist",
+    f"""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_q,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_q,
+           CAST(round(var_samp(l_quantity), 6) AS DOUBLE) AS var_q,
+           CAST(round(stddev_samp(l_quantity), 6) AS DOUBLE) AS std_q,
+           bool_or(l_quantity > 49) AS any_big,
+           bool_and(l_quantity > 0) AS all_pos
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q45(spark, sf):
+    li = _t(spark, sf, "lineitem", "l")
+    return (
+        li.select(["l_returnflag"])
+        .agg([
+            "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp",
+            "CAST(MIN(l_quantity) AS DOUBLE) AS min_q",
+            "CAST(MAX(l_quantity) AS DOUBLE) AS max_q",
+            "CAST(ROUND(VAR_SAMP(l_quantity), 6) AS DOUBLE) AS var_q",
+            "CAST(ROUND(STDDEV_SAMP(l_quantity), 6) AS DOUBLE) AS std_q",
+            "BOOL_OR(l_quantity > 49) AS any_big",
+            "BOOL_AND(l_quantity > 0) AS all_pos",
+        ])
+        .group_by_all()
+        .to_spark()
+    )
