@@ -1089,7 +1089,10 @@ def q43(spark, sf):
     "q44_window_frames",
     f"""
     SELECT event_id, user_id,
-           CAST(AVG(CAST(value AS DECIMAL(38,9))) OVER (
+           CAST(SUM(CAST(value AS DECIMAL(38,9))) OVER (
+                PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) /
+           CAST(COUNT(value) OVER (
                 PARTITION BY user_id ORDER BY event_id
                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_avg,
            CAST(LAG(value, 1, 0.0) OVER (
@@ -1110,7 +1113,9 @@ def q44(spark, sf):
         e.filter("user_id <= 50")
         .select(["event_id", "user_id"])
         .window(
-            "CAST(AVG(CAST(value AS DECIMAL(38,9))) OVER (PARTITION BY user_id "
+            "CAST(SUM(CAST(value AS DECIMAL(38,9))) OVER (PARTITION BY user_id "
+            "ORDER BY event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / "
+            "CAST(COUNT(value) OVER (PARTITION BY user_id "
             "ORDER BY event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_avg"
         )
         .window("CAST(LAG(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY event_id) AS DOUBLE) AS prev_v")
