@@ -26,7 +26,12 @@ BENCH_QUERIES = [
     "q10_text_stats",         # text analytics projection
     "q18_cosine_topk",        # brute-force ANN baseline (64-dim)
     "q30_minhash_pairs",      # MinHash-LSH near-dup pipeline
+    "q31_simhash_pairs",      # SimHash banding near-dup
     "q32_embedding_near_dup", # hyperplane-LSH embedding dedup
+    "q35_media_kinds",        # binary payload sniffing + agg
+    "q39_string_functions",   # string-function projection (codegen span)
+    "q44_window_frames",      # moving frames / lag / lead / ntile
+    "q45_agg_whitelist",      # count-distinct + variance aggregates
 ]
 
 

@@ -20,9 +20,12 @@ _DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.ui.enabled": "false",
-    # parquet scans: keep splits big enough to amortize task overhead at
-    # 100 TB but small enough to parallelize; 128 MB is the sweet spot.
-    "spark.sql.files.maxPartitionBytes": "134217728",
+    # parquet split size: this is the LOCAL profile — sf0.1 tables are
+    # 20-100 MB single files, so 128 MB splits would serialize the whole
+    # scan on one of 32 cores; 8 MB keeps every core busy.  On a real
+    # cluster set 128 MB (the task-overhead sweet spot at 100 TB) via
+    # extra_conf / spark-submit.
+    "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
 }
 
 
