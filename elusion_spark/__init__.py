@@ -38,6 +38,7 @@ from .cache import (
     refresh_view,
 )
 from .functions.extract import extract_row_from_df, extract_value_from_df
+from .pipeline import corpus_stats, prepare_training_corpus, write_corpus
 from .scheduler import PipelineScheduler
 from .sinks.copydata import CopyConfig, copy_data, copy_file_to_csv, copy_file_to_parquet
 from .sources.connectors import (
@@ -84,6 +85,9 @@ __all__ = [
     "SchemaBuilder",
     "schema_from_json",
     "PipelineScheduler",
+    "prepare_training_corpus",
+    "corpus_stats",
+    "write_corpus",
     "CopyConfig",
     "copy_data",
     "copy_file_to_parquet",

@@ -343,3 +343,72 @@ def ngram_jaccard_vs_reference(
         .withColumn("jaccard", jaccard_expr("__bg", "__ref_bg"))
         .select(id_col, "jaccard")
     )
+
+
+# ------------------------------------------------------- cluster resolve
+
+def connected_components(
+    pairs: DataFrame,
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Resolve duplicate-pair edges into clusters: (id, cluster_id) with
+    cluster_id = min member id.  Iterative min-label propagation — each
+    round is one join + one min-aggregate (2 shuffles), converging in
+    O(cluster diameter) rounds; near-dup clusters are shallow (template
+    families), so the default cap is generous.  Each round's labels are
+    ``localCheckpoint``ed — iterative algorithms MUST truncate lineage or
+    the analyzed plan doubles per round (minutes of driver time by round
+    ~8); convergence is a cheap count on changed labels.
+
+    100 TB note: this is the standard label-propagation CC; for graphs
+    with pathological diameter switch to star-contraction — dedup edge
+    sets don't need it."""
+    from pyspark import StorageLevel
+
+    edges = pairs.select(
+        F.col("id_a").cast("bigint").alias("src"),
+        F.col("id_b").cast("bigint").alias("dst"),
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("__changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
+        changed = new_labels.filter("__changed").count()
+        labels.unpersist()
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_cluster_min(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Exact transitive dedup: resolve pair edges to clusters, keep the
+    min-id member of each cluster (plus all unpaired rows)."""
+    cc = connected_components(pairs)
+    losers = cc.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -1,0 +1,108 @@
+"""End-to-end training-data preparation pipeline.
+
+Composes the LLM-data operators (text quality → language filter → exact
+dedup → MinHash near-dedup with transitive clusters → token accounting)
+into the single narrow-to-wide flow a 100 TB corpus job runs.  Every
+stage is lazy; the only actions are in the near-dup connected-components
+loop (bounded rounds) and whatever the caller triggers.
+
+Shuffle budget of the whole pipeline:
+  1. exact-dedup groupBy on content hash (ids only),
+  2. LSH band bucket join + pair dedup (ids/hashes only),
+  3. CC label propagation (pairs × rounds — pairs ≪ corpus),
+  4. the final anti-join of losers against the corpus.
+Document bodies cross the wire exactly once (the final write).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .operators import dedup as D
+from .operators import text as TX
+
+
+def prepare_training_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    languages: list[str] | None = None,
+    min_tokens: int = 5,
+    near_dup_threshold: float = 0.7,
+    minhash_hashes: int = 64,
+    minhash_bands: int = 16,
+    exact_first: bool = True,
+) -> DataFrame:
+    """Filter + dedup a document table for training.
+
+    Output columns: id, text, lang, quality, n_tokens, n_chars_norm,
+    fingerprint.  Near-duplicate clusters are resolved TRANSITIVELY
+    (connected components over LSH pairs), keeping each cluster's min id
+    — a pairwise keep-one misses A~B~C chains where A̸~C."""
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).withColumns(
+        {
+            "lang": TX.language_id("text"),
+            "quality": TX.quality_score("text"),
+            "n_tokens": TX.token_count("text"),
+            "fingerprint": TX.fingerprint("text"),
+        }
+    )
+    filtered = base.filter(
+        (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+    )
+    if languages:
+        filtered = filtered.filter(F.col("lang").isin(languages))
+
+    if exact_first:
+        # cheap exact pass first shrinks the LSH input: keep min id per
+        # content hash (ids-only shuffle)
+        keep = (
+            filtered.select(F.md5("text").alias("__h"), "id")
+            .groupBy("__h")
+            .agg(F.min("id").alias("keep_id"))
+            .select(F.col("keep_id").alias("id"))
+        )
+        filtered = filtered.join(keep, "id", "left_semi")
+
+    pairs = D.minhash_dedup_pairs(
+        filtered, "id", "text",
+        num_hashes=minhash_hashes, bands=minhash_bands,
+        threshold=near_dup_threshold,
+    )
+    return D.dedup_keep_cluster_min(filtered, pairs, "id").withColumn(
+        "n_chars_norm", F.length(F.regexp_replace("text", r"\s+", " "))
+    )
+
+
+def corpus_stats(corpus: DataFrame) -> dict:
+    """One-action summary: docs, tokens, per-language breakdown."""
+    row = corpus.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.avg("quality").alias("avg_quality"),
+    ).first()
+    langs = {
+        r["lang"]: r["n"]
+        for r in corpus.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    return {
+        "docs": row["docs"],
+        "tokens": row["tokens"],
+        "avg_quality": row["avg_quality"],
+        "languages": langs,
+    }
+
+
+def write_corpus(corpus: DataFrame, path: str,
+                 partition_by: list[str] | None = None,
+                 max_records_per_file: int = 1_000_000) -> None:
+    """Partitioned parquet write; default layout partitions by language
+    (the common training-mix selector) so downstream reads prune."""
+    w = corpus.write.mode("overwrite").option(
+        "maxRecordsPerFile", max_records_per_file
+    )
+    w.partitionBy(*(partition_by or ["lang"])).parquet(path)

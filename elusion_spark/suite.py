@@ -1159,3 +1159,24 @@ def q45(spark, sf):
         .group_by_all()
         .to_spark()
     )
+
+
+@q("q46_training_corpus")
+def q46(spark, sf):
+    """Full training-data pipeline: quality/length filter -> exact dedup
+    -> MinHash near-dedup with transitive (connected-component) cluster
+    resolution -> per-language token accounting."""
+    from .pipeline import prepare_training_corpus
+
+    d = _t(spark, sf, "documents", "d").df
+    corpus = prepare_training_corpus(
+        d, min_quality=0.3, min_tokens=5, near_dup_threshold=0.5
+    )
+    return (
+        corpus.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens"),
+        )
+        .orderBy("lang")
+    )

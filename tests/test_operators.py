@@ -318,3 +318,65 @@ def test_raw_sql(spark):
     a = CustomDataFrame(spark.createDataFrame([(1, "x")], ["k", "v"]), "ta")
     out = execute_raw_sql("SELECT k + 1 AS k2 FROM ta", "res", {"ta": a}, spark)
     assert out.collect()[0]["k2"] == 2
+
+
+def test_connected_components_clusters(spark):
+    from elusion_spark.operators.dedup import (
+        connected_components,
+        dedup_keep_cluster_min,
+    )
+
+    # two chains (1-2-3), (4-5) and a singleton edgeless id 6
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], ["id_a", "id_b"]
+    )
+    cc = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+    df = spark.createDataFrame([(i, f"doc{i}") for i in range(1, 7)],
+                               ["doc_id", "text"])
+    kept = dedup_keep_cluster_min(df, pairs, "doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 4, 6]
+
+
+def test_connected_components_long_chain(spark):
+    from elusion_spark.operators.dedup import connected_components
+
+    # a 12-node path: propagation needs several rounds, still converges
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["id_a", "id_b"]
+    )
+    cc = connected_components(pairs, max_iterations=20).collect()
+    assert {r["cluster_id"] for r in cc} == {0}
+    assert len(cc) == 13
+
+
+def test_prepare_training_corpus_end_to_end(spark, tmp_path):
+    from elusion_spark.pipeline import (
+        corpus_stats,
+        prepare_training_corpus,
+        write_corpus,
+    )
+
+    long_a = "the quick brown fox jumps over the lazy dog " * 6
+    near_a = long_a.replace("lazy", "sleepy")
+    other = "completely different content about machine learning systems " * 6
+    rows = [
+        (1, long_a), (2, long_a), (3, near_a),   # exact dup + near dup
+        (4, other), (5, "tiny"),                  # keeper + too short
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # true Jaccard(long_a, near_a) is exactly 0.5 — use 0.4 so the
+    # H=64 signature estimate (sigma ~= 0.06) can't straddle the cut
+    corpus = prepare_training_corpus(
+        df, min_quality=0.0, min_tokens=5, near_dup_threshold=0.4,
+        minhash_bands=32,
+    )
+    kept = sorted(r["id"] for r in corpus.collect())
+    assert kept == [1, 4]  # 2 exact-dup, 3 near-dup, 5 short
+    st = corpus_stats(corpus)
+    assert st["docs"] == 2 and st["tokens"] > 0 and "en" in st["languages"]
+    out = str(tmp_path / "corpus")
+    write_corpus(corpus, out)
+    back = spark.read.parquet(out)
+    assert back.count() == 2 and "lang" in back.columns
