@@ -1,0 +1,98 @@
+"""Cluster-scale join/layout utilities.
+
+The reference never confronts skew or co-location (single-node, in-memory
+— README.md:16-18 explicitly excludes the 1 TB class).  These helpers are
+the patterns a 100 TB deployment of this engine reaches for when AQE's
+automatic handling isn't enough.
+
+When to use what
+----------------
+- ``broadcast`` (builder ``.broadcast()``): dimension fits in executor
+  memory (< ~spark.sql.autoBroadcastJoinThreshold · safety).  Zero
+  shuffle of the big side.
+- AQE skew-join (on by default in our session): handles skew detected at
+  RUNTIME by splitting oversized partitions — works when skew is in the
+  shuffle sizes.
+- ``join_salted``: for *pathological* hot keys known to dwarf AQE's
+  split factor (the null-key / default-value / celebrity-entity cases).
+  Explicit N-way replication of the small side.
+- ``write_bucketed`` / ``bucketed_table``: pre-shuffle ONCE at write
+  time; every later equi-join/aggregate on the bucket key skips its
+  exchange.  The right layout for fact tables joined repeatedly on the
+  same key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def join_salted(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join: the big side's hot keys are spread over
+    ``salt`` sub-keys (random per row); the small side is replicated
+    ``salt`` times with one sub-key each.  Shuffle partitions for a hot
+    key shrink by ~salt×; the small side grows salt× (it must be the
+    replicable side).  Columns out = big's + small's (key deduplicated),
+    same as a plain equi-join."""
+    salted_big = big.withColumn(
+        "__salt", (F.rand(seed=0) * salt).cast("int")
+    )
+    salted_small = small.withColumn(
+        "__salt", F.explode(F.expr(f"sequence(0, {salt - 1})"))
+    )
+    out = salted_big.join(salted_small, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_key: str,
+    num_buckets: int = 64,
+    sort_by: str | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist bucketed-by-key (hive layout via saveAsTable — bucketing
+    metadata lives in the catalog, so plain ``.parquet()`` can't carry
+    it).  Joins/aggs between tables bucketed the same way on the same
+    key run exchange-free (check ``.explain``: no Exchange above the
+    scans)."""
+    w = df.write.mode("overwrite").format("parquet")
+    if path:
+        w = w.option("path", path)
+    w = w.bucketBy(num_buckets, bucket_key)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.saveAsTable(table)
+
+
+def bucketed_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
+
+
+def repartition_for_join(
+    left: DataFrame, right: DataFrame, key: str, partitions: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Pre-partition both sides identically on the join key so a chain of
+    operations reusing that key (join → groupBy(key) → window over key)
+    pays ONE exchange instead of one per op."""
+    n = partitions or left.sparkSession.sparkContext.defaultParallelism
+    return (
+        left.repartition(n, F.col(key)),
+        right.repartition(n, F.col(key)),
+    )
+
+
+def explain_shuffles(df: DataFrame) -> int:
+    """Count SHUFFLE Exchange operators in the physical plan (broadcast
+    exchanges move only the small side and don't count against the
+    shuffle budget) — the per-query plan-shape check used in tests."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Exchange") - plan.count("BroadcastExchange")

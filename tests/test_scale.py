@@ -1,0 +1,85 @@
+"""Scale utilities: salted joins match plain joins, bucketed layouts
+eliminate exchanges, plan-shape assertions for the headline queries."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from elusion_spark.operators import scale as SC
+
+
+def test_join_salted_matches_plain_join(spark):
+    # skewed big side: 90% of rows share key 1
+    big = spark.range(0, 2000).selectExpr(
+        "id", "CASE WHEN id % 10 < 9 THEN 1 ELSE CAST(id % 50 AS BIGINT) END AS k"
+    )
+    small = spark.range(0, 50).selectExpr("id AS k", "id * 100 AS payload")
+    plain = big.join(small, "k").selectExpr("id", "k", "payload")
+    salted = SC.join_salted(big, small, "k").selectExpr("id", "k", "payload")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_join_salted_left_join(spark):
+    big = spark.range(0, 100).selectExpr("id", "CAST(id % 7 AS BIGINT) AS k")
+    small = spark.range(0, 3).selectExpr("id AS k", "id AS v")
+    plain = big.join(small, "k", "left").selectExpr("id", "k", "v")
+    salted = SC.join_salted(big, small, "k", "left").selectExpr("id", "k", "v")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    a = spark.range(0, 10_000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 10_000).selectExpr("id AS k", "id * 3 AS vb")
+    try:
+        SC.write_bucketed(a, "bk_a", "k", num_buckets=8,
+                          path=str(tmp_path / "bk_a"))
+        SC.write_bucketed(b, "bk_b", "k", num_buckets=8,
+                          path=str(tmp_path / "bk_b"))
+    except Exception as e:
+        pytest.skip(f"no hive catalog support here: {e}")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ta, tb = spark.table("bk_a"), spark.table("bk_b")
+        joined = ta.join(tb, "k")
+        n_shuffles = SC.explain_shuffles(joined)
+        assert n_shuffles == 0, (
+            f"bucketed join should be shuffle-free, saw {n_shuffles}"
+        )
+        assert joined.count() == 10_000
+        # identical aggregation: bucketed grouping needs no exchange either
+        assert SC.explain_shuffles(ta.groupBy("k").agg(F.sum("va"))) == 0
+        # contrast: the same join on plain parquet shuffles both sides
+        pa = spark.read.parquet(str(tmp_path / "bk_a"))
+        pb = spark.read.parquet(str(tmp_path / "bk_b"))
+        assert SC.explain_shuffles(pa.join(pb, "k")) == 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_repartition_for_join_single_exchange_chain(spark):
+    left = spark.range(0, 5000).selectExpr("id AS k", "id * 2 AS v")
+    right = spark.range(0, 500).selectExpr("id AS k", "id AS w")
+    l2, r2 = SC.repartition_for_join(left, right, "k", partitions=8)
+    out = l2.join(r2, "k").groupBy("k").agg(F.sum("v").alias("sv"))
+    # the join and the groupBy reuse the explicit repartition: only the
+    # two user-requested exchanges appear, none added between join & agg
+    assert SC.explain_shuffles(out) == 2
+    assert out.count() == 500
+
+
+def test_headline_plans_have_expected_shape(spark):
+    """Plan-shape regression: q01 pushes filter+pruning into the scan and
+    aggregates partial->final; q03 broadcasts both dims."""
+    from elusion_spark.suite import QUERIES
+
+    q01 = QUERIES["q01_pricing_summary"](spark, "/root/testdata/sf0.001")
+    plan1 = q01._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual" in plan1
+    assert plan1.count("Exchange") == 1  # one shuffle: the final agg
+
+    q03 = QUERIES["q03_region_rollup"](spark, "/root/testdata/sf0.001")
+    plan3 = q03._jdf.queryExecution().executedPlan().toString()
+    assert plan3.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan3
