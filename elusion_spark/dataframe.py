@@ -573,6 +573,69 @@ class CustomDataFrame:
         print(plan)
         return plan
 
+    def display_query_with_info(self) -> dict:
+        """Plan + clause/shape analysis (elusion.rs:4597-4671's
+        ``display_query_with_info``): prints the pending-clause summary,
+        physical plan, and shuffle/scan counts; returns them as a dict."""
+        info = {
+            "table": self.table_alias,
+            "selected": list(self.selected),
+            "aggregations": list(self.aggregations),
+            "group_by": list(self.group_by_cols) or (
+                "ALL" if self.group_by_all_flag else []
+            ),
+            "filters": list(self.filters),
+            "havings": list(self.havings),
+            "joins": [
+                (j.other.table_alias, j.how, list(j.conditions)) for j in self.joins
+            ],
+            "windows": list(self.window_fns),
+            "order_by": list(self.order_bys),
+            "limit": self.limit_n,
+            "set_ops": [tag for tag, _ in self.set_ops],
+            "ctes": list(self.ctes),
+        }
+        plan = self._assemble()._jdf.queryExecution().executedPlan().toString()
+        info["shuffle_exchanges"] = plan.count("Exchange") - plan.count(
+            "BroadcastExchange"
+        )
+        info["broadcast_joins"] = plan.count("BroadcastHashJoin")
+        info["scans"] = plan.count("FileScan") + plan.count("Scan parquet")
+        for k, v in info.items():
+            if v:
+                print(f"{k}: {v}")
+        print(plan)
+        info["plan"] = plan
+        return info
+
+    def elusion_streaming(self, alias: str = "stream", batch_rows: int = 1000,
+                          display: bool = True, limit_batches: int | None = None):
+        """The reference's incremental batch iteration (elusion.rs:
+        8041-8206): stream the result through the driver in bounded
+        batches via ``toLocalIterator`` (one partition in memory at a
+        time), printing progress.  Yields row batches; for incremental
+        FILE writing use ``sinks.writers.stream_write`` or real
+        Structured Streaming (``elusion_spark.streaming``)."""
+        df = self._assemble()
+        batch, n_rows, n_batches = [], 0, 0
+        for row in df.toLocalIterator(prefetchPartitions=True):
+            batch.append(row)
+            if len(batch) >= batch_rows:
+                n_batches += 1
+                n_rows += len(batch)
+                if display:
+                    print(f"[{alias}] batch {n_batches}: {n_rows} rows total")
+                yield batch
+                batch = []
+                if limit_batches and n_batches >= limit_batches:
+                    return
+        if batch:
+            n_batches += 1
+            n_rows += len(batch)
+            if display:
+                print(f"[{alias}] batch {n_batches}: {n_rows} rows total")
+            yield batch
+
     def explain(self, mode: str = "formatted") -> None:
         self._assemble().explain(mode)
 

@@ -269,6 +269,30 @@ def ivf_build(
     return assigned, centroids
 
 
+def ivf_write_index(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+) -> None:
+    """Persist the IVF index: data parquet PARTITIONED BY cluster_id
+    (probing nprobe clusters then prunes (nlist-nprobe)/nlist of the
+    scan at the file level — check PartitionFilters in the plan) plus a
+    centroids sidecar."""
+    import json
+
+    assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    with open(f"{path}/_ivf_centroids.json", "w") as f:
+        json.dump(centroids, f)
+
+
+def ivf_read_index(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
+    import json
+
+    with open(f"{path}/_ivf_centroids.json") as f:
+        centroids = json.load(f)
+    return spark.read.parquet(path), centroids
+
+
 def ivf_search(
     assigned: DataFrame,
     centroids: list[list[float]],

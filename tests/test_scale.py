@@ -83,3 +83,41 @@ def test_headline_plans_have_expected_shape(spark):
     plan3 = q03._jdf.queryExecution().executedPlan().toString()
     assert plan3.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan3
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    from elusion_spark.operators import similarity as S
+    from elusion_spark.sources.loaders import load_parquet
+
+    e = load_parquet("/root/testdata/sf0.001/embeddings.parquet", "e", spark).df
+    assigned, centroids = S.ivf_build(e, "embedding", 64, nlist=4,
+                                      sample_fraction=1.0, iters=2)
+    path = str(tmp_path / "ivf")
+    S.ivf_write_index(assigned, centroids, path)
+    indexed, cents = S.ivf_read_index(spark, path)
+    assert cents == centroids
+    query = [float(x) for x in e.first()["embedding"]]
+    top = S.ivf_search(indexed, cents, "embedding", "vec_id", query,
+                       k=5, nprobe=2)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cluster_id" in plan  # scan prunes clusters
+    rows = top.collect()
+    assert len(rows) == 5 and rows[0]["cosine"] >= rows[-1]["cosine"]
+
+
+def test_display_query_with_info_and_streaming_iter(spark, capsys):
+    from elusion_spark.sources.loaders import load_parquet
+
+    c = load_parquet("/root/testdata/sf0.001/customer.parquet", "c", spark)
+    q = (c.select(["c_mktsegment"])
+         .agg(["CAST(COUNT(*) AS BIGINT) AS n"])
+         .group_by_all())
+    info = q.display_query_with_info()
+    assert info["aggregations"] and info["group_by"] == "ALL"
+    assert info["shuffle_exchanges"] >= 1 and "plan" in info
+
+    batches = list(c.select(["c_custkey"]).elusion_streaming(batch_rows=60,
+                                                             display=False))
+    total = sum(len(b) for b in batches)
+    assert total == c.df.count()
+    assert all(len(b) <= 60 for b in batches)
