@@ -303,6 +303,14 @@ class CustomDataFrame:
         c.set_ops.append(("FILL_DOWN", (_as_list(columns), order_by)))
         return c
 
+    def fill_down_now(self, columns: Sequence[str], alias: str = "filled",
+                      order_by: str | None = None) -> "CustomDataFrame":
+        """Eager forward-fill variant (elusion.rs:2198-2349): applies the
+        fill immediately and returns a fresh builder over the result."""
+        filled = _fill_down(self._assemble(), _as_list(columns), order_by)
+        filled.createOrReplaceTempView(alias)
+        return CustomDataFrame(filled, alias)
+
     def skip_rows(self, n: int) -> "CustomDataFrame":
         c = self._clone()
         c.set_ops.append(("SKIP_ROWS", int(n)))

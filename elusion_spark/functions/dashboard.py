@@ -137,3 +137,15 @@ th{{background:#eee}}</style></head>
     with open(filename, "w") as f:
         f.write(html)
     return filename
+
+
+def export_report_to_pdf(html_path: str, pdf_path: str) -> str:
+    """elusion.rs:7990-8039 (headless_chrome render).  Needs a headless
+    chromium or weasyprint — neither ships in this container."""
+    from ..errors import FeatureNotAvailable
+
+    raise FeatureNotAvailable(
+        "PDF export needs headless chromium (or weasyprint)",
+        "chromium --headless --print-to-pdf=<out> <report.html>, or "
+        "pip install weasyprint && weasyprint report.html out.pdf.",
+    )

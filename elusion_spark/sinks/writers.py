@@ -365,3 +365,38 @@ def _arrow_type(dt):
         if isinstance(dt, k):
             return v
     return pa.string()
+
+
+# ------------------------------------------------------------ cloud gates
+
+_AZURE_WRITE_HELP = (
+    "Native path: hadoop-azure on the classpath + SAS/key in "
+    "spark.conf, then df.write.parquet('abfss://container@account."
+    "dfs.core.windows.net/path') — a fully distributed write "
+    "(elusion.rs:5785-5824 parity)."
+)
+
+
+def write_parquet_to_azure_with_sas(df: DataFrame, url: str, sas_token: str,
+                                    mode: str = "overwrite") -> None:
+    from ..errors import FeatureNotAvailable
+
+    raise FeatureNotAvailable(
+        "Azure Blob writes need hadoop-azure + network egress", _AZURE_WRITE_HELP
+    )
+
+
+def write_json_to_azure_with_sas(df: DataFrame, url: str, sas_token: str) -> None:
+    from ..errors import FeatureNotAvailable
+
+    raise FeatureNotAvailable(
+        "Azure Blob writes need hadoop-azure + network egress", _AZURE_WRITE_HELP
+    )
+
+
+def write_parquet_to_fabric(df: DataFrame, onelake_url: str, **auth) -> None:
+    from ..errors import FeatureNotAvailable
+
+    raise FeatureNotAvailable(
+        "OneLake writes need azure-identity + hadoop-azure", _AZURE_WRITE_HELP
+    )
