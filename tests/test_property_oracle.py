@@ -1,0 +1,101 @@
+"""Property-style randomized oracle comparison: generate filter/agg/
+order-by combinations over the customer and orders tables, run them
+through the CustomDataFrame builder AND DuckDB, compare values.
+
+Seeded RNG (not hypothesis's engine) so failures reproduce exactly and
+runtime stays bounded; the generator covers the builder surface the
+fixed suite can't enumerate: predicate combinations, group-key choices,
+agg mixes, direction mixes."""
+
+import random
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = {
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    "orders": ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+               "o_orderstatus"],
+}
+NUMERIC = {"customer": ["c_custkey", "c_nationkey", "c_acctbal"],
+           "orders": ["o_orderkey", "o_custkey", "o_totalprice"]}
+CATEG = {"customer": ["c_mktsegment", "c_nationkey"],
+         "orders": ["o_orderstatus"]}
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _gen_case(rng: random.Random):
+    table = rng.choice(list(TABLES))
+    preds = []
+    for _ in range(rng.randint(0, 3)):
+        col = rng.choice(NUMERIC[table])
+        op = rng.choice(["<", "<=", ">", ">=", "<>"])
+        if col.endswith(("custkey", "orderkey", "nationkey")):
+            val = rng.randint(0, 200)
+        else:
+            val = round(rng.uniform(0, 5000), 2)
+        preds.append(f"{col} {op} {val}")
+    key = rng.choice(CATEG[table])
+    aggs = rng.sample(
+        [
+            ("CAST(COUNT(*) AS BIGINT)", "n"),
+            (f"CAST(MIN({rng.choice(NUMERIC[table])}) AS DOUBLE)", "mn"),
+            (f"CAST(MAX({rng.choice(NUMERIC[table])}) AS DOUBLE)", "mx"),
+            (
+                f"CAST(SUM(CAST({rng.choice(NUMERIC[table])} AS DECIMAL(38,9))) AS DOUBLE)",
+                "sm",
+            ),
+        ],
+        k=rng.randint(1, 3),
+    )
+    return table, preds, key, aggs
+
+
+def _run_case(spark, duck, seed):
+    from elusion_spark.sources.loaders import load_parquet
+
+    rng = random.Random(seed)
+    table, preds, key, aggs = _gen_case(rng)
+
+    cdf = load_parquet(f"{SF}/{table}.parquet", "t", spark)
+    for p in preds:
+        cdf = cdf.filter(p)
+    cdf = (
+        cdf.select([key])
+        .agg([f"{expr} AS {al}" for expr, al in aggs])
+        .group_by_all()
+    )
+    srows = {
+        tuple(sorted(r.asDict().items()))
+        for r in cdf.to_spark().collect()
+    }
+
+    where = (" WHERE " + " AND ".join(preds)) if preds else ""
+    sql = (
+        f"SELECT {key}, {', '.join(f'{e} AS {a}' for e, a in aggs)} "
+        f"FROM {table}{where} GROUP BY {key}"
+    )
+    cur = duck.execute(sql)
+    cols = [d[0] for d in cur.description]
+    orows = {
+        tuple(sorted(zip(cols, row)))
+        for row in cur.fetchall()
+    }
+    assert srows == orows, (
+        f"seed={seed} table={table} preds={preds} key={key} aggs={aggs}\n"
+        f"spark-only: {list(srows - orows)[:3]}\noracle-only: {list(orows - srows)[:3]}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_randomized_filter_agg_matches_oracle(spark, duck, seed):
+    _run_case(spark, duck, seed)
