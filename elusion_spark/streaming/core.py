@@ -179,6 +179,60 @@ def running_totals_stateful(
     )
 
 
+def enrich_stream(
+    sdf: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (batch) dimension table.  The dim is broadcast by default — the
+    standard pattern for decorating a 100 TB/day event stream with
+    slowly-changing reference data without shuffling the stream."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return sdf.join(d, on, how)
+
+
+def foreach_batch_upsert(
+    sdf: DataFrame,
+    target_path: str,
+    keys: list[str],
+    fmt: str = "parquet",
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """Micro-batch upsert via foreachBatch: each batch anti-joins the
+    existing target on ``keys`` then appends — last-write-wins dedup
+    against history without a transactional table.  (With delta-spark
+    present, prefer MERGE INTO.)  Returns the StreamingQuery."""
+    import os as _os
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = batch_df.dropDuplicates(keys)
+        if _os.path.isdir(target_path) and any(
+            not f.startswith("_") for f in _os.listdir(target_path)
+        ):
+            existing = spark.read.format(fmt).load(target_path)
+            keep = existing.join(fresh.select(*keys), keys, "left_anti")
+            out = keep.unionByName(fresh)
+            tmp = target_path + f".__tmp{batch_id}"
+            out.write.mode("overwrite").format(fmt).save(tmp)
+            import shutil as _shutil
+
+            _shutil.rmtree(target_path)
+            _os.rename(tmp, target_path)
+        else:
+            fresh.write.mode("overwrite").format(fmt).save(target_path)
+
+    ckpt = checkpoint or target_path + "_checkpoint"
+    w = sdf.writeStream.foreachBatch(_apply).option("checkpointLocation", ckpt)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 # ------------------------------------------------------------------- sinks
 
 def run_available_now_to_memory(sdf: DataFrame, name: str | None = None,
