@@ -447,6 +447,28 @@ class CustomDataFrame:
                     N.normalize_expression(g) for g in self.group_by_cols
                 ]
 
+            # pre-flight (elusion.rs:3951-4035): under group_by_all every
+            # window's PARTITION/ORDER columns must survive the grouping —
+            # i.e. be a selected (grouped) column or an agg alias.  Spark
+            # would fail analysis anyway; this raises the reference's
+            # friendlier error with a concrete fix.
+            if self.group_by_all_flag and win_items:
+                visible = {N.base_name(b) for b, _ in sel_items}
+                visible |= {al for _, al in sel_items if al}
+                visible |= {a for _, a in agg_items}
+                for body, _al in win_items:
+                    for dep in N.extract_over_columns(body):
+                        bare = dep.split(".")[-1]
+                        if bare not in visible and dep not in visible:
+                            raise GroupByAllError(
+                                f"group_by_all() + window function issue: the "
+                                f"window expression needs column {dep!r} but it "
+                                f"is not in .select([...])",
+                                f"Add {dep!r} to .select() so it is grouped, or "
+                                f"use manual .group_by([...]) with the keys you "
+                                f"want (elusion.rs:3995-4017).",
+                            )
+
             gcols = [F.expr(g).alias(f"__g{i}") for i, g in enumerate(group_exprs)]
             canon_group = {
                 N.canonical(g): f"__g{i}" for i, g in enumerate(group_exprs)

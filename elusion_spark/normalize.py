@@ -250,3 +250,32 @@ def split_cte(cte: str) -> tuple[str, str]:
             f"CTE must look like 'name AS (SELECT …)', got: {cte!r}"
         )
     return m.group(1), m.group(2)
+
+
+_OVER_RE = re.compile(r"OVER\s*\((.*?)\)", re.IGNORECASE | re.DOTALL)
+_OVER_KEYWORDS = {
+    "PARTITION", "BY", "ORDER", "ASC", "DESC", "NULLS", "FIRST", "LAST",
+    "ROWS", "RANGE", "BETWEEN", "AND", "PRECEDING", "FOLLOWING", "CURRENT",
+    "ROW", "UNBOUNDED", "CAST", "AS", "INTERVAL", "GROUPS",
+}
+
+
+def extract_over_columns(window_expr: str) -> list[str]:
+    """Bare column identifiers referenced inside OVER(...) clauses —
+    used by the group_by_all pre-flight (elusion.rs:3951-4035)."""
+    cols: list[str] = []
+    for m in _OVER_RE.finditer(window_expr):
+        inner = m.group(1)
+        for tok in re.finditer(r"[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?", inner):
+            t = tok.group(0)
+            end = tok.end()
+            # skip function calls: identifier immediately followed by '('
+            if end < len(inner) and inner[end:end + 1].strip().startswith("("):
+                continue
+            if t.upper() in _OVER_KEYWORDS or t.upper() in _OVER_KEYWORDS:
+                continue
+            if any(p.upper() in _OVER_KEYWORDS for p in t.split(".")):
+                continue
+            if t not in cols:
+                cols.append(t)
+    return cols

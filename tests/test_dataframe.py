@@ -233,3 +233,26 @@ def test_select_varargs_and_string_functions(sales):
 def test_empty_host(spark):
     out = CustomDataFrame.empty(spark).select(["dummy * 2 AS d2"]).collect()
     assert out[0]["d2"] == 2
+
+
+def test_group_by_all_window_dependency_preflight(spark):
+    from elusion_spark.errors import GroupByAllError
+    from elusion_spark.sources.loaders import load_parquet
+
+    c = load_parquet("/root/testdata/sf0.001/customer.parquet", "c", spark)
+    q = (
+        c.select(["c_mktsegment"])
+        .agg(["COUNT(*) AS n"])
+        .group_by_all()
+        .window("ROW_NUMBER() OVER (ORDER BY c_acctbal DESC) AS rn")
+    )
+    with pytest.raises(GroupByAllError, match="c_acctbal"):
+        q.to_spark()
+    # the fix the error suggests works: select the dependency
+    ok = (
+        c.select(["c_mktsegment"])
+        .agg(["COUNT(*) AS n"])
+        .group_by_all()
+        .window("ROW_NUMBER() OVER (ORDER BY n DESC) AS rn")
+    )
+    assert ok.to_spark().count() > 0
