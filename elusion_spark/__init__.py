@@ -38,6 +38,11 @@ from .cache import (
     refresh_view,
 )
 from .functions.extract import extract_row_from_df, extract_value_from_df
+from .operators.scale import (
+    join_salted,
+    repartition_for_join,
+    write_bucketed,
+)
 from .pipeline import corpus_stats, prepare_training_corpus, write_corpus
 from .scheduler import PipelineScheduler
 from .sinks.copydata import CopyConfig, copy_data, copy_file_to_csv, copy_file_to_parquet
@@ -92,6 +97,9 @@ __all__ = [
     "copy_data",
     "copy_file_to_parquet",
     "copy_file_to_csv",
+    "join_salted",
+    "write_bucketed",
+    "repartition_for_join",
     "extract_value_from_df",
     "extract_row_from_df",
     "ElusionApi",

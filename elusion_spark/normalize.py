@@ -272,8 +272,6 @@ def extract_over_columns(window_expr: str) -> list[str]:
             # skip function calls: identifier immediately followed by '('
             if end < len(inner) and inner[end:end + 1].strip().startswith("("):
                 continue
-            if t.upper() in _OVER_KEYWORDS or t.upper() in _OVER_KEYWORDS:
-                continue
             if any(p.upper() in _OVER_KEYWORDS for p in t.split(".")):
                 continue
             if t not in cols:
