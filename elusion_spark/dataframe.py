@@ -84,6 +84,7 @@ class CustomDataFrame:
         self.window_fns: list[str] = []
         self.group_by_cols: list[str] = []
         self.group_by_all_flag = False
+        self.group_mode = "groupby"  # groupby | rollup | cube
         self.filters: list[str] = []
         self.havings: list[str] = []
         self.order_bys: list[tuple[str, bool]] = []
@@ -100,6 +101,7 @@ class CustomDataFrame:
         c.window_fns = list(self.window_fns)
         c.group_by_cols = list(self.group_by_cols)
         c.group_by_all_flag = self.group_by_all_flag
+        c.group_mode = self.group_mode
         c.filters = list(self.filters)
         c.havings = list(self.havings)
         c.order_bys = list(self.order_bys)
@@ -204,6 +206,20 @@ class CustomDataFrame:
         """Auto-group on every groupable select item (elusion.rs:999-1046)."""
         c = self._clone()
         c.group_by_all_flag = True
+        return c
+
+    def group_by_rollup(self, columns: Sequence[str] | str, *more: str) -> "CustomDataFrame":
+        """Hierarchical subtotals (beyond-parity: the reference whitelists
+        GROUPING but has no rollup builder — SURVEY §2.5).  Runs as
+        Spark's native ROLLUP (one pass, no self-union)."""
+        c = self.group_by(columns, *more)
+        c.group_mode = "rollup"
+        return c
+
+    def group_by_cube(self, columns: Sequence[str] | str, *more: str) -> "CustomDataFrame":
+        """All grouping-set combinations (beyond-parity, native CUBE)."""
+        c = self.group_by(columns, *more)
+        c.group_mode = "cube"
         return c
 
     def window(self, window_expr: str) -> "CustomDataFrame":
@@ -494,7 +510,12 @@ class CustomDataFrame:
             aggcols = [F.expr(b).alias(a) for b, a in agg_items]
             aggcols += [F.expr(b).alias(a) for b, a in hidden]
             if gcols:
-                cur = cur.groupBy(*gcols).agg(*aggcols)
+                grouped_data = {
+                    "groupby": cur.groupBy,
+                    "rollup": cur.rollup,
+                    "cube": cur.cube,
+                }[self.group_mode](*gcols)
+                cur = grouped_data.agg(*aggcols)
             else:
                 cur = cur.agg(*aggcols)
 

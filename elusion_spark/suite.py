@@ -1180,3 +1180,71 @@ def q46(spark, sf):
         )
         .orderBy("lang")
     )
+
+
+@q(
+    "q47_rollup",
+    f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           coalesce(l_linestatus, 'ALL') AS ls,
+           {DSUM('l_quantity')} AS qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q47(spark, sf):
+    li = _t(spark, sf, "lineitem", "l")
+    rolled = (
+        li.select(["l_returnflag", "l_linestatus"])
+        .agg([f"{DSUM('l_quantity')} AS qty", "CAST(COUNT(*) AS BIGINT) AS n"])
+        .group_by_rollup(["l_returnflag", "l_linestatus"])
+        .to_spark()
+    )
+    return rolled.selectExpr(
+        "coalesce(l_returnflag, 'ALL') AS rf",
+        "coalesce(l_linestatus, 'ALL') AS ls", "qty", "n",
+    )
+
+
+@q(
+    "q48_string_agg",
+    """
+    SELECT n_regionkey AS rk,
+           string_agg(n_name, ',' ORDER BY n_name) AS names,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q48(spark, sf):
+    n = _t(spark, sf, "nation", "n")
+    return (
+        n.select(["n_regionkey AS rk"])
+        .agg([
+            "ARRAY_JOIN(SORT_ARRAY(COLLECT_LIST(n_name)), ',') AS names",
+            "CAST(COUNT(*) AS BIGINT) AS n",
+        ])
+        .group_by(["n_regionkey"])
+        .to_spark()
+    )
+
+
+@q(
+    "q49_array_agg_distinct",
+    """
+    SELECT o_orderstatus AS st,
+           array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS prios,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q49(spark, sf):
+    o = _t(spark, sf, "orders", "o")
+    return (
+        o.select(["o_orderstatus AS st"])
+        .agg([
+            "ARRAY_JOIN(SORT_ARRAY(COLLECT_SET(o_orderpriority)), ',') AS prios",
+            "CAST(COUNT(*) AS BIGINT) AS n",
+        ])
+        .group_by(["o_orderstatus"])
+        .to_spark()
+    )
