@@ -132,3 +132,34 @@ def add_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(col),
         }
     )
+
+
+# ------------------------------------------------------------------- pii
+
+# conservative, JVM-side regexes (same semantics in DuckDB's regexp_replace
+# with the 'g' flag — kept ASCII/portable so oracles match byte-for-byte)
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+
+
+def redact_pii(col: str = "text", kinds: list[str] | None = None) -> Column:
+    """Replace PII spans with ``[KIND]`` tokens — chained regexp_replace,
+    whole-stage-codegen'd, no UDF.  The standard pre-training scrub; at
+    100 TB this is a pure narrow map over the scan."""
+    expr = F.col(col)
+    for kind in kinds or list(PII_PATTERNS):
+        expr = F.regexp_replace(expr, PII_PATTERNS[kind], f"[{kind.upper()}]")
+    return expr
+
+
+def pii_counts(col: str = "text") -> dict[str, Column]:
+    """Per-kind PII hit counts (regexp_count — audit metrics before/after
+    a scrub pass)."""
+    return {
+        kind: F.expr(f"regexp_count({col}, '{pat}')").alias(f"n_{kind}")
+        for kind, pat in PII_PATTERNS.items()
+    }

@@ -1248,3 +1248,45 @@ def q49(spark, sf):
         .group_by(["o_orderstatus"])
         .to_spark()
     )
+
+
+@q(
+    "q50_pii_redaction",
+    r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+               '@example.com ip 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.7',
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IPV4]', 'g') AS scrubbed,
+           CAST(length(regexp_extract_all(
+               text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+               '@example.com ip 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.7',
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email
+    FROM documents
+    """,
+)
+def q50(spark, sf):
+    """PII scrub verified cross-engine: both sides append deterministic
+    synthetic PII (email + IP derived from doc_id) to the text, run the
+    same regex redaction in their own engines, and must agree
+    byte-for-byte."""
+    d = _t(spark, sf, "documents", "d").df
+    synth = F.expr(
+        "concat(text, ' contact user', CAST(doc_id AS STRING), "
+        "'@example.com ip 10.0.', CAST(doc_id % 200 AS STRING), '.7')"
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(synth, TX.PII_PATTERNS["email"], "[EMAIL]"),
+        TX.PII_PATTERNS["ipv4"], "[IPV4]",
+    )
+    return d.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.expr(
+            f"CAST(regexp_count(concat(text, ' contact user', CAST(doc_id AS STRING), "
+            f"'@example.com ip 10.0.', CAST(doc_id % 200 AS STRING), '.7'), "
+            f"'{TX.PII_PATTERNS['email']}') AS BIGINT)"
+        ).alias("n_email"),
+    )

@@ -380,3 +380,22 @@ def test_prepare_training_corpus_end_to_end(spark, tmp_path):
     write_corpus(corpus, out)
     back = spark.read.parquet(out)
     assert back.count() == 2 and "lang" in back.columns
+
+
+def test_redact_pii_and_counts(spark):
+    from elusion_spark.operators.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b@x.io or call +1 (555) 123-4567 from 10.1.2.3 ssn 123-45-6789"),
+         (2, "nothing sensitive here")],
+        ["id", "text"],
+    )
+    out = df.select("id", redact_pii("text").alias("t"), *pii_counts("text").values())
+    r1 = out.filter("id = 1").first()
+    assert "[EMAIL]" in r1["t"] and "[IPV4]" in r1["t"] and "[SSN]" in r1["t"]
+    assert "[PHONE]" in r1["t"]
+    assert "a.b@x.io" not in r1["t"] and "10.1.2.3" not in r1["t"]
+    assert r1["n_email"] == 1 and r1["n_ipv4"] == 1 and r1["n_ssn"] == 1
+    r2 = out.filter("id = 2").first()
+    assert r2["t"] == "nothing sensitive here"
+    assert r2["n_email"] == r2["n_phone"] == 0
