@@ -137,12 +137,14 @@ def add_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
 # ------------------------------------------------------------------- pii
 
 # conservative, JVM-side regexes (same semantics in DuckDB's regexp_replace
-# with the 'g' flag — kept ASCII/portable so oracles match byte-for-byte)
+# with the 'g' flag — kept ASCII/portable so oracles match byte-for-byte).
+# Insertion order IS redaction order: specific patterns (ssn, ipv4) run
+# before the greedy phone pattern, which would otherwise swallow them.
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
-    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
     "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
 }
 
 
@@ -158,8 +160,9 @@ def redact_pii(col: str = "text", kinds: list[str] | None = None) -> Column:
 
 def pii_counts(col: str = "text") -> dict[str, Column]:
     """Per-kind PII hit counts (regexp_count — audit metrics before/after
-    a scrub pass)."""
+    a scrub pass).  Patterns go in as lit() columns, NOT SQL string
+    literals — SQL literal parsing would eat the backslashes."""
     return {
-        kind: F.expr(f"regexp_count({col}, '{pat}')").alias(f"n_{kind}")
+        kind: F.regexp_count(F.col(col), F.lit(pat)).alias(f"n_{kind}")
         for kind, pat in PII_PATTERNS.items()
     }

@@ -1284,9 +1284,8 @@ def q50(spark, sf):
     return d.select(
         "doc_id",
         scrubbed.alias("scrubbed"),
-        F.expr(
-            f"CAST(regexp_count(concat(text, ' contact user', CAST(doc_id AS STRING), "
-            f"'@example.com ip 10.0.', CAST(doc_id % 200 AS STRING), '.7'), "
-            f"'{TX.PII_PATTERNS['email']}') AS BIGINT)"
-        ).alias("n_email"),
+        # lit() pattern, not a SQL string literal (backslash semantics)
+        F.regexp_count(synth, F.lit(TX.PII_PATTERNS["email"]))
+        .cast("bigint")
+        .alias("n_email"),
     )
