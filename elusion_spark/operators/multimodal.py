@@ -280,3 +280,52 @@ def extract_features(
             )
 
     return df.select(id_col, bin_col).mapInPandas(run, schema)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def decode_audio(
+    df: DataFrame, id_col: str = "id", bin_col: str = "payload"
+) -> DataFrame:
+    """Audio metadata/stat decode: (id, sample_rate, duration_ms,
+    n_channels, rms).  REAL path would use soundfile/librosa (absent);
+    WAV headers ARE parsed for real (RIFF fmt chunk — pure byte math),
+    everything else gets the deterministic digest fake."""
+
+    def _one(b: bytes):
+        if len(b) >= 36 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            # fmt chunk at offset 12 in canonical WAVs
+            n_ch = int.from_bytes(b[22:24], "little") or 1
+            rate = int.from_bytes(b[24:28], "little") or 16000
+            byte_rate = int.from_bytes(b[28:32], "little") or rate * 2
+            data_len = max(len(b) - 44, 0)
+            dur = int(data_len * 1000 / byte_rate) if byte_rate else 0
+            h = _fake_u64(b)
+            return (rate, dur, n_ch, float(h % 10_000) / 10_000.0)
+        h = _fake_u64(b)
+        return (
+            [8000, 16000, 22050, 44100][h & 3],
+            int((h >> 2) % 300_000),
+            1 + ((h >> 20) & 1),
+            float((h >> 24) % 10_000) / 10_000.0,
+        )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [(i, *(_one(bytes(b)))) for i, b in zip(pdf[id_col], pdf[bin_col])]
+            yield pd.DataFrame(
+                rows, columns=["id", "sample_rate", "duration_ms", "n_channels", "rms"]
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, AUDIO_SCHEMA)

@@ -1289,3 +1289,46 @@ def q50(spark, sf):
         .cast("bigint")
         .alias("n_email"),
     )
+
+
+@q(
+    "q51_percentiles",
+    """
+    SELECT l_returnflag,
+           CAST(round(quantile_cont(l_quantity, 0.5), 6) AS DOUBLE) AS p50,
+           CAST(round(quantile_cont(l_quantity, 0.9), 6) AS DOUBLE) AS p90,
+           CAST(round(quantile_cont(l_extendedprice, 0.99), 6) AS DOUBLE) AS price_p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q51(spark, sf):
+    """Exact interpolated percentiles (both engines use the (1-f)*a+f*b
+    continuous definition; round(6) absorbs last-ulp ordering noise)."""
+    li = _t(spark, sf, "lineitem", "l")
+    return (
+        li.select(["l_returnflag"])
+        .agg([
+            "CAST(ROUND(PERCENTILE(l_quantity, 0.5), 6) AS DOUBLE) AS p50",
+            "CAST(ROUND(PERCENTILE(l_quantity, 0.9), 6) AS DOUBLE) AS p90",
+            "CAST(ROUND(PERCENTILE(l_extendedprice, 0.99), 6) AS DOUBLE) AS price_p99",
+        ])
+        .group_by_all()
+        .to_spark()
+    )
+
+
+@q("q52_audio_decode")
+def q52(spark, sf):
+    """Audio decode plumbing over the RIFF-tagged payloads (headers are
+    synthetic, so the fmt fields are arbitrary-but-deterministic; the
+    query checks the Arrow-batched decode shape end-to-end)."""
+    wavs = _media_df(spark, sf).filter("id % 3 = 1")
+    dec = MM.decode_audio(wavs, "id", "payload")
+    return (
+        dec.groupBy("n_channels")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.avg("duration_ms").alias("avg_dur"),
+        )
+        .orderBy("n_channels")
+    )

@@ -121,3 +121,41 @@ def test_display_query_with_info_and_streaming_iter(spark, capsys):
     total = sum(len(b) for b in batches)
     assert total == c.df.count()
     assert all(len(b) <= 60 for b in batches)
+
+
+def test_compact_files_reduces_count_and_preserves_data(spark, tmp_path):
+    from elusion_spark.sinks.maintenance import compact_files
+
+    p = str(tmp_path / "frag")
+    spark.range(0, 20_000).selectExpr("id", "id % 100 AS k") \
+        .repartition(40).write.parquet(p)
+    before_cnt = spark.read.parquet(p).count()
+    stats = compact_files(spark, p, target_mb=128, sort_cols=["k"])
+    assert stats["files_before"] >= 40
+    assert stats["files_after"] < stats["files_before"]
+    after = spark.read.parquet(p)
+    assert after.count() == before_cnt
+    assert after.agg({"id": "sum"}).first()[0] == sum(range(20_000))
+
+
+def test_decode_audio_wav_header_parsed(spark):
+    import struct
+
+    from pyspark.sql import types as T
+
+    from elusion_spark.operators.multimodal import decode_audio
+
+    # canonical 44-byte WAV header: 8kHz mono 16-bit, 1600 bytes of data
+    rate, ch, bits, data_len = 8000, 1, 16, 1600
+    byte_rate = rate * ch * bits // 8
+    wav = (b"RIFF" + struct.pack("<I", 36 + data_len) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, rate, byte_rate,
+                                   ch * bits // 8, bits)
+           + b"data" + struct.pack("<I", data_len) + b"\x00" * data_len)
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    df = spark.createDataFrame([(1, wav), (2, b"not audio at all")], schema)
+    out = {r["id"]: r for r in decode_audio(df).collect()}
+    assert out[1]["sample_rate"] == 8000 and out[1]["n_channels"] == 1
+    assert out[1]["duration_ms"] == 100  # 1600 bytes / 16000 B/s = 0.1s
+    assert out[2]["sample_rate"] in (8000, 16000, 22050, 44100)  # fake path
