@@ -350,10 +350,20 @@ class CustomDataFrame:
 
     # ------------------------------------------------------------- assembly
 
+    def _has_pending(self) -> bool:
+        return bool(
+            self.selected or self.aggregations or self.window_fns
+            or self.group_by_cols or self.group_by_all_flag or self.filters
+            or self.havings or self.order_bys or self.limit_n is not None
+            or self.joins or self.set_ops or self.ctes
+        )
+
     def _alias_map(self) -> dict[str, DataFrame]:
         m = {self.table_alias: self.df}
         for j in self.joins:
-            m[j.other.table_alias] = j.other.df
+            m[j.other.table_alias] = (
+                j.other._assemble() if j.other._has_pending() else j.other.df
+            )
         return m
 
     def _expand_stars(self, item: str) -> list[str]:
@@ -391,13 +401,20 @@ class CustomDataFrame:
                 spark.sql(body).createOrReplaceTempView(name)
         cur = self.df.alias(self.table_alias)
 
-        # joins — broadcast hints propagate from the marked side
+        # joins — broadcast hints propagate from the marked side.  A join
+        # side carrying its own pending clauses (filters, selects, …) is
+        # assembled first: the reference silently ignores un-elusion()ed
+        # state on the other frame (elusion.rs:4483-4512 registers the raw
+        # df) — a footgun we fix rather than replicate.
         for j in self.joins:
             cond = " AND ".join(
                 f"({N.normalize_expression(x)})" for x in j.conditions
             )
             how = _JOIN_TYPES[j.how]
-            right = j.other.df.alias(j.other.table_alias)
+            right_df = (
+                j.other._assemble() if j.other._has_pending() else j.other.df
+            )
+            right = right_df.alias(j.other.table_alias)
             if j.other._broadcast:
                 right = F.broadcast(right)
             if how == "right_semi":

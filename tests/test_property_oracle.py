@@ -99,3 +99,48 @@ def _run_case(spark, duck, seed):
 @pytest.mark.parametrize("seed", range(25))
 def test_randomized_filter_agg_matches_oracle(spark, duck, seed):
     _run_case(spark, duck, seed)
+
+
+def _run_join_case(spark, duck, seed):
+    """Randomized join + group: orders x customer with random predicates."""
+    from elusion_spark.sources.loaders import load_parquet
+
+    rng = random.Random(10_000 + seed)
+    o_pred = f"o_totalprice {rng.choice(['<', '>', '<='])} {round(rng.uniform(1000, 400000), 2)}"
+    c_pred = f"c_nationkey {rng.choice(['<', '>=', '<>'])} {rng.randint(0, 24)}"
+    how = rng.choice(["INNER", "LEFT SEMI"])
+
+    o = load_parquet(f"{SF}/orders.parquet", "o", spark).filter(o_pred)
+    c = load_parquet(f"{SF}/customer.parquet", "c", spark).filter(c_pred)
+    joined = o.join(c, ["o.o_custkey = c.c_custkey"], how)
+    if how == "LEFT SEMI":
+        q = joined.select(["o.o_orderstatus"]).agg(
+            ["CAST(COUNT(*) AS BIGINT) AS n"]
+        ).group_by_all()
+        sql = (
+            f"SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n FROM orders "
+            f"WHERE {o_pred} AND o_custkey IN "
+            f"(SELECT c_custkey FROM customer WHERE {c_pred}) "
+            f"GROUP BY o_orderstatus"
+        )
+    else:
+        q = joined.select(["c.c_mktsegment"]).agg(
+            ["CAST(COUNT(*) AS BIGINT) AS n",
+             "CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,9))) AS DOUBLE) AS total"]
+        ).group_by_all()
+        sql = (
+            f"SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CAST(SUM(CAST(o_totalprice AS DECIMAL(38,9))) AS DOUBLE) AS total "
+            f"FROM orders JOIN customer ON o_custkey = c_custkey "
+            f"WHERE {o_pred} AND {c_pred} GROUP BY c_mktsegment"
+        )
+    srows = {tuple(sorted(r.asDict().items())) for r in q.to_spark().collect()}
+    cur = duck.execute(sql)
+    cols = [d[0] for d in cur.description]
+    orows = {tuple(sorted(zip(cols, row))) for row in cur.fetchall()}
+    assert srows == orows, f"seed={seed} how={how} o={o_pred} c={c_pred}"
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_randomized_join_agg_matches_oracle(spark, duck, seed):
+    _run_join_case(spark, duck, seed)
