@@ -166,3 +166,59 @@ def pii_counts(col: str = "text") -> dict[str, Column]:
         kind: F.regexp_count(F.col(col), F.lit(pat)).alias(f"n_{kind}")
         for kind, pat in PII_PATTERNS.items()
     }
+
+
+# ------------------------------------------------------------ paragraphs
+
+def split_paragraphs(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """One row per paragraph: (id, para_idx, para).  Splits on blank
+    lines, dropping empty segments — narrow map, no shuffle."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.expr(f"filter(split({text_col}, '\\n\\\\s*\\n'), "
+                       f"p -> length(trim(p)) > 0)")
+            ).alias("para_idx", "para"),
+        )
+    )
+
+
+def remove_boilerplate_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_frequency: int = 2,
+) -> DataFrame:
+    """Cross-document paragraph dedup (the RefinedWeb/CCNet boilerplate
+    pass): paragraphs appearing in more than ``max_doc_frequency``
+    distinct documents are dropped from every document; surviving
+    paragraphs are reassembled in order.
+
+    Shuffle budget: one groupBy on the paragraph hash (hash+id only, no
+    text bodies), one broadcast-or-shuffle join back, one reassembly
+    groupBy on id.  Documents left empty after stripping are removed."""
+    paras = split_paragraphs(df, id_col, text_col)
+    freq = (
+        paras.select(F.md5(F.trim("para")).alias("__ph"), "id")
+        .distinct()
+        .groupBy("__ph")
+        .agg(F.count("*").alias("__docs"))
+        .filter(F.col("__docs") > max_doc_frequency)
+        .select("__ph")
+    )
+    kept = (
+        paras.withColumn("__ph", F.md5(F.trim("para")))
+        .join(freq, "__ph", "left_anti")
+    )
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(para_idx, para))), s -> s.para), '\n\n')"
+            ).alias(text_col)
+        )
+        .withColumnRenamed("id", id_col)
+    )

@@ -399,3 +399,26 @@ def test_redact_pii_and_counts(spark):
     r2 = out.filter("id = 2").first()
     assert r2["t"] == "nothing sensitive here"
     assert r2["n_email"] == r2["n_phone"] == 0
+
+
+def test_remove_boilerplate_paragraphs(spark):
+    from elusion_spark.operators.text import (
+        remove_boilerplate_paragraphs,
+        split_paragraphs,
+    )
+
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (1, f"unique intro one\n\n{boiler}\n\nreal content A"),
+        (2, f"different intro\n\n{boiler}\n\nreal content B"),
+        (3, f"{boiler}\n\nreal content C"),
+        (4, "no boilerplate here at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert split_paragraphs(df).count() == 9
+    out = {r["doc_id"]: r["text"]
+           for r in remove_boilerplate_paragraphs(df, max_doc_frequency=2).collect()}
+    assert boiler not in out[1] and boiler not in out[2] and boiler not in out[3]
+    assert out[1] == "unique intro one\n\nreal content A"  # order preserved
+    assert out[3] == "real content C"
+    assert out[4] == "no boilerplate here at all"
