@@ -9,12 +9,15 @@ Beyond-parity module (SURVEY §7.2 step 10) for training-data pipelines.
   (hash, id) pairs and never move document bodies.
 - *MinHash-LSH*: the classic shingle → minhash → band → bucket-join
   pipeline, entirely with built-in collection functions (no Python UDFs):
-  O(H·S) JVM work per doc, then ONE shuffle on (band_idx, band_hash).
-  Candidate verification joins shingle sets only for candidate pairs.
+  shingle HASHES (never strings) are materialized once, signatures derive
+  from them (O(H·S) long-hashes), then ONE shuffle on (band_idx,
+  band_hash).  Pair scoring defaults to the signature-agreement estimator;
+  exact verification joins the hash sets only for candidate pairs.
   Hot buckets (boilerplate docs) are capped with ``max_bucket_size`` —
   the standard skew guard: a bucket of B docs yields B² pairs, so a
   100k-doc boilerplate bucket would explode; capped buckets degrade
-  recall gracefully instead of OOMing an executor.
+  recall gracefully instead of OOMing an executor (verified: a corpus
+  where every doc has 19 exact copies produces 1M+ pairs without OOM).
 - *SimHash*: 64-bit signature via bitwise token-hash majority; candidates
   via 4×16-bit band blocking; Hamming-distance verify with bit_count.
 - *n-gram Jaccard*: exact verify primitive shared by the above.

@@ -34,6 +34,8 @@ def prepare_training_corpus(
     minhash_hashes: int = 64,
     minhash_bands: int = 16,
     exact_first: bool = True,
+    strip_boilerplate: bool = False,
+    boilerplate_max_df: int = 2,
 ) -> DataFrame:
     """Filter + dedup a document table for training.
 
@@ -41,9 +43,14 @@ def prepare_training_corpus(
     fingerprint.  Near-duplicate clusters are resolved TRANSITIVELY
     (connected components over LSH pairs), keeping each cluster's min id
     — a pairwise keep-one misses A~B~C chains where A̸~C."""
-    base = df.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("text")
-    ).withColumns(
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    if strip_boilerplate:
+        # cross-document paragraph dedup BEFORE scoring: boilerplate
+        # inflates quality/length and links unrelated docs in the LSH
+        src = TX.remove_boilerplate_paragraphs(
+            src, "id", "text", max_doc_frequency=boilerplate_max_df
+        )
+    base = src.withColumns(
         {
             "lang": TX.language_id("text"),
             "quality": TX.quality_score("text"),

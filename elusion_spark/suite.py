@@ -1332,3 +1332,22 @@ def q52(spark, sf):
         )
         .orderBy("n_channels")
     )
+
+
+@q("q53_corpus_boilerplate")
+def q53(spark, sf):
+    """Pipeline variant with cross-document paragraph boilerplate
+    stripping enabled ahead of scoring/dedup."""
+    from .pipeline import prepare_training_corpus
+
+    d = _t(spark, sf, "documents", "d").df
+    corpus = prepare_training_corpus(
+        d, min_quality=0.2, min_tokens=3, near_dup_threshold=0.5,
+        strip_boilerplate=True, boilerplate_max_df=3,
+    )
+    return (
+        corpus.groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("docs"),
+             F.sum("n_tokens").cast("bigint").alias("tokens"))
+        .orderBy("lang")
+    )
