@@ -98,6 +98,17 @@ def _ftp_client(server: str, username: str, password: str, port: int = 21,
     return ftp
 
 
+def ftp_list_files(server: str, username: str, password: str,
+                   remote_dir: str = ".", port: int = 21,
+                   secure: bool = False) -> list[str]:
+    """Directory listing (README.md:553-565 ``FtpUtils::list_files``)."""
+    ftp = _ftp_client(server, username, password, port, secure)
+    try:
+        return ftp.nlst(remote_dir)
+    finally:
+        ftp.quit()
+
+
 def from_ftp(server: str, username: str, password: str, remote_path: str,
              alias: str, spark: SparkSession | None = None, port: int = 21,
              secure: bool = False):
@@ -197,6 +208,14 @@ class ElusionApi:
         """api.rs date-window variant: dates go in as query params."""
         return self.from_api_with_params(
             url, {"from": date_from, "to": date_to}, output_path, headers
+        )
+
+    def from_api_with_sort(self, url: str, sort_field: str, sort_order: str,
+                           output_path: str,
+                           headers: dict | None = None) -> str:
+        """api.rs sort variant: sort goes in as query params."""
+        return self.from_api_with_params(
+            url, {"sort": sort_field, "order": sort_order}, output_path, headers
         )
 
     def from_api_with_pagination(self, url: str, page_param: str, start_page: int,
