@@ -440,12 +440,22 @@ class CustomDataFrame:
             )
             cur = cur.filter(F.expr(cond))
 
-        # classify select items
+        # classify select items.  Star expansions dedup by BASE column
+        # name across ALL stars in the list, first occurrence wins
+        # (main table → join order); explicit columns never dedup
+        # (README.md:1899-2089).
         sel_items: list[tuple[str, str | None]] = []
         agg_items: list[tuple[str, str]] = []
+        star_bases_seen: set[str] = set()
         for raw in self.selected:
+            is_star = raw.strip() == "*" or raw.strip().endswith(".*")
             for expanded in self._expand_stars(raw):
                 body, al = N.split_alias(expanded)
+                if is_star:
+                    base = body.split(".")[-1].strip().lower()
+                    if base in star_bases_seen:
+                        continue
+                    star_bases_seen.add(base)
                 body = N.normalize_expression(body)
                 sel_items.append((body, al))
         for raw in self.aggregations:

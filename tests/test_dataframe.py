@@ -256,3 +256,30 @@ def test_group_by_all_window_dependency_preflight(spark):
         .window("ROW_NUMBER() OVER (ORDER BY n DESC) AS rn")
     )
     assert ok.to_spark().count() > 0
+
+
+def test_multi_star_dedup_across_stars(spark):
+    """README.md:1899-2089: s.* then c.* — shared base names keep the
+    FIRST (main-table) occurrence; explicit columns never dedup."""
+    from elusion_spark import CustomDataFrame
+
+    s = CustomDataFrame.from_spark(
+        spark.createDataFrame([(1, 10, "s1")], ["customerkey", "productkey", "s_only"]),
+        "s",
+    )
+    c = CustomDataFrame.from_spark(
+        spark.createDataFrame([(1, "alice")], ["customerkey", "firstname"]), "c"
+    )
+    out = (
+        s.join(c, ["s.customerkey = c.customerkey"], "INNER")
+        .select(["s.*", "c.*"])
+        .to_spark()
+    )
+    assert out.columns == ["customerkey", "productkey", "s_only", "firstname"]
+
+    explicit = (
+        s.join(c, ["s.customerkey = c.customerkey"], "INNER")
+        .select(["s.customerkey AS s_key", "c.customerkey AS c_key"])
+        .to_spark()
+    )
+    assert explicit.columns == ["s_key", "c_key"]
