@@ -43,7 +43,13 @@ from .operators.scale import (
     repartition_for_join,
     write_bucketed,
 )
-from .pipeline import corpus_stats, prepare_training_corpus, write_corpus
+from .pipeline import (
+    corpus_stats,
+    prepare_training_corpus,
+    sample_to_token_budget,
+    stratified_sample,
+    write_corpus,
+)
 from .scheduler import PipelineScheduler
 from .sinks.copydata import CopyConfig, copy_data, copy_file_to_csv, copy_file_to_parquet
 from .sources.connectors import (
@@ -93,6 +99,8 @@ __all__ = [
     "prepare_training_corpus",
     "corpus_stats",
     "write_corpus",
+    "stratified_sample",
+    "sample_to_token_budget",
     "CopyConfig",
     "copy_data",
     "copy_file_to_parquet",

@@ -113,3 +113,42 @@ def write_corpus(corpus: DataFrame, path: str,
         "maxRecordsPerFile", max_records_per_file
     )
     w.partitionBy(*(partition_by or ["lang"])).parquet(path)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``sampleBy``) — the training-mix
+    primitive.  Strata absent from ``fractions`` are dropped."""
+    return df.sampleBy(strata_col, fractions, seed)
+
+
+def sample_to_token_budget(
+    corpus: DataFrame,
+    budgets: dict[str, int],
+    strata_col: str = "lang",
+    token_col: str = "n_tokens",
+    seed: int = 42,
+) -> DataFrame:
+    """Sample each stratum down to ~its token budget: one aggregate pass
+    computes per-stratum token totals, fractions = min(1, budget/total),
+    then a single sampleBy scan.  The driver sees |strata| rows only.
+
+    The standard way to hit a language/domain mix for a training run
+    without materializing intermediate copies — two scans total at any
+    corpus size."""
+    totals = {
+        r[strata_col]: r["__tok"]
+        for r in corpus.groupBy(strata_col)
+        .agg(F.sum(token_col).alias("__tok"))
+        .collect()
+    }
+    fractions = {
+        stratum: min(1.0, float(budget) / float(totals[stratum]))
+        for stratum, budget in budgets.items()
+        if totals.get(stratum)
+    }
+    return corpus.sampleBy(strata_col, fractions, seed)

@@ -422,3 +422,24 @@ def test_remove_boilerplate_paragraphs(spark):
     assert out[1] == "unique intro one\n\nreal content A"  # order preserved
     assert out[3] == "real content C"
     assert out[4] == "no boilerplate here at all"
+
+
+def test_sample_to_token_budget(spark):
+    from elusion_spark.pipeline import sample_to_token_budget
+
+    rows = [(i, "en" if i % 2 == 0 else "de", 100) for i in range(2000)]
+    corpus = spark.createDataFrame(rows, ["id", "lang", "n_tokens"])
+    # en total = 100k tokens, budget 10k -> ~10% keep; de kept whole
+    out = sample_to_token_budget(
+        corpus, {"en": 10_000, "de": 1_000_000}, seed=7
+    )
+    got = {r["lang"]: (r["n"], r["tok"]) for r in
+           out.groupBy("lang").agg(
+               __import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("n"),
+               __import__("pyspark.sql.functions", fromlist=["F"]).sum("n_tokens").alias("tok"),
+           ).collect()}
+    assert got["de"] == (1000, 100_000)          # fraction 1.0 keeps all
+    assert 4_000 <= got["en"][1] <= 20_000       # ~10k token target (Bernoulli)
+    # deterministic under the same seed
+    again = sample_to_token_budget(corpus, {"en": 10_000, "de": 1_000_000}, seed=7)
+    assert again.count() == out.count()
