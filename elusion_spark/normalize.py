@@ -104,14 +104,37 @@ _SIMPLE_SHIMS = [
 ]
 
 
+_DATE_BIN_RE = re.compile(
+    r"\bDATE_BIN\s*\(\s*(?:INTERVAL\s+)?'?(\d+)\s*"
+    r"(SECOND|MINUTE|HOUR|DAY)S?'?\s*,"
+    r"\s*([A-Za-z_][A-Za-z0-9_.]*)\s*,\s*(?:TIMESTAMP\s+)?'([^']+)'\s*\)",
+    re.IGNORECASE,
+)
+_UNIT_SECONDS = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}
+
+
+def _date_bin_sub(m: "re.Match") -> str:
+    n, unit, col, origin = m.groups()
+    w = int(n) * _UNIT_SECONDS[unit.upper()]
+    o = f"unix_timestamp(TIMESTAMP '{origin}')"
+    return (
+        f"timestamp_seconds({o} + "
+        f"CAST(floor((unix_timestamp({col}) - {o}) / {w}) AS BIGINT) * {w})"
+    )
+
+
 def normalize_expression(expr: str) -> str:
     """Rewrite dialect differences so the string is valid Spark SQL.
 
     Covers the shims SURVEY §2.9 flags: ``::TEXT`` (normalize.rs:175-188),
     LEN/MID/STRPOS/CHARINDEX aliases, STRING_AGG→LISTAGG (Spark 4.0),
-    TODAY(), ISZERO(x)→((x)=0).  Everything else the Spark parser already
-    accepts.
+    TODAY(), ISZERO(x)→((x)=0), and DATE_BIN (DataFusion signature;
+    Spark has no date_bin, so it lowers to epoch-floor arithmetic —
+    second resolution, simple column argument).  Everything else the
+    Spark parser already accepts.
     """
+    # before literal-splitting: the interval/origin args ARE literals
+    expr = _DATE_BIN_RE.sub(_date_bin_sub, expr.strip())
 
     def fix(seg: str) -> str:
         for pat, repl in _SIMPLE_SHIMS:
@@ -119,7 +142,7 @@ def normalize_expression(expr: str) -> str:
         seg = _replace_call(seg, "iszero", lambda a: f"(({a}) = 0)")
         return seg
 
-    return _map_nonliteral(expr.strip(), fix)
+    return _map_nonliteral(expr, fix)
 
 
 def split_alias(item: str) -> tuple[str, str | None]:

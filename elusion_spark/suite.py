@@ -1351,3 +1351,23 @@ def q53(spark, sf):
              F.sum("n_tokens").cast("bigint").alias("tokens"))
         .orderBy("lang")
     )
+
+
+@q(
+    "q54_date_bin",
+    """
+    SELECT CAST(time_bucket(INTERVAL '6 hours', ts, TIMESTAMP '1970-01-01 00:00:00') AS TIMESTAMP) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q54(spark, sf):
+    """DATE_BIN (DataFusion whitelist name) via the normalizer's
+    epoch-floor lowering vs DuckDB's time_bucket."""
+    e = _t(spark, sf, "events", "e")
+    return (
+        e.select(["DATE_BIN(INTERVAL 6 HOURS, ts, '1970-01-01 00:00:00') AS bin"])
+        .agg(["CAST(COUNT(*) AS BIGINT) AS n"])
+        .group_by(["DATE_BIN(INTERVAL 6 HOURS, ts, '1970-01-01 00:00:00')"])
+        .to_spark()
+    )
