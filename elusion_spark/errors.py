@@ -41,3 +41,59 @@ class WriterError(ElusionError):
 
 class FeatureNotAvailable(ElusionError):
     """Optional dependency (delta, excel, ...) not installed in this env."""
+
+
+# -- full variant-name parity with cust_error.rs:16-116 (each maps onto
+# the closest base above; kept as distinct classes so callers can catch
+# the same taxonomy the reference exposes) --
+
+class MissingColumn(InvalidOperation):
+    """cust_error.rs:23 (+ :16 MissingColumnWithContext via `suggestion`)."""
+
+
+class InvalidDataType(InvalidOperation):
+    """cust_error.rs:27."""
+
+
+class DuplicateColumn(InvalidOperation):
+    """cust_error.rs:32."""
+
+
+class SchemaError(SchemaMismatchError):
+    """cust_error.rs:41."""
+
+
+class JoinError(InvalidOperation):
+    """cust_error.rs:46."""
+
+
+class GroupByError(InvalidOperation):
+    """cust_error.rs:52."""
+
+
+class WriteError(WriterError):
+    """cust_error.rs:58."""
+
+
+class PartitionError(WriterError):
+    """cust_error.rs:64."""
+
+
+class AggregationError(InvalidOperation):
+    """cust_error.rs:69."""
+
+
+class OrderByError(InvalidOperation):
+    """cust_error.rs:75."""
+
+
+class WindowFunctionError(InvalidOperation):
+    """cust_error.rs:80."""
+
+
+class LimitError(InvalidOperation):
+    """cust_error.rs:86."""
+
+
+class SetOperationError(InvalidOperation):
+    """cust_error.rs:91."""

@@ -159,3 +159,31 @@ def test_decode_audio_wav_header_parsed(spark):
     assert out[1]["sample_rate"] == 8000 and out[1]["n_channels"] == 1
     assert out[1]["duration_ms"] == 100  # 1600 bytes / 16000 B/s = 0.1s
     assert out[2]["sample_rate"] in (8000, 16000, 22050, 44100)  # fake path
+
+
+SHUFFLE_BUDGETS = {
+    # query -> max shuffle exchanges allowed (measured optimal plans;
+    # a regression that adds an exchange fails here before it ships)
+    "q01_pricing_summary": 1,   # partial->final agg
+    "q02_top_orders": 0,        # TakeOrderedAndProject, no global sort
+    "q03_region_rollup": 1,     # dims broadcast; only the agg shuffles
+    "q04_segment_monthly": 1,
+    "q05_window_rank": 1,       # window partition exchange
+    "q06_running_total": 1,
+    "q07_pivot_linestatus": 2,  # pivot = distinct discovery + agg
+    "q45_agg_whitelist": 2,     # count-distinct expand
+    "q47_rollup": 1,
+    "q54_date_bin": 1,
+}
+
+
+@pytest.mark.parametrize("name,budget", sorted(SHUFFLE_BUDGETS.items()))
+def test_shuffle_budgets(spark, name, budget):
+    from elusion_spark.suite import QUERIES
+
+    df = QUERIES[name](spark, "/root/testdata/sf0.001")
+    got = SC.explain_shuffles(df)
+    assert got <= budget, (
+        f"{name}: {got} shuffle exchanges, budget {budget} — the plan "
+        f"regressed (check .explain('formatted'))"
+    )
