@@ -1371,3 +1371,55 @@ def q54(spark, sf):
         .group_by(["DATE_BIN(INTERVAL 6 HOURS, ts, '1970-01-01 00:00:00')"])
         .to_spark()
     )
+
+
+@q(
+    "q55_left_mark",
+    """
+    SELECT c_custkey,
+           EXISTS (SELECT 1 FROM orders
+                   WHERE o_custkey = c_custkey AND o_totalprice > 200000) AS mark
+    FROM customer
+    """,
+)
+def q55(spark, sf):
+    """LEFT MARK join (DataFusion-internal existence-flag join,
+    README.md:2752-2757) — emulated as semi ∪ anti with a boolean mark;
+    oracle is the equivalent EXISTS."""
+    c = _t(spark, sf, "customer", "c")
+    o = (
+        _t(spark, sf, "orders", "o")
+        .filter("o_totalprice > 200000")
+        .elusion("big_o")
+    )
+    marked = c.join(o, ["c.c_custkey = big_o.o_custkey"], "LEFT MARK")
+    return marked.select(["c_custkey", "mark"]).to_spark()
+
+
+@q(
+    "q56_semi_anti",
+    """
+    SELECT 'semi' AS kind, CAST(COUNT(*) AS BIGINT) AS n FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+    UNION ALL
+    SELECT 'anti' AS kind, CAST(COUNT(*) AS BIGINT) AS n FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+    """,
+)
+def q56(spark, sf):
+    c = _t(spark, sf, "customer", "c")
+
+    def side(how, kind):
+        o = (
+            _t(spark, sf, "orders", "o")
+            .filter("o_totalprice > 200000")
+            .elusion(f"q56_{kind}")
+        )
+        agg = (
+            c.join(o, [f"c.c_custkey = q56_{kind}.o_custkey"], how)
+            .agg(["CAST(COUNT(*) AS BIGINT) AS n"])
+            .elusion(f"q56_{kind}_agg")
+        )
+        return agg.select([f"'{kind}' AS kind", "n"]).elusion(f"q56_{kind}_out")
+
+    return side("LEFT SEMI", "semi").append(side("LEFT ANTI", "anti")).to_spark()
