@@ -1,0 +1,145 @@
+"""Temporal joins Spark lacks as built-ins: as-of and range joins.
+
+Both are compositions of existing DataFrame ops (the preferred strategy
+before reaching for applyInPandas — prompt §custom operators):
+
+- ``asof_join``: for each left row, the latest right row with
+  ``right.ts <= left.ts`` per key.  Implemented as union-tag → one
+  window sort per key → filter: ONE shuffle+sort on (key, ts), no
+  row-explosion, no per-key driver loops.  This is the classic
+  distributed as-of pattern (beats the naive join+filter+row_number
+  which builds |L|x|R| intermediates per key).
+- ``range_join``: equi-join on a coarse time bucket (+neighbor buckets)
+  followed by the exact range predicate — turns an unbounded theta-join
+  into a bounded equi-join whose fan-out is governed by bucket width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    tolerance_seconds: float | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join: every left row gains the columns of the LATEST
+    right row whose timestamp is <= the left timestamp, matched per
+    ``on`` key.  Rows with no prior right row keep nulls.
+
+    ``tolerance_seconds`` optionally rejects matches older than the
+    window (market-data semantics).  Output: all left columns + selected
+    right columns (suffixed on collision)."""
+    rcols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    out_names = {
+        c: (c + suffix if c in left.columns else c) for c in rcols
+    }
+
+    l_tagged = left.withColumn("__is_l", F.lit(1)).withColumn(
+        "__ts", F.col(left_ts).cast("timestamp")
+    )
+    # the raw right_ts column doesn't survive the union — __ts carries it.
+    # A value column sharing a name with a left column unions naturally:
+    # the carry below only reads it on right-tagged rows.
+    r_tagged = (
+        right.select(*dict.fromkeys([on, right_ts, *rcols]))
+        .withColumn("__is_l", F.lit(0))
+        .withColumn("__ts", F.col(right_ts).cast("timestamp"))
+    )
+    if right_ts not in rcols and right_ts not in left.columns:
+        r_tagged = r_tagged.drop(right_ts)
+    # align schemas for the union: left lacks right's value cols & vice versa
+    cols = list(dict.fromkeys(
+        [on, "__ts", "__is_l"]
+        + [c for c in left.columns if c != on]
+        + rcols
+    ))
+    for c in cols:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(c, F.lit(None))
+        if c not in l_tagged.columns:
+            l_tagged = l_tagged.withColumn(c, F.lit(None))
+    unioned = l_tagged.select(*cols).unionByName(r_tagged.select(*cols))
+
+    # right rows sort BEFORE left rows at the same timestamp so a tick at
+    # exactly t matches a probe at t (<= semantics, DuckDB ASOF-compatible)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts"), F.col("__is_l"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned
+    carried = []
+    for c in rcols:
+        src = F.when(F.col("__is_l") == 0, F.col(c))
+        filled = filled.withColumn(
+            f"__carr_{c}", F.last(src, ignorenulls=True).over(w)
+        )
+        carried.append(c)
+    filled = filled.withColumn(
+        "__match_ts", F.last(
+            F.when(F.col("__is_l") == 0, F.col("__ts")), ignorenulls=True
+        ).over(w),
+    )
+
+    out = filled.filter(F.col("__is_l") == 1)
+    if tolerance_seconds is not None:
+        in_window = (
+            F.col("__match_ts").isNotNull()
+            & (F.unix_timestamp("__ts") - F.unix_timestamp("__match_ts")
+               <= F.lit(float(tolerance_seconds)))
+        )
+        for c in carried:
+            out = out.withColumn(
+                f"__carr_{c}", F.when(in_window, F.col(f"__carr_{c}"))
+            )
+    proj = [F.col(c) for c in left.columns]
+    proj += [F.col(f"__carr_{c}").alias(out_names[c]) for c in carried]
+    return out.select(*proj)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: float,
+    upper_seconds: float,
+    on: str | None = None,
+    bucket_seconds: float | None = None,
+) -> DataFrame:
+    """Interval join: pairs where ``right_ts - left_ts ∈ [lower, upper]``
+    (seconds), optionally also equi-matched on ``on``.
+
+    Plan shape: each left row explodes into the COARSE time buckets its
+    window can reach (⌈range/bucket⌉+1 rows, default bucket = window
+    width → ≤2), the right side gets one bucket, the join is a plain
+    equi-join on (key?, bucket), and the exact predicate filters.  This
+    bounds fan-out where a raw theta-join would go cartesian per key."""
+    width = float(upper_seconds - lower_seconds)
+    if width < 0:
+        raise ValueError("upper_seconds must be >= lower_seconds")
+    bucket = float(bucket_seconds or max(width, 1.0))
+
+    l = left.withColumn("__lts", F.unix_timestamp(F.col(left_ts).cast("timestamp")))
+    r = right.withColumn("__rts", F.unix_timestamp(F.col(right_ts).cast("timestamp")))
+    lo_bucket = F.floor((F.col("__lts") + F.lit(lower_seconds)) / bucket)
+    hi_bucket = F.floor((F.col("__lts") + F.lit(upper_seconds)) / bucket)
+    l = l.withColumn("__b", F.explode(F.sequence(lo_bucket, hi_bucket)))
+    r = r.withColumn("__b", F.floor(F.col("__rts") / bucket))
+
+    keys = ["__b"] if on is None else [on, "__b"]
+    joined = l.join(r, keys)
+    diff = F.col("__rts") - F.col("__lts")
+    return (
+        joined.filter((diff >= F.lit(float(lower_seconds)))
+                      & (diff <= F.lit(float(upper_seconds))))
+        .drop("__b", "__lts", "__rts")
+    )

@@ -1423,3 +1423,62 @@ def q56(spark, sf):
         return agg.select([f"'{kind}' AS kind", "n"]).elusion(f"q56_{kind}_out")
 
     return side("LEFT SEMI", "semi").append(side("LEFT ANTI", "anti")).to_spark()
+
+
+@q(
+    "q57_asof_join",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, max(value) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id, CAST(e.value AS DOUBLE) AS value,
+           CAST(c.click_value AS DOUBLE) AS click_value
+    FROM events e ASOF LEFT JOIN clicks c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+)
+def q57(spark, sf):
+    """As-of join (operator Spark lacks; composed as union-tag + one
+    window pass — operators/temporal.py) vs DuckDB's native ASOF JOIN.
+    Right side deduped per (user, ts) so tie-breaking is well-defined."""
+    from .operators.temporal import asof_join
+
+    e = _t(spark, sf, "events", "e").df
+    clicks = (
+        e.filter("event_type = 'click'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = asof_join(e, clicks, "user_id", "ts", "ts", ["click_value"])
+    return out.select(
+        "event_id", "user_id",
+        F.col("value").cast("double").alias("value"),
+        F.col("click_value").cast("double").alias("click_value"),
+    )
+
+
+@q(
+    "q58_range_join",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts + INTERVAL 1 SECOND
+     AND b.ts <= a.ts + INTERVAL 60 SECONDS
+    """,
+)
+def q58(spark, sf):
+    """Range join via coarse-bucket equi-join + exact filter
+    (operators/temporal.py) — follow-within-60s event pairs per user."""
+    from .operators.temporal import range_join
+
+    e = _t(spark, sf, "events", "e").df
+    a = e.select("user_id", F.col("ts").alias("a_ts"))
+    b = e.select(F.col("user_id").alias("user_id"), F.col("ts").alias("b_ts"))
+    pairs = range_join(a, b, "a_ts", "b_ts", 1, 60, on="user_id")
+    return pairs.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )

@@ -443,3 +443,37 @@ def test_sample_to_token_budget(spark):
     # deterministic under the same seed
     again = sample_to_token_budget(corpus, {"en": 10_000, "de": 1_000_000}, seed=7)
     assert again.count() == out.count()
+
+
+def test_asof_join_tolerance_and_no_key_overlap(spark):
+    from elusion_spark.operators.temporal import asof_join
+
+    probes = spark.createDataFrame(
+        [("A", "2024-01-01 10:00:05", 1), ("C", "2024-01-01 10:00:05", 2)],
+        ["k", "t", "pid"],
+    )
+    ticks = spark.createDataFrame(
+        [("A", "2024-01-01 10:00:00", 5.0)], ["k", "t", "v"]
+    )
+    out = {r["pid"]: r["v"] for r in
+           asof_join(probes, ticks, "k", "t", "t", ["v"]).collect()}
+    assert out == {1: 5.0, 2: None}  # key C has no ticks at all
+    tol = {r["pid"]: r["v"] for r in
+           asof_join(probes, ticks, "k", "t", "t", ["v"],
+                     tolerance_seconds=2).collect()}
+    assert tol == {1: None, 2: None}  # 5s-old tick rejected at 2s tolerance
+
+
+def test_range_join_bucket_boundaries(spark):
+    from elusion_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame([("k", "2024-01-01 00:00:00")], ["k", "lt"])
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:01"), ("k", "2024-01-01 00:01:00"),
+         ("k", "2024-01-01 00:01:01"), ("k", "2023-12-31 23:59:59")],
+        ["k", "rt"],
+    )
+    got = sorted(r["rt"] for r in
+                 range_join(left, right, "lt", "rt", 1, 60, on="k").collect())
+    # inclusive [1s, 60s]: 00:00:01 and 00:01:00 match; 61s and -1s don't
+    assert got == ["2024-01-01 00:00:01", "2024-01-01 00:01:00"]
