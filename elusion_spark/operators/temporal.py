@@ -143,3 +143,38 @@ def range_join(
                       & (diff <= F.lit(float(upper_seconds))))
         .drop("__b", "__lts", "__rts")
     )
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    aggs: dict[str, str],
+    resolutions: dict[str, int],
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: one pass produces the
+    stacked aggregates for every grain (e.g. {"1m": 60, "1h": 3600,
+    "1d": 86400}) — output columns: grain, bucket_start, keys…, aggs….
+
+    Plan shape: each row explodes into |resolutions| (grain, bucket)
+    tags (narrow), then ONE shuffle groups (grain, bucket, keys) — the
+    multi-grain answer costs the same single aggregation a one-grain
+    rollup would, instead of |resolutions| scans.  At 100 TB feed it a
+    day partition at a time and append to a grain-partitioned table."""
+    grain_expr = F.array(*[
+        F.struct(
+            F.lit(name).alias("grain"),
+            (F.floor(F.unix_timestamp(F.col(ts_col).cast("timestamp")) / secs)
+             .cast("bigint") * secs).alias("epoch"),
+        )
+        for name, secs in resolutions.items()
+    ])
+    tagged = df.withColumn("__g", F.explode(grain_expr))
+    grouped = tagged.groupBy(
+        F.col("__g.grain").alias("grain"),
+        F.timestamp_seconds(F.col("__g.epoch")).alias("bucket_start"),
+        *[F.col(k) for k in (keys or [])],
+    )
+    return grouped.agg(
+        *[F.expr(expr).alias(alias) for alias, expr in aggs.items()]
+    )

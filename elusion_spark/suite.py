@@ -1482,3 +1482,31 @@ def q58(spark, sf):
         F.count("*").cast("bigint").alias("n_pairs"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+@q(
+    "q59_time_rollup",
+    f"""
+    SELECT grain, bucket_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {DSUM('value')} AS total
+    FROM (
+      SELECT '1h' AS grain, time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+             event_type, value FROM events
+      UNION ALL
+      SELECT '1d', time_bucket(INTERVAL '1 day', ts), event_type, value FROM events
+    ) t GROUP BY grain, bucket_start, event_type
+    """,
+)
+def q59(spark, sf):
+    """Multi-resolution time rollup in ONE aggregation pass
+    (temporal.py::time_rollup) vs DuckDB's unioned time_buckets."""
+    from .operators.temporal import time_rollup
+
+    e = _t(spark, sf, "events", "e").df
+    return time_rollup(
+        e, "ts",
+        aggs={"n": "CAST(COUNT(*) AS BIGINT)", "total": DSUM("value")},
+        resolutions={"1h": 3600, "1d": 86400},
+        keys=["event_type"],
+    )
