@@ -38,6 +38,7 @@ from .cache import (
     refresh_view,
 )
 from .functions.extract import extract_row_from_df, extract_value_from_df
+from .operators.temporal import asof_join, range_join, time_rollup
 from .operators.scale import (
     join_salted,
     repartition_for_join,
@@ -105,6 +106,9 @@ __all__ = [
     "copy_data",
     "copy_file_to_parquet",
     "copy_file_to_csv",
+    "asof_join",
+    "range_join",
+    "time_rollup",
     "join_salted",
     "write_bucketed",
     "repartition_for_join",
