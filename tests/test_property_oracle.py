@@ -144,3 +144,51 @@ def _run_join_case(spark, duck, seed):
 @pytest.mark.parametrize("seed", range(15))
 def test_randomized_join_agg_matches_oracle(spark, duck, seed):
     _run_join_case(spark, duck, seed)
+
+
+def _run_window_case(spark, duck, seed):
+    """Randomized window functions over events: partition/order/frame
+    combos through the builder's .window() string path."""
+    from elusion_spark.sources.loaders import load_parquet
+
+    rng = random.Random(20_000 + seed)
+    part = rng.choice(["user_id", "event_type"])
+    frame = rng.choice([
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+        "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+    ])
+    fn = rng.choice([
+        ("CAST(ROW_NUMBER() OVER (PARTITION BY {p} ORDER BY event_id) AS BIGINT)", None),
+        ("CAST(SUM(CAST(value AS DECIMAL(38,9))) OVER (PARTITION BY {p} ORDER BY event_id {f}) AS DOUBLE)", frame),
+        ("CAST(MIN(value) OVER (PARTITION BY {p} ORDER BY event_id {f}) AS DOUBLE)", frame),
+        ("CAST(LAG(event_id, 1, -1) OVER (PARTITION BY {p} ORDER BY event_id) AS BIGINT)", None),
+        ("CAST(DENSE_RANK() OVER (PARTITION BY {p} ORDER BY value, event_id) AS BIGINT)", None),
+    ])
+    expr = fn[0].format(p=part, f=frame)
+
+    e = load_parquet(f"{SF}/events.parquet", "e", spark)
+    q = (
+        e.filter("user_id <= 40")
+        .select(["event_id"])
+        .window(f"{expr} AS w")
+    )
+    srows = sorted((r["event_id"], r["w"]) for r in q.to_spark().collect())
+    sql = (
+        f"SELECT event_id, {expr} AS w FROM events WHERE user_id <= 40"
+    )
+    orows = sorted((a, b) for a, b in duck.execute(sql).fetchall())
+    assert srows == orows, f"seed={seed} expr={expr}"
+
+
+@pytest.fixture(scope="module")
+def duck_events():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_randomized_window_matches_oracle(spark, duck_events, seed):
+    _run_window_case(spark, duck_events, seed)
