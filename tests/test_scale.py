@@ -174,6 +174,9 @@ SHUFFLE_BUDGETS = {
     "q45_agg_whitelist": 2,     # count-distinct expand
     "q47_rollup": 1,
     "q54_date_bin": 1,
+    "q57_asof_join": 2,   # right-side dedup agg + the single asof window
+    "q58_range_join": 2,  # one exchange per join side on (key, bucket)
+    "q59_time_rollup": 1, # all grains in one aggregation exchange
 }
 
 
