@@ -1510,3 +1510,41 @@ def q59(spark, sf):
         resolutions={"1h": 3600, "1d": 86400},
         keys=["event_type"],
     )
+
+
+@q(
+    "q60_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g)
+    SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q60(spark, sf):
+    """Batch sessionization via Spark's native session_window (30-minute
+    inactivity gap) vs DuckDB gaps-and-islands — semantics align when a
+    gap of exactly 30min starts a NEW session (session windows are
+    half-open [ts, ts+gap))."""
+    e = _t(spark, sf, "events", "e").df
+    return (
+        e.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("sw"),
+            "user_id",
+        )
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+        )
+    )
