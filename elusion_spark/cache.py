@@ -31,7 +31,15 @@ _stats = {"hits": 0, "misses": 0}
 
 
 def _plan_key(df: DataFrame) -> str:
-    return df._jdf.queryExecution().analyzed().toString()
+    """Canonicalized analyzed-plan string: attribute/expression IDs
+    (``#123``) are minted fresh per DataFrame construction, so two
+    separately-built but identical queries would never collide without
+    stripping them — the reference's SQL-string hash has exactly the
+    same same-text-same-key semantics (cashandview.rs:36-100)."""
+    import re
+
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return re.sub(r"#\d+L?", "#", plan)
 
 
 def cached_elusion(cdf, alias: str):

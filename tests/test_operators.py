@@ -477,3 +477,27 @@ def test_range_join_bucket_boundaries(spark):
                  range_join(left, right, "lt", "rt", 1, 60, on="k").collect())
     # inclusive [1s, 60s]: 00:00:01 and 00:01:00 match; 61s and -1s don't
     assert got == ["2024-01-01 00:00:01", "2024-01-01 00:01:00"]
+
+
+def test_cache_hits_across_rebuilt_queries(spark):
+    """Two separately-constructed identical queries must share a cache
+    entry (expression IDs are stripped from the key)."""
+    import elusion_spark.cache as C
+    from elusion_spark.sources.loaders import load_parquet
+
+    C.clear_cache()
+
+    def build():
+        return (
+            load_parquet("/root/testdata/sf0.001/nation.parquet", "n", spark)
+            .select(["n_regionkey"])
+            .agg(["CAST(COUNT(*) AS BIGINT) AS n"])
+            .group_by_all()
+        )
+
+    a = build().elusion_with_cache("cache_a")
+    stats0 = C.cache_stats()
+    b = build().elusion_with_cache("cache_b")
+    stats1 = C.cache_stats()
+    assert stats1["hits"] == stats0["hits"] + 1
+    assert sorted(map(tuple, a.df.collect())) == sorted(map(tuple, b.df.collect()))
