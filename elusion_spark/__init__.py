@@ -53,6 +53,7 @@ from .pipeline import (
 )
 from .scheduler import PipelineScheduler
 from .sinks.copydata import CopyConfig, copy_data, copy_file_to_csv, copy_file_to_parquet
+from .sinks.maintenance import compact_files
 from .sources.connectors import (
     ElusionApi,
     from_api_to_df,
@@ -106,6 +107,7 @@ __all__ = [
     "copy_data",
     "copy_file_to_parquet",
     "copy_file_to_csv",
+    "compact_files",
     "asof_join",
     "range_join",
     "time_rollup",
