@@ -1548,3 +1548,26 @@ def q60(spark, sf):
             "n_events",
         )
     )
+
+
+@q(
+    "q61_distinct_sketch",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def q61(spark, sf):
+    """HLL sketches vs exact distinct: lg_k=14 keeps the estimate inside
+    ~0.8% RSE, and the synthetic cardinalities (~hundreds) sit in the
+    sketch's EXACT sparse range — the estimate rounds to the true count,
+    so the oracle can hash-match an approximate structure."""
+    from .operators import sketches as SK
+
+    e = _t(spark, sf, "events", "e").df
+    skt = SK.distinct_sketch_table(e, "user_id", ["event_type"], lg_k=14)
+    return SK.merge_sketches(skt, ["event_type"]).select(
+        "event_type",
+        F.round("distinct_estimate").cast("bigint").alias("exact_distinct"),
+    )

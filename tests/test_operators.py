@@ -501,3 +501,29 @@ def test_cache_hits_across_rebuilt_queries(spark):
     stats1 = C.cache_stats()
     assert stats1["hits"] == stats0["hits"] + 1
     assert sorted(map(tuple, a.df.collect())) == sorted(map(tuple, b.df.collect()))
+
+
+def test_hll_sketches_merge_correctly(spark):
+    from elusion_spark.operators import sketches as SK
+
+    a = spark.range(0, 5000).selectExpr("'d1' AS day", "id % 700 AS user_id")
+    b = spark.range(0, 5000).selectExpr("'d2' AS day", "(id % 500) + 400 AS user_id")
+    # per-day sketch tables (the incremental artifact)
+    skt = SK.distinct_sketch_table(a.union(b), "user_id", ["day"])
+    per_day = {r["day"]: r for r in SK.merge_sketches(skt, ["day"]).collect()}
+    assert abs(per_day["d1"]["distinct_estimate"] - 700) / 700 < 0.05
+    assert abs(per_day["d2"]["distinct_estimate"] - 500) / 500 < 0.05
+    # merging the two day-sketches answers the union WITHOUT rescanning:
+    # true distinct of union = 0..699 union 400..899 = 900
+    total = SK.merge_sketches(skt).collect()[0]
+    assert abs(total["distinct_estimate"] - 900) / 900 < 0.05
+    assert total["n_rows"] == 10_000
+
+
+def test_heavy_hitters_exact(spark):
+    from elusion_spark.operators.sketches import heavy_hitters
+
+    rows = [("x",)] * 50 + [("y",)] * 30 + [("z",)] * 5 + [("w",)] * 1
+    df = spark.createDataFrame(rows, ["v"])
+    top = heavy_hitters(df, "v", k=2).collect()
+    assert [(r["v"], r["freq"]) for r in top] == [("x", 50), ("y", 30)]
