@@ -32,6 +32,11 @@ BENCH_QUERIES = [
     "q39_string_functions",   # string-function projection (codegen span)
     "q44_window_frames",      # moving frames / lag / lead / ntile
     "q45_agg_whitelist",      # count-distinct + variance aggregates
+    "q51_percentiles",        # exact interpolated percentiles
+    "q57_asof_join",          # as-of join (union-tag + window)
+    "q59_time_rollup",        # multi-grain rollup in one shuffle
+    "q60_sessionize",         # session_window batch sessionization
+    "q61_distinct_sketch",    # mergeable HLL distinct
 ]
 
 
@@ -53,6 +58,8 @@ def main() -> None:
             "q30_minhash_pairs",     # HOF expression compile (dominant cold cost)
             "q31_simhash_pairs",
             "q32_embedding_near_dup",  # python workers + GEMM udf
+            "q57_asof_join",         # union+window asof codegen
+            "q61_distinct_sketch",   # datasketches codegen
         ):
             QUERIES[wname](spark, warm_dir).write.format("noop").mode(
                 "overwrite"
