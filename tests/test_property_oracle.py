@@ -192,3 +192,38 @@ def duck_events():
 @pytest.mark.parametrize("seed", range(10))
 def test_randomized_window_matches_oracle(spark, duck_events, seed):
     _run_window_case(spark, duck_events, seed)
+
+
+def _run_setop_case(spark, duck, seed):
+    """Randomized set operations over two filtered projections of the
+    same table — positional DISTINCT semantics on both engines."""
+    from elusion_spark.sources.loaders import load_parquet
+
+    rng = random.Random(30_000 + seed)
+    t = rng.choice(["customer", "orders"])
+    key = {"customer": "c_custkey", "orders": "o_orderkey"}[t]
+    cat = {"customer": "c_nationkey", "orders": "o_custkey"}[t]
+    p1 = f"{cat} < {rng.randint(5, 120)}"
+    p2 = f"{cat} >= {rng.randint(3, 80)}"
+    op = rng.choice(["union", "union_all", "except_", "intersect"])
+
+    a = load_parquet(f"{SF}/{t}.parquet", "a", spark).filter(p1) \
+        .select([key, cat]).elusion(f"setop_a_{seed}")
+    b = load_parquet(f"{SF}/{t}.parquet", "b", spark).filter(p2) \
+        .select([key, cat]).elusion(f"setop_b_{seed}")
+    out = getattr(a, op)(b)
+    srows = sorted(map(tuple, out.df.collect()))
+
+    sql_op = {"union": "UNION", "union_all": "UNION ALL",
+              "except_": "EXCEPT", "intersect": "INTERSECT"}[op]
+    sql = (
+        f"SELECT {key}, {cat} FROM {t} WHERE {p1} {sql_op} "
+        f"SELECT {key}, {cat} FROM {t} WHERE {p2}"
+    )
+    orows = sorted(map(tuple, duck.execute(sql).fetchall()))
+    assert srows == orows, f"seed={seed} t={t} op={op} p1={p1!r} p2={p2!r}"
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_randomized_setops_match_oracle(spark, duck, seed):
+    _run_setop_case(spark, duck, seed)
