@@ -30,16 +30,59 @@ _views: dict[str, dict] = {}
 _stats = {"hits": 0, "misses": 0}
 
 
+def configure_cache(max_queries: int | None = None,
+                    ttl_seconds: float | None = None,
+                    max_views: int | None = None) -> dict:
+    """Runtime cache configuration (cashandview.rs:239-242).
+
+    Any argument left ``None`` keeps its current value.  Shrinking
+    ``max_queries`` evicts (and unpersists) LRU entries immediately.
+    Returns the effective configuration.
+    """
+    global MAX_CACHE, CACHE_TTL, MAX_VIEWS
+    if max_queries is not None:
+        if max_queries < 1:
+            raise ElusionError("max_queries must be >= 1",
+                               "Use clear_cache() to empty the cache instead.")
+        MAX_CACHE = int(max_queries)
+        while len(_query_cache) > MAX_CACHE:
+            _, (old, _t) = _query_cache.popitem(last=False)
+            old.unpersist()
+    if ttl_seconds is not None:
+        CACHE_TTL = float(ttl_seconds)
+    if max_views is not None:
+        MAX_VIEWS = int(max_views)
+    return cache_config()
+
+
+def cache_config() -> dict:
+    return {"max_queries": MAX_CACHE, "ttl_seconds": CACHE_TTL,
+            "max_views": MAX_VIEWS}
+
+
 def _plan_key(df: DataFrame) -> str:
     """Canonicalized analyzed-plan string: attribute/expression IDs
     (``#123``) are minted fresh per DataFrame construction, so two
     separately-built but identical queries would never collide without
-    stripping them — the reference's SQL-string hash has exactly the
-    same same-text-same-key semantics (cashandview.rs:36-100)."""
+    canonicalizing them — the reference's SQL-string hash has exactly the
+    same same-text-same-key semantics (cashandview.rs:36-100).
+
+    IDs are renumbered sequentially in order of first appearance (NOT
+    erased): erasing made ``a.join(b,'k').select('a.x')`` and
+    ``.select('b.x')`` collide even though they reference different
+    attribute instances; first-appearance renumbering keeps rebuilt
+    identical plans equal while distinguishing which instance each
+    reference resolves to."""
     import re
 
     plan = df._jdf.queryExecution().analyzed().toString()
-    return re.sub(r"#\d+L?", "#", plan)
+    ids: dict[str, int] = {}
+
+    def _renumber(m: "re.Match[str]") -> str:
+        idx = ids.setdefault(m.group(1), len(ids))
+        return f"#{idx}{m.group(2)}"
+
+    return re.sub(r"#(\d+)(L?)", _renumber, plan)
 
 
 def cached_elusion(cdf, alias: str):
@@ -56,6 +99,8 @@ def cached_elusion(cdf, alias: str):
         cached = hit[0]
     else:
         _stats["misses"] += 1
+        if hit is not None:  # TTL-expired: release old blocks before overwrite
+            hit[0].unpersist()
         cached = out.cache()
         _query_cache[key] = (cached, now)
         _query_cache.move_to_end(key)

@@ -523,15 +523,18 @@ class CustomDataFrame:
             known_aggs = {N.canonical(b): a for b, a in agg_items}
             for h in self.havings:
                 h2 = N.normalize_expression(h)
-                for call in N.extract_agg_calls(h2):
+                # substitute by recorded span, right-to-left, so literals
+                # containing agg-call text survive and overlapping call
+                # texts can't corrupt earlier replacements (ADVICE r1)
+                for start, end, call in reversed(N.extract_agg_call_spans(h2)):
                     key = N.canonical(call)
                     if key in known_aggs:
-                        h2 = h2.replace(call, known_aggs[key])
+                        alias = known_aggs[key]
                     else:
-                        hal = f"__h{len(hidden)}"
-                        hidden.append((call, hal))
-                        h2 = h2.replace(call, hal)
-                        known_aggs[key] = hal
+                        alias = f"__h{len(hidden)}"
+                        hidden.append((call, alias))
+                        known_aggs[key] = alias
+                    h2 = h2[:start] + alias + h2[end:]
                 havings.append(h2)
 
             aggcols = [F.expr(b).alias(a) for b, a in agg_items]

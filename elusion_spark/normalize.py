@@ -239,11 +239,14 @@ def canonical(expr: str) -> str:
     return _map_nonliteral(expr.strip(), fix).strip()
 
 
-def extract_agg_calls(condition: str) -> list[str]:
+def extract_agg_call_spans(condition: str) -> list[tuple[int, int, str]]:
     """Find full top-level aggregate calls (balanced parens) in a HAVING
-    condition so they can be pre-computed as hidden agg columns
+    condition, returning ``(start, end, text)`` spans so callers can
+    splice replacements positionally.  Plain-text ``str.replace`` would
+    also rewrite matching text inside string literals (``label =
+    'SUM(x)'``) and is order-sensitive for overlapping call texts
     (elusion.rs:1077-1101 lets HAVING reference raw ``SUM(x)``)."""
-    calls: list[str] = []
+    spans: list[tuple[int, int, str]] = []
     s = condition
     # mask literals so parens inside strings don't confuse the scan
     masked = _LITERAL_RE.sub(lambda m: "'" + "_" * (len(m.group(0)) - 2) + "'", s)
@@ -256,8 +259,12 @@ def extract_agg_calls(condition: str) -> list[str]:
             elif masked[i] == ")":
                 depth -= 1
             i += 1
-        calls.append(s[m.start() : i])
-    return calls
+        spans.append((m.start(), i, s[m.start():i]))
+    return spans
+
+
+def extract_agg_calls(condition: str) -> list[str]:
+    return [text for _s, _e, text in extract_agg_call_spans(condition)]
 
 
 _CTE_RE = re.compile(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\((.*)\)\s*$",

@@ -40,7 +40,25 @@ def join_salted(
     ``salt`` times with one sub-key each.  Shuffle partitions for a hot
     key shrink by ~salt×; the small side grows salt× (it must be the
     replicable side).  Columns out = big's + small's (key deduplicated),
-    same as a plain equi-join."""
+    same as a plain equi-join.
+
+    Only big-side-preserving modes are allowed: for ``right``/``full``
+    joins an unmatched small-side row would surface once per replica
+    (``salt`` silent duplicates).  Swap the sides (make the preserved
+    side the salted big side) or rely on AQE skew-join for those."""
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "semi",
+               "left_anti", "leftanti", "anti", "cross"}
+    if how.lower() not in allowed:
+        from ..errors import ElusionError
+
+        raise ElusionError(
+            f"join_salted does not support how={how!r}: unmatched "
+            f"small-side rows would be emitted once per salt replica.",
+            "Use inner/left/semi/anti (big side preserved), swap the "
+            "sides so the preserved side is the big one, or use AQE "
+            "skew-join handling for right/full outer joins.",
+        )
     salted_big = big.withColumn(
         "__salt", (F.rand(seed=0) * salt).cast("int")
     )

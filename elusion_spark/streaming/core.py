@@ -205,11 +205,30 @@ def foreach_batch_upsert(
     """Micro-batch upsert via foreachBatch: each batch anti-joins the
     existing target on ``keys`` then appends — last-write-wins dedup
     against history without a transactional table.  (With delta-spark
-    present, prefer MERGE INTO.)  Returns the StreamingQuery."""
+    present, prefer MERGE INTO.)  Returns the StreamingQuery.
+
+    The target swap is crash-safe: the new snapshot is fully written to a
+    temp dir, the old target is renamed aside (``.__old``), the temp dir
+    renamed into place, and only then is the old copy deleted.  At every
+    crash point either the target or its ``.__old`` holds a complete
+    snapshot; ``_recover`` restores it on the next batch."""
     import os as _os
+    import shutil as _shutil
+
+    old_path = target_path + ".__old"
+
+    def _recover() -> None:
+        # Crash between rename-aside and rename-into-place leaves the
+        # complete previous snapshot at .__old with no target: restore it.
+        if _os.path.isdir(old_path):
+            if not _os.path.isdir(target_path):
+                _os.rename(old_path, target_path)
+            else:  # crash after swap, before cleanup: old copy is stale
+                _shutil.rmtree(old_path)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _recover()
         fresh = batch_df.dropDuplicates(keys)
         if _os.path.isdir(target_path) and any(
             not f.startswith("_") for f in _os.listdir(target_path)
@@ -218,11 +237,12 @@ def foreach_batch_upsert(
             keep = existing.join(fresh.select(*keys), keys, "left_anti")
             out = keep.unionByName(fresh)
             tmp = target_path + f".__tmp{batch_id}"
+            if _os.path.isdir(tmp):
+                _shutil.rmtree(tmp)
             out.write.mode("overwrite").format(fmt).save(tmp)
-            import shutil as _shutil
-
-            _shutil.rmtree(target_path)
+            _os.rename(target_path, old_path)
             _os.rename(tmp, target_path)
+            _shutil.rmtree(old_path)
         else:
             fresh.write.mode("overwrite").format(fmt).save(target_path)
 

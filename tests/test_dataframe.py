@@ -88,6 +88,25 @@ def test_having_with_raw_agg_not_in_select(sales):
     assert set(out[0].asDict()) == {"cat", "n"}
 
 
+def test_having_agg_text_inside_string_literal_survives(spark):
+    """HAVING substitution must not rewrite agg-call text that appears
+    inside a string literal (ADVICE r1: plain str.replace corrupted
+    ``label = 'SUM(amount)'`` into ``label = '__h0'``)."""
+    df = spark.createDataFrame(
+        [("a", 10.0, "SUM(amount)"), ("a", 20.0, "SUM(amount)"),
+         ("b", 5.0, "other")],
+        ["cat", "amount", "label"],
+    )
+    out = (
+        CustomDataFrame(df, "t")
+        .select(["cat"]).agg(["COUNT(*) AS n"]).group_by_all()
+        .having("SUM(amount) > 0 AND MIN(label) = 'SUM(amount)'")
+        .collect()
+    )
+    # only 'a' rows carry the literal label; corruption would return []
+    assert [r["cat"] for r in out] == ["a"]
+
+
 def test_union_is_positional(spark):
     a = CustomDataFrame(spark.createDataFrame([(1, "x")], ["k", "v"]), "a")
     b = CustomDataFrame(spark.createDataFrame([(2, "y")], ["id", "name"]), "b")

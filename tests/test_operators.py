@@ -206,6 +206,74 @@ def test_elusion_with_cache_hits(spark):
     assert stats["hits"] >= 1
 
 
+def test_plan_key_distinguishes_attribute_instances(spark):
+    """a.join(b,'k').select('a.x') vs .select('b.x') must NOT collide
+    (ADVICE r1: erased expr IDs made them identical), while rebuilt
+    identical queries still share a key."""
+    import elusion_spark.cache as C
+
+    a = spark.createDataFrame([(1, 10)], ["k", "x"]).alias("a")
+    b = spark.createDataFrame([(1, 1000)], ["k", "x"]).alias("b")
+    j = a.join(b, "k")
+    assert C._plan_key(j.select("a.x")) != C._plan_key(j.select("b.x"))
+
+    def build():
+        a2 = spark.createDataFrame([(1, 10)], ["k", "x"]).alias("a")
+        b2 = spark.createDataFrame([(1, 1000)], ["k", "x"]).alias("b")
+        return a2.join(b2, "k").select("a.x")
+
+    assert C._plan_key(build()) == C._plan_key(build())
+
+
+def test_cache_ttl_expired_overwrite_unpersists(spark):
+    """Replacing a TTL-expired entry must unpersist the old DataFrame
+    (ADVICE r1: key-overwrite leaked cached blocks)."""
+    import elusion_spark.cache as C
+
+    C.clear_cache()
+    cfg = C.cache_config()
+    try:
+        C.configure_cache(ttl_seconds=0.2)
+        df = CustomDataFrame(
+            spark.createDataFrame([(i,) for i in range(5)], ["x"]), "t")
+        q = df.filter("x > 1")
+        q.elusion_with_cache("ttl_exp_q")
+        (old_df, _ts), = list(C._query_cache.values())
+        called = []
+        orig = old_df.unpersist
+        old_df.unpersist = lambda *a, **k: (called.append(1), orig())[1]
+        time.sleep(0.3)
+        q.elusion_with_cache("ttl_exp_q")
+        assert called, "expired entry was overwritten without unpersist()"
+    finally:
+        C.configure_cache(**cfg)
+        C.clear_cache()
+
+
+def test_configure_cache_runtime(spark):
+    """configure_cache parity with cashandview.rs:239-242: runtime
+    max-queries/TTL/max-views, shrink evicts LRU immediately."""
+    import elusion_spark.cache as C
+
+    C.clear_cache()
+    cfg = C.cache_config()
+    try:
+        got = C.configure_cache(max_queries=2, ttl_seconds=99.0, max_views=7)
+        assert got == {"max_queries": 2, "ttl_seconds": 99.0, "max_views": 7}
+        df = CustomDataFrame(
+            spark.createDataFrame([(i,) for i in range(5)], ["x"]), "t")
+        for i in range(3):
+            df.filter(f"x > {i}").elusion_with_cache(f"cfg_q{i}")
+        assert len(C._query_cache) == 2  # LRU evicted at the new limit
+        C.configure_cache(max_queries=1)
+        assert len(C._query_cache) == 1  # shrink evicts immediately
+        with pytest.raises(Exception, match="max_queries"):
+            C.configure_cache(max_queries=0)
+    finally:
+        C.configure_cache(**cfg)
+        C.clear_cache()
+
+
 # ---------------------------------------------------------------- writers
 
 def test_parquet_single_file_roundtrip_append(spark, tmp_path):

@@ -26,6 +26,26 @@ def test_join_salted_left_join(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_join_salted_rejects_small_side_preserving_modes(spark):
+    # right/full joins would emit unmatched small-side rows once per salt
+    # replica — silently duplicated output (ADVICE r1)
+    big = spark.range(0, 100).selectExpr("id", "CAST(id % 7 AS BIGINT) AS k")
+    small = spark.range(0, 20).selectExpr("id AS k", "id AS v")
+    for how in ("right", "full", "right_outer", "full_outer", "outer"):
+        with pytest.raises(Exception, match="salt replica"):
+            SC.join_salted(big, small, "k", how)
+
+
+def test_join_salted_semi_anti(spark):
+    big = spark.range(0, 200).selectExpr("id", "CAST(id % 11 AS BIGINT) AS k")
+    small = spark.range(0, 4).selectExpr("id AS k")
+    for how in ("left_semi", "left_anti"):
+        plain = big.join(small, "k", how).selectExpr("id", "k")
+        salted = SC.join_salted(big, small, "k", how).selectExpr("id", "k")
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, salted.collect()))
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     a = spark.range(0, 10_000).selectExpr("id AS k", "id * 2 AS va")
     b = spark.range(0, 10_000).selectExpr("id AS k", "id * 3 AS vb")

@@ -133,3 +133,36 @@ def test_foreach_batch_upsert(spark, events_dir, events_schema, tmp_path):
                                  checkpoint=str(tmp_path / "ckpt2"))
     q2.awaitTermination(120)
     assert spark.read.parquet(target).count() == n
+
+
+def test_foreach_batch_upsert_crash_recovery(spark, events_dir, events_schema,
+                                             tmp_path):
+    """Simulate a crash between rename-aside and rename-into-place: the
+    complete snapshot sits at target.__old with no target.  The next
+    batch must restore it and merge — not rebuild from the batch alone
+    (ADVICE r1: rmtree-then-rename lost the dataset)."""
+    import os
+    import shutil
+
+    target = str(tmp_path / "crash_target")
+    stream = ST.read_file_stream(spark, events_dir, events_schema)
+    q = ST.foreach_batch_upsert(stream, target, keys=["event_id"])
+    q.awaitTermination(120)
+    n = spark.read.parquet(target).count()
+    assert n > 0
+
+    # crash state: snapshot renamed aside, target missing
+    os.rename(target, target + ".__old")
+    q2 = ST.foreach_batch_upsert(stream, target, keys=["event_id"],
+                                 checkpoint=str(tmp_path / "ckpt_crash"))
+    q2.awaitTermination(120)
+    assert spark.read.parquet(target).count() == n
+    assert not os.path.isdir(target + ".__old")
+
+    # stale-old state (crash after swap, before cleanup) is cleaned up
+    shutil.copytree(target, target + ".__old")
+    q3 = ST.foreach_batch_upsert(stream, target, keys=["event_id"],
+                                 checkpoint=str(tmp_path / "ckpt_stale"))
+    q3.awaitTermination(120)
+    assert spark.read.parquet(target).count() == n
+    assert not os.path.isdir(target + ".__old")
