@@ -235,26 +235,26 @@ def ivf_build(
     )
     import random
 
+    import numpy as np
+
     rng = random.Random(seed)
     pts = [list(map(float, r[0])) for r in rows if r[0] is not None]
     if len(pts) < nlist:
         raise ValueError(f"not enough sample points ({len(pts)}) for nlist={nlist}")
-    centroids = [list(p) for p in rng.sample(pts, nlist)]
+    # vectorized Lloyd: one (n, nlist) distance matrix per iteration via
+    # the ||p||² - 2p·c + ||c||² expansion — seconds at 100k×768 where a
+    # Python triple loop took minutes (VERDICT r1)
+    P = np.asarray(pts, dtype=np.float64)
+    C = np.asarray(rng.sample(pts, nlist), dtype=np.float64)
+    p_sq = (P * P).sum(axis=1)[:, None]
     for _ in range(iters):
-        sums = [[0.0] * dim for _ in range(nlist)]
-        counts = [0] * nlist
-        for p in pts:
-            best, bd = 0, float("inf")
-            for ci, c in enumerate(centroids):
-                d = sum((a - b) ** 2 for a, b in zip(p, c))
-                if d < bd:
-                    best, bd = ci, d
-            for j in range(dim):
-                sums[best][j] += p[j]
-            counts[best] += 1
+        d2 = p_sq - 2.0 * (P @ C.T) + (C * C).sum(axis=1)[None, :]
+        best = d2.argmin(axis=1)
         for ci in range(nlist):
-            if counts[ci]:
-                centroids[ci] = [s / counts[ci] for s in sums[ci]]
+            members = P[best == ci]
+            if len(members):
+                C[ci] = members.mean(axis=0)
+    centroids = [list(map(float, c)) for c in C]
     # assignment expression: argmin over nlist squared distances
     dists = [
         f"aggregate(zip_with({vec_col}, {_vec_literal(c)}, "

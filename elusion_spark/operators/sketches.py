@@ -57,13 +57,20 @@ def heavy_hitters(
 ) -> DataFrame:
     """Top-k most frequent values (exact, two-shuffle groupBy+top-k —
     at extreme cardinality swap in count_min_sketch probes; the exact
-    path is preferable until group count itself is the bottleneck)."""
+    path is preferable until group count itself is the bottleneck).
+
+    Global (``by=None``) uses ``orderBy().limit(k)`` —
+    TakeOrderedAndProject keeps per-partition heaps of size k, so no
+    single partition ever holds all group counts; the rank window then
+    runs over only k rows.  The windowed path is per-key and parallel."""
     from pyspark.sql import Window
 
     counts = df.groupBy(*(by or []), col).agg(F.count("*").alias("freq"))
-    w = Window.partitionBy(*(by or [F.lit(1)])).orderBy(
-        F.col("freq").desc(), F.col(col)
-    )
+    order = [F.col("freq").desc(), F.col(col)]
+    if not by:
+        top = counts.orderBy(*order).limit(k)
+        return top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+    w = Window.partitionBy(*by).orderBy(*order)
     return (
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -127,21 +127,38 @@ def write_to_csv(df: DataFrame, mode: str, path: str,
 
 
 def write_to_json(df: DataFrame, path: str, pretty: bool = False) -> None:
-    """Overwrite-only array-form JSON (elusion.rs:5013-5180).  Driver-side
-    only for the pretty array form (bounded report outputs); directory
-    targets use the distributed line-JSON writer."""
+    """Overwrite-only array-form JSON (elusion.rs:5013-5180).  Directory
+    targets use the distributed line-JSON writer; single-file array form
+    streams row-by-row through ``toLocalIterator`` — JSON encoding stays
+    JVM-side (``to_json``) and the driver holds ONE row at a time, so an
+    arbitrarily large result never accumulates in driver memory."""
     if not _is_single_file(path):
         df.write.mode("overwrite").json(path)
         return
-    import json
+    from pyspark.sql import functions as F
 
-    rows = [r.asDict(recursive=True) for r in df.collect()]
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    encoded = df.select(
+        F.to_json(F.struct(*[F.col(c) for c in df.columns]),
+                  {"ignoreNullFields": "false"}).alias("j")
+    )
     with open(path, "w") as f:
+        f.write("[")
+        first = True
         if pretty:
-            json.dump(rows, f, indent=2, default=str)
+            import json
+
+            for row in encoded.toLocalIterator():
+                body = json.dumps(json.loads(row["j"]), indent=2)
+                f.write(("\n  " if first else ",\n  ")
+                        + body.replace("\n", "\n  "))
+                first = False
+            f.write("\n]" if not first else "]")
         else:
-            json.dump(rows, f, default=str)
+            for row in encoded.toLocalIterator():
+                f.write(("" if first else ",") + row["j"])
+                first = False
+            f.write("]")
 
 
 def write_to_delta(df: DataFrame, mode: str, path: str,
