@@ -240,14 +240,26 @@ def minhash_dedup(
 
 # ----------------------------------------------------------------- simhash
 
-def simhash_expr(text_col: str, bits: int = 64) -> Column:
-    """SimHash signature: per-bit majority vote over token xxhash64s.
+def _token_hash_sql(token_expr: str, hash_fn: str) -> str:
+    """Per-token 64/60-bit hash.  ``xxhash64`` is the production default;
+    ``md5`` takes the first 15 hex digits of md5 (60 bits) — slower, but
+    bit-identical to ``('0x'||substr(md5(t),1,15))::BIGINT`` in DuckDB,
+    which makes the whole SimHash pipeline cross-engine oracle-checkable."""
+    if hash_fn == "md5":
+        return f"cast(conv(substr(md5({token_expr}), 1, 15), 16, 10) as bigint)"
+    return f"xxhash64({token_expr})"
+
+
+def simhash_expr(text_col: str, bits: int = 64,
+                 hash_fn: str = "xxhash64") -> Column:
+    """SimHash signature: per-bit majority vote over token hashes.
     O(bits · tokens) JVM expression work per row, no UDF.  The token-hash
     array is lambda-bound (``transform(array(…), h -> …)[1]``) so the
     tokenize+hash runs once per row, not once per bit — HOFs evaluate
-    interpreted with no subexpression elimination."""
+    interpreted with no subexpression elimination.  ``hash_fn='md5'``
+    (use with bits<=60) makes the signature reproducible in DuckDB."""
     toks = f"array_distinct(split(lower(trim({text_col})), ' +'))"
-    th = f"transform({toks}, t -> xxhash64(t))"
+    th = f"transform({toks}, t -> {_token_hash_sql('t', hash_fn)})"
     # `shiftright(v, i)` not `v >> i`: the `>>` token breaks the SQL
     # parser at this lambda-nesting depth (read as two `>`)
     return F.expr(
@@ -266,21 +278,25 @@ def simhash_dedup_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     max_bucket_size: int = 200,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on one of 4 16-bit bands (a pair
-    within Hamming distance 3 of a 64-bit signature must agree on at
-    least one band — pigeonhole), verify with bit_count(xor).
+    """Near-dup pairs by SimHash: block on one of ``bands`` equal-width
+    bands (a pair within Hamming distance ``bands - 1`` must agree on at
+    least one band — pigeonhole, so recall is EXACT for
+    ``max_hamming < bands``), verify with bit_count(xor).
     ``max_bucket_size`` caps templated-text buckets (B docs → B² pairs)
     the same way the MinHash path does — degraded recall beats an OOM."""
     from pyspark import StorageLevel
 
     from .similarity import _ensure_parallelism
 
-    width = 64 // bands
+    width = bits // bands
     # persisted: the O(bits·tokens) signature feeds both join sides
     sigged = (
         _ensure_parallelism(df)
-        .select(F.col(id_col).alias("__id"), simhash_expr(text_col).alias("__sim"))
+        .select(F.col(id_col).alias("__id"),
+                simhash_expr(text_col, bits, hash_fn).alias("__sim"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     banded = sigged.select(

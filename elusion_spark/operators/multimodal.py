@@ -113,8 +113,15 @@ IMAGE_SCHEMA = T.StructType(
 
 
 def _fake_u64(data: bytes) -> int:
-    """Deterministic 64-bit digest used by every FAKE decode path."""
-    return _struct.unpack("<Q", hashlib.blake2b(data, digest_size=8).digest())[0]
+    """Deterministic 60-bit digest used by every FAKE decode path.
+
+    md5 of the UPPERCASE HEX of the payload, first 15 hex digits — chosen
+    so a SQL oracle can reproduce it exactly:
+    ``('0x' || substr(md5(hex(payload)), 1, 15))::BIGINT`` in DuckDB
+    (DuckDB's md5 only accepts VARCHAR, and hex() emits uppercase —
+    hence hashing the hex, not the raw bytes)."""
+    hx = data.hex().upper()
+    return int(hashlib.md5(hx.encode()).hexdigest()[:15], 16)
 
 
 def _decode_image_bytes(data: bytes) -> tuple[int, int, int, float]:
@@ -246,15 +253,20 @@ def sample_frames(
 
 
 def extract_features(
-    df: DataFrame, dim: int = 64, id_col: str = "id", bin_col: str = "payload"
+    df: DataFrame, dim: int = 64, id_col: str = "id", bin_col: str = "payload",
+    method: str = "gauss",
 ) -> DataFrame:
     """Fixed-width feature vector per blob: (id, embedding array<float>).
 
     REAL path would run a vision/audio model over the decoded media; here
-    the embedding is a DETERMINISTIC FAKE — unit-normalized floats seeded
-    from the content digest, vectorized in numpy per Arrow batch.  Output
-    feeds directly into operators.similarity (cosine_topk,
-    embedding_near_dup_pairs, ivf_*)."""
+    the embedding is a DETERMINISTIC FAKE, vectorized per Arrow batch.
+    ``method='gauss'`` (default): unit-normalized gaussian floats seeded
+    from the content digest.  ``method='md5'``: component j is
+    ``(md5_60(hex(payload) || '|' || j) % 2001 - 1000) / 1000.0`` as
+    float32 — fully reproducible in a SQL oracle (same shape as
+    ``_fake_u64``), used by the correctness gate.  Output feeds directly
+    into operators.similarity (cosine_topk, embedding_near_dup_pairs,
+    ivf_*)."""
     schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
@@ -267,14 +279,25 @@ def extract_features(
         import pandas as pd
 
         for pdf in batches:
-            seeds = np.array([_fake_u64(b) for b in pdf[bin_col]], dtype=np.uint64)
-            # per-row RNG stream seeded by content digest: reproducible
-            # regardless of batch/partition boundaries
-            vecs = np.empty((len(seeds), dim), dtype=np.float64)
-            for r, s in enumerate(seeds):
-                vecs[r] = np.random.default_rng(int(s)).standard_normal(dim)
-            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-            vecs = (vecs / np.where(norms == 0, 1, norms)).astype(np.float32)
+            if method == "md5":
+                vecs = np.empty((len(pdf), dim), dtype=np.float64)
+                for r, b in enumerate(pdf[bin_col]):
+                    hx = bytes(b).hex().upper()
+                    for j in range(dim):
+                        h = int(hashlib.md5(f"{hx}|{j}".encode())
+                                .hexdigest()[:15], 16)
+                        vecs[r, j] = (h % 2001 - 1000) / 1000.0
+                vecs = vecs.astype(np.float32)
+            else:
+                seeds = np.array([_fake_u64(b) for b in pdf[bin_col]],
+                                 dtype=np.uint64)
+                # per-row RNG stream seeded by content digest: reproducible
+                # regardless of batch/partition boundaries
+                vecs = np.empty((len(seeds), dim), dtype=np.float64)
+                for r, s in enumerate(seeds):
+                    vecs[r] = np.random.default_rng(int(s)).standard_normal(dim)
+                norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+                vecs = (vecs / np.where(norms == 0, 1, norms)).astype(np.float32)
             yield pd.DataFrame(
                 {"id": pdf[id_col].values, "embedding": list(vecs)}
             )

@@ -33,6 +33,7 @@ def prepare_training_corpus(
     near_dup_threshold: float = 0.7,
     minhash_hashes: int = 64,
     minhash_bands: int = 16,
+    minhash_verify: str = "estimate",
     exact_first: bool = True,
     strip_boilerplate: bool = False,
     boilerplate_max_df: int = 2,
@@ -78,7 +79,7 @@ def prepare_training_corpus(
     pairs = D.minhash_dedup_pairs(
         filtered, "id", "text",
         num_hashes=minhash_hashes, bands=minhash_bands,
-        threshold=near_dup_threshold,
+        threshold=near_dup_threshold, verify=minhash_verify,
     )
     return D.dedup_keep_cluster_min(filtered, pairs, "id").withColumn(
         "n_chars_norm", F.length(F.regexp_replace("text", r"\s+", " "))

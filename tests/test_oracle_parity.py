@@ -105,3 +105,22 @@ def test_rows_only_queries_run(spark):
         n = df.count()
         assert n >= 0, name
         assert df.columns, name
+
+
+def test_every_query_has_an_oracle():
+    """Round-2 invariant: 61/61 suite queries are DuckDB-checkable."""
+    from elusion_spark.suite import ORACLES, QUERIES
+
+    assert sorted(QUERIES) == sorted(ORACLES)
+
+
+def test_documents_are_pure_ascii(duck):
+    """q52's oracle parses WAV header fields CHAR-positionally from the
+    text while the engine parses BYTES — equivalent only while the
+    corpus is ASCII.  If this ever fails, q52's oracle must switch to
+    byte-based extraction."""
+    n = duck.execute(
+        f"SELECT count(*) FROM '{SF}/documents.parquet' "
+        f"WHERE octet_length(text::BLOB) <> length(text)"
+    ).fetchone()[0]
+    assert n == 0
