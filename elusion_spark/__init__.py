@@ -23,13 +23,17 @@ from .sources.loaders import (
     load,
     load_csv,
     load_delta,
+    load_excel,
     load_folder,
     load_json,
     load_parquet,
+    load_xml,
 )
 from .cache import (
+    cache_config,
     cache_stats,
     clear_cache,
+    configure_cache,
     create_view,
     drop_view,
     from_view,
@@ -78,6 +82,8 @@ __all__ = [
     "load_parquet",
     "load_delta",
     "load_folder",
+    "load_excel",
+    "load_xml",
     "execute_raw_sql",
     "create_view",
     "from_view",
@@ -85,6 +91,8 @@ __all__ = [
     "drop_view",
     "list_views",
     "cache_stats",
+    "cache_config",
+    "configure_cache",
     "clear_cache",
     "invalidate_cache",
     "ElusionError",

@@ -87,24 +87,241 @@ def plot_waterfall(df, x: str, y: str, title: str = "Waterfall") -> dict:
 # ------------------------------------------------------------------ report
 
 _PLOTLY_CDN = "https://cdn.plot.ly/plotly-2.32.0.min.js"
+_AGGRID_CDN = ("https://cdn.jsdelivr.net/npm/ag-grid-community@31.0.1/"
+               "dist/ag-grid-community.min.js")
+_AGGRID_CSS = [
+    "https://cdn.jsdelivr.net/npm/ag-grid-community@31.0.1/styles/ag-grid.css",
+    "https://cdn.jsdelivr.net/npm/ag-grid-community@31.0.1/styles/ag-theme-alpine.css",
+]
+_SHEETJS_CDN = ("https://cdn.sheetjs.com/xlsx-0.20.1/package/dist/"
+                "xlsx.full.min.js")
 
 
-def _table_html(name: str, df, limit: int = 1000) -> str:
+class ReportLayout:
+    """Grid layout knobs (dashboard.rs:1700-1707)."""
+
+    def __init__(self, grid_columns: int = 2, grid_gap: int = 20,
+                 max_width: int = 1400, plot_height: int = 400,
+                 table_height: int = 420):
+        self.grid_columns = grid_columns
+        self.grid_gap = grid_gap
+        self.max_width = max_width
+        self.plot_height = plot_height
+        self.table_height = table_height
+
+
+class TableOptions:
+    """Interactive-table knobs (dashboard.rs:1711-1732)."""
+
+    def __init__(self, pagination: bool = True, page_size: int = 10,
+                 enable_sorting: bool = True, enable_filtering: bool = True,
+                 enable_column_menu: bool = True,
+                 theme: str = "ag-theme-alpine"):
+        self.pagination = pagination
+        self.page_size = page_size
+        self.enable_sorting = enable_sorting
+        self.enable_filtering = enable_filtering
+        self.enable_column_menu = enable_column_menu
+        self.theme = theme
+
+
+def _table_payload(df, limit: int = 10_000) -> tuple[list[dict], list[dict]]:
+    """(column defs, row data) for one interactive table.  Date-typed —
+    and date-NAMED string — columns get the date filter, mirroring the
+    reference's Arrow-type switch (dashboard.rs:1204-1242)."""
     from ..dataframe import CustomDataFrame
 
     sdf = df._assemble() if isinstance(df, CustomDataFrame) else df
     rows = sdf.limit(limit).collect()
-    cols = sdf.columns
-    head = "".join(f"<th>{escape(str(c))}</th>" for c in cols)
-    body = "".join(
-        "<tr>" + "".join(f"<td>{escape(str(r[c]))}</td>" for c in cols) + "</tr>"
+    date_types = {"date", "timestamp", "timestamp_ntz"}
+    col_defs = []
+    for fld in sdf.schema.fields:
+        d = {"field": fld.name, "headerName": fld.name, "sortable": True,
+             "filter": True, "resizable": True}
+        tn = fld.dataType.typeName()
+        if tn in date_types or (
+            tn == "string"
+            and ("date" in fld.name.lower() or "time" in fld.name.lower())
+        ):
+            d["filter"] = "agDateColumnFilter"
+        col_defs.append(d)
+    data = [
+        {c: (v if isinstance(v, (int, float, bool)) or v is None else str(v))
+         for c, v in r.asDict().items()}
         for r in rows
-    )
-    return (
-        f"<h2>{escape(name)}</h2>"
-        f"<table border='1' cellspacing='0' cellpadding='4'>"
-        f"<thead><tr>{head}</tr></thead><tbody>{body}</tbody></table>"
-    )
+    ]
+    return col_defs, data
+
+
+# Client-side interactivity: grid init, date-range + category
+# cross-filtering, layout toggle, Excel export.  Mirrors the reference's
+# feature set (dashboard.rs:1745-1960); plain JS, no build step.
+_REPORT_JS = """
+var gridApis = [];
+var globalFilters = {dateStart: null, dateEnd: null, categories: new Set()};
+var originalPlotData = {};
+
+function initTables() {
+  document.querySelectorAll('.table-container').forEach(function (el) {
+    var defs = JSON.parse(el.dataset.columnDefs);
+    var rows = JSON.parse(el.dataset.rowData);
+    var opts = JSON.parse(el.dataset.tableOptions);
+    var gridOptions = {
+      columnDefs: defs, rowData: rows,
+      pagination: opts.pagination, paginationPageSize: opts.page_size,
+      defaultColDef: {sortable: opts.enable_sorting,
+                      filter: opts.enable_filtering,
+                      menuTabs: opts.enable_column_menu ? undefined : []},
+      isExternalFilterPresent: function () {
+        return globalFilters.dateStart !== null ||
+               globalFilters.categories.size > 0;
+      },
+      doesExternalFilterPass: function (node) {
+        if (globalFilters.categories.size > 0) {
+          var hit = Object.values(node.data).some(function (v) {
+            return globalFilters.categories.has(String(v));
+          });
+          if (!hit) return false;
+        }
+        if (globalFilters.dateStart !== null) {
+          var dateFields = defs.filter(function (d) {
+            return d.filter === 'agDateColumnFilter';
+          });
+          if (dateFields.length > 0) {
+            return dateFields.some(function (d) {
+              var t = new Date(node.data[d.field]);
+              return !isNaN(t) && t >= globalFilters.dateStart &&
+                     t <= globalFilters.dateEnd;
+            });
+          }
+        }
+        return true;
+      },
+    };
+    gridApis.push(agGrid.createGrid(el.querySelector('.grid'), gridOptions));
+  });
+}
+
+function initPlots() {
+  document.querySelectorAll('.plot-container').forEach(function (el) {
+    var data = JSON.parse(el.dataset.plotData);
+    var layout = JSON.parse(el.dataset.plotLayout);
+    var div = el.querySelector('.plot');
+    originalPlotData[div.id] = JSON.parse(el.dataset.plotData);
+    Plotly.newPlot(div.id, data, layout, {responsive: true}).then(function () {
+      div.on('plotly_click', function (ev) {
+        var p = ev.points[0];
+        var cat = String(p.label !== undefined ? p.label : p.x);
+        if (globalFilters.categories.has(cat)) {
+          globalFilters.categories.delete(cat);
+        } else {
+          globalFilters.categories.add(cat);
+        }
+        applyFilters();
+      });
+    });
+  });
+  var hasDate = Array.from(
+    document.querySelectorAll('.plot-container')).some(function (el) {
+      var l = JSON.parse(el.dataset.plotLayout);
+      return l.xaxis && l.xaxis.type === 'date';
+    });
+  var df = document.getElementById('date-filter');
+  if (df && !hasDate) df.style.display = 'none';
+}
+
+function filterTraces(data, start, end, cats) {
+  return data.map(function (tr) {
+    var xs = tr.x || tr.labels;
+    if (!xs) return tr;
+    var keep = xs.map(function (xv, i) {
+      var ok = true;
+      if (start !== null) {
+        var t = new Date(xv);
+        if (!isNaN(t)) ok = t >= start && t <= end;
+      }
+      if (ok && cats.size > 0) {
+        var label = tr.labels ? tr.labels[i] : xv;
+        ok = cats.has(String(label));
+      }
+      return ok;
+    });
+    var out = Object.assign({}, tr);
+    ['x', 'y', 'labels', 'values'].forEach(function (k) {
+      if (tr[k]) out[k] = tr[k].filter(function (_, i) { return keep[i]; });
+    });
+    return out;
+  });
+}
+
+function applyFilters() {
+  document.querySelectorAll('.plot-container').forEach(function (el) {
+    var div = el.querySelector('.plot');
+    var layout = JSON.parse(el.dataset.plotLayout);
+    var isDate = layout.xaxis && layout.xaxis.type === 'date';
+    var filtered = filterTraces(
+      originalPlotData[div.id],
+      isDate ? globalFilters.dateStart : null,
+      isDate ? globalFilters.dateEnd : null,
+      globalFilters.categories);
+    Plotly.react(div.id, filtered, layout);
+  });
+  gridApis.forEach(function (api) { api.onFilterChanged(); });
+  var badge = document.getElementById('active-cats');
+  if (badge) {
+    badge.textContent = Array.from(globalFilters.categories).join(', ');
+  }
+}
+
+function applyDateFilter() {
+  var s = document.getElementById('startDate').value;
+  var e = document.getElementById('endDate').value;
+  if (s && e) {
+    globalFilters.dateStart = new Date(s);
+    globalFilters.dateEnd = new Date(e);
+    applyFilters();
+  }
+}
+
+function clearDateFilter() {
+  globalFilters.dateStart = null;
+  globalFilters.dateEnd = null;
+  var s = document.getElementById('startDate');
+  var e = document.getElementById('endDate');
+  if (s) s.value = '';
+  if (e) e.value = '';
+  applyFilters();
+}
+
+function resetAllFilters() {
+  globalFilters.categories.clear();
+  gridApis.forEach(function (api) { api.setFilterModel(null); });
+  clearDateFilter();
+}
+
+function toggleGrid() {
+  document.querySelector('.grid-layout').classList.toggle('single-column');
+}
+
+function exportToExcel() {
+  var wb = XLSX.utils.book_new();
+  document.querySelectorAll('.table-container').forEach(function (el, i) {
+    var rows = [];
+    gridApis[i].forEachNodeAfterFilterAndSort(function (n) {
+      rows.push(n.data);
+    });
+    var ws = XLSX.utils.json_to_sheet(rows);
+    var name = (el.dataset.tableName || ('table' + i)).slice(0, 31);
+    XLSX.utils.book_append_sheet(wb, ws, name);
+  });
+  XLSX.writeFile(wb, 'report_tables.xlsx');
+}
+
+document.addEventListener('DOMContentLoaded', function () {
+  initTables();
+  initPlots();
+});
+"""
 
 
 def create_report(
@@ -113,27 +330,98 @@ def create_report(
     report_title: str = "Elusion report",
     filename: str = "report.html",
     plotly_js_src: str = _PLOTLY_CDN,
+    layout_config: ReportLayout | None = None,
+    table_options: TableOptions | None = None,
 ) -> str:
-    """Self-contained HTML report (elusion.rs:7963-8039): figure JSON is
-    embedded inline; plotly.js renders client-side.  Returns the path."""
-    divs, scripts = [], []
+    """Interactive self-contained HTML report — parity with
+    create_report_impl (dashboard.rs:1130-1960 / elusion.rs:7963-8039):
+    grid layout with toggle, ag-grid tables (sortable / filterable /
+    paginated, date filters on date-ish columns), date-range + category
+    cross-filtering across plots AND tables, and client-side Excel
+    export of the filtered tables.  Figure/table JSON is embedded
+    inline; JS libraries load from CDNs exactly like the reference.
+    Returns the path."""
+    import os
+
+    layout = layout_config or ReportLayout()
+    topts = table_options or TableOptions()
+    topts_json = json.dumps(topts.__dict__)
+
+    plot_divs = []
     for i, (name, fig) in enumerate(plots or []):
-        divs.append(f"<h2>{escape(name)}</h2><div id='plot{i}'></div>")
-        scripts.append(
-            f"Plotly.newPlot('plot{i}', {json.dumps(fig['data'])}, "
-            f"{json.dumps(fig['layout'])});"
+        plot_divs.append(
+            f"<div class='plot-container' "
+            f"data-plot-data='{escape(json.dumps(fig['data']), quote=True)}' "
+            f"data-plot-layout='{escape(json.dumps(fig['layout']), quote=True)}'>"
+            f"<div class='plot-title'>{escape(name)}</div>"
+            f"<div class='plot' id='plot_{i}' "
+            f"style='width:100%;height:{layout.plot_height}px;'></div></div>"
         )
-    table_html = "".join(_table_html(n, d) for n, d in (tables or []))
+    table_divs = []
+    for i, (name, d) in enumerate(tables or []):
+        col_defs, data = _table_payload(d)
+        table_divs.append(
+            f"<div class='table-container' "
+            f"data-table-name='{escape(name, quote=True)}' "
+            f"data-column-defs='{escape(json.dumps(col_defs), quote=True)}' "
+            f"data-row-data='{escape(json.dumps(data, default=str), quote=True)}' "
+            f"data-table-options='{escape(topts_json, quote=True)}'>"
+            f"<div class='plot-title'>{escape(name)}</div>"
+            f"<div class='grid {escape(topts.theme)}' "
+            f"style='height:{layout.table_height}px;'></div></div>"
+        )
+
+    controls = []
+    if plot_divs:
+        controls.append("<button onclick='toggleGrid()'>Toggle Layout</button>")
+        controls.append(
+            "<button onclick='resetAllFilters()'>Reset All Filters</button>")
+    if table_divs:
+        controls.append(
+            "<button onclick='exportToExcel()' class='export-button'>"
+            "Export tables to Excel</button>")
+
+    date_filter = (
+        "<div id='date-filter'><h3>Date Range Filter</h3>"
+        "<input type='date' id='startDate'> <span>to</span> "
+        "<input type='date' id='endDate'> "
+        "<button onclick='applyDateFilter()'>Apply Filter</button> "
+        "<button onclick='clearDateFilter()'>Clear</button>"
+        "<div id='active-cats'></div></div>"
+        if plot_divs else ""
+    )
+
+    css_links = "".join(
+        f"<link rel='stylesheet' href='{u}'>" for u in _AGGRID_CSS)
     html = f"""<!DOCTYPE html><html><head><meta charset="utf-8">
 <title>{escape(report_title)}</title>
 <script src="{escape(plotly_js_src)}"></script>
-<style>body{{font-family:sans-serif;margin:2em}}table{{border-collapse:collapse}}
-th{{background:#eee}}</style></head>
-<body><h1>{escape(report_title)}</h1>
-{''.join(divs)}
-{table_html}
-<script>{''.join(scripts)}</script>
+<script src="{_AGGRID_CDN}"></script>
+<script src="{_SHEETJS_CDN}"></script>
+{css_links}
+<style>
+body{{font-family:sans-serif;margin:2em}}
+.container{{max-width:{layout.max_width}px;margin:auto}}
+.grid-layout{{display:grid;grid-template-columns:repeat({layout.grid_columns},1fr);
+gap:{layout.grid_gap}px}}
+.grid-layout.single-column{{grid-template-columns:1fr}}
+.plot-title{{font-weight:bold;margin:8px 0}}
+.controls{{margin:12px 0}}
+.controls button{{margin-right:8px;padding:6px 12px}}
+#date-filter{{padding:12px;background:#f8f9fa;border-radius:8px;margin:12px 0}}
+</style></head>
+<body><div class="container"><h1>{escape(report_title)}</h1>
+<div class="controls">{''.join(controls)}</div>
+{date_filter}
+<div class="grid-layout">
+{''.join(plot_divs)}
+{''.join(table_divs)}
+</div></div>
+<script>{_REPORT_JS}</script>
 </body></html>"""
+    parent = os.path.dirname(filename)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     with open(filename, "w") as f:
         f.write(html)
     return filename

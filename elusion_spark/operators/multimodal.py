@@ -47,6 +47,18 @@ try:  # the real decoder, if the container has it
 except ImportError:
     _HAVE_PIL = False
 
+try:  # real audio decode (wav/flac/ogg), if present
+    import soundfile as _soundfile
+    _HAVE_SOUNDFILE = True
+except ImportError:
+    _HAVE_SOUNDFILE = False
+
+try:  # real video demux/decode (PyAV/ffmpeg), if present
+    import av as _av
+    _HAVE_AV = True
+except ImportError:
+    _HAVE_AV = False
+
 
 # ------------------------------------------------------------ magic sniff
 
@@ -229,10 +241,24 @@ def sample_frames(
     bin_col: str = "payload",
 ) -> DataFrame:
     """Sample every Nth frame of each video blob → one output row per
-    kept frame (id, frame_idx, frame).  REAL decode would use PyAV/ffmpeg
-    (absent here); the FAKE emits ``min(max_frames, digest%max+1)``
-    deterministic frame payloads.  The row-explosion shape — the part
-    that matters for partition sizing at 100 TB — is real."""
+    kept frame (id, frame_idx, frame).  REAL path demuxes with
+    PyAV/ffmpeg when importable and the blob parses as video; otherwise
+    the FAKE emits ``min(max_frames, digest%max+1)`` deterministic frame
+    payloads.  The row-explosion shape — the part that matters for
+    partition sizing at 100 TB — is real either way."""
+
+    def _real_frames(b: bytes):
+        import io
+
+        with _av.open(io.BytesIO(b)) as container:
+            kept = []
+            for idx, frame in enumerate(container.decode(video=0)):
+                if idx % every_n == 0:
+                    kept.append((idx, frame.to_ndarray(format="rgb24")
+                                 .tobytes()))
+                    if len(kept) >= max_frames:
+                        break
+            return kept
 
     def run(batches):
         import pandas as pd
@@ -240,6 +266,14 @@ def sample_frames(
         for pdf in batches:
             rows = []
             for i, b in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(b)
+                if _HAVE_AV:
+                    try:
+                        for src, frame in _real_frames(b):
+                            rows.append((i, src, frame))
+                        continue
+                    except Exception:
+                        pass  # not a parseable video — deterministic fake
                 n = (_fake_u64(b) % max_frames) + 1
                 for f_idx in range(n):
                     src = f_idx * every_n
@@ -320,11 +354,28 @@ def decode_audio(
     df: DataFrame, id_col: str = "id", bin_col: str = "payload"
 ) -> DataFrame:
     """Audio metadata/stat decode: (id, sample_rate, duration_ms,
-    n_channels, rms).  REAL path would use soundfile/librosa (absent);
-    WAV headers ARE parsed for real (RIFF fmt chunk — pure byte math),
-    everything else gets the deterministic digest fake."""
+    n_channels, rms).  REAL path decodes with soundfile when importable
+    and the blob parses; synthetic/corrupt blobs fall back to byte math:
+    WAV headers ARE parsed for real (RIFF fmt chunk), everything else
+    gets the deterministic digest fake."""
+
+    def _real(b: bytes):
+        import io
+
+        import numpy as np
+
+        data, rate = _soundfile.read(io.BytesIO(b), always_2d=True)
+        n_frames, n_ch = data.shape
+        dur = int(n_frames * 1000 / rate) if rate else 0
+        rms = float(np.sqrt(np.mean(np.square(data)))) if n_frames else 0.0
+        return (int(rate), dur, int(n_ch), rms)
 
     def _one(b: bytes):
+        if _HAVE_SOUNDFILE:
+            try:
+                return _real(b)
+            except Exception:
+                pass  # unparseable — deterministic byte-math fallback
         if len(b) >= 36 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
             # fmt chunk at offset 12 in canonical WAVs
             n_ch = int.from_bytes(b[22:24], "little") or 1

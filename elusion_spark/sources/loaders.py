@@ -287,29 +287,52 @@ def load_excel(path: str, alias: str, spark: SparkSession | None = None,
     bridge with the reference's header sanitation, gated on availability."""
     s = _spark(spark)
     try:
-        import pandas as pd
-
-        pdf = pd.read_excel(path, sheet_name=sheet)
+        import openpyxl  # noqa: F401  — the xlsx engine; probe it first so
+        import pandas as pd           # gating doesn't depend on file state
     except ImportError as e:
         raise FeatureNotAvailable(
             f"Excel support needs pandas+openpyxl: {e}",
             "pip install openpyxl (not available in this environment).",
         )
-    pdf.columns = _dedup_headers([N.normalize_column_name(str(c)) for c in pdf.columns])
+    pdf = pd.read_excel(path, sheet_name=sheet)
+    pdf.columns = _dedup_headers([
+        N.normalize_column_name(_sanitize_excel_header(str(c), i))
+        for i, c in enumerate(pdf.columns)
+    ])
     return _wrap(s.createDataFrame(pdf), alias)
 
 
+def _sanitize_excel_header(header: str, column_index: int) -> str:
+    """excel.rs:449-467 header sanitation: trim; empty cells become
+    ``Column_{index}``; spaces and non-alphanumerics become ``_``; a
+    non-alphabetic first character gets a ``col_`` prefix (the generic
+    lowercase normalization runs after, as the reference does at table
+    load — elusion.rs:6724)."""
+    import re as _re
+
+    h = header.strip()
+    if not h:
+        return f"Column_{column_index}"
+    s = _re.sub(r"[^0-9A-Za-z_]", "_", h.replace(" ", "_"))
+    if not s or not s[0].isalpha():
+        return f"col_{s}"
+    return s
+
+
 def _dedup_headers(cols: list[str]) -> list[str]:
-    """Header dedup (excel.rs header sanitize): a, a → a, a_1."""
-    seen: dict[str, int] = {}
+    """Header dedup (excel.rs:468-485): each repeat counts up from its
+    base name but SKIPS names already taken — ``a, a_1, a`` yields
+    ``a, a_1, a_2``, never a second ``a_1`` (the reference's
+    while-insert loop has the same collision-aware semantics)."""
+    seen: set[str] = set()
     out = []
     for c in cols:
-        if c in seen:
-            seen[c] += 1
-            out.append(f"{c}_{seen[c]}")
-        else:
-            seen[c] = 0
-            out.append(c)
+        unique, counter = c, 1
+        while unique in seen:
+            unique = f"{c}_{counter}"
+            counter += 1
+        seen.add(unique)
+        out.append(unique)
     return out
 
 

@@ -106,3 +106,96 @@ def test_extract_features_unit_norm(media_df):
     one = MM.extract_features(media_df.repartition(4), dim=32).filter("id = 1").first()
     ref = [r for r in rows if r["id"] == 1][0]
     assert list(one["embedding"]) == list(ref["embedding"])
+
+
+# ------------------------------------------------- real codecs (gated)
+
+@pytest.mark.skipif(not MM._HAVE_PIL, reason="PIL not installed")
+def test_real_png_decode_known_pixels(spark):
+    """When PIL is present, decode_images must return TRUE dimensions and
+    mean luma for a generated known-pixel PNG (VERDICT r1 item 6)."""
+    import io
+
+    from PIL import Image
+
+    im = Image.new("L", (32, 16))
+    im.putdata([(x * 255) // 511 for x in range(32 * 16)])
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, buf.getvalue())],
+        T.StructType([T.StructField("id", T.LongType()),
+                      T.StructField("payload", T.BinaryType())]))
+    row = MM.decode_images(df).first()
+    assert (row["width"], row["height"]) == (32, 16)
+    expected_luma = sum((x * 255) // 511 for x in range(512)) / 512
+    assert abs(row["mean_luma"] - expected_luma) < 1e-9
+
+
+@pytest.mark.skipif(not MM._HAVE_SOUNDFILE, reason="soundfile not installed")
+def test_real_wav_decode(spark):
+    """With soundfile present, decode_audio reports true rate/duration/
+    channels for a generated sine WAV."""
+    import io
+
+    import numpy as np
+    import soundfile as sf
+
+    rate, secs = 16000, 2
+    samples = np.sin(np.linspace(0, 440 * 2 * np.pi * secs, rate * secs))
+    buf = io.BytesIO()
+    sf.write(buf, samples, rate, format="WAV")
+    df = spark.createDataFrame(
+        [(1, buf.getvalue())],
+        T.StructType([T.StructField("id", T.LongType()),
+                      T.StructField("payload", T.BinaryType())]))
+    row = MM.decode_audio(df).first()
+    assert row["sample_rate"] == rate
+    assert row["n_channels"] == 1
+    assert abs(row["duration_ms"] - secs * 1000) <= 1
+    assert 0.5 < row["rms"] < 0.9  # sine rms ~0.707
+
+
+@pytest.mark.skipif(not MM._HAVE_AV, reason="PyAV not installed")
+def test_real_video_frame_sample(spark):
+    """With PyAV present, sample_frames demuxes real frames (every_n
+    stride, rgb24 bytes) from a generated clip."""
+    import io
+
+    import av
+    import numpy as np
+
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as container:
+        stream = container.add_stream("h264", rate=30)
+        stream.width, stream.height = 64, 48
+        stream.pix_fmt = "yuv420p"
+        for i in range(90):
+            img = np.full((48, 64, 3), i * 2, dtype=np.uint8)
+            for packet in stream.encode(
+                    av.VideoFrame.from_ndarray(img, format="rgb24")):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+    df = spark.createDataFrame(
+        [(1, buf.getvalue())],
+        T.StructType([T.StructField("id", T.LongType()),
+                      T.StructField("payload", T.BinaryType())]))
+    rows = MM.sample_frames(df, every_n=30, max_frames=8).collect()
+    assert [r["frame_idx"] for r in rows] == [0, 30, 60]
+    assert all(len(r["frame"]) == 64 * 48 * 3 for r in rows)
+
+
+def test_synthetic_blobs_stay_on_fake_path(media_df):
+    """The synthetic corpus blobs are NOT parseable media, so decode
+    results must be identical whether or not codec libs are installed —
+    this is what keeps q36/q37/q52 oracles stable across environments."""
+    dec = {r["id"]: r for r in MM.decode_audio(media_df).collect()}
+    h = MM._fake_u64(WAV)
+    # the 23-byte WAV stub is below the 36-byte header minimum -> digest
+    # fake branch (and soundfile rejects it even when installed)
+    assert dec[3]["sample_rate"] == [8000, 16000, 22050, 44100][h & 3]
+    assert dec[3]["duration_ms"] == (h >> 2) % 300_000
+    assert dec[3]["n_channels"] == 1 + ((h >> 20) & 1)
+    frames = MM.sample_frames(media_df.filter("id = 3")).collect()
+    assert len(frames) == (h % 8) + 1

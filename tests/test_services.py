@@ -4,6 +4,7 @@ extract helpers, REST API connector (local HTTP server), dashboard."""
 import http.server
 import json
 import os
+import re
 import threading
 import time
 
@@ -178,6 +179,60 @@ def test_from_api_pagination(http_srv, tmp_path):
 
 # ---------------------------------------------------------- gated stubs
 
+def test_excel_header_sanitation_fixture():
+    """excel.rs:449-485 header rules, testable without openpyxl: trim,
+    empty→Column_{i}, space/punct→_, non-alpha first char→col_ prefix,
+    collision-aware dedup."""
+    from elusion_spark.normalize import normalize_column_name
+    from elusion_spark.sources.loaders import (_dedup_headers,
+                                               _sanitize_excel_header)
+
+    cases = [
+        ("Net Sales", 0, "Net_Sales"),
+        ("  padded  ", 1, "padded"),
+        ("", 2, "Column_2"),
+        ("   ", 3, "Column_3"),
+        ("2024 Revenue", 4, "col_2024_Revenue"),
+        ("_private", 5, "col__private"),
+        ("Price ($)", 6, "Price____"),
+        ("a.b-c", 7, "a_b_c"),
+    ]
+    for raw, idx, want in cases:
+        assert _sanitize_excel_header(raw, idx) == want, raw
+
+    # full pipeline lowercases after sanitation (elusion.rs:6724)
+    full = [normalize_column_name(_sanitize_excel_header(h, i))
+            for i, h in enumerate(["Net Sales", "net sales", "", "Qty"])]
+    assert _dedup_headers(full) == ["net_sales", "net_sales_1", "column_2",
+                                    "qty"]
+    # dedup skips names already taken: a, a_1, a -> a, a_1, a_2
+    assert _dedup_headers(["a", "a_1", "a"]) == ["a", "a_1", "a_2"]
+    assert _dedup_headers(["x", "x", "x"]) == ["x", "x_1", "x_2"]
+
+
+def test_load_excel_gated_or_works(spark, tmp_path):
+    """load_excel either round-trips (openpyxl present) or raises the
+    gated FeatureNotAvailable with a setup recipe — never a raw crash."""
+    try:
+        import openpyxl  # noqa: F401
+        have = True
+    except ImportError:
+        have = False
+    p = str(tmp_path / "t.xlsx")
+    if not have:
+        # pandas opens the file before resolving the engine import
+        open(p, "wb").write(b"not-a-real-xlsx")
+        with pytest.raises(es.FeatureNotAvailable, match="openpyxl"):
+            es.load_excel(p, "x", spark)
+    else:
+        import pandas as pd
+
+        pd.DataFrame({"Net Sales": [1, 2], "net sales": [3, 4]}).to_excel(
+            p, index=False)
+        out = es.load_excel(p, "x", spark)
+        assert out.df.columns == ["net_sales", "net_sales_1"]
+
+
 def test_azure_sharepoint_gated():
     with pytest.raises(es.FeatureNotAvailable):
         es.from_azure_with_sas_token("https://x.blob.core.windows.net", "sas",
@@ -189,6 +244,12 @@ def test_azure_sharepoint_gated():
 # ------------------------------------------------------------ dashboard
 
 def test_plots_and_report(spark, tmp_path):
+    """2-plot/1-table interactive report (dashboard.rs:1130-1960 parity):
+    plot + table payloads embedded, ag-grid wiring, date/category
+    cross-filter JS, layout toggle, Excel export."""
+    import json as _json
+    from html import unescape
+
     df = spark.createDataFrame(
         [("a", 1.0), ("b", 3.0), ("c", 2.0)], ["k", "v"]
     )
@@ -201,10 +262,52 @@ def test_plots_and_report(spark, tmp_path):
         plots=[("Line", line), ("Bar", DB.plot_bar(df, "k", "v"))],
         tables=[("Data", df)],
         report_title="T", filename=path,
+        table_options=DB.TableOptions(page_size=25),
     )
     html = open(out).read()
-    assert "Plotly.newPlot('plot0'" in html and "Plotly.newPlot('plot1'" in html
-    assert "<td>a</td>" in html and "T</h1>" in html
+    assert "T</h1>" in html
+    # plot payloads ride in data attributes (cross-filter reads them back)
+    assert html.count("data-plot-data=") == 2
+    assert "id='plot_0'" in html and "id='plot_1'" in html
+    # table payload: column defs + full row data, ag-grid container
+    m = re.search(r"data-row-data='([^']*)'", html)
+    rows = _json.loads(unescape(m.group(1)))
+    assert rows == [{"k": "a", "v": 1.0}, {"k": "b", "v": 3.0},
+                    {"k": "c", "v": 2.0}]
+    m = re.search(r"data-column-defs='([^']*)'", html)
+    defs = _json.loads(unescape(m.group(1)))
+    assert [d["field"] for d in defs] == ["k", "v"]
+    assert all(d["sortable"] and d["filter"] and d["resizable"] for d in defs)
+    m = re.search(r"data-table-options='([^']*)'", html)
+    assert _json.loads(unescape(m.group(1)))["page_size"] == 25
+    assert "agGrid.createGrid" in html and "ag-theme-alpine" in html
+    # cross-filtering + controls + export wiring
+    for needle in ("applyDateFilter",
+                   "doesExternalFilterPass", "plotly_click", "applyFilters",
+                   "toggleGrid()", "resetAllFilters()", "exportToExcel()",
+                   "XLSX.utils.book_new", "forEachNodeAfterFilterAndSort"):
+        assert needle in html, needle
+
+
+def test_report_date_columns_get_date_filter(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("2024-01-01", 1.0)], ["order_date", "v"]
+    ).selectExpr("CAST(order_date AS DATE) AS order_date", "v",
+                 "'2024-01-01' AS date_str")
+    out = DB.create_report(tables=[("D", df)], report_title="D",
+                           filename=str(tmp_path / "d.html"))
+    import json as _json
+    from html import unescape
+
+    html = open(out).read()
+    defs = _json.loads(unescape(
+        re.search(r"data-column-defs='([^']*)'", html).group(1)))
+    by_name = {d["field"]: d for d in defs}
+    # typed DATE and date-named string both get the date filter; plain
+    # numeric keeps the default (reference's Arrow-type switch)
+    assert by_name["order_date"]["filter"] == "agDateColumnFilter"
+    assert by_name["date_str"]["filter"] == "agDateColumnFilter"
+    assert by_name["v"]["filter"] is True
 
 
 # ---------------------------------------------------------------- delta
