@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "q59_time_rollup",        # multi-grain rollup in one shuffle
     "q60_sessionize",         # session_window batch sessionization
     "q61_distinct_sketch",    # mergeable HLL distinct
+    "q62_skew_join_salted",   # 90%-hot-key join via explicit salting
 ]
 
 

@@ -197,6 +197,9 @@ SHUFFLE_BUDGETS = {
     "q57_asof_join": 2,   # right-side dedup agg + the single asof window
     "q58_range_join": 2,  # one exchange per join side on (key, bucket)
     "q59_time_rollup": 1, # all grains in one aggregation exchange
+    # salted join: exchanges on (k, salt) for the big side + the final
+    # agg; the replicated small side broadcasts (no shuffle exchange)
+    "q62_skew_join_salted": 3,
 }
 
 
