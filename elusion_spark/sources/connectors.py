@@ -39,22 +39,23 @@ def _jdbc(url: str, query: str, alias: str, spark: SparkSession | None,
           partition_column: str | None = None, num_partitions: int = 8,
           lower_bound=None, upper_bound=None):
     s = _spark(spark)
-    reader = (
-        s.read.format("jdbc")
-        .option("url", url)
-        .option("query", query)
-        .option("driver", driver)
-    )
-    for k, v in (props or {}).items():
-        reader = reader.option(k, v)
+    reader = s.read.format("jdbc").option("url", url).option("driver", driver)
     if partition_column is not None:
-        # parallel partitioned read — the 100 TB-side of JDBC ingest
+        # parallel partitioned read — the 100 TB side of JDBC ingest.
+        # Spark rejects `query` + `partitionColumn` together; the
+        # partitioned form requires the dbtable option, so the query is
+        # wrapped as a derived table.
         reader = (
-            reader.option("partitionColumn", partition_column)
+            reader.option("dbtable", f"({query}) es_sub")
+            .option("partitionColumn", partition_column)
             .option("numPartitions", num_partitions)
             .option("lowerBound", lower_bound)
             .option("upperBound", upper_bound)
         )
+    else:
+        reader = reader.option("query", query)
+    for k, v in (props or {}).items():
+        reader = reader.option(k, v)
     try:
         return _wrap(reader.load(), alias)
     except Exception as e:

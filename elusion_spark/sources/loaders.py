@@ -339,16 +339,26 @@ def _dedup_headers(cols: list[str]) -> list[str]:
 # ---------------------------------------------------------------------- xml
 
 def load_xml(path: str, alias: str, spark: SparkSession | None = None,
-             row_tag: str | None = None, mode: str = "auto"):
+             row_tag: str | None = None, mode: str = "auto",
+             infer_types: bool = True):
     """features/xml.rs:182-1860: Standard mode (rows = repeated elements,
-    child elements/attributes become string columns) plus the Cartesian
-    header-detail strategy with the reference's auto-detection rule
+    child elements/attributes become columns) plus the reference's
+    multi-element combination strategies with its auto-detection rule
     (xml.rs:1808-1860): a parent whose children include ≥2 DIFFERENT
-    repeated element types → cross-product the groups per parent,
-    prefixing columns with the group tag; exactly one repeated child
-    type → Standard.  Parsing happens driver-side (stdlib etree) —
-    acceptable for the config-file sizes this loader targets; big XML
-    should convert to parquet first."""
+    repeated element types triggers multi-element processing, where the
+    strategy follows the reference heuristic (xml.rs:507-519) —
+    ≥3 groups → ParallelArrays (zip by index, short groups padded),
+    all groups ≤3 members → CartesianProduct, otherwise HeaderDetail
+    (one row per member of the first/primary group).  ``mode`` forces
+    one of 'standard' | 'cartesian' | 'parallel' | 'header_detail'.
+
+    Column types are inferred per the reference rule (xml.rs:1560-1650):
+    all non-empty values parse as i64 → BIGINT, any float → DOUBLE,
+    anything non-numeric → STRING; empty cells are NULL.
+
+    Parsing happens driver-side (stdlib etree) — acceptable for the
+    config-file sizes this loader targets; big XML should convert to
+    parquet first."""
     import xml.etree.ElementTree as ET
     from collections import Counter
 
@@ -358,8 +368,9 @@ def load_xml(path: str, alias: str, spark: SparkSession | None = None,
 
     if mode == "auto" and row_tag is None:
         mode = _detect_xml_mode(root)
-    if mode == "cartesian":
-        rows = _xml_cartesian_rows(root)
+    if mode in ("cartesian", "parallel", "header_detail", "multi"):
+        forced = None if mode == "multi" else mode
+        rows = _xml_multi_rows(root, forced)
     else:
         if row_tag is None:
             counts = Counter(child.tag for child in root)
@@ -379,9 +390,51 @@ def load_xml(path: str, alias: str, spark: SparkSession | None = None,
     if not rows:
         raise LoaderError(f"No rows found in {path}")
     cols = sorted({k for r in rows for k in r})
-    data = [tuple(r.get(c) for c in cols) for r in rows]
-    schema = T.StructType([T.StructField(c, T.StringType()) for c in cols])
+    types = {c: (_infer_xml_column_type([r.get(c) for r in rows])
+                 if infer_types else T.StringType()) for c in cols}
+    data = [
+        tuple(_xml_cast(r.get(c), types[c]) for c in cols) for r in rows
+    ]
+    schema = T.StructType([T.StructField(c, types[c]) for c in cols])
     return _wrap(s.createDataFrame(data, schema), alias)
+
+
+def _infer_xml_column_type(values: list) -> "T.DataType":
+    """xml.rs:1560-1611 per-column vote: every non-empty value i64 →
+    BIGINT; numeric with any float → DOUBLE; else (or all-empty) STRING."""
+    has_int = has_float = False
+    non_empty = 0
+    for v in values:
+        if v is None or str(v).strip() == "":
+            continue
+        non_empty += 1
+        t = str(v).strip()
+        try:
+            int(t)
+            has_int = True
+            continue
+        except ValueError:
+            pass
+        try:
+            float(t)
+            has_float = True
+            continue
+        except ValueError:
+            return T.StringType()
+    if non_empty == 0:
+        return T.StringType()
+    return T.DoubleType() if has_float else (
+        T.LongType() if has_int else T.StringType())
+
+
+def _xml_cast(v, dtype):
+    if v is None or str(v).strip() == "":
+        return None
+    if isinstance(dtype, T.LongType):
+        return int(str(v).strip())
+    if isinstance(dtype, T.DoubleType):
+        return float(str(v).strip())
+    return v
 
 
 def _repeated_child_tags(el) -> list[str]:
@@ -393,20 +446,56 @@ def _repeated_child_tags(el) -> list[str]:
 
 def _detect_xml_mode(root) -> str:
     """xml.rs:1808-1860 decision rule: one parent element type whose
-    instances contain ≥2 distinct repeated child types, each repeating
-    → 'cartesian'; otherwise 'standard'."""
+    instances contain ≥2 distinct repeated child types → multi-element
+    processing (strategy then chosen per parent by the xml.rs:507-519
+    heuristic); otherwise 'standard'."""
     for parent in root.iter():
         if len(_repeated_child_tags(parent)) >= 2:
-            return "cartesian"
+            return "multi"
     return "standard"
 
 
-def _xml_cartesian_rows(root) -> list[dict]:
-    """One output row per element of the cross product of each parent's
-    repeated child groups; scalar children + attributes of the parent
-    repeat onto every row (header-detail flattening).  Columns are
-    ``{group}_{field}`` for group members, plain names for header
-    fields."""
+def _xml_group_members(parent, g: str) -> list[dict]:
+    """Field map per member of one repeated child group: attributes and
+    sub-elements prefixed with the group tag; leaf text under the bare
+    tag name."""
+    members = []
+    for el in parent.findall(g):
+        rec: dict[str, str] = {}
+        for k, v in el.attrib.items():
+            rec[N.normalize_column_name(f"{g}_{k}")] = v
+        if len(el) == 0:
+            rec[N.normalize_column_name(g)] = (el.text or "").strip()
+        for sub in el:
+            rec[N.normalize_column_name(f"{g}_{sub.tag}")] = (
+                sub.text or ""
+            ).strip()
+        members.append(rec)
+    return members
+
+
+def _xml_combination_strategy(group_rows: list[list[dict]]) -> str:
+    """xml.rs:507-519 heuristic: ≥3 element types → parallel arrays (no
+    row explosion), all groups small (≤3 members) → cartesian product,
+    otherwise header-detail."""
+    if len(group_rows) >= 3:
+        return "parallel"
+    if all(len(members) <= 3 for members in group_rows):
+        return "cartesian"
+    return "header_detail"
+
+
+def _xml_multi_rows(root, strategy: str | None = None) -> list[dict]:
+    """Multi-element extraction (xml.rs:665-790): for each parent with
+    ≥2 distinct repeated child groups, combine the groups per the
+    selected strategy; scalar children + attributes of the parent repeat
+    onto every row (header fields).  Columns are ``{group}_{field}`` for
+    group members, plain names for header fields.
+
+    - cartesian: cross product of the groups' members
+    - parallel: zip groups by index, shorter groups padded with NULLs
+    - header_detail: one row per member of the FIRST (primary) group
+    """
     import itertools
 
     rows: list[dict] = []
@@ -420,26 +509,27 @@ def _xml_cartesian_rows(root) -> list[dict]:
         for child in parent:
             if child.tag not in groups and len(child) == 0:
                 header[N.normalize_column_name(child.tag)] = (child.text or "").strip()
-        group_rows: list[list[dict]] = []
-        for g in groups:
-            members = []
-            for el in parent.findall(g):
-                rec: dict[str, str] = {}
-                for k, v in el.attrib.items():
-                    rec[N.normalize_column_name(f"{g}_{k}")] = v
-                if len(el) == 0:
-                    rec[N.normalize_column_name(g)] = (el.text or "").strip()
-                for sub in el:
-                    rec[N.normalize_column_name(f"{g}_{sub.tag}")] = (
-                        sub.text or ""
-                    ).strip()
-                members.append(rec)
-            group_rows.append(members)
-        for combo in itertools.product(*group_rows):
-            out = dict(header)
-            for rec in combo:
+        group_rows = [_xml_group_members(parent, g) for g in groups]
+        strat = strategy or _xml_combination_strategy(group_rows)
+        if strat == "cartesian":
+            for combo in itertools.product(*group_rows):
+                out = dict(header)
+                for rec in combo:
+                    out.update(rec)
+                rows.append(out)
+        elif strat == "parallel":
+            max_len = max((len(m) for m in group_rows), default=0)
+            for i in range(max(max_len, 1)):
+                out = dict(header)
+                for members in group_rows:
+                    if i < len(members):
+                        out.update(members[i])
+                rows.append(out)
+        else:  # header_detail: primary group carries the rows
+            for rec in group_rows[0]:
+                out = dict(header)
                 out.update(rec)
-            rows.append(out)
+                rows.append(out)
     return rows
 
 

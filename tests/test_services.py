@@ -331,6 +331,103 @@ def test_delta_fallback_roundtrip(spark, tmp_path):
     assert load(d, "t2", spark).df.count() == 2
 
 
+# ------------------------------------------------------------------- jdbc
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """The REAL JDBC read path (same code from_postgres/from_mysql use,
+    different driver): Spark ships embedded Derby, so create a database
+    in-JVM and read it back through the connector — plain query AND the
+    partitioned parallel form (which must use dbtable, not query)."""
+    from elusion_spark.sources.connectors import _jdbc
+
+    db = str(tmp_path / "derbydb")
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(
+        f"jdbc:derby:{db};create=true")
+    st = conn.createStatement()
+    st.executeUpdate("CREATE TABLE t (id INT, name VARCHAR(20))")
+    for i, n in [(1, "a"), (2, "b"), (3, "c"), (4, "d")]:
+        st.executeUpdate(f"INSERT INTO t VALUES ({i}, '{n}')")
+    st.close()
+    conn.close()
+
+    url = f"jdbc:derby:{db}"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    out = _jdbc(url, "SELECT id, name FROM t", "jt", spark, drv)
+    rows = sorted((r["id"], r["name"]) for r in out.df.collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+
+    part = _jdbc(url, "SELECT id, name FROM t", "jt2", spark, drv,
+                 partition_column="ID", num_partitions=2,
+                 lower_bound=1, upper_bound=5)
+    assert part.df.rdd.getNumPartitions() == 2
+    assert sorted((r["id"], r["name"]) for r in part.df.collect()) == rows
+
+
+def test_jdbc_missing_driver_is_gated(spark):
+    from elusion_spark.sources.connectors import from_postgres
+
+    with pytest.raises(es.FeatureNotAvailable, match="classpath"):
+        from_postgres("jdbc:postgresql://nohost/db", "SELECT 1", "pg", spark)
+
+
+# ------------------------------------------------------------------ redis
+
+def test_redis_cache_roundtrip_with_fake_client(spark, monkeypatch):
+    """ElusionRedisCache's Arrow-IPC serialize/deserialize + plan-key +
+    TTL logic, exercised against an in-process fake `redis` module (the
+    real client is absent by design — features/redis.rs parity is the
+    wire format and key scheme, which don't need a server to verify)."""
+    import sys
+    import types
+
+    store: dict[str, tuple[bytes, int]] = {}
+
+    class _FakeRedis:
+        def __init__(self, host=None, port=None):
+            pass
+
+        def get(self, key):
+            hit = store.get(key)
+            return hit[0] if hit else None
+
+        def setex(self, key, ttl, blob):
+            store[key] = (blob, ttl)
+
+    fake = types.ModuleType("redis")
+    fake.Redis = _FakeRedis
+    monkeypatch.setitem(sys.modules, "redis", fake)
+
+    from elusion_spark.cache import ElusionRedisCache
+    from elusion_spark.dataframe import CustomDataFrame
+
+    cache = ElusionRedisCache(ttl_seconds=123)
+    df = CustomDataFrame(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), "t")
+    q = df.filter("k > 0").agg(["CAST(COUNT(*) AS BIGINT) AS n"]).group_by_all()
+
+    out1 = cache.get_or_compute(q, "rc1")
+    assert cache.misses == 1 and cache.hits == 0
+    assert [r["n"] for r in out1.collect()] == [2]
+    # value landed as Arrow IPC bytes under the canonical plan key + TTL
+    (key, (blob, ttl)), = store.items()
+    assert key.startswith("elusion:") and ttl == 123
+    import io
+
+    import pyarrow as pa
+
+    table = pa.ipc.open_stream(io.BytesIO(blob)).read_all()
+    assert table.to_pydict() == {"n": [2]}
+
+    # a REBUILT identical query hits (same canonical key) and returns the
+    # deserialized result without recompute
+    q2 = df.filter("k > 0").agg(["CAST(COUNT(*) AS BIGINT) AS n"]).group_by_all()
+    out2 = cache.get_or_compute(q2, "rc2")
+    assert cache.hits == 1
+    assert [r["n"] for r in out2.collect()] == [2]
+    assert cache.stats()["hit_rate"] == 0.5
+
+
 # ------------------------------------------------------------------ xml
 
 def test_xml_standard_mode(spark, tmp_path):
@@ -344,10 +441,32 @@ def test_xml_standard_mode(spark, tmp_path):
     df = load_xml(str(p), "x", spark).df
     assert df.count() == 2
     assert sorted(df.columns) == ["id", "name", "v"]
+    # type inference (xml.rs:1560-1650): all-int column -> BIGINT
+    types = dict(df.dtypes)
+    assert types["v"] == "bigint" and types["id"] == "bigint"
+    assert types["name"] == "string"
+
+
+def test_xml_type_inference_rules(spark, tmp_path):
+    p = tmp_path / "ty.xml"
+    p.write_text(
+        "<d><r><i>1</i><f>1.5</f><m>2</m><s>x</s><e></e></r>"
+        "<r><i>2</i><f>2</f><m>3.5</m><s>1</s><e></e></r></d>"
+    )
+    from elusion_spark.sources.loaders import load_xml
+
+    df = load_xml(str(p), "x", spark).df
+    types = dict(df.dtypes)
+    # ints -> bigint; any float in a numeric column -> double; a single
+    # non-numeric value -> string; all-empty -> string with NULLs
+    assert types == {"i": "bigint", "f": "double", "m": "double",
+                     "s": "string", "e": "string"}
+    assert df.filter("e IS NULL").count() == 2
 
 
 def test_xml_cartesian_auto_detect(spark, tmp_path):
-    # one order with 2 item elements AND 2 payment elements -> 4 rows
+    # one order with 2 item elements AND 2 payment elements (both <=3
+    # members -> cartesian per xml.rs:507-519) -> 4 rows
     p = tmp_path / "hd.xml"
     p.write_text(
         "<orders><order><order_id>7</order_id>"
@@ -362,6 +481,48 @@ def test_xml_cartesian_auto_detect(spark, tmp_path):
     df = load_xml(str(p), "x", spark).df
     rows = [r.asDict() for r in df.collect()]
     assert len(rows) == 4  # 2 items x 2 payments
-    assert all(r["order_id"] == "7" for r in rows)
+    assert all(r["order_id"] == 7 for r in rows)  # inferred BIGINT
     combos = {(r["item_sku"], r["payment_method"]) for r in rows}
     assert combos == {("A", "card"), ("A", "cash"), ("B", "card"), ("B", "cash")}
+
+
+def test_xml_parallel_arrays_strategy(spark, tmp_path):
+    # >=3 distinct repeated groups -> ParallelArrays (zip by index, pad)
+    p = tmp_path / "pa.xml"
+    p.write_text(
+        "<d><rec><k>9</k>"
+        "<a><x>1</x></a><a><x>2</x></a><a><x>3</x></a>"
+        "<b><y>10</y></b><b><y>20</y></b>"
+        "<c><z>100</z></c><c><z>200</z></c><c><z>300</z></c>"
+        "</rec></d>"
+    )
+    from elusion_spark.sources.loaders import load_xml
+
+    df = load_xml(str(p), "x", spark).df
+    rows = sorted([r.asDict() for r in df.collect()],
+                  key=lambda r: r["a_x"])
+    assert len(rows) == 3  # zipped to the longest group, not 3*2*3=18
+    assert [r["a_x"] for r in rows] == [1, 2, 3]
+    assert [r["b_y"] for r in rows] == [10, 20, None]  # padded
+    assert [r["c_z"] for r in rows] == [100, 200, 300]
+    assert all(r["k"] == 9 for r in rows)
+
+
+def test_xml_header_detail_strategy(spark, tmp_path):
+    # 2 groups, one large (>3 members) -> HeaderDetail: rows = primary
+    # (first) group only, header repeated
+    p = tmp_path / "hdl.xml"
+    items = "".join(f"<line><n>{i}</n></line>" for i in range(5))
+    p.write_text(
+        f"<d><doc><doc_id>3</doc_id>{items}"
+        "<note><t>x</t></note><note><t>y</t></note></doc></d>"
+    )
+    from elusion_spark.sources.loaders import load_xml
+
+    df = load_xml(str(p), "x", spark).df
+    rows = [r.asDict() for r in df.collect()]
+    assert len(rows) == 5  # one per primary-group member, no product
+    assert sorted(r["line_n"] for r in rows) == [0, 1, 2, 3, 4]
+    assert all(r["doc_id"] == 3 for r in rows)
+    # forcing cartesian on the same file explodes to 5*2
+    assert load_xml(str(p), "x2", spark, mode="cartesian").df.count() == 10
