@@ -227,3 +227,107 @@ def _run_setop_case(spark, duck, seed):
 @pytest.mark.parametrize("seed", range(12))
 def test_randomized_setops_match_oracle(spark, duck, seed):
     _run_setop_case(spark, duck, seed)
+
+
+# ----------------------------------------------------- HAVING fuzz
+
+def _gen_having_case(rng: random.Random):
+    """HAVING conditions mixing alias refs, raw agg calls (hidden-agg
+    rewrite path), and string literals that CONTAIN agg-call text (the
+    round-2 span-substitution fix)."""
+    table = rng.choice(list(TABLES))
+    key = rng.choice(CATEG[table])
+    num = rng.choice(NUMERIC[table])
+    aggs = [("CAST(COUNT(*) AS BIGINT)", "n"),
+            (f"CAST(MIN({num}) AS DOUBLE)", "mn")]
+    havings = []
+    n_thresh = rng.randint(1, 30)
+    kind = rng.randint(0, 3)
+    if kind == 0:  # alias reference
+        havings.append(f"n > {n_thresh}")
+    elif kind == 1:  # raw agg not in select (hidden agg)
+        havings.append(f"MAX({num}) > {rng.randint(0, 100)}")
+    elif kind == 2:  # raw agg + literal containing agg text
+        havings.append(
+            f"COUNT(*) > {n_thresh} AND 'COUNT(*)' <> 'x'")
+    else:  # mixed alias + raw + arithmetic
+        havings.append(f"n >= {n_thresh} OR SUM({num}) < 0")
+    return table, key, aggs, havings
+
+
+def _run_having_case(spark, duck, seed):
+    from elusion_spark.sources.loaders import load_parquet
+
+    rng = random.Random(seed + 7000)
+    table, key, aggs, havings = _gen_having_case(rng)
+
+    cdf = (
+        load_parquet(f"{SF}/{table}.parquet", "t", spark)
+        .select([key])
+        .agg([f"{e} AS {a}" for e, a in aggs])
+        .group_by_all()
+    )
+    for h in havings:
+        cdf = cdf.having(h)
+    srows = {tuple(sorted(r.asDict().items())) for r in cdf.to_spark().collect()}
+
+    sql = (
+        f"SELECT {key}, {', '.join(f'{e} AS {a}' for e, a in aggs)} "
+        f"FROM {table} GROUP BY {key} HAVING {' AND '.join(havings)}"
+    )
+    cur = duck.execute(sql)
+    cols = [d[0] for d in cur.description]
+    orows = {tuple(sorted(zip(cols, row))) for row in cur.fetchall()}
+    assert srows == orows, (
+        f"seed={seed} table={table} key={key} havings={havings}\n"
+        f"spark-only: {list(srows - orows)[:3]}\n"
+        f"oracle-only: {list(orows - srows)[:3]}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_randomized_having_matches_oracle(spark, duck, seed):
+    _run_having_case(spark, duck, seed)
+
+
+# ------------------------------------------------- null-handling fuzz
+
+def _run_null_case(spark, duck, seed):
+    """fill_null / drop_null on randomly-nulled frames vs DuckDB
+    COALESCE / IS NOT NULL."""
+    from elusion_spark.dataframe import CustomDataFrame
+
+    rng = random.Random(seed + 9000)
+    rows = []
+    for i in range(rng.randint(5, 40)):
+        rows.append((
+            i,
+            None if rng.random() < 0.3 else rng.randint(0, 9),
+            None if rng.random() < 0.3 else rng.choice(["a", "b", "c"]),
+        ))
+    df = spark.createDataFrame(rows, ["id", "num", "cat"])
+    duck.execute("DROP TABLE IF EXISTS fuzz_nulls")
+    duck.execute("CREATE TABLE fuzz_nulls (id BIGINT, num BIGINT, cat VARCHAR)")
+    duck.executemany("INSERT INTO fuzz_nulls VALUES (?, ?, ?)", rows)
+
+    cdf = CustomDataFrame(df, "fz")
+    if rng.random() < 0.5:
+        sentinel = rng.randint(90, 99)
+        out = cdf.fill_null(["num"], sentinel).elusion("fz_fill")
+        sql = (f"SELECT id, COALESCE(num, {sentinel}) AS num, cat "
+               f"FROM fuzz_nulls")
+    else:
+        cols = rng.choice([["num"], ["cat"], ["num", "cat"]])
+        out = cdf.drop_null(cols).elusion("fz_drop")
+        conds = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+        sql = f"SELECT id, num, cat FROM fuzz_nulls WHERE {conds}"
+    srows = {tuple(sorted(r.asDict().items())) for r in out.collect()}
+    cur = duck.execute(sql)
+    cols_ = [d[0] for d in cur.description]
+    orows = {tuple(sorted(zip(cols_, row))) for row in cur.fetchall()}
+    assert srows == orows, f"seed={seed}\nsql={sql}"
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_randomized_null_handling_matches_oracle(spark, duck, seed):
+    _run_null_case(spark, duck, seed)
