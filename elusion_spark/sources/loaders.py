@@ -588,6 +588,34 @@ def load_folder(directory: str, extensions: list[str] | None, alias: str,
                 .option("inferSchema", "true")
                 .csv(files)
             )
+        elif ext == "xml":
+            # driver-side parse per file (same engine as load_xml); the
+            # reference's folder loader supports XML the same way
+            subparts = []
+            for fname in files:
+                sub = load_xml(fname, f"__folder_xml_{len(subparts)}", s).df
+                if add_filename_column:
+                    sub = sub.withColumn(
+                        "filename_added", F.lit(os.path.basename(fname)))
+                subparts.append(sub)
+            d = subparts[0]
+            for sub in subparts[1:]:
+                d = d.unionByName(sub, allowMissingColumns=False)
+            parts.append(d)
+            continue  # filename column already attached per file
+        elif ext in ("xlsx", "xls"):
+            subparts = []
+            for fname in files:
+                sub = load_excel(fname, f"__folder_xlsx_{len(subparts)}", s).df
+                if add_filename_column:
+                    sub = sub.withColumn(
+                        "filename_added", F.lit(os.path.basename(fname)))
+                subparts.append(sub)
+            d = subparts[0]
+            for sub in subparts[1:]:
+                d = d.unionByName(sub, allowMissingColumns=False)
+            parts.append(d)
+            continue
         else:
             d = s.read.json(files)
         d = N.normalize_columns(d)

@@ -352,6 +352,28 @@ def test_folder_loader_with_filename(spark, tmp_path):
     assert all(r["filename_added"] for r in out)
 
 
+def test_folder_loader_xml_files(spark, tmp_path):
+    """Reference load_folder supports XML alongside csv/json/parquet
+    (elusion.rs:6765-7267); driver-parsed per file, filename tracked."""
+    d = tmp_path / "xmlfolder"
+    d.mkdir()
+    for i, name in enumerate(["a.xml", "b.xml"]):
+        (d / name).write_text(
+            f"<root><row><k>{i}</k><v>ten</v></row>"
+            f"<row><k>{i + 10}</k><v>twenty</v></row></root>")
+    from elusion_spark.sources.loaders import load_folder
+
+    cdf = load_folder(str(d), ["xml"], "fx", spark, add_filename_column=True)
+    rows = cdf.df.collect()
+    assert len(rows) == 4
+    assert {r["filename_added"] for r in rows} == {"a.xml", "b.xml"}
+    assert dict(cdf.df.dtypes)["k"] == "bigint"  # inference applies
+    # mixed-format folders still combine (xml + json)
+    (d / "c.json").write_text('[{"k": 99, "v": "x"}]')
+    both = load_folder(str(d), ["xml", "json"], "fm", spark)
+    assert both.df.count() == 5
+
+
 def test_folder_loader_schema_mismatch(spark, tmp_path):
     from elusion_spark.errors import SchemaMismatchError
     from elusion_spark.sources.loaders import load_folder
