@@ -427,13 +427,114 @@ gap:{layout.grid_gap}px}}
     return filename
 
 
-def export_report_to_pdf(html_path: str, pdf_path: str) -> str:
-    """elusion.rs:7990-8039 (headless_chrome render).  Needs a headless
-    chromium or weasyprint — neither ships in this container."""
-    from ..errors import FeatureNotAvailable
+def _pdf_escape(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
-    raise FeatureNotAvailable(
-        "PDF export needs headless chromium (or weasyprint)",
-        "chromium --headless --print-to-pdf=<out> <report.html>, or "
-        "pip install weasyprint && weasyprint report.html out.pdf.",
-    )
+
+def _write_text_pdf(lines: list[str], path: str,
+                    lines_per_page: int = 58) -> None:
+    """Minimal dependency-free PDF writer: Helvetica text lines, one
+    content stream per page, uncompressed (text greppable), correct
+    xref table.  Built from the public PDF 1.4 structure."""
+    pages = [lines[i:i + lines_per_page]
+             for i in range(0, max(len(lines), 1), lines_per_page)]
+    n_pages = len(pages)
+    # object ids: 1 catalog, 2 pages, 3..3+n-1 page objs,
+    # 3+n..3+2n-1 content streams, 3+2n font
+    font_id = 3 + 2 * n_pages
+    objs: dict[int, bytes] = {}
+    kids = " ".join(f"{3 + i} 0 R" for i in range(n_pages))
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
+               ).encode()
+    for i, page_lines in enumerate(pages):
+        objs[3 + i] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {3 + n_pages + i} 0 R "
+            f"/Resources << /Font << /F1 {font_id} 0 R >> >> >>"
+        ).encode()
+        body = "BT /F1 9 Tf 40 750 Td 12 TL\n" + "\n".join(
+            f"({_pdf_escape(ln[:110])}) Tj T*" for ln in page_lines
+        ) + "\nET"
+        stream = body.encode("latin-1", errors="replace")
+        objs[3 + n_pages + i] = (
+            f"<< /Length {len(stream)} >>\nstream\n".encode()
+            + stream + b"\nendstream"
+        )
+    objs[font_id] = (b"<< /Type /Font /Subtype /Type1 "
+                     b"/BaseFont /Helvetica >>")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for oid in sorted(objs):
+        offsets[oid] = len(out)
+        out += f"{oid} 0 obj\n".encode() + objs[oid] + b"\nendobj\n"
+    xref_at = len(out)
+    n_objs = font_id + 1
+    out += f"xref\n0 {n_objs}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for oid in range(1, n_objs):
+        out += f"{offsets[oid]:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {n_objs} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+def _report_tables_as_lines(html: str) -> list[str]:
+    """Pull title, plot titles, and embedded table payloads back out of a
+    generated report (they ride in data attributes)."""
+    import re
+    from html import unescape
+
+    lines: list[str] = []
+    m = re.search(r"<title>(.*?)</title>", html, re.S)
+    if m:
+        lines += [unescape(m.group(1)), ""]
+    for pm in re.finditer(
+            r"<div class='plot-container'.*?<div class='plot-title'>(.*?)</div>",
+            html, re.S):
+        lines.append(f"[plot] {unescape(pm.group(1))} "
+                     f"(interactive — see the HTML report)")
+    for tm in re.finditer(
+            r"data-table-name='([^']*)'.*?data-column-defs='([^']*)'"
+            r".*?data-row-data='([^']*)'", html, re.S):
+        name = unescape(tm.group(1))
+        cols = [d["field"] for d in json.loads(unescape(tm.group(2)))]
+        rows = json.loads(unescape(tm.group(3)))
+        widths = {c: max(len(c), *(len(str(r.get(c))) for r in rows), 1)
+                  if rows else len(c) for c in cols}
+        lines += ["", name,
+                  "  ".join(c.ljust(widths[c]) for c in cols),
+                  "  ".join("-" * widths[c] for c in cols)]
+        for r in rows[:500]:
+            lines.append("  ".join(str(r.get(c)).ljust(widths[c])
+                                   for c in cols))
+        if len(rows) > 500:
+            lines.append(f"... {len(rows) - 500} more rows")
+    return lines
+
+
+def export_report_to_pdf(html_path: str, pdf_path: str) -> str:
+    """elusion.rs:7990-8039 (headless_chrome render).  Uses a headless
+    chromium when one is installed (full-fidelity render, like the
+    reference); otherwise falls back to a dependency-free text PDF of
+    the report's title + tables (plots noted by title) built from the
+    payloads embedded in the HTML."""
+    import shutil
+    import subprocess
+
+    for exe in ("chromium", "chromium-browser", "google-chrome", "chrome"):
+        binpath = shutil.which(exe)
+        if binpath:
+            subprocess.run(
+                [binpath, "--headless", "--disable-gpu",
+                 f"--print-to-pdf={pdf_path}", html_path],
+                check=True, capture_output=True, timeout=120,
+            )
+            return pdf_path
+    lines = _report_tables_as_lines(open(html_path).read())
+    if not lines:
+        lines = ["(report contained no extractable content)"]
+    _write_text_pdf(lines, pdf_path)
+    return pdf_path

@@ -289,6 +289,34 @@ def test_plots_and_report(spark, tmp_path):
         assert needle in html, needle
 
 
+def test_export_report_to_pdf_fallback(spark, tmp_path):
+    """Without chromium, export falls back to a valid dependency-free
+    text PDF of the report's tables (uncompressed streams, so the table
+    values are grep-able in the bytes)."""
+    df = spark.createDataFrame(
+        [("alpha", 1.0), ("beta", 3.0)], ["k", "v"])
+    html = DB.create_report(
+        plots=[("Trend", DB.plot_bar(df, "k", "v"))],
+        tables=[("Data", df)],
+        report_title="PDF test", filename=str(tmp_path / "r.html"))
+    pdf = DB.export_report_to_pdf(html, str(tmp_path / "r.pdf"))
+    raw = open(pdf, "rb").read()
+    assert raw.startswith(b"%PDF-1.4")
+    assert raw.rstrip().endswith(b"%%EOF")
+    assert b"PDF test" in raw and b"alpha" in raw and b"beta" in raw
+    assert b"[plot] Trend" in raw
+    assert raw.count(b"/Type /Page") >= 2  # /Pages + at least one /Page
+    # many rows -> multiple pages
+    big = spark.range(200).selectExpr("CAST(id AS STRING) AS k",
+                                      "CAST(id AS DOUBLE) AS v")
+    html2 = DB.create_report(tables=[("Big", big)],
+                             report_title="Paged",
+                             filename=str(tmp_path / "r2.html"))
+    pdf2 = DB.export_report_to_pdf(html2, str(tmp_path / "r2.pdf"))
+    raw2 = open(pdf2, "rb").read()
+    assert raw2.count(b"/Type /Page ") >= 3  # multi-page
+
+
 def test_report_date_columns_get_date_filter(spark, tmp_path):
     df = spark.createDataFrame(
         [("2024-01-01", 1.0)], ["order_date", "v"]
