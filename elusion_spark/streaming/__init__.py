@@ -10,6 +10,7 @@ from .core import (  # noqa: F401
     run_available_now_update_to_memory,
     running_totals_stateful,
     session_agg,
+    stream_stream_join,
     stream_write_files,
     windowed_agg,
 )

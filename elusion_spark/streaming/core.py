@@ -194,6 +194,41 @@ def enrich_stream(
     return sdf.join(d, on, how)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    left_watermark: str = "10 minutes",
+    right_watermark: str = "10 minutes",
+    max_lag: str = "15 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with an event-time range
+    constraint — the click/impression attribution pattern.
+
+    Both sides carry watermarks and the join condition bounds
+    ``right_ts`` to ``[left_ts, left_ts + max_lag]``, so Spark can
+    evict buffered state once the watermark passes the bound: state is
+    O(key arrival rate × lag window), NOT unbounded.  Outer modes emit
+    the unmatched side only after the watermark closes the bound (late
+    results by design — standard Structured Streaming semantics).
+
+    100 TB note: this is the ONLY join shape that works on two live
+    streams without unbounded buffering; if one side is small/slowly
+    changing, prefer ``enrich_stream`` (broadcast stream-static)."""
+    lw = left.withWatermark(left_ts, left_watermark).alias("l")
+    rw = right.withWatermark(right_ts, right_watermark).alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}")
+           <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_lag}"))
+    )
+    return lw.join(rw, cond, how)
+
+
 def foreach_batch_upsert(
     sdf: DataFrame,
     target_path: str,

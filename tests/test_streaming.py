@@ -135,6 +135,46 @@ def test_foreach_batch_upsert(spark, events_dir, events_schema, tmp_path):
     assert spark.read.parquet(target).count() == n
 
 
+def test_stream_stream_join_matches_batch(spark, events_dir, events_schema):
+    """Watermarked stream-stream interval join converges to the batch
+    interval join once the backlog drains: clicks joined to purchases by
+    the same user within 2 hours after the click."""
+    clicks_s = (ST.read_file_stream(spark, events_dir, events_schema)
+                .filter("event_type = 'click'")
+                .selectExpr("user_id", "ts AS click_ts",
+                            "event_id AS click_id"))
+    buys_s = (ST.read_file_stream(spark, events_dir, events_schema)
+              .filter("event_type = 'purchase'")
+              .selectExpr("user_id AS buyer_id", "ts AS buy_ts",
+                          "event_id AS buy_id"))
+    joined = ST.stream_stream_join(
+        clicks_s, buys_s.withColumnRenamed("buyer_id", "user_id"),
+        on="user_id", left_ts="click_ts", right_ts="buy_ts",
+        left_watermark="1 minute", right_watermark="1 minute",
+        max_lag="2 hours")
+    out = ST.run_available_now_to_memory(joined.select(
+        "l.user_id", "click_id", "buy_id"))
+    got = {(r["user_id"], r["click_id"], r["buy_id"]) for r in out.collect()}
+
+    ev = spark.read.parquet(events_dir)
+    clicks_b = (ev.filter("event_type = 'click'")
+                .selectExpr("user_id", "ts AS click_ts",
+                            "event_id AS click_id"))
+    buys_b = (ev.filter("event_type = 'purchase'")
+              .selectExpr("user_id AS buyer_id", "ts AS buy_ts",
+                          "event_id AS buy_id"))
+    batch = clicks_b.join(
+        buys_b,
+        (clicks_b.user_id == buys_b.buyer_id)
+        & (buys_b.buy_ts >= clicks_b.click_ts)
+        & (buys_b.buy_ts <= clicks_b.click_ts + F.expr("INTERVAL 2 hours")),
+    )
+    want = {(r["user_id"], r["click_id"], r["buy_id"])
+            for r in batch.select("user_id", "click_id", "buy_id").collect()}
+    assert want, "fixture produced no click->purchase pairs"
+    assert got == want
+
+
 def test_foreach_batch_upsert_crash_recovery(spark, events_dir, events_schema,
                                              tmp_path):
     """Simulate a crash between rename-aside and rename-into-place: the
