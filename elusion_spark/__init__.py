@@ -43,11 +43,17 @@ from .cache import (
 )
 from .functions.extract import extract_row_from_df, extract_value_from_df
 from .operators.temporal import asof_join, range_join, time_rollup
+from .operators.decontaminate import (
+    contamination_report,
+    decontaminate,
+)
 from .operators.scale import (
     join_salted,
     repartition_for_join,
     write_bucketed,
 )
+from .operators.similarity import semantic_dedup
+from .operators.text import repetition_signals
 from .pipeline import (
     corpus_stats,
     prepare_training_corpus,
@@ -75,6 +81,10 @@ __version__ = "0.1.0"
 
 __all__ = [
     "CustomDataFrame",
+    "contamination_report",
+    "decontaminate",
+    "repetition_signals",
+    "semantic_dedup",
     "get_spark",
     "load",
     "load_csv",

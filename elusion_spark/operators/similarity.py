@@ -318,3 +318,111 @@ def ivf_search(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------- semdedup
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    cosine_threshold: float = 0.95,
+    n_clusters: int = 16,
+    iters: int = 3,
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+    max_cluster_size: int | None = None,
+    return_removed: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
+    cluster the embeddings, find intra-cluster cosine near-duplicate
+    pairs, and drop every member of a near-dup connected component except
+    its minimum id (the paper keeps a representative per group too, but
+    chooses by centroid distance; min-id is used here so the output is
+    deterministic and cross-engine checkable).
+
+    Candidate generation is cluster-bounded — no all-pairs: the pair join
+    keys on ``cluster_id``, so per-cluster cost is O((N/k)²) and total
+    cost N²/k, tunable by ``n_clusters``.  ``max_cluster_size`` (optional)
+    row_number-caps pathological clusters exactly like the LSH bucket
+    caps in ``dedup.py`` — capped members keep their rows (dedup recall
+    loss, never correctness loss on survivors).  Exact copies always
+    share a cluster (identical vectors → identical argmin centroid), so
+    recall for TRUE duplicates is 1.0 regardless of the k-means fit;
+    near-but-not-identical pairs can straddle a cluster boundary — that
+    is SemDeDup's documented approximation, not a bug here.
+
+    Shuffle budget: assignment is a broadcast argmin scan (no shuffle);
+    one shuffle keys the pair join on cluster_id; connected components
+    adds 2 shuffles per label-propagation round on (id, label) longs.
+    Embedding vectors cross the wire only into the cluster-keyed join —
+    at 100 TB, write the assigned table partitioned by cluster_id first
+    and this becomes a co-located self-join.
+
+    Returns the surviving rows of ``df`` (or the removed ids with their
+    component root when ``return_removed``)."""
+    from pyspark import StorageLevel
+
+    from .dedup import connected_components
+
+    assigned, _ = ivf_build(
+        df, vec_col, dim, nlist=n_clusters,
+        sample_fraction=sample_fraction, iters=iters, seed=seed,
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        norm_expr(vec_col).alias("__norm"),
+        "cluster_id",
+    )
+    if max_cluster_size is not None:
+        from pyspark.sql import Window
+
+        b = (
+            b.withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("cluster_id").orderBy("__id")
+                ),
+            )
+            .filter(F.col("__rn") <= max_cluster_size)
+            .drop("__rn")
+        )
+    b = b.persist(StorageLevel.MEMORY_AND_DISK)
+    l = b.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("va"),
+        F.col("__norm").alias("na"), "cluster_id",
+    )
+    r = b.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("vb"),
+        F.col("__norm").alias("nb"), "cluster_id",
+    )
+    edges = (
+        l.join(r, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.expr(
+                "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                "CAST(0 AS DOUBLE), (a, v) -> a + v) / (na * nb)"
+            ),
+        )
+        .filter(F.col("cosine") >= cosine_threshold)
+        .select("id_a", "id_b")
+    )
+    comps = connected_components(edges)
+    removed = comps.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("__removed_id"),
+        F.col("cluster_id").alias("kept_id"),
+    )
+    if return_removed:
+        return removed.select(
+            F.col("__removed_id").cast("bigint").alias("removed_id"),
+            F.col("kept_id").cast("bigint").alias("kept_id"),
+        )
+    return df.join(
+        removed.select("__removed_id"),
+        df[id_col] == F.col("__removed_id"),
+        "left_anti",
+    )

@@ -222,3 +222,107 @@ def remove_boilerplate_paragraphs(
         )
         .withColumnRenamed("id", id_col)
     )
+
+
+# ------------------------------------------------- repetition signals
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ngram_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ngram_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """Gopher-style intra-document repetition quality signals (Rae et al.
+    2021, table A1; also used by RefinedWeb/Dolma filters).
+
+    Per document:
+    - ``dup_line_frac`` / ``dup_para_frac`` — fraction of lines /
+      paragraphs that are repeats: ``(units - distinct) / units``;
+    - ``dup_line_char_frac`` / ``dup_para_char_frac`` — characters in
+      ALL occurrences of any repeated line / paragraph over total chars;
+    - ``top_{n}gram_char_frac`` (n in ``top_ngram_ns``) — chars covered
+      by the most frequent token n-gram: ``count * len(gram) /
+      total_chars`` (ties: highest count, then longest gram — the value
+      depends only on (count, len), so tie-break order cannot change it);
+    - ``dup_{n}gram_char_frac`` (n in ``dup_ngram_ns``) — ``sum(count *
+      len(gram))`` over n-grams with count > 1, over total chars (the
+      NeMo-Curator-style approximation of Gopher's overlap-aware count;
+      may exceed 1.0 for pathologically repetitive text — callers
+      threshold, they don't sum).
+
+    Scale shape: ONE explode builds every unit kind (lines, paragraphs,
+    all n-gram sizes) in a single narrow pass over the text; ONE shuffle
+    counts (id, kind, gram) groups; ONE shuffle folds per-kind metrics
+    back to a row per document (conditional aggregation, no pivot scan);
+    the per-doc char totals come along inside the exploded rows, so no
+    join back to the corpus is needed.  Grams are bounded-length strings
+    (n <= 10 tokens), so shuffle width is bounded regardless of document
+    size."""
+    toks = f"split(lower(trim({text_col})), ' +')"
+    parts = [
+        f"transform(split({text_col}, '\\n'), "
+        f"x -> struct('line' AS kind, x AS gram))",
+        f"transform(split({text_col}, '\\n{{2,}}'), "
+        f"x -> struct('para' AS kind, x AS gram))",
+    ]
+    all_ns = sorted(set(top_ngram_ns) | set(dup_ngram_ns))
+    for n in all_ns:
+        parts.append(
+            f"CASE WHEN size({toks}) >= {n} THEN "
+            f"transform(sequence(0, size({toks}) - {n}), "
+            f"i -> struct('{n}' AS kind, concat_ws(' ', slice({toks}, i + 1, {n})) AS gram)) "
+            f"ELSE CAST(array() AS ARRAY<STRUCT<kind: STRING, gram: STRING>>) END"
+        )
+    exploded = df.select(
+        F.col(id_col).alias("__id"),
+        F.length(text_col).alias("__tc"),
+        F.explode(F.expr("concat(" + ", ".join(parts) + ")")).alias("__u"),
+    ).select("__id", "__tc", F.col("__u.kind").alias("__kind"),
+             F.col("__u.gram").alias("__gram"))
+    counts = (
+        exploded.groupBy("__id", "__kind", "__gram")
+        .agg(F.count("*").alias("__cnt"), F.first("__tc").alias("__tc"))
+        .withColumn("__glen", F.length("__gram"))
+    )
+    per_kind = (
+        counts.groupBy("__id", "__kind")
+        .agg(
+            F.first("__tc").alias("__tc"),
+            F.sum("__cnt").alias("__units"),
+            F.count("*").alias("__distinct"),
+            F.sum(F.when(F.col("__cnt") > 1,
+                         F.col("__cnt") * F.col("__glen")).otherwise(F.lit(0))
+                  ).alias("__dup_chars"),
+            F.max(F.struct(F.col("__cnt"), F.col("__glen"))).alias("__top"),
+        )
+        .withColumn("__top_chars", F.col("__top.__cnt") * F.col("__top.__glen"))
+    )
+
+    def _frac(kind: str, num_expr):
+        return F.max(F.when(F.col("__kind") == kind, num_expr))
+
+    aggs = []
+    for kind, label in (("line", "line"), ("para", "para")):
+        aggs.append(F.coalesce(_frac(kind,
+            (F.col("__units") - F.col("__distinct")).cast("double")
+            / F.col("__units").cast("double")), F.lit(0.0)
+        ).alias(f"dup_{label}_frac"))
+        aggs.append((F.coalesce(_frac(kind, F.col("__dup_chars").cast("double")),
+                                F.lit(0.0))
+                     / F.first("__tc").cast("double")
+                     ).alias(f"dup_{label}_char_frac"))
+    for n in top_ngram_ns:
+        aggs.append((F.coalesce(_frac(str(n), F.col("__top_chars").cast("double")),
+                                F.lit(0.0))
+                     / F.first("__tc").cast("double")
+                     ).alias(f"top_{n}gram_char_frac"))
+    for n in dup_ngram_ns:
+        aggs.append((F.coalesce(_frac(str(n), F.col("__dup_chars").cast("double")),
+                                F.lit(0.0))
+                     / F.first("__tc").cast("double")
+                     ).alias(f"dup_{n}gram_char_frac"))
+    return (
+        per_kind.groupBy("__id").agg(*aggs)
+        .withColumnRenamed("__id", id_col)
+    )

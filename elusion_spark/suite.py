@@ -1923,6 +1923,158 @@ def q62(spark, sf):
     )
 
 
+_DECON_N = 5
+_DECON_TOKS = "regexp_split_to_array(lower(trim(text)), ' +')"
+
+
+@q(
+    "q63_decontamination",
+    f"""
+    WITH ng AS (
+      SELECT doc_id,
+             CASE WHEN len({_DECON_TOKS}) < {_DECON_N}
+                  THEN [lower(trim(text))]
+                  ELSE list_distinct([array_to_string(
+                         {_DECON_TOKS}[i:i+{_DECON_N - 1}], ' ')
+                       FOR i IN generate_series(1, len({_DECON_TOKS}) - {_DECON_N} + 1)])
+             END AS grams
+      FROM documents),
+    bench AS (SELECT DISTINCT g FROM ng, unnest(grams) AS u(g) WHERE doc_id % 10 = 0),
+    expl AS (SELECT doc_id, len(grams) AS total, g
+             FROM ng, unnest(grams) AS u(g) WHERE doc_id % 10 <> 0),
+    m AS (SELECT doc_id, ANY_VALUE(total) AS total, COUNT(b.g) AS matched
+          FROM expl LEFT JOIN bench b USING (g) GROUP BY doc_id)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(total AS BIGINT) AS n_ngrams,
+           CAST(matched AS BIGINT) AS n_matched,
+           CAST(matched AS DOUBLE) / CAST(total AS DOUBLE) AS contamination
+    FROM m
+    """,
+)
+def q63(spark, sf):
+    """Benchmark decontamination (GPT-3-style n-gram overlap): docs with
+    doc_id % 10 == 0 play the eval set, the rest the training corpus.
+    The planted near-dup families in `documents` produce real signal
+    (several corpus docs are ~100% contaminated).  Gram equality is
+    64-bit xxhash composition Spark-side vs string equality in the
+    oracle — identical up to ~2^-64 collisions.  n=5 (not the published
+    13) because the synthetic docs are 10-99 tokens long."""
+    from .operators import decontaminate as DC
+
+    docs = _t(spark, sf, "documents", "d").df
+    return DC.contamination_report(
+        docs.filter("doc_id % 10 <> 0"),
+        docs.filter("doc_id % 10 = 0"),
+        "doc_id",
+        "text",
+        n=_DECON_N,
+    )
+
+
+_REP_TOP_NS = (2, 3, 4)
+_REP_DUP_NS = (5, 6, 7, 8, 9, 10)
+
+
+def _repetition_oracle() -> str:
+    """DuckDB mirror of text.repetition_signals: same unit construction
+    (lines, blank-line paragraphs, token n-grams with multiplicity), same
+    count/char formulas, division operand order identical for IEEE-exact
+    doubles."""
+    toks = "regexp_split_to_array(lower(trim(text)), ' +')"
+    unit_sels = [
+        "SELECT doc_id, length(text) AS tc, 'line' AS kind, g FROM documents, "
+        "unnest(string_split(text, chr(10))) AS u(g)",
+        "SELECT doc_id, length(text) AS tc, 'para' AS kind, g FROM documents, "
+        "unnest(regexp_split_to_array(text, '\\n{2,}')) AS u(g)",
+    ]
+    for n in sorted(set(_REP_TOP_NS) | set(_REP_DUP_NS)):
+        unit_sels.append(
+            f"SELECT doc_id, length(text) AS tc, '{n}' AS kind, g FROM documents, "
+            f"unnest(CASE WHEN len({toks}) >= {n} THEN "
+            f"[array_to_string({toks}[i:i+{n - 1}], ' ') "
+            f"FOR i IN generate_series(1, len({toks}) - {n} + 1)] "
+            f"ELSE [] END) AS u(g)"
+        )
+    metrics = []
+    for kind in ("line", "para"):
+        metrics.append(
+            f"COALESCE(MAX(CASE WHEN kind='{kind}' THEN "
+            f"CAST(units - n_distinct AS DOUBLE) / CAST(units AS DOUBLE) END), 0.0) "
+            f"AS dup_{kind}_frac"
+        )
+        metrics.append(
+            f"COALESCE(MAX(CASE WHEN kind='{kind}' THEN CAST(dup_chars AS DOUBLE) END), 0.0) "
+            f"/ CAST(ANY_VALUE(tc) AS DOUBLE) AS dup_{kind}_char_frac"
+        )
+    for n in _REP_TOP_NS:
+        metrics.append(
+            f"COALESCE(MAX(CASE WHEN kind='{n}' THEN CAST(top_chars AS DOUBLE) END), 0.0) "
+            f"/ CAST(ANY_VALUE(tc) AS DOUBLE) AS top_{n}gram_char_frac"
+        )
+    for n in _REP_DUP_NS:
+        metrics.append(
+            f"COALESCE(MAX(CASE WHEN kind='{n}' THEN CAST(dup_chars AS DOUBLE) END), 0.0) "
+            f"/ CAST(ANY_VALUE(tc) AS DOUBLE) AS dup_{n}gram_char_frac"
+        )
+    return f"""
+    WITH units AS ({' UNION ALL '.join(unit_sels)}),
+    counts AS (SELECT doc_id, kind, g, ANY_VALUE(tc) AS tc, COUNT(*) AS cnt,
+                      length(g) AS glen
+               FROM units GROUP BY doc_id, kind, g),
+    w AS (SELECT *, MAX(cnt) OVER (PARTITION BY doc_id, kind) AS mc FROM counts),
+    per AS (SELECT doc_id, kind, ANY_VALUE(tc) AS tc, SUM(cnt) AS units,
+                   COUNT(*) AS n_distinct,
+                   SUM(CASE WHEN cnt > 1 THEN cnt * glen ELSE 0 END) AS dup_chars,
+                   ANY_VALUE(mc) * MAX(CASE WHEN cnt = mc THEN glen END) AS top_chars
+            FROM w GROUP BY doc_id, kind)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, {', '.join(metrics)}
+    FROM per GROUP BY doc_id
+    """
+
+
+@q("q64_repetition_signals", _repetition_oracle())
+def q64(spark, sf):
+    """Gopher repetition-quality signals (dup line/para fractions, top
+    2-4-gram char coverage, duplicated 5-10-gram char coverage) over the
+    whole documents table — one explode, two hash shuffles, everything
+    else whole-stage-codegen expressions.  The synthetic docs have no
+    newlines so the line/para signals legitimately collapse to 0.0; the
+    n-gram signals carry real signal (tiny vocabulary -> heavy repeats)."""
+    docs = _t(spark, sf, "documents", "d").df
+    return TX.repetition_signals(
+        docs, "doc_id", "text",
+        top_ngram_ns=_REP_TOP_NS, dup_ngram_ns=_REP_DUP_NS,
+    )
+
+
+@q(
+    "q65_semantic_dedup",
+    """
+    SELECT CAST(vec_id + 1000000 AS BIGINT) AS removed_id,
+           CAST(vec_id AS BIGINT) AS kept_id
+    FROM embeddings WHERE vec_id % 5 = 0
+    """,
+)
+def q65(spark, sf):
+    """SemDeDup over embeddings with planted exact duplicates: every 5th
+    vector is unioned back with id+1e6.  Exact copies always share a
+    k-means cluster (identical argmin), cosine 1.0 >= 0.999, and the
+    natural embeddings are near-orthogonal (max pairwise cosine ~0.51),
+    so the removed set is EXACTLY the planted copies, each keeping its
+    min-id original — the oracle is the construction."""
+    from .operators.similarity import semantic_dedup
+
+    e = _t(spark, sf, "embeddings", "e").df
+    copies = e.filter("vec_id % 5 = 0").select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    both = e.unionByName(copies)
+    return semantic_dedup(
+        both, "vec_id", "embedding", EMB_DIM,
+        cosine_threshold=0.999, n_clusters=8, iters=3,
+        return_removed=True,
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -1939,7 +2091,10 @@ _NEEDS_EVIDENCE = [
     "q30_minhash_pairs", "q31_simhash_pairs", "q32_embedding_near_dup",
     "q33_ivf_topk", "q36_image_decode", "q37_frame_sample",
     "q38_media_features_topk", "q46_training_corpus",
+    # new in round 2 continuation:
+    "q63_decontamination", "q64_repetition_signals", "q65_semantic_dedup",
 ]
+_NEEDS_EVIDENCE = [k for k in _NEEDS_EVIDENCE if k in QUERIES]
 QUERIES = {
     **{k: QUERIES[k] for k in _NEEDS_EVIDENCE},
     **{k: v for k, v in QUERIES.items() if k not in _NEEDS_EVIDENCE},

@@ -712,3 +712,97 @@ def test_write_to_json_streams_without_collect(spark, tmp_path):
     assert json.load(open(str(tmp_path / "empty.json"))) == []
     write_to_json(df.filter("k < 0"), str(tmp_path / "empty_p.json"), pretty=True)
     assert json.load(open(str(tmp_path / "empty_p.json"))) == []
+
+
+# --------------------------------------------------------- decontamination
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    from elusion_spark.operators.decontaminate import (
+        contamination_report, decontaminate)
+
+    bench = spark.createDataFrame(
+        [(100, "the capital of france is paris obviously")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "we know the capital of france is paris obviously right"),
+            (2, "completely unrelated text about spark shuffles and joins"),
+            (3, "the capital of france"),  # shorter than n -> whole-text gram
+        ],
+        ["doc_id", "text"],
+    )
+    rep = {r["doc_id"]: r for r in
+           contamination_report(corpus, bench, "doc_id", "text", n=5).collect()}
+    assert rep[1]["n_matched"] > 0
+    assert rep[2]["n_matched"] == 0
+    assert rep[3]["n_matched"] == 0  # whole-text gram not in benchmark 5-grams
+    assert rep[1]["contamination"] == rep[1]["n_matched"] / rep[1]["n_ngrams"]
+
+    clean = decontaminate(corpus, bench, "doc_id", "text", n=5)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2, 3]
+    assert clean.columns == corpus.columns
+
+    # max_fraction mode: doc 1 is only partially contaminated
+    frac = rep[1]["contamination"]
+    loose = decontaminate(corpus, bench, "doc_id", "text", n=5,
+                          max_fraction=frac + 0.01)
+    assert sorted(r["doc_id"] for r in loose.collect()) == [1, 2, 3]
+
+
+# ------------------------------------------------------- repetition signals
+
+def test_repetition_signals_crafted(spark):
+    from elusion_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),                                   # no repeats
+            (2, "dup line\ndup line\nunique one"),              # repeated line
+            (3, "spam spam spam spam"),                         # heavy 2-gram
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           repetition_signals(df, "doc_id", "text").collect()}
+
+    assert out[1]["dup_line_frac"] == 0.0
+    assert out[1]["dup_5gram_char_frac"] == 0.0
+    # doc 2: 3 lines, 2 identical -> (3-2)/3
+    assert abs(out[2]["dup_line_frac"] - 1 / 3) < 1e-12
+    # chars in both copies of "dup line" (8 chars each) over 28 total
+    assert abs(out[2]["dup_line_char_frac"] - 16 / 28) < 1e-12
+    # doc 3: top 2-gram "spam spam" count 3, len 9, text len 19
+    assert abs(out[3]["top_2gram_char_frac"] - 27 / 19) < 1e-12
+    assert out[3]["dup_line_frac"] == 0.0
+
+
+# ---------------------------------------------------------------- semdedup
+
+def test_semantic_dedup_planted_copies(spark):
+    from elusion_spark.operators.similarity import semantic_dedup
+
+    import math
+    import random
+
+    rng = random.Random(7)
+    dim = 16
+    rows = []
+    for i in range(40):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [x / n for x in v]))
+    # plant exact copies of ids 0..9 as ids 1000..1009
+    rows += [(1000 + i, rows[i][1]) for i in range(10)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    removed = semantic_dedup(df, "vec_id", "embedding", dim,
+                             cosine_threshold=0.999, n_clusters=4,
+                             return_removed=True).collect()
+    assert sorted(r["removed_id"] for r in removed) == list(range(1000, 1010))
+    assert all(r["kept_id"] == r["removed_id"] - 1000 for r in removed)
+
+    kept = semantic_dedup(df, "vec_id", "embedding", dim,
+                          cosine_threshold=0.999, n_clusters=4)
+    assert sorted(r["vec_id"] for r in kept.collect()) == list(range(40))
+    assert kept.columns == df.columns
