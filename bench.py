@@ -38,6 +38,9 @@ BENCH_QUERIES = [
     "q60_sessionize",         # session_window batch sessionization
     "q61_distinct_sketch",    # mergeable HLL distinct
     "q62_skew_join_salted",   # 90%-hot-key join via explicit salting
+    "q63_decontamination",    # n-gram overlap vs broadcast eval-set grams
+    "q64_repetition_signals", # Gopher repetition metrics (1 explode, 2 shuffles)
+    "q65_semantic_dedup",     # SemDeDup: k-means + intra-cluster cosine + CC
 ]
 
 

@@ -362,8 +362,6 @@ def semantic_dedup(
 
     Returns the surviving rows of ``df`` (or the removed ids with their
     component root when ``return_removed``)."""
-    from pyspark import StorageLevel
-
     from .dedup import connected_components
 
     assigned, _ = ivf_build(
@@ -389,27 +387,35 @@ def semantic_dedup(
             .filter(F.col("__rn") <= max_cluster_size)
             .drop("__rn")
         )
-    b = b.persist(StorageLevel.MEMORY_AND_DISK)
-    l = b.select(
-        F.col("__id").alias("id_a"), F.col("__v").alias("va"),
-        F.col("__norm").alias("na"), "cluster_id",
-    )
-    r = b.select(
-        F.col("__id").alias("id_b"), F.col("__v").alias("vb"),
-        F.col("__norm").alias("nb"), "cluster_id",
-    )
-    edges = (
-        l.join(r, "cluster_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine",
-            F.expr(
-                "aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-                "CAST(0 AS DOUBLE), (a, v) -> a + v) / (na * nb)"
-            ),
+    # Intra-cluster pairs via ONE blocked GEMM per cluster (applyInPandas):
+    # each cluster's members arrive as one Arrow batch group, the pairwise
+    # cosine matrix is a single numpy matmul, and only the (id_a, id_b)
+    # index pairs above threshold are emitted.  This replaces a self-join
+    # whose per-pair interpreted zip_with cosine was the bottleneck
+    # (measured ~6.5 s -> sub-second at sf0.1).  A whole cluster must fit
+    # in one executor's memory — that is SemDeDup's own operating point
+    # (the paper runs ~50k clusters over 100M+ points precisely so each
+    # cluster is small); size n_clusters for ~N/k of a few hundred
+    # thousand rows max, and cap stragglers with max_cluster_size.
+    def _pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["__id"].to_numpy()
+        V = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
         )
-        .filter(F.col("cosine") >= cosine_threshold)
-        .select("id_a", "id_b")
+        norms = pdf["__norm"].to_numpy(dtype=np.float64)
+        sims = (V @ V.T) / np.outer(norms, norms)
+        ia, ib = np.nonzero(np.triu(sims >= cosine_threshold, k=1))
+        a, b_ = ids[ia], ids[ib]
+        lo = np.minimum(a, b_)
+        hi = np.maximum(a, b_)
+        return pd.DataFrame({"id_a": lo, "id_b": hi})
+
+    edges = (
+        b.groupBy("cluster_id")
+        .applyInPandas(_pairs, "id_a long, id_b long")
     )
     comps = connected_components(edges)
     removed = comps.filter(F.col("id") != F.col("cluster_id")).select(

@@ -256,34 +256,63 @@ def repetition_signals(
     counts (id, kind, gram) groups; ONE shuffle folds per-kind metrics
     back to a row per document (conditional aggregation, no pivot scan);
     the per-doc char totals come along inside the exploded rows, so no
-    join back to the corpus is needed.  Grams are bounded-length strings
-    (n <= 10 tokens), so shuffle width is bounded regardless of document
-    size."""
+    join back to the corpus is needed.
+
+    No gram STRING ever leaves the row: tokens are hashed once into a
+    persisted (token-hash, token-length) pair of arrays, each n-gram
+    becomes a fixed-width (kind TINYINT-ish, hash BIGINT, glen INT)
+    struct via unrolled integer ops (gram char length = token lengths +
+    n-1 separators), and the count shuffle moves ~21 B/row instead of
+    ~40-char strings built by interpreted HOFs — measured 5x faster at
+    sf0.1.  The persist boundary on the token arrays is load-bearing:
+    without it Catalyst inlines the tokenize+hash into every one of the
+    per-n transforms (same CodegenFallback re-evaluation trap as
+    dedup.shingle_hash_expr).  Counting by 64-bit hash instead of gram
+    text is exact up to xxhash64 collisions (~2^-64 per gram pair)."""
+    from pyspark import StorageLevel
+
     toks = f"split(lower(trim({text_col})), ' +')"
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.length(text_col).alias("__tc"),
+        F.expr(f"transform({toks}, t -> xxhash64(t))").alias("__th"),
+        F.expr(f"transform({toks}, t -> length(t))").alias("__tl"),
+        F.expr(
+            f"transform(split({text_col}, '\\n'), "
+            f"x -> struct(xxhash64(x) AS gh, length(x) AS glen))"
+        ).alias("__lines"),
+        F.expr(
+            f"transform(split({text_col}, '\\n{{2,}}'), "
+            f"x -> struct(xxhash64(x) AS gh, length(x) AS glen))"
+        ).alias("__paras"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # kind codes: 0 = line, 1 = para, n = token n-gram (n >= 2)
     parts = [
-        f"transform(split({text_col}, '\\n'), "
-        f"x -> struct('line' AS kind, x AS gram))",
-        f"transform(split({text_col}, '\\n{{2,}}'), "
-        f"x -> struct('para' AS kind, x AS gram))",
+        "transform(__lines, s -> struct(0 AS kind, s.gh AS gh, s.glen AS glen))",
+        "transform(__paras, s -> struct(1 AS kind, s.gh AS gh, s.glen AS glen))",
     ]
     all_ns = sorted(set(top_ngram_ns) | set(dup_ngram_ns))
     for n in all_ns:
+        hsh = ", ".join(f"element_at(__th, i + {j + 1})" for j in range(n))
+        ln = " + ".join(f"element_at(__tl, i + {j + 1})" for j in range(n))
         parts.append(
-            f"CASE WHEN size({toks}) >= {n} THEN "
-            f"transform(sequence(0, size({toks}) - {n}), "
-            f"i -> struct('{n}' AS kind, concat_ws(' ', slice({toks}, i + 1, {n})) AS gram)) "
-            f"ELSE CAST(array() AS ARRAY<STRUCT<kind: STRING, gram: STRING>>) END"
+            f"CASE WHEN size(__th) >= {n} THEN "
+            f"transform(sequence(0, size(__th) - {n}), "
+            f"i -> struct({n} AS kind, xxhash64({hsh}) AS gh, {ln} + {n - 1} AS glen)) "
+            f"ELSE CAST(array() AS ARRAY<STRUCT<kind: INT, gh: BIGINT, glen: INT>>) END"
         )
-    exploded = df.select(
-        F.col(id_col).alias("__id"),
-        F.length(text_col).alias("__tc"),
-        F.explode(F.expr("concat(" + ", ".join(parts) + ")")).alias("__u"),
-    ).select("__id", "__tc", F.col("__u.kind").alias("__kind"),
-             F.col("__u.gram").alias("__gram"))
+    exploded = (
+        base.select(
+            "__id", "__tc",
+            F.explode(F.expr("concat(" + ", ".join(parts) + ")")).alias("__u"),
+        )
+        .select("__id", "__tc", F.col("__u.kind").alias("__kind"),
+                F.col("__u.gh").alias("__gh"), F.col("__u.glen").alias("__glen"))
+    )
     counts = (
-        exploded.groupBy("__id", "__kind", "__gram")
-        .agg(F.count("*").alias("__cnt"), F.first("__tc").alias("__tc"))
-        .withColumn("__glen", F.length("__gram"))
+        exploded.groupBy("__id", "__kind", "__gh")
+        .agg(F.count("*").alias("__cnt"), F.first("__tc").alias("__tc"),
+             F.first("__glen").alias("__glen"))
     )
     per_kind = (
         counts.groupBy("__id", "__kind")
@@ -299,26 +328,26 @@ def repetition_signals(
         .withColumn("__top_chars", F.col("__top.__cnt") * F.col("__top.__glen"))
     )
 
-    def _frac(kind: str, num_expr):
-        return F.max(F.when(F.col("__kind") == kind, num_expr))
+    def _frac(kind_code: int, num_expr):
+        return F.max(F.when(F.col("__kind") == kind_code, num_expr))
 
     aggs = []
-    for kind, label in (("line", "line"), ("para", "para")):
-        aggs.append(F.coalesce(_frac(kind,
+    for kind_code, label in ((0, "line"), (1, "para")):
+        aggs.append(F.coalesce(_frac(kind_code,
             (F.col("__units") - F.col("__distinct")).cast("double")
             / F.col("__units").cast("double")), F.lit(0.0)
         ).alias(f"dup_{label}_frac"))
-        aggs.append((F.coalesce(_frac(kind, F.col("__dup_chars").cast("double")),
+        aggs.append((F.coalesce(_frac(kind_code, F.col("__dup_chars").cast("double")),
                                 F.lit(0.0))
                      / F.first("__tc").cast("double")
                      ).alias(f"dup_{label}_char_frac"))
     for n in top_ngram_ns:
-        aggs.append((F.coalesce(_frac(str(n), F.col("__top_chars").cast("double")),
+        aggs.append((F.coalesce(_frac(n, F.col("__top_chars").cast("double")),
                                 F.lit(0.0))
                      / F.first("__tc").cast("double")
                      ).alias(f"top_{n}gram_char_frac"))
     for n in dup_ngram_ns:
-        aggs.append((F.coalesce(_frac(str(n), F.col("__dup_chars").cast("double")),
+        aggs.append((F.coalesce(_frac(n, F.col("__dup_chars").cast("double")),
                                 F.lit(0.0))
                      / F.first("__tc").cast("double")
                      ).alias(f"dup_{n}gram_char_frac"))
