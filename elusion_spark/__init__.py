@@ -56,6 +56,7 @@ from .operators.similarity import semantic_dedup
 from .operators.text import repetition_signals
 from .pipeline import (
     corpus_stats,
+    pack_sequences,
     prepare_training_corpus,
     sample_to_token_budget,
     stratified_sample,
@@ -83,6 +84,7 @@ __all__ = [
     "CustomDataFrame",
     "contamination_report",
     "decontaminate",
+    "pack_sequences",
     "repetition_signals",
     "semantic_dedup",
     "get_spark",

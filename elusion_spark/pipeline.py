@@ -153,3 +153,63 @@ def sample_to_token_budget(
         if totals.get(stratum)
     }
     return corpus.sampleBy(strata_col, fractions, seed)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    seq_len: int,
+    shard_col: str | None = None,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Concat-then-chop sequence packing assignment (the standard LLM
+    pre-training layout: documents are concatenated in a deterministic
+    order and sliced into fixed ``seq_len`` windows).
+
+    Adds per-document placement columns: ``shard``, ``start_token`` (the
+    document's offset in its shard's concatenated stream), ``end_token``
+    (exclusive), and ``first_seq`` / ``last_seq`` — the range of
+    ``seq_len``-sized training sequences the document's tokens land in.
+    A document may span sequences (chopped mid-document, as real packing
+    does) — callers wanting no-split packing should filter or pre-chunk
+    overlong documents first.
+
+    Scale shape: ONE window cumulative sum per shard, documents ordered
+    by ``id_col`` within shard — deterministic regardless of input
+    partitioning.  Each shard sorts independently, so parallelism =
+    ``n_shards`` (size shards so one shard's (id, count) pairs sort
+    comfortably in a task — the window carries two longs per doc, not
+    text).  With ``shard_col=None`` documents are sharded by
+    ``id % n_shards``: stable across engines and runs, and the modulo
+    spreads adjacent ids evenly."""
+    from pyspark.sql import Window
+
+    shard = (
+        F.col(shard_col)
+        if shard_col is not None
+        else (F.col(id_col) % F.lit(n_shards))
+    ).cast("bigint").alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.select("*", shard)
+        .withColumn(
+            "start_token",
+            F.coalesce(F.sum(token_count_col).over(w), F.lit(0)).cast("bigint"),
+        )
+        .withColumn(
+            "end_token",
+            (F.col("start_token") + F.col(token_count_col)).cast("bigint"),
+        )
+        .withColumn(
+            "first_seq", F.floor(F.col("start_token") / seq_len).cast("bigint")
+        )
+        .withColumn(
+            "last_seq",
+            F.floor((F.col("end_token") - 1) / seq_len).cast("bigint"),
+        )
+    )

@@ -2075,6 +2075,48 @@ def q65(spark, sf):
     )
 
 
+_TOKCNT = (
+    "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS BIGINT)"
+)
+
+
+@q(
+    "q66_pack_sequences",
+    f"""
+    WITH t AS (SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+                      {_TOKCNT} AS n_tokens
+               FROM documents),
+    w AS (SELECT doc_id, shard, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_token
+          FROM t)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, shard,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(start_token AS BIGINT) AS start_token,
+           CAST(start_token + n_tokens AS BIGINT) AS end_token,
+           CAST(start_token // 512 AS BIGINT) AS first_seq,
+           CAST((start_token + n_tokens - 1) // 512 AS BIGINT) AS last_seq
+    FROM w
+    """,
+)
+def q66(spark, sf):
+    """Concat-then-chop sequence packing: whitespace token counts, 8
+    shards by doc_id % 8, per-shard cumulative offsets, 512-token
+    training sequences.  The window cumsum is the whole operator —
+    deterministic by (shard, doc_id) order on both engines."""
+    from .pipeline import pack_sequences
+
+    docs = _t(spark, sf, "documents", "d").df
+    prepared = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        TX.token_count("text").alias("n_tokens"),
+    )
+    return pack_sequences(
+        prepared, "doc_id", "n_tokens", seq_len=512, n_shards=8
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -2093,6 +2135,7 @@ _NEEDS_EVIDENCE = [
     "q38_media_features_topk", "q46_training_corpus",
     # new in round 2 continuation:
     "q63_decontamination", "q64_repetition_signals", "q65_semantic_dedup",
+    "q66_pack_sequences",
 ]
 _NEEDS_EVIDENCE = [k for k in _NEEDS_EVIDENCE if k in QUERIES]
 QUERIES = {

@@ -806,3 +806,31 @@ def test_semantic_dedup_planted_copies(spark):
                           cosine_threshold=0.999, n_clusters=4)
     assert sorted(r["vec_id"] for r in kept.collect()) == list(range(40))
     assert kept.columns == df.columns
+
+
+# ------------------------------------------------------- sequence packing
+
+def test_pack_sequences_offsets_and_spans(spark):
+    from elusion_spark.pipeline import pack_sequences
+
+    df = spark.createDataFrame(
+        [(0, 300), (2, 300), (4, 100), (1, 50)],  # ids 0,2,4 -> shard 0; 1 -> shard 1
+        ["doc_id", "n_tokens"],
+    )
+    out = {r["doc_id"]: r for r in
+           pack_sequences(df, "doc_id", "n_tokens", seq_len=256,
+                          n_shards=2).collect()}
+    # shard 0 stream: doc 0 [0,300), doc 2 [300,600), doc 4 [600,700)
+    assert (out[0]["shard"], out[0]["start_token"], out[0]["end_token"]) == (0, 0, 300)
+    assert (out[0]["first_seq"], out[0]["last_seq"]) == (0, 1)   # spans the chop
+    assert (out[2]["start_token"], out[2]["first_seq"], out[2]["last_seq"]) == (300, 1, 2)
+    assert (out[4]["start_token"], out[4]["first_seq"], out[4]["last_seq"]) == (600, 2, 2)
+    # shard 1 independent stream
+    assert (out[1]["shard"], out[1]["start_token"], out[1]["first_seq"]) == (1, 0, 0)
+
+    # explicit shard column wins over id-modulo sharding
+    df2 = df.withColumn("grp", df["doc_id"] * 0)
+    out2 = pack_sequences(df2, "doc_id", "n_tokens", seq_len=256,
+                          shard_col="grp").collect()
+    assert {r["shard"] for r in out2} == {0}
+    assert sorted(r["start_token"] for r in out2) == [0, 300, 350, 650]
