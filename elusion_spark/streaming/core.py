@@ -61,6 +61,21 @@ def read_rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFra
 
 # --------------------------------------------------------------- operators
 
+def _with_event_time(sdf: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require a TIMESTAMP (LTZ) event-time column; parquet
+    schema inference often yields TIMESTAMP_NTZ, on which ``withWatermark``
+    raises ``EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE``.  Cast in place when
+    needed — the session timezone is pinned to UTC (session.py), so the
+    NTZ→LTZ cast preserves wall-clock values exactly."""
+    try:
+        field = sdf.schema[ts_col]
+    except Exception:
+        return sdf
+    if isinstance(field.dataType, T.TimestampNTZType):
+        return sdf.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return sdf
+
+
 def windowed_agg(
     sdf: DataFrame,
     ts_col: str,
@@ -82,7 +97,7 @@ def windowed_agg(
         else F.window(ts_col, window_duration)
     )
     grouped = (
-        sdf.withWatermark(ts_col, watermark_delay)
+        _with_event_time(sdf, ts_col).withWatermark(ts_col, watermark_delay)
         .groupBy(w.alias("window"), *[F.col(k) for k in (keys or [])])
     )
     return grouped.agg(
@@ -107,7 +122,7 @@ def session_agg(
     ``gap`` of inactivity per key) — Spark's built-in session_window, no
     custom state needed."""
     grouped = (
-        sdf.withWatermark(ts_col, watermark_delay)
+        _with_event_time(sdf, ts_col).withWatermark(ts_col, watermark_delay)
         .groupBy(
             F.session_window(F.col(ts_col), gap).alias("session"),
             *[F.col(k) for k in keys],
@@ -132,9 +147,9 @@ def dedup_stream(
     """Streaming exact dedup within the watermark horizon —
     ``dropDuplicatesWithinWatermark`` keeps the state store bounded
     (a plain dropDuplicates on a stream retains keys forever)."""
-    return sdf.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
-        keys
-    )
+    return _with_event_time(sdf, ts_col).withWatermark(
+        ts_col, watermark_delay
+    ).dropDuplicatesWithinWatermark(keys)
 
 
 def running_totals_stateful(
@@ -218,8 +233,10 @@ def stream_stream_join(
     100 TB note: this is the ONLY join shape that works on two live
     streams without unbounded buffering; if one side is small/slowly
     changing, prefer ``enrich_stream`` (broadcast stream-static)."""
-    lw = left.withWatermark(left_ts, left_watermark).alias("l")
-    rw = right.withWatermark(right_ts, right_watermark).alias("r")
+    lw = (_with_event_time(left, left_ts)
+          .withWatermark(left_ts, left_watermark).alias("l"))
+    rw = (_with_event_time(right, right_ts)
+          .withWatermark(right_ts, right_watermark).alias("r"))
     cond = (
         (F.col(f"l.{on}") == F.col(f"r.{on}"))
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
