@@ -251,64 +251,97 @@ def repetition_signals(
       may exceed 1.0 for pathologically repetitive text — callers
       threshold, they don't sum).
 
-    Scale shape: ONE explode builds every unit kind (lines, paragraphs,
-    all n-gram sizes) in a single narrow pass over the text; ONE shuffle
-    counts (id, kind, gram) groups; ONE shuffle folds per-kind metrics
-    back to a row per document (conditional aggregation, no pivot scan);
-    the per-doc char totals come along inside the exploded rows, so no
-    join back to the corpus is needed.
+    Scale shape — everything in the hot path is whole-stage codegen, no
+    interpreted higher-order functions, no persist:
 
-    No gram STRING ever leaves the row: tokens are hashed once into a
-    persisted (token-hash, token-length) pair of arrays, each n-gram
-    becomes a fixed-width (kind TINYINT-ish, hash BIGINT, glen INT)
-    struct via unrolled integer ops (gram char length = token lengths +
-    n-1 separators), and the count shuffle moves ~21 B/row instead of
-    ~40-char strings built by interpreted HOFs — measured 5x faster at
-    sf0.1.  The persist boundary on the token arrays is load-bearing:
-    without it Catalyst inlines the tokenize+hash into every one of the
-    per-n transforms (same CodegenFallback re-evaluation trap as
-    dedup.shingle_hash_expr).  Counting by 64-bit hash instead of gram
-    text is exact up to xxhash64 collisions (~2^-64 per gram pair)."""
-    from pyspark import StorageLevel
+    1. ``posexplode`` the token array into (id, pos, token-hash,
+       token-length) rows — tokens are hashed/measured ONCE, at the
+       explode, and the text itself never leaves the scan stage;
+    2. one window shuffle on the id: ``lead(pos, j)`` pulls the next
+       ``max(n)-1`` token hashes/lengths alongside each row, so every
+       n-gram is a fixed-width multi-arg ``xxhash64`` + integer sum —
+       straight-line generated code, zero per-element boxing (the
+       previous ``transform``-lambda formulation was CodegenFallback:
+       it allocated ~20 boxed values per gram, and the resulting GC
+       pressure made warm runs swing 2-18 s at sf0.1);
+    3. ``stack`` fans each token row out to one row per n, tail
+       positions (NULL lead ⇒ NULL glen) filtered out;
+    4. line/paragraph units come from a separate cheap explode (orders
+       of magnitude fewer units than token n-grams), unioned in before
+       the count;
+    5. ONE shuffle counts (id, kind, gram-hash) groups; two more tiny
+       shuffles fold per-kind metrics to a row per document.  Per-doc
+       char totals travel inside the rows — no join back to the corpus.
 
+    No gram STRING ever leaves the row: the count shuffle moves a
+    (kind INT, hash BIGINT, glen INT) triple instead of ~40-char gram
+    strings.  Counting by 64-bit hash instead of gram text is exact up
+    to xxhash64 collisions (~2^-64 per gram pair)."""
+    from pyspark.sql.window import Window
+
+    all_ns = sorted(set(top_ngram_ns) | set(dup_ngram_ns))
+    max_lead = max(all_ns) - 1
     toks = f"split(lower(trim({text_col})), ' +')"
-    base = df.select(
+
+    tok = df.select(
         F.col(id_col).alias("__id"),
         F.length(text_col).alias("__tc"),
-        F.expr(f"transform({toks}, t -> xxhash64(t))").alias("__th"),
-        F.expr(f"transform({toks}, t -> length(t))").alias("__tl"),
-        F.expr(
-            f"transform(split({text_col}, '\\n'), "
-            f"x -> struct(xxhash64(x) AS gh, length(x) AS glen))"
-        ).alias("__lines"),
-        F.expr(
-            f"transform(split({text_col}, '\\n{{2,}}'), "
-            f"x -> struct(xxhash64(x) AS gh, length(x) AS glen))"
-        ).alias("__paras"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    # kind codes: 0 = line, 1 = para, n = token n-gram (n >= 2)
-    parts = [
-        "transform(__lines, s -> struct(0 AS kind, s.gh AS gh, s.glen AS glen))",
-        "transform(__paras, s -> struct(1 AS kind, s.gh AS gh, s.glen AS glen))",
-    ]
-    all_ns = sorted(set(top_ngram_ns) | set(dup_ngram_ns))
+        F.posexplode(F.expr(toks)).alias("__pos", "__t"),
+    ).select(
+        "__id", "__tc", "__pos",
+        F.xxhash64("__t").alias("__h0"),
+        F.length("__t").alias("__l0"),
+    )
+    # The n-gram stage is compute-heavy per shuffle byte (9 multi-arg
+    # hashes per token row), so AQE's size-based coalescing starves it
+    # (it shrank this stage to 3 tasks at sf0.1 — measured 2x slower).
+    # An explicit numPartitions repartition is exempt from AQE coalesce
+    # and satisfies the window's clustering, so the window adds no
+    # further exchange — one shuffle total for the hot stage.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    tok = tok.repartition(par, "__id")
+    w = Window.partitionBy("__id").orderBy("__pos")
+    for j in range(1, max_lead + 1):
+        tok = tok.withColumn(f"__h{j}", F.lead("__h0", j).over(w))
+        tok = tok.withColumn(f"__l{j}", F.lead("__l0", j).over(w))
+    # one stack row per n-gram size; NULL lead at the tail => NULL glen
+    # (integer + NULL), filtered below.  NOTE: xxhash64 skips NULL args
+    # rather than returning NULL, so the glen-NULL filter is what keeps
+    # truncated tail grams out of the counts.
+    stack_args = []
     for n in all_ns:
-        hsh = ", ".join(f"element_at(__th, i + {j + 1})" for j in range(n))
-        ln = " + ".join(f"element_at(__tl, i + {j + 1})" for j in range(n))
-        parts.append(
-            f"CASE WHEN size(__th) >= {n} THEN "
-            f"transform(sequence(0, size(__th) - {n}), "
-            f"i -> struct({n} AS kind, xxhash64({hsh}) AS gh, {ln} + {n - 1} AS glen)) "
-            f"ELSE CAST(array() AS ARRAY<STRUCT<kind: INT, gh: BIGINT, glen: INT>>) END"
-        )
-    exploded = (
-        base.select(
+        hsh = ", ".join(f"__h{j}" for j in range(n))
+        ln = " + ".join(f"__l{j}" for j in range(n))
+        stack_args.append(f"{n}, xxhash64({hsh}), {ln} + {n - 1}")
+    gram_units = (
+        tok.select(
             "__id", "__tc",
-            F.explode(F.expr("concat(" + ", ".join(parts) + ")")).alias("__u"),
+            F.expr(
+                f"stack({len(all_ns)}, {', '.join(stack_args)}) "
+                f"AS (__kind, __gh, __glen)"
+            ),
+        )
+        .filter(F.col("__glen").isNotNull())
+    )
+    # kind codes: 0 = line, 1 = para, n = token n-gram (n >= 2).  The
+    # line/para pass still uses a transform lambda, but over ~1-2 units
+    # per doc it is noise next to the token-gram volume.
+    lp_units = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.length(text_col).alias("__tc"),
+            F.explode(F.expr(
+                f"concat("
+                f"transform(split({text_col}, '\\n'), "
+                f"x -> struct(0 AS kind, xxhash64(x) AS gh, length(x) AS glen)), "
+                f"transform(split({text_col}, '\\n{{2,}}'), "
+                f"x -> struct(1 AS kind, xxhash64(x) AS gh, length(x) AS glen)))"
+            )).alias("__u"),
         )
         .select("__id", "__tc", F.col("__u.kind").alias("__kind"),
                 F.col("__u.gh").alias("__gh"), F.col("__u.glen").alias("__glen"))
     )
+    exploded = gram_units.unionByName(lp_units)
     counts = (
         exploded.groupBy("__id", "__kind", "__gh")
         .agg(F.count("*").alias("__cnt"), F.first("__tc").alias("__tc"),

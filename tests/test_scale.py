@@ -200,6 +200,10 @@ SHUFFLE_BUDGETS = {
     # salted join: exchanges on (k, salt) for the big side + the final
     # agg; the replicated small side broadcasts (no shuffle exchange)
     "q62_skew_join_salted": 3,
+    # repetition signals: explicit repartition feeding the lead-window
+    # stage (AQE-coalesce-exempt, keeps the hash-heavy stage wide) +
+    # (id,kind,gh) count + per-kind fold + per-doc fold
+    "q64_repetition_signals": 4,
 }
 
 
