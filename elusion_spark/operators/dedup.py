@@ -410,25 +410,47 @@ def ngram_jaccard_vs_reference(
 def connected_components(
     pairs: DataFrame,
     max_iterations: int = 10,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Resolve duplicate-pair edges into clusters: (id, cluster_id) with
-    cluster_id = min member id.  Iterative min-label propagation — each
-    round is one join + one min-aggregate (2 shuffles), converging in
-    O(cluster diameter) rounds; near-dup clusters are shallow (template
-    families), so the default cap is generous.  Each round's labels are
+    cluster_id = min member id.
+
+    Strategy is size-adaptive, the same way Spark picks broadcast vs
+    shuffle joins: edge sets at or below ``driver_max_edges`` (2M edges
+    ≈ 32 MB — same order as the broadcast-join threshold) are collected
+    and resolved with a driver-side union-find in one job; larger sets
+    run iterative min-label propagation — each round is one join + one
+    min-aggregate, converging in O(cluster diameter) rounds.  Dedup edge
+    sets are overwhelmingly small relative to the corpus (they are the
+    *output* of banding/blocking), so the driver path is the common case
+    and saves ~1 s/round of pure multi-stage scheduling latency; the
+    distributed path is the 100 TB safety net.  Set
+    ``driver_max_edges=0`` to force the distributed path.
+
+    Distributed path details: each round's labels are
     ``localCheckpoint``ed — iterative algorithms MUST truncate lineage or
     the analyzed plan doubles per round (minutes of driver time by round
-    ~8); convergence is a cheap count on changed labels.
-
-    100 TB note: this is the standard label-propagation CC; for graphs
-    with pathological diameter switch to star-contraction — dedup edge
-    sets don't need it."""
+    ~8).  The checkpoint is *lazy*: the convergence count is the action
+    that materializes it, so each round costs exactly ONE job.  For
+    graphs with pathological diameter switch to star-contraction — dedup
+    edge sets don't need it."""
     from pyspark import StorageLevel
 
     edges = pairs.select(
         F.col("id_a").cast("bigint").alias("src"),
         F.col("id_b").cast("bigint").alias("dst"),
     )
+    if driver_max_edges > 0:
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        # one-job size probe + fetch: grab up to the gate + 1 rows; if we
+        # got them all, resolve right here without ever touching the
+        # distributed machinery (a separate count() was a second job, and
+        # toLocalIterator fetched partitions sequentially — both slower)
+        probe = edges.limit(driver_max_edges + 1).collect()
+        if len(probe) <= driver_max_edges:
+            result = _driver_union_find(edges.sparkSession, probe)
+            edges.unpersist()
+            return result
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -452,14 +474,53 @@ def connected_components(
                 (F.col("nmin") < F.col("label")).alias("__changed"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
+        # lazy checkpoint: the count below materializes it in the same job
+        new_labels = new_labels.localCheckpoint(eager=False)
         changed = new_labels.filter("__changed").count()
         labels.unpersist()
         labels = new_labels.drop("__changed")
         if changed == 0:
             break
     sym.unpersist()
+    if driver_max_edges > 0:
+        edges.unpersist()
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def _driver_union_find(spark, edge_rows) -> DataFrame:
+    """Exact union-find (path compression + union by root order) over a
+    collected edge list; labels every touched id with its component's
+    minimum id.  Only ever called on a size-gated edge set."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in edge_rows:
+        a, b = row[0], row[1]
+        if a is None or b is None:
+            continue
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:  # attach the larger root under the smaller
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    if not parent:
+        return spark.createDataFrame([], "id long, cluster_id long")
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"id": list(parent), "cluster_id": [find(x) for x in parent]}
+    )
+    return spark.createDataFrame(pdf.astype("int64"), "id long, cluster_id long")
 
 
 def dedup_keep_cluster_min(

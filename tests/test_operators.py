@@ -441,6 +441,22 @@ def test_connected_components_long_chain(spark):
     assert len(cc) == 13
 
 
+def test_connected_components_distributed_path(spark):
+    """driver_max_edges=0 forces the label-propagation path; it must
+    agree exactly with the driver union-find on the same graph."""
+    from elusion_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(12)] + [(100, 101), (101, 102), (200, 201)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    dist = {r["id"]: r["cluster_id"]
+            for r in connected_components(
+                pairs, max_iterations=20, driver_max_edges=0).collect()}
+    drv = {r["id"]: r["cluster_id"]
+           for r in connected_components(pairs, max_iterations=20).collect()}
+    assert dist == drv
+    assert dist[102] == 100 and dist[201] == 200 and dist[12] == 0
+
+
 def test_prepare_training_corpus_end_to_end(spark, tmp_path):
     from elusion_spark.pipeline import (
         corpus_stats,
