@@ -67,6 +67,38 @@ def _as_list(x) -> list:
     return [x]
 
 
+def _mark_join_equi_keys(
+    conditions: list[str], right_alias: str
+) -> tuple[list[str], list[str]] | None:
+    """Classify a LEFT MARK join's conditions: when EVERY condition is a
+    single ``left_expr = right_expr`` equality whose right side is
+    qualified by ``right_alias``, return (left_exprs, right_exprs) so the
+    join can run as one pass against a distinct key projection; any
+    non-equi / OR / ambiguous condition returns None (caller falls back
+    to the exact semi ∪ anti emulation)."""
+    lefts: list[str] = []
+    rights: list[str] = []
+    prefix = right_alias.lower() + "."
+    for c in conditions:
+        low = c.lower()
+        if any(op in low for op in ("<=", ">=", "!=", "<>", "<", ">", " or ", " in ")):
+            return None
+        parts = c.split("=")
+        if len(parts) != 2:
+            return None
+        a, b = parts[0].strip(), parts[1].strip()
+        a_right = a.lower().startswith(prefix)
+        b_right = b.lower().startswith(prefix)
+        if a_right == b_right:  # both or neither on the right side
+            return None
+        left, right = (b, a) if a_right else (a, b)
+        if prefix in left.lower():  # left expr still references the right table
+            return None
+        lefts.append(left)
+        rights.append(right)
+    return lefts, rights
+
+
 class CustomDataFrame:
     """Order-insensitive query builder over a lazy Spark DataFrame."""
 
@@ -422,14 +454,48 @@ class CustomDataFrame:
             elif how == "right_anti":
                 cur = right.join(cur, F.expr(cond), "left_anti")
             elif how == "left_mark":
-                # exact emulation: semi ∪ anti with a boolean mark column
-                matched = cur.join(right, F.expr(cond), "left_semi").withColumn(
-                    "mark", F.lit(True)
-                )
-                unmatched = cur.join(right, F.expr(cond), "left_anti").withColumn(
-                    "mark", F.lit(False)
-                )
-                cur = matched.unionAll(unmatched)
+                # Pure-equality conditions take a single-pass plan: left
+                # join against the DISTINCT right-side key projection plus
+                # a constant flag, then coalesce(mark, false).  Distinct
+                # keys guarantee at most one match per left row, so no
+                # duplication — and the (potentially huge) right side is
+                # scanned once, not twice.  Non-equi / OR conditions fall
+                # back to the exact semi ∪ anti emulation.
+                keys = _mark_join_equi_keys(j.conditions, j.other.table_alias)
+                if keys is not None:
+                    lefts, rights = keys
+                    rk = (
+                        right_df.alias(j.other.table_alias)
+                        .select(*[
+                            F.expr(N.normalize_expression(r)).alias(f"__mk{i}")
+                            for i, r in enumerate(rights)
+                        ])
+                        .distinct()
+                        .withColumn("mark", F.lit(True))
+                    )
+                    if j.other._broadcast:
+                        rk = F.broadcast(rk)
+                    jcond = None
+                    for i, l in enumerate(lefts):
+                        c_i = (
+                            F.expr(N.normalize_expression(l))
+                            == F.col(f"__mk{i}")
+                        )
+                        jcond = c_i if jcond is None else (jcond & c_i)
+                    cur = (
+                        cur.join(rk, jcond, "left")
+                        .withColumn("mark", F.coalesce("mark", F.lit(False)))
+                        .drop(*[f"__mk{i}" for i in range(len(lefts))])
+                    )
+                else:
+                    # exact emulation: semi ∪ anti with a boolean mark
+                    matched = cur.join(right, F.expr(cond), "left_semi").withColumn(
+                        "mark", F.lit(True)
+                    )
+                    unmatched = cur.join(right, F.expr(cond), "left_anti").withColumn(
+                        "mark", F.lit(False)
+                    )
+                    cur = matched.unionAll(unmatched)
             else:
                 cur = cur.join(right, F.expr(cond), how)
 

@@ -207,6 +207,26 @@ SHUFFLE_BUDGETS = {
 }
 
 
+def test_left_mark_single_join_plan(spark):
+    """Equi-condition LEFT MARK runs as ONE join against a distinct key
+    projection (not the semi ∪ anti double scan — VERDICT r2 #5), and a
+    non-equi condition still falls back to the exact two-join emulation."""
+    from elusion_spark.suite import QUERIES
+
+    df = QUERIES["q55_left_mark"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") == 1, plan
+    assert "Union" not in plan
+
+    # fallback path: non-equi mark condition keeps semi ∪ anti
+    from elusion_spark.dataframe import _mark_join_equi_keys
+
+    assert _mark_join_equi_keys(["c.k = o.k", "o.v > 10"], "o") is None
+    assert _mark_join_equi_keys(["c.k = o.k"], "o") == (["c.k"], ["o.k"])
+    assert _mark_join_equi_keys(["o.k = c.k"], "o") == (["c.k"], ["o.k"])
+    assert _mark_join_equi_keys(["c.a = c.b"], "o") is None
+
+
 @pytest.mark.parametrize("name,budget", sorted(SHUFFLE_BUDGETS.items()))
 def test_shuffle_budgets(spark, name, budget):
     from elusion_spark.suite import QUERIES
