@@ -2125,17 +2125,21 @@ def q66(spark, sf):
 # keep their round-1 evidence even if they fall past a cap.
 # ---------------------------------------------------------------------
 _NEEDS_EVIDENCE = [
-    "q51_percentiles", "q52_audio_decode", "q53_corpus_boilerplate",
-    "q54_date_bin", "q55_left_mark", "q56_semi_anti", "q57_asof_join",
-    "q58_range_join", "q59_time_rollup", "q60_sessionize",
-    "q61_distinct_sketch",
-    # converted from rows-only to oracle-checked in round 2:
-    "q30_minhash_pairs", "q31_simhash_pairs", "q32_embedding_near_dup",
-    "q33_ivf_topk", "q36_image_decode", "q37_frame_sample",
-    "q38_media_features_topk", "q46_training_corpus",
-    # new in round 2 continuation:
-    "q63_decontamination", "q64_repetition_signals", "q65_semantic_dedup",
-    "q66_pack_sequences",
+    # Round-3 rotation (VERDICT r2 #4): the 16 queries with no green row
+    # in CORRECTNESS_r02 lead — q62 has never been in a driver window,
+    # the rest were last driver-checked in round 1.
+    "q62_skew_join_salted",
+    "q28_calendar", "q29_json_extract", "q34_quality_fingerprint",
+    "q35_media_kinds", "q39_string_functions", "q40_datetime_functions",
+    "q41_math_functions", "q42_union_all_append",
+    "q43_drop_duplicates_by_col", "q44_window_frames",
+    "q45_agg_whitelist", "q47_rollup", "q48_string_agg",
+    "q49_array_agg_distinct", "q50_pii_redaction",
+    # then queries whose implementation changed THIS round (fresh
+    # evidence for the new plans):
+    "q55_left_mark", "q64_repetition_signals", "q65_semantic_dedup",
+    "q46_training_corpus", "q30_minhash_pairs", "q31_simhash_pairs",
+    "q32_embedding_near_dup", "q09_dedup_exact",
 ]
 _NEEDS_EVIDENCE = [k for k in _NEEDS_EVIDENCE if k in QUERIES]
 QUERIES = {
