@@ -63,7 +63,13 @@ from .pipeline import (
     write_corpus,
 )
 from .scheduler import PipelineScheduler
-from .sinks.copydata import CopyConfig, copy_data, copy_file_to_csv, copy_file_to_parquet
+from .sinks.copydata import (
+    CopyConfig,
+    copy_data,
+    copy_file_to_csv,
+    copy_file_to_fabric,
+    copy_file_to_parquet,
+)
 from .sinks.maintenance import compact_files
 from .sources.connectors import (
     ElusionApi,
@@ -127,6 +133,7 @@ __all__ = [
     "copy_data",
     "copy_file_to_parquet",
     "copy_file_to_csv",
+    "copy_file_to_fabric",
     "compact_files",
     "asof_join",
     "range_join",

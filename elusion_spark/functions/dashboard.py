@@ -14,6 +14,7 @@ raw 100 TB scans; aggregate first with the builder, then plot)."""
 from __future__ import annotations
 
 import json
+import os
 from html import escape
 
 _MAX_POINTS = 50_000
@@ -538,3 +539,66 @@ def export_report_to_pdf(html_path: str, pdf_path: str) -> str:
         lines = ["(report contained no extractable content)"]
     _write_text_pdf(lines, pdf_path)
     return pdf_path
+
+
+def export_plot_to_png(
+    plot: dict,
+    png_path: str,
+    width: int = 900,
+    height: int = 600,
+) -> str:
+    """Single-plot PNG export (elusion.rs:7990-8039 parity — the
+    reference screenshots a rendered plot with headless_chrome).
+
+    Renders the plot's plotly-JSON into a minimal self-contained HTML
+    page and screenshots it with a headless chromium when one is
+    installed — the same binary-discovery path as
+    ``export_report_to_pdf``.  Without a chromium there is no honest
+    raster path (a PNG encoder is not worth faking), so this raises
+    ``FeatureNotAvailable`` with the setup recipe instead of producing
+    a lookalike file."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    binpath = None
+    for exe in ("chromium", "chromium-browser", "google-chrome", "chrome"):
+        binpath = shutil.which(exe)
+        if binpath:
+            break
+    if not binpath:
+        from ..errors import FeatureNotAvailable
+
+        raise FeatureNotAvailable(
+            "export_plot_to_png needs a headless chromium",
+            "Install one (apt install chromium) — the plot renders via "
+            "plotly.js and is screenshotted with --headless "
+            "--screenshot, mirroring the reference's headless_chrome "
+            "path (elusion.rs:7990-8039).  export_report_to_pdf with "
+            "its text fallback works without it.",
+        )
+    html = (
+        "<!DOCTYPE html><html><head>"
+        f"<script src='{_PLOTLY_CDN}'></script></head>"
+        f"<body style='margin:0'><div id='p' "
+        f"style='width:{width}px;height:{height}px'></div>"
+        f"<script>Plotly.newPlot('p', {json.dumps(plot.get('data', []))}, "
+        f"{json.dumps(plot.get('layout', {}))}, "
+        "{staticPlot: true});</script></body></html>"
+    )
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".html", delete=False
+    ) as f:
+        f.write(html)
+        tmp_html = f.name
+    try:
+        subprocess.run(
+            [binpath, "--headless", "--disable-gpu",
+             f"--window-size={width},{height}",
+             "--virtual-time-budget=5000",
+             f"--screenshot={png_path}", tmp_html],
+            check=True, capture_output=True, timeout=120,
+        )
+    finally:
+        os.unlink(tmp_html)
+    return png_path

@@ -77,3 +77,24 @@ def copy_file_to_csv(source: str, dest: str,
     if not dest.lower().endswith(".csv"):
         dest = dest + ".csv"
     return copy_data(source, dest, config, spark)
+
+
+def copy_file_to_fabric(source: str, onelake_url: str,
+                        config: CopyConfig | None = None,
+                        spark: SparkSession | None = None, **auth) -> int:
+    """copydata.rs:925-1100 family — file → OneLake (Fabric) copy.
+
+    Gated like every other Fabric path in this container: the real
+    implementation is ``copy_data(source, 'abfss://…')`` once
+    hadoop-azure + azure-identity put OneLake on the Spark classpath —
+    the copy itself is the same distributed read→write."""
+    from ..errors import FeatureNotAvailable
+
+    raise FeatureNotAvailable(
+        "OneLake (Fabric) copies need azure-identity + hadoop-azure",
+        "Add hadoop-azure + azure-identity to the Spark classpath, set "
+        "the OneLake OAuth conf (fs.azure.account.oauth2.*), then "
+        "copy_data(source, 'abfss://workspace@onelake.dfs.fabric."
+        "microsoft.com/lakehouse/Files/...') runs the identical "
+        "distributed read→write (copydata.rs:925-1100 parity).",
+    )

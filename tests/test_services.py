@@ -122,6 +122,23 @@ def test_copy_data_csv_to_parquet(spark, tmp_path):
     assert es.copy_file_to_csv(dest, back, spark=spark) == 3
 
 
+def test_copy_file_to_fabric_gate(spark, tmp_path):
+    """copy_file_to_fabric is dependency-gated in this container; the
+    gate must name the exact classpath recipe (hadoop-azure +
+    azure-identity) so a user can unblock it."""
+    from elusion_spark.errors import FeatureNotAvailable
+
+    src = tmp_path / "in.csv"
+    src.write_text("a,b\n1,x\n")
+    with pytest.raises(FeatureNotAvailable) as ei:
+        es.copy_file_to_fabric(
+            str(src), "abfss://ws@onelake.dfs.fabric.microsoft.com/lh",
+            spark=spark)
+    msg = str(ei.value)
+    assert "hadoop-azure" in msg and "azure-identity" in msg
+    assert "copy_data" in msg  # the production recipe is spelled out
+
+
 # -------------------------------------------------------------- extract
 
 def test_extract_value_and_row(spark):
@@ -315,6 +332,32 @@ def test_export_report_to_pdf_fallback(spark, tmp_path):
     pdf2 = DB.export_report_to_pdf(html2, str(tmp_path / "r2.pdf"))
     raw2 = open(pdf2, "rb").read()
     assert raw2.count(b"/Type /Page ") >= 3  # multi-page
+
+
+def test_export_plot_to_png(spark, tmp_path):
+    """With a chromium installed the export writes a real PNG (magic
+    number checked); without one it raises the documented gate naming
+    the chromium requirement — never a lookalike file."""
+    import shutil as _sh
+
+    df = spark.createDataFrame([("a", 1.0), ("b", 2.0)], ["k", "v"])
+    plot = DB.plot_bar(df, "k", "v", title="PNG test")
+    png = str(tmp_path / "p.png")
+    have_chromium = any(
+        _sh.which(e)
+        for e in ("chromium", "chromium-browser", "google-chrome", "chrome")
+    )
+    if have_chromium:
+        out = DB.export_plot_to_png(plot, png)
+        raw = open(out, "rb").read()
+        assert raw.startswith(b"\x89PNG\r\n\x1a\n")
+    else:
+        from elusion_spark.errors import FeatureNotAvailable
+
+        with pytest.raises(FeatureNotAvailable) as ei:
+            DB.export_plot_to_png(plot, png)
+        assert "chromium" in str(ei.value)
+        assert not (tmp_path / "p.png").exists()
 
 
 def test_report_date_columns_get_date_filter(spark, tmp_path):
