@@ -77,6 +77,12 @@ from .sources.connectors import (
     from_azure_with_sas_token,
     from_ftp,
     from_ftp_folder,
+    from_ftp_folder_with_filename_column,
+    from_ftp_with_directory,
+    from_ftp_with_port,
+    from_ftps,
+    from_ftps_folder,
+    from_ftps_folder_with_filename_column,
     from_mysql,
     from_postgres,
     load_from_sharepoint,
@@ -149,6 +155,12 @@ __all__ = [
     "from_mysql",
     "from_ftp",
     "from_ftp_folder",
+    "from_ftp_folder_with_filename_column",
+    "from_ftp_with_directory",
+    "from_ftp_with_port",
+    "from_ftps",
+    "from_ftps_folder",
+    "from_ftps_folder_with_filename_column",
     "write_to_ftp",
     "from_azure_with_sas_token",
     "load_from_sharepoint",

@@ -153,6 +153,60 @@ def from_ftp_folder(server: str, username: str, password: str,
                        add_filename_column=add_filename_column)
 
 
+def from_ftps(server: str, username: str, password: str, remote_path: str,
+              alias: str, spark: SparkSession | None = None, port: int = 21):
+    """elusion.rs:5984-6011 — TLS variant of ``from_ftp``."""
+    return from_ftp(server, username, password, remote_path, alias, spark,
+                    port=port, secure=True)
+
+
+def from_ftp_with_port(server: str, port: int, username: str, password: str,
+                       remote_path: str, alias: str,
+                       spark: SparkSession | None = None):
+    """elusion.rs:6012-6042 — explicit-port variant (reference argument
+    order: server, port, credentials)."""
+    return from_ftp(server, username, password, remote_path, alias, spark,
+                    port=port)
+
+
+def from_ftp_with_directory(server: str, username: str, password: str,
+                            directory: str, remote_path: str, alias: str,
+                            spark: SparkSession | None = None, port: int = 21,
+                            secure: bool = False):
+    """elusion.rs:6043-6075 — cwd-style variant: the file is addressed
+    relative to ``directory``."""
+    full = directory.rstrip("/") + "/" + remote_path.lstrip("/")
+    return from_ftp(server, username, password, full, alias, spark,
+                    port=port, secure=secure)
+
+
+def from_ftps_folder(server: str, username: str, password: str,
+                     remote_dir: str, extensions: list[str] | None, alias: str,
+                     spark: SparkSession | None = None, port: int = 21):
+    """elusion.rs:6113-6149 — TLS folder load."""
+    return from_ftp_folder(server, username, password, remote_dir, extensions,
+                           alias, spark, port=port, secure=True)
+
+
+def from_ftp_folder_with_filename_column(
+        server: str, username: str, password: str, remote_dir: str,
+        extensions: list[str] | None, alias: str,
+        spark: SparkSession | None = None, port: int = 21):
+    """elusion.rs:6150-6231 — folder load + provenance column."""
+    return from_ftp_folder(server, username, password, remote_dir, extensions,
+                           alias, spark, port=port, add_filename_column=True)
+
+
+def from_ftps_folder_with_filename_column(
+        server: str, username: str, password: str, remote_dir: str,
+        extensions: list[str] | None, alias: str,
+        spark: SparkSession | None = None, port: int = 21):
+    """elusion.rs:6232-6290 — TLS folder load + provenance column."""
+    return from_ftp_folder(server, username, password, remote_dir, extensions,
+                           alias, spark, port=port, secure=True,
+                           add_filename_column=True)
+
+
 def write_to_ftp(local_path: str, server: str, username: str, password: str,
                  remote_path: str, port: int = 21, secure: bool = False) -> None:
     """STOR upload (elusion.rs:6223-6344): callers first write locally
@@ -197,12 +251,24 @@ class ElusionApi:
             f.write(data)
         return output_path
 
+    def from_api_with_headers(self, url: str, headers: dict,
+                              output_path: str) -> str:
+        """api.rs:60-87 — headers as a positional argument (the core
+        ``from_api`` already accepts them as a keyword)."""
+        return self.from_api(url, output_path, headers)
+
     def from_api_with_params(self, url: str, params: dict, output_path: str,
                              headers: dict | None = None) -> str:
         data = self._get(url, headers, params)
         with open(output_path, "wb") as f:
             f.write(data)
         return output_path
+
+    def from_api_with_params_and_headers(self, url: str, params: dict,
+                                         headers: dict,
+                                         output_path: str) -> str:
+        """api.rs:139-172."""
+        return self.from_api_with_params(url, params, output_path, headers)
 
     def from_api_with_dates(self, url: str, date_from: str, date_to: str,
                             output_path: str, headers: dict | None = None) -> str:
@@ -218,6 +284,13 @@ class ElusionApi:
         return self.from_api_with_params(
             url, {"sort": sort_field, "order": sort_order}, output_path, headers
         )
+
+    def from_api_with_headers_and_sort(self, url: str, headers: dict,
+                                       sort_field: str, sort_order: str,
+                                       output_path: str) -> str:
+        """api.rs:266-285."""
+        return self.from_api_with_sort(url, sort_field, sort_order,
+                                       output_path, headers)
 
     def from_api_with_pagination(self, url: str, page_param: str, start_page: int,
                                  max_pages: int, output_path: str,
