@@ -20,6 +20,14 @@ _DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.ui.enabled": "false",
+    # Long-lived sessions run MANY distinct query shapes (the suite alone
+    # has 66).  The default 100-entry codegen class cache evicts earlier
+    # queries' generated classes, so re-running one pays a multi-second
+    # Janino recompile (measured: q64 4.1 s after 24 other queries, 1.7 s
+    # once re-cached).  1000 entries keeps every shape compiled; the JIT
+    # code cache is raised to match so compiled code isn't flushed either.
+    "spark.sql.codegen.cache.maxEntries": "1000",
+    "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=1g",
     # parquet split size: this is the LOCAL profile — sf0.1 tables are
     # 20-100 MB single files, so 128 MB splits would serialize the whole
     # scan on one of 32 cores; 8 MB keeps every core busy.  On a real
