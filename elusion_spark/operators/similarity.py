@@ -255,18 +255,52 @@ def ivf_build(
             if len(members):
                 C[ci] = members.mean(axis=0)
     centroids = [list(map(float, c)) for c in C]
-    # assignment expression: argmin over nlist squared distances
-    dists = [
-        f"aggregate(zip_with({vec_col}, {_vec_literal(c)}, "
-        f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
-        f"CAST(0 AS DOUBLE), (a, v) -> a + v)"
-        for c in centroids
-    ]
-    arr = "array(" + ", ".join(dists) + ")"
     assigned = df.withColumn(
-        "cluster_id", F.expr(f"array_position({arr}, array_min({arr})) - 1").cast("int")
+        "cluster_id", assign_clusters_col(vec_col, centroids)
     )
     return assigned, centroids
+
+
+def assign_clusters_col(vec_col: str, centroids: list[list[float]]):
+    """Argmin-distance cluster assignment as a Column — a broadcast
+    scan, never a shuffle.  Two physical strategies:
+
+    - small codebooks (nlist ≤ 32): an unrolled per-centroid
+      ``aggregate(zip_with(...))`` expression — no Python in the path;
+    - larger codebooks: one numpy GEMM per Arrow batch via
+      ``pandas_udf`` against the closure-captured centroid matrix
+      (broadcast with the task).  The interpreted-HOF expression is
+      O(nlist·dim) *per row* and its expression tree grows with nlist —
+      at IVF-realistic nlist (≥256) the vectorized form is the only
+      plan that survives; ``argmin(||p||² − 2p·c + ||c||²)`` drops the
+      row-constant ||p||² term."""
+    nlist = len(centroids)
+    if nlist <= 32:
+        dists = [
+            f"aggregate(zip_with({vec_col}, {_vec_literal(c)}, "
+            f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            f"CAST(0 AS DOUBLE), (a, v) -> a + v)"
+            for c in centroids
+        ]
+        arr = "array(" + ", ".join(dists) + ")"
+        return F.expr(f"array_position({arr}, array_min({arr})) - 1").cast("int")
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    Cm = np.asarray(centroids, dtype=np.float64)
+    c_sq = (Cm * Cm).sum(axis=1)
+
+    @pandas_udf("int")
+    def _assign(vs: pd.Series) -> pd.Series:
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        if V.size == 0:
+            return pd.Series([], dtype="int32")
+        d2 = c_sq - 2.0 * (V @ Cm.T)
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    return _assign(F.col(vec_col))
 
 
 def ivf_write_index(
