@@ -292,15 +292,17 @@ def assign_clusters_col(vec_col: str, centroids: list[list[float]]):
     Cm = np.asarray(centroids, dtype=np.float64)
     c_sq = (Cm * Cm).sum(axis=1)
 
-    @pandas_udf("int")
-    def _assign(vs: pd.Series) -> pd.Series:
+    def _assign(vs):
         V = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
         if V.size == 0:
             return pd.Series([], dtype="int32")
         d2 = c_sq - 2.0 * (V @ Cm.T)
         return pd.Series(d2.argmin(axis=1).astype("int32"))
 
-    return _assign(F.col(vec_col))
+    # `from __future__ import annotations` stringifies inline hints, which
+    # PySpark's typehint parser rejects — attach real types instead.
+    _assign.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return pandas_udf(_assign, "int")(F.col(vec_col))
 
 
 def ivf_write_index(
