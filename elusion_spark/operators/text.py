@@ -341,7 +341,14 @@ def repetition_signals(
         .select("__id", "__tc", F.col("__u.kind").alias("__kind"),
                 F.col("__u.gh").alias("__gh"), F.col("__u.glen").alias("__glen"))
     )
-    exploded = gram_units.unionByName(lp_units)
+    # Repartition the unioned units by __id ONLY before counting:
+    # HashPartitioning on a subset of the grouping keys satisfies
+    # ClusteredDistribution, so the three downstream groupBys
+    # ((id,kind,gh) -> (id,kind) -> (id)) all reuse this one exchange —
+    # 2 shuffles total for the whole fold instead of 4.  Same explicit-
+    # numPartitions rationale as the window stage: exempt from AQE
+    # coalescing, which starves this compute-heavy/byte-light stage.
+    exploded = gram_units.unionByName(lp_units).repartition(par, "__id")
     counts = (
         exploded.groupBy("__id", "__kind", "__gh")
         .agg(F.count("*").alias("__cnt"), F.first("__tc").alias("__tc"),

@@ -201,9 +201,10 @@ SHUFFLE_BUDGETS = {
     # agg; the replicated small side broadcasts (no shuffle exchange)
     "q62_skew_join_salted": 3,
     # repetition signals: explicit repartition feeding the lead-window
-    # stage (AQE-coalesce-exempt, keeps the hash-heavy stage wide) +
-    # (id,kind,gh) count + per-kind fold + per-doc fold
-    "q64_repetition_signals": 4,
+    # stage (AQE-coalesce-exempt, keeps the hash-heavy stage wide) + one
+    # __id-only repartition after the union that all three fold groupBys
+    # reuse (subset-of-keys HashPartitioning satisfies their clustering)
+    "q64_repetition_signals": 2,
 }
 
 
