@@ -71,6 +71,7 @@ from .sinks.copydata import (
     copy_file_to_parquet,
 )
 from .sinks.maintenance import compact_files
+from .sinks.writers import write_to_excel
 from .sources.connectors import (
     ElusionApi,
     from_api_to_df,
@@ -161,6 +162,7 @@ __all__ = [
     "from_ftps",
     "from_ftps_folder",
     "from_ftps_folder_with_filename_column",
+    "write_to_excel",
     "write_to_ftp",
     "from_azure_with_sas_token",
     "load_from_sharepoint",

@@ -977,6 +977,11 @@ class CustomDataFrame:
 
         write_to_delta(self._assemble(), mode, path, partition_by)
 
+    def write_to_excel(self, path: str, sheet: str = "Sheet1") -> None:
+        from .sinks.writers import write_to_excel
+
+        write_to_excel(self._assemble(), path, sheet)
+
 
 # ---------------------------------------------------------------- cleaning
 

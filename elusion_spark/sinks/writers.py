@@ -294,18 +294,23 @@ def write_to_excel(df: DataFrame, path: str, sheet: str = "Sheet1",
                    max_rows: int = 1_000_000) -> None:
     """elusion.rs:5767-5783 (rust_xlsxwriter; overwrite only).  Excel is a
     driver-sided bounded-result sink by nature (the format caps at ~1M
-    rows); gated on openpyxl which this container lacks."""
+    rows).  openpyxl/pandas when importable, else the stdlib
+    SpreadsheetML writer (sources/xlsx_lite.py) — which streams rows via
+    ``toLocalIterator`` so only one partition is driver-resident."""
     try:
         import openpyxl  # noqa: F401
-    except ImportError:
-        from ..errors import FeatureNotAvailable
 
-        raise FeatureNotAvailable(
-            "Excel write needs openpyxl (not in this environment)",
-            "pip install openpyxl; the write is df.limit(max_rows)"
-            ".toPandas().to_excel(path, sheet_name=sheet).",
+        df.limit(max_rows).toPandas().to_excel(path, sheet_name=sheet,
+                                               index=False)
+    except ImportError:
+        from ..sources import xlsx_lite
+
+        bounded = df.limit(max_rows)
+        xlsx_lite.write_xlsx(
+            path, bounded.columns,
+            (tuple(r) for r in bounded.toLocalIterator()),
+            sheet_name=sheet,
         )
-    df.limit(max_rows).toPandas().to_excel(path, sheet_name=sheet, index=False)
 
 
 def stream_write(df: DataFrame, path: str, fmt: str = "csv",

@@ -283,23 +283,43 @@ def load_delta(path: str, alias: str, spark: SparkSession | None = None):
 
 def load_excel(path: str, alias: str, spark: SparkSession | None = None,
                sheet: str | int = 0):
-    """features/excel.rs:385-645 — no Spark-native reader; pandas/openpyxl
-    bridge with the reference's header sanitation, gated on availability."""
+    """features/excel.rs:385-645 — no Spark-native reader.  openpyxl/pandas
+    when importable; otherwise the stdlib SpreadsheetML codec
+    (sources/xlsx_lite.py — the reference's calamine is likewise a
+    self-contained xlsx parser).  Both paths apply the reference's header
+    sanitation.  Driver-sided by nature (Excel caps at ~1M rows)."""
     s = _spark(spark)
     try:
-        import openpyxl  # noqa: F401  — the xlsx engine; probe it first so
-        import pandas as pd           # gating doesn't depend on file state
-    except ImportError as e:
-        raise FeatureNotAvailable(
-            f"Excel support needs pandas+openpyxl: {e}",
-            "pip install openpyxl (not available in this environment).",
-        )
-    pdf = pd.read_excel(path, sheet_name=sheet)
-    pdf.columns = _dedup_headers([
-        N.normalize_column_name(_sanitize_excel_header(str(c), i))
-        for i, c in enumerate(pdf.columns)
-    ])
-    return _wrap(s.createDataFrame(pdf), alias)
+        import openpyxl  # noqa: F401  — preferred engine when present
+        import pandas as pd
+
+        pdf = pd.read_excel(path, sheet_name=sheet)
+        headers = [str(c) for c in pdf.columns]
+        cols = _dedup_headers([
+            N.normalize_column_name(_sanitize_excel_header(h, i))
+            for i, h in enumerate(headers)
+        ])
+        pdf.columns = cols
+        return _wrap(s.createDataFrame(pdf), alias)
+    except ImportError:
+        from . import xlsx_lite
+
+        rows = xlsx_lite.read_xlsx(path, sheet=sheet)
+        if not rows:
+            raise ValueError(f"empty sheet in {path}")
+        headers = ["" if h is None else str(h) for h in rows[0]]
+        cols = _dedup_headers([
+            N.normalize_column_name(_sanitize_excel_header(h, i))
+            for i, h in enumerate(headers)
+        ])
+        data = [tuple(r) for r in rows[1:]]
+        if not data:
+            from pyspark.sql import types as T
+
+            return _wrap(s.createDataFrame(
+                [], T.StructType([T.StructField(c, T.StringType())
+                                  for c in cols])), alias)
+        return _wrap(s.createDataFrame(data, cols), alias)
 
 
 def _sanitize_excel_header(header: str, column_index: int) -> str:

@@ -322,27 +322,93 @@ def test_excel_header_sanitation_fixture():
     assert _dedup_headers(["x", "x", "x"]) == ["x", "x_1", "x_2"]
 
 
-def test_load_excel_gated_or_works(spark, tmp_path):
-    """load_excel either round-trips (openpyxl present) or raises the
-    gated FeatureNotAvailable with a setup recipe — never a raw crash."""
-    try:
-        import openpyxl  # noqa: F401
-        have = True
-    except ImportError:
-        have = False
-    p = str(tmp_path / "t.xlsx")
-    if not have:
-        # pandas opens the file before resolving the engine import
-        open(p, "wb").write(b"not-a-real-xlsx")
-        with pytest.raises(es.FeatureNotAvailable, match="openpyxl"):
-            es.load_excel(p, "x", spark)
-    else:
-        import pandas as pd
+def test_load_excel_roundtrip(spark, tmp_path):
+    """load_excel works with OR without openpyxl: the stdlib
+    SpreadsheetML codec (sources/xlsx_lite.py) backs the import-free
+    path, applying the same excel.rs:449-485 header rules."""
+    from elusion_spark.sources import xlsx_lite
 
-        pd.DataFrame({"Net Sales": [1, 2], "net sales": [3, 4]}).to_excel(
-            p, index=False)
-        out = es.load_excel(p, "x", spark)
-        assert out.df.columns == ["net_sales", "net_sales_1"]
+    p = str(tmp_path / "t.xlsx")
+    xlsx_lite.write_xlsx(p, ["Net Sales", "net sales"],
+                         [(1, 3), (2, 4)])
+    out = es.load_excel(p, "x", spark)
+    assert out.df.columns == ["net_sales", "net_sales_1"]
+    assert sorted(r["net_sales"] for r in out.df.collect()) == [1, 2]
+
+
+def test_write_to_excel_roundtrip(spark, tmp_path):
+    """write_to_excel -> load_excel preserves values and types for the
+    cell kinds a result frame produces (int, float, string, bool, null,
+    date, timestamp) without any Excel dependency installed."""
+    import datetime as dt
+
+    p = str(tmp_path / "w.xlsx")
+    src = spark.createDataFrame(
+        [(1, 1.5, "a <&> 'quoted'", True, None,
+          dt.date(2024, 2, 29), dt.datetime(2024, 2, 29, 12, 34, 56)),
+         (2, -0.25, "ünïcode\ttab", False, "x",
+          dt.date(1999, 12, 31), dt.datetime(1999, 12, 31, 23, 59, 59))],
+        "i int, f double, s string, b boolean, n string, d date, ts timestamp")
+    es.write_to_excel(src, p)
+    back = es.load_excel(p, "x", spark).df.orderBy("i").collect()
+    assert [r["i"] for r in back] == [1, 2]
+    assert [r["f"] for r in back] == [1.5, -0.25]
+    assert back[0]["s"] == "a <&> 'quoted'"
+    assert back[1]["s"] == "ünïcode\ttab"
+    assert [r["b"] for r in back] == [True, False]
+    assert [r["n"] for r in back] == [None, "x"]
+    assert str(back[0]["d"]) == "2024-02-29"
+    assert str(back[0]["ts"]) == "2024-02-29 12:34:56"
+    assert str(back[1]["ts"]) == "1999-12-31 23:59:59"
+
+
+def test_xlsx_lite_shared_strings_and_sheets(tmp_path):
+    """The reader handles files OTHER writers produce: shared-string
+    cells (t=\"s\"), rich-text runs, sparse rows with explicit refs, and
+    sheet selection by name/index — a hand-built workbook exercising the
+    parts our inline-string writer never emits."""
+    import zipfile
+
+    from elusion_spark.sources import xlsx_lite
+
+    p = str(tmp_path / "ss.xlsx")
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("xl/workbook.xml",
+                   f'<workbook {ns} xmlns:r="http://schemas.openxmlformats.'
+                   'org/officeDocument/2006/relationships"><sheets>'
+                   '<sheet name="alpha" sheetId="1" r:id="rId1"/>'
+                   '<sheet name="beta" sheetId="2" r:id="rId2"/>'
+                   "</sheets></workbook>")
+        z.writestr("xl/_rels/workbook.xml.rels",
+                   '<Relationships xmlns="http://schemas.openxmlformats.org/'
+                   'package/2006/relationships">'
+                   '<Relationship Id="rId1" Type="t" Target="worksheets/s1.xml"/>'
+                   '<Relationship Id="rId2" Type="t" Target="worksheets/s2.xml"/>'
+                   "</Relationships>")
+        z.writestr("xl/sharedStrings.xml",
+                   f'<sst {ns}><si><t>plain</t></si>'
+                   "<si><r><t>rich </t></r><r><t>text</t></r></si></sst>")
+        # A1 shared, C1 skips B1 (sparse), row 2 numbers incl. scientific
+        z.writestr("xl/worksheets/s1.xml",
+                   f'<worksheet {ns}><sheetData>'
+                   '<row r="1"><c r="A1" t="s"><v>0</v></c>'
+                   '<c r="C1" t="s"><v>1</v></c></row>'
+                   '<row r="2"><c r="A2"><v>7</v></c>'
+                   '<c r="C2"><v>1.5E+2</v></c></row>'
+                   "</sheetData></worksheet>")
+        z.writestr("xl/worksheets/s2.xml",
+                   f'<worksheet {ns}><sheetData>'
+                   '<row r="1"><c r="A1" t="str"><v>beta-cell</v></c></row>'
+                   "</sheetData></worksheet>")
+    rows = xlsx_lite.read_xlsx(p, sheet=0)
+    assert rows == [["plain", None, "rich text"], [7, None, 150.0]]
+    assert xlsx_lite.read_xlsx(p, sheet="beta") == [["beta-cell"]]
+    with pytest.raises(ValueError, match="no sheet named"):
+        xlsx_lite.read_xlsx(p, sheet="gamma")
+    with pytest.raises(ValueError, match="out of range"):
+        xlsx_lite.read_xlsx(p, sheet=5)
 
 
 def test_azure_sharepoint_gated():
