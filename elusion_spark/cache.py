@@ -215,16 +215,25 @@ class ElusionRedisCache:
     def __init__(self, host: str = "localhost", port: int = 6379,
                  ttl_seconds: int = 3600):
         try:
-            import redis  # noqa: F401
-        except ImportError:
-            from .errors import FeatureNotAvailable
+            import redis
 
-            raise FeatureNotAvailable(
-                "Redis cache needs the redis client (not in this environment)",
-                "pip install redis; keys = plan hash, values = Arrow IPC "
-                "bytes with TTL (features/redis.rs parity).",
-            )
-        self._client = redis.Redis(host=host, port=port)
+            self._client = redis.Redis(host=host, port=port)
+        except ImportError:
+            # redis-py is convenience, not capability: the stdlib RESP
+            # client (resp.py) speaks the same wire protocol to any
+            # standard Redis server — GET/SETEX are all this cache needs.
+            from .resp import RespClient
+
+            try:
+                self._client = RespClient(host=host, port=port)
+            except OSError as e:
+                from .errors import FeatureNotAvailable
+
+                raise FeatureNotAvailable(
+                    f"no Redis server reachable at {host}:{port} ({e})",
+                    "start a Redis server (any standard endpoint works — "
+                    "the stdlib RESP client needs no redis-py install).",
+                )
         self.ttl = ttl_seconds
         self.hits = 0
         self.misses = 0

@@ -660,6 +660,101 @@ def test_redis_cache_roundtrip_with_fake_client(spark, monkeypatch):
     assert cache.stats()["hit_rate"] == 0.5
 
 
+class _MiniRespServer:
+    """In-process RESP2 server (GET/SETEX/DEL/PING over a real TCP
+    socket) — lets the stdlib client talk actual wire protocol without a
+    Redis install."""
+
+    def __init__(self):
+        import socket
+        import threading
+
+        self.store: dict[bytes, tuple[bytes, int]] = {}
+        self._srv = socket.create_server(("127.0.0.1", 0))
+        self.port = self._srv.getsockname()[1]
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    def _serve(self):
+        conn, _ = self._srv.accept()
+        f = conn.makefile("rb")
+        while True:
+            head = f.readline()
+            if not head:
+                return
+            assert head[:1] == b"*"
+            args = []
+            for _ in range(int(head[1:-2])):
+                ln = int(f.readline()[1:-2])
+                args.append(f.read(ln + 2)[:-2])
+            cmd = args[0].upper()
+            if cmd == b"PING":
+                conn.sendall(b"+PONG\r\n")
+            elif cmd == b"GET":
+                hit = self.store.get(args[1])
+                if hit is None:
+                    conn.sendall(b"$-1\r\n")
+                else:
+                    conn.sendall(b"$%d\r\n%s\r\n" % (len(hit[0]), hit[0]))
+            elif cmd == b"SETEX":
+                self.store[args[1]] = (args[3], int(args[2]))
+                conn.sendall(b"+OK\r\n")
+            elif cmd == b"DEL":
+                n = sum(1 for k in args[1:] if self.store.pop(k, None))
+                conn.sendall(b":%d\r\n" % n)
+            else:
+                conn.sendall(b"-ERR unknown command\r\n")
+
+
+def test_resp_client_against_live_socket():
+    """The stdlib RESP client (resp.py) frames commands and parses every
+    reply kind correctly against a real TCP server — including
+    binary-unsafe bytes (CRLF, NUL) in values, nil replies, and server
+    errors."""
+    from elusion_spark.resp import RespClient, RespError
+
+    srv = _MiniRespServer()
+    c = RespClient("127.0.0.1", srv.port)
+    assert c.ping()
+    assert c.get("missing") is None
+    payload = b"\x00binary\r\nwith\r\nframing bytes\xff" * 100
+    c.setex("k", 77, payload)
+    assert c.get("k") == payload
+    assert srv.store[b"k"][1] == 77
+    assert c.delete("k", "missing") == 1
+    assert c.get("k") is None
+    with pytest.raises(RespError, match="unknown command"):
+        c.execute("FLUSHALL")
+    c.close()
+
+
+def test_redis_cache_over_live_resp_socket(spark):
+    """ElusionRedisCache end-to-end over the wire protocol with NO redis
+    module: miss -> compute -> SETEX Arrow bytes, rebuilt-query hit ->
+    deserialized frame, no recompute."""
+    import elusion_spark.cache as cache_mod
+    from elusion_spark.dataframe import CustomDataFrame
+
+    srv = _MiniRespServer()
+    cache = cache_mod.ElusionRedisCache(port=srv.port, ttl_seconds=55)
+    if not isinstance(getattr(cache, "_client", None),
+                      __import__("elusion_spark.resp",
+                                 fromlist=["RespClient"]).RespClient):
+        pytest.skip("real redis-py installed; stdlib path not in play")
+    df = CustomDataFrame(
+        spark.createDataFrame([(5, "x"), (6, "y")], ["k", "v"]), "t2")
+    q = df.agg(["CAST(SUM(k) AS BIGINT) AS s"]).group_by_all()
+    out1 = cache.get_or_compute(q, "rr1")
+    assert [r["s"] for r in out1.collect()] == [11]
+    assert cache.misses == 1
+    q2 = df.agg(["CAST(SUM(k) AS BIGINT) AS s"]).group_by_all()
+    out2 = cache.get_or_compute(q2, "rr2")
+    assert cache.hits == 1
+    assert [r["s"] for r in out2.collect()] == [11]
+    (key, (_blob, ttl)), = srv.store.items()
+    assert key.startswith(b"elusion:") and ttl == 55
+
+
 # ------------------------------------------------------------------ xml
 
 def test_xml_standard_mode(spark, tmp_path):
