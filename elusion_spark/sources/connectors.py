@@ -72,10 +72,51 @@ def _jdbc(url: str, query: str, alias: str, spark: SparkSession | None,
 def from_postgres(conn: str, query: str, alias: str,
                   spark: SparkSession | None = None, **kw):
     """elusion.rs:866-881.  ``conn`` is a jdbc:postgresql:// URL (the
-    reference's keyword conn-string maps 1:1).  NUMERIC arrives as
-    Decimal — cast to double downstream for the reference's NUMERIC→
-    Float64 fidelity (postgres.rs:268)."""
-    return _jdbc(conn, query, alias, spark, "org.postgresql.Driver", **kw)
+    reference's keyword conn-string maps 1:1; postgres://u:p@host/db
+    also accepted).
+
+    Two engines: Spark's JDBC reader when the driver jar is on the
+    classpath (the only path that supports ``partition_column``
+    distributed ingest), else the stdlib wire-protocol client
+    (sources/pgwire.py) — driver-side single-connection ingest, which is
+    exactly the reference's own shape (postgres.rs: one sqlx connection
+    into a MemTable).  NUMERIC maps to double either way for the
+    reference's NUMERIC→Float64 fidelity (postgres.rs:268)."""
+    try:
+        return _jdbc(conn, query, alias, spark, "org.postgresql.Driver", **kw)
+    except FeatureNotAvailable:
+        if kw.get("partition_column") is not None:
+            raise  # partitioned parallel read genuinely needs the jar
+        from pyspark.sql import types as T
+
+        from . import pgwire
+
+        info = pgwire.parse_conn_url(conn)
+        try:
+            client = pgwire.PgClient(**info)
+        except OSError as e:
+            raise FeatureNotAvailable(
+                f"no JDBC driver jar AND no reachable Postgres server at "
+                f"{info['host']}:{info['port']} ({e})",
+                "Either add org.postgresql:postgresql via spark.jars."
+                "packages (distributed read) or point the conn string at "
+                "a live server (stdlib wire-protocol client, no install).",
+            )
+        try:
+            cols, rows = client.query(query)
+        finally:
+            client.close()
+        mapping = {"boolean": T.BooleanType(), "int": T.IntegerType(),
+                   "bigint": T.LongType(), "float": T.FloatType(),
+                   "double": T.DoubleType(), "date": T.DateType(),
+                   "timestamp": T.TimestampType(), "binary": T.BinaryType(),
+                   "string": T.StringType()}
+        schema = T.StructType([
+            T.StructField(name, mapping[pgwire.spark_type_for_oid(oid)])
+            for name, oid in cols
+        ])
+        s = _spark(spark)
+        return _wrap(s.createDataFrame(rows, schema), alias)
 
 
 def from_mysql(conn: str, query: str, alias: str,
