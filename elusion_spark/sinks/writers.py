@@ -399,21 +399,73 @@ _AZURE_WRITE_HELP = (
 )
 
 
+def _azure_put(url: str, data: bytes, content_type: str) -> None:
+    """Azure Put Blob: one HTTPS PUT with the SAS in the query string and
+    the BlockBlob marker header — the whole auth story, no SDK.
+    Module-level so tests can stub the transport."""
+    import urllib.request
+
+    req = urllib.request.Request(
+        url, data=data, method="PUT",
+        headers={"x-ms-blob-type": "BlockBlob",
+                 "Content-Type": content_type,
+                 "Content-Length": str(len(data))})
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        if resp.status not in (200, 201):
+            raise OSError(f"Put Blob returned HTTP {resp.status}")
+
+
+def _azure_write(url: str, sas_token: str, data: bytes,
+                 content_type: str) -> None:
+    from ..errors import FeatureNotAvailable
+    from ..sources.connectors import _validate_azure_url
+
+    _validate_azure_url(url)
+    try:
+        _azure_put(f"{url}?{sas_token.lstrip('?')}", data, content_type)
+    except OSError as e:
+        raise FeatureNotAvailable(
+            f"Azure Blob endpoint unreachable ({e})", _AZURE_WRITE_HELP)
+
+
 def write_parquet_to_azure_with_sas(df: DataFrame, url: str, sas_token: str,
                                     mode: str = "overwrite") -> None:
-    from ..errors import FeatureNotAvailable
+    """elusion.rs:5785-5804: the reference serializes the WHOLE result to
+    a parquet buffer driver-side and uploads one blob — same here
+    (bounded-result sink; use hadoop-azure abfss:// for distributed
+    writes of big frames)."""
+    import io
 
-    raise FeatureNotAvailable(
-        "Azure Blob writes need hadoop-azure + network egress", _AZURE_WRITE_HELP
-    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.Table.from_pandas(df.toPandas())
+    sink = io.BytesIO()
+    pq.write_table(table, sink, compression="snappy")
+    _azure_write(url, sas_token, sink.getvalue(),
+                 "application/octet-stream")
 
 
-def write_json_to_azure_with_sas(df: DataFrame, url: str, sas_token: str) -> None:
-    from ..errors import FeatureNotAvailable
+def write_json_to_azure_with_sas(df: DataFrame, url: str, sas_token: str,
+                                 pretty: bool = False) -> None:
+    """azure.rs:487-607: JSON ARRAY body (same format as the local
+    ``write_to_json``, which this reuses via a temp file), '.json'
+    extension enforced, buffer uploaded as one blob."""
+    import os as _os
+    import tempfile
 
-    raise FeatureNotAvailable(
-        "Azure Blob writes need hadoop-azure + network egress", _AZURE_WRITE_HELP
-    )
+    if not url.split("?")[0].endswith(".json"):
+        raise ValueError("Invalid file extension. JSON files must end "
+                         "with '.json'")
+    fd, tmp = tempfile.mkstemp(suffix=".json")
+    _os.close(fd)
+    try:
+        write_to_json(df, tmp, pretty)
+        with open(tmp, "rb") as f:
+            buf = f.read()
+    finally:
+        _os.unlink(tmp)
+    _azure_write(url, sas_token, buf, "application/json")
 
 
 def write_parquet_to_fabric(df: DataFrame, onelake_url: str, **auth) -> None:

@@ -372,15 +372,90 @@ _AZURE_HELP = (
 )
 
 
-def from_azure_with_sas_token(endpoint: str, sas_token: str, path_filter: str,
-                              alias: str, spark: SparkSession | None = None):
-    """elusion.rs:5826-5846.  Requires hadoop-azure (not in this
-    container)."""
-    raise FeatureNotAvailable(
-        "Azure Blob access needs the hadoop-azure filesystem or network "
-        "egress, neither available here",
-        _AZURE_HELP,
-    )
+def _azure_fetch(url: str) -> bytes:
+    """One HTTPS GET (SAS auth travels in the query string — no SDK
+    needed).  Module-level so tests can stub the transport."""
+    import urllib.request
+
+    with urllib.request.urlopen(url, timeout=60) as resp:
+        return resp.read()
+
+
+def _validate_azure_url(url: str) -> None:
+    """azure.rs:25-38 validation parity (same constraints, same intent)."""
+    if not url.startswith("https://"):
+        raise ValueError(
+            "Bad url format. Expected format: "
+            "https://{account}.{endpoint}.core.windows.net/{container}")
+    if (".blob.core.windows.net" not in url
+            and ".dfs.core.windows.net" not in url):
+        raise ValueError("URL must contain either '.blob.core.windows.net' "
+                         "or '.dfs.core.windows.net'")
+
+
+def from_azure_with_sas_token(endpoint: str, sas_token: str,
+                              path_filter: str | None, alias: str,
+                              spark: SparkSession | None = None):
+    """elusion.rs:5826-5846; features/azure.rs:660-1100.  Two modes, as
+    the reference: a ``path_filter`` ending in .json/.csv is a DIRECT
+    blob download; otherwise the container is listed and every .json/.csv
+    blob whose name contains ``path_filter`` is downloaded and combined
+    (headers lowercased, schemas merged by name).
+
+    Transport is plain HTTPS with the SAS token in the query string —
+    the reference's azure_storage_blobs client does the same requests;
+    no SDK or hadoop-azure needed for this driver-side ingest path.  For
+    DISTRIBUTED abfss:// scans of large containers, put hadoop-azure on
+    the classpath and read abfss:// URLs directly (that path still
+    requires the jar)."""
+    import xml.etree.ElementTree as ET
+
+    _validate_azure_url(endpoint)
+    s = _spark(spark)
+    sas = sas_token.lstrip("?")
+    base = endpoint.rstrip("/")
+
+    def _grab(blob_name: str) -> str:
+        data = _azure_fetch(f"{base}/{blob_name}?{sas}")
+        suffix = os.path.splitext(blob_name)[1]
+        fd, tmp = tempfile.mkstemp(suffix=suffix)
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        return tmp
+
+    try:
+        direct = bool(path_filter) and path_filter.endswith((".json", ".csv"))
+        if direct:
+            files = [_grab(path_filter)]
+        else:
+            listing = _azure_fetch(f"{base}?restype=container&comp=list&{sas}")
+            names = [n.text for n in ET.fromstring(listing).iter("Name")]
+            names = [n for n in names
+                     if n.endswith((".json", ".csv"))
+                     and (not path_filter or path_filter in n)]
+            if not names:
+                raise ValueError(
+                    f"no .json/.csv blobs matching {path_filter!r} in "
+                    f"{endpoint}")
+            files = [_grab(n) for n in names]
+    except OSError as e:
+        raise FeatureNotAvailable(
+            f"Azure Blob endpoint unreachable ({e})", _AZURE_HELP)
+
+    frames = []
+    for tmp in files:
+        cdf = (load_json(tmp, alias, s) if tmp.endswith(".json")
+               else load(tmp, alias, s))
+        frames.append(cdf.df)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    # materialize before deleting the temp downloads (Spark reads lazily);
+    # the reference holds the result in a MemTable too — bounded by design
+    out = out.localCheckpoint(eager=True)
+    for tmp in files:
+        os.unlink(tmp)
+    return _wrap(out, alias)
 
 
 def from_fabric(onelake_url: str, alias: str,

@@ -411,6 +411,75 @@ def test_xlsx_lite_shared_strings_and_sheets(tmp_path):
         xlsx_lite.read_xlsx(p, sheet=5)
 
 
+def test_azure_sas_loader_and_writers(spark, monkeypatch):
+    """from_azure_with_sas_token + the SAS writers over a stubbed
+    transport: direct-blob mode, keyword-filtered container listing with
+    schema-merged combine, SAS propagation, parquet/json upload bodies
+    that parse back to the frame."""
+    import io
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    base = "https://acct.blob.core.windows.net/container"
+    blobs = {
+        "sales/january.csv": b"Product,Amount\nwidget,10\ngadget,20\n",
+        "sales/february.csv": b"Product,Amount,Region\nwidget,5,EU\n",
+        "other/notes.txt": b"ignore me",
+        "direct.json": _json.dumps([{"a": 1}, {"a": 2}]).encode(),
+    }
+    fetched = []
+
+    def fake_fetch(url):
+        fetched.append(url)
+        assert "sv=sig" in url  # SAS travels on every request
+        if "restype=container&comp=list" in url:
+            items = "".join(f"<Blob><Name>{n}</Name></Blob>" for n in blobs)
+            return (f"<EnumerationResults><Blobs>{items}</Blobs>"
+                    "</EnumerationResults>").encode()
+        name = url.split("?")[0].replace(base + "/", "")
+        return blobs[name]
+
+    import elusion_spark.sources.connectors as C
+    monkeypatch.setattr(C, "_azure_fetch", fake_fetch)
+
+    # direct-blob mode (.json path_filter)
+    out = C.from_azure_with_sas_token(base, "?sv=sig", "direct.json", "az1",
+                                      spark)
+    assert sorted(r["a"] for r in out.df.collect()) == [1, 2]
+
+    # keyword-filter mode: only the two sales CSVs, schemas merged
+    out2 = C.from_azure_with_sas_token(base, "sv=sig", "sales/", "az2", spark)
+    rows = sorted(((r["product"], r["region"]) for r in out2.df.collect()),
+                  key=lambda t: (t[0], t[1] or ""))
+    assert rows == [("gadget", None), ("widget", None), ("widget", "EU")]
+
+    with pytest.raises(ValueError, match="blob.core.windows.net"):
+        C.from_azure_with_sas_token("https://example.com/c", "s", None,
+                                    "az3", spark)
+
+    # writers: capture the PUT and parse the body back
+    puts = {}
+    import elusion_spark.sinks.writers as W
+
+    def fake_put(url, data, content_type):
+        puts[url.split("?")[0]] = (data, content_type)
+
+    monkeypatch.setattr(W, "_azure_put", fake_put)
+    df = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "v"])
+    W.write_parquet_to_azure_with_sas(df, f"{base}/out.parquet", "sv=sig")
+    table = pq.read_table(io.BytesIO(puts[f"{base}/out.parquet"][0]))
+    assert sorted(table.to_pydict()["k"]) == [1, 2]
+
+    W.write_json_to_azure_with_sas(df, f"{base}/out.json", "sv=sig")
+    body, ctype = puts[f"{base}/out.json"]
+    parsed = _json.loads(body)
+    assert ctype == "application/json"
+    assert sorted(r["k"] for r in parsed) == [1, 2]
+    with pytest.raises(ValueError, match="must end with '.json'"):
+        W.write_json_to_azure_with_sas(df, f"{base}/out.txt", "sv=sig")
+
+
 def test_azure_sharepoint_gated():
     with pytest.raises(es.FeatureNotAvailable):
         es.from_azure_with_sas_token("https://x.blob.core.windows.net", "sas",
