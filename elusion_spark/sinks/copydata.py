@@ -82,19 +82,28 @@ def copy_file_to_csv(source: str, dest: str,
 def copy_file_to_fabric(source: str, onelake_url: str,
                         config: CopyConfig | None = None,
                         spark: SparkSession | None = None, **auth) -> int:
-    """copydata.rs:925-1100 family — file → OneLake (Fabric) copy.
-
-    Gated like every other Fabric path in this container: the real
-    implementation is ``copy_data(source, 'abfss://…')`` once
-    hadoop-azure + azure-identity put OneLake on the Spark classpath —
-    the copy itself is the same distributed read→write."""
+    """copydata.rs:925-1100 family — file → OneLake (Fabric) copy: the
+    source file's BYTES are shipped as-is via the ADLS create/append/
+    flush sequence with a service-principal token (a faithful file copy
+    — no format conversion, matching the reference's fabric copy).  For
+    distributed copies of big datasets use hadoop-azure + copy_data to
+    an abfss:// destination instead."""
     from ..errors import FeatureNotAvailable
+    from ..sources.connectors import _ms_token, _require_sp_creds
+    from .writers import _onelake_upload
 
-    raise FeatureNotAvailable(
-        "OneLake (Fabric) copies need azure-identity + hadoop-azure",
-        "Add hadoop-azure + azure-identity to the Spark classpath, set "
-        "the OneLake OAuth conf (fs.azure.account.oauth2.*), then "
-        "copy_data(source, 'abfss://workspace@onelake.dfs.fabric."
-        "microsoft.com/lakehouse/Files/...') runs the identical "
-        "distributed read→write (copydata.rs:925-1100 parity).",
-    )
+    tenant, cid, secret = _require_sp_creds(auth, "OneLake (Fabric) copies")
+    with open(source, "rb") as f:
+        data = f.read()
+    try:
+        token = _ms_token(tenant, cid, secret,
+                          "https://storage.azure.com/.default")
+        _onelake_upload(onelake_url, token, data)
+    except OSError as e:
+        raise FeatureNotAvailable(
+            f"OneLake endpoint unreachable ({e})",
+            "Check egress to onelake.dfs.fabric.microsoft.com; for "
+            "distributed copies use hadoop-azure + copy_data to "
+            "abfss:// (copydata.rs:925-1100 parity).",
+        )
+    return len(data)

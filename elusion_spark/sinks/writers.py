@@ -468,9 +468,49 @@ def write_json_to_azure_with_sas(df: DataFrame, url: str, sas_token: str,
     _azure_write(url, sas_token, buf, "application/json")
 
 
-def write_parquet_to_fabric(df: DataFrame, onelake_url: str, **auth) -> None:
-    from ..errors import FeatureNotAvailable
+def _onelake_upload(url: str, token: str, data: bytes) -> None:
+    """ADLS Gen2 three-step upload (create → append → flush) with a
+    bearer token — what the reference's reqwest client does against the
+    same endpoints (fabric.rs:372-520).  Module-level so tests can stub
+    the transport."""
+    import urllib.request
 
-    raise FeatureNotAvailable(
-        "OneLake writes need azure-identity + hadoop-azure", _AZURE_WRITE_HELP
-    )
+    def _req(u, method, body=b"", headers=None):
+        req = urllib.request.Request(u, data=body, method=method,
+                                     headers={"Authorization":
+                                              f"Bearer {token}",
+                                              **(headers or {})})
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            if resp.status >= 300:
+                raise OSError(f"OneLake {method} returned {resp.status}")
+
+    _req(f"{url}?resource=file", "PUT")
+    _req(f"{url}?action=append&position=0", "PATCH", data,
+         {"Content-Length": str(len(data))})
+    _req(f"{url}?action=flush&position={len(data)}", "PATCH")
+
+
+def write_parquet_to_fabric(df: DataFrame, onelake_url: str, **auth) -> None:
+    """fabric.rs:372-430 write path: whole-result parquet buffer →
+    OneLake file via the ADLS create/append/flush sequence, service-
+    principal bearer auth, stdlib HTTPS (bounded-result sink; use
+    hadoop-azure abfss:// for distributed writes)."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..errors import FeatureNotAvailable
+    from ..sources.connectors import _ms_token, _require_sp_creds
+
+    tenant, cid, secret = _require_sp_creds(auth, "OneLake writes")
+    table = pa.Table.from_pandas(df.toPandas())
+    sink = io.BytesIO()
+    pq.write_table(table, sink, compression="snappy")
+    try:
+        token = _ms_token(tenant, cid, secret,
+                          "https://storage.azure.com/.default")
+        _onelake_upload(onelake_url, token, sink.getvalue())
+    except OSError as e:
+        raise FeatureNotAvailable(
+            f"OneLake endpoint unreachable ({e})", _AZURE_WRITE_HELP)

@@ -458,22 +458,112 @@ def from_azure_with_sas_token(endpoint: str, sas_token: str,
     return _wrap(out, alias)
 
 
+def _ms_token(tenant_id: str, client_id: str, client_secret: str,
+              scope: str) -> str:
+    """Entra ID client-credentials grant — one form POST, no msal needed
+    (the reference's azure_identity ClientSecretCredential issues the
+    same request: sharepoint.rs:108-133, fabric.rs:126-140)."""
+    import json as _json
+    import urllib.parse
+    import urllib.request
+
+    body = urllib.parse.urlencode({
+        "grant_type": "client_credentials",
+        "client_id": client_id,
+        "client_secret": client_secret,
+        "scope": scope,
+    }).encode()
+    req = urllib.request.Request(
+        f"https://login.microsoftonline.com/{tenant_id}/oauth2/v2.0/token",
+        data=body,
+        headers={"Content-Type": "application/x-www-form-urlencoded"})
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return _json.loads(r.read())["access_token"]
+
+
+def _bearer_get(url: str, token: str) -> bytes:
+    import urllib.request
+
+    req = urllib.request.Request(
+        url, headers={"Authorization": f"Bearer {token}"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.read()
+
+
+def _require_sp_creds(auth: dict, what: str) -> tuple[str, str, str]:
+    tenant = auth.get("tenant_id")
+    cid = auth.get("client_id")
+    secret = auth.get("client_secret")
+    if not (tenant and cid and secret):
+        raise FeatureNotAvailable(
+            f"{what} needs service-principal credentials",
+            "Pass tenant_id=, client_id=, client_secret= (an Entra app "
+            "with access to the resource) — auth and transfer run over "
+            "stdlib HTTPS, no SDK install required.",
+        )
+    return tenant, cid, secret
+
+
+def _load_downloaded(data: bytes, suffix: str, alias: str, s):
+    """Bytes → temp file → the normal extension-dispatch loader →
+    eager materialize (reference holds a MemTable) → temp deleted."""
+    fd, tmp = tempfile.mkstemp(suffix=suffix)
+    with os.fdopen(fd, "wb") as f:
+        f.write(data)
+    try:
+        out = load(tmp, alias, s).df.localCheckpoint(eager=True)
+    finally:
+        os.unlink(tmp)
+    return _wrap(out, alias)
+
+
 def from_fabric(onelake_url: str, alias: str,
                 spark: SparkSession | None = None, **auth):
-    """elusion.rs:5848-5901 (OneLake = ABFSS; same gate as Azure)."""
-    raise FeatureNotAvailable(
-        "Fabric OneLake access needs azure-identity + hadoop-azure",
-        _AZURE_HELP,
-    )
+    """elusion.rs:5848-5901; fabric.rs:350-430.  Reads a OneLake file
+    (``https://onelake.dfs.fabric.microsoft.com/{workspace}/{item}/Files/
+    {path}`` — the reference builds exactly this URL) with a
+    service-principal bearer token over stdlib HTTPS.  For DISTRIBUTED
+    abfss:// scans put hadoop-azure + the OAuth conf on the classpath."""
+    s = _spark(spark)
+    tenant, cid, secret = _require_sp_creds(auth, "Fabric OneLake access")
+    try:
+        token = _ms_token(tenant, cid, secret,
+                          "https://storage.azure.com/.default")
+        data = _bearer_get(onelake_url, token)
+    except OSError as e:
+        raise FeatureNotAvailable(
+            f"OneLake endpoint unreachable ({e})", _AZURE_HELP)
+    return _load_downloaded(data, os.path.splitext(onelake_url)[1] or ".csv",
+                            alias, s)
 
 
 def load_from_sharepoint(site_url: str, file_path: str, alias: str,
                          spark: SparkSession | None = None, **auth):
-    """elusion.rs:693-864 (Graph API download).  Needs msal + network."""
-    raise FeatureNotAvailable(
-        "SharePoint access needs MS Graph auth (msal) and network egress",
-        "Authenticate with msal, GET the file via "
-        "https://graph.microsoft.com/v1.0/sites/{site}/drive/root:/path:/content "
-        "to a temp file, then CustomDataFrame.new(temp, alias) "
-        "(features/sharepoint.rs parity).",
-    )
+    """elusion.rs:693-864; sharepoint.rs:383-493.  Graph API download
+    with a service-principal token: resolve the site id via
+    ``/v1.0/sites/{host}:/{site-path}``, then fetch
+    ``/v1.0/sites/{id}/drive/root:/{path}:/content`` — the reference's
+    exact URL shapes — over stdlib HTTPS."""
+    import json as _json
+    import urllib.parse as _up
+
+    s = _spark(spark)
+    tenant, cid, secret = _require_sp_creds(auth, "SharePoint access")
+    parsed = _up.urlparse(site_url)
+    host, site_path = parsed.netloc, parsed.path.strip("/")
+    try:
+        token = _ms_token(tenant, cid, secret,
+                          "https://graph.microsoft.com/.default")
+        site = _json.loads(_bearer_get(
+            f"https://graph.microsoft.com/v1.0/sites/{host}:/{site_path}",
+            token))
+        data = _bearer_get(
+            f"https://graph.microsoft.com/v1.0/sites/{site['id']}"
+            f"/drive/root:/{file_path.lstrip('/')}:/content", token)
+    except OSError as e:
+        raise FeatureNotAvailable(
+            f"Graph API unreachable ({e})",
+            "Check network egress to graph.microsoft.com and the app's "
+            "Sites.Read.All permission (features/sharepoint.rs parity).",
+        )
+    return _load_downloaded(data, os.path.splitext(file_path)[1], alias, s)

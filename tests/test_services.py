@@ -122,21 +122,79 @@ def test_copy_data_csv_to_parquet(spark, tmp_path):
     assert es.copy_file_to_csv(dest, back, spark=spark) == 3
 
 
-def test_copy_file_to_fabric_gate(spark, tmp_path):
-    """copy_file_to_fabric is dependency-gated in this container; the
-    gate must name the exact classpath recipe (hadoop-azure +
-    azure-identity) so a user can unblock it."""
+def test_copy_file_to_fabric(spark, tmp_path, monkeypatch):
+    """copy_file_to_fabric ships the file bytes via the ADLS three-step
+    upload when service-principal creds are given; without creds it
+    raises the credentials gate with the recipe."""
     from elusion_spark.errors import FeatureNotAvailable
 
     src = tmp_path / "in.csv"
     src.write_text("a,b\n1,x\n")
+    # no creds -> gate names what to pass
     with pytest.raises(FeatureNotAvailable) as ei:
         es.copy_file_to_fabric(
-            str(src), "abfss://ws@onelake.dfs.fabric.microsoft.com/lh",
+            str(src), "https://onelake.dfs.fabric.microsoft.com/ws/lh/Files/in.csv",
             spark=spark)
-    msg = str(ei.value)
-    assert "hadoop-azure" in msg and "azure-identity" in msg
-    assert "copy_data" in msg  # the production recipe is spelled out
+    assert "tenant_id" in str(ei.value) and "client_secret" in str(ei.value)
+
+    # with creds (stubbed transport): bytes arrive verbatim
+    import elusion_spark.sinks.writers as W
+    import elusion_spark.sources.connectors as C
+
+    uploads = {}
+    monkeypatch.setattr(C, "_ms_token", lambda *a: "tok")
+    monkeypatch.setattr(W, "_onelake_upload",
+                        lambda url, token, data: uploads.update(
+                            {url: (token, data)}))
+    url = "https://onelake.dfs.fabric.microsoft.com/ws/lh/Files/in.csv"
+    n = es.copy_file_to_fabric(str(src), url, spark=spark, tenant_id="t",
+                               client_id="c", client_secret="s")
+    assert uploads[url] == ("tok", b"a,b\n1,x\n") and n == 8
+
+
+def test_sharepoint_and_fabric_loaders(spark, monkeypatch):
+    """load_from_sharepoint resolves the site id then fetches the drive
+    content (the reference's exact Graph URL shapes); from_fabric
+    bearer-GETs the OneLake file — both over a stubbed transport,
+    loading a real CSV into a typed frame."""
+    import json as _json
+
+    import elusion_spark.sources.connectors as C
+
+    calls = []
+
+    def fake_bearer_get(url, token):
+        calls.append(url)
+        assert token == "tok"
+        if url.endswith(":/sites/TeamSite"):
+            return _json.dumps({"id": "site-123"}).encode()
+        return b"Region,Total\nEU,10\nUS,20\n"
+
+    monkeypatch.setattr(C, "_ms_token", lambda *a: "tok")
+    monkeypatch.setattr(C, "_bearer_get", fake_bearer_get)
+
+    out = C.load_from_sharepoint(
+        "https://contoso.sharepoint.com/sites/TeamSite", "reports/q1.csv",
+        "sp", spark, tenant_id="t", client_id="c", client_secret="s")
+    assert calls[0] == ("https://graph.microsoft.com/v1.0/sites/"
+                        "contoso.sharepoint.com:/sites/TeamSite")
+    assert calls[1] == ("https://graph.microsoft.com/v1.0/sites/site-123"
+                        "/drive/root:/reports/q1.csv:/content")
+    assert sorted((r["region"], r["total"]) for r in out.df.collect()) == \
+        [("EU", 10), ("US", 20)]
+
+    out2 = C.from_fabric(
+        "https://onelake.dfs.fabric.microsoft.com/ws/lh/Files/t.csv",
+        "fb", spark, tenant_id="t", client_id="c", client_secret="s")
+    assert calls[-1].endswith("/Files/t.csv")
+    assert out2.df.count() == 2
+
+    # creds gate stays informative
+    from elusion_spark.errors import FeatureNotAvailable
+
+    with pytest.raises(FeatureNotAvailable, match="tenant_id"):
+        C.load_from_sharepoint("https://x.sharepoint.com/sites/S", "f.csv",
+                               "sp2", spark)
 
 
 # -------------------------------------------------------------- extract
