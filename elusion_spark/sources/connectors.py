@@ -121,8 +121,48 @@ def from_postgres(conn: str, query: str, alias: str,
 
 def from_mysql(conn: str, query: str, alias: str,
                spark: SparkSession | None = None, **kw):
-    """elusion.rs:883-903."""
-    return _jdbc(conn, query, alias, spark, "com.mysql.cj.jdbc.Driver", **kw)
+    """elusion.rs:883-903.  Same dual-engine shape as ``from_postgres``:
+    Spark JDBC when the driver jar is present (required for the
+    ``partition_column`` distributed form), else the stdlib wire-protocol
+    client (sources/mysqlwire.py) — driver-side single-connection ingest,
+    the reference's own shape (features/mysql.rs: one sqlx connection
+    into a MemTable).  DECIMAL maps to double (mysql.rs parity)."""
+    try:
+        return _jdbc(conn, query, alias, spark, "com.mysql.cj.jdbc.Driver",
+                     **kw)
+    except FeatureNotAvailable:
+        if kw.get("partition_column") is not None:
+            raise
+        from pyspark.sql import types as T
+
+        from . import mysqlwire
+
+        info = mysqlwire.parse_mysql_url(conn)
+        try:
+            client = mysqlwire.MySqlClient(**info)
+        except OSError as e:
+            raise FeatureNotAvailable(
+                f"no JDBC driver jar AND no reachable MySQL server at "
+                f"{info['host']}:{info['port']} ({e})",
+                "Either add com.mysql:mysql-connector-j via spark.jars."
+                "packages (distributed read) or point the conn string at "
+                "a live server (stdlib wire-protocol client, no install).",
+            )
+        try:
+            cols, rows = client.query(query)
+        finally:
+            client.close()
+        mapping = {"int": T.IntegerType(), "bigint": T.LongType(),
+                   "float": T.FloatType(), "double": T.DoubleType(),
+                   "date": T.DateType(), "timestamp": T.TimestampType(),
+                   "string": T.StringType()}
+        schema = T.StructType([
+            T.StructField(name,
+                          mapping[mysqlwire.spark_type_for_mysql(tc, fl)])
+            for name, tc, fl in cols
+        ])
+        s = _spark(spark)
+        return _wrap(s.createDataFrame(rows, schema), alias)
 
 
 # -------------------------------------------------------------------- ftp
