@@ -54,9 +54,26 @@ def _col_letters(idx: int) -> str:
     return out
 
 
+# OOXML escapes characters XML 1.0 cannot carry (control chars, lone
+# surrogates) as _xHHHH_; a literal "_xHHHH_" is protected as _x005F_x...
+_X_ESC_RE = _re.compile(r"_x([0-9A-Fa-f]{4})_")
+_XML_BAD_RE = _re.compile(  # \r included: XML parsers normalize it to \n
+    "[\x00-\x08\x0b-\x0d\x0e-\x1f\x7f\ud800-\udfff￾￿]")
+
+
+def _x_escape(s: str) -> str:
+    s = _X_ESC_RE.sub(lambda m: f"_x005F_x{m.group(1)}_", s)
+    return _XML_BAD_RE.sub(lambda m: f"_x{ord(m.group(0)):04X}_", s)
+
+
+def _x_unescape(s: str) -> str:
+    return _X_ESC_RE.sub(lambda m: chr(int(m.group(1), 16)), s)
+
+
 def _si_text(si: ET.Element) -> str:
     """A shared-string item is either one <t> or rich-text runs of <r><t>."""
-    return "".join(t.text or "" for t in si.iter() if _local(t.tag) == "t")
+    return _x_unescape("".join(
+        t.text or "" for t in si.iter() if _local(t.tag) == "t"))
 
 
 def _parse_number(raw: str):
@@ -92,25 +109,35 @@ def _sheet_paths(z: zipfile.ZipFile) -> list[tuple[str, str]]:
     return out
 
 
-def _date_styles(z: zipfile.ZipFile) -> set[int]:
-    """Style (xf) indexes whose number format renders as a date/time."""
+_TIME_FMT_IDS = set(range(18, 23)) | set(range(45, 48))
+_TIME_TOKEN_RE = _re.compile(r"(?<!\\)[hs]", _re.I)
+
+
+def _date_styles(z: zipfile.ZipFile) -> dict[int, bool]:
+    """Style (xf) index → True when the number format carries a TIME
+    component (so midnight serials stay datetimes), False for date-only
+    formats (14-17 and custom y/m/d-without-h/s codes)."""
     try:
         styles = ET.fromstring(z.read("xl/styles.xml"))
     except KeyError:
-        return set()
-    custom_date_fmts = {
-        int(nf.get("numFmtId")) for nf in styles.iter()
-        if _local(nf.tag) == "numFmt"
-        and _DATE_TOKEN_RE.search(nf.get("formatCode", ""))
-    }
-    date_ids = _DATE_FMT_IDS | custom_date_fmts
-    out = set()
+        return {}
+    custom = {}
+    for nf in styles.iter():
+        if _local(nf.tag) == "numFmt":
+            code = nf.get("formatCode", "")
+            if _DATE_TOKEN_RE.search(code):
+                custom[int(nf.get("numFmtId"))] = bool(
+                    _TIME_TOKEN_RE.search(code))
+    has_time = {**{i: False for i in _DATE_FMT_IDS},
+                **{i: True for i in _TIME_FMT_IDS}, **custom}
+    out = {}
     for node in styles.iter():
         if _local(node.tag) == "cellXfs":
             for i, xf in enumerate(x for x in node
                                    if _local(x.tag) == "xf"):
-                if int(xf.get("numFmtId", "0")) in date_ids:
-                    out.add(i)
+                fmt = int(xf.get("numFmtId", "0"))
+                if fmt in has_time:
+                    out[i] = has_time[fmt]
     return out
 
 
@@ -165,7 +192,7 @@ def read_xlsx(path: str, sheet: str | int = 0) -> list[list]:
     return rows
 
 
-def _cell_value(c: ET.Element, shared: list[str], date_xfs: set[int]):
+def _cell_value(c: ET.Element, shared: list[str], date_xfs: dict[int, bool]):
     ctype = c.get("t", "n")
     v_el = next((ch for ch in c if _local(ch.tag) == "v"), None)
     if ctype == "inlineStr":
@@ -183,12 +210,13 @@ def _cell_value(c: ET.Element, shared: list[str], date_xfs: set[int]):
     if ctype == "e":
         return None
     num = _parse_number(raw)
-    if int(c.get("s", "0")) in date_xfs:
+    with_time = date_xfs.get(int(c.get("s", "0")))
+    if with_time is not None:
         dt = _EPOCH + _dt.timedelta(days=float(num))
         # serials carry ~µs/day float error: snap to the nearest millisecond
         ms = int(round(dt.microsecond / 1000.0))
         dt = dt.replace(microsecond=0) + _dt.timedelta(milliseconds=ms)
-        if dt.time() == _dt.time.min:
+        if not with_time and dt.time() == _dt.time.min:
             return dt.date()
         return dt
     return num
@@ -262,7 +290,7 @@ def _cell_xml(ref: str, value) -> str:
         return f'<c r="{ref}" s="2"><v>{serial!r}</v></c>'
     if isinstance(value, _dt.date):
         return f'<c r="{ref}" s="1"><v>{(value - _EPOCH.date()).days}</v></c>'
-    txt = escape(str(value))
+    txt = escape(_x_escape(str(value)))
     return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{txt}</t></is></c>'
 
 

@@ -113,3 +113,52 @@ def test_delimiter_sniffing(tmp_path):
             f"a{sep}b{sep}c\n" + "\n".join(f"1{sep}2{sep}3" for _ in range(5))
         )
         assert sniff_delimiter(str(p)) == sep
+
+
+# ------------------------------------------------- xlsx codec properties
+
+def test_xlsx_lite_property_roundtrip(tmp_path):
+    """Property: any grid of supported cell values survives
+    write_xlsx -> read_xlsx byte-exactly (strings incl. XML-hostile
+    control chars / lone _xHHHH_ literals via OOXML escaping; ints;
+    repr-exact floats; bools; None; dates; millisecond datetimes)."""
+    import datetime as dt
+
+    from hypothesis import given, settings, strategies as st
+
+    from elusion_spark.sources.xlsx_lite import read_xlsx, write_xlsx
+
+    cell = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-2**53, max_value=2**53),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.text(max_size=40),
+        st.just("_x0041_literal"),   # must NOT unescape to 'A'
+        st.dates(min_value=dt.date(1901, 1, 1),
+                 max_value=dt.date(2200, 1, 1)),
+        st.datetimes(min_value=dt.datetime(1901, 1, 1),
+                     max_value=dt.datetime(2200, 1, 1)).map(
+            lambda d: d.replace(microsecond=(d.microsecond // 1000) * 1000)),
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.lists(cell, min_size=1, max_size=5), min_size=1,
+                    max_size=6), st.integers(min_value=0, max_value=1 << 30))
+    def run(rows, salt):
+        width = max(len(r) for r in rows)
+        rows = [r + [None] * (width - len(r)) for r in rows]
+        header = [f"c{i}" for i in range(width)]
+        p = str(tmp_path / f"prop_{salt}.xlsx")
+        write_xlsx(p, header, rows)
+        got = read_xlsx(p)
+        assert got[0] == header
+        for want_row, got_row in zip(rows, got[1:]):
+            for want, got_v in zip(want_row, got_row):
+                if isinstance(want, float):
+                    assert isinstance(got_v, float) and (
+                        got_v == want or repr(got_v) == repr(want))
+                else:
+                    assert got_v == want, (want, got_v)
+
+    run()
