@@ -88,6 +88,25 @@ def main() -> None:
                 times[name] = el
         spark.catalog.clearCache()
 
+    # Cache hit-vs-miss pair, mirroring the reference's headline cache
+    # claim (BASELINE.md: 6-10x on repeated queries).  The hit run
+    # REBUILDS the query from scratch — the canonicalized-plan key, not
+    # object identity, is what matches (cashandview.rs semantics).
+    from elusion_spark.cache import cached_elusion, clear_cache
+    from elusion_spark.dataframe import CustomDataFrame
+
+    def _run_cached() -> float:
+        t0 = time.perf_counter()
+        cdf = CustomDataFrame(QUERIES["q01_pricing_summary"](spark, sf_dir),
+                              "bench_c1")
+        cached_elusion(cdf, "bench_c1").df.write.format("noop").mode(
+            "overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    times["q01_cache_miss"] = _run_cached()
+    times["q01_cache_hit"] = _run_cached()
+    clear_cache()
+
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
