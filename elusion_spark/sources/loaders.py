@@ -260,8 +260,33 @@ def load_delta(path: str, alias: str, spark: SparkSession | None = None):
             f"Not a Delta table: {path}",
             "No _delta_log directory found (elusion.rs:6607-6710).",
         )
+    # Real tables checkpoint every ~10 commits and VACUUM/expire old JSON
+    # logs, so a JSON-only replay would silently miss files.  Protocol:
+    # _last_checkpoint names a version N whose parquet checkpoint holds
+    # the full reconciled state; only JSON logs > N need replaying.
     active: dict[str, bool] = {}
+    ckpt_version = -1
+    last_ckpt = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(last_ckpt):
+        with open(last_ckpt) as f:
+            meta = _json.loads(f.read() or "{}")
+        ckpt_version = int(meta.get("version", -1))
+        parts = sorted(_glob.glob(os.path.join(
+            log_dir, f"{ckpt_version:020d}.checkpoint*.parquet")))
+        if parts:
+            import pyarrow.parquet as _pq
+
+            for part in parts:  # metadata-only, driver-side read
+                t = _pq.read_table(part, columns=["add"])
+                for add in t.column("add").to_pylist():
+                    if add and add.get("path"):
+                        active[add["path"]] = True
+        else:
+            ckpt_version = -1  # stale pointer — fall back to full replay
     for logfile in sorted(_glob.glob(os.path.join(log_dir, "*.json"))):
+        version_str = os.path.basename(logfile).split(".")[0]
+        if version_str.isdigit() and int(version_str) <= ckpt_version:
+            continue
         with open(logfile) as f:
             for line in f:
                 try:

@@ -690,6 +690,50 @@ def test_delta_fallback_roundtrip(spark, tmp_path):
     assert load(d, "t2", spark).df.count() == 2
 
 
+def test_delta_fallback_reads_checkpointed_vacuumed_table(spark, tmp_path):
+    """Real Delta tables checkpoint every ~10 commits and VACUUM expired
+    JSON logs; the log-parse fallback must start from the parquet
+    checkpoint and replay only newer JSON — a JSON-only replay of this
+    fixture would return the wrong file set."""
+    import json as _json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "ckpt_table")
+    log = os.path.join(d, "_delta_log")
+    os.makedirs(log)
+    # data files
+    for name, lo in [("a.parquet", 0), ("b.parquet", 10),
+                     ("c.parquet", 20), ("d.parquet", 30)]:
+        spark.range(lo, lo + 5).coalesce(1).toPandas().to_parquet(
+            os.path.join(d, name))
+    # checkpoint at version 10: state = {a, b} (c was added then removed
+    # in logs that have since been vacuumed)
+    add_t = pa.array([{"path": "a.parquet"}, {"path": "b.parquet"}, None],
+                     type=pa.struct([("path", pa.string())]))
+    rm_t = pa.array([None, None, {"path": "c.parquet"}],
+                    type=pa.struct([("path", pa.string())]))
+    pq.write_table(pa.table({"add": add_t, "remove": rm_t}),
+                   os.path.join(log, f"{10:020d}.checkpoint.parquet"))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        f.write(_json.dumps({"version": 10, "size": 3}))
+    # a STALE pre-checkpoint log that survived (should be skipped: it
+    # re-adds c.parquet, which the checkpointed state already removed)
+    with open(os.path.join(log, f"{9:020d}.json"), "w") as f:
+        f.write(_json.dumps({"add": {"path": "c.parquet"}}) + "\n")
+    # post-checkpoint commit: remove b, add d
+    with open(os.path.join(log, f"{11:020d}.json"), "w") as f:
+        f.write(_json.dumps({"remove": {"path": "b.parquet"}}) + "\n")
+        f.write(_json.dumps({"add": {"path": "d.parquet"}}) + "\n")
+
+    from elusion_spark.sources.loaders import load_delta
+
+    got = sorted(r["id"] for r in load_delta(d, "ck", spark).df.collect())
+    assert got == [0, 1, 2, 3, 4, 30, 31, 32, 33, 34]  # a + d only
+
+
 # ------------------------------------------------------------------- jdbc
 
 def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
