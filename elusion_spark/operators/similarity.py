@@ -57,6 +57,51 @@ def cosine_expr(vec_col: str, query: list[float]) -> Column:
     )
 
 
+def classifier_score(
+    df: DataFrame,
+    vec_col: str,
+    weights: list[float],
+    bias: float = 0.0,
+    out_col: str = "score",
+    threshold: float | None = None,
+) -> DataFrame:
+    """Linear classifier head over an embedding column:
+    ``sigmoid(w·x + b)`` — the quality-filter shape used by fastText /
+    DCLM / FineWeb-Edu style curation (score every document with a
+    trained linear probe, keep above a threshold).
+
+    Plan shape: pure projection — no shuffle, no join; with
+    ``threshold`` the filter composes into the same scan stage.  Small
+    heads use a codegen-friendly ``zip_with``/``aggregate`` expression;
+    wide heads (dim > 512) switch to one numpy dot per Arrow batch via
+    pandas_udf, the same size-adaptive pattern as ``assign_clusters``."""
+    dim = len(weights)
+    if dim <= 512:
+        dot = dot_expr(vec_col, [float(w) for w in weights])
+        score = F.lit(1.0) / (F.lit(1.0)
+                              + F.exp(-(dot + F.lit(float(bias)))))
+    else:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        W = np.asarray(weights, dtype=np.float64)
+        b = float(bias)
+
+        def _score(vs):
+            V = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+            if V.size == 0:
+                return pd.Series([], dtype="float64")
+            return pd.Series(1.0 / (1.0 + np.exp(-(V @ W + b))))
+
+        _score.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+        score = pandas_udf(_score, "double")(F.col(vec_col))
+    out = df.withColumn(out_col, score)
+    if threshold is not None:
+        out = out.filter(F.col(out_col) >= float(threshold))
+    return out
+
+
 def cosine_topk(
     df: DataFrame, vec_col: str, id_col: str, query: list[float], k: int = 10
 ) -> DataFrame:

@@ -2117,6 +2117,33 @@ def q66(spark, sf):
     )
 
 
+_HEAD_W = [round(((i % 7) - 3) / 10, 1) for i in range(EMB_DIM)]
+
+
+@q(
+    "q67_classifier_filter",
+    f"""
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           ROUND(1/(1+exp(-(list_dot_product(CAST(embedding AS DOUBLE[]),
+                 {_HEAD_W!r}) + 0.1))), 4) AS score
+    FROM embeddings
+    """,
+)
+def q67(spark, sf):
+    """Linear quality-classifier head (fastText/DCLM/FineWeb-Edu filter
+    shape): sigmoid(w.x + b) over the embedding column as a pure
+    projection — no shuffle; the threshold form composes into the scan
+    stage.  Deterministic head weights; both engines compute the dot in
+    doubles and round to 4dp to absorb summation-order ulps."""
+    from .operators.similarity import classifier_score
+
+    e = _t(spark, sf, "embeddings", "e").df
+    return classifier_score(e, "embedding", _HEAD_W, bias=0.1).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -2137,6 +2164,7 @@ _NEEDS_EVIDENCE = [
     "q49_array_agg_distinct", "q50_pii_redaction",
     # then queries whose implementation changed THIS round (fresh
     # evidence for the new plans):
+    "q67_classifier_filter",
     "q55_left_mark", "q64_repetition_signals", "q65_semantic_dedup",
     "q46_training_corpus", "q30_minhash_pairs", "q31_simhash_pairs",
     "q32_embedding_near_dup", "q09_dedup_exact",

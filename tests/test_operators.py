@@ -882,3 +882,42 @@ def test_pack_sequences_offsets_and_spans(spark):
                           shard_col="grp").collect()
     assert {r["shard"] for r in out2} == {0}
     assert sorted(r["start_token"] for r in out2) == [0, 300, 350, 650]
+
+
+def test_classifier_score_paths_and_plan(spark):
+    """classifier_score: the codegen expression path and the wide-head
+    numpy path produce the same sigmoid(w.x+b); threshold composes as a
+    filter; the plan stays shuffle-free (pure projection)."""
+    import math
+    import random
+
+    from elusion_spark.operators.similarity import classifier_score
+
+    rng = random.Random(7)
+    dim = 600
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "id int, v array<double>")
+    w = [rng.uniform(-0.5, 0.5) for _ in range(dim)]
+
+    wide = {r["id"]: r["score"]
+            for r in classifier_score(df, "v", w, bias=0.2).collect()}
+    for i, vec in rows:
+        want = 1.0 / (1.0 + math.exp(-(sum(a * b for a, b in zip(vec, w))
+                                       + 0.2)))
+        assert abs(wide[i] - want) < 1e-9, i
+
+    # narrow head -> expression path, same math
+    w8 = w[:8]
+    df8 = df.selectExpr("id", "slice(v, 1, 8) AS v")
+    expr = {r["id"]: r["score"]
+            for r in classifier_score(df8, "v", w8, bias=0.2).collect()}
+    for i, vec in rows:
+        want = 1.0 / (1.0 + math.exp(-(sum(a * b for a, b in
+                                           zip(vec[:8], w8)) + 0.2)))
+        assert abs(expr[i] - want) < 1e-9, i
+
+    kept = classifier_score(df, "v", w, bias=0.2, threshold=0.5)
+    assert set(r["id"] for r in kept.collect()) == \
+        {i for i, s in wide.items() if s >= 0.5}
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
