@@ -57,6 +57,8 @@ from .operators.text import repetition_signals
 from .pipeline import (
     corpus_stats,
     pack_sequences,
+    cap_per_group,
+    hash_sample,
     prepare_training_corpus,
     sample_to_token_budget,
     stratified_sample,
@@ -136,6 +138,8 @@ __all__ = [
     "write_corpus",
     "stratified_sample",
     "sample_to_token_budget",
+    "hash_sample",
+    "cap_per_group",
     "CopyConfig",
     "copy_data",
     "copy_file_to_parquet",

@@ -116,6 +116,54 @@ def write_corpus(corpus: DataFrame, path: str,
     w.partitionBy(*(partition_by or ["lang"])).parquet(path)
 
 
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    rate: float,
+    salt: int = 0,
+) -> DataFrame:
+    """CONTENT-STABLE sampling: keep a row iff a deterministic hash of
+    its id falls under ``rate``.  Unlike ``df.sample()`` (seeded per
+    partition-split, so membership changes when partitioning or engine
+    changes), the same row makes the same in/out decision on every run,
+    every engine, and every re-partitioning — the property reproducible
+    100 TB pipelines need (re-running a stage must not silently swap the
+    sampled subset).
+
+    Knuth multiplicative hash on the id (exactly expressible in ANSI SQL,
+    so the decision is auditable from any engine):
+    ``(((id mod 2^31) + salt) * 2654435761) mod 2^32 < rate * 2^32``.
+    The id is folded to 31 bits FIRST so the product stays inside int64
+    on every engine (no overflow wrap/error at 100 TB id ranges; ids
+    2^31 apart share a decision — immaterial for sampling).  Pure scan-
+    stage filter, no shuffle; composes with partition pruning."""
+    m = 1 << 32
+    cut = int(rate * m)
+    folded = F.col(id_col) % F.lit(1 << 31) + F.lit(salt)
+    return df.filter((folded * F.lit(2654435761) % F.lit(m)) < F.lit(cut))
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    k: int,
+) -> DataFrame:
+    """Per-group cap (``domain caps``: at most k docs per source/domain,
+    deterministic preference by ``order_col``) — row_number over a
+    (group, order) window, one shuffle on the group key.  The standard
+    CommonCrawl-pipeline guard against a single domain dominating the
+    training mix."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col(order_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -2144,6 +2144,43 @@ def q67(spark, sf):
     )
 
 
+@q(
+    "q68_sample_and_cap",
+    """
+    WITH sampled AS (
+        SELECT doc_id, source FROM documents
+        WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296
+              < CAST(0.35 * 4294967296 AS BIGINT)
+    ),
+    ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM sampled
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(rn AS BIGINT) AS keep_rank
+    FROM ranked WHERE rn <= 50
+    """,
+)
+def q68(spark, sf):
+    """Corpus governance pair: content-stable hash sampling (same row
+    makes the same in/out decision on any engine/partitioning — plain
+    df.sample() does not) followed by a per-source domain cap.  The
+    whole decision procedure is auditable ANSI SQL, which IS the oracle."""
+    from .pipeline import cap_per_group, hash_sample
+
+    docs = _t(spark, sf, "documents", "d").df.select("doc_id", "source")
+    sampled = hash_sample(docs, "doc_id", 0.35)
+    capped = cap_per_group(sampled, "source", "doc_id", 50)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return capped.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source",
+        F.row_number().over(w).cast("bigint").alias("keep_rank"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -2164,7 +2201,7 @@ _NEEDS_EVIDENCE = [
     "q49_array_agg_distinct", "q50_pii_redaction",
     # then queries whose implementation changed THIS round (fresh
     # evidence for the new plans):
-    "q67_classifier_filter",
+    "q67_classifier_filter", "q68_sample_and_cap",
     "q55_left_mark", "q64_repetition_signals", "q65_semantic_dedup",
     "q46_training_corpus", "q30_minhash_pairs", "q31_simhash_pairs",
     "q32_embedding_near_dup", "q09_dedup_exact",

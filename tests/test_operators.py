@@ -921,3 +921,27 @@ def test_classifier_score_paths_and_plan(spark):
         {i for i, s in wide.items() if s >= 0.5}
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_hash_sample_stability_and_cap(spark):
+    """hash_sample membership is invariant under repartitioning (the
+    property df.sample lacks) and the rate lands near-nominal;
+    cap_per_group keeps exactly the first k per group by order."""
+    from elusion_spark.pipeline import cap_per_group, hash_sample
+
+    df = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    a = set(r["doc_id"] for r in hash_sample(df, "doc_id", 0.3).collect())
+    b = set(r["doc_id"] for r in
+            hash_sample(df.repartition(7), "doc_id", 0.3).collect())
+    assert a == b                      # content-stable, not split-seeded
+    assert 0.27 < len(a) / 20_000 < 0.33
+    # sampling composes: a higher-rate sample is a superset
+    c = set(r["doc_id"] for r in hash_sample(df, "doc_id", 0.6).collect())
+    assert a <= c
+
+    g = spark.createDataFrame(
+        [(i, "dom%d" % (i % 3)) for i in range(30)], ["doc_id", "source"])
+    capped = cap_per_group(g, "source", "doc_id", 4)
+    got = sorted((r["source"], r["doc_id"]) for r in capped.collect())
+    want = sorted(("dom%d" % (i % 3), i) for i in range(12))
+    assert got == want                 # first 4 of each group by doc_id
