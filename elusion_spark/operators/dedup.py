@@ -189,6 +189,12 @@ def minhash_dedup_pairs(
         banded.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= max_bucket_size)
         .drop("__rn")
+        # feeds BOTH sides of the bucket self-join; the broadcast side
+        # cannot reuse the streamed side's shuffle exchange, so without a
+        # persist the whole explode+cap-window chain runs twice (seen in
+        # the plan as two parallel Exchange/WindowGroupLimit chains).
+        # (id, band_idx, band_hash) is ~16B/row — tiny vs the corpus.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cand = (
         banded.alias("l")
@@ -354,6 +360,9 @@ def simhash_dedup_pairs(
         banded.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= max_bucket_size)
         .drop("__rn")
+        # both self-join sides read this; see minhash_dedup_pairs — an
+        # unpersisted frame would run the explode+cap chain twice
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     l = banded.select(
         F.col("__id").alias("id_a"), F.col("__sim").alias("sim_a"),
