@@ -2117,6 +2117,52 @@ def q66(spark, sf):
     )
 
 
+_Q69_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1994-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+@q("q69_exists_subquery", _Q69_SQL)
+def q69(spark, sf):
+    """TPC-H Q4 shape: correlated EXISTS through the raw-SQL surface —
+    Catalyst rewrites the subquery to a LEFT SEMI join (same
+    decorrelation DuckDB performs), so the identical ANSI text runs on
+    both engines and the oracle is the query itself."""
+    o = _t(spark, sf, "orders", "orders")
+    li = _t(spark, sf, "lineitem", "lineitem")
+    return execute_raw_sql(
+        _Q69_SQL, "q69", {"orders": o, "lineitem": li}, spark
+    ).to_spark()
+
+
+_Q70_SQL = """
+SELECT l_partkey,
+       CAST(SUM(CAST(l_extendedquantity AS DECIMAL(38, 9))) AS DOUBLE)
+           AS part_qty
+FROM (SELECT l_partkey, l_quantity AS l_extendedquantity FROM lineitem) t
+GROUP BY l_partkey
+HAVING SUM(CAST(l_extendedquantity AS DECIMAL(38, 9))) >
+       (SELECT 0.015 * SUM(CAST(l_quantity AS DECIMAL(38, 9)))
+        FROM lineitem) / 100
+"""
+
+
+@q("q70_scalar_subquery", _Q70_SQL)
+def q70(spark, sf):
+    """TPC-H Q11 shape: uncorrelated scalar subquery inside HAVING —
+    planned as a one-row broadcast against the aggregate.  Decimal-exact
+    sums on both sides keep the threshold comparison engine-identical."""
+    li = _t(spark, sf, "lineitem", "lineitem")
+    return execute_raw_sql(_Q70_SQL, "q70", {"lineitem": li}, spark
+                           ).to_spark()
+
+
 _HEAD_W = [round(((i % 7) - 3) / 10, 1) for i in range(EMB_DIM)]
 
 
@@ -2201,7 +2247,8 @@ _NEEDS_EVIDENCE = [
     "q49_array_agg_distinct", "q50_pii_redaction",
     # then queries whose implementation changed THIS round (fresh
     # evidence for the new plans):
-    "q67_classifier_filter", "q68_sample_and_cap",
+    "q67_classifier_filter", "q68_sample_and_cap", "q69_exists_subquery",
+    "q70_scalar_subquery",
     "q55_left_mark", "q64_repetition_signals", "q65_semantic_dedup",
     "q46_training_corpus", "q30_minhash_pairs", "q31_simhash_pairs",
     "q32_embedding_near_dup", "q09_dedup_exact",
