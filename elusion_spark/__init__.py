@@ -78,6 +78,7 @@ from .sources.connectors import (
     ElusionApi,
     from_api_to_df,
     from_azure_with_sas_token,
+    from_fabric,
     from_ftp,
     from_ftp_folder,
     from_ftp_folder_with_filename_column,
@@ -88,6 +89,7 @@ from .sources.connectors import (
     from_ftps_folder_with_filename_column,
     from_mysql,
     from_postgres,
+    ftp_list_files,
     load_from_sharepoint,
     write_to_ftp,
 )
@@ -169,5 +171,7 @@ __all__ = [
     "write_to_excel",
     "write_to_ftp",
     "from_azure_with_sas_token",
+    "from_fabric",
+    "ftp_list_files",
     "load_from_sharepoint",
 ]

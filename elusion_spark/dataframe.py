@@ -982,6 +982,191 @@ class CustomDataFrame:
 
         write_to_excel(self._assemble(), path, sheet)
 
+    # ------------- reference-named convenience surface (README parity) --
+    # Every method a user calls in the reference README exists under the
+    # same name here, delegating to the module-level implementations.
+
+    def show_head(self, n: int = 5) -> None:
+        """README:1585 — display the first n rows."""
+        self.display(n)
+
+    def show_tail(self, n: int = 5) -> None:
+        self.tail(n).display(n)
+
+    def display_stats(self, columns: Sequence[str] | None = None):
+        from .functions.stats import display_stats
+
+        return display_stats(self._assemble(), list(columns or []) or None)
+
+    def display_null_analysis(self, columns: Sequence[str] | None = None):
+        from .functions.stats import display_null_analysis
+
+        return display_null_analysis(self._assemble(),
+                                     list(columns or []) or None)
+
+    def display_correlation_matrix(self,
+                                   columns: Sequence[str] | None = None):
+        from .functions.stats import display_correlation_matrix
+
+        return display_correlation_matrix(self._assemble(),
+                                          list(columns or []) or None)
+
+    # plot builders (README:3460-3560 shapes; show_markers accepted for
+    # line/time-series parity — the plotly-JSON payload renders markers
+    # by default, so the flag only needs to exist, not to branch)
+    def plot_line(self, x, y, show_markers: bool = True, title=None):
+        from .functions.dashboard import plot_line
+
+        return plot_line(self._assemble(), x, y, title or "Line")
+
+    def plot_time_series(self, x, y, show_markers: bool = True, title=None):
+        from .functions.dashboard import plot_time_series
+
+        return plot_time_series(self._assemble(), x, y,
+                                title or "Time series")
+
+    def plot_bar(self, x, y, title=None):
+        from .functions.dashboard import plot_bar
+
+        return plot_bar(self._assemble(), x, y, title or "Bar")
+
+    def plot_scatter(self, x, y, marker_size=None, title=None):
+        from .functions.dashboard import plot_scatter
+
+        return plot_scatter(self._assemble(), x, y, title or "Scatter")
+
+    def plot_histogram(self, column, title=None):
+        from .functions.dashboard import plot_histogram
+
+        return plot_histogram(self._assemble(), column,
+                              title or "Histogram")
+
+    def plot_box(self, column, title=None):
+        from .functions.dashboard import plot_box
+
+        return plot_box(self._assemble(), column, title or "Box")
+
+    def plot_pie(self, labels, values, title=None):
+        from .functions.dashboard import plot_pie
+
+        return plot_pie(self._assemble(), labels, values, title or "Pie")
+
+    def plot_donut(self, labels, values, title=None):
+        from .functions.dashboard import plot_donut
+
+        return plot_donut(self._assemble(), labels, values,
+                          title or "Donut")
+
+    def plot_waterfall(self, x, y, title=None):
+        from .functions.dashboard import plot_waterfall
+
+        return plot_waterfall(self._assemble(), x, y,
+                              title or "Waterfall")
+
+    def elusion_streaming_write(self, alias: str, path: str,
+                                mode: str = "overwrite") -> int:
+        """README:1440 — chunked single-file write, format from the path
+        extension; 'overwrite' truncates, 'append' extends."""
+        import os as _os
+
+        from .sinks.writers import stream_write
+
+        fmt = _os.path.splitext(path)[1].lstrip(".").lower() or "csv"
+        return stream_write(self._assemble(), path, fmt, mode=mode)
+
+    def elusion_with_redis_cache(self, cache, alias: str,
+                                 ttl_seconds: int | None = None):
+        """README:3324 — Redis-backed result cache.  ``cache`` is an
+        ElusionRedisCache (or a 'host:port' string to build one)."""
+        from .cache import ElusionRedisCache
+
+        if isinstance(cache, str):
+            host, _, port = cache.partition(":")
+            cache = ElusionRedisCache(host, int(port or 6379),
+                                      ttl_seconds or 3600)
+        if ttl_seconds is not None:
+            cache.ttl = ttl_seconds
+        return cache.get_or_compute(self, alias)
+
+    def write_parquet_to_azure_with_sas(self, url: str, sas_token: str,
+                                        mode: str = "overwrite") -> None:
+        from .sinks.writers import write_parquet_to_azure_with_sas
+
+        write_parquet_to_azure_with_sas(self._assemble(), url, sas_token,
+                                        mode)
+
+    def write_json_to_azure_with_sas(self, url: str, sas_token: str,
+                                     pretty: bool = False) -> None:
+        from .sinks.writers import write_json_to_azure_with_sas
+
+        write_json_to_azure_with_sas(self._assemble(), url, sas_token,
+                                     pretty)
+
+    def write_parquet_to_fabric(self, onelake_url: str, **auth) -> None:
+        from .sinks.writers import write_parquet_to_fabric
+
+        write_parquet_to_fabric(self._assemble(), onelake_url, **auth)
+
+    def write_parquet_to_fabric_with_service_principal(
+            self, onelake_url: str, tenant_id: str, client_id: str,
+            client_secret: str) -> None:
+        from .sinks.writers import write_parquet_to_fabric
+
+        write_parquet_to_fabric(self._assemble(), onelake_url,
+                                tenant_id=tenant_id, client_id=client_id,
+                                client_secret=client_secret)
+
+    def _write_format_to_ftp(self, fmt: str, server: str, username: str,
+                             password: str, remote_path: str,
+                             port: int = 21, secure: bool = False,
+                             sheet: str | None = None) -> None:
+        """README:680-712 family: serialize locally with the normal
+        writer for the format, STOR the file, clean up."""
+        import os as _os
+        import tempfile as _tf
+
+        from .sources.connectors import write_to_ftp
+
+        suffix = "." + fmt
+        fd, tmp = _tf.mkstemp(suffix=suffix)
+        _os.close(fd)
+        _os.unlink(tmp)  # writers create the file themselves
+        try:
+            if fmt == "parquet":
+                self.write_to_parquet("overwrite", tmp)
+            elif fmt == "csv":
+                self.write_to_csv("overwrite", tmp)
+            elif fmt == "json":
+                self.write_to_json(tmp)
+            else:
+                self.write_to_excel(tmp, sheet or "Sheet1")
+            write_to_ftp(tmp, server, username, password, remote_path,
+                         port, secure)
+        finally:
+            if _os.path.exists(tmp):
+                _os.remove(tmp)
+
+    def write_csv_to_ftp(self, server, username, password, remote_path,
+                         port: int = 21, secure: bool = False) -> None:
+        self._write_format_to_ftp("csv", server, username, password,
+                                  remote_path, port, secure)
+
+    def write_parquet_to_ftp(self, server, username, password, remote_path,
+                             port: int = 21, secure: bool = False) -> None:
+        self._write_format_to_ftp("parquet", server, username, password,
+                                  remote_path, port, secure)
+
+    def write_json_to_ftp(self, server, username, password, remote_path,
+                          port: int = 21, secure: bool = False) -> None:
+        self._write_format_to_ftp("json", server, username, password,
+                                  remote_path, port, secure)
+
+    def write_excel_to_ftp(self, server, username, password, remote_path,
+                           sheet: str | None = None, port: int = 21,
+                           secure: bool = False) -> None:
+        self._write_format_to_ftp("xlsx", server, username, password,
+                                  remote_path, port, secure, sheet)
+
 
 # ---------------------------------------------------------------- cleaning
 

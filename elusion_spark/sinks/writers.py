@@ -315,11 +315,15 @@ def write_to_excel(df: DataFrame, path: str, sheet: str = "Sheet1",
 
 def stream_write(df: DataFrame, path: str, fmt: str = "csv",
                  batch_rows: int = 50_000,
-                 options: CsvWriteOptions | None = None) -> int:
+                 options: CsvWriteOptions | None = None,
+                 mode: str = "overwrite") -> int:
     """``elusion_streaming_write`` parity (elusion.rs:8235-8467): iterate
     result batches, append to one file incrementally (parquet buffered at
     50k rows like the reference).  Uses ``toLocalIterator`` so only one
     partition is resident driver-side at a time.  Returns rows written.
+    ``mode='append'`` extends an existing file (csv skips the repeated
+    header; parquet rewrites the single file with the prior row groups
+    first — this is the bounded single-file fidelity path by design).
 
     Scale note: this exists for single-file fidelity; the distributed path
     is plain ``df.write`` which already streams per task.
@@ -328,14 +332,18 @@ def stream_write(df: DataFrame, path: str, fmt: str = "csv",
     import pyarrow.parquet as pq
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    appending = mode == "append" and os.path.exists(path)
     total = 0
     if fmt == "parquet":
+        prior = pq.read_table(path) if appending else None
         schema = pa.schema(
             [pa.field(f.name, _arrow_type(f.dataType)) for f in df.schema.fields]
         )
         writer = pq.ParquetWriter(path, schema, compression="snappy")
         buf: list[dict] = []
         try:
+            if prior is not None:
+                writer.write_table(prior.cast(schema))
             for row in df.toLocalIterator():
                 buf.append(row.asDict())
                 if len(buf) >= batch_rows:
@@ -352,10 +360,10 @@ def stream_write(df: DataFrame, path: str, fmt: str = "csv",
     import csv as _csv
     import json as _json
 
-    with open(path, "w", newline="") as f:
+    with open(path, "a" if appending else "w", newline="") as f:
         if fmt == "csv":
             w = _csv.writer(f, delimiter=opts.delimiter, quotechar=opts.quote)
-            if opts.header:
+            if opts.header and not appending:
                 w.writerow(df.columns)
             for row in df.toLocalIterator():
                 w.writerow(list(row))

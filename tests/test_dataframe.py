@@ -302,3 +302,67 @@ def test_multi_star_dedup_across_stars(spark):
         .to_spark()
     )
     assert explicit.columns == ["s_key", "c_key"]
+
+
+def test_reference_readme_method_surface(spark):
+    """Every method name a user calls in the reference README's examples
+    resolves on the matching surface here (CustomDataFrame method,
+    package-level function, ElusionApi or SchemaBuilder method) — the
+    'switch engines without rewriting your code' checklist."""
+    import elusion_spark as es
+    from elusion_spark.dataframe import CustomDataFrame
+    from elusion_spark.sources.connectors import ElusionApi
+    from elusion_spark.sources.schema import SchemaBuilder
+
+    on_frame = """
+        select agg filter filter_many group_by group_by_all having
+        having_many order_by order_by_many limit join join_many window
+        string_functions datetime_functions fill_null drop_null
+        drop_duplicates drop_duplicates_by_column pivot unpivot union
+        union_all union_many union_all_many skip_rows json json_array
+        display display_query display_query_with_info df_schema
+        show_head show_tail head tail peek broadcast elusion
+        elusion_streaming elusion_streaming_write elusion_with_redis_cache
+        display_stats display_null_analysis display_correlation_matrix
+        plot_line plot_time_series plot_bar plot_scatter plot_histogram
+        plot_box plot_pie plot_donut plot_waterfall
+        write_to_parquet write_to_csv write_to_json write_to_delta_table
+        write_to_excel write_parquet_to_azure_with_sas
+        write_json_to_azure_with_sas write_parquet_to_fabric
+        write_parquet_to_fabric_with_service_principal
+        write_csv_to_ftp write_parquet_to_ftp write_json_to_ftp
+        write_excel_to_ftp
+    """.split()
+    missing = [m for m in on_frame if not hasattr(CustomDataFrame, m)]
+    assert not missing, f"CustomDataFrame lacks reference methods {missing}"
+    # `except` is a Python keyword; the documented spelling is except_
+    assert hasattr(CustomDataFrame, "except_")
+
+    on_api = """
+        from_api from_api_with_headers from_api_with_params
+        from_api_with_dates from_api_with_pagination from_api_with_sort
+        from_api_with_headers_and_sort from_api_with_params_and_headers
+    """.split()
+    missing = [m for m in on_api if not hasattr(ElusionApi, m)]
+    assert not missing, f"ElusionApi lacks {missing}"
+
+    at_root = """
+        from_postgres from_mysql from_azure_with_sas_token from_fabric
+        load_from_sharepoint from_ftp from_ftps ftp_list_files load_excel
+        write_to_excel copy_data copy_file_to_parquet copy_file_to_csv
+        copy_file_to_fabric compact_files
+    """.split()
+    missing = [m for m in at_root if not hasattr(es, m)]
+    assert not missing, f"package root lacks {missing}"
+    assert hasattr(SchemaBuilder, "build")
+
+    # shims actually run: plots return plotly payloads, show_head prints
+    df = es.CustomDataFrame(
+        spark.createDataFrame([("a", 1.0), ("b", 2.0)], ["k", "v"]), "p")
+    fig = df.plot_bar("k", "v", title="T")
+    assert fig["layout"]["title"] == {"text": "T"} and fig["data"]
+    assert df.plot_time_series("k", "v", True, "TS")["data"]
+    stats = df.display_stats()
+    assert stats.count() >= 1
+    df.show_head(1)
+    df.show_tail(1)
