@@ -52,7 +52,7 @@ from .operators.scale import (
     repartition_for_join,
     write_bucketed,
 )
-from .operators.similarity import semantic_dedup
+from .operators.similarity import classifier_score, semantic_dedup
 from .operators.text import repetition_signals
 from .pipeline import (
     corpus_stats,
@@ -142,6 +142,7 @@ __all__ = [
     "sample_to_token_budget",
     "hash_sample",
     "cap_per_group",
+    "classifier_score",
     "CopyConfig",
     "copy_data",
     "copy_file_to_parquet",
