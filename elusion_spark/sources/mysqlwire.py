@@ -90,14 +90,21 @@ class MySqlClient:
     # --------------------------------------------------------- framing
 
     def _read_packet(self) -> bytes:
-        head = self._buf.read(4)
-        if len(head) != 4:
-            raise ConnectionError("mysql connection closed mid-packet")
-        ln = int.from_bytes(head[:3], "little")
-        self._seq = (head[3] + 1) % 256
-        payload = self._buf.read(ln)
-        if len(payload) != ln:
-            raise ConnectionError("short mysql packet read")
+        # a logical packet >= 16MB-1 is split: length 0xFFFFFF means a
+        # continuation follows (terminated by the first shorter frame)
+        payload = b""
+        while True:
+            head = self._buf.read(4)
+            if len(head) != 4:
+                raise ConnectionError("mysql connection closed mid-packet")
+            ln = int.from_bytes(head[:3], "little")
+            self._seq = (head[3] + 1) % 256
+            part = self._buf.read(ln)
+            if len(part) != ln:
+                raise ConnectionError("short mysql packet read")
+            payload += part
+            if ln < 0xFFFFFF:
+                break
         if payload[:1] == b"\xff":
             (code,) = struct.unpack("<H", payload[1:3])
             msg = payload[9:] if payload[3:4] == b"#" else payload[3:]
