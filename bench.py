@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "q63_decontamination",    # n-gram overlap vs broadcast eval-set grams
     "q64_repetition_signals", # Gopher repetition metrics (1 explode, 2 shuffles)
     "q65_semantic_dedup",     # SemDeDup: k-means + intra-cluster cosine + CC
+    "q72_lm_score",           # unigram-LM cross-entropy (CCNet filter shape)
+    "q73_knn_join",           # batched k-NN join (IVF cogroup GEMM, full probe)
 ]
 
 

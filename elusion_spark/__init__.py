@@ -52,8 +52,12 @@ from .operators.scale import (
     repartition_for_join,
     write_bucketed,
 )
-from .operators.similarity import classifier_score, semantic_dedup
-from .operators.text import repetition_signals
+from .operators.similarity import (
+    classifier_score,
+    knn_join,
+    semantic_dedup,
+)
+from .operators.text import lm_fit, lm_score, repetition_signals
 from .pipeline import (
     corpus_stats,
     pack_sequences,
@@ -62,6 +66,7 @@ from .pipeline import (
     prepare_training_corpus,
     sample_to_token_budget,
     stratified_sample,
+    train_val_test_split,
     write_corpus,
 )
 from .scheduler import PipelineScheduler
@@ -142,7 +147,11 @@ __all__ = [
     "sample_to_token_budget",
     "hash_sample",
     "cap_per_group",
+    "train_val_test_split",
     "classifier_score",
+    "knn_join",
+    "lm_fit",
+    "lm_score",
     "CopyConfig",
     "copy_data",
     "copy_file_to_parquet",

@@ -401,6 +401,154 @@ def ivf_search(
     )
 
 
+# ---------------------------------------------------------------- knn join
+
+def _probe_clusters_udf(centroids: list[list[float]], nprobe: int):
+    """pandas_udf: the ``nprobe`` nearest centroid ids per vector
+    (stable argsort — deterministic under distance ties)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+    n = min(nprobe, len(centroids))
+
+    @pandas_udf("array<int>")
+    def _probe(vs):
+        import pandas as pd
+
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        if V.size == 0:
+            return pd.Series([], dtype=object)
+        # ||v||^2 is constant per row — argmin order unaffected, dropped
+        d2 = c_sq - 2.0 * (V @ C.T)
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :n].astype("int32")
+        return pd.Series(list(idx))
+
+    return _probe
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    nprobe: int = 4,
+    n_blocks: int = 32,
+    round_digits: int = 4,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Batched k-nearest-neighbour join: for EVERY query row, the top-k
+    corpus rows by cosine — the retrieval-eval / hard-negative-mining /
+    RAG-indexing primitive (``cosine_topk`` answers one query; this
+    answers |Q| of them in one distributed pass).
+
+    Two partitioning modes:
+
+    - **IVF mode** (``centroids`` given): corpus rows key on their argmin
+      cluster; each query replicates to its ``nprobe`` nearest clusters.
+      Cost ≈ ``nprobe/nlist`` of the exact join; recall < 1 unless
+      ``nprobe == nlist`` (then exact, the q73 oracle setting).
+    - **Exact block mode** (no centroids): corpus rows key on
+      ``hash(id) % n_blocks``; each query replicates to every block.
+      Exact at |Q|·|C| GEMM flops, spread across ``n_blocks`` cogroups —
+      the brute-force baseline, viable when one side is small.
+
+    Each cogroup computes ONE numpy GEMM (Arrow-batched, no per-row
+    Python) and emits a per-query local top-k; the global top-k is a
+    window over the unioned candidates — correct because every
+    (query, neighbour) pair appears in exactly one group, and a global
+    winner is necessarily a local winner in its own group.
+
+    Cross-engine determinism: cosines are rounded to ``round_digits``
+    and ranked by ``(cosine DESC, neighbour id)`` — a total order any
+    engine reproduces (near-ties collapse to equal rounded values and
+    fall back to the id).  Output: ``query_id, neighbor_id, cosine,
+    rank``."""
+    import numpy as np
+    import pandas as pd
+
+    qn = queries.select(
+        F.col(q_id).alias("__qid"),
+        F.col(q_vec).alias("__qv"),
+        norm_expr(q_vec).alias("__qn"),
+    )
+    cn = corpus.select(
+        F.col(c_id).alias("__cid"),
+        F.col(c_vec).alias("__cv"),
+        norm_expr(c_vec).alias("__cn"),
+    )
+    if centroids is not None:
+        probe = _probe_clusters_udf(centroids, nprobe)
+        qk = qn.withColumn("__key", F.explode(probe(F.col("__qv"))))
+        ck = cn.withColumn(
+            "__key", assign_clusters_col("__cv", centroids).cast("int")
+        )
+    else:
+        spark = corpus.sparkSession
+        blocks = spark.range(n_blocks).select(
+            F.col("id").cast("int").alias("__key")
+        )
+        qk = qn.crossJoin(F.broadcast(blocks))
+        ck = cn.withColumn(
+            "__key", F.pmod(F.xxhash64("__cid"), F.lit(n_blocks)).cast("int")
+        )
+
+    local_k = k + 1 if exclude_self else k
+
+    def _topk(qpdf, cpdf):
+        if qpdf.empty or cpdf.empty:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+        Q = np.asarray([np.asarray(v, dtype=np.float64) for v in qpdf["__qv"]])
+        Cv = np.asarray([np.asarray(v, dtype=np.float64) for v in cpdf["__cv"]])
+        sims = (Q @ Cv.T) / np.outer(
+            qpdf["__qn"].to_numpy(dtype=np.float64),
+            cpdf["__cn"].to_numpy(dtype=np.float64),
+        )
+        sims = np.round(sims, round_digits)
+        qids = qpdf["__qid"].to_numpy()
+        cids = cpdf["__cid"].to_numpy()
+        cut = min(local_k, sims.shape[1])
+        out_q, out_c, out_s = [], [], []
+        for i in range(sims.shape[0]):
+            # total order (cosine desc, neighbour id asc); lexsort keys
+            # are least-significant first
+            order = np.lexsort((cids, -sims[i]))[:cut]
+            out_q.append(np.full(len(order), qids[i]))
+            out_c.append(cids[order])
+            out_s.append(sims[i][order])
+        return pd.DataFrame(
+            {"query_id": np.concatenate(out_q),
+             "neighbor_id": np.concatenate(out_c),
+             "cosine": np.concatenate(out_s)}
+        )
+
+    cand = (
+        qk.groupBy("__key")
+        .cogroup(ck.groupBy("__key"))
+        .applyInPandas(_topk, "query_id long, neighbor_id long, cosine double")
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 # ---------------------------------------------------------------- semdedup
 
 def semantic_dedup(

@@ -134,6 +134,85 @@ def add_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ lm scoring
+
+def lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab: DataFrame | None = None,
+    round_digits: int = 6,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Unigram language-model cross-entropy per document — the
+    SQL-auditable degenerate of the CCNet/RefinedWeb perplexity filter
+    (Wenzek et al. 2019 score CommonCrawl against a KenLM n-gram model
+    and keep the low-perplexity head; the unigram case keeps the same
+    two-pass shape while every number stays reproducible cross-engine).
+
+    Pass 1 builds the model: explode tokens → corpus token counts → each
+    token's log-probability.  Pass 2 scores: join each document's tokens
+    to the model and fold to ``xent = -mean(log p(token))`` per doc
+    (lower = more typical of the training distribution).
+
+    Determinism contract: per-token log-probs are rounded to
+    ``round_digits`` and held as DECIMAL, so the per-doc sum is EXACT
+    under any partitioning/association order; only the final division is
+    floating point, on identical operands in any engine.
+
+    Pass a precomputed ``vocab`` DataFrame (columns ``__tok``,
+    ``__logp``) to score one corpus against a reference model fitted on
+    another (the actual CCNet setup: Wikipedia-trained model scoring
+    CommonCrawl) — e.g. ``lm_fit(wiki)`` then ``lm_score(cc,
+    vocab=...)``.  Out-of-vocabulary tokens are dropped from the fold
+    (add a floor row to the vocab to penalize them instead).
+
+    Scale shape: token-count shuffle carries (token-hash, count) longs;
+    the scoring join broadcasts the model when ``broadcast_vocab`` (token
+    *types*, not occurrences — Heaps' law keeps this small relative to
+    the corpus), else shuffles on the token key; the per-doc fold is one
+    id-keyed aggregation.  Document bodies never cross the wire."""
+    toks = f"filter(split(lower(trim({text_col})), ' +'), t -> t <> '')"
+    tok = df.select(
+        F.col(id_col).alias("__id"), F.explode(F.expr(toks)).alias("__tok")
+    )
+    if vocab is None:
+        vocab = lm_fit(tok, round_digits=round_digits)
+    model = F.broadcast(vocab) if broadcast_vocab else vocab
+    return (
+        tok.join(model, "__tok")
+        .groupBy("__id")
+        .agg(
+            F.count("*").alias("__n"),
+            F.sum("__logp").alias("__slp"),
+        )
+        .select(
+            F.col("__id").cast("bigint").alias(id_col),
+            F.col("__n").cast("bigint").alias("n_tokens"),
+            F.round(
+                -F.col("__slp").cast("double") / F.col("__n").cast("double"),
+                round_digits,
+            ).alias("xent"),
+        )
+    )
+
+
+def lm_fit(tok: DataFrame, round_digits: int = 6) -> DataFrame:
+    """Fit the unigram model from an exploded ``(__id, __tok)`` frame:
+    one token-keyed count shuffle, then log-probs against the corpus
+    total (a one-row broadcast).  Returns ``(__tok, __logp)`` with
+    ``__logp`` as DECIMAL for order-independent exact summation."""
+    counts = tok.groupBy("__tok").agg(F.count("*").alias("__cnt"))
+    total = counts.agg(F.sum("__cnt").alias("__tot"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "__tok",
+        F.expr(
+            f"CAST(ROUND(LN(CAST(__cnt AS DOUBLE) / CAST(__tot AS DOUBLE)), "
+            f"{round_digits}) AS DECIMAL(18,{round_digits}))"
+        ).alias("__logp"),
+    )
+
+
 # ------------------------------------------------------------------- pii
 
 # conservative, JVM-side regexes (same semantics in DuckDB's regexp_replace

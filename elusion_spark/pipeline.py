@@ -143,6 +143,56 @@ def hash_sample(
     return df.filter((folded * F.lit(2654435761) % F.lit(m)) < F.lit(cut))
 
 
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    salt: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic multi-way dataset split (train/val/test or any named
+    partition mix): the same Knuth multiplicative hash as ``hash_sample``
+    maps each id to a point in [0, 2^32), and cumulative weight cuts
+    assign the split label.  Properties a 100 TB curation pipeline needs
+    and ``df.randomSplit`` does NOT give:
+
+    - *content-stable*: a row's split never changes across runs, engines,
+      repartitioning, or adding/removing OTHER rows — eval contamination
+      stays impossible as the corpus is re-built incrementally;
+    - *exhaustive and disjoint by construction* (a single CASE over one
+      hash value);
+    - *auditable from any engine*: the decision is plain ANSI arithmetic.
+
+    Pure projection — no shuffle, composes into the scan stage.  Change
+    ``salt`` to draw an independent split (e.g. per-epoch held-out sets).
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    folded = F.col(id_col) % F.lit(1 << 31) + F.lit(salt)
+    h = folded * F.lit(2654435761) % F.lit(1 << 32)
+    case = None
+    for name, cut in split_cuts(weights):
+        cond = h < F.lit(cut)
+        case = F.when(cond, F.lit(name)) if case is None else case.when(
+            cond, F.lit(name)
+        )
+    last = F.lit(list(weights)[-1])
+    case = last if case is None else case.otherwise(last)
+    return df.withColumn(split_col, case)
+
+
+def split_cuts(weights: dict[str, float]) -> list[tuple[str, int]]:
+    """Cumulative integer hash cuts for all but the last split name (the
+    last is the CASE ELSE) — shared by the Column builder and any
+    external auditor reproducing the decision in SQL."""
+    total = float(sum(weights.values()))
+    names = list(weights)
+    out, acc = [], 0.0
+    for name in names[:-1]:
+        acc += weights[name] / total
+        out.append((name, int(acc * (1 << 32))))
+    return out
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,

@@ -2227,6 +2227,119 @@ def q68(spark, sf):
     )
 
 
+def _q71_sql() -> str:
+    from .pipeline import split_cuts
+
+    cuts = split_cuts({"train": 0.9, "val": 0.05, "test": 0.05})
+    whens = " ".join(
+        f"WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 < {cut} "
+        f"THEN '{name}'"
+        for name, cut in cuts
+    )
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CASE {whens} ELSE 'test' END AS split
+    FROM documents
+    """
+
+
+@q("q71_train_val_test_split", _q71_sql())
+def q71(spark, sf):
+    """Deterministic train/val/test assignment (content-stable hash
+    cuts): the per-document split label itself is the result, so the
+    oracle hash-checks MEMBERSHIP, not just counts.  A pure projection —
+    the split decision composes into the scan stage with zero shuffle,
+    and the identical ANSI arithmetic reproduces it from any engine."""
+    from .pipeline import train_val_test_split
+
+    docs = _t(spark, sf, "documents", "d").df.select("doc_id")
+    return train_val_test_split(docs, "doc_id").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "split"
+    )
+
+
+_Q72_TOKS_DUCK = (
+    "list_filter(regexp_split_to_array(lower(trim(text)), ' +'), "
+    "t -> t <> '')"
+)
+
+_Q72_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, t AS tk
+    FROM documents, unnest({_Q72_TOKS_DUCK}) AS u(t)
+),
+vocab AS (SELECT tk, COUNT(*) AS cnt FROM tok GROUP BY tk),
+tot AS (SELECT SUM(cnt) AS tot FROM vocab),
+lp AS (SELECT tk,
+              CAST(ROUND(LN(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)), 6)
+                   AS DECIMAL(18,6)) AS logp
+       FROM vocab, tot)
+SELECT CAST(tok.doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(-CAST(SUM(lp.logp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS xent
+FROM tok JOIN lp ON tok.tk = lp.tk
+GROUP BY tok.doc_id
+"""
+
+
+@q("q72_lm_score", _Q72_SQL)
+def q72(spark, sf):
+    """Unigram-LM cross-entropy quality scoring (the CCNet perplexity
+    filter's SQL-auditable degenerate): model fitted on the corpus
+    itself, every per-token log-prob rounded then summed as DECIMAL so
+    the per-doc fold is bit-identical under any partitioning — the only
+    float steps (LN, final division) run on identical operands in both
+    engines."""
+    docs = _t(spark, sf, "documents", "d").df
+    return TX.lm_score(docs, "doc_id", "text")
+
+
+def _q73_sql() -> str:
+    dot = ("list_dot_product(CAST(q.embedding AS DOUBLE[]), "
+           "CAST(c.embedding AS DOUBLE[]))")
+    qn = ("sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), "
+          "CAST(q.embedding AS DOUBLE[])))")
+    cn = ("sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), "
+          "CAST(c.embedding AS DOUBLE[])))")
+    return f"""
+    WITH pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND({dot} / ({qn} * {cn}), 4) AS cosine
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM pairs
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           cosine, CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= 3
+    """
+
+
+@q("q73_knn_join", _q73_sql())
+def q73(spark, sf):
+    """Batched k-NN self-join over the embeddings table in IVF mode with
+    nprobe == nlist — every cluster probed, so the approximate machinery
+    (probe-cluster replication, cogrouped per-cluster GEMM, local top-k,
+    global window) must reproduce the brute-force answer exactly; the
+    oracle IS the brute force.  Rounded-cosine + neighbour-id total
+    order keeps ranking engine-identical."""
+    e = _t(spark, sf, "embeddings", "e").df
+    _, cents = S.ivf_build(
+        e, "embedding", EMB_DIM, nlist=8, sample_fraction=1.0,
+        iters=3, seed=7,
+    )
+    return S.knn_join(
+        e, e, k=3, centroids=cents, nprobe=len(cents), exclude_self=True
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -2248,7 +2361,8 @@ _NEEDS_EVIDENCE = [
     # then queries whose implementation changed THIS round (fresh
     # evidence for the new plans):
     "q67_classifier_filter", "q68_sample_and_cap", "q69_exists_subquery",
-    "q70_scalar_subquery",
+    "q70_scalar_subquery", "q71_train_val_test_split", "q72_lm_score",
+    "q73_knn_join",
     "q55_left_mark", "q64_repetition_signals", "q65_semantic_dedup",
     "q46_training_corpus", "q30_minhash_pairs", "q31_simhash_pairs",
     "q32_embedding_near_dup", "q09_dedup_exact",

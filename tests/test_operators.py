@@ -945,3 +945,133 @@ def test_hash_sample_stability_and_cap(spark):
     got = sorted((r["source"], r["doc_id"]) for r in capped.collect())
     want = sorted(("dom%d" % (i % 3), i) for i in range(12))
     assert got == want                 # first 4 of each group by doc_id
+
+
+def test_train_val_test_split_properties(spark):
+    """Split is exhaustive, disjoint, repartition-invariant, salt-
+    sensitive, and consistent with hash_sample's membership decision
+    (same hash, so split('train') at weight w == hash_sample at rate w)."""
+    from elusion_spark.pipeline import hash_sample, train_val_test_split
+
+    df = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    s = train_val_test_split(df, "doc_id")
+    rows = {r["doc_id"]: r["split"] for r in s.collect()}
+    assert len(rows) == 20_000                      # exhaustive, one label each
+    frac = {k: sum(1 for v in rows.values() if v == k) / 20_000
+            for k in ("train", "val", "test")}
+    assert 0.88 < frac["train"] < 0.92
+    assert 0.03 < frac["val"] < 0.07
+    assert 0.03 < frac["test"] < 0.07
+    rows2 = {r["doc_id"]: r["split"]
+             for r in train_val_test_split(
+                 df.repartition(13), "doc_id").collect()}
+    assert rows == rows2                            # content-stable
+    # train bucket == hash_sample membership at the same rate
+    sampled = set(r["doc_id"]
+                  for r in hash_sample(df, "doc_id", 0.9).collect())
+    assert sampled == {i for i, v in rows.items() if v == "train"}
+    # a different salt draws a genuinely different split
+    salted = {r["doc_id"]: r["split"]
+              for r in train_val_test_split(df, "doc_id", salt=7).collect()}
+    assert salted != rows
+    # custom weights: 2-way with unnormalized weights
+    two = train_val_test_split(
+        df, "doc_id", weights={"a": 3.0, "b": 1.0}).collect()
+    fa = sum(1 for r in two if r["split"] == "a") / 20_000
+    assert 0.72 < fa < 0.78
+
+
+def test_lm_score_orders_docs_by_typicality(spark):
+    """A doc made of corpus-common tokens scores lower cross-entropy than
+    a doc of rare tokens; an external vocab scores OOV-free docs only on
+    in-vocab tokens; decimal fold is repartition-invariant."""
+    from elusion_spark.operators.text import lm_fit, lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "the the the cat"), (2, "zyx qwv jjk plm"),
+         (3, "the cat sat"), (4, "the the cat cat")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in lm_score(docs, "doc_id", "text").collect()}
+    assert out[1]["xent"] < out[2]["xent"]          # common ≪ rare
+    assert out[1]["n_tokens"] == 4
+    out2 = {r["doc_id"]: r["xent"]
+            for r in lm_score(docs.repartition(5), "doc_id", "text").collect()}
+    assert {k: v["xent"] for k, v in out.items()} == out2
+    # external reference model: fit on docs 1/3/4, score doc 2 (all OOV
+    # except nothing) -> doc 2 drops out of the join entirely
+    from pyspark.sql import functions as F
+    ref = docs.filter("doc_id <> 2").select(
+        F.col("doc_id").alias("__id"),
+        F.explode(F.expr(
+            "filter(split(lower(trim(text)), ' +'), t -> t <> '')"
+        )).alias("__tok"),
+    )
+    vocab = lm_fit(ref)
+    scored = lm_score(docs, "doc_id", "text", vocab=vocab)
+    ids = {r["doc_id"] for r in scored.collect()}
+    assert ids == {1, 3, 4}
+
+
+def test_knn_join_exact_block_mode_matches_ivf_full_probe(spark):
+    """Block mode (no centroids) and IVF mode with nprobe == nlist agree
+    pair-for-pair, and both agree with a driver-side brute force."""
+    import numpy as np
+
+    from elusion_spark.operators.similarity import ivf_build, knn_join
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(80, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        ["vec_id", "embedding"],
+    )
+    blocked = knn_join(df, df, k=3, n_blocks=4, exclude_self=True)
+    got_b = sorted((r["query_id"], r["rank"], r["neighbor_id"])
+                   for r in blocked.collect())
+    _, cents = ivf_build(df, "embedding", 8, nlist=4,
+                         sample_fraction=1.0, iters=2, seed=3)
+    ivf = knn_join(df, df, k=3, centroids=cents, nprobe=4,
+                   exclude_self=True)
+    got_i = sorted((r["query_id"], r["rank"], r["neighbor_id"])
+                   for r in ivf.collect())
+    assert got_b == got_i
+    V = vecs.astype(np.float64)
+    sims = np.round(
+        (V @ V.T) / np.outer(np.linalg.norm(V, axis=1),
+                             np.linalg.norm(V, axis=1)), 4)
+    want = []
+    for qi in range(80):
+        order = sorted((-sims[qi][ci], ci) for ci in range(80) if ci != qi)
+        for rank, (_, ci) in enumerate(order[:3], start=1):
+            want.append((qi, rank, ci))
+    assert got_b == sorted(want)
+
+
+def test_knn_join_partial_probe_is_subset(spark):
+    """nprobe < nlist returns <= k rows per query whose pairs are a
+    subset of the exact answer's candidate space (recall trade, never
+    invented neighbours)."""
+    import numpy as np
+
+    from elusion_spark.operators.similarity import ivf_build, knn_join
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(60, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        ["vec_id", "embedding"],
+    )
+    _, cents = ivf_build(df, "embedding", 8, nlist=6,
+                         sample_fraction=1.0, iters=2, seed=3)
+    part = knn_join(df, df, k=3, centroids=cents, nprobe=2,
+                    exclude_self=True)
+    rows = part.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert set(per_q) == set(range(60))       # every query answered
+    assert all(len(v) <= 3 for v in per_q.values())
+    exact = knn_join(df, df, k=59, n_blocks=4, exclude_self=True)
+    allowed = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    assert {(r["query_id"], r["neighbor_id"]) for r in rows} <= allowed

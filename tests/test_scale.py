@@ -205,6 +205,13 @@ SHUFFLE_BUDGETS = {
     # __id-only repartition after the union that all three fold groupBys
     # reuse (subset-of-keys HashPartitioning satisfies their clustering)
     "q64_repetition_signals": 2,
+    # pure projection: the split CASE composes into the scan stage
+    "q71_train_val_test_split": 0,
+    # vocab count + corpus-total single-row agg + per-doc fold (+1 for
+    # the broadcast build's own exchange); the scoring join broadcasts
+    "q72_lm_score": 4,
+    # cogroup keys both sides on the probe cluster + the rank window
+    "q73_knn_join": 3,
 }
 
 
