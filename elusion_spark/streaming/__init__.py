@@ -4,6 +4,7 @@ from .core import (  # noqa: F401
     dedup_stream,
     enrich_stream,
     foreach_batch_upsert,
+    ingest_corpus_stream,
     read_file_stream,
     read_rate_stream,
     run_available_now_to_memory,

@@ -246,6 +246,56 @@ def stream_stream_join(
     return lw.join(rw, cond, how)
 
 
+def ingest_corpus_stream(
+    sdf: DataFrame,
+    corpus_df: DataFrame | None = None,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark_delay: str = "10 minutes",
+    min_quality: float | None = None,
+    broadcast_history: bool = True,
+    keep_fingerprint: bool = False,
+) -> DataFrame:
+    """Streaming corpus ingestion with dedup against history — the
+    incremental form of the batch curation pipeline: documents land as
+    files, and the stream emits only documents that are (a) above the
+    quality bar, (b) the first copy seen *within* the stream's watermark
+    horizon, and (c) not already in the historical corpus.
+
+    Composition (all bounded-state):
+    1. content fingerprint (whitespace-normalized md5 — the exact-dedup
+       key the batch pipeline uses, so batch and stream agree on what
+       "duplicate" means);
+    2. optional codegen quality filter (no state);
+    3. ``dropDuplicatesWithinWatermark`` on the fingerprint — state is
+       bounded by the event-time horizon, not stream length;
+    4. stream-static LEFT ANTI join against the history's fingerprint
+       projection (ids/hashes only — document bodies never join), which
+       broadcasts by default: each micro-batch probes a hash set instead
+       of shuffling.
+
+    At 100 TB of history the fingerprint projection itself outgrows a
+    broadcast — set ``broadcast_history=False`` to shuffle-join instead,
+    or swap the history side for a pre-bucketed table so the anti join
+    co-locates.  The stream side only ever carries the current batch."""
+    from ..operators.text import fingerprint, quality_score
+
+    s = sdf
+    if min_quality is not None:
+        s = s.filter(quality_score(text_col) >= min_quality)
+    s = s.withColumn("__fp", fingerprint(text_col))
+    s = _with_event_time(s, ts_col).withWatermark(ts_col, watermark_delay)
+    s = s.dropDuplicatesWithinWatermark(["__fp"])
+    if corpus_df is not None:
+        hist = corpus_df.select(
+            fingerprint(text_col).alias("__fp")
+        ).distinct()
+        if broadcast_history:
+            hist = F.broadcast(hist)
+        s = s.join(hist, "__fp", "left_anti")
+    return s if keep_fingerprint else s.drop("__fp")
+
+
 def foreach_batch_upsert(
     sdf: DataFrame,
     target_path: str,

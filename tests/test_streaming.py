@@ -206,3 +206,55 @@ def test_foreach_batch_upsert_crash_recovery(spark, events_dir, events_schema,
     q3.awaitTermination(120)
     assert spark.read.parquet(target).count() == n
     assert not os.path.isdir(target + ".__old")
+
+
+def test_ingest_corpus_stream_matches_batch(spark, tmp_path):
+    """Streaming corpus ingestion == the batch curation decision: only
+    first-seen, above-quality, not-in-history documents come out, and
+    the stream-static anti join keys on the same fingerprint the batch
+    pipeline uses."""
+    from pyspark.sql import types as T
+
+    from elusion_spark.operators.text import fingerprint, quality_score
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # historical corpus: docs 0..99; stream: docs 50..199 plus exact
+    # duplicates of 150..159 under new ids (within-stream dups)
+    hist = docs.filter("doc_id < 100")
+    incoming = docs.filter("doc_id >= 50 AND doc_id < 200")
+    dups = (docs.filter("doc_id >= 150 AND doc_id < 160")
+            .withColumn("doc_id", F.col("doc_id") + 100000))
+    stream_docs = (
+        incoming.unionByName(dups)
+        .withColumn("ts", F.to_timestamp(
+            F.expr("timestampadd(SECOND, CAST(doc_id % 1000 AS INT), "
+                   "timestamp'2024-01-01 00:00:00')")))
+    )
+    src = str(tmp_path / "docs_stream")
+    stream_docs.coalesce(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = ST.read_file_stream(spark, src, schema)
+    out = ST.ingest_corpus_stream(
+        stream, corpus_df=hist, ts_col="ts", min_quality=0.0,
+        watermark_delay="1 hour", keep_fingerprint=True,
+    )
+    got = {r["__fp"] for r in ST.run_available_now_to_memory(out).collect()}
+
+    # batch equivalent: same quality filter, one row per new fingerprint
+    batch_src = spark.read.parquet(src).filter(quality_score("text") >= 0.0)
+    hist_fp = {r["__fp"] for r in
+               hist.select(fingerprint("text").alias("__fp")).collect()}
+    batch_fp = {r["__fp"] for r in
+                batch_src.select(fingerprint("text").alias("__fp")).collect()}
+    want = batch_fp - hist_fp
+    assert got == want and len(got) > 0
+    # the within-stream duplicates collapsed: one row per fingerprint
+    rows = ST.run_available_now_to_memory(
+        ST.ingest_corpus_stream(
+            ST.read_file_stream(spark, src, schema), corpus_df=hist,
+            ts_col="ts", watermark_delay="1 hour", keep_fingerprint=True,
+        )
+    ).collect()
+    fps = [r["__fp"] for r in rows]
+    assert len(fps) == len(set(fps))
