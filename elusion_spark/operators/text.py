@@ -213,6 +213,53 @@ def lm_fit(tok: DataFrame, round_digits: int = 6) -> DataFrame:
     )
 
 
+# -------------------------------------------------------------- chunking
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 128,
+    stride: int | None = None,
+    min_tokens: int = 1,
+) -> DataFrame:
+    """Sliding-window token chunking — the RAG-indexing / context-window
+    prep primitive: each document becomes overlapping windows of
+    ``chunk_size`` tokens starting every ``stride`` tokens (default
+    non-overlapping, ``stride = chunk_size``).  Trailing windows may be
+    short; ``min_tokens`` drops fragments below the floor.
+
+    Pure narrow map: tokenize once, generate start offsets with
+    ``sequence``, slice per offset — a bounded row expander
+    (≤ n_tokens/stride chunks per doc), zero shuffle, whole plan inside
+    the scan stage.  Output: ``(id, chunk_idx, n_tokens, chunk_text)``
+    with ``chunk_idx`` dense per document in token order."""
+    stride = stride or chunk_size
+    toks = f"filter(split(lower(trim({text_col})), ' +'), t -> t <> '')"
+    return (
+        df.select(
+            F.col(id_col),
+            F.expr(toks).alias("__toks"),
+        )
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, greatest(size(__toks) - 1, 0), "
+                    f"{stride}), s -> slice(__toks, s + 1, {chunk_size}))"
+                )
+            ).alias("chunk_idx", "__chunk"),
+        )
+        .select(
+            F.col(id_col).cast("bigint").alias(id_col),
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.size("__chunk").cast("bigint").alias("n_tokens"),
+            F.array_join("__chunk", " ").alias("chunk_text"),
+        )
+        .filter(F.col("n_tokens") >= min_tokens)
+    )
+
+
 # ------------------------------------------------------------------- pii
 
 # conservative, JVM-side regexes (same semantics in DuckDB's regexp_replace

@@ -2322,6 +2322,42 @@ def _q73_sql() -> str:
     """
 
 
+_Q74_CHUNK, _Q74_STRIDE = 24, 16
+
+_Q74_TOKS = (
+    "list_filter(regexp_split_to_array(lower(trim(text)), ' +'), "
+    "t -> t <> '')"
+)
+
+_Q74_SQL = f"""
+WITH t AS (SELECT doc_id, {_Q74_TOKS} AS toks FROM documents),
+starts AS (
+    SELECT doc_id, toks, u.s
+    FROM t, unnest(generate_series(0, GREATEST(len(toks) - 1, 0),
+                                   {_Q74_STRIDE})) AS u(s)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(s // {_Q74_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(len(toks[s + 1 : s + {_Q74_CHUNK}]) AS BIGINT) AS n_tokens,
+       array_to_string(toks[s + 1 : s + {_Q74_CHUNK}], ' ') AS chunk_text
+FROM starts
+WHERE len(toks[s + 1 : s + {_Q74_CHUNK}]) >= 1
+"""
+
+
+@q("q74_chunk_documents", _Q74_SQL)
+def q74(spark, sf):
+    """Sliding-window chunking (24-token windows every 16 tokens) over
+    the whole documents table — the RAG/context-prep row expander as a
+    pure narrow map; the oracle rebuilds every window with DuckDB list
+    slicing, hash-checking offsets, sizes, and the chunk text itself."""
+    docs = _t(spark, sf, "documents", "d").df
+    return TX.chunk_documents(
+        docs, "doc_id", "text",
+        chunk_size=_Q74_CHUNK, stride=_Q74_STRIDE,
+    )
+
+
 @q("q73_knn_join", _q73_sql())
 def q73(spark, sf):
     """Batched k-NN self-join over the embeddings table in IVF mode with
@@ -2362,7 +2398,7 @@ _NEEDS_EVIDENCE = [
     # evidence for the new plans):
     "q67_classifier_filter", "q68_sample_and_cap", "q69_exists_subquery",
     "q70_scalar_subquery", "q71_train_val_test_split", "q72_lm_score",
-    "q73_knn_join",
+    "q73_knn_join", "q74_chunk_documents",
     "q55_left_mark", "q64_repetition_signals", "q65_semantic_dedup",
     "q46_training_corpus", "q30_minhash_pairs", "q31_simhash_pairs",
     "q32_embedding_near_dup", "q09_dedup_exact",

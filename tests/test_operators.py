@@ -1075,3 +1075,29 @@ def test_knn_join_partial_probe_is_subset(spark):
     exact = knn_join(df, df, k=59, n_blocks=4, exclude_self=True)
     allowed = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     assert {(r["query_id"], r["neighbor_id"]) for r in rows} <= allowed
+
+
+def test_chunk_documents_windows(spark):
+    """Window offsets/overlap/trailing fragments behave exactly like
+    python slicing; empty docs vanish; min_tokens floors fragments."""
+    from elusion_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, "   "), (4, "solo")],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(docs, chunk_size=4, stride=2)
+    got = {(r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_text"])
+           for r in out.collect()}
+    toks = "a b c d e f g".split()
+    want1 = {}
+    for ci, s in enumerate(range(0, 7, 2)):
+        w = toks[s:s + 4]
+        want1[(1, ci)] = (len(w), " ".join(w))
+    assert {k: v for k, v in got.items() if k[0] == 1} == want1
+    assert got[(2, 0)] == (2, "x y")
+    assert not any(k[0] == 3 for k in got)          # empty doc: no rows
+    assert got[(4, 0)] == (1, "solo")
+    floored = chunk_documents(docs, chunk_size=4, stride=2, min_tokens=3)
+    kept = {(r["doc_id"], r["chunk_idx"]) for r in floored.collect()}
+    assert kept == {(1, 0), (1, 1), (1, 2)}         # trailing 2/1-token cut

@@ -207,6 +207,8 @@ SHUFFLE_BUDGETS = {
     "q64_repetition_signals": 2,
     # pure projection: the split CASE composes into the scan stage
     "q71_train_val_test_split": 0,
+    # narrow map + bounded explode: chunking never shuffles
+    "q74_chunk_documents": 0,
     # vocab count + corpus-total single-row agg + per-doc fold (+1 for
     # the broadcast build's own exchange); the scoring join broadcasts
     "q72_lm_score": 4,
