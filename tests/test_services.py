@@ -1448,3 +1448,162 @@ def test_readme_shim_writers_roundtrip(spark, tmp_path, monkeypatch):
 
     t = pq.read_table(io.BytesIO(shipped["wh/d.parquet"]))
     assert sorted(t.to_pydict()["id"]) == [1, 2]
+
+
+class _MiniFtpServer:
+    """Minimal RFC-959 server (USER/PASS/TYPE/PASV/RETR/NLST/STOR/QUIT)
+    serving one directory — enough protocol for stdlib ftplib's passive-
+    mode flows, so the from_ftp*/write_to_ftp clients are exercised over
+    a REAL socket instead of a monkeypatch (same discipline as the
+    pgwire/mysqlwire/RESP live-socket tests)."""
+
+    def __init__(self, root, user="u", password="p"):
+        import socket
+        import threading
+
+        self.root, self.user, self.password = root, user, password
+        self.sock = socket.socket()
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(5)
+        self.port = self.sock.getsockname()[1]
+        self.stop = False
+        self.thread = threading.Thread(target=self._serve, daemon=True)
+        self.thread.start()
+
+    def _serve(self):
+        while not self.stop:
+            try:
+                conn, _ = self.sock.accept()
+            except OSError:
+                return
+            import threading
+
+            threading.Thread(target=self._session, args=(conn,),
+                             daemon=True).start()
+
+    def _session(self, conn):
+        import os as _os
+        import socket as _socket
+
+        f = conn.makefile("rb")
+        w = conn.makefile("wb")
+
+        def send(line):
+            w.write((line + "\r\n").encode())
+            w.flush()
+
+        send("220 mini ftp ready")
+        data_listener = None
+        try:
+            while True:
+                raw = f.readline()
+                if not raw:
+                    return
+                parts = raw.decode().strip().split(" ", 1)
+                cmd = parts[0].upper()
+                arg = parts[1] if len(parts) > 1 else ""
+                if cmd == "USER":
+                    send("331 need password" if arg == self.user
+                         else "331 ok")
+                elif cmd == "PASS":
+                    send("230 logged in" if arg == self.password
+                         else "530 bad credentials")
+                elif cmd == "TYPE":
+                    send("200 type set")
+                elif cmd == "PASV":
+                    data_listener = _socket.socket()
+                    data_listener.bind(("127.0.0.1", 0))
+                    data_listener.listen(1)
+                    p = data_listener.getsockname()[1]
+                    send(f"227 entering passive (127,0,0,1,{p >> 8},{p & 255})")
+                elif cmd in ("RETR", "NLST", "STOR"):
+                    if data_listener is None:
+                        send("425 use PASV first")
+                        continue
+                    send("150 opening data connection")
+                    d, _ = data_listener.accept()
+                    if cmd == "RETR":
+                        with open(_os.path.join(self.root,
+                                                arg.lstrip("/")), "rb") as fh:
+                            d.sendall(fh.read())
+                    elif cmd == "NLST":
+                        base = arg.strip("/") or "."
+                        names = sorted(_os.listdir(
+                            _os.path.join(self.root, base)
+                            if base != "." else self.root))
+                        listing = "".join(
+                            f"{base}/{n}\r\n" if base != "." else f"{n}\r\n"
+                            for n in names)
+                        d.sendall(listing.encode())
+                    else:  # STOR
+                        buf = b""
+                        while True:
+                            chunk = d.recv(65536)
+                            if not chunk:
+                                break
+                            buf += chunk
+                        with open(_os.path.join(self.root,
+                                                arg.lstrip("/")), "wb") as fh:
+                            fh.write(buf)
+                    d.close()
+                    data_listener.close()
+                    data_listener = None
+                    send("226 transfer complete")
+                elif cmd == "QUIT":
+                    send("221 bye")
+                    return
+                else:
+                    send("502 not implemented")
+        finally:
+            conn.close()
+
+    def close(self):
+        self.stop = True
+        self.sock.close()
+
+
+def test_ftp_live_socket_roundtrip(spark, tmp_path):
+    """from_ftp / from_ftp_folder(+filename col) / ftp_list_files /
+    write_to_ftp against a real in-process FTP server: full passive-mode
+    protocol (PASV/RETR/NLST/STOR), no monkeypatching."""
+    import json as _json
+
+    import elusion_spark as ES
+
+    root = tmp_path / "ftproot"
+    (root / "sub").mkdir(parents=True)
+    rows = [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]
+    (root / "data.json").write_text(_json.dumps(rows))
+    (root / "sub" / "x.csv").write_text("id,v\n1,10\n2,20\n")
+    (root / "sub" / "y.csv").write_text("id,v\n3,30\n")
+    (root / "sub" / "skip.txt").write_text("not a table")
+    srv = _MiniFtpServer(str(root))
+    try:
+        host, port = "127.0.0.1", srv.port
+        # single file
+        df = ES.from_ftp(host, "u", "p", "data.json", "f1", spark,
+                         port=port)
+        assert sorted(r["id"] for r in df.df.collect()) == [1, 2]
+        # listing
+        names = ES.ftp_list_files(host, "u", "p", "sub", port=port)
+        assert sorted(names) == ["sub/skip.txt", "sub/x.csv", "sub/y.csv"]
+        # folder load with extension filter + provenance column
+        fdf = ES.from_ftp_folder_with_filename_column(
+            host, "u", "p", "sub", ["csv"], "f2", spark, port=port)
+        got = fdf.df.collect()
+        assert sorted(r["id"] for r in got) == [1, 2, 3]
+        assert all(r["filename_added"].endswith(".csv") for r in got)
+        # upload roundtrip
+        local = tmp_path / "up.csv"
+        local.write_text("k,n\n9,ninety\n")
+        ES.write_to_ftp(str(local), host, "u", "p", "up.csv", port=port)
+        assert (root / "up.csv").read_text() == "k,n\n9,ninety\n"
+        # bad credentials surface as an error
+        import ftplib
+
+        import pytest as _pytest
+        with _pytest.raises(ftplib.error_perm):
+            ES.from_ftp(host, "u", "WRONG", "data.json", "f3", spark,
+                        port=port)
+    finally:
+        srv.close()
