@@ -47,6 +47,13 @@ from .operators.decontaminate import (
     contamination_report,
     decontaminate,
 )
+from .operators.dedup import (
+    append_to_signature_store,
+    build_signature_store,
+    incremental_minhash_pairs,
+    minhash_dedup,
+    minhash_dedup_pairs,
+)
 from .operators.scale import (
     join_salted,
     repartition_for_join,
@@ -149,6 +156,11 @@ __all__ = [
     "cap_per_group",
     "train_val_test_split",
     "classifier_score",
+    "build_signature_store",
+    "append_to_signature_store",
+    "incremental_minhash_pairs",
+    "minhash_dedup",
+    "minhash_dedup_pairs",
     "knn_join",
     "lm_fit",
     "lm_score",

@@ -542,3 +542,177 @@ def dedup_keep_cluster_min(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+# -------------------------------------------------- incremental (store)
+
+def build_signature_store(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the MinHash signature layout for a corpus so FUTURE
+    increments dedup against it without re-reading the corpus: two
+    parquet tables under ``path`` — ``sigs`` (id, signature) and
+    ``banded`` (band_idx, band_hash, id).
+
+    This is the incremental-ingest pattern a 100 TB lake actually runs:
+    the full-corpus banding/signature pass happens ONCE; each day's
+    increment then joins its own (tiny) banded frame against the store.
+    Store size is O(docs · (H + B) · 8B) — document bodies are never
+    stored or re-read.  ``mode="append"`` admits accepted increments
+    into the store (see ``append_to_signature_store``).
+
+    At full scale, register ``banded`` as a bucketed table on
+    (band_idx, band_hash) (`operators.scale.write_bucketed`) and the
+    incremental join's store side needs no shuffle at all."""
+    from pyspark import StorageLevel
+
+    from .similarity import _ensure_parallelism
+
+    rows = num_hashes // bands
+    hashed = (
+        _ensure_parallelism(
+            df.select(F.col(id_col).alias("__id"),
+                      F.col(text_col).alias("__text"))
+        )
+        .select("__id", shingle_hash_expr("__text", shingle_k).alias("__h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sig_df = hashed.select(
+        "__id", minhash_signature_from_hashes("__h", num_hashes).alias("__sig")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig_df.select(
+        F.col("__id").alias("id"), F.col("__sig").alias("sig")
+    ).write.mode(mode).parquet(f"{path}/sigs")
+    sig_df.select(
+        F.col("__id").alias("id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"hash(slice(__sig, b * {rows} + 1, {rows})))"
+            )
+        ).alias("band_idx", "band_hash"),
+    ).write.mode(mode).parquet(f"{path}/banded")
+    sig_df.unpersist()
+    hashed.unpersist()
+
+
+def append_to_signature_store(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> None:
+    """Admit an accepted increment into the store (append-only — ids
+    must be new; the store never rewrites history)."""
+    build_signature_store(df, id_col, text_col, path,
+                          num_hashes=num_hashes, bands=bands,
+                          shingle_k=shingle_k, mode="append")
+
+
+def incremental_minhash_pairs(
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    store_path: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Near-duplicate pairs TOUCHING the increment: every (id_a < id_b,
+    jaccard) pair where at least one side is a new document — new-vs-
+    store and new-vs-new, scored by the signature-agreement estimator.
+
+    Cost shape (the whole point): the increment is shingled/signed in
+    full, but the store contributes only the band-bucket rows that
+    COLLIDE with the increment's buckets — a semi-join-sized read, never
+    a corpus re-scan.  One shuffle on (band_idx, band_hash) whose store
+    side carries (id, 2 longs); signatures join in only for surviving
+    candidates.  Equivalent-by-construction to re-running the batch pair
+    scan on (store ∪ increment) and keeping pairs that touch the
+    increment (asserted in tests)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from .similarity import _ensure_parallelism
+
+    spark = new_df.sparkSession
+    rows = num_hashes // bands
+    hashed = (
+        _ensure_parallelism(
+            new_df.select(F.col(id_col).alias("__id"),
+                          F.col(text_col).alias("__text"))
+        )
+        .select("__id", shingle_hash_expr("__text", shingle_k).alias("__h"))
+    )
+    new_sigs = hashed.select(
+        "__id", minhash_signature_from_hashes("__h", num_hashes).alias("__sig")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    new_banded = new_sigs.select(
+        F.col("__id").alias("id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"hash(slice(__sig, b * {rows} + 1, {rows})))"
+            )
+        ).alias("band_idx", "band_hash"),
+        F.lit(True).alias("is_new"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    store_banded = spark.read.parquet(f"{store_path}/banded").select(
+        "id", "band_idx", "band_hash", F.lit(False).alias("is_new")
+    )
+    # prune the store to colliding buckets BEFORE the skew cap/self-join:
+    # at 100 TB this is the difference between reading bucket rows for
+    # one day's collisions and re-scanning the corpus layout
+    hot = new_banded.select("band_idx", "band_hash").distinct()
+    store_hit = store_banded.join(hot, ["band_idx", "band_hash"],
+                                  "left_semi")
+    both = store_hit.unionByName(new_banded)
+    w = Window.partitionBy("band_idx", "band_hash").orderBy("id")
+    both = (
+        both.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_bucket_size)
+        .drop("__rn")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cand = (
+        both.alias("l")
+        .join(both.alias("r"), ["band_idx", "band_hash"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .filter(F.col("l.is_new") | F.col("r.is_new"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    all_sigs = (
+        spark.read.parquet(f"{store_path}/sigs")
+        .unionByName(new_sigs.select(F.col("__id").alias("id"),
+                                     F.col("__sig").alias("sig")))
+    )
+    scored = (
+        cand.join(all_sigs.select(F.col("id").alias("id_a"),
+                                  F.col("sig").alias("sig_a")), "id_a")
+        .join(all_sigs.select(F.col("id").alias("id_b"),
+                              F.col("sig").alias("sig_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.expr(
+                f"CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), "
+                f"v -> v)) AS DOUBLE) / {float(num_hashes)!r}"
+            ),
+        )
+    )
+    return scored.filter(F.col("jaccard") >= threshold).select(
+        F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"), "jaccard"
+    )

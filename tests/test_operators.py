@@ -1101,3 +1101,49 @@ def test_chunk_documents_windows(spark):
     floored = chunk_documents(docs, chunk_size=4, stride=2, min_tokens=3)
     kept = {(r["doc_id"], r["chunk_idx"]) for r in floored.collect()}
     assert kept == {(1, 0), (1, 1), (1, 2)}         # trailing 2/1-token cut
+
+
+def test_incremental_minhash_equals_batch_difference(spark, tmp_path):
+    """Store + increment == batch rerun: pairs from the incremental path
+    are exactly the full-corpus pairs that touch the increment (same
+    params, caps disabled), and the store is append-evolvable."""
+    from elusion_spark.operators.dedup import (
+        append_to_signature_store,
+        build_signature_store,
+        incremental_minhash_pairs,
+        minhash_dedup_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = docs.filter("doc_id < 300")
+    new = docs.filter("doc_id >= 300 AND doc_id < 400")
+    kw = dict(num_hashes=64, bands=16, shingle_k=3, threshold=0.5)
+
+    store = str(tmp_path / "sigstore")
+    build_signature_store(old, "doc_id", "text", store,
+                          num_hashes=64, bands=16, shingle_k=3)
+    inc = incremental_minhash_pairs(new, "doc_id", "text", store,
+                                    max_bucket_size=10_000, **kw)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in inc.collect()}
+
+    full = minhash_dedup_pairs(docs.filter("doc_id < 400"), "doc_id",
+                               "text", max_bucket_size=10_000, **kw)
+    new_ids = set(r["doc_id"] for r in new.select("doc_id").collect())
+    want = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in full.collect()
+            if r["id_a"] in new_ids or r["id_b"] in new_ids}
+    assert got == want and len(got) > 0
+
+    # accept the increment into the store; a second increment then sees
+    # near-dups against BOTH old and newly-admitted docs
+    append_to_signature_store(new, "doc_id", "text", store,
+                              num_hashes=64, bands=16, shingle_k=3)
+    dup_of_new = new.limit(5).selectExpr(
+        "doc_id + 100000 AS doc_id", "text")  # exact copies, new ids
+    inc2 = incremental_minhash_pairs(dup_of_new, "doc_id", "text", store,
+                                     max_bucket_size=10_000, **kw)
+    pairs2 = [(r["id_a"], r["id_b"], r["jaccard"]) for r in inc2.collect()]
+    copies = {(r["doc_id"], r["doc_id"] + 100000)
+              for r in new.limit(5).collect()}
+    exact_hits = {(a, b) for a, b, j in pairs2 if j == 1.0}
+    assert copies <= exact_hits    # every planted copy found vs the store
