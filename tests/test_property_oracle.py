@@ -331,3 +331,109 @@ def _run_null_case(spark, duck, seed):
 @pytest.mark.parametrize("seed", range(10))
 def test_randomized_null_handling_matches_oracle(spark, duck, seed):
     _run_null_case(spark, duck, seed)
+
+
+# ------------------------------------------------- order/limit/offset
+
+def _run_order_case(spark, duck, seed):
+    """Total deterministic ORDER BY (unique-key tiebreak) + LIMIT/OFFSET:
+    compares the ordered row LISTS, not sets — catches direction,
+    null-ordering, and offset slicing bugs the agg families can't."""
+    import random as _random
+
+    from elusion_spark.sources.loaders import load_parquet
+
+    rng = _random.Random(7000 + seed)
+    table = rng.choice(list(TABLES))
+    uniq = TABLES[table][0]
+    n_keys = rng.randint(1, 2)
+    keys = rng.sample(NUMERIC[table] + CATEG[table], k=n_keys)
+    if uniq not in keys:
+        keys.append(uniq)
+    dirs = [rng.choice(["ASC", "DESC"]) for _ in keys]
+    limit = rng.randint(1, 40)
+    offset = rng.choice([0, 0, rng.randint(1, 30)])
+    cols = sorted(set(keys) | {uniq})
+
+    # reference semantics (q27): skip_rows drops the first n rows of the
+    # LIMITED result, so SQL's LIMIT m OFFSET k is limit(m+k).skip_rows(k)
+    cdf = (load_parquet(f"{SF}/{table}.parquet", "t", spark)
+           .select(cols)
+           .order_by(keys, dirs)
+           .limit(limit + offset))
+    if offset:
+        cdf = cdf.skip_rows(offset)
+    got = [tuple(r[c] for c in cols) for r in cdf.to_spark().collect()]
+
+    order = ", ".join(f"{k} {d}" for k, d in zip(keys, dirs))
+    sql = (f"SELECT {', '.join(cols)} FROM {table} "
+           f"ORDER BY {order} LIMIT {limit} OFFSET {offset}")
+    want = duck.execute(sql).fetchall()
+    want = [tuple(row) for row in want]
+    assert got == want, f"seed={seed}\nsql={sql}"
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_randomized_order_limit_offset_matches_oracle(spark, duck, seed):
+    _run_order_case(spark, duck, seed)
+
+
+# ------------------------------------------------- scalar projections
+
+_SCALAR_GENS = [
+    lambda c, rng: f"LOWER({c})",
+    lambda c, rng: f"UPPER({c})",
+    lambda c, rng: f"TRIM({c})",
+    lambda c, rng: f"REVERSE({c})",
+    lambda c, rng: f"CAST(LENGTH({c}) AS BIGINT)",
+    lambda c, rng: f"SUBSTRING({c}, 1, {rng.randint(1, 6)})",
+    lambda c, rng: f"CONCAT({c}, '_{rng.randint(0, 9)}')",
+    lambda c, rng: f"REPLACE({c}, 'a', '{rng.choice('xyz')}')",
+]
+_MATH_GENS = [
+    lambda c, rng: f"CAST(ABS({c}) AS DOUBLE)",
+    lambda c, rng: f"CAST(ROUND({c}, {rng.randint(0, 2)}) AS DOUBLE)",
+    lambda c, rng: f"CAST(FLOOR({c}) AS DOUBLE)",
+    lambda c, rng: f"CAST(CEIL({c}) AS DOUBLE)",
+    lambda c, rng: f"CAST(SQRT(ABS({c})) AS DOUBLE)",
+    lambda c, rng: f"CAST({c} % {rng.randint(2, 9)} AS DOUBLE)",
+]
+
+
+def _run_scalar_case(spark, duck, seed):
+    """Random scalar-function projections through the builder/normalizer
+    vs the identical ANSI text in DuckDB — exercises the whitelist
+    surface (string + math) on shapes the fixed suite can't enumerate."""
+    import random as _random
+
+    from elusion_spark.sources.loaders import load_parquet
+
+    rng = _random.Random(9000 + seed)
+    table = rng.choice(list(TABLES))
+    uniq = TABLES[table][0]
+    strcols = {"customer": ["c_mktsegment", "c_name"],
+               "orders": ["o_orderstatus"]}
+    scol = rng.choice(strcols[table])
+    ncol = rng.choice(NUMERIC[table])
+    exprs = []
+    for i, g in enumerate(rng.sample(_SCALAR_GENS, k=rng.randint(1, 3))):
+        exprs.append((g(scol, rng), f"s{i}"))
+    for i, g in enumerate(rng.sample(_MATH_GENS, k=rng.randint(1, 3))):
+        exprs.append((g(ncol, rng), f"m{i}"))
+
+    sel = [uniq] + [f"{e} AS {a}" for e, a in exprs]
+    cdf = load_parquet(f"{SF}/{table}.parquet", "t", spark).select(sel)
+    got = {tuple(sorted(r.asDict().items()))
+           for r in cdf.to_spark().collect()}
+    sql = (f"SELECT {uniq}, "
+           + ", ".join(f"{e} AS {a}" for e, a in exprs)
+           + f" FROM {table}")
+    cur = duck.execute(sql)
+    cols_ = [d[0] for d in cur.description]
+    want = {tuple(sorted(zip(cols_, row))) for row in cur.fetchall()}
+    assert got == want, f"seed={seed}\nsql={sql}"
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_randomized_scalar_projections_match_oracle(spark, duck, seed):
+    _run_scalar_case(spark, duck, seed)
