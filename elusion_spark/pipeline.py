@@ -180,6 +180,63 @@ def train_val_test_split(
     return df.withColumn(split_col, case)
 
 
+def quality_threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    thresholds: list[float],
+    token_col: str | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Filter-calibration sweep: for each candidate threshold, how many
+    documents (and optionally tokens) survive ``score >= t`` — the table
+    a curation run consults before committing to a quality cut (the
+    FineWeb/DCLM ablation loop's first question: what does each
+    threshold cost in tokens?).
+
+    Scale shape: ONE aggregation pass with |T| conditional sums — a
+    single partial→final shuffle carrying one row of counters; the
+    per-threshold rows are then unstacked driver-free with ``stack``.
+    No explode, no |T|× row multiplication, no second scan."""
+    aggs = [F.count("*").cast("bigint").alias("__n")]
+    if token_col:
+        aggs.append(F.sum(token_col).cast("bigint").alias("__tok"))
+    for i, t in enumerate(thresholds):
+        cond = F.col(score_col) >= F.lit(float(t))
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(f"__k{i}")
+        )
+        if token_col:
+            aggs.append(
+                F.sum(F.when(cond, F.col(token_col)).otherwise(0))
+                .cast("bigint").alias(f"__t{i}")
+            )
+    row = df.agg(*aggs)
+    items = []
+    for i, t in enumerate(thresholds):
+        cols = [f"CAST({float(t)!r} AS DOUBLE)", f"__k{i}"]
+        if token_col:
+            cols.append(f"__t{i}")
+        items.append(", ".join(cols))
+    names = "threshold, kept_docs" + (", kept_tokens" if token_col else "")
+    out = row.selectExpr(
+        "__n",
+        *(["__tok"] if token_col else []),
+        f"stack({len(thresholds)}, {', '.join(items)}) AS ({names})",
+    ).withColumn(
+        "kept_frac",
+        F.round(F.col("kept_docs").cast("double")
+                / F.col("__n").cast("double"), round_digits),
+    )
+    if token_col:
+        out = out.withColumn(
+            "token_frac",
+            F.round(F.col("kept_tokens").cast("double")
+                    / F.col("__tok").cast("double"), round_digits),
+        )
+    drop = ["__n"] + (["__tok"] if token_col else [])
+    return out.drop(*drop)
+
+
 def split_cuts(weights: dict[str, float]) -> list[tuple[str, int]]:
     """Cumulative integer hash cuts for all but the last split name (the
     last is the CASE ELSE) — shared by the Column builder and any

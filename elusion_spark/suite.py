@@ -2376,6 +2376,44 @@ def q73(spark, sf):
     )
 
 
+_Q75_THRESHOLDS = [0.2, 0.4, 0.6, 0.8]
+
+_Q75_SQL = f"""
+WITH scored AS (SELECT {_QUALITY} AS q, {_TOKENS} AS tk FROM documents),
+tot AS (SELECT COUNT(*) AS n, SUM(tk) AS tok FROM scored),
+th AS (SELECT unnest([{', '.join(f'CAST({t!r} AS DOUBLE)'
+                                 for t in _Q75_THRESHOLDS)}]) AS threshold)
+SELECT threshold,
+       CAST(SUM(CASE WHEN q >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+           AS kept_docs,
+       CAST(SUM(CASE WHEN q >= threshold THEN tk ELSE 0 END) AS BIGINT)
+           AS kept_tokens,
+       ROUND(CAST(SUM(CASE WHEN q >= threshold THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(ANY_VALUE(n) AS DOUBLE), 6) AS kept_frac,
+       ROUND(CAST(SUM(CASE WHEN q >= threshold THEN tk ELSE 0 END) AS DOUBLE)
+             / CAST(ANY_VALUE(tok) AS DOUBLE), 6) AS token_frac
+FROM scored, th, tot
+GROUP BY threshold
+"""
+
+
+@q("q75_threshold_sweep", _Q75_SQL)
+def q75(spark, sf):
+    """Quality-filter calibration: docs/tokens surviving each candidate
+    threshold in ONE aggregation pass (|T| conditional sums, single
+    partial->final shuffle of one counter row, stack-unpivoted) — no
+    explode, no |T|x scan.  The oracle recomputes the sweep the naive
+    way (threshold cross join) and must agree to 6dp."""
+    from .pipeline import quality_threshold_sweep
+
+    docs = _t(spark, sf, "documents", "d").df.select(
+        TX.quality_score("text").alias("q"),
+        TX.token_count("text").alias("tk"),
+    )
+    return quality_threshold_sweep(docs, "q", _Q75_THRESHOLDS,
+                                   token_col="tk")
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -2398,7 +2436,7 @@ _NEEDS_EVIDENCE = [
     # evidence for the new plans):
     "q67_classifier_filter", "q68_sample_and_cap", "q69_exists_subquery",
     "q70_scalar_subquery", "q71_train_val_test_split", "q72_lm_score",
-    "q73_knn_join", "q74_chunk_documents",
+    "q73_knn_join", "q74_chunk_documents", "q75_threshold_sweep",
     "q55_left_mark", "q64_repetition_signals", "q65_semantic_dedup",
     "q46_training_corpus", "q30_minhash_pairs", "q31_simhash_pairs",
     "q32_embedding_near_dup", "q09_dedup_exact",

@@ -209,6 +209,8 @@ SHUFFLE_BUDGETS = {
     "q71_train_val_test_split": 0,
     # narrow map + bounded explode: chunking never shuffles
     "q74_chunk_documents": 0,
+    # one counter row through one partial->final agg; stack is narrow
+    "q75_threshold_sweep": 1,
     # vocab count + corpus-total single-row agg + per-doc fold (+1 for
     # the broadcast build's own exchange); the scoring join broadcasts
     "q72_lm_score": 4,
