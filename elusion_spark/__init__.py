@@ -84,7 +84,7 @@ from .sinks.copydata import (
     copy_file_to_fabric,
     copy_file_to_parquet,
 )
-from .sinks.maintenance import compact_files
+from .sinks.maintenance import compact_files, upsert_partitioned
 from .sinks.writers import write_to_excel
 from .sources.connectors import (
     ElusionApi,
@@ -170,6 +170,7 @@ __all__ = [
     "copy_file_to_csv",
     "copy_file_to_fabric",
     "compact_files",
+    "upsert_partitioned",
     "asof_join",
     "range_join",
     "time_rollup",

@@ -56,3 +56,49 @@ def compact_files(
         "files_after": len(_files(path)),
         "bytes": total_bytes,
     }
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates,
+    keys: list[str],
+    partition_col: str,
+) -> dict:
+    """Batch upsert into a partition-laid-out parquet table, rewriting
+    ONLY the partitions the updates touch — the no-Delta answer to
+    MERGE INTO for append-mostly corpora (daily re-crawls, corrected
+    documents, re-scored quality columns).
+
+    Mechanics: the updates' distinct partition values select the
+    affected partitions (partition-pruned read — ``PartitionFilters``,
+    never a full scan); existing rows there are anti-joined on ``keys``
+    (last-write-wins), unioned with the updates, and written back with
+    dynamic partition overwrite so untouched partitions' files are not
+    rewritten.  Cost scales with the touched partitions, not the table.
+
+    Updates MUST carry ``partition_col``; a key may move between
+    partitions only if the old row's partition is also touched by some
+    update (otherwise the stale copy survives — same caveat as Hive
+    dynamic-partition MERGE patterns; route moves through a delete
+    partition or a full rewrite).
+
+    Returns {partitions_touched, rows_written}."""
+    from pyspark.sql import functions as F
+
+    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    if not parts:
+        return {"partitions_touched": 0, "rows_written": 0}
+    existing = spark.read.parquet(path).filter(
+        F.col(partition_col).isin(parts)
+    )
+    keep = existing.join(updates.select(*keys), keys, "left_anti")
+    out = keep.unionByName(updates.select(*existing.columns))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        n = out.count()
+        out.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {"partitions_touched": len(parts), "rows_written": n}

@@ -249,3 +249,44 @@ def test_shuffle_budgets(spark, name, budget):
         f"{name}: {got} shuffle exchanges, budget {budget} — the plan "
         f"regressed (check .explain('formatted'))"
     )
+
+
+def test_upsert_partitioned_touches_only_affected_partitions(spark, tmp_path):
+    """MERGE-like upsert rewrites only the partitions the updates touch:
+    untouched partition files are byte-identical afterwards, updated keys
+    are replaced, new keys appended."""
+    import os
+
+    from elusion_spark.sinks.maintenance import upsert_partitioned
+
+    p = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(i, f"v{i}", i % 4) for i in range(400)], ["id", "val", "part"]
+    ).write.partitionBy("part").parquet(p)
+
+    def _fileset(part):
+        d = os.path.join(p, f"part={part}")
+        return {
+            (f, os.path.getsize(os.path.join(d, f)),
+             os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d) if f.endswith(".parquet")
+        }
+
+    before = {k: _fileset(k) for k in range(4)}
+    updates = spark.createDataFrame(
+        [(0, "UPDATED", 0), (4, "UPDATED", 0), (9999, "NEW", 2)],
+        ["id", "val", "part"],
+    )
+    stats = upsert_partitioned(spark, p, updates, ["id"], "part")
+    assert stats["partitions_touched"] == 2
+
+    after = spark.read.parquet(p)
+    rows = {r["id"]: (r["val"], r["part"]) for r in after.collect()}
+    assert len(rows) == 401                       # 400 + 1 new key
+    assert rows[0] == ("UPDATED", 0) and rows[4] == ("UPDATED", 0)
+    assert rows[9999] == ("NEW", 2)
+    assert rows[1] == ("v1", 1)                   # untouched rows intact
+    # untouched partitions: identical files (no rewrite happened there)
+    assert _fileset(1) == before[1]
+    assert _fileset(3) == before[3]
+    assert _fileset(0) != before[0]
