@@ -56,6 +56,7 @@ from .operators.dedup import (
 )
 from .operators.scale import (
     join_salted,
+    plan_report,
     repartition_for_join,
     write_bucketed,
 )
@@ -177,6 +178,7 @@ __all__ = [
     "join_salted",
     "write_bucketed",
     "repartition_for_join",
+    "plan_report",
     "extract_value_from_df",
     "extract_row_from_df",
     "ElusionApi",

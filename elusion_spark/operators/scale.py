@@ -114,3 +114,56 @@ def explain_shuffles(df: DataFrame) -> int:
     shuffle budget) — the per-query plan-shape check used in tests."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return plan.count("Exchange") - plan.count("BroadcastExchange")
+
+
+def plan_report(df: DataFrame) -> dict:
+    """One-call physical-plan audit — the checklist a 100 TB plan review
+    walks: how many shuffles, which joins broadcast vs sort-merge, what
+    reached the scans (pushed filters / pruned columns / partition
+    filters), and how many whole-stage-codegen spans cover the plan.
+
+    Returns a plain dict so tests can pin individual facets (the
+    shuffle-budget and plan-shape gates are special cases of this) and
+    humans can eyeball a query before shipping it at scale."""
+    import re
+
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    # AQE wraps the plan before execution, hiding WholeStageCodegen
+    # markers; replan a copy with AQE off (fresh QueryExecution via
+    # select("*")) purely to count the codegen spans
+    sess = df.sparkSession
+    prev = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        formatted = df.select("*")._jdf.queryExecution().explainString(
+            sess._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    finally:
+        sess.conf.set("spark.sql.adaptive.enabled", prev)
+    scans = []
+    for m in re.finditer(r"FileScan \w+ [^\n]*", plan):
+        line = m.group(0)
+        scan = {}
+        pf = re.search(r"PushedFilters: \[([^\]]*)\]", line)
+        rs = re.search(r"ReadSchema: ([^,\n]+)", line)
+        part = re.search(r"PartitionFilters: \[([^\]]*)\]", line)
+        scan["pushed_filters"] = (pf.group(1) or "") if pf else ""
+        scan["read_schema"] = rs.group(1).strip() if rs else ""
+        scan["partition_filters"] = (part.group(1) or "") if part else ""
+        scans.append(scan)
+    return {
+        "shuffle_exchanges": plan.count("Exchange")
+        - plan.count("BroadcastExchange"),
+        "broadcast_joins": plan.count("BroadcastHashJoin")
+        + plan.count("BroadcastNestedLoopJoin"),
+        "sortmerge_joins": plan.count("SortMergeJoin"),
+        "codegen_spans": len(
+            set(re.findall(r"codegen id : (\d+)", formatted))
+        ),
+        "scans": scans,
+        "has_cartesian": "CartesianProduct" in plan,
+        "take_ordered": "TakeOrderedAndProject" in plan,
+    }

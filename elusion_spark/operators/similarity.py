@@ -441,6 +441,7 @@ def knn_join(
     n_blocks: int = 32,
     round_digits: int = 4,
     exclude_self: bool = False,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """Batched k-nearest-neighbour join: for EVERY query row, the top-k
     corpus rows by cosine — the retrieval-eval / hard-negative-mining /
@@ -468,7 +469,14 @@ def knn_join(
     and ranked by ``(cosine DESC, neighbour id)`` — a total order any
     engine reproduces (near-ties collapse to equal rounded values and
     fall back to the id).  Output: ``query_id, neighbor_id, cosine,
-    rank``."""
+    rank``.
+
+    ``max_cluster_size`` (IVF mode) row-caps the corpus side of a
+    cluster before the cogroup — the same skew guard as the LSH bucket
+    caps: one boilerplate mega-cluster would otherwise concentrate a
+    |Q_c|×|C_c| GEMM on one task.  Capped members drop out of the
+    candidate pool (recall loss, bounded memory); block mode needs no
+    cap because its keys are hash-uniform by construction."""
     import numpy as np
     import pandas as pd
 
@@ -488,6 +496,15 @@ def knn_join(
         ck = cn.withColumn(
             "__key", assign_clusters_col("__cv", centroids).cast("int")
         )
+        if max_cluster_size is not None:
+            from pyspark.sql import Window
+
+            wcap = Window.partitionBy("__key").orderBy("__cid")
+            ck = (
+                ck.withColumn("__rn", F.row_number().over(wcap))
+                .filter(F.col("__rn") <= max_cluster_size)
+                .drop("__rn")
+            )
     else:
         spark = corpus.sparkSession
         blocks = spark.range(n_blocks).select(

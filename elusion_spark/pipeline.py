@@ -37,13 +37,19 @@ def prepare_training_corpus(
     exact_first: bool = True,
     strip_boilerplate: bool = False,
     boilerplate_max_df: int = 2,
+    max_xent: float | None = None,
 ) -> DataFrame:
     """Filter + dedup a document table for training.
 
     Output columns: id, text, lang, quality, n_tokens, n_chars_norm,
     fingerprint.  Near-duplicate clusters are resolved TRANSITIVELY
     (connected components over LSH pairs), keeping each cluster's min id
-    — a pairwise keep-one misses A~B~C chains where A̸~C."""
+    — a pairwise keep-one misses A~B~C chains where A̸~C.
+
+    ``max_xent`` (optional) adds the CCNet-style perplexity gate: docs
+    whose unigram-LM cross-entropy (``text.lm_score``, model fitted on
+    the already-filtered corpus) exceeds the bound are dropped — the
+    "weird text" filter heuristic quality scores miss."""
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     if strip_boilerplate:
         # cross-document paragraph dedup BEFORE scoring: boilerplate
@@ -75,6 +81,12 @@ def prepare_training_corpus(
             .select(F.col("keep_id").alias("id"))
         )
         filtered = filtered.join(keep, "id", "left_semi")
+
+    if max_xent is not None:
+        scored = TX.lm_score(filtered, "id", "text").filter(
+            F.col("xent") <= max_xent
+        )
+        filtered = filtered.join(scored.select("id"), "id", "left_semi")
 
     pairs = D.minhash_dedup_pairs(
         filtered, "id", "text",

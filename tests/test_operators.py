@@ -1147,3 +1147,50 @@ def test_incremental_minhash_equals_batch_difference(spark, tmp_path):
               for r in new.limit(5).collect()}
     exact_hits = {(a, b) for a, b, j in pairs2 if j == 1.0}
     assert copies <= exact_hits    # every planted copy found vs the store
+
+
+def test_knn_join_cluster_cap_and_pipeline_xent_gate(spark):
+    """max_cluster_size bounds the IVF corpus side (capped neighbours
+    vanish from candidates, queries still answered); the pipeline's
+    max_xent gate drops high-cross-entropy docs end-to-end."""
+    import numpy as np
+
+    from elusion_spark.operators.similarity import ivf_build, knn_join
+    from elusion_spark.pipeline import prepare_training_corpus
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(50, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        ["vec_id", "embedding"],
+    )
+    _, cents = ivf_build(df, "embedding", 8, nlist=4,
+                         sample_fraction=1.0, iters=2, seed=3)
+    capped = knn_join(df, df, k=3, centroids=cents, nprobe=4,
+                      exclude_self=True, max_cluster_size=5)
+    rows = capped.collect()
+    assert {r["query_id"] for r in rows} == set(range(50))
+    allowed = set()
+    # reconstruct the cap: first 5 ids per cluster survive as corpus rows
+    from collections import defaultdict
+    from elusion_spark.operators.similarity import assign_clusters_col
+    assigned = df.withColumn("c", assign_clusters_col("embedding", cents))
+    per = defaultdict(list)
+    for r in assigned.orderBy("vec_id").collect():
+        per[r["c"]].append(r["vec_id"])
+    for ids in per.values():
+        allowed.update(ids[:5])
+    assert {r["neighbor_id"] for r in rows} <= allowed
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog every day")
+         for i in range(20)]
+        + [(99, "zq xv jk wp qq zz xx yy ww vv uu tt ss rr")],
+        ["doc_id", "text"],
+    )
+    out = prepare_training_corpus(
+        docs, min_quality=0.0, min_tokens=1, near_dup_threshold=0.99,
+        exact_first=False, max_xent=3.0,
+    )
+    ids = {r["id"] for r in out.select("id").collect()}
+    assert 99 not in ids and len(ids) > 0

@@ -290,3 +290,25 @@ def test_upsert_partitioned_touches_only_affected_partitions(spark, tmp_path):
     assert _fileset(1) == before[1]
     assert _fileset(3) == before[3]
     assert _fileset(0) != before[0]
+
+
+def test_plan_report_facets(spark):
+    """plan_report surfaces the plan facets the budget/shape gates pin:
+    q01 = 1 shuffle, pushed filter, pruned schema, codegen spans; q03 =
+    2 broadcast joins, no sort-merge, no cartesian."""
+    from elusion_spark.suite import QUERIES
+
+    rep1 = SC.plan_report(
+        QUERIES["q01_pricing_summary"](spark, "/root/testdata/sf0.001"))
+    assert rep1["shuffle_exchanges"] == 1
+    assert rep1["codegen_spans"] >= 1 and not rep1["has_cartesian"]
+    assert any("l_shipdate" in s["pushed_filters"] for s in rep1["scans"])
+    assert all("l_comment" not in s["read_schema"] for s in rep1["scans"])
+
+    rep3 = SC.plan_report(
+        QUERIES["q03_region_rollup"](spark, "/root/testdata/sf0.001"))
+    assert rep3["broadcast_joins"] == 2 and rep3["sortmerge_joins"] == 0
+
+    rep2 = SC.plan_report(
+        QUERIES["q02_top_orders"](spark, "/root/testdata/sf0.001"))
+    assert rep2["take_ordered"] and rep2["shuffle_exchanges"] == 0
