@@ -65,7 +65,13 @@ from .operators.similarity import (
     knn_join,
     semantic_dedup,
 )
-from .operators.text import lm_fit, lm_score, repetition_signals
+from .operators.text import (
+    chunk_documents,
+    lm_fit,
+    lm_score,
+    lm_score_bigram,
+    repetition_signals,
+)
 from .pipeline import (
     corpus_stats,
     pack_sequences,
@@ -165,6 +171,8 @@ __all__ = [
     "knn_join",
     "lm_fit",
     "lm_score",
+    "lm_score_bigram",
+    "chunk_documents",
     "CopyConfig",
     "copy_data",
     "copy_file_to_parquet",

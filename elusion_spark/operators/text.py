@@ -213,6 +213,70 @@ def lm_fit(tok: DataFrame, round_digits: int = 6) -> DataFrame:
     )
 
 
+def lm_score_bigram(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Bigram conditional cross-entropy per document — one order up from
+    ``lm_score`` toward the CCNet KenLM setup: score each transition by
+    ``-log p(w2 | w1) = -log(count(w1 w2) / count(w1 ·))``.  Repetitive
+    or formulaic text (same transitions over and over) scores LOW;
+    documents whose word order is unusual for the corpus score HIGH even
+    when their individual words are common — the signal unigrams cannot
+    see.
+
+    Bigrams are derived IN-ROW (``zip_with`` of the token array with its
+    own 1-shifted slice) — no positional window, no per-token shuffle;
+    the only wide operations are the model's two count aggregations,
+    a broadcast (or shuffle) model join, and the per-doc fold.  The same
+    rounded-DECIMAL determinism contract as ``lm_score``: conditional
+    log-probs are exact-summable in any order on any engine.
+
+    Docs with fewer than 2 tokens have no transitions and drop out
+    (consistent on both engines).  Output: ``(id, n_bigrams, xent)``."""
+    toks = f"filter(split(lower(trim({text_col})), ' +'), t -> t <> '')"
+    big = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.expr(
+                f"zip_with(slice({toks}, 1, size({toks}) - 1), "
+                f"slice({toks}, 2, size({toks}) - 1), "
+                f"(a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("__bg"),
+    ).select("__id", F.col("__bg.w1").alias("__w1"),
+             F.col("__bg.w2").alias("__w2"))
+    pair_counts = big.groupBy("__w1", "__w2").agg(
+        F.count("*").alias("__pc")
+    )
+    ctx_counts = big.groupBy("__w1").agg(F.count("*").alias("__cc"))
+    model = pair_counts.join(ctx_counts, "__w1").select(
+        "__w1", "__w2",
+        F.expr(
+            f"CAST(ROUND(LN(CAST(__pc AS DOUBLE) / CAST(__cc AS DOUBLE)), "
+            f"{round_digits}) AS DECIMAL(18,{round_digits}))"
+        ).alias("__logp"),
+    )
+    if broadcast_model:
+        model = F.broadcast(model)
+    return (
+        big.join(model, ["__w1", "__w2"])
+        .groupBy("__id")
+        .agg(F.count("*").alias("__n"), F.sum("__logp").alias("__slp"))
+        .select(
+            F.col("__id").cast("bigint").alias(id_col),
+            F.col("__n").cast("bigint").alias("n_bigrams"),
+            F.round(
+                -F.col("__slp").cast("double") / F.col("__n").cast("double"),
+                round_digits,
+            ).alias("xent"),
+        )
+    )
+
+
 # -------------------------------------------------------------- chunking
 
 def chunk_documents(

@@ -2376,6 +2376,39 @@ def q73(spark, sf):
     )
 
 
+_Q76_SQL = f"""
+WITH t AS (SELECT doc_id, {_Q72_TOKS_DUCK} AS toks FROM documents),
+bg AS (
+    SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+    FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+    WHERE len(toks) >= 2
+),
+pc AS (SELECT w1, w2, COUNT(*) AS pcnt FROM bg GROUP BY w1, w2),
+cc AS (SELECT w1, COUNT(*) AS ccnt FROM bg GROUP BY w1),
+lp AS (SELECT pc.w1, pc.w2,
+              CAST(ROUND(LN(CAST(pcnt AS DOUBLE) / CAST(ccnt AS DOUBLE)), 6)
+                   AS DECIMAL(18,6)) AS logp
+       FROM pc JOIN cc USING (w1))
+SELECT CAST(bg.doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(-CAST(SUM(logp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS xent
+FROM bg JOIN lp ON bg.w1 = lp.w1 AND bg.w2 = lp.w2
+GROUP BY bg.doc_id
+"""
+
+
+@q("q76_lm_score_bigram", _Q76_SQL)
+def q76(spark, sf):
+    """Bigram conditional cross-entropy (one order toward CCNet's KenLM):
+    -mean log p(w2|w1) per document, transitions derived in-row (zip_with
+    against the 1-shifted token slice — no positional shuffle), counts
+    rounded-DECIMAL folded.  The oracle rebuilds every transition with
+    DuckDB list indexing over generate_series."""
+    docs = _t(spark, sf, "documents", "d").df
+    return TX.lm_score_bigram(docs, "doc_id", "text")
+
+
 _Q75_THRESHOLDS = [0.2, 0.4, 0.6, 0.8]
 
 _Q75_SQL = f"""
@@ -2437,6 +2470,7 @@ _NEEDS_EVIDENCE = [
     "q67_classifier_filter", "q68_sample_and_cap", "q69_exists_subquery",
     "q70_scalar_subquery", "q71_train_val_test_split", "q72_lm_score",
     "q73_knn_join", "q74_chunk_documents", "q75_threshold_sweep",
+    "q76_lm_score_bigram",
     "q55_left_mark", "q64_repetition_signals", "q65_semantic_dedup",
     "q46_training_corpus", "q30_minhash_pairs", "q31_simhash_pairs",
     "q32_embedding_near_dup", "q09_dedup_exact",

@@ -1194,3 +1194,24 @@ def test_knn_join_cluster_cap_and_pipeline_xent_gate(spark):
     )
     ids = {r["id"] for r in out.select("id").collect()}
     assert 99 not in ids and len(ids) > 0
+
+
+def test_lm_score_bigram_word_order_signal(spark):
+    """Bigram xent separates scrambled word order from normal order even
+    when the unigram distributions are IDENTICAL."""
+    from elusion_spark.operators.text import lm_score, lm_score_bigram
+
+    normal = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [(i, normal) for i in range(9)] + [(9, "mat the on sat cat the")],
+        ["doc_id", "text"],
+    )
+    uni = {r["doc_id"]: r["xent"] for r in lm_score(docs).collect()}
+    assert abs(uni[0] - uni[9]) < 1e-9       # unigrams blind to order
+    bi = {r["doc_id"]: r["xent"] for r in lm_score_bigram(docs).collect()}
+    assert bi[9] > bi[0]                     # bigrams see the scramble
+    one = spark.createDataFrame([(1, "solo"), (2, "a b")],
+                                ["doc_id", "text"])
+    rows = {r["doc_id"]: r["n_bigrams"]
+            for r in lm_score_bigram(one).collect()}
+    assert rows == {2: 1}                    # <2 tokens -> no transitions

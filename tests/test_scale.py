@@ -211,6 +211,8 @@ SHUFFLE_BUDGETS = {
     "q74_chunk_documents": 0,
     # one counter row through one partial->final agg; stack is narrow
     "q75_threshold_sweep": 1,
+    # pair-count agg + context-count agg + per-doc fold; model broadcasts
+    "q76_lm_score_bigram": 3,
     # vocab count + corpus-total single-row agg + per-doc fold (+1 for
     # the broadcast build's own exchange); the scoring join broadcasts
     "q72_lm_score": 4,
