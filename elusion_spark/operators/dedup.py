@@ -441,8 +441,8 @@ def connected_components(
     the analyzed plan doubles per round (minutes of driver time by round
     ~8).  The checkpoint is *lazy*: the convergence count is the action
     that materializes it, so each round costs exactly ONE job.  For
-    graphs with pathological diameter switch to star-contraction — dedup
-    edge sets don't need it."""
+    graphs with pathological diameter use ``connected_components_star``
+    (O(log² n) rounds) — dedup edge sets don't normally need it."""
     from pyspark import StorageLevel
 
     edges = pairs.select(
@@ -494,6 +494,105 @@ def connected_components(
     if driver_max_edges > 0:
         edges.unpersist()
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., *Connected Components in MapReduce and
+    Beyond*, SoCC'14) — O(log² n) rounds regardless of component
+    DIAMETER, where min-label propagation needs O(diameter) rounds.
+
+    Dedup edge sets are shallow (near-dup clusters are cliques-ish), so
+    ``connected_components``'s propagation is the right default; this is
+    the escape hatch for pathological chain-shaped graphs (e.g. temporal
+    near-dup chains A~B~C~… where consecutive versions overlap): a
+    10k-long chain converges here in a handful of rounds vs 10k
+    propagation rounds.
+
+    Each round:
+    - *large-star*: every node u connects its LARGER neighbours to
+      ``m(u) = min(N(u) ∪ u)`` — components shrink toward small ids
+      without ever creating an edge to a larger id (monotone, safe);
+    - *small-star*: from the (larger→smaller)-oriented edges, every node
+      rewires its smaller neighbours (and itself) onto its minimum —
+      flattening chains into stars.
+    Connectivity is preserved exactly by both (the paper's invariant);
+    convergence = the edge multiset stops changing, checked by a
+    (count, hash-sum) fingerprint materialized by the same action that
+    checkpoints the round.  Final state: every non-root points directly
+    at its component min.  Output matches ``connected_components``:
+    (id, cluster_id = component min)."""
+    from pyspark import StorageLevel
+
+    spark = pairs.sparkSession
+    e = (
+        pairs.select(
+            F.col("id_a").cast("bigint").alias("src"),
+            F.col("id_b").cast("bigint").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if not e.take(1):
+        return spark.createDataFrame([], "id long, cluster_id long")
+    all_ids = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    prev_fp = None
+    for _ in range(max_rounds):
+        # ---- large-star: neighbours > u attach to min(N(u) ∪ u)
+        sym = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = (
+            sym.groupBy("src")
+            .agg(F.min("dst").alias("__m"))
+            .withColumn("__m", F.least(F.col("__m"), F.col("src")))
+        )
+        ls = (
+            sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # ---- small-star: edges now orient larger→smaller; each node
+        # rewires its smaller neighbours and itself onto its minimum
+        mins1 = ls.groupBy("src").agg(F.min("dst").alias("__m"))
+        ss = (
+            ls.join(mins1, "src")
+            .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
+            .union(mins1.select("src", F.col("__m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        new_e = ss.localCheckpoint(eager=False)
+        fp = new_e.agg(
+            F.count("*").alias("n"),
+            # bit_xor, not sum: ANSI mode overflows summing 64-bit hashes
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+        ).first()
+        fp = (fp["n"], fp["h"])
+        e.unpersist()
+        e = new_e
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    labels = e.select(F.col("src").alias("id"),
+                      F.col("dst").alias("cluster_id"))
+    roots = all_ids.join(
+        labels.select(F.col("id")), "id", "left_anti"
+    ).select("id", F.col("id").alias("cluster_id"))
+    out = labels.union(roots)
+    all_ids.unpersist()
+    return out
 
 
 def _driver_union_find(spark, edge_rows) -> DataFrame:

@@ -1215,3 +1215,34 @@ def test_lm_score_bigram_word_order_signal(spark):
     rows = {r["doc_id"]: r["n_bigrams"]
             for r in lm_score_bigram(one).collect()}
     assert rows == {2: 1}                    # <2 tokens -> no transitions
+
+
+def test_connected_components_star_equivalence(spark):
+    """Star contraction labels == exact union-find on random graphs, and
+    a 3000-node chain (diameter 3000 - label propagation's worst case)
+    converges in the star path's logarithmic round budget."""
+    import random
+
+    from elusion_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(13)
+    edges = [(rng.randint(0, 400), rng.randint(0, 400)) for _ in range(300)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    want = {(r["id"], r["cluster_id"])
+            for r in connected_components(pairs).collect()}  # driver exact
+    got = {(r["id"], r["cluster_id"])
+           for r in connected_components_star(pairs).collect()}
+    # union-find path sees self-loops' nodes; star drops isolated
+    # self-loop-only nodes consistently with its src!=dst filter
+    want = {(i, c) for i, c in want
+            if any((a != b and (a == i or b == i)) for a, b in edges)}
+    assert got == want
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(3000)], ["id_a", "id_b"])
+    labs = connected_components_star(chain, max_rounds=15).collect()
+    assert len(labs) == 3001
+    assert all(r["cluster_id"] == 0 for r in labs)   # one component, min=0
