@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     "q65_semantic_dedup",     # SemDeDup: k-means + intra-cluster cosine + CC
     "q72_lm_score",           # unigram-LM cross-entropy (CCNet filter shape)
     "q73_knn_join",           # batched k-NN join (IVF cogroup GEMM, full probe)
+    "q74_chunk_documents",    # sliding-window chunking (zero-shuffle expander)
+    "q75_threshold_sweep",    # quality-cut calibration (one conditional-sum pass)
+    "q76_lm_score_bigram",    # bigram conditional cross-entropy (word order)
 ]
 
 
