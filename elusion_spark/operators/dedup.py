@@ -815,3 +815,88 @@ def incremental_minhash_pairs(
     return scored.filter(F.col("jaccard") >= threshold).select(
         F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"), "jaccard"
     )
+
+
+# ------------------------------------------------------------- containment
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Containment near-dup pairs: ``|A∩B| / min(|A|, |B|) >= threshold``
+    over distinct shingle sets — the TRUNCATION/QUOTATION detector.
+    Symmetric Jaccard structurally misses subset relationships (a
+    100-shingle excerpt inside a 1000-shingle page has J ≤ 0.1 but
+    containment 1.0); corpus pipelines dedup those with containment
+    (e.g. news wire stories republished with added boilerplate).
+
+    Exact inverted-index join, no banding: explode distinct shingle
+    HASHES, drop shingles occurring in more than ``max_shingle_df``
+    documents (stop-shingles: each shingle of document frequency d
+    contributes d² candidate pairs, so boilerplate shingles dominate
+    cost while carrying no discriminative signal — the cap is the same
+    skew guard as the LSH bucket caps, and sizes/intersections are
+    computed over the CAPPED universe so the score stays well-defined),
+    then one (shingle, id)-keyed self-join counts shared shingles per
+    pair.  Shuffles carry (hash, id) longs only; document bodies never
+    move.  Recall over the capped universe is exactly 1 — no LSH miss
+    probability."""
+    from pyspark import StorageLevel
+
+    from .similarity import _ensure_parallelism
+
+    hashed = (
+        _ensure_parallelism(
+            df.select(F.col(id_col).alias("__id"),
+                      F.col(text_col).alias("__text"))
+        )
+        .select("__id", shingle_hash_expr("__text", shingle_k).alias("__h"))
+    )
+    inv = hashed.select("__id", F.explode("__h").alias("__s"))
+    # document-frequency cap as a WINDOW over the shingle key, not a
+    # groupBy + semi-join: one exchange on __s does triple duty — it
+    # computes the df, filters stop-shingles, and leaves the frame
+    # hash-partitioned by __s so the pair self-join below adds NO
+    # further exchange (both aliases of the persisted frame satisfy the
+    # join's clustering)
+    from pyspark.sql import Window
+
+    keep = (
+        inv.withColumn(
+            "__df", F.count("*").over(Window.partitionBy("__s"))
+        )
+        .filter(F.col("__df") <= max_shingle_df)
+        .drop("__df")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes = keep.groupBy("__id").agg(F.count("*").alias("__sz")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    shared = (
+        keep.alias("a")
+        .join(keep.alias("b"), "__s")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .groupBy(F.col("a.__id").alias("id_a"),
+                 F.col("b.__id").alias("id_b"))
+        .agg(F.count("*").alias("__shared"))
+    )
+    return (
+        shared.join(sizes.select(F.col("__id").alias("id_a"),
+                                 F.col("__sz").alias("__sza")), "id_a")
+        .join(sizes.select(F.col("__id").alias("id_b"),
+                           F.col("__sz").alias("__szb")), "id_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("__shared").cast("double")
+                / F.least("__sza", "__szb").cast("double"), 6
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"),
+                "containment")
+    )

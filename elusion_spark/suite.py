@@ -2376,6 +2376,44 @@ def q73(spark, sf):
     )
 
 
+_Q77_CAP, _Q77_THRESH = 30, 0.9
+
+_Q77_SQL = f"""
+WITH sh AS ({{shingles}}),
+inv AS (SELECT id, u.g AS s FROM sh, unnest(sh.s) AS u(g)),
+dfc AS (SELECT s FROM inv GROUP BY s HAVING COUNT(*) <= {_Q77_CAP}),
+keep AS (SELECT id, s FROM inv SEMI JOIN dfc USING (s)),
+sz AS (SELECT id, COUNT(*) AS sz FROM keep GROUP BY id),
+shared AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shr
+           FROM keep a JOIN keep b ON a.s = b.s AND a.id < b.id
+           GROUP BY a.id, b.id)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       ROUND(CAST(shr AS DOUBLE) / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE), 6)
+           AS containment
+FROM shared
+JOIN sz sa ON sa.id = shared.id_a
+JOIN sz sb ON sb.id = shared.id_b
+WHERE CAST(shr AS DOUBLE) / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE)
+      >= {_Q77_THRESH}
+"""
+
+
+@q("q77_containment_pairs",
+   _Q77_SQL.format(shingles=_duck_shingles("documents")))
+def q77(spark, sf):
+    """Containment near-dup pairs (truncation/quotation detector):
+    |A∩B|/min(|A|,|B|) over capped shingle sets via an exact inverted-
+    index join — recall 1 over the capped universe, no LSH miss
+    probability; the oracle rebuilds the identical decision from string
+    shingles (hash-set containment == string-set containment up to
+    64-bit collisions, the q30 argument)."""
+    d = _t(spark, sf, "documents", "d").df
+    return D.containment_pairs(
+        d, "doc_id", "text", shingle_k=3,
+        threshold=_Q77_THRESH, max_shingle_df=_Q77_CAP,
+    )
+
+
 _Q76_SQL = f"""
 WITH t AS (SELECT doc_id, {_Q72_TOKS_DUCK} AS toks FROM documents),
 bg AS (
@@ -2470,7 +2508,7 @@ _NEEDS_EVIDENCE = [
     "q67_classifier_filter", "q68_sample_and_cap", "q69_exists_subquery",
     "q70_scalar_subquery", "q71_train_val_test_split", "q72_lm_score",
     "q73_knn_join", "q74_chunk_documents", "q75_threshold_sweep",
-    "q76_lm_score_bigram",
+    "q76_lm_score_bigram", "q77_containment_pairs",
     "q55_left_mark", "q64_repetition_signals", "q65_semantic_dedup",
     "q46_training_corpus", "q30_minhash_pairs", "q31_simhash_pairs",
     "q32_embedding_near_dup", "q09_dedup_exact",

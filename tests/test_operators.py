@@ -1246,3 +1246,36 @@ def test_connected_components_star_equivalence(spark):
     labs = connected_components_star(chain, max_rounds=15).collect()
     assert len(labs) == 3001
     assert all(r["cluster_id"] == 0 for r in labs)   # one component, min=0
+
+
+def test_containment_catches_truncations_jaccard_misses(spark):
+    """A short excerpt inside a long doc: containment ~1.0 while Jaccard
+    is far below any dedup threshold; the df cap drops stop-shingles."""
+    from elusion_spark.operators.dedup import (
+        containment_pairs,
+        minhash_dedup_pairs,
+    )
+
+    long_words = " ".join(f"w{i}" for i in range(300))
+    excerpt = " ".join(f"w{i}" for i in range(40))     # strict prefix
+    docs = spark.createDataFrame(
+        [(1, long_words), (2, excerpt),
+         (3, " ".join(f"z{i}" for i in range(100)))],
+        ["doc_id", "text"],
+    )
+    got = {(r["id_a"], r["id_b"]): r["containment"]
+           for r in containment_pairs(docs, "doc_id", "text",
+                                      threshold=0.9).collect()}
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert len(got) == 1                                # z-doc unrelated
+    jac = minhash_dedup_pairs(docs, "doc_id", "text",
+                              threshold=0.3, verify="exact").collect()
+    assert not [r for r in jac
+                if {r["id_a"], r["id_b"]} == {1, 2}]    # Jaccard blind
+    # stop-shingle cap: a shingle in all docs is excluded from scoring
+    boiler = [(i, "common header text " + f"unique{i} u{i}a u{i}b u{i}c")
+              for i in range(10)]
+    bdocs = spark.createDataFrame(boiler, ["doc_id", "text"])
+    capped = containment_pairs(bdocs, "doc_id", "text", threshold=0.5,
+                               max_shingle_df=5).collect()
+    assert capped == []                # shared boilerplate capped away
