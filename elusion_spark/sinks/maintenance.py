@@ -21,10 +21,15 @@ def compact_files(
     path: str,
     target_mb: int = 128,
     sort_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> dict:
     """Rewrite ``path`` (parquet dir) into size-targeted files.  Returns
     {files_before, files_after, bytes}.  Atomic: writes to a sibling tmp
-    dir then renames."""
+    dir then renames.
+
+    ``partition_by`` preserves (or establishes) a hive partition layout
+    — without it a partitioned directory would compact into a FLAT one,
+    silently discarding partition pruning for every downstream read."""
     def _files(p):
         return [
             os.path.join(r, f)
@@ -46,7 +51,10 @@ def compact_files(
     else:
         out = df.coalesce(n_out)
     tmp = path.rstrip("/") + ".__compact_tmp"
-    out.write.mode("overwrite").parquet(tmp)
+    w = out.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
     back = path.rstrip("/") + ".__compact_old"
     os.rename(path, back)
     os.rename(tmp, path)

@@ -318,3 +318,21 @@ def test_plan_report_facets(spark):
     rep2 = SC.plan_report(
         QUERIES["q02_top_orders"](spark, "/root/testdata/sf0.001"))
     assert rep2["take_ordered"] and rep2["shuffle_exchanges"] == 0
+
+
+def test_compact_files_preserves_partition_layout(spark, tmp_path):
+    import os
+
+    from elusion_spark.sinks.maintenance import compact_files
+
+    p = str(tmp_path / "part_tbl")
+    spark.createDataFrame(
+        [(i, i % 3) for i in range(3000)], ["id", "part"]
+    ).repartition(20).write.partitionBy("part").parquet(p)
+    stats = compact_files(spark, p, target_mb=64, partition_by=["part"])
+    assert stats["files_after"] < stats["files_before"]
+    assert sorted(d for d in os.listdir(p) if d.startswith("part=")) == \
+        ["part=0", "part=1", "part=2"]
+    got = spark.read.parquet(p)
+    assert got.count() == 3000
+    assert got.filter("part = 1").count() == 1000
