@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "q74_chunk_documents",    # sliding-window chunking (zero-shuffle expander)
     "q75_threshold_sweep",    # quality-cut calibration (one conditional-sum pass)
     "q76_lm_score_bigram",    # bigram conditional cross-entropy (word order)
+    "q77_containment_pairs",  # truncation dedup (inverted index, df-capped)
 ]
 
 
