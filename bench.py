@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "q75_threshold_sweep",    # quality-cut calibration (one conditional-sum pass)
     "q76_lm_score_bigram",    # bigram conditional cross-entropy (word order)
     "q77_containment_pairs",  # truncation dedup (inverted index, df-capped)
+    "q46_training_corpus",    # end-to-end curation composite (9 stages)
 ]
 
 
