@@ -437,3 +437,49 @@ def _run_scalar_case(spark, duck, seed):
 @pytest.mark.parametrize("seed", range(12))
 def test_randomized_scalar_projections_match_oracle(spark, duck, seed):
     _run_scalar_case(spark, duck, seed)
+
+
+# ------------------------------------------------------------- pivot
+
+def _run_pivot_case(spark, duck, seed):
+    """Random pivot shapes vs conditional-aggregation SQL: exercises the
+    2-phase distinct discovery, the {pivot_col}_{value} naming rule, and
+    the COALESCE(...,0) fill on combinations with no rows."""
+    import random as _random
+
+    from elusion_spark.sources.loaders import load_parquet
+
+    rng = _random.Random(11000 + seed)
+    table, key, cat, val = rng.choice([
+        ("customer", "c_nationkey", "c_mktsegment", "c_acctbal"),
+        ("orders", "o_custkey", "o_orderstatus", "o_totalprice"),
+    ])
+    agg = rng.choice(["SUM", "MIN", "MAX", "COUNT"])
+
+    cdf = load_parquet(f"{SF}/{table}.parquet", "t", spark).pivot(
+        [key], cat, val, agg
+    )
+    sdf = cdf.to_spark()
+    got = {tuple(sorted((k.lower(), v) for k, v in r.asDict().items()))
+           for r in sdf.collect()}
+
+    cats = [r[0] for r in duck.execute(
+        f"SELECT DISTINCT {cat} FROM {table} ORDER BY 1").fetchall()]
+    cases = ", ".join(
+        f"COALESCE({agg}(CASE WHEN {cat} = '{c}' THEN {val} END), 0) "
+        f"AS {cat}_{c}" for c in cats
+    )
+    sql = f"SELECT {key}, {cases} FROM {table} GROUP BY {key}"
+    cur = duck.execute(sql)
+    cols_ = [d[0].lower() for d in cur.description]
+    want = {tuple(sorted(zip(cols_, row))) for row in cur.fetchall()}
+    # float cells: compare rounded to absorb engine SUM order ulps
+    def _rnd(rows):
+        return {tuple((c, round(v, 4) if isinstance(v, float) else v)
+                      for c, v in r) for r in rows}
+    assert _rnd(got) == _rnd(want), f"seed={seed}\nsql={sql}"
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_randomized_pivot_matches_oracle(spark, duck, seed):
+    _run_pivot_case(spark, duck, seed)
