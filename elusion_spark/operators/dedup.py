@@ -728,10 +728,18 @@ def incremental_minhash_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_bucket_size: int = 200,
+    verify: str = "estimate",
+    corpus_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs TOUCHING the increment: every (id_a < id_b,
     jaccard) pair where at least one side is a new document — new-vs-
     store and new-vs-new, scored by the signature-agreement estimator.
+
+    ``verify='exact'`` (audit/oracle path) rescores surviving candidates
+    with TRUE Jaccard over shingle-hash sets; it needs the candidate
+    documents' text, so pass ``corpus_df`` covering store ∪ increment
+    (this re-reads matched documents only — candidates, not the corpus —
+    but it is the testing path; production stays on the estimator).
 
     Cost shape (the whole point): the increment is shingled/signed in
     full, but the store contributes only the band-bucket rows that
@@ -799,6 +807,25 @@ def incremental_minhash_pairs(
         .unionByName(new_sigs.select(F.col("__id").alias("id"),
                                      F.col("__sig").alias("sig")))
     )
+    if verify == "exact":
+        if corpus_df is None:
+            raise ValueError("verify='exact' needs corpus_df (store ∪ "
+                             "increment texts) to rescore candidates")
+        ch = corpus_df.select(
+            F.col(id_col).alias("__cid"),
+            shingle_hash_expr(text_col, shingle_k).alias("__ch"),
+        )
+        scored = (
+            cand.join(ch.select(F.col("__cid").alias("id_a"),
+                                F.col("__ch").alias("sh_a")), "id_a")
+            .join(ch.select(F.col("__cid").alias("id_b"),
+                            F.col("__ch").alias("sh_b")), "id_b")
+            .withColumn("jaccard", jaccard_expr("sh_a", "sh_b"))
+        )
+        return scored.filter(F.col("jaccard") >= threshold).select(
+            F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"),
+            "jaccard"
+        )
     scored = (
         cand.join(all_sigs.select(F.col("id").alias("id_a"),
                                   F.col("sig").alias("sig_a")), "id_a")

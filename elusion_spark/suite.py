@@ -2376,6 +2376,46 @@ def q73(spark, sf):
     )
 
 
+_Q78_SPLIT = 250
+
+_Q78_SQL = f"""
+WITH sh AS ({_duck_shingles('documents')})
+SELECT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b,
+       {_DUCK_JACCARD} AS jaccard
+FROM sh a JOIN sh b ON a.id < b.id
+WHERE {_DUCK_JACCARD} >= 0.5
+  AND (a.id >= {_Q78_SPLIT} OR b.id >= {_Q78_SPLIT})
+"""
+
+
+@q("q78_incremental_dedup", _Q78_SQL)
+def q78(spark, sf):
+    """Incremental near-dup against a persisted signature store, driver-
+    checked end-to-end: the store is built from docs < {split}, the rest
+    arrive as the increment, and the store-pruned pipeline (colliding-
+    bucket semi-join, never a corpus re-scan) must reproduce the brute-
+    force pair scan restricted to pairs touching the increment — the
+    q30 recall argument (every >=0.5 pair here is near-exact) plus
+    verify='exact' true-Jaccard rescoring."""
+    import tempfile
+
+    from .operators.dedup import (
+        build_signature_store,
+        incremental_minhash_pairs,
+    )
+
+    d = _t(spark, sf, "documents", "d").df
+    store = tempfile.mkdtemp(prefix="es_q78_") + "/store"
+    build_signature_store(
+        d.filter(f"doc_id < {_Q78_SPLIT}"), "doc_id", "text", store
+    )
+    return incremental_minhash_pairs(
+        d.filter(f"doc_id >= {_Q78_SPLIT}"), "doc_id", "text", store,
+        threshold=0.5, max_bucket_size=10_000,
+        verify="exact", corpus_df=d,
+    )
+
+
 _Q77_CAP, _Q77_THRESH = 30, 0.9
 
 _Q77_SQL = f"""
@@ -2509,6 +2549,7 @@ _NEEDS_EVIDENCE = [
     "q70_scalar_subquery", "q71_train_val_test_split", "q72_lm_score",
     "q73_knn_join", "q74_chunk_documents", "q75_threshold_sweep",
     "q76_lm_score_bigram", "q77_containment_pairs",
+    "q78_incremental_dedup",
     "q55_left_mark", "q64_repetition_signals", "q65_semantic_dedup",
     "q46_training_corpus", "q30_minhash_pairs", "q31_simhash_pairs",
     "q32_embedding_near_dup", "q09_dedup_exact",
