@@ -68,6 +68,8 @@ from .operators.similarity import (
 from .operators.text import (
     chunk_documents,
     lm_fit,
+    lm_load,
+    lm_save,
     lm_score,
     lm_score_bigram,
     repetition_signals,
@@ -170,6 +172,8 @@ __all__ = [
     "minhash_dedup_pairs",
     "knn_join",
     "lm_fit",
+    "lm_load",
+    "lm_save",
     "lm_score",
     "lm_score_bigram",
     "chunk_documents",

@@ -213,6 +213,24 @@ def lm_fit(tok: DataFrame, round_digits: int = 6) -> DataFrame:
     )
 
 
+def lm_save(vocab: DataFrame, path: str) -> None:
+    """Persist a fitted unigram model (``lm_fit`` output) to parquet —
+    the CCNet workflow fits ONCE on the reference corpus (Wikipedia) and
+    scores every crawl against it; the saved model is the artifact that
+    makes scores comparable across ingest runs."""
+    vocab.select(
+        F.col("__tok").alias("tok"),
+        F.col("__logp").alias("logp"),
+    ).write.mode("overwrite").parquet(path)
+
+
+def lm_load(spark, path: str) -> DataFrame:
+    """Load a persisted unigram model for ``lm_score(vocab=...)``."""
+    return spark.read.parquet(path).select(
+        F.col("tok").alias("__tok"), F.col("logp").alias("__logp")
+    )
+
+
 def lm_score_bigram(
     df: DataFrame,
     id_col: str = "doc_id",

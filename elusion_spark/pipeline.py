@@ -38,6 +38,8 @@ def prepare_training_corpus(
     strip_boilerplate: bool = False,
     boilerplate_max_df: int = 2,
     max_xent: float | None = None,
+    drop_contained: bool = False,
+    containment_threshold: float = 0.9,
 ) -> DataFrame:
     """Filter + dedup a document table for training.
 
@@ -49,7 +51,13 @@ def prepare_training_corpus(
     ``max_xent`` (optional) adds the CCNet-style perplexity gate: docs
     whose unigram-LM cross-entropy (``text.lm_score``, model fitted on
     the already-filtered corpus) exceeds the bound are dropped — the
-    "weird text" filter heuristic quality scores miss."""
+    "weird text" filter heuristic quality scores miss.
+
+    ``drop_contained`` (optional) adds the truncation gate
+    (``dedup.containment_pairs``): when one document's shingles sit
+    inside another's at ``containment_threshold``, the SHORTER side
+    (fewer tokens; ties break to the larger id) is dropped — symmetric
+    Jaccard cannot see these."""
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     if strip_boilerplate:
         # cross-document paragraph dedup BEFORE scoring: boilerplate
@@ -87,6 +95,25 @@ def prepare_training_corpus(
             F.col("xent") <= max_xent
         )
         filtered = filtered.join(scored.select("id"), "id", "left_semi")
+
+    if drop_contained:
+        cpairs = D.containment_pairs(
+            filtered, "id", "text", threshold=containment_threshold
+        )
+        toks = filtered.select("id", "n_tokens")
+        losers = (
+            cpairs.join(toks.select(F.col("id").alias("id_a"),
+                                    F.col("n_tokens").alias("__ta")), "id_a")
+            .join(toks.select(F.col("id").alias("id_b"),
+                              F.col("n_tokens").alias("__tb")), "id_b")
+            .select(
+                F.when(F.col("__ta") < F.col("__tb"), F.col("id_a"))
+                .when(F.col("__tb") < F.col("__ta"), F.col("id_b"))
+                .otherwise(F.greatest("id_a", "id_b")).alias("id")
+            )
+            .distinct()
+        )
+        filtered = filtered.join(losers, "id", "left_anti")
 
     pairs = D.minhash_dedup_pairs(
         filtered, "id", "text",

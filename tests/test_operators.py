@@ -1279,3 +1279,42 @@ def test_containment_catches_truncations_jaccard_misses(spark):
     capped = containment_pairs(bdocs, "doc_id", "text", threshold=0.5,
                                max_shingle_df=5).collect()
     assert capped == []                # shared boilerplate capped away
+
+
+def test_lm_save_load_and_pipeline_drop_contained(spark, tmp_path):
+    """A persisted LM scores a new corpus identically to the in-memory
+    fit; the pipeline's containment gate drops the truncated copy while
+    keeping the full document."""
+    from pyspark.sql import functions as F
+
+    from elusion_spark.operators.text import lm_fit, lm_load, lm_save, lm_score
+    from elusion_spark.pipeline import prepare_training_corpus
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(100)
+    tok = docs.select(
+        F.col("doc_id").alias("__id"),
+        F.explode(F.expr(
+            "filter(split(lower(trim(text)), ' +'), t -> t <> '')"
+        )).alias("__tok"),
+    )
+    vocab = lm_fit(tok)
+    lm_save(vocab, str(tmp_path / "lm"))
+    reloaded = lm_load(spark, str(tmp_path / "lm"))
+    a = {r["doc_id"]: r["xent"]
+         for r in lm_score(docs, vocab=vocab).collect()}
+    b = {r["doc_id"]: r["xent"]
+         for r in lm_score(docs, vocab=reloaded).collect()}
+    assert a == b and len(a) == 100
+
+    full = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    trunc = " ".join(f"w{i} x{i} y{i}" for i in range(25))
+    other = " ".join(f"q{i} r{i}" for i in range(40))
+    corpus = spark.createDataFrame(
+        [(1, full), (2, trunc), (3, other)], ["doc_id", "text"])
+    out = prepare_training_corpus(
+        corpus, min_quality=0.0, min_tokens=1, near_dup_threshold=0.95,
+        exact_first=False, drop_contained=True,
+    )
+    ids = {r["id"] for r in out.select("id").collect()}
+    assert ids == {1, 3}          # truncated copy dropped, full doc kept
