@@ -213,12 +213,6 @@ SHUFFLE_BUDGETS = {
     "q75_threshold_sweep": 1,
     # pair-count agg + context-count agg + per-doc fold; model broadcasts
     "q76_lm_score_bigram": 3,
-    # REAL exchanges: roundrobin + window(__s) build the persisted
-    # inverted index once, pair groupBy, sizes agg; the string count
-    # re-counts the cached lineage under every InMemoryTableScan ref,
-    # and broadcast-vs-SMJ flips under suite-wide session state move it
-    # by a few - the pin guards against structural regressions only
-    "q77_containment_pairs": 16,
     # vocab count + corpus-total single-row agg + per-doc fold (+1 for
     # the broadcast build's own exchange); the scoring join broadcasts
     "q72_lm_score": 4,
@@ -338,3 +332,21 @@ def test_compact_files_preserves_partition_layout(spark, tmp_path):
     got = spark.read.parquet(p)
     assert got.count() == 3000
     assert got.filter("part = 1").count() == 1000
+
+
+def test_containment_plan_shape(spark):
+    """q77's shuffle count is not string-pinnable (the persisted inverted
+    index's build lineage re-prints under every InMemoryTableScan and
+    join-strategy flips move the total), so pin the STABLE facets: no
+    cartesian product, and the documents table is scanned exactly once
+    (the persist boundary - a regression that re-derives the inverted
+    index per branch would print extra FileScans)."""
+    from elusion_spark.suite import QUERIES
+
+    df = QUERIES["q77_containment_pairs"](spark, "/root/testdata/sf0.001")
+    rep = SC.plan_report(df)
+    assert not rep["has_cartesian"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+    scans = set(re.findall(r"Location: InMemoryFileIndex[^\n]*", plan))
+    assert len(scans) == 1, scans
