@@ -219,6 +219,103 @@ def train_val_test_split(
     return df.withColumn(split_col, case)
 
 
+def upsample_by_weight(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    salt: int = 0,
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Deterministic fractional up/down-sampling: each row emits
+    ``floor(w)`` copies plus one more iff its id-hash falls under
+    ``frac(w)`` — so expected multiplicity equals the weight EXACTLY and
+    the realized decision is content-stable (same row, same copies, on
+    any engine/partitioning/run).  Weights < 1 downsample (0 or 1
+    copies), weights > 1 upsample — the single primitive behind
+    quality-weighted data mixing (DoReMi-style reweighting, high-quality
+    upsampling in LLaMA-class runs) without seeded-RNG irreproducibility.
+
+    Pure narrow map + bounded explode; the ``copy_col`` index
+    distinguishes replicas so downstream packing/shuffling can separate
+    them."""
+    m = 1 << 32
+    folded = F.col(id_col) % F.lit(1 << 31) + F.lit(salt)
+    h = folded * F.lit(2654435761) % F.lit(m)
+    w = F.col(weight_col).cast("double")
+    # floor, not a bare bigint cast: Spark's cast truncates but other
+    # engines' CAST rounds — floor is the portable spelling of the cut
+    extra = (h < F.floor((w - F.floor(w)) * m).cast("bigint")).cast("bigint")
+    n = (F.floor(w).cast("bigint") + extra)
+    return (
+        df.withColumn("__n_copies", n)
+        .withColumn(copy_col, F.explode(F.expr(
+            "CASE WHEN __n_copies >= 1 THEN sequence(1, __n_copies) "
+            "ELSE array() END"
+        )))
+        .drop("__n_copies")
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    salt: int = 0,
+) -> DataFrame:
+    """Per-stratum CONTENT-STABLE sampling: ``hash_sample`` with a
+    different rate per stratum value — the reproducible replacement for
+    seeded ``sampleBy`` (whose membership shifts with partitioning).
+    Strata absent from ``rates`` are dropped.  Pure scan-stage filter;
+    the whole decision is ANSI arithmetic (the oracle IS the spec)."""
+    m = 1 << 32
+    folded = F.col(id_col) % F.lit(1 << 31) + F.lit(salt)
+    h = folded * F.lit(2654435761) % F.lit(m)
+    cut = None
+    for stratum, rate in rates.items():
+        branch = F.when(F.col(strata_col) == stratum,
+                        F.lit(int(rate * m)))
+        cut = branch if cut is None else cut.when(
+            F.col(strata_col) == stratum, F.lit(int(rate * m)))
+    cut = cut.otherwise(F.lit(0)) if cut is not None else F.lit(0)
+    return df.filter(h < cut)
+
+
+def temperature_mix_rates(
+    token_totals: dict[str, int],
+    budget_tokens: int,
+    alpha: float = 0.7,
+) -> dict[str, float]:
+    """Temperature-weighted mix rates (multilingual-LM standard: sample
+    stratum i with probability ∝ totalᵢ^alpha, alpha<1 flattens the
+    head so low-resource strata survive).  Returns per-stratum KEEP
+    RATES for ``stratified_hash_sample`` that hit ``budget_tokens`` in
+    expectation; rates are capped at 1 and the residual budget is
+    re-spread over the uncapped strata (waterfilling), so small strata
+    can't be asked for more tokens than they have."""
+    remaining = dict(token_totals)
+    budget = float(budget_tokens)
+    rates: dict[str, float] = {}
+    while remaining and budget > 0:
+        weights = {s: t ** alpha for s, t in remaining.items()}
+        z = sum(weights.values())
+        capped = False
+        for s in list(remaining):
+            want = budget * weights[s] / z
+            if want >= remaining[s]:
+                rates[s] = 1.0
+                budget -= remaining[s]
+                del remaining[s]
+                capped = True
+        if not capped:
+            for s in remaining:
+                rates[s] = (budget * weights[s] / z) / remaining[s]
+            budget = 0
+    for s in token_totals:
+        rates.setdefault(s, 0.0)
+    return rates
+
+
 def quality_threshold_sweep(
     df: DataFrame,
     score_col: str,

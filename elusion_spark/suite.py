@@ -2376,6 +2376,69 @@ def q73(spark, sf):
     )
 
 
+_Q79_SQL = f"""
+WITH w AS (SELECT doc_id, 0.5 + {_QUALITY} AS wt FROM documents),
+dec AS (SELECT doc_id,
+               CAST(FLOOR(wt) AS BIGINT) +
+               CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296
+                         < CAST(FLOOR((wt - FLOOR(wt)) * 4294967296)
+                                AS BIGINT)
+                    THEN 1 ELSE 0 END AS n
+        FROM w)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(u.c AS BIGINT) AS copy_idx
+FROM dec, unnest(generate_series(1, CASE WHEN n >= 1 THEN n ELSE 0 END))
+     AS u(c)
+"""
+
+
+@q("q79_upsample_by_weight", _Q79_SQL)
+def q79(spark, sf):
+    """Deterministic fractional upsampling: weight = 0.5 + quality, so
+    every document draws 0-2 copies with expected multiplicity equal to
+    the weight and a content-stable realization — the oracle replays the
+    identical floor/hash decision and must reproduce every copy row."""
+    from .pipeline import upsample_by_weight
+
+    docs = _t(spark, sf, "documents", "d").df.select(
+        "doc_id", (F.lit(0.5) + F.expr(_QUALITY)).alias("wt")
+    )
+    return upsample_by_weight(docs, "doc_id", "wt").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("copy_idx").cast("bigint").alias("copy_idx"),
+    )
+
+
+_Q80_RATES = {"en": 0.9, "de": 0.5, "fr": 0.2}
+
+
+def _q80_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{s}' THEN {int(r * (1 << 32))}"
+        for s, r in _Q80_RATES.items()
+    )
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+    FROM documents
+    WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296
+          < CASE {whens} ELSE 0 END
+    """
+
+
+@q("q80_temperature_mix", _q80_sql())
+def q80(spark, sf):
+    """Content-stable stratified sampling at per-language rates (the
+    executable half of a temperature-weighted mix: rates come from
+    ``temperature_mix_rates``, the decision from the same auditable hash
+    as hash_sample) — membership must be identical from any engine,
+    which seeded sampleBy cannot promise."""
+    from .pipeline import stratified_hash_sample
+
+    docs = _t(spark, sf, "documents", "d").df.select("doc_id", "lang")
+    return stratified_hash_sample(docs, "doc_id", "lang", _Q80_RATES).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "lang"
+    )
+
+
 _Q78_SPLIT = 250
 
 _Q78_SQL = f"""
@@ -2549,7 +2612,8 @@ _NEEDS_EVIDENCE = [
     "q70_scalar_subquery", "q71_train_val_test_split", "q72_lm_score",
     "q73_knn_join", "q74_chunk_documents", "q75_threshold_sweep",
     "q76_lm_score_bigram", "q77_containment_pairs",
-    "q78_incremental_dedup",
+    "q78_incremental_dedup", "q79_upsample_by_weight",
+    "q80_temperature_mix",
     "q55_left_mark", "q64_repetition_signals", "q65_semantic_dedup",
     "q46_training_corpus", "q30_minhash_pairs", "q31_simhash_pairs",
     "q32_embedding_near_dup", "q09_dedup_exact",

@@ -1318,3 +1318,47 @@ def test_lm_save_load_and_pipeline_drop_contained(spark, tmp_path):
     )
     ids = {r["id"] for r in out.select("id").collect()}
     assert ids == {1, 3}          # truncated copy dropped, full doc kept
+
+
+def test_upsample_and_temperature_mix(spark):
+    """Fractional upsampling hits the expected multiplicity and is
+    repartition-invariant; temperature rates waterfill caps correctly
+    and the sampled token mass lands near the budget."""
+    from pyspark.sql import functions as F
+
+    from elusion_spark.pipeline import (
+        stratified_hash_sample,
+        temperature_mix_rates,
+        upsample_by_weight,
+    )
+
+    df = spark.range(40_000).selectExpr("id AS doc_id", "2.25 AS wt")
+    up = upsample_by_weight(df, "doc_id", "wt")
+    n = up.count()
+    assert abs(n / 40_000 - 2.25) < 0.02          # expected multiplicity
+    per = up.groupBy("doc_id").count().select("count").distinct().collect()
+    assert {r["count"] for r in per} <= {2, 3}    # floor(w) or floor(w)+1
+    again = upsample_by_weight(df.repartition(9), "doc_id", "wt")
+    assert again.count() == n                     # content-stable
+    down = upsample_by_weight(
+        spark.range(40_000).selectExpr("id AS doc_id", "0.3 AS wt"),
+        "doc_id", "wt")
+    assert abs(down.count() / 40_000 - 0.3) < 0.02
+
+    # waterfilling: a stratum smaller than its share caps at rate 1 and
+    # the residual spreads over the rest
+    totals = {"en": 1_000_000, "de": 100_000, "rare": 1_000}
+    rates = temperature_mix_rates(totals, budget_tokens=200_000, alpha=0.5)
+    assert rates["rare"] == 1.0
+    assert 0 < rates["de"] <= 1.0 and 0 < rates["en"] < 1.0
+    expected = sum(rates[s] * totals[s] for s in totals)
+    assert abs(expected - 200_000) < 1e-6
+
+    strat = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(20_000)],
+        ["doc_id", "lang"])
+    out = stratified_hash_sample(strat, "doc_id", "lang",
+                                 {"en": 0.8, "de": 0.1})
+    frac = {r["lang"]: r["n"] / 10_000
+            for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert 0.77 < frac["en"] < 0.83 and 0.08 < frac["de"] < 0.12

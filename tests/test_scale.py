@@ -213,6 +213,9 @@ SHUFFLE_BUDGETS = {
     "q75_threshold_sweep": 1,
     # pair-count agg + context-count agg + per-doc fold; model broadcasts
     "q76_lm_score_bigram": 3,
+    # narrow map + bounded explode / pure scan-stage filter
+    "q79_upsample_by_weight": 0,
+    "q80_temperature_mix": 0,
     # vocab count + corpus-total single-row agg + per-doc fold (+1 for
     # the broadcast build's own exchange); the scoring join broadcasts
     "q72_lm_score": 4,
