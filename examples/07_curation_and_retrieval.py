@@ -38,6 +38,31 @@ splits = train_val_test_split(
 )
 splits.groupBy("split").count().orderBy("split").show()
 
+# 2b. Temperature-weighted language mix: waterfilled keep-rates from
+#     per-language token mass, executed as a content-stable filter.
+from elusion_spark import (  # noqa: E402
+    stratified_hash_sample,
+    temperature_mix_rates,
+    upsample_by_weight,
+)
+from elusion_spark.operators.text import token_count  # noqa: E402
+
+toks = docs.select("doc_id", "lang", token_count("text").alias("n_tok"))
+totals = {r["lang"]: r["t"] for r in
+          toks.groupBy("lang").agg(F.sum("n_tok").alias("t")).collect()}
+rates = temperature_mix_rates(totals, budget_tokens=sum(totals.values()) // 2,
+                              alpha=0.6)
+mixed = stratified_hash_sample(toks, "doc_id", "lang", rates)
+print("mix rates:", {k: round(v, 3) for k, v in rates.items()},
+      "-> sampled docs:", mixed.count())
+
+# 2c. Quality-weighted upsampling: expected multiplicity == weight,
+#     content-stable realization (weights < 1 downsample).
+weighted = scored.select(
+    "doc_id", (F.lit(2.0) - F.col("xent") / 10).alias("wt"))
+print("upsampled rows:", upsample_by_weight(weighted, "doc_id", "wt").count(),
+      "from", weighted.count())
+
 # 3. Retrieval QA over the embedding table: every vector's 3 nearest
 #    neighbours, IVF mode (probe 4 of 8 clusters — trade recall for a
 #    2x cheaper candidate stage; nprobe=nlist would be exact).
