@@ -2588,6 +2588,61 @@ def q75(spark, sf):
                                    token_col="tk")
 
 
+_Q81_QLIT = "[" + ", ".join(repr(float(x)) for x in _QVEC) + "]"
+
+_Q81_SQL = f"""
+WITH dims AS (
+    SELECT p.pos AS pos,
+           MIN(CAST(embedding[p.pos] AS DOUBLE)) AS mn,
+           MAX(CAST(embedding[p.pos] AS DOUBLE)) AS mx
+    FROM embeddings, unnest(generate_series(1, {EMB_DIM})) AS p(pos)
+    GROUP BY p.pos
+),
+m AS (
+    SELECT list(mn ORDER BY pos) AS mns,
+           list(mx - mn ORDER BY pos) AS spans
+    FROM dims
+),
+dv AS (
+    SELECT e.vec_id,
+           list_transform(generate_series(1, {EMB_DIM}), p ->
+               m.mns[p] + (CASE WHEN m.spans[p] > 0 THEN
+                   FLOOR(LEAST(GREATEST(
+                       (CAST(e.embedding[p] AS DOUBLE) - m.mns[p])
+                       / m.spans[p] * 255.0, 0.0), 255.0) + 0.5)
+                   ELSE 0.0 END) * (m.spans[p] / 255.0)) AS v
+    FROM embeddings e, m
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       ROUND(list_dot_product(v, {_Q81_QLIT})
+             / (sqrt(list_dot_product(v, v)) * {_QNORM!r}), 7) AS cosine
+FROM dv
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+@q("q81_sq8_topk", _Q81_SQL)
+def q81(spark, sf):
+    """SQ8 scalar-quantized ANN: fit per-dimension 8-bit quantizers on
+    the corpus (one posexplode agg + 64-row collect), encode every
+    embedding to int codes (4-8x memory reduction — the scan-bound ANN
+    path at 100 TB), then top-10 by cosine between the DEQUANTIZED codes
+    and the fixed query vector.  The oracle replays fit -> encode ->
+    decode -> rank with identical arithmetic shape (same sub/div/mul
+    association, FLOOR(x+0.5) rounding), so the 8-bit codes themselves
+    are hash-checked through the cosine values."""
+    e = _t(spark, sf, "embeddings", "e").df
+    mins, spans = S.sq_fit(e, "embedding", EMB_DIM)
+    enc = e.select(
+        F.col("vec_id"),
+        S.sq_encode_expr("embedding", mins, spans).alias("sq_code"),
+    )
+    return S.sq_topk(
+        enc, "vec_id", "sq_code", mins, spans, _QVEC, k=10, round_digits=7
+    ).select(F.col("vec_id").cast("bigint").alias("vec_id"), "cosine")
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -2613,7 +2668,7 @@ _NEEDS_EVIDENCE = [
     "q73_knn_join", "q74_chunk_documents", "q75_threshold_sweep",
     "q76_lm_score_bigram", "q77_containment_pairs",
     "q78_incremental_dedup", "q79_upsample_by_weight",
-    "q80_temperature_mix",
+    "q80_temperature_mix", "q81_sq8_topk",
     "q55_left_mark", "q64_repetition_signals", "q65_semantic_dedup",
     "q46_training_corpus", "q30_minhash_pairs", "q31_simhash_pairs",
     "q32_embedding_near_dup", "q09_dedup_exact",

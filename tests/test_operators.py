@@ -1362,3 +1362,69 @@ def test_upsample_and_temperature_mix(spark):
     frac = {r["lang"]: r["n"] / 10_000
             for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert 0.77 < frac["en"] < 0.83 and 0.08 < frac["de"] < 0.12
+
+
+def test_sq8_roundtrip_error_bound_and_adc_identity(spark):
+    """SQ8: (1) per-dimension reconstruction error is bounded by half a
+    quantization step (span/510); (2) the algebraically-refactored ADC
+    scan agrees with decode-then-dot to float tolerance and ranks the
+    same ids; (3) the top-k scan plan has no shuffle (scan + project +
+    TakeOrderedAndProject only)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from elusion_spark.operators.similarity import (
+        sq_adc_topk,
+        sq_decode_expr,
+        sq_encode_expr,
+        sq_fit,
+        sq_norm_expr,
+        sq_topk,
+    )
+
+    dim = 8
+    rows = [
+        (i, [math.sin(0.3 * i + 0.7 * j) * (1.0 + 0.1 * j) for j in range(dim)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    mins, spans = sq_fit(df, "v", dim)
+    assert len(mins) == dim and len(spans) == dim
+    assert all(s >= 0 for s in spans)
+
+    enc = df.select(
+        "id", "v", sq_encode_expr("v", mins, spans).alias("code")
+    )
+    dec = enc.withColumn("dv", sq_decode_expr("code", mins, spans))
+    worst = dec.select(
+        F.expr(
+            "aggregate(zip_with(v, dv, (a, b) -> abs(a - b)), "
+            "CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, x))"
+        ).alias("err")
+    ).agg(F.max("err")).collect()[0][0]
+    bound = max(s / 510.0 for s in spans) + 1e-12
+    assert worst <= bound, (worst, bound)
+
+    # codes are genuinely 8-bit
+    rng = dec.select(
+        F.expr("max(array_max(code))").alias("hi"),
+        F.expr("min(array_min(code))").alias("lo"),
+    ).collect()[0]
+    assert 0 <= rng["lo"] and rng["hi"] <= 255
+
+    query = [0.5 - 0.05 * j for j in range(dim)]
+    exact = sq_topk(enc, "id", "code", mins, spans, query, k=5)
+    with_norm = enc.withColumn("nrm", sq_norm_expr("code", mins, spans))
+    fast = sq_adc_topk(with_norm, "id", "code", "nrm", mins, spans, query, k=5)
+    er = {r["id"]: r["cosine"] for r in exact.collect()}
+    fr = {r["id"]: r["cosine"] for r in fast.collect()}
+    assert set(er) == set(fr)
+    for i in er:
+        assert abs(er[i] - fr[i]) < 1e-6
+
+    from elusion_spark.operators.scale import explain_shuffles
+
+    plan = exact._jdf.queryExecution().executedPlan().toString()
+    assert explain_shuffles(sq_topk(enc, "id", "code", mins, spans, query, k=5)) == 0
+    assert "TakeOrderedAndProject" in plan
