@@ -2643,6 +2643,234 @@ def q81(spark, sf):
     ).select(F.col("vec_id").cast("bigint").alias("vec_id"), "cosine")
 
 
+# =====================================================================
+# TPC-H-analog relational suite (classic decision-support shapes the
+# reference's own README examples mirror: multi-join star queries,
+# conditional-aggregate ratios, disjunctive pushdown predicates)
+# =====================================================================
+
+@q(
+    "q82_shipping_priority",
+    f"""
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < '1997-01-01' AND l_shipdate > '1997-01-01'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q82(spark, sf):
+    """TPC-H Q3 shape (shipping priority): segment-filtered 3-way join,
+    revenue per order, top-10 — the canonical star probe.  Orders and
+    customer prune BEFORE the lineitem join; the top-k lowers to
+    per-partition heaps, never a global sort."""
+    c = _t(spark, sf, "customer", "c")
+    o = _t(spark, sf, "orders", "o")
+    li = _t(spark, sf, "lineitem", "l")
+    return (
+        c.join_many([
+            (o, ["c.c_custkey = o.o_custkey"], "INNER"),
+            (li, ["o.o_orderkey = l.l_orderkey"], "INNER"),
+        ])
+        .filter_many([
+            "c.c_mktsegment = 'BUILDING'",
+            "o.o_orderdate < '1997-01-01'",
+            "l.l_shipdate > '1997-01-01'",
+        ])
+        .select([
+            "CAST(l.l_orderkey AS BIGINT) AS l_orderkey",
+            "CAST(o.o_orderdate AS DATE) AS order_date",
+        ])
+        .agg([f"{DSUM('l.l_extendedprice * (1 - l.l_discount)')} AS revenue"])
+        .group_by([
+            "CAST(l.l_orderkey AS BIGINT)",
+            "CAST(o.o_orderdate AS DATE)",
+        ])
+        .order_by(["revenue", "l_orderkey"], ["DESC", "ASC"])
+        .limit(10)
+        .to_spark()
+    )
+
+
+@q(
+    "q83_local_supplier_volume",
+    f"""
+    SELECT n_name AS nation,
+           {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q83(spark, sf):
+    """TPC-H Q5 shape (local supplier volume): 6-way join with a
+    two-clause join condition (supplier key AND same-nation residency)
+    — the multi-condition join path end-to-end.  nation/region
+    broadcast; the only data-sized shuffles are the fact-fact keys."""
+    c = _t(spark, sf, "customer", "c")
+    o = _t(spark, sf, "orders", "o")
+    li = _t(spark, sf, "lineitem", "l")
+    s = _t(spark, sf, "supplier", "s")
+    n = _t(spark, sf, "nation", "n").broadcast()
+    r = _t(spark, sf, "region", "r").broadcast()
+    return (
+        c.join_many([
+            (o, ["c.c_custkey = o.o_custkey"], "INNER"),
+            (li, ["o.o_orderkey = l.l_orderkey"], "INNER"),
+            (s, ["l.l_suppkey = s.s_suppkey",
+                 "c.c_nationkey = s.s_nationkey"], "INNER"),
+            (n, ["s.s_nationkey = n.n_nationkey"], "INNER"),
+            (r, ["n.n_regionkey = r.r_regionkey"], "INNER"),
+        ])
+        .filter_many([
+            "r.r_name = 'ASIA'",
+            "o.o_orderdate >= '1996-01-01'",
+            "o.o_orderdate < '1997-01-01'",
+        ])
+        .select(["n.n_name AS nation"])
+        .agg([f"{DSUM('l.l_extendedprice * (1 - l.l_discount)')} AS revenue"])
+        .group_by_all()
+        .to_spark()
+    )
+
+
+_Q84_PROMO = ("CASE WHEN p_type = 'PROMO' THEN "
+              "l_extendedprice * (1 - l_discount) ELSE 0.0 END")
+
+@q(
+    "q84_promo_revenue",
+    f"""
+    SELECT ROUND(100.0 * {DSUM(_Q84_PROMO)}
+                 / {DSUM('l_extendedprice * (1 - l_discount)')}, 6)
+               AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= '1997-03-01' AND l_shipdate < '1997-04-01'
+    """,
+)
+def q84(spark, sf):
+    """TPC-H Q14 shape (promotion effect): conditional-aggregate ratio
+    over a month of shipments — CASE inside exact-decimal SUMs, one
+    broadcast join, one counter-row shuffle."""
+    li = _t(spark, sf, "lineitem", "l")
+    p = _t(spark, sf, "part", "p").broadcast()
+    promo = ("CASE WHEN p.p_type = 'PROMO' THEN "
+             "l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END")
+    return (
+        li.join(p, ["l.l_partkey = p.p_partkey"], "INNER")
+        .filter_many([
+            "l.l_shipdate >= '1997-03-01'",
+            "l.l_shipdate < '1997-04-01'",
+        ])
+        .agg([
+            f"ROUND(100.0 * {DSUM(promo)} / "
+            f"{DSUM('l.l_extendedprice * (1 - l.l_discount)')}, 6) "
+            f"AS promo_revenue_pct",
+        ])
+        .group_by_all()
+        .to_spark()
+    )
+
+
+_Q85_PRED = (
+    "(p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 "
+    " AND l_quantity >= 1 AND l_quantity <= 30) "
+    "OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30 "
+    " AND l_quantity >= 10 AND l_quantity <= 40) "
+    "OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50 "
+    " AND l_quantity >= 20 AND l_quantity <= 50)"
+)
+
+@q(
+    "q85_bracket_predicates",
+    f"""
+    SELECT {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE {_Q85_PRED}
+    """,
+)
+def q85(spark, sf):
+    """TPC-H Q19 shape (discounted revenue under disjunctive brackets):
+    an OR-of-ANDs predicate spanning both join sides — exercises
+    predicate normalization and partial pushdown (the p_* conjuncts
+    prune the broadcast side; the residual evaluates post-join)."""
+    li = _t(spark, sf, "lineitem", "l")
+    p = _t(spark, sf, "part", "p").broadcast()
+    pred = (_Q85_PRED.replace("p_brand", "p.p_brand")
+            .replace("p_size", "p.p_size")
+            .replace("l_quantity", "l.l_quantity"))
+    return (
+        li.join(p, ["l.l_partkey = p.p_partkey"], "INNER")
+        .filter(pred)
+        .agg([
+            f"{DSUM('l.l_extendedprice * (1 - l.l_discount)')} AS revenue",
+            "CAST(COUNT(*) AS BIGINT) AS n_items",
+        ])
+        .group_by_all()
+        .to_spark()
+    )
+
+
+@q(
+    "q86_returned_items",
+    f"""
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, n_name AS nation,
+           {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= '1997-01-01' AND o_orderdate < '1997-07-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q86(spark, sf):
+    """TPC-H Q10 shape (returned-item ranking): who returned the most
+    revenue last two quarters — 4-way join, per-customer rollup, top-20
+    via per-partition heaps."""
+    c = _t(spark, sf, "customer", "c")
+    o = _t(spark, sf, "orders", "o")
+    li = _t(spark, sf, "lineitem", "l")
+    n = _t(spark, sf, "nation", "n").broadcast()
+    return (
+        c.join_many([
+            (o, ["c.c_custkey = o.o_custkey"], "INNER"),
+            (li, ["o.o_orderkey = l.l_orderkey"], "INNER"),
+            (n, ["c.c_nationkey = n.n_nationkey"], "INNER"),
+        ])
+        .filter_many([
+            "l.l_returnflag = 'R'",
+            "o.o_orderdate >= '1997-01-01'",
+            "o.o_orderdate < '1997-07-01'",
+        ])
+        .select([
+            "CAST(c.c_custkey AS BIGINT) AS c_custkey",
+            "c.c_name AS c_name",
+            "n.n_name AS nation",
+        ])
+        .agg([f"{DSUM('l.l_extendedprice * (1 - l.l_discount)')} AS revenue"])
+        .group_by([
+            "CAST(c.c_custkey AS BIGINT)", "c.c_name", "n.n_name",
+        ])
+        .order_by(["revenue", "c_custkey"], ["DESC", "ASC"])
+        .limit(20)
+        .to_spark()
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -2668,7 +2896,9 @@ _NEEDS_EVIDENCE = [
     "q73_knn_join", "q74_chunk_documents", "q75_threshold_sweep",
     "q76_lm_score_bigram", "q77_containment_pairs",
     "q78_incremental_dedup", "q79_upsample_by_weight",
-    "q80_temperature_mix", "q81_sq8_topk",
+    "q80_temperature_mix", "q81_sq8_topk", "q82_shipping_priority",
+    "q83_local_supplier_volume", "q84_promo_revenue",
+    "q85_bracket_predicates", "q86_returned_items",
     "q55_left_mark", "q64_repetition_signals", "q65_semantic_dedup",
     "q46_training_corpus", "q30_minhash_pairs", "q31_simhash_pairs",
     "q32_embedding_near_dup", "q09_dedup_exact",
