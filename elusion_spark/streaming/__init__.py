@@ -5,6 +5,7 @@ from .core import (  # noqa: F401
     enrich_stream,
     foreach_batch_upsert,
     ingest_corpus_stream,
+    near_dup_candidates_stream,
     read_file_stream,
     read_rate_stream,
     run_available_now_to_memory,

@@ -422,3 +422,102 @@ def stream_write_files(
 
 def _has_agg(sdf: DataFrame) -> bool:
     return "Aggregate" in sdf._jdf.queryExecution().analyzed().toString()
+
+
+def near_dup_candidates_stream(
+    sdf: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate candidate detection — the
+    incremental form of ``operators.dedup.minhash_dedup_pairs``: each
+    arriving document's band signatures probe per-band state, and any
+    band whose bucket already has an earlier document emits a candidate
+    pair ``(anchor_id, doc_id, band_idx)``.
+
+    State model (``applyInPandasWithState`` keyed by ``(band_idx,
+    band_hash)``): one long per live bucket — the minimum document id
+    seen. A new document joins its bucket's anchor; the anchor itself
+    emits nothing. Cross-batch semantics: a document pairs with its
+    bucket's anchor *as of its arrival* (state is monotone-min, so with
+    ids arriving in increasing order the emitted set equals the batch
+    pipeline's star pairs exactly — the parity test's construction).
+
+    Downstream, verify candidates exactly in ``foreachBatch`` (join
+    shingle sets, true Jaccard) and dedup the ``(anchor, doc)`` pairs —
+    band-grain emission is intentional so the verifier can weigh
+    multi-band collisions.
+
+    100 TB/day notes: state is ~24 B per live band bucket, NOT per
+    document pair; an eviction policy (watermark + timeout) bounds it
+    for unbounded streams — add ``GroupStateTimeout`` when buckets
+    should expire. The band explode multiplies the stream by ``bands``
+    rows of (id, 2 ints) — fixed-width, independent of document size;
+    bodies never enter the stateful shuffle.
+
+    CAUTION: the signature expression evaluates interpreted (HOF
+    CodegenFallback) and a stream cannot persist the shingle-hash
+    intermediate the batch path uses, so the tokenizer re-runs per hash
+    member — keep ``num_hashes`` moderate (32 default here vs 64 in
+    batch) or pre-compute signatures upstream of this operator."""
+    import pandas as pd
+
+    from ..operators.dedup import (
+        minhash_signature_from_hashes,
+        shingle_hash_expr,
+    )
+
+    rows = num_hashes // bands
+    sig = sdf.select(
+        F.col(id_col).cast("long").alias("__id"),
+        shingle_hash_expr(text_col, shingle_k).alias("__h"),
+    ).select(
+        "__id",
+        minhash_signature_from_hashes("__h", num_hashes).alias("__sig"),
+    )
+    banded = sig.select(
+        "__id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"hash(slice(__sig, b * {rows} + 1, {rows})))"
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+    out_schema = T.StructType([
+        T.StructField("band_idx", T.IntegerType()),
+        T.StructField("anchor_id", T.LongType()),
+        T.StructField("doc_id", T.LongType()),
+    ])
+    state_schema = T.StructType([T.StructField("min_id", T.LongType())])
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        ids: list[int] = []
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf["__id"])
+        if not ids:
+            return
+        cur = min(ids)
+        anchor = min(cur, state.get[0]) if state.exists else cur
+        state.update((anchor,))
+        out = sorted(set(i for i in ids if i != anchor))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "band_idx": [key[0]] * len(out),
+                    "anchor_id": [anchor] * len(out),
+                    "doc_id": out,
+                }
+            )
+
+    return banded.groupBy("band_idx", "band_hash").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -258,3 +258,78 @@ def test_ingest_corpus_stream_matches_batch(spark, tmp_path):
     ).collect()
     fps = [r["__fp"] for r in rows]
     assert len(fps) == len(set(fps))
+
+
+def test_near_dup_candidates_stream_matches_batch_star_pairs(spark, tmp_path):
+    """Streaming MinHash-LSH candidates == the batch pipeline's band
+    star-pairs (bucket-min anchor -> member), with documents split
+    across TWO micro-batches (maxFilesPerTrigger=1) so bucket state
+    genuinely carries across batches.  Ids arrive in increasing order,
+    so every emission's anchor is the bucket's global min — exactly the
+    batch construction."""
+    import pandas as pd
+
+    from elusion_spark.operators.dedup import (
+        minhash_signature_from_hashes,
+        shingle_hash_expr,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = []
+    for i in range(40):
+        if i % 4 == 0:
+            docs.append((i, base + f" tail{i % 8}"))   # near-dup family
+        else:
+            docs.append((i, f"unique document number {i} with words "
+                            f"entirely its own {i * 7} {i * 13}"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    src = str(tmp_path / "docs_src")
+    # two files, ids ascending across them, named so listing order == id order
+    df.filter("doc_id < 20").coalesce(1).write.parquet(src + "/batch=a")
+    df.filter("doc_id >= 20").coalesce(1).write.parquet(src + "/batch=b")
+
+    num_hashes, bands, k = 32, 16, 3
+    rows = num_hashes // bands
+
+    # batch star-pairs with the IDENTICAL signature/banding expressions
+    banded = (
+        df.select(
+            F.col("doc_id").alias("__id"),
+            shingle_hash_expr("text", k).alias("__h"),
+        )
+        .select("__id", minhash_signature_from_hashes("__h", num_hashes).alias("__sig"))
+        .select(
+            "__id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {bands - 1}), b -> "
+                    f"hash(slice(__sig, b * {rows} + 1, {rows})))"
+                )
+            ).alias("band_idx", "band_hash"),
+        )
+    )
+    anchors = banded.groupBy("band_idx", "band_hash").agg(
+        F.min("__id").alias("anchor_id")
+    )
+    expected = {
+        (r["anchor_id"], r["__id"])
+        for r in banded.join(anchors, ["band_idx", "band_hash"])
+        .filter(F.col("__id") != F.col("anchor_id"))
+        .collect()
+    }
+    assert expected, "construction must produce collisions"
+
+    schema = spark.read.parquet(src + "/batch=a").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    cand = ST.near_dup_candidates_stream(
+        stream, "doc_id", "text",
+        num_hashes=num_hashes, bands=bands, shingle_k=k,
+    )
+    got_df = ST.run_available_now_update_to_memory(cand)
+    got = {(r["anchor_id"], r["doc_id"]) for r in got_df.collect()}
+    assert got == expected
