@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "q75_threshold_sweep",    # quality-cut calibration (one conditional-sum pass)
     "q76_lm_score_bigram",    # bigram conditional cross-entropy (word order)
     "q77_containment_pairs",  # truncation dedup (inverted index, df-capped)
+    "q81_sq8_topk",           # SQ8 quantized ANN (fit + encode + ADC scan)
+    "q82_shipping_priority",  # TPC-H Q3 star probe (3-way join + topk)
     "q46_training_corpus",    # end-to-end curation composite (9 stages)
 ]
 

@@ -221,6 +221,15 @@ SHUFFLE_BUDGETS = {
     "q72_lm_score": 4,
     # cogroup keys both sides on the probe cluster + the rank window
     "q73_knn_join": 3,
+    # SQ8: the fit's posexplode agg collects driver-side before the
+    # scored scan plan is built, so the returned plan is scan+TakeOrdered
+    "q81_sq8_topk": 0,
+    # TPC-H analogs: dims broadcast, one partial->final agg exchange
+    "q82_shipping_priority": 1,
+    "q83_local_supplier_volume": 1,
+    "q84_promo_revenue": 1,
+    "q85_bracket_predicates": 1,
+    "q86_returned_items": 1,
 }
 
 
