@@ -22,6 +22,7 @@ def compact_files(
     target_mb: int = 128,
     sort_cols: list[str] | None = None,
     partition_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """Rewrite ``path`` (parquet dir) into size-targeted files.  Returns
     {files_before, files_after, bytes}.  Atomic: writes to a sibling tmp
@@ -29,7 +30,11 @@ def compact_files(
 
     ``partition_by`` preserves (or establishes) a hive partition layout
     — without it a partitioned directory would compact into a FLAT one,
-    silently discarding partition pruning for every downstream read."""
+    silently discarding partition pruning for every downstream read.
+
+    ``zorder_by`` (mutually exclusive with ``sort_cols``) lays files on
+    a Morton curve over several numeric columns so min/max stats prune
+    on ALL of them — see ``cluster_by_zorder``."""
     def _files(p):
         return [
             os.path.join(r, f)
@@ -42,7 +47,9 @@ def compact_files(
     total_bytes = sum(os.path.getsize(f) for f in before)
     n_out = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
-    if sort_cols:
+    if zorder_by:
+        out = cluster_by_zorder(df, zorder_by, n_partitions=n_out)
+    elif sort_cols:
         # repartitionByRange + sortWithinPartitions: each output file
         # covers a narrow key range -> row-group min/max stats prune
         out = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
@@ -110,3 +117,76 @@ def upsert_partitioned(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return {"partitions_touched": len(parts), "rows_written": n}
+
+
+def zorder_expr(scaled_cols: list[str], bits: int = 16):
+    """Morton (Z-order) interleave of pre-scaled integer expressions:
+    bit ``i`` of column ``idx`` lands at output bit ``i*n + idx``.  The
+    unrolled shift/mask sum stays in whole-stage codegen — no UDF.
+    Inputs must already be ints in ``[0, 2**bits)`` (see
+    ``zorder_scale_expr``)."""
+    from pyspark.sql import functions as F
+
+    n = len(scaled_cols)
+    terms = [
+        f"shiftleft(CAST(shiftright({c}, {i}) & 1 AS BIGINT), {i * n + idx})"
+        for idx, c in enumerate(scaled_cols)
+        for i in range(bits)
+    ]
+    return F.expr("(" + " + ".join(terms) + ")")
+
+
+def zorder_scale_expr(col: str, mn: float, mx: float, bits: int = 16) -> str:
+    """Linear scaling of a numeric column to the ``[0, 2**bits)`` grid
+    (SQL-expression string, composable into ``zorder_expr``).  Min/max
+    scaling is one cheap agg pass; for heavily skewed columns substitute
+    rank scaling (approxQuantile boundaries) — the interleave is
+    agnostic to how the grid coordinates were produced."""
+    top = (1 << bits) - 1
+    if mx <= mn:
+        return "0"
+    return (
+        f"CAST(LEAST(GREATEST((CAST({col} AS DOUBLE) - {mn!r}) / "
+        f"{(mx - mn)!r} * {float(top)!r}, 0.0), {float(top)!r}) AS BIGINT)"
+    )
+
+
+def cluster_by_zorder(
+    df,
+    cols: list[str],
+    bits: int = 16,
+    n_partitions: int | None = None,
+):
+    """Re-lay a DataFrame on a Z-order curve over ``cols`` so that EVERY
+    listed column's min/max file statistics become selective — the
+    multi-column generalization of sort-clustering (a single-column sort
+    makes one column prunable; the space-filling curve shares the
+    prunability across all of them, at some per-column dilution).
+
+    Mechanics: one agg pass collects per-column min/max (driver sees
+    ``2*len(cols)`` numbers), each column scales to a ``2**bits`` grid,
+    the Morton interleave becomes the range-partition + in-file sort
+    key, and the key is dropped before handing the frame back.
+
+    At 100 TB this is the difference between a needle query reading one
+    file per predicate column and reading the whole table: parquet
+    row-group stats prune on every Z-ordered column, and the layout
+    cost is one shuffle (the range partitioner) amortized over every
+    future scan."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"__mx_{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    scaled = [
+        zorder_scale_expr(c, float(stats[f"__mn_{i}"]), float(stats[f"__mx_{i}"]), bits)
+        for i, c in enumerate(cols)
+    ]
+    n_out = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.withColumn("__z", zorder_expr(scaled, bits))
+        .repartitionByRange(n_out, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
