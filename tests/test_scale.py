@@ -436,3 +436,90 @@ def test_zorder_compaction_prunes_both_columns(spark, tmp_path):
     # z-order: BOTH columns prune (diluted vs a dedicated sort, but far
     # below the unclustered 100%)
     assert zx <= 0.6 and zy <= 0.6, (zx, zy, sx, sy)
+
+
+def test_scd2_merge_versions_and_idempotency(spark, tmp_path):
+    """SCD2: changed attributes close the live row and insert a new
+    version; unchanged rows untouched; new keys insert; re-merging the
+    same snapshot is a no-op."""
+    from elusion_spark.sinks.maintenance import scd2_merge
+
+    p = str(tmp_path / "dim")
+    snap1 = spark.createDataFrame(
+        [(1, "alice", "NY"), (2, "bob", "LA"), (3, "cara", "SF")],
+        "k long, name string, city string",
+    )
+    s = scd2_merge(spark, p, snap1, ["k"], ["name", "city"], "2026-01-01")
+    assert s == {"closed": 0, "inserted": 3, "unchanged": 0, "total_rows": 3}
+
+    snap2 = spark.createDataFrame(
+        [(1, "alice", "BOSTON"),   # changed
+         (2, "bob", "LA"),         # unchanged
+         (4, "dan", "CHI")],       # new key
+        "k long, name string, city string",
+    )
+    s = scd2_merge(spark, p, snap2, ["k"], ["name", "city"], "2026-02-01")
+    assert s["closed"] == 1 and s["inserted"] == 2 and s["unchanged"] == 2
+    assert s["total_rows"] == 5
+
+    dim = spark.read.parquet(p)
+    cur = {r["k"]: (r["city"], r["valid_from"])
+           for r in dim.filter("is_current").collect()}
+    assert cur == {1: ("BOSTON", "2026-02-01"), 2: ("LA", "2026-01-01"),
+                   3: ("SF", "2026-01-01"), 4: ("CHI", "2026-02-01")}
+    closed = dim.filter("NOT is_current").collect()
+    assert len(closed) == 1
+    assert (closed[0]["k"], closed[0]["city"],
+            closed[0]["valid_to"]) == (1, "NY", "2026-02-01")
+
+    # idempotent: the same snapshot again changes nothing
+    s = scd2_merge(spark, p, snap2, ["k"], ["name", "city"], "2026-03-01")
+    assert s["closed"] == 0 and s["inserted"] == 0
+    assert spark.read.parquet(p).count() == 5
+
+
+def test_rollup_store_incremental_equals_full(spark, tmp_path):
+    """Mergeable rollup: three incremental updates == one full-recompute
+    exactly for the monoid columns (count/sum/min/max); the HLL distinct
+    estimate agrees within sketch tolerance (DataSketches' union gadget
+    is not bit-identical to a direct build)."""
+    from elusion_spark.sinks.maintenance import read_rollup, update_rollup
+
+    store = str(tmp_path / "rollup")
+    spec = {
+        "n": ("count", None),
+        "total": ("sum", "v"),
+        "lo": ("min", "v"),
+        "hi": ("max", "v"),
+        "users": ("hll", "u"),
+    }
+    full = spark.range(0, 9000).selectExpr(
+        "CAST(id % 3 AS STRING) AS g", "id AS v",
+        "CAST(pmod(xxhash64(id), 500) AS STRING) AS u",
+    )
+    chunks = [full.filter(f"id % 3000 >= {i * 1000} AND id % 3000 < {(i + 1) * 1000}")
+              for i in range(3)]
+    # chunks partition `full` (id%3000 in [0,1000) ∪ [1000,2000) ∪ [2000,3000))
+    assert sum(c.count() for c in chunks) == 9000
+    for c in chunks:
+        update_rollup(spark, store, c, ["g"], spec)
+
+    got = {
+        r["g"]: (r["n"], r["total"], r["lo"], r["hi"], int(r["users_estimate"]))
+        for r in read_rollup(spark, store, spec).collect()
+    }
+    from pyspark.sql import functions as F
+
+    truth = {
+        r["g"]: (r["n"], r["total"], r["lo"], r["hi"], r["du"])
+        for r in full.groupBy("g").agg(
+            F.count("*").alias("n"), F.sum("v").alias("total"),
+            F.min("v").alias("lo"), F.max("v").alias("hi"),
+            F.countDistinct("u").alias("du"),
+        ).collect()
+    }
+    assert set(got) == set(truth)
+    for g, (n, total, lo, hi, du) in truth.items():
+        gn, gt, gl, gh, ge = got[g]
+        assert (gn, gt, gl, gh) == (n, total, lo, hi)
+        assert abs(ge - du) <= max(2, 0.05 * du), (g, ge, du)
