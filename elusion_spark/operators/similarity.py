@@ -838,3 +838,47 @@ def sq_norm_expr(code_col: str, mins: list[float], spans: list[float]) -> Column
         f"sqrt(aggregate(transform({dv}, x -> x * x), CAST(0 AS DOUBLE), "
         f"(acc, v) -> acc + v))"
     )
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+    k: int | None = None,
+) -> DataFrame:
+    """ANN evaluation: per-query recall@k of an approximate neighbor
+    table against the exact one (both in ``knn_join`` output shape:
+    one row per (query, neighbor)).  Joins on (query, neighbor) — one
+    semi-join + one aggregate, no collect; at 100 TB of eval pairs the
+    cost is two key-shuffles of id pairs.
+
+    ``k`` defaults to each query's exact-neighbor count (so truncated
+    probe results score against what brute force actually found).
+    Returns ``(query_col, recall)``; mean recall is one ``F.avg`` away
+    (see ``mean_recall``)."""
+    e = exact.select(
+        F.col(query_col).alias("__q"), F.col(neighbor_col).alias("__n")
+    )
+    a = approx.select(
+        F.col(query_col).alias("__q"), F.col(neighbor_col).alias("__n")
+    )
+    hits = e.join(a, ["__q", "__n"], "left_semi").groupBy("__q").agg(
+        F.count("*").alias("__hit")
+    )
+    denom = e.groupBy("__q").agg(F.count("*").alias("__tot"))
+    return (
+        denom.join(hits, "__q", "left")
+        .select(
+            F.col("__q").alias(query_col),
+            (F.coalesce(F.col("__hit"), F.lit(0)) /
+             (F.lit(float(k)) if k else F.col("__tot").cast("double"))
+             ).alias("recall"),
+        )
+    )
+
+
+def mean_recall(per_query: DataFrame) -> float:
+    """Collapse a ``recall_at_k`` frame to its mean (driver sees one
+    number)."""
+    return float(per_query.agg(F.avg("recall")).first()[0])

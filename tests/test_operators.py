@@ -1428,3 +1428,48 @@ def test_sq8_roundtrip_error_bound_and_adc_identity(spark):
     plan = exact._jdf.queryExecution().executedPlan().toString()
     assert explain_shuffles(sq_topk(enc, "id", "code", mins, spans, query, k=5)) == 0
     assert "TakeOrderedAndProject" in plan
+
+
+def test_recall_at_k_scores_approx_vs_exact(spark):
+    """recall_at_k: hand-built exact/approx neighbor tables produce the
+    expected per-query fractions; an IVF partial probe scores < 1, the
+    full probe scores exactly 1."""
+    from elusion_spark.operators.similarity import (
+        ivf_build,
+        knn_join,
+        mean_recall,
+        recall_at_k,
+    )
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (2, 22)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 99), (2, 20), (2, 21), (2, 22)],
+        "query_id long, neighbor_id long",
+    )
+    got = {r["query_id"]: r["recall"]
+           for r in recall_at_k(approx, exact).collect()}
+    assert got == {1: 2 / 3, 2: 1.0}
+    assert abs(mean_recall(recall_at_k(approx, exact)) - 5 / 6) < 1e-12
+
+    # end-to-end: full probe == recall 1.0 vs brute force
+    import math
+
+    emb = spark.createDataFrame(
+        [(i, [math.sin(0.3 * i + 0.5 * j) for j in range(8)])
+         for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    _, cents = ivf_build(emb, "embedding", 8, nlist=4,
+                         sample_fraction=1.0, iters=2, seed=3)
+    brute = knn_join(emb, emb, k=3, q_vec="embedding", c_vec="embedding",
+                     exclude_self=True, n_blocks=4)
+    full_probe = knn_join(emb, emb, k=3, centroids=cents, nprobe=4,
+                          exclude_self=True)
+    assert mean_recall(recall_at_k(full_probe, brute)) == 1.0
+    partial = knn_join(emb, emb, k=3, centroids=cents, nprobe=1,
+                       exclude_self=True)
+    r = mean_recall(recall_at_k(partial, brute))
+    assert 0.2 < r < 1.0, r
