@@ -483,3 +483,75 @@ def _run_pivot_case(spark, duck, seed):
 @pytest.mark.parametrize("seed", range(8))
 def test_randomized_pivot_matches_oracle(spark, duck, seed):
     _run_pivot_case(spark, duck, seed)
+
+
+# ------------------------------------------------------- star-join family
+
+@pytest.fixture(scope="module")
+def duck_star():
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _run_star_case(spark, duck_star, seed):
+    """Randomized TPC-H-style star probe: customer ⋈ orders ⋈ lineitem
+    with random segment/date/price predicates, random group key, and
+    decimal-exact revenue — the 3-way-join assembly path under predicate
+    permutation (q82/q86 are two fixed points of this family)."""
+    from elusion_spark.sources.loaders import load_parquet
+
+    rng = random.Random(77_000 + seed)
+    seg = rng.choice(["BUILDING", "MACHINERY", "HOUSEHOLD", "AUTOMOBILE",
+                      "FURNITURE"])
+    d0 = f"199{rng.randint(5, 9)}-0{rng.randint(1, 9)}-01"
+    op = rng.choice(["<", ">="])
+    price = round(rng.uniform(10000, 300000), 2)
+    gkey, galias = rng.choice([
+        ("c.c_mktsegment", "c_mktsegment"),
+        ("o.o_orderstatus", "o_orderstatus"),
+        ("l.l_returnflag", "l_returnflag"),
+        ("l.l_linestatus", "l_linestatus"),
+    ])
+    rev = "CAST(SUM(CAST(l{d}l_extendedprice * (1 - l{d}l_discount) AS DECIMAL(38,9))) AS DOUBLE)"
+
+    c = load_parquet(f"{SF}/customer.parquet", "c", spark)
+    o = load_parquet(f"{SF}/orders.parquet", "o", spark)
+    li = load_parquet(f"{SF}/lineitem.parquet", "l", spark)
+    q = (
+        c.join_many([
+            (o, ["c.c_custkey = o.o_custkey"], "INNER"),
+            (li, ["o.o_orderkey = l.l_orderkey"], "INNER"),
+        ])
+        .filter_many([
+            f"c.c_mktsegment = '{seg}'",
+            f"o.o_orderdate {op} '{d0}'",
+            f"o.o_totalprice < {price}",
+        ])
+        .select([f"{gkey} AS {galias}"])
+        .agg([
+            "CAST(COUNT(*) AS BIGINT) AS n",
+            rev.format(d=".") + " AS revenue",
+        ])
+        .group_by([gkey])
+    )
+    sql = (
+        f"SELECT {galias}, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"{rev.format(d='_').replace('l_l_', 'l_')} AS revenue "
+        f"FROM customer JOIN orders ON c_custkey = o_custkey "
+        f"JOIN lineitem ON o_orderkey = l_orderkey "
+        f"WHERE c_mktsegment = '{seg}' AND o_orderdate {op} '{d0}' "
+        f"AND o_totalprice < {price} GROUP BY {galias}"
+    )
+    srows = {tuple(sorted(r.asDict().items())) for r in q.to_spark().collect()}
+    cur = duck_star.execute(sql)
+    cols = [d[0] for d in cur.description]
+    orows = {tuple(sorted(zip(cols, row))) for row in cur.fetchall()}
+    assert srows == orows, f"seed={seed} seg={seg} {op} {d0} {price} {galias}"
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_randomized_star_join_matches_oracle(spark, duck_star, seed):
+    _run_star_case(spark, duck_star, seed)
