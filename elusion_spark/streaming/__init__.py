@@ -13,6 +13,7 @@ from .core import (  # noqa: F401
     running_totals_stateful,
     session_agg,
     stream_stream_join,
+    stream_to_rollup,
     stream_write_files,
     windowed_agg,
 )

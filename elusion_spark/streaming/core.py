@@ -521,3 +521,52 @@ def near_dup_candidates_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_to_rollup(
+    sdf: DataFrame,
+    store_path: str,
+    keys: list[str],
+    spec: dict,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    lg_k: int = 12,
+):
+    """Maintain a mergeable rollup store from a stream: each micro-batch
+    folds its partial aggregates (count/sum/min/max/HLL — see
+    ``sinks.maintenance.update_rollup``) into the store via
+    ``foreachBatch``.  Metrics over an unbounded stream cost O(batch +
+    |keys|) per trigger and the store never rescans history — the
+    streaming face of the incremental-rollup pattern.
+
+    Exactly-once caveat: ``foreachBatch`` is at-least-once on retry; the
+    monoid folds are NOT idempotent, so a crashed-and-replayed batch
+    double-counts.  For strict exactly-once, stage each batch's partial
+    under its batch_id and fold idempotently (skip ids already applied)
+    — the store keeps a ``_applied_batches`` marker file here for
+    exactly that."""
+    import json as _json
+    import os as _os
+
+    from ..sinks.maintenance import update_rollup
+
+    marker = store_path.rstrip("/") + "._applied_batches"
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        applied = set()
+        if _os.path.exists(marker):
+            applied = set(_json.load(open(marker)))
+        if batch_id in applied:
+            return
+        update_rollup(batch_df.sparkSession, store_path, batch_df,
+                      keys, spec, lg_k=lg_k)
+        applied.add(batch_id)
+        with open(marker + ".tmp", "w") as fh:
+            _json.dump(sorted(applied), fh)
+        _os.replace(marker + ".tmp", marker)
+
+    ckpt = checkpoint or store_path.rstrip("/") + "_checkpoint"
+    w = sdf.writeStream.foreachBatch(_apply).option("checkpointLocation", ckpt)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -333,3 +333,48 @@ def test_near_dup_candidates_stream_matches_batch_star_pairs(spark, tmp_path):
     got_df = ST.run_available_now_update_to_memory(cand)
     got = {(r["anchor_id"], r["doc_id"]) for r in got_df.collect()}
     assert got == expected
+
+
+def test_stream_to_rollup_matches_batch(spark, tmp_path):
+    """Streaming rollup maintenance == batch aggregation over the same
+    files, with the stream split into multiple micro-batches; replaying
+    an already-applied batch id is a no-op (the idempotency marker)."""
+    from pyspark.sql import functions as F
+
+    from elusion_spark.sinks.maintenance import read_rollup
+
+    df = spark.range(0, 6000).selectExpr(
+        "CAST(id % 4 AS STRING) AS g", "id AS v",
+        "CAST(pmod(xxhash64(id), 300) AS STRING) AS u",
+    )
+    src = str(tmp_path / "src")
+    df.filter("id < 3000").coalesce(1).write.parquet(src + "/f=a")
+    df.filter("id >= 3000").coalesce(1).write.parquet(src + "/f=b")
+
+    spec = {"n": ("count", None), "total": ("sum", "v"), "users": ("hll", "u")}
+    store = str(tmp_path / "store")
+    schema = spark.read.parquet(src + "/f=a").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = ST.stream_to_rollup(stream, store, ["g"], spec)
+    q.awaitTermination(120)
+
+    got = {
+        r["g"]: (r["n"], r["total"])
+        for r in read_rollup(spark, store, spec).collect()
+    }
+    want = {
+        r["g"]: (r["n"], r["total"])
+        for r in df.groupBy("g").agg(
+            F.count("*").alias("n"), F.sum("v").alias("total")
+        ).collect()
+    }
+    assert got == want
+    est = {r["g"]: r["users_estimate"]
+           for r in read_rollup(spark, store, spec).collect()}
+    truth = {r["g"]: r["du"] for r in df.groupBy("g").agg(
+        F.countDistinct("u").alias("du")).collect()}
+    for g in truth:
+        assert abs(est[g] - truth[g]) <= max(2, 0.05 * truth[g])
