@@ -2871,6 +2871,96 @@ def q86(spark, sf):
     )
 
 
+# one SQL text, valid verbatim in BOTH dialects: named window, exact
+# integer sums over the frame, z derived in identical double arithmetic
+_Q87_SQL = """
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket_hour,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+win AS (
+    SELECT event_type, bucket_hour, c,
+           SUM(c) OVER w AS s1,
+           SUM(c * c) OVER w AS s2,
+           COUNT(*) OVER w AS n
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY bucket_hour
+                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, bucket_hour, c,
+       ROUND((CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             / sqrt((CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                    / CAST(n - 1 AS DOUBLE)), 6) AS z
+FROM win
+WHERE n >= 12
+  AND (CAST(s2 AS DOUBLE)
+       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+"""
+
+
+@q("q87_event_rate_anomaly", _Q87_SQL)
+def q87(spark, sf):
+    """Event-rate anomaly detection: each (event_type, hour) bucket's
+    z-score against its trailing 24-hour window.  Mean/std derive from
+    EXACT integer window sums (count, count²) so both engines compute z
+    from identical doubles — no accumulation-order drift; the frame is
+    history-only (24 PRECEDING..1 PRECEDING), the streaming-compatible
+    shape.  One shuffle for the hourly rollup, one for the per-type
+    window."""
+    e = _t(spark, sf, "events", "events")
+    return execute_raw_sql(_Q87_SQL, "q87", {"events": e}, spark).to_spark()
+
+
+_Q88_ORACLE = """
+WITH g AS (
+    SELECT o_custkey, o_orderdate,
+           LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS prev_d
+    FROM orders
+)
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(COUNT(prev_d) AS BIGINT) AS n_gaps,
+       CAST(MIN(datediff('day', prev_d, o_orderdate)) AS BIGINT) AS min_gap,
+       CAST(MAX(datediff('day', prev_d, o_orderdate)) AS BIGINT) AS max_gap,
+       ROUND(CAST(SUM(datediff('day', prev_d, o_orderdate)) AS DOUBLE)
+             / CAST(COUNT(prev_d) AS DOUBLE), 6) AS avg_gap
+FROM g
+GROUP BY o_custkey
+HAVING COUNT(prev_d) >= 1
+"""
+
+
+@q("q88_order_gap_stats", _Q88_ORACLE)
+def q88(spark, sf):
+    """Inter-order gap statistics per customer (repeat-purchase cadence):
+    LAG over a (date, orderkey) total order, day-diffs aggregated as
+    exact ints, mean derived at the end.  The gap-days arithmetic is
+    integral end-to-end, so the only float op is one division on
+    identical operands."""
+    o = _t(spark, sf, "orders", "o").df
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.withColumn("prev_d", F.lag("o_orderdate").over(w)).filter(
+        F.col("prev_d").isNotNull()
+    )
+    gap = F.datediff(F.col("o_orderdate"), F.col("prev_d"))
+    return (
+        g.groupBy(F.col("o_custkey").cast("bigint").alias("o_custkey"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_gaps"),
+            F.min(gap).cast("bigint").alias("min_gap"),
+            F.max(gap).cast("bigint").alias("max_gap"),
+            F.round(
+                F.sum(gap).cast("double") / F.count("*").cast("double"), 6
+            ).alias("avg_gap"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -2899,6 +2989,7 @@ _NEEDS_EVIDENCE = [
     "q80_temperature_mix", "q81_sq8_topk", "q82_shipping_priority",
     "q83_local_supplier_volume", "q84_promo_revenue",
     "q85_bracket_predicates", "q86_returned_items",
+    "q87_event_rate_anomaly", "q88_order_gap_stats",
     "q55_left_mark", "q64_repetition_signals", "q65_semantic_dedup",
     "q46_training_corpus", "q30_minhash_pairs", "q31_simhash_pairs",
     "q32_embedding_near_dup", "q09_dedup_exact",
