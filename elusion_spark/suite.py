@@ -2961,6 +2961,86 @@ def q88(spark, sf):
     )
 
 
+# one SQL text valid in both dialects: sequenced MIN-after-MIN funnel
+_Q89_SQL = """
+WITH v AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, MIN(e.ts) AS t2
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts >= v.t1
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS t3
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+    GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS step_view,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS step_click,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS step_purchase
+"""
+
+
+@q("q89_funnel", _Q89_SQL)
+def q89(spark, sf):
+    """Sequenced funnel (view -> click-after-view -> purchase-after-
+    click): each stage joins the previous stage's first-completion time
+    and takes the conditional MIN — order-sensitive, unlike a naive
+    per-type count.  The identical SQL text runs on both engines
+    (execute_raw_sql = the builder's sql! parity path); every value is
+    an exact count."""
+    e = _t(spark, sf, "events", "events")
+    return execute_raw_sql(_Q89_SQL, "q89", {"events": e}, spark).to_spark()
+
+
+_Q90_ORACLE = """
+WITH f AS (
+    SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+    FROM events GROUP BY user_id
+),
+a AS (
+    SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+)
+SELECT CAST(f.cohort AS DATE) AS cohort_week,
+       CAST(FLOOR(datediff('day', f.cohort, a.w) / 7) AS BIGINT)
+           AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS active_users
+FROM f JOIN a ON f.user_id = a.user_id
+GROUP BY 1, 2
+"""
+
+
+@q("q90_cohort_retention", _Q90_ORACLE)
+def q90(spark, sf):
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted per subsequent active week — (cohort, offset, active) is
+    the standard retention triangle.  Week grain (ISO Monday start in
+    both engines) fits the one-month events fixture; offsets are exact
+    integer day-diffs / 7.  Two shuffles: the per-user first-activity
+    agg and the final matrix rollup."""
+    e = _t(spark, sf, "events", "e").df
+    f = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    a = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    return (
+        f.join(a, "user_id")
+        .groupBy(
+            F.col("cohort").cast("date").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.col("w"), F.col("cohort")) / 7
+            ).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.count("*").cast("bigint").alias("active_users"))
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -2990,6 +3070,7 @@ _NEEDS_EVIDENCE = [
     "q83_local_supplier_volume", "q84_promo_revenue",
     "q85_bracket_predicates", "q86_returned_items",
     "q87_event_rate_anomaly", "q88_order_gap_stats",
+    "q89_funnel", "q90_cohort_retention",
     "q55_left_mark", "q64_repetition_signals", "q65_semantic_dedup",
     "q46_training_corpus", "q30_minhash_pairs", "q31_simhash_pairs",
     "q32_embedding_near_dup", "q09_dedup_exact",
