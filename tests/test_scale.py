@@ -230,6 +230,15 @@ SHUFFLE_BUDGETS = {
     "q84_promo_revenue": 1,
     "q85_bracket_predicates": 1,
     "q86_returned_items": 1,
+    # hourly rollup + per-type window
+    "q87_event_rate_anomaly": 2,
+    # LAG window reuses the custkey partitioning for the gap agg
+    "q88_order_gap_stats": 1,
+    # three sequenced stage aggs + stage joins + three scalar-subquery
+    # single-row folds
+    "q89_funnel": 8,
+    # first-activity agg, distinct, matrix rollup
+    "q90_cohort_retention": 3,
 }
 
 
