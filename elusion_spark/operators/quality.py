@@ -1,0 +1,137 @@
+"""Declarative data-quality constraints (deequ/dbt-test style).
+
+A training-data lake needs machine-checkable contracts at ingest
+boundaries: key uniqueness, null budgets, accepted value domains,
+numeric ranges, referential integrity against dimensions, freshness.
+``check_constraints`` compiles a rule list into ONE conditional-
+aggregation pass (plus one small join per referential rule) and returns
+a violations report — no per-rule scan, no collect of row data.
+
+100 TB design
+-------------
+- All row-local rules (not_null / accepted_values / in_range / matches)
+  fold into a single partial->final aggregate over one scan: adding a
+  rule adds a counter column, not a pass.
+- ``unique`` rules need a distinct count — computed in the same pass as
+  ``COUNT(*) - COUNT(DISTINCT ...)`` (exact) or via HLL when
+  ``approx=True`` (fixed-size state, the 100 TB default).
+- ``ref`` (foreign-key) rules anti-join the probe side's DISTINCT keys
+  against the dimension — dims broadcast; violation count is the sum of
+  orphaned keys' occurrences.
+- The report is |rules| rows; the driver never sees data rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _rule_condition(rule: dict) -> str:
+    """SQL predicate that is TRUE when a row VIOLATES the rule."""
+    kind, col = rule["kind"], rule.get("col")
+    if kind == "not_null":
+        return f"{col} IS NULL"
+    if kind == "accepted_values":
+        vals = ", ".join(
+            f"'{v}'" if isinstance(v, str) else repr(v)
+            for v in rule["values"]
+        )
+        return f"{col} IS NULL OR {col} NOT IN ({vals})"
+    if kind == "in_range":
+        lo, hi = rule.get("min"), rule.get("max")
+        parts = [f"{col} IS NULL"]
+        if lo is not None:
+            parts.append(f"{col} < {lo!r}")
+        if hi is not None:
+            parts.append(f"{col} > {hi!r}")
+        return " OR ".join(parts)
+    if kind == "matches":
+        return f"{col} IS NULL OR NOT ({col} RLIKE '{rule['pattern']}')"
+    if kind == "custom":
+        return f"NOT ({rule['predicate']})"
+    raise ValueError(f"unknown row-local rule kind {kind!r}")
+
+
+def check_constraints(
+    df: DataFrame,
+    rules: list[dict],
+    approx: bool = False,
+) -> DataFrame:
+    """Evaluate ``rules`` and return a report DataFrame
+    ``(rule, kind, violations, total, pass)``.
+
+    Rule dicts::
+
+        {"name": ..., "kind": "not_null",        "col": c}
+        {"name": ..., "kind": "accepted_values", "col": c, "values": [...]}
+        {"name": ..., "kind": "in_range",  "col": c, "min": x, "max": y}
+        {"name": ..., "kind": "matches",   "col": c, "pattern": regex}
+        {"name": ..., "kind": "custom",    "predicate": sql_bool}
+        {"name": ..., "kind": "unique",    "col": c}       # or cols=[...]
+        {"name": ..., "kind": "ref", "col": c, "dim": DataFrame, "dim_col": d}
+
+    ``approx=True`` swaps exact distinct counts in ``unique`` rules for
+    HLL estimates (fixed-size aggregation state)."""
+    spark = df.sparkSession
+    row_local = [r for r in rules
+                 if r["kind"] not in ("unique", "ref")]
+    uniques = [r for r in rules if r["kind"] == "unique"]
+    refs = [r for r in rules if r["kind"] == "ref"]
+
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for i, r in enumerate(row_local):
+        cond = _rule_condition(r)
+        aggs.append(
+            F.sum(F.expr(f"CASE WHEN {cond} THEN 1 ELSE 0 END")).alias(f"__v{i}")
+        )
+    for i, r in enumerate(uniques):
+        cols = r.get("cols") or [r["col"]]
+        tup = ", ".join(cols)
+        if approx:
+            aggs.append(F.expr(
+                f"count(*) - hll_sketch_estimate("
+                f"hll_sketch_agg(xxhash64({tup})))"
+            ).alias(f"__u{i}"))
+        else:
+            aggs.append(
+                (F.count(F.lit(1)) - F.countDistinct(*cols)).alias(f"__u{i}")
+            )
+    head = df.agg(*aggs).collect()[0]
+    total = int(head["__total"])
+
+    rows = []
+    for i, r in enumerate(row_local):
+        v = int(head[f"__v{i}"] or 0)
+        rows.append((r["name"], r["kind"], v, total, v == 0))
+    for i, r in enumerate(uniques):
+        v = int(head[f"__u{i}"] or 0)
+        rows.append((r["name"], "unique", v, total, v == 0))
+    for r in refs:
+        dim_keys = F.broadcast(
+            r["dim"].select(F.col(r["dim_col"]).alias("__k")).distinct()
+        )
+        v = (
+            df.select(F.col(r["col"]).alias("__k"))
+            .join(dim_keys, "__k", "left_anti")
+            .count()
+        )
+        rows.append((r["name"], "ref", int(v), total, v == 0))
+
+    return spark.createDataFrame(
+        rows, "rule string, kind string, violations long, total long, pass boolean"
+    )
+
+
+def assert_constraints(df: DataFrame, rules: list[dict], approx: bool = False):
+    """Raise ``ValueError`` listing every failed rule (gate form for
+    pipelines); returns the report when all pass."""
+    report = check_constraints(df, rules, approx=approx)
+    failed = [r for r in report.collect() if not r["pass"]]
+    if failed:
+        detail = "; ".join(
+            f"{r['rule']}({r['kind']}): {r['violations']}/{r['total']}"
+            for r in failed
+        )
+        raise ValueError(f"data-quality constraints failed: {detail}")
+    return report

@@ -1473,3 +1473,63 @@ def test_recall_at_k_scores_approx_vs_exact(spark):
                        exclude_self=True)
     r = mean_recall(recall_at_k(partial, brute))
     assert 0.2 < r < 1.0, r
+
+
+def test_check_constraints_report_and_gate(spark):
+    """Declarative quality constraints: one conditional-agg pass scores
+    every row-local rule; unique + referential rules count exactly; the
+    gate form raises listing only the failed rules."""
+    import pytest as _pytest
+
+    from elusion_spark.operators.quality import (
+        assert_constraints,
+        check_constraints,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a@x.com", "US", 10.0, 100),
+            (2, None, "US", 5.0, 200),        # null email
+            (3, "c@x.com", "XX", -1.0, 100),  # bad country, bad range
+            (3, "d@x.com", "DE", 7.0, 999),   # dup id, orphan dim key
+        ],
+        "id long, email string, country string, score double, dim_id long",
+    )
+    dim = spark.createDataFrame([(100,), (200,)], "k long")
+    rules = [
+        {"name": "email_set", "kind": "not_null", "col": "email"},
+        {"name": "country_ok", "kind": "accepted_values", "col": "country",
+         "values": ["US", "DE", "FR"]},
+        {"name": "score_range", "kind": "in_range", "col": "score",
+         "min": 0.0, "max": 100.0},
+        {"name": "email_shape", "kind": "matches", "col": "email",
+         "pattern": "^[^@]+@[^@]+$"},
+        {"name": "id_unique", "kind": "unique", "col": "id"},
+        {"name": "dim_fk", "kind": "ref", "col": "dim_id", "dim": dim,
+         "dim_col": "k"},
+        {"name": "score_bounded", "kind": "custom",
+         "predicate": "score < 1000"},
+    ]
+    rep = {r["rule"]: (r["violations"], r["pass"])
+           for r in check_constraints(df, rules).collect()}
+    assert rep == {
+        "email_set": (1, False),
+        "country_ok": (1, False),
+        "score_range": (1, False),
+        "email_shape": (1, False),   # null email counts as violation
+        "id_unique": (1, False),
+        "dim_fk": (1, False),
+        "score_bounded": (0, True),
+    }
+
+    with _pytest.raises(ValueError, match="id_unique"):
+        assert_constraints(df, rules)
+
+    clean = df.filter("id = 1")
+    ok = assert_constraints(clean, rules)
+    assert all(r["pass"] for r in ok.collect())
+
+    # approx mode: same verdicts on this data
+    rep2 = {r["rule"]: r["pass"]
+            for r in check_constraints(df, rules, approx=True).collect()}
+    assert rep2["id_unique"] is False
