@@ -603,3 +603,62 @@ def repetition_signals(
         per_kind.groupBy("__id").agg(*aggs)
         .withColumnRenamed("__id", id_col)
     )
+
+
+def bm25_score(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a bag of query
+    terms — the classical sparse-retrieval baseline (and the lexical
+    half of hybrid search next to the ANN operators).
+
+    Plan: one explode restricted to query terms feeds BOTH the
+    document-frequency table (|Q| rows, broadcast) and the per-(doc,
+    term) tf counts; corpus stats (N, total length) are one broadcast
+    row.  Per-term contributions round to ``round_digits`` and fold as
+    DECIMAL, so the per-doc sum is order-independent — cross-engine
+    reproducible.  Document bodies never shuffle: the moving rows are
+    (id, term-hashable string, two ints).
+
+    Returns ``(id_col, score)`` for documents matching >= 1 term."""
+    toks_expr = f"filter(split(lower(trim({text_col})), ' +'), t -> t <> '')"
+    d2 = df.select(
+        F.col(id_col).alias("__id"),
+        F.expr(f"size({toks_expr})").alias("__dl"),
+        F.expr(toks_expr).alias("__toks"),
+    )
+    stats = d2.agg(
+        F.count("*").alias("__n"), F.sum("__dl").alias("__tdl")
+    )
+    qlit = ", ".join(f"'{t}'" for t in query_terms)
+    toks = d2.select(
+        "__id", "__dl", F.explode("__toks").alias("__t")
+    ).filter(F.col("__t").isin(list(query_terms)))
+    dft = F.broadcast(
+        toks.select("__id", "__t").distinct().groupBy("__t").agg(
+            F.count("*").alias("__df")
+        )
+    )
+    tf = toks.groupBy("__id", "__dl", "__t").agg(F.count("*").alias("__tf"))
+    contrib = (
+        f"CAST(ROUND("
+        f"LN(1 + (CAST(__n - __df AS DOUBLE) + 0.5) / (CAST(__df AS DOUBLE) + 0.5))"
+        f" * (CAST(__tf AS DOUBLE) * ({k1!r} + 1))"
+        f" / (CAST(__tf AS DOUBLE) + {k1!r} * (1 - {b!r} + {b!r} * "
+        f"CAST(__dl AS DOUBLE) / (CAST(__tdl AS DOUBLE) / CAST(__n AS DOUBLE))))"
+        f", {round_digits}) AS DECIMAL(28,{round_digits}))"
+    )
+    return (
+        tf.join(dft, "__t")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__c", F.expr(contrib))
+        .groupBy("__id")
+        .agg(F.expr("CAST(SUM(__c) AS DOUBLE)").alias("score"))
+        .select(F.col("__id").alias(id_col), "score")
+    )

@@ -3041,6 +3041,93 @@ def q90(spark, sf):
     )
 
 
+_Q91_TERMS = ["join", "hash", "stream"]
+
+_Q91_SQL = f"""
+WITH d2 AS (
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(lower(trim(text)), ' +'),
+                           t -> t <> '')) AS dl,
+           list_filter(regexp_split_to_array(lower(trim(text)), ' +'),
+                       t -> t <> '') AS toks
+    FROM documents
+),
+stats AS (SELECT COUNT(*) AS n, SUM(dl) AS tdl FROM d2),
+tok AS (
+    SELECT doc_id, dl, u.t
+    FROM d2, unnest(toks) AS u(t)
+    WHERE u.t IN ({', '.join(f"'{t}'" for t in _Q91_TERMS)})
+),
+dft AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY t),
+tf AS (SELECT doc_id, dl, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, dl, t)
+SELECT CAST(tf.doc_id AS BIGINT) AS doc_id,
+       CAST(SUM(CAST(ROUND(
+           LN(1 + (CAST(stats.n - dft.df AS DOUBLE) + 0.5)
+                  / (CAST(dft.df AS DOUBLE) + 0.5))
+           * (CAST(tf.tf AS DOUBLE) * (1.2 + 1))
+           / (CAST(tf.tf AS DOUBLE) + 1.2 * (1 - 0.75 + 0.75 *
+              CAST(tf.dl AS DOUBLE)
+              / (CAST(stats.tdl AS DOUBLE) / CAST(stats.n AS DOUBLE))))
+       , 9) AS DECIMAL(28,9))) AS DOUBLE) AS score
+FROM tf JOIN dft ON tf.t = dft.t, stats
+GROUP BY tf.doc_id
+"""
+
+
+@q("q91_bm25_search", _Q91_SQL)
+def q91(spark, sf):
+    """Okapi BM25 sparse retrieval over the documents table for a fixed
+    3-term query — the lexical complement to the ANN stack.  Per-term
+    contributions round then fold as DECIMAL (order-independent sums);
+    the oracle replays idf/tf/length normalization with the identical
+    arithmetic shape, so tf, df, N, and dl are all hash-checked through
+    the scores."""
+    docs = _t(spark, sf, "documents", "d").df
+    return TX.bm25_score(docs, _Q91_TERMS, "doc_id", "text").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "score"
+    )
+
+
+_Q92_NB = 20
+
+_Q92_SQL = f"""
+WITH s AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+           FROM orders)
+SELECT CAST(LEAST(FLOOR((o_totalprice - s.lo) / ((s.hi - s.lo) / {_Q92_NB})),
+                  {_Q92_NB - 1}) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(o_totalprice), 2) AS bucket_min,
+       ROUND(MAX(o_totalprice), 2) AS bucket_max
+FROM orders, s
+GROUP BY 1
+"""
+
+
+@q("q92_histogram", _Q92_SQL)
+def q92(spark, sf):
+    """Equi-width histogram profile of a numeric column (the
+    data-profiling primitive): bucket index from identical
+    floor-arithmetic on both engines, per-bucket count and actual
+    min/max.  One stats broadcast + one agg shuffle."""
+    o = _t(spark, sf, "orders", "o").df
+    s = o.agg(F.min("o_totalprice").alias("lo"),
+              F.max("o_totalprice").alias("hi"))
+    return (
+        o.crossJoin(F.broadcast(s))
+        .groupBy(
+            F.expr(
+                f"CAST(LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / {_Q92_NB})), "
+                f"{_Q92_NB - 1}) AS BIGINT)"
+            ).alias("bucket")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("bucket_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bucket_max"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -3071,6 +3158,7 @@ _NEEDS_EVIDENCE = [
     "q85_bracket_predicates", "q86_returned_items",
     "q87_event_rate_anomaly", "q88_order_gap_stats",
     "q89_funnel", "q90_cohort_retention",
+    "q91_bm25_search", "q92_histogram",
     "q55_left_mark", "q64_repetition_signals", "q65_semantic_dedup",
     "q46_training_corpus", "q30_minhash_pairs", "q31_simhash_pairs",
     "q32_embedding_near_dup", "q09_dedup_exact",
