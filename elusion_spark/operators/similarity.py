@@ -882,3 +882,50 @@ def mean_recall(per_query: DataFrame) -> float:
     """Collapse a ``recall_at_k`` frame to its mean (driver sees one
     number)."""
     return float(per_query.agg(F.avg("recall")).first()[0])
+
+
+def rrf_fuse(
+    rankings: list[tuple[DataFrame, str, str]],
+    rrf_k: int = 60,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retrieval rankings (the standard
+    hybrid-search combiner: BM25 + dense ANN, or multiple ANN probes):
+    ``score(d) = sum_r 1 / (rrf_k + rank_r(d))`` over the rankings that
+    contain ``d``.
+
+    Each entry is ``(df, id_col, score_col)``; ranks derive from
+    ``(score DESC, id)`` — a total order, so fusion is deterministic.
+    Contributions round to ``round_digits`` and fold as DECIMAL: the
+    sum is order-independent and cross-engine reproducible.
+
+    Scale: each ranking pays one window shuffle to rank (skip by
+    passing pre-ranked lists of k rows); the fusion itself is a
+    union + one id-keyed aggregation over (id, rank) ints."""
+    from pyspark.sql import Window
+
+    parts = []
+    for df, id_col, score_col in rankings:
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+        parts.append(
+            df.select(
+                F.col(id_col).alias("__id"),
+                F.row_number().over(w).alias("__rank"),
+            )
+        )
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+    contrib = (
+        f"CAST(ROUND(1.0 / ({rrf_k} + CAST(__rank AS DOUBLE)), "
+        f"{round_digits}) AS DECIMAL(28,{round_digits}))"
+    )
+    return (
+        allr.withColumn("__c", F.expr(contrib))
+        .groupBy("__id")
+        .agg(
+            F.expr("CAST(SUM(__c) AS DOUBLE)").alias("rrf_score"),
+            F.count("*").cast("bigint").alias("n_lists"),
+        )
+        .select(F.col("__id").alias("id"), "rrf_score", "n_lists")
+    )

@@ -3128,6 +3128,55 @@ def q92(spark, sf):
     )
 
 
+_Q93_SQL = f"""
+WITH dense AS (
+    SELECT vec_id AS id,
+           round(({{duck_dot}}) / (sqrt({{duck_nrm}}) * {{qnorm}}), 9) AS score
+    FROM embeddings
+),
+dr AS (SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS r
+       FROM dense),
+sparse AS ({{bm25}}),
+sr AS (SELECT doc_id AS id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+              AS r
+       FROM sparse),
+u AS (SELECT id, r FROM dr UNION ALL SELECT id, r FROM sr)
+SELECT CAST(id AS BIGINT) AS id,
+       CAST(SUM(CAST(ROUND(1.0 / (60 + CAST(r AS DOUBLE)), 9)
+                     AS DECIMAL(28,9))) AS DOUBLE) AS rrf_score,
+       CAST(COUNT(*) AS BIGINT) AS n_lists
+FROM u GROUP BY id
+ORDER BY rrf_score DESC, id LIMIT 50
+""".format(duck_dot=_DUCK_DOT, duck_nrm=_DUCK_NRM, qnorm=repr(_QNORM),
+           bm25=_Q91_SQL.replace("\n", "\n    "))
+
+
+@q("q93_hybrid_search", _Q93_SQL)
+def q93(spark, sf):
+    """Hybrid retrieval: reciprocal-rank fusion of the dense cosine
+    ranking (embeddings vs the fixed query vector) and the BM25 lexical
+    ranking (documents vs the fixed term query) — the standard two-leg
+    hybrid-search combiner.  Both legs rank over rounded scores with id
+    tiebreaks (total orders), RRF contributions round then DECIMAL-fold,
+    so the fused top-50 is engine-exact."""
+    e = _t(spark, sf, "embeddings", "e").df
+    docs = _t(spark, sf, "documents", "d").df
+    dense = e.select(
+        F.col("vec_id"),
+        F.expr(
+            f"round(({_SPARK_DOT}) / (sqrt({_SPARK_NRM}) * {_QNORM!r}), 9)"
+        ).alias("score"),
+    )
+    sparse = TX.bm25_score(docs, _Q91_TERMS, "doc_id", "text")
+    return (
+        S.rrf_fuse([(dense, "vec_id", "score"), (sparse, "doc_id", "score")])
+        .select(F.col("id").cast("bigint").alias("id"), "rrf_score",
+                "n_lists")
+        .orderBy(F.col("rrf_score").desc(), "id")
+        .limit(50)
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -3158,7 +3207,7 @@ _NEEDS_EVIDENCE = [
     "q85_bracket_predicates", "q86_returned_items",
     "q87_event_rate_anomaly", "q88_order_gap_stats",
     "q89_funnel", "q90_cohort_retention",
-    "q91_bm25_search", "q92_histogram",
+    "q91_bm25_search", "q92_histogram", "q93_hybrid_search",
     "q55_left_mark", "q64_repetition_signals", "q65_semantic_dedup",
     "q46_training_corpus", "q30_minhash_pairs", "q31_simhash_pairs",
     "q32_embedding_near_dup", "q09_dedup_exact",
