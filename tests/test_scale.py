@@ -239,6 +239,12 @@ SHUFFLE_BUDGETS = {
     "q89_funnel": 8,
     # first-activity agg, distinct, matrix rollup
     "q90_cohort_retention": 3,
+    # df-table distinct+agg, tf agg, per-doc fold (+ stats single-row aggs)
+    "q91_bm25_search": 5,
+    # stats broadcast + bucket agg
+    "q92_histogram": 2,
+    # two leg rank windows + BM25 internals + the fusion agg
+    "q93_hybrid_search": 7,
 }
 
 
