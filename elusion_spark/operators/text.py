@@ -636,7 +636,6 @@ def bm25_score(
     stats = d2.agg(
         F.count("*").alias("__n"), F.sum("__dl").alias("__tdl")
     )
-    qlit = ", ".join(f"'{t}'" for t in query_terms)
     toks = d2.select(
         "__id", "__dl", F.explode("__toks").alias("__t")
     ).filter(F.col("__t").isin(list(query_terms)))
