@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "q77_containment_pairs",  # truncation dedup (inverted index, df-capped)
     "q81_sq8_topk",           # SQ8 quantized ANN (fit + encode + ADC scan)
     "q82_shipping_priority",  # TPC-H Q3 star probe (3-way join + topk)
+    "q93_hybrid_search",      # BM25 + dense cosine via reciprocal-rank fusion
     "q46_training_corpus",    # end-to-end curation composite (9 stages)
 ]
 
