@@ -106,3 +106,50 @@ def display_correlation_matrix(df: DataFrame, columns: list[str] | None = None) 
     out = correlation_matrix(df, columns)
     out.show(truncate=False)
     return out
+
+
+def mad_outliers(
+    df,
+    value_col: str,
+    by: list[str] | None = None,
+    threshold: float = 3.5,
+    keep_all: bool = False,
+):
+    """Robust outlier detection via median absolute deviation: flag rows
+    where ``|0.6745 * (x - median) / MAD| > threshold`` (the modified
+    z-score of Iglewicz & Hoaglin) — immune to the outliers themselves,
+    unlike mean/stddev z-scores.
+
+    Per-group medians (optional ``by`` keys) come from Spark's exact
+    interpolated ``percentile``; two grouped aggregations (median, then
+    MAD of residuals) + one broadcast-join of the |groups|-row
+    stats back onto the rows.  At extreme scale swap ``percentile`` for
+    ``approx_percentile`` — the flag logic is unchanged.
+
+    Returns the input plus ``robust_z`` (NULL when MAD = 0) and
+    ``is_outlier``; ``keep_all=False`` returns only the outliers."""
+    from pyspark.sql import functions as F
+
+    keys = by or []
+    med = df.groupBy(*keys).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    )
+    joined = (
+        df.join(F.broadcast(med), keys) if keys
+        else df.crossJoin(F.broadcast(med))
+    )
+    mad = joined.groupBy(*keys).agg(
+        F.expr(f"percentile(abs({value_col} - __med), 0.5)").alias("__mad")
+    )
+    full = (
+        joined.join(F.broadcast(mad), keys) if keys
+        else joined.crossJoin(F.broadcast(mad))
+    )
+    z = F.when(
+        F.col("__mad") > 0,
+        F.lit(0.6745) * (F.col(value_col) - F.col("__med")) / F.col("__mad"),
+    )
+    out = full.withColumn("robust_z", z).withColumn(
+        "is_outlier", F.abs(F.col("robust_z")) > threshold
+    ).drop("__med", "__mad")
+    return out if keep_all else out.filter(F.col("is_outlier"))

@@ -927,3 +927,42 @@ def containment_pairs(
         .select(F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"),
                 "containment")
     )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_distance: int = 2,
+    keep_cols: bool = True,
+) -> DataFrame:
+    """Edit-distance (Levenshtein) join with LOSSLESS length-band
+    blocking — the entity-resolution primitive (matching near-identical
+    names/titles across tables without a cartesian product).
+
+    Blocking invariant: ``lev(a, b) <= d`` implies ``|len(a) - len(b)|
+    <= d``, so the left side replicates to its ``2d+1`` candidate
+    lengths and equi-joins the right side's exact length — candidate
+    count falls from |L|·|R| to the sum of per-length-band products,
+    with ZERO recall loss (unlike prefix/phonetic blocking).  The exact
+    ``levenshtein`` then filters candidates.
+
+    At 100 TB: the shuffle key is the length band (add a first-k-chars
+    secondary band via ``substr`` for very skewed length distributions);
+    each moving row carries (key, string) only.  Adds ``__dist``."""
+    L = left.withColumn("__len_l", F.length(left_col)).withColumn(
+        "__band",
+        F.explode(
+            F.sequence(
+                F.col("__len_l") - max_distance,
+                F.col("__len_l") + max_distance,
+            )
+        ),
+    )
+    R = right.withColumn("__band", F.length(right_col))
+    joined = L.join(R, "__band").withColumn(
+        "__dist", F.levenshtein(F.col(left_col), F.col(right_col))
+    ).filter(F.col("__dist") <= max_distance)
+    out = joined.drop("__band", "__len_l")
+    return out if keep_cols else out.select(left_col, right_col, "__dist")

@@ -504,3 +504,39 @@ def pack_sequences(
             F.floor((F.col("end_token") - 1) / seq_len).cast("bigint"),
         )
     )
+
+
+def weighted_sample(
+    df,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: int = 0,
+):
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): each row draws a content-stable uniform
+    ``u`` from the Knuth hash of its id and keeps key ``-ln(u)/w``; the
+    ``k`` smallest keys are the sample, with inclusion probability
+    proportional to weight — the importance-sampling primitive for
+    picking a high-quality subset of a 100 TB corpus.
+
+    Distributed shape: the key is a pure scan-stage expression; top-k by
+    key lowers to TakeOrderedAndProject (per-partition heaps, no global
+    sort, no shuffle).  Content-stable like ``hash_sample``: the same
+    row makes the same draw on every engine, run, and partitioning.
+
+    Weights must be strictly positive (guard with ``greatest(w, eps)``
+    upstream)."""
+    from pyspark.sql import functions as F
+
+    m = 1 << 32
+    folded = (F.col(id_col).cast("bigint") % F.lit(1 << 31)) + F.lit(salt)
+    h = folded * F.lit(2654435761) % F.lit(m)
+    # u in (0, 1]: (h + 1) / 2^32 — never 0, so ln(u) is finite
+    u = (h + F.lit(1)).cast("double") / F.lit(float(m))
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.withColumn("__wskey", key)
+        .orderBy(F.col("__wskey").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

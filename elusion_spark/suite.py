@@ -3177,6 +3177,110 @@ def q93(spark, sf):
     )
 
 
+_Q94_SQL = f"""
+WITH w AS (
+    SELECT doc_id, 0.5 + {_QUALITY} AS wt,
+           (((doc_id % 2147483648) * 2654435761) % 4294967296 + 1)
+               / 4294967296.0 AS u
+    FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       ROUND(-LN(u) / wt, 6) AS sample_key
+FROM w
+ORDER BY -LN(u) / wt ASC, doc_id ASC
+LIMIT 100
+"""
+
+
+@q("q94_weighted_sample", _Q94_SQL)
+def q94(spark, sf):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES over a content-stable Knuth-hash uniform): quality-
+    weighted top-100 of the documents table.  Key is a pure scan-stage
+    expression; top-k lowers to TakeOrderedAndProject.  The oracle
+    replays the identical hash -> uniform -> -ln(u)/w arithmetic, so
+    sample MEMBERSHIP is hash-checked, not just counts."""
+    from .operators.text import quality_score
+    from .pipeline import weighted_sample
+
+    docs = _t(spark, sf, "documents", "d").df.select(
+        "doc_id", (F.lit(0.5) + quality_score("text")).alias("wt")
+    )
+    return weighted_sample(docs, "doc_id", "wt", k=100).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.round("__wskey", 6).alias("sample_key"),
+    )
+
+
+_Q95_SQL = """
+WITH med AS (
+    SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med
+    FROM orders GROUP BY o_orderstatus
+),
+j AS (
+    SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice, med.med
+    FROM orders o JOIN med ON o.o_orderstatus = med.o_orderstatus
+),
+mad AS (
+    SELECT o_orderstatus, quantile_cont(abs(o_totalprice - med), 0.5) AS mad
+    FROM j GROUP BY o_orderstatus
+)
+SELECT CAST(j.o_orderkey AS BIGINT) AS o_orderkey,
+       j.o_orderstatus,
+       ROUND(0.6745 * (j.o_totalprice - j.med) / mad.mad, 6) AS robust_z
+FROM j JOIN mad ON j.o_orderstatus = mad.o_orderstatus
+WHERE mad.mad > 0
+"""
+
+
+@q("q95_mad_outliers", _Q95_SQL)
+def q95(spark, sf):
+    """Robust (MAD) modified z-scores per order-status group — outlier
+    scoring immune to the outliers themselves.  Exact interpolated
+    medians on both engines (the q51-proven parity), |groups|-row stats
+    broadcast back onto rows, one float division on identical
+    operands."""
+    from .functions.stats import mad_outliers
+
+    o = _t(spark, sf, "orders", "o").df
+    return mad_outliers(
+        o, "o_totalprice", by=["o_orderstatus"], keep_all=True
+    ).filter(F.col("robust_z").isNotNull()).select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        "o_orderstatus",
+        F.round("robust_z", 6).alias("robust_z"),
+    )
+
+
+_Q96_SQL = """
+SELECT CAST(a.s_suppkey AS BIGINT) AS id_a,
+       CAST(b.s_suppkey AS BIGINT) AS id_b,
+       CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+FROM supplier a, supplier b
+WHERE a.s_suppkey < b.s_suppkey
+  AND levenshtein(a.s_name, b.s_name) <= 1
+"""
+
+
+@q("q96_fuzzy_match", _Q96_SQL)
+def q96(spark, sf):
+    """Entity resolution: edit-distance self-join of supplier names
+    (lossless length-band blocking + exact levenshtein) vs the oracle's
+    brute-force cross join — the blocked plan must find EXACTLY the
+    brute-force pair set."""
+    s = _t(spark, sf, "supplier", "s").df.select("s_suppkey", "s_name")
+    b = s.select(F.col("s_suppkey").alias("kb"), F.col("s_name").alias("nb"))
+    return (
+        D.fuzzy_join(s, b, "s_name", "nb", max_distance=1)
+        .filter(F.col("s_suppkey") < F.col("kb"))
+        .select(
+            F.col("s_suppkey").cast("bigint").alias("id_a"),
+            F.col("kb").cast("bigint").alias("id_b"),
+            F.col("__dist").cast("bigint").alias("dist"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -3208,6 +3312,7 @@ _NEEDS_EVIDENCE = [
     "q87_event_rate_anomaly", "q88_order_gap_stats",
     "q89_funnel", "q90_cohort_retention",
     "q91_bm25_search", "q92_histogram", "q93_hybrid_search",
+    "q94_weighted_sample", "q95_mad_outliers", "q96_fuzzy_match",
     "q55_left_mark", "q64_repetition_signals", "q65_semantic_dedup",
     "q46_training_corpus", "q30_minhash_pairs", "q31_simhash_pairs",
     "q32_embedding_near_dup", "q09_dedup_exact",
