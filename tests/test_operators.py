@@ -1533,3 +1533,43 @@ def test_check_constraints_report_and_gate(spark):
     rep2 = {r["rule"]: r["pass"]
             for r in check_constraints(df, rules, approx=True).collect()}
     assert rep2["id_unique"] is False
+
+
+def test_fuzzy_join_blocking_is_lossless(spark):
+    """Length-band blocked fuzzy join == brute-force levenshtein join on
+    variable-length strings, and blocking genuinely prunes candidates."""
+    from pyspark.sql import functions as F
+
+    from elusion_spark.operators.dedup import fuzzy_join
+
+    names = ["anna", "anne", "annie", "bob", "bobby", "rob", "robert",
+             "roberta", "kate", "cate", "katie", "x", "xy",
+             "a" * 20, "a" * 19 + "b"]
+    left = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "lid long, lname string"
+    )
+    right = spark.createDataFrame(
+        [(100 + i, n) for i, n in enumerate(names)], "rid long, rname string"
+    )
+    d = 2
+    got = {
+        (r["lid"], r["rid"], r["__dist"])
+        for r in fuzzy_join(left, right, "lname", "rname", d).collect()
+    }
+    brute = {
+        (r["lid"], r["rid"], r["dist"])
+        for r in left.crossJoin(right)
+        .withColumn("dist", F.levenshtein("lname", "rname"))
+        .filter(F.col("dist") <= d)
+        .collect()
+    }
+    assert got == brute and got
+    # blocking prunes: candidate pairs (pre-filter) < full cross product
+    cand = (
+        left.withColumn("__len_l", F.length("lname"))
+        .withColumn("__band", F.explode(F.sequence(
+            F.col("__len_l") - d, F.col("__len_l") + d)))
+        .join(right.withColumn("__band", F.length("rname")), "__band")
+        .count()
+    )
+    assert cand < left.count() * right.count()

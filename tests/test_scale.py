@@ -245,6 +245,12 @@ SHUFFLE_BUDGETS = {
     "q92_histogram": 2,
     # two leg rank windows + BM25 internals + the fusion agg
     "q93_hybrid_search": 7,
+    # pure scan-stage key + TakeOrderedAndProject
+    "q94_weighted_sample": 0,
+    # median agg, MAD agg, stats broadcast back onto rows
+    "q95_mad_outliers": 3,
+    # length-band equi-join broadcasts the smaller side
+    "q96_fuzzy_match": 0,
 }
 
 
