@@ -3289,18 +3289,9 @@ def q96(spark, sf):
 # keep their round-1 evidence even if they fall past a cap.
 # ---------------------------------------------------------------------
 _NEEDS_EVIDENCE = [
-    # Round-3 rotation (VERDICT r2 #4): the 16 queries with no green row
-    # in CORRECTNESS_r02 lead — q62 has never been in a driver window,
-    # the rest were last driver-checked in round 1.
+    # Priority 1 — NEVER driver-checked: q62 (missed every window) and
+    # everything added in round 3 (q67-q96).
     "q62_skew_join_salted",
-    "q28_calendar", "q29_json_extract", "q34_quality_fingerprint",
-    "q35_media_kinds", "q39_string_functions", "q40_datetime_functions",
-    "q41_math_functions", "q42_union_all_append",
-    "q43_drop_duplicates_by_col", "q44_window_frames",
-    "q45_agg_whitelist", "q47_rollup", "q48_string_agg",
-    "q49_array_agg_distinct", "q50_pii_redaction",
-    # then queries whose implementation changed THIS round (fresh
-    # evidence for the new plans):
     "q67_classifier_filter", "q68_sample_and_cap", "q69_exists_subquery",
     "q70_scalar_subquery", "q71_train_val_test_split", "q72_lm_score",
     "q73_knn_join", "q74_chunk_documents", "q75_threshold_sweep",
@@ -3313,9 +3304,20 @@ _NEEDS_EVIDENCE = [
     "q89_funnel", "q90_cohort_retention",
     "q91_bm25_search", "q92_histogram", "q93_hybrid_search",
     "q94_weighted_sample", "q95_mad_outliers", "q96_fuzzy_match",
+    # Priority 2 — r2-green but implementation changed in round 3
+    # (single-join LEFT MARK, q64 rewrite, q65 CC fold, LSH persists):
     "q55_left_mark", "q64_repetition_signals", "q65_semantic_dedup",
     "q46_training_corpus", "q30_minhash_pairs", "q31_simhash_pairs",
     "q32_embedding_near_dup", "q09_dedup_exact",
+    # Priority 3 — unchanged, last driver-checked in round 1; the 50-slot
+    # cap admits 11 of these 16 (the rest keep their r1 evidence and
+    # stay green in the local all-queries parity test).
+    "q28_calendar", "q29_json_extract", "q34_quality_fingerprint",
+    "q35_media_kinds", "q39_string_functions", "q40_datetime_functions",
+    "q41_math_functions", "q42_union_all_append",
+    "q43_drop_duplicates_by_col", "q44_window_frames",
+    "q45_agg_whitelist", "q47_rollup", "q48_string_agg",
+    "q49_array_agg_distinct", "q50_pii_redaction",
 ]
 _NEEDS_EVIDENCE = [k for k in _NEEDS_EVIDENCE if k in QUERIES]
 QUERIES = {
