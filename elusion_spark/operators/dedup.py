@@ -961,8 +961,12 @@ def fuzzy_join(
         ),
     )
     R = right.withColumn("__band", F.length(right_col))
+    # thresholded levenshtein early-exits once the running distance
+    # exceeds the bound (returns -1) — O(d·min(len)) per candidate
+    # instead of O(len²), the difference on long strings
     joined = L.join(R, "__band").withColumn(
-        "__dist", F.levenshtein(F.col(left_col), F.col(right_col))
-    ).filter(F.col("__dist") <= max_distance)
+        "__dist",
+        F.levenshtein(F.col(left_col), F.col(right_col), int(max_distance)),
+    ).filter(F.col("__dist") >= 0)
     out = joined.drop("__band", "__len_l")
     return out if keep_cols else out.select(left_col, right_col, "__dist")
