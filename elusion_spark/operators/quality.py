@@ -27,14 +27,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _sql_str(v: str) -> str:
+    """SQL string literal with embedded quotes doubled — rule values and
+    patterns are config-shaped (YAML/JSON) and may contain ``'``."""
+    return "'" + str(v).replace("'", "''") + "'"
+
+
 def _rule_condition(rule: dict) -> str:
     """SQL predicate that is TRUE when a row VIOLATES the rule."""
     kind, col = rule["kind"], rule.get("col")
     if kind == "not_null":
         return f"{col} IS NULL"
     if kind == "accepted_values":
+        for v in rule["values"]:
+            if v is None or not isinstance(v, (str, int, float, bool)):
+                raise ValueError(
+                    f"accepted_values entries must be str/number/bool, "
+                    f"got {v!r} (use a not_null rule for null policy)"
+                )
         vals = ", ".join(
-            f"'{v}'" if isinstance(v, str) else repr(v)
+            _sql_str(v) if isinstance(v, str) else repr(v)
             for v in rule["values"]
         )
         return f"{col} IS NULL OR {col} NOT IN ({vals})"
@@ -47,7 +59,7 @@ def _rule_condition(rule: dict) -> str:
             parts.append(f"{col} > {hi!r}")
         return " OR ".join(parts)
     if kind == "matches":
-        return f"{col} IS NULL OR NOT ({col} RLIKE '{rule['pattern']}')"
+        return f"{col} IS NULL OR NOT ({col} RLIKE {_sql_str(rule['pattern'])})"
     if kind == "custom":
         return f"NOT ({rule['predicate']})"
     raise ValueError(f"unknown row-local rule kind {kind!r}")
@@ -71,8 +83,17 @@ def check_constraints(
         {"name": ..., "kind": "unique",    "col": c}       # or cols=[...]
         {"name": ..., "kind": "ref", "col": c, "dim": DataFrame, "dim_col": d}
 
-    ``approx=True`` swaps exact distinct counts in ``unique`` rules for
-    HLL estimates (fixed-size aggregation state)."""
+    Semantics notes (SQL-constraint conventions):
+
+    - ``unique`` ignores rows with a NULL in any key column (SQL UNIQUE
+      semantics — pair with ``not_null`` to forbid them);
+    - ``ref`` ignores NULL foreign keys (SQL FK semantics — nullable
+      FKs are legitimate; again pair with ``not_null`` to forbid);
+    - ``approx=True`` swaps the exact distinct count in ``unique``
+      rules for an HLL estimate (fixed-size aggregation state) and
+      passes when the duplicate estimate is within the sketch's own
+      error (~2% of the estimate) — it detects BULK duplication at
+      100 TB scale, not individual duplicate rows."""
     spark = df.sparkSession
     row_local = [r for r in rules
                  if r["kind"] not in ("unique", "ref")]
@@ -88,15 +109,22 @@ def check_constraints(
     for i, r in enumerate(uniques):
         cols = r.get("cols") or [r["col"]]
         tup = ", ".join(cols)
+        nonnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+        # duplicates among FULLY NON-NULL key tuples only (SQL UNIQUE
+        # semantics): countDistinct drops null tuples, so the minuend
+        # must too, or every null-keyed row reads as a duplicate
+        nn_count = F.sum(F.expr(f"CASE WHEN {nonnull} THEN 1 ELSE 0 END"))
         if approx:
             aggs.append(F.expr(
-                f"count(*) - hll_sketch_estimate("
-                f"hll_sketch_agg(xxhash64({tup})))"
+                f"named_struct("
+                f"'dups', sum(CASE WHEN {nonnull} THEN 1 ELSE 0 END)"
+                f" - hll_sketch_estimate(hll_sketch_agg("
+                f"CASE WHEN {nonnull} THEN xxhash64({tup}) END)), "
+                f"'est', hll_sketch_estimate(hll_sketch_agg("
+                f"CASE WHEN {nonnull} THEN xxhash64({tup}) END)))"
             ).alias(f"__u{i}"))
         else:
-            aggs.append(
-                (F.count(F.lit(1)) - F.countDistinct(*cols)).alias(f"__u{i}")
-            )
+            aggs.append((nn_count - F.countDistinct(*cols)).alias(f"__u{i}"))
     head = df.agg(*aggs).collect()[0]
     total = int(head["__total"])
 
@@ -105,14 +133,21 @@ def check_constraints(
         v = int(head[f"__v{i}"] or 0)
         rows.append((r["name"], r["kind"], v, total, v == 0))
     for i, r in enumerate(uniques):
-        v = int(head[f"__u{i}"] or 0)
-        rows.append((r["name"], "unique", v, total, v == 0))
+        if approx:
+            cell = head[f"__u{i}"]
+            v = max(0, int(cell["dups"] or 0))
+            tol = max(2.0, 0.02 * float(cell["est"] or 0))
+            rows.append((r["name"], "unique", v, total, v <= tol))
+        else:
+            v = int(head[f"__u{i}"] or 0)
+            rows.append((r["name"], "unique", v, total, v == 0))
     for r in refs:
         dim_keys = F.broadcast(
             r["dim"].select(F.col(r["dim_col"]).alias("__k")).distinct()
         )
         v = (
             df.select(F.col(r["col"]).alias("__k"))
+            .filter(F.col("__k").isNotNull())  # SQL FK: NULL FK is legal
             .join(dim_keys, "__k", "left_anti")
             .count()
         )

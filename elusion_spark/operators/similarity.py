@@ -845,18 +845,17 @@ def recall_at_k(
     exact: DataFrame,
     query_col: str = "query_id",
     neighbor_col: str = "neighbor_id",
-    k: int | None = None,
 ) -> DataFrame:
-    """ANN evaluation: per-query recall@k of an approximate neighbor
-    table against the exact one (both in ``knn_join`` output shape:
-    one row per (query, neighbor)).  Joins on (query, neighbor) — one
-    semi-join + one aggregate, no collect; at 100 TB of eval pairs the
-    cost is two key-shuffles of id pairs.
+    """ANN evaluation: per-query recall of an approximate neighbor table
+    against the exact one (both in ``knn_join`` output shape: one row
+    per (query, neighbor)).  Joins on (query, neighbor) — one semi-join
+    + one aggregate, no collect; at 100 TB of eval pairs the cost is
+    two key-shuffles of id pairs.
 
-    ``k`` defaults to each query's exact-neighbor count (so truncated
-    probe results score against what brute force actually found).
-    Returns ``(query_col, recall)``; mean recall is one ``F.avg`` away
-    (see ``mean_recall``)."""
+    The denominator is each query's exact-neighbor count — pass both
+    tables already truncated to their top-k (``knn_join(k=...)`` output
+    is) and this IS recall@k.  Returns ``(query_col, recall)``; mean
+    recall is one ``F.avg`` away (see ``mean_recall``)."""
     e = exact.select(
         F.col(query_col).alias("__q"), F.col(neighbor_col).alias("__n")
     )
@@ -872,8 +871,7 @@ def recall_at_k(
         .select(
             F.col("__q").alias(query_col),
             (F.coalesce(F.col("__hit"), F.lit(0)) /
-             (F.lit(float(k)) if k else F.col("__tot").cast("double"))
-             ).alias("recall"),
+             F.col("__tot").cast("double")).alias("recall"),
         )
     )
 

@@ -155,6 +155,19 @@ def write_corpus(corpus: DataFrame, path: str,
     w.partitionBy(*(partition_by or ["lang"])).parquet(path)
 
 
+def _knuth_uniform_hash(id_col: str, salt: int = 0):
+    """The engine-wide content-stable hash: ``pmod(id, 2^31) + salt``
+    folded through the Knuth multiplicative constant, mod 2^32 — one
+    definition shared by every sampling/split/mix operator so "the same
+    row makes the same draw" holds ACROSS operators too.  ``pmod``
+    keeps negative ids in range (for the non-negative ids the fixtures
+    and oracles use, ``pmod(id, m) == id % m``, so the documented ANSI
+    form ``(id % 2^31)`` still reproduces it from any engine)."""
+    m = 1 << 32
+    folded = F.pmod(F.col(id_col).cast("bigint"), F.lit(1 << 31)) + F.lit(salt)
+    return folded * F.lit(2654435761) % F.lit(m)
+
+
 def hash_sample(
     df: DataFrame,
     id_col: str,
@@ -176,10 +189,8 @@ def hash_sample(
     on every engine (no overflow wrap/error at 100 TB id ranges; ids
     2^31 apart share a decision — immaterial for sampling).  Pure scan-
     stage filter, no shuffle; composes with partition pruning."""
-    m = 1 << 32
-    cut = int(rate * m)
-    folded = F.col(id_col) % F.lit(1 << 31) + F.lit(salt)
-    return df.filter((folded * F.lit(2654435761) % F.lit(m)) < F.lit(cut))
+    cut = int(rate * (1 << 32))
+    return df.filter(_knuth_uniform_hash(id_col, salt) < F.lit(cut))
 
 
 def train_val_test_split(
@@ -206,8 +217,7 @@ def train_val_test_split(
     ``salt`` to draw an independent split (e.g. per-epoch held-out sets).
     """
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
-    folded = F.col(id_col) % F.lit(1 << 31) + F.lit(salt)
-    h = folded * F.lit(2654435761) % F.lit(1 << 32)
+    h = _knuth_uniform_hash(id_col, salt)
     case = None
     for name, cut in split_cuts(weights):
         cond = h < F.lit(cut)
@@ -239,8 +249,7 @@ def upsample_by_weight(
     distinguishes replicas so downstream packing/shuffling can separate
     them."""
     m = 1 << 32
-    folded = F.col(id_col) % F.lit(1 << 31) + F.lit(salt)
-    h = folded * F.lit(2654435761) % F.lit(m)
+    h = _knuth_uniform_hash(id_col, salt)
     w = F.col(weight_col).cast("double")
     # floor, not a bare bigint cast: Spark's cast truncates but other
     # engines' CAST rounds — floor is the portable spelling of the cut
@@ -269,8 +278,7 @@ def stratified_hash_sample(
     Strata absent from ``rates`` are dropped.  Pure scan-stage filter;
     the whole decision is ANSI arithmetic (the oracle IS the spec)."""
     m = 1 << 32
-    folded = F.col(id_col) % F.lit(1 << 31) + F.lit(salt)
-    h = folded * F.lit(2654435761) % F.lit(m)
+    h = _knuth_uniform_hash(id_col, salt)
     cut = None
     for stratum, rate in rates.items():
         branch = F.when(F.col(strata_col) == stratum,
@@ -526,17 +534,22 @@ def weighted_sample(
     row makes the same draw on every engine, run, and partitioning.
 
     Weights must be strictly positive (guard with ``greatest(w, eps)``
-    upstream)."""
+    upstream).  Rows with a NULL id or NULL/non-positive weight have no
+    defined draw and are excluded (a NULL sort key would otherwise sort
+    FIRST and silently hijack the sample)."""
     from pyspark.sql import functions as F
 
     m = 1 << 32
-    folded = (F.col(id_col).cast("bigint") % F.lit(1 << 31)) + F.lit(salt)
-    h = folded * F.lit(2654435761) % F.lit(m)
+    h = _knuth_uniform_hash(id_col, salt)
     # u in (0, 1]: (h + 1) / 2^32 — never 0, so ln(u) is finite
     u = (h + F.lit(1)).cast("double") / F.lit(float(m))
     key = -F.log(u) / F.col(weight_col).cast("double")
     return (
-        df.withColumn("__wskey", key)
+        df.filter(
+            F.col(id_col).isNotNull()
+            & (F.col(weight_col).cast("double") > 0)
+        )
+        .withColumn("__wskey", key)
         .orderBy(F.col("__wskey").asc(), F.col(id_col).asc())
         .limit(k)
     )

@@ -16,6 +16,28 @@ import shutil
 from pyspark.sql import SparkSession
 
 
+def _recover_swap(path: str, back: str) -> None:
+    """Heal a crashed two-rename swap: a crash between rename-aside and
+    rename-into-place leaves the complete previous snapshot at ``back``
+    with nothing at ``path`` — restore it; a crash after the swap but
+    before cleanup leaves a stale ``back`` — remove it.  Call before any
+    read of ``path`` AND before starting a new swap (a leftover back
+    dir would otherwise make ``os.rename(path, back)`` raise)."""
+    if os.path.isdir(back):
+        if not os.path.isdir(path):
+            os.rename(back, path)
+        else:
+            shutil.rmtree(back)
+
+
+def _atomic_swap(path: str, tmp: str, back: str) -> None:
+    """Replace ``path`` with ``tmp`` via rename-aside; recoverable at
+    every crash point through ``_recover_swap``."""
+    os.rename(path, back)
+    os.rename(tmp, path)
+    shutil.rmtree(back)
+
+
 def compact_files(
     spark: SparkSession,
     path: str,
@@ -58,14 +80,13 @@ def compact_files(
     else:
         out = df.coalesce(n_out)
     tmp = path.rstrip("/") + ".__compact_tmp"
+    back = path.rstrip("/") + ".__compact_old"
+    _recover_swap(path, back)
     w = out.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(tmp)
-    back = path.rstrip("/") + ".__compact_old"
-    os.rename(path, back)
-    os.rename(tmp, path)
-    shutil.rmtree(back)
+    _atomic_swap(path, tmp, back)
     return {
         "files_before": len(before),
         "files_after": len(_files(path)),
@@ -124,10 +145,20 @@ def zorder_expr(scaled_cols: list[str], bits: int = 16):
     bit ``i`` of column ``idx`` lands at output bit ``i*n + idx``.  The
     unrolled shift/mask sum stays in whole-stage codegen — no UDF.
     Inputs must already be ints in ``[0, 2**bits)`` (see
-    ``zorder_scale_expr``)."""
+    ``zorder_scale_expr``).
+
+    ``len(cols) * bits`` must fit in 63 bits: bit 63 would flip the
+    BIGINT sign (inverting the curve's top level) and JVM shiftleft
+    wraps amounts mod 64 (colliding different columns' bits) —
+    ``cluster_by_zorder`` auto-shrinks ``bits`` instead."""
     from pyspark.sql import functions as F
 
     n = len(scaled_cols)
+    if n * bits > 63:
+        raise ValueError(
+            f"zorder_expr: {n} cols x {bits} bits = {n * bits} exceeds the"
+            f" 63 usable BIGINT bits; use bits <= {63 // n}"
+        )
     terms = [
         f"shiftleft(CAST(shiftright({c}, {i}) & 1 AS BIGINT), {i * n + idx})"
         for idx, c in enumerate(scaled_cols)
@@ -172,9 +203,14 @@ def cluster_by_zorder(
     file per predicate column and reading the whole table: parquet
     row-group stats prune on every Z-ordered column, and the layout
     cost is one shuffle (the range partitioner) amortized over every
-    future scan."""
+    future scan.
+
+    ``bits`` auto-shrinks so the interleaved key fits 63 bits (4 cols →
+    15 bits/col, 5 → 12, …): grid resolution dilutes gracefully instead
+    of the key silently corrupting."""
     from pyspark.sql import functions as F
 
+    bits = min(bits, 63 // max(1, len(cols)))
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"__mn_{i}") for i, c in enumerate(cols)],
         *[F.max(F.col(c).cast("double")).alias(f"__mx_{i}") for i, c in enumerate(cols)],
@@ -226,6 +262,8 @@ def scd2_merge(
     from pyspark.sql import functions as F
 
     scd_cols = [valid_from, valid_to, current_flag]
+    back = path.rstrip("/") + ".__scd2_old"
+    _recover_swap(path, back)
     exists = os.path.isdir(path) and any(
         f.endswith(".parquet") for _r, _d, fs in os.walk(path) for f in fs
     )
@@ -280,10 +318,7 @@ def scd2_merge(
     }
     tmp = path.rstrip("/") + ".__scd2_tmp"
     out.write.mode("overwrite").parquet(tmp)
-    back = path.rstrip("/") + ".__scd2_old"
-    os.rename(path, back)
-    os.rename(tmp, path)
-    shutil.rmtree(back)
+    _atomic_swap(path, tmp, back)
     stats["total_rows"] = spark.read.parquet(path).count()
     return stats
 
@@ -336,6 +371,7 @@ def update_rollup(
     keys: list[str],
     spec: dict,
     lg_k: int = 12,
+    sidecar: dict | None = None,
 ) -> dict:
     """Maintain a materialized rollup incrementally with MERGEABLE
     aggregate state — the no-rescan answer to "metrics over 100 TB":
@@ -354,8 +390,14 @@ def update_rollup(
     ``read_rollup``.
 
     Atomic tmp-dir swap; the store is tiny (one row per key), so the
-    rewrite is O(|keys|), not O(data)."""
+    rewrite is O(|keys|), not O(data).  ``sidecar`` maps underscore-
+    prefixed filenames to text written INTO the new store snapshot
+    before the swap — metadata that must commit atomically with the
+    state (see ``streaming.stream_to_rollup``'s applied-batch marker);
+    read it back with ``read_rollup_sidecar``."""
     partial = _rollup_partial(new_data, keys, spec, lg_k)
+    back = store_path.rstrip("/") + ".__rollup_old"
+    _recover_swap(store_path, back)
     exists = os.path.isdir(store_path) and any(
         f.endswith(".parquet") for _r, _d, fs in os.walk(store_path) for f in fs
     )
@@ -366,14 +408,29 @@ def update_rollup(
         merged = partial
     tmp = store_path.rstrip("/") + ".__rollup_tmp"
     merged.write.mode("overwrite").parquet(tmp)
+    for name, content in (sidecar or {}).items():
+        # underscore-prefixed files are invisible to Spark's parquet
+        # reader; they ride the same atomic rename as the data, so
+        # marker and state can never disagree (the exactly-once hook)
+        if not name.startswith("_"):
+            raise ValueError(f"sidecar names must start with '_': {name}")
+        with open(os.path.join(tmp, name), "w") as fh:
+            fh.write(content)
     if os.path.isdir(store_path):
-        back = store_path.rstrip("/") + ".__rollup_old"
-        os.rename(store_path, back)
-        os.rename(tmp, store_path)
-        shutil.rmtree(back)
+        _atomic_swap(store_path, tmp, back)
     else:
         os.rename(tmp, store_path)
     return {"store_rows": spark.read.parquet(store_path).count()}
+
+
+def read_rollup_sidecar(store_path: str, name: str) -> str | None:
+    """Read a sidecar file committed with the store snapshot (None if
+    absent)."""
+    fp = os.path.join(store_path, name)
+    if os.path.exists(fp):
+        with open(fp) as fh:
+            return fh.read()
+    return None
 
 
 def read_rollup(

@@ -539,31 +539,31 @@ def stream_to_rollup(
     |keys|) per trigger and the store never rescans history — the
     streaming face of the incremental-rollup pattern.
 
-    Exactly-once caveat: ``foreachBatch`` is at-least-once on retry; the
-    monoid folds are NOT idempotent, so a crashed-and-replayed batch
-    double-counts.  For strict exactly-once, stage each batch's partial
-    under its batch_id and fold idempotently (skip ids already applied)
-    — the store keeps a ``_applied_batches`` marker file here for
-    exactly that."""
+    Exactly-once: ``foreachBatch`` is at-least-once on retry and the
+    monoid folds are not idempotent, so the applied-batch marker rides
+    INSIDE the store snapshot (an underscore sidecar file) and commits
+    through the same atomic rename as the folded state — marker and
+    state can never disagree, and a replayed batch is skipped.  A crash
+    anywhere leaves either the old snapshot (batch re-applies) or the
+    new one (batch skips); there is no window where the state advanced
+    but the marker did not."""
     import json as _json
-    import os as _os
 
-    from ..sinks.maintenance import update_rollup
+    from ..sinks.maintenance import read_rollup_sidecar, update_rollup
 
-    marker = store_path.rstrip("/") + "._applied_batches"
+    marker = "_applied_batches.json"
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        applied = set()
-        if _os.path.exists(marker):
-            applied = set(_json.load(open(marker)))
+        raw = read_rollup_sidecar(store_path, marker)
+        applied = set(_json.loads(raw)) if raw else set()
         if batch_id in applied:
             return
-        update_rollup(batch_df.sparkSession, store_path, batch_df,
-                      keys, spec, lg_k=lg_k)
         applied.add(batch_id)
-        with open(marker + ".tmp", "w") as fh:
-            _json.dump(sorted(applied), fh)
-        _os.replace(marker + ".tmp", marker)
+        update_rollup(
+            batch_df.sparkSession, store_path, batch_df, keys, spec,
+            lg_k=lg_k,
+            sidecar={marker: _json.dumps(sorted(applied))},
+        )
 
     ckpt = checkpoint or store_path.rstrip("/") + "_checkpoint"
     w = sdf.writeStream.foreachBatch(_apply).option("checkpointLocation", ckpt)
