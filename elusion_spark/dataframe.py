@@ -823,6 +823,17 @@ class CustomDataFrame:
     def intersect(self, other: "CustomDataFrame", alias: str = "intersect_result") -> "CustomDataFrame":
         return self._binary(other, DataFrame.intersect, alias)
 
+    def except_all(self, other: "CustomDataFrame", alias: str = "except_all_result") -> "CustomDataFrame":
+        """SQL EXCEPT ALL — bag semantics: each row survives
+        ``max(count_left - count_right, 0)`` times (beyond parity; the
+        reference exposes only the DISTINCT set ops)."""
+        return self._binary(other, DataFrame.exceptAll, alias)
+
+    def intersect_all(self, other: "CustomDataFrame", alias: str = "intersect_all_result") -> "CustomDataFrame":
+        """SQL INTERSECT ALL — bag semantics: each row survives
+        ``min(count_left, count_right)`` times."""
+        return self._binary(other, DataFrame.intersectAll, alias)
+
     # --------------------------------------------------------- eager helpers
 
     def drop_duplicates(self, alias: str = "dedup") -> "CustomDataFrame":

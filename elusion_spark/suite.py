@@ -3281,6 +3281,54 @@ def q96(spark, sf):
     )
 
 
+_Q97_SQL = """
+SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+WHERE l_shipdate < '1996-01-01'
+EXCEPT ALL
+SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+WHERE l_shipdate >= '1996-01-01'
+"""
+
+
+@q("q97_except_all", _Q97_SQL)
+def q97(spark, sf):
+    """Bag-semantics EXCEPT ALL (beyond parity — the reference has only
+    DISTINCT set ops): each (flag, qty) tuple survives max(n_left -
+    n_right, 0) times, so the MULTIPLICITIES are hash-checked, not just
+    membership."""
+    li = _t(spark, sf, "lineitem", "l")
+    a = (li.filter("l.l_shipdate < '1996-01-01'")
+         .select(["l.l_returnflag AS l_returnflag",
+                  "CAST(l.l_quantity AS BIGINT) AS qty"]))
+    li2 = _t(spark, sf, "lineitem", "l2")
+    b = (li2.filter("l2.l_shipdate >= '1996-01-01'")
+         .select(["l2.l_returnflag AS l_returnflag",
+                  "CAST(l2.l_quantity AS BIGINT) AS qty"]))
+    return a.except_all(b).to_spark()
+
+
+_Q98_SQL = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+       ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 9) AS cume,
+       CAST(NTILE(10) OVER w AS BIGINT) AS decile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus
+             ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@q("q98_distribution_windows", _Q98_SQL)
+def q98(spark, sf):
+    """Distribution window functions (PERCENT_RANK / CUME_DIST / NTILE)
+    over a total order — the remaining corner of the window whitelist.
+    Rank arithmetic is integral until one final division on identical
+    operands; the (price, orderkey) tiebreak makes every rank
+    engine-identical."""
+    o = _t(spark, sf, "orders", "orders")
+    return execute_raw_sql(_Q98_SQL, "q98", {"orders": o}, spark).to_spark()
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -3304,6 +3352,7 @@ _NEEDS_EVIDENCE = [
     "q89_funnel", "q90_cohort_retention",
     "q91_bm25_search", "q92_histogram", "q93_hybrid_search",
     "q94_weighted_sample", "q95_mad_outliers", "q96_fuzzy_match",
+    "q97_except_all", "q98_distribution_windows",
     # Priority 2 — r2-green but implementation changed in round 3
     # (single-join LEFT MARK, q64 rewrite, q65 CC fold, LSH persists):
     "q55_left_mark", "q64_repetition_signals", "q65_semantic_dedup",
