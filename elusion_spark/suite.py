@@ -3329,6 +3329,58 @@ def q98(spark, sf):
     return execute_raw_sql(_Q98_SQL, "q98", {"orders": o}, spark).to_spark()
 
 
+# one SQL text valid in both dialects
+_Q99_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+           AS grouping_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {DSUM('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@q("q99_grouping_sets", _Q99_SQL)
+def q99(spark, sf):
+    """Explicit GROUPING SETS with GROUPING() provenance flags — the
+    last aggregation corner beyond rollup/cube: user-chosen subtotal
+    combinations in one pass (Spark expands to one expand+agg, not
+    |sets| scans).  Identical SQL text runs on both engines."""
+    li = _t(spark, sf, "lineitem", "lineitem")
+    return execute_raw_sql(_Q99_SQL, "q99", {"lineitem": li}, spark).to_spark()
+
+
+_Q100_SQL = f"""
+WITH d AS (
+    SELECT doc_id, text, lang, {_TOKENS} AS tk, {_QUALITY} AS q
+    FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS docs,
+       CAST(SUM(tk) AS BIGINT) AS tokens,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS languages,
+       CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS exact_dups,
+       ROUND(CAST(SUM(CAST(ROUND(q, 9) AS DECIMAL(28,9))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_quality,
+       CAST(SUM(CASE WHEN q >= 0.5 THEN tk ELSE 0 END) AS BIGINT)
+           AS quality_tokens
+FROM d
+"""
+
+
+@q("q100_corpus_report_card", _Q100_SQL)
+def q100(spark, sf):
+    """The corpus report card: one row of corpus-level governance
+    metrics (docs, tokens, languages, exact-duplicate count, DECIMAL-
+    folded mean quality, tokens surviving the quality bar) — the
+    numbers a curation run publishes.  Single aggregation pass;
+    identical SQL text on both engines."""
+    docs = _t(spark, sf, "documents", "documents")
+    return execute_raw_sql(
+        _Q100_SQL, "q100", {"documents": docs}, spark
+    ).to_spark()
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -3353,6 +3405,7 @@ _NEEDS_EVIDENCE = [
     "q91_bm25_search", "q92_histogram", "q93_hybrid_search",
     "q94_weighted_sample", "q95_mad_outliers", "q96_fuzzy_match",
     "q97_except_all", "q98_distribution_windows",
+    "q99_grouping_sets", "q100_corpus_report_card",
     # Priority 2 — r2-green but implementation changed in round 3
     # (single-join LEFT MARK, q64 rewrite, q65 CC fold, LSH persists):
     "q55_left_mark", "q64_repetition_signals", "q65_semantic_dedup",
