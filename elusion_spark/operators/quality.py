@@ -33,9 +33,17 @@ def _sql_str(v: str) -> str:
     return "'" + str(v).replace("'", "''") + "'"
 
 
+def _qid(name: str) -> str:
+    """Backtick-quoted SQL identifier with embedded backticks doubled —
+    column names are config input too (YAML/JSON rules), and a name with
+    a space, hyphen, dot, or reserved word would otherwise break the
+    single-pass aggregate with a parse error."""
+    return "`" + str(name).replace("`", "``") + "`"
+
+
 def _rule_condition(rule: dict) -> str:
     """SQL predicate that is TRUE when a row VIOLATES the rule."""
-    kind, col = rule["kind"], rule.get("col")
+    kind, col = rule["kind"], _qid(rule["col"]) if rule.get("col") else None
     if kind == "not_null":
         return f"{col} IS NULL"
     if kind == "accepted_values":
@@ -108,8 +116,8 @@ def check_constraints(
         )
     for i, r in enumerate(uniques):
         cols = r.get("cols") or [r["col"]]
-        tup = ", ".join(cols)
-        nonnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+        tup = ", ".join(_qid(c) for c in cols)
+        nonnull = " AND ".join(f"{_qid(c)} IS NOT NULL" for c in cols)
         # duplicates among FULLY NON-NULL key tuples only (SQL UNIQUE
         # semantics): countDistinct drops null tuples, so the minuend
         # must too, or every null-keyed row reads as a duplicate
@@ -124,7 +132,11 @@ def check_constraints(
                 f"CASE WHEN {nonnull} THEN xxhash64({tup}) END)))"
             ).alias(f"__u{i}"))
         else:
-            aggs.append((nn_count - F.countDistinct(*cols)).alias(f"__u{i}"))
+            aggs.append(
+                (nn_count - F.countDistinct(*[df[c] for c in cols])).alias(
+                    f"__u{i}"
+                )
+            )
     head = df.agg(*aggs).collect()[0]
     total = int(head["__total"])
 
@@ -143,10 +155,10 @@ def check_constraints(
             rows.append((r["name"], "unique", v, total, v == 0))
     for r in refs:
         dim_keys = F.broadcast(
-            r["dim"].select(F.col(r["dim_col"]).alias("__k")).distinct()
+            r["dim"].select(r["dim"][r["dim_col"]].alias("__k")).distinct()
         )
         v = (
-            df.select(F.col(r["col"]).alias("__k"))
+            df.select(df[r["col"]].alias("__k"))
             .filter(F.col("__k").isNotNull())  # SQL FK: NULL FK is legal
             .join(dim_keys, "__k", "left_anti")
             .count()

@@ -65,6 +65,18 @@ def compact_files(
             if f.endswith(".parquet")
         ]
 
+    if zorder_by and sort_cols:
+        raise ValueError(
+            "compact_files: zorder_by and sort_cols are mutually exclusive "
+            "— pass one clustering strategy, not both"
+        )
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    back = path.rstrip("/") + ".__compact_old"
+    # Heal a crashed prior swap BEFORE any read of path: after a crash
+    # between rename-aside and rename-into-place the snapshot lives at
+    # ``back`` and ``path`` is missing — listing/reading first would
+    # raise PATH_NOT_FOUND (and size the output from a missing dir).
+    _recover_swap(path, back)
     before = _files(path)
     total_bytes = sum(os.path.getsize(f) for f in before)
     n_out = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
@@ -79,9 +91,6 @@ def compact_files(
         )
     else:
         out = df.coalesce(n_out)
-    tmp = path.rstrip("/") + ".__compact_tmp"
-    back = path.rstrip("/") + ".__compact_old"
-    _recover_swap(path, back)
     w = out.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
@@ -215,6 +224,13 @@ def cluster_by_zorder(
         *[F.min(F.col(c).cast("double")).alias(f"__mn_{i}") for i, c in enumerate(cols)],
         *[F.max(F.col(c).cast("double")).alias(f"__mx_{i}") for i, c in enumerate(cols)],
     ).collect()[0]
+    for i, c in enumerate(cols):
+        if stats[f"__mn_{i}"] is None or stats[f"__mx_{i}"] is None:
+            raise ValueError(
+                f"cluster_by_zorder: column {c!r} has no non-NULL values "
+                "(or is empty) — min/max stats are undefined, so a Z-order "
+                "key cannot be built over it"
+            )
     scaled = [
         zorder_scale_expr(c, float(stats[f"__mn_{i}"]), float(stats[f"__mx_{i}"]), bits)
         for i, c in enumerate(cols)

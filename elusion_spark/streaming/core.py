@@ -441,10 +441,14 @@ def near_dup_candidates_stream(
     State model (``applyInPandasWithState`` keyed by ``(band_idx,
     band_hash)``): one long per live bucket — the minimum document id
     seen. A new document joins its bucket's anchor; the anchor itself
-    emits nothing. Cross-batch semantics: a document pairs with its
-    bucket's anchor *as of its arrival* (state is monotone-min, so with
-    ids arriving in increasing order the emitted set equals the batch
-    pipeline's star pairs exactly — the parity test's construction).
+    emits nothing. With ids arriving in increasing order the emitted
+    set equals the batch pipeline's star pairs exactly (the parity
+    test's construction). Out-of-order arrivals are handled too: when a
+    batch brings an id SMALLER than the stored anchor, the anchor moves
+    to the new minimum and the displaced old anchor is emitted as a doc
+    paired with the new anchor — no pair is ever lost, the star just
+    re-roots (connected components downstream are identical either
+    way).
 
     Downstream, verify candidates exactly in ``foreachBatch`` (join
     shingle sets, true Jaccard) and dedup the ``(anchor, doc)`` pairs —
@@ -502,9 +506,20 @@ def near_dup_candidates_stream(
         if not ids:
             return
         cur = min(ids)
-        anchor = min(cur, state.get[0]) if state.exists else cur
+        displaced: set[int] = set()
+        if state.exists:
+            old = state.get[0]
+            anchor = min(cur, old)
+            if cur < old:
+                # The bucket re-roots on the new minimum; the old anchor
+                # must itself be emitted or the pair (new_min, old_anchor)
+                # — and transitively old_anchor's whole star — would be
+                # disconnected from the new root.
+                displaced.add(int(old))
+        else:
+            anchor = cur
         state.update((anchor,))
-        out = sorted(set(i for i in ids if i != anchor))
+        out = sorted({i for i in ids if i != anchor} | displaced)
         if out:
             yield pd.DataFrame(
                 {
@@ -554,15 +569,23 @@ def stream_to_rollup(
     marker = "_applied_batches.json"
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        # Batch ids are strictly monotone per checkpoint and foreachBatch
+        # replays only the latest uncommitted batch, so the high-water
+        # mark alone decides replay-vs-new — the marker stays O(1) for
+        # the lifetime of the stream instead of accumulating every id.
         raw = read_rollup_sidecar(store_path, marker)
-        applied = set(_json.loads(raw)) if raw else set()
-        if batch_id in applied:
+        if raw:
+            parsed = _json.loads(raw)
+            # Back-compat: earlier versions stored the full id list.
+            high = parsed["max"] if isinstance(parsed, dict) else max(parsed)
+        else:
+            high = -1
+        if batch_id <= high:
             return
-        applied.add(batch_id)
         update_rollup(
             batch_df.sparkSession, store_path, batch_df, keys, spec,
             lg_k=lg_k,
-            sidecar={marker: _json.dumps(sorted(applied))},
+            sidecar={marker: _json.dumps({"max": batch_id})},
         )
 
     ckpt = checkpoint or store_path.rstrip("/") + "_checkpoint"

@@ -1636,3 +1636,45 @@ def test_stream_to_rollup_replay_is_idempotent(spark, tmp_path):
     raw = read_rollup_sidecar(store, marker)
     assert 0 in set(json.loads(raw))  # wrapper would return here
     assert n1 == {"0": 50, "1": 50}
+
+
+def test_check_constraints_quotes_awkward_column_names(spark):
+    """Rule column names are config input (YAML/JSON): names with
+    spaces, hyphens, dots, or reserved words must be quoted everywhere
+    they are spliced into the single-pass aggregate SQL."""
+    from elusion_spark.operators.quality import check_constraints
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "US", 7.0, 100),
+            (2, None, "XX", -3.0, 999),
+            (2, "c", "US", 5.0, 100),
+        ],
+        ["order", "e mail", "country-code", "the.score", "dim id"],
+    )
+    dim = spark.createDataFrame([(100,)], ["group"])  # reserved word
+    rules = [
+        {"name": "mail_set", "kind": "not_null", "col": "e mail"},
+        {"name": "cc_ok", "kind": "accepted_values", "col": "country-code",
+         "values": ["US", "DE"]},
+        {"name": "score_rng", "kind": "in_range", "col": "the.score",
+         "min": 0.0, "max": 10.0},
+        {"name": "mail_shape", "kind": "matches", "col": "e mail",
+         "pattern": "^[a-z]+$"},
+        {"name": "order_unique", "kind": "unique", "col": "order"},
+        {"name": "pair_unique", "kind": "unique",
+         "cols": ["order", "country-code"]},
+        {"name": "fk", "kind": "ref", "col": "dim id", "dim": dim,
+         "dim_col": "group"},
+    ]
+    rep = {r["rule"]: (r["violations"], r["pass"])
+           for r in check_constraints(df, rules).collect()}
+    assert rep == {
+        "mail_set": (1, False),
+        "cc_ok": (1, False),
+        "score_rng": (1, False),
+        "mail_shape": (1, False),
+        "order_unique": (1, False),
+        "pair_unique": (0, True),   # (2,XX) vs (2,US) differ
+        "fk": (1, False),
+    }

@@ -544,3 +544,51 @@ def test_rollup_store_incremental_equals_full(spark, tmp_path):
         gn, gt, gl, gh, ge = got[g]
         assert (gn, gt, gl, gh) == (n, total, lo, hi)
         assert abs(ge - du) <= max(2, 0.05 * du), (g, ge, du)
+
+
+def test_compact_files_heals_crashed_swap_before_reading(spark, tmp_path):
+    """A crash between rename-aside and rename-into-place leaves the
+    snapshot at .__compact_old with nothing at path; the next
+    compact_files must heal FIRST (before listing/reading path), not
+    raise PATH_NOT_FOUND."""
+    import os
+
+    from elusion_spark.sinks.maintenance import compact_files
+
+    p = str(tmp_path / "tbl")
+    spark.range(0, 5_000).selectExpr("id", "id % 10 AS k") \
+        .repartition(8).write.parquet(p)
+    # simulate the crash point: snapshot renamed aside, new dir never landed
+    os.rename(p, p + ".__compact_old")
+    assert not os.path.isdir(p)
+    stats = compact_files(spark, p, target_mb=128, sort_cols=["k"])
+    assert stats["files_before"] >= 8
+    assert stats["files_after"] < stats["files_before"]
+    after = spark.read.parquet(p)
+    assert after.count() == 5_000
+    assert after.agg({"id": "sum"}).first()[0] == sum(range(5_000))
+    assert not os.path.isdir(p + ".__compact_old")
+
+
+def test_compact_files_rejects_both_clustering_args(spark, tmp_path):
+    import pytest
+
+    from elusion_spark.sinks.maintenance import compact_files
+
+    p = str(tmp_path / "tbl2")
+    spark.range(0, 100).selectExpr("id", "id AS a", "id AS b") \
+        .write.parquet(p)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        compact_files(spark, p, sort_cols=["a"], zorder_by=["a", "b"])
+
+
+def test_cluster_by_zorder_all_null_column_raises(spark):
+    import pytest
+
+    from elusion_spark.sinks.maintenance import cluster_by_zorder
+
+    df = spark.range(0, 100).selectExpr(
+        "id AS a", "CAST(NULL AS DOUBLE) AS b"
+    )
+    with pytest.raises(ValueError, match="non-NULL"):
+        cluster_by_zorder(df, ["a", "b"]).count()

@@ -378,3 +378,107 @@ def test_stream_to_rollup_matches_batch(spark, tmp_path):
         F.countDistinct("u").alias("du")).collect()}
     for g in truth:
         assert abs(est[g] - truth[g]) <= max(2, 0.05 * truth[g])
+
+    # the applied-batch marker is a bounded high-water mark, not an
+    # ever-growing id list (long-lived streams)
+    import json
+
+    from elusion_spark.sinks.maintenance import read_rollup_sidecar
+
+    marker = json.loads(read_rollup_sidecar(store, "_applied_batches.json"))
+    assert isinstance(marker, dict) and set(marker) == {"max"}
+    assert marker["max"] >= 1
+
+
+def test_near_dup_stream_out_of_order_ids_lose_no_pairs(spark, tmp_path):
+    """When a later micro-batch brings an id SMALLER than a bucket's
+    stored anchor, the displaced old anchor must be emitted against the
+    new anchor — otherwise the old anchor's whole star disconnects from
+    the new root.  Checked by comparing connected components of the
+    emitted pair graph against the batch star-pair graph."""
+    from elusion_spark.operators.dedup import (
+        minhash_signature_from_hashes,
+        shingle_hash_expr,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = []
+    for i in range(40):
+        if i % 4 == 0:
+            docs.append((i, base + f" tail{i % 8}"))
+        else:
+            docs.append((i, f"unique document number {i} with words "
+                            f"entirely its own {i * 7} {i * 13}"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    src = str(tmp_path / "docs_ooo")
+    # HIGH ids land in the lexically-FIRST file -> arrive first; the
+    # second micro-batch then brings smaller ids into live buckets.
+    df.filter("doc_id >= 20").coalesce(1).write.parquet(src + "/batch=a")
+    df.filter("doc_id < 20").coalesce(1).write.parquet(src + "/batch=b")
+
+    num_hashes, bands, k = 32, 16, 3
+    rows = num_hashes // bands
+    banded = (
+        df.select(
+            F.col("doc_id").alias("__id"),
+            shingle_hash_expr("text", k).alias("__h"),
+        )
+        .select("__id",
+                minhash_signature_from_hashes("__h", num_hashes).alias("__sig"))
+        .select(
+            "__id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {bands - 1}), b -> "
+                    f"hash(slice(__sig, b * {rows} + 1, {rows})))"
+                )
+            ).alias("band_idx", "band_hash"),
+        )
+    )
+    anchors = banded.groupBy("band_idx", "band_hash").agg(
+        F.min("__id").alias("anchor_id")
+    )
+    batch_pairs = {
+        (r["anchor_id"], r["__id"])
+        for r in banded.join(anchors, ["band_idx", "band_hash"])
+        .filter(F.col("__id") != F.col("anchor_id"))
+        .collect()
+    }
+    assert batch_pairs, "construction must produce collisions"
+
+    schema = spark.read.parquet(src + "/batch=a").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    cand = ST.near_dup_candidates_stream(
+        stream, "doc_id", "text",
+        num_hashes=num_hashes, bands=bands, shingle_k=k,
+    )
+    got_df = ST.run_available_now_update_to_memory(cand)
+    got = {(r["anchor_id"], r["doc_id"]) for r in got_df.collect()}
+
+    def components(pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        groups = {}
+        for x in parent:
+            groups.setdefault(find(x), set()).add(x)
+        return {frozenset(g) for g in groups.values()}
+
+    # the star may re-root, but the candidate graph's components —
+    # what the downstream verifier/union-find actually consumes — match
+    assert components(got) == components(batch_pairs)
