@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "q81_sq8_topk",           # SQ8 quantized ANN (fit + encode + ADC scan)
     "q82_shipping_priority",  # TPC-H Q3 star probe (3-way join + topk)
     "q93_hybrid_search",      # BM25 + dense cosine via reciprocal-rank fusion
+    "q101_batched_hybrid",    # |Q|-query hybrid: knn_join + batched BM25 + RRF
     "q46_training_corpus",    # end-to-end curation composite (9 stages)
 ]
 

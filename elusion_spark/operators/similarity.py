@@ -886,6 +886,7 @@ def rrf_fuse(
     rankings: list[tuple[DataFrame, str, str]],
     rrf_k: int = 60,
     round_digits: int = 9,
+    query_col: str | None = None,
 ) -> DataFrame:
     """Reciprocal-rank fusion of N retrieval rankings (the standard
     hybrid-search combiner: BM25 + dense ANN, or multiple ANN probes):
@@ -897,20 +898,40 @@ def rrf_fuse(
     Contributions round to ``round_digits`` and fold as DECIMAL: the
     sum is order-independent and cross-engine reproducible.
 
+    ``query_col`` is the batched form — real hybrid search fuses |Q|
+    queries at once (the shape ``knn_join`` / ``bm25_score_batched``
+    emit).  Every input df must carry the column; rank windows
+    partition by it, fusion groups by ``(query, id)``, and the output
+    keeps the query column.  Without it, rankings are single lists and
+    the rank window is GLOBAL (single partition) — fine for one
+    query's top-k lists, a scale bug for anything larger, which is
+    exactly why the batched form exists.
+
     Scale: each ranking pays one window shuffle to rank (skip by
-    passing pre-ranked lists of k rows); the fusion itself is a
-    union + one id-keyed aggregation over (id, rank) ints."""
+    passing pre-ranked lists of k rows/query); the fusion itself is a
+    union + one (query, id)-keyed aggregation over int rows."""
     from pyspark.sql import Window
 
     parts = []
     for df, id_col, score_col in rankings:
-        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
-        parts.append(
-            df.select(
-                F.col(id_col).alias("__id"),
-                F.row_number().over(w).alias("__rank"),
+        order = [F.col(score_col).desc(), F.col(id_col)]
+        if query_col is not None:
+            w = Window.partitionBy(F.col(query_col)).orderBy(*order)
+            parts.append(
+                df.select(
+                    F.col(query_col).alias("__q"),
+                    F.col(id_col).alias("__id"),
+                    F.row_number().over(w).alias("__rank"),
+                )
             )
-        )
+        else:
+            w = Window.orderBy(*order)
+            parts.append(
+                df.select(
+                    F.col(id_col).alias("__id"),
+                    F.row_number().over(w).alias("__rank"),
+                )
+            )
     allr = parts[0]
     for p in parts[1:]:
         allr = allr.unionByName(p)
@@ -918,12 +939,20 @@ def rrf_fuse(
         f"CAST(ROUND(1.0 / ({rrf_k} + CAST(__rank AS DOUBLE)), "
         f"{round_digits}) AS DECIMAL(28,{round_digits}))"
     )
-    return (
+    keys = ["__q", "__id"] if query_col is not None else ["__id"]
+    fused = (
         allr.withColumn("__c", F.expr(contrib))
-        .groupBy("__id")
+        .groupBy(*keys)
         .agg(
             F.expr("CAST(SUM(__c) AS DOUBLE)").alias("rrf_score"),
             F.count("*").cast("bigint").alias("n_lists"),
         )
-        .select(F.col("__id").alias("id"), "rrf_score", "n_lists")
     )
+    if query_col is not None:
+        return fused.select(
+            F.col("__q").alias(query_col),
+            F.col("__id").alias("id"),
+            "rrf_score",
+            "n_lists",
+        )
+    return fused.select(F.col("__id").alias("id"), "rrf_score", "n_lists")

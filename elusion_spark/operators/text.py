@@ -661,3 +661,80 @@ def bm25_score(
         .agg(F.expr("CAST(SUM(__c) AS DOUBLE)").alias("score"))
         .select(F.col("__id").alias(id_col), "score")
     )
+
+
+def bm25_score_batched(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    q_id: str = "query_id",
+    q_terms: str = "terms",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Okapi BM25 of every document against EVERY query in ``queries``
+    — the batched form of ``bm25_score`` (one query) and the lexical
+    half of multi-query hybrid search next to ``knn_join``.
+
+    ``queries`` carries ``(q_id, q_terms)`` with ``q_terms`` an
+    ``array<string>``; duplicate terms within a query count once (same
+    bag-of-distinct-terms semantics as ``bm25_score``'s ``isin``).
+
+    Plan: per-(doc, term) BM25 contributions are QUERY-INDEPENDENT —
+    tf, df, and length normalization never mention the query — so they
+    are computed once (one doc-token explode semi-joined against the
+    union of all query terms, df table broadcast), then a broadcast
+    join against the distinct ``(query, term)`` pairs replicates each
+    contribution to the queries containing its term, and one
+    ``(query, doc)``-keyed aggregation folds the DECIMAL-rounded
+    contributions.  No global window anywhere; the only shuffles are
+    keyed by (doc, term) and (query, doc).
+
+    100 TB story: document bodies never shuffle (moving rows are id +
+    term + ints); the query side is broadcast (|Q|·terms rows — the
+    regime where batched retrieval makes sense); output fan-out is
+    ``sum_t df(t) · |queries containing t|``, linear in genuine
+    matches.  Returns ``(q_id, id_col, score)`` for (query, doc) pairs
+    sharing >= 1 term."""
+    qpairs = queries.select(
+        F.col(q_id).alias("__qid"), F.explode(q_terms).alias("__t")
+    ).distinct()
+    term_set = qpairs.select("__t").distinct()
+
+    toks_expr = f"filter(split(lower(trim({text_col})), ' +'), t -> t <> '')"
+    d2 = df.select(
+        F.col(id_col).alias("__id"),
+        F.expr(f"size({toks_expr})").alias("__dl"),
+        F.expr(toks_expr).alias("__toks"),
+    )
+    stats = d2.agg(F.count("*").alias("__n"), F.sum("__dl").alias("__tdl"))
+    toks = d2.select(
+        "__id", "__dl", F.explode("__toks").alias("__t")
+    ).join(F.broadcast(term_set), "__t", "left_semi")
+    dft = F.broadcast(
+        toks.select("__id", "__t").distinct().groupBy("__t").agg(
+            F.count("*").alias("__df")
+        )
+    )
+    tf = toks.groupBy("__id", "__dl", "__t").agg(F.count("*").alias("__tf"))
+    contrib = (
+        f"CAST(ROUND("
+        f"LN(1 + (CAST(__n - __df AS DOUBLE) + 0.5) / (CAST(__df AS DOUBLE) + 0.5))"
+        f" * (CAST(__tf AS DOUBLE) * ({k1!r} + 1))"
+        f" / (CAST(__tf AS DOUBLE) + {k1!r} * (1 - {b!r} + {b!r} * "
+        f"CAST(__dl AS DOUBLE) / (CAST(__tdl AS DOUBLE) / CAST(__n AS DOUBLE))))"
+        f", {round_digits}) AS DECIMAL(28,{round_digits}))"
+    )
+    return (
+        tf.join(dft, "__t")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__c", F.expr(contrib))
+        .join(F.broadcast(qpairs), "__t")
+        .groupBy("__qid", "__id")
+        .agg(F.expr("CAST(SUM(__c) AS DOUBLE)").alias("score"))
+        .select(
+            F.col("__qid").alias(q_id), F.col("__id").alias(id_col), "score"
+        )
+    )

