@@ -114,6 +114,8 @@ def mad_outliers(
     by: list[str] | None = None,
     threshold: float = 3.5,
     keep_all: bool = False,
+    approx: bool = False,
+    accuracy: int = 10000,
 ):
     """Robust outlier detection via median absolute deviation: flag rows
     where ``|0.6745 * (x - median) / MAD| > threshold`` (the modified
@@ -123,23 +125,31 @@ def mad_outliers(
     Per-group medians (optional ``by`` keys) come from Spark's exact
     interpolated ``percentile``; two grouped aggregations (median, then
     MAD of residuals) + one broadcast-join of the |groups|-row
-    stats back onto the rows.  At extreme scale swap ``percentile`` for
-    ``approx_percentile`` — the flag logic is unchanged.
+    stats back onto the rows.  ``approx=True`` is the 100 TB path: it
+    swaps both medians for ``approx_percentile`` (bounded-memory
+    Greenwald-Khanna sketch, rank error <= 1/``accuracy``) — fixed
+    aggregation state instead of the exact percentile's per-group
+    value buffer; the flag logic is unchanged and z-scores shift by at
+    most the sketch's rank error mapped through the local density.
 
     Returns the input plus ``robust_z`` (NULL when MAD = 0) and
     ``is_outlier``; ``keep_all=False`` returns only the outliers."""
     from pyspark.sql import functions as F
 
     keys = by or []
+    pct = (
+        f"approx_percentile({{0}}, 0.5, {int(accuracy)})" if approx
+        else "percentile({0}, 0.5)"
+    )
     med = df.groupBy(*keys).agg(
-        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+        F.expr(pct.format(value_col)).alias("__med")
     )
     joined = (
         df.join(F.broadcast(med), keys) if keys
         else df.crossJoin(F.broadcast(med))
     )
     mad = joined.groupBy(*keys).agg(
-        F.expr(f"percentile(abs({value_col} - __med), 0.5)").alias("__mad")
+        F.expr(pct.format(f"abs({value_col} - __med)")).alias("__mad")
     )
     full = (
         joined.join(F.broadcast(mad), keys) if keys

@@ -607,3 +607,160 @@ def load_from_sharepoint(site_url: str, file_path: str, alias: str,
             "Sites.Read.All permission (features/sharepoint.rs parity).",
         )
     return _load_downloaded(data, os.path.splitext(file_path)[1], alias, s)
+
+
+def load_from_sharepoint_with_service_principal(
+    tenant_id: str, client_id: str, client_secret: str,
+    site_url: str, file_path: str, alias: str,
+    spark: SparkSession | None = None,
+):
+    """elusion.rs:770-798 — the positional-credentials form of
+    ``load_from_sharepoint`` (the reference exposes both; the repo's
+    keyword form already authenticates with the same service-principal
+    flow, so this is a pure signature-parity delegate)."""
+    return load_from_sharepoint(
+        site_url, file_path, alias, spark,
+        tenant_id=tenant_id, client_id=client_id, client_secret=client_secret,
+    )
+
+
+def _sharepoint_folder_bytes(site_url, folder_path, file_extensions, auth):
+    """Graph folder listing + per-file download: resolve the site id,
+    GET ``/drive/root:/{folder}:/children`` (the reference's URL shape,
+    features/sharepoint.rs folder impl), filter to ``file_extensions``,
+    fetch each child's ``@microsoft.graph.downloadUrl``-equivalent
+    content endpoint.  Returns ``[(name, bytes), ...]``."""
+    import json as _json
+    import urllib.parse as _up
+
+    tenant, cid, secret = _require_sp_creds(auth, "SharePoint access")
+    parsed = _up.urlparse(site_url)
+    host, site_path = parsed.netloc, parsed.path.strip("/")
+    exts = (
+        None if file_extensions is None
+        else {e.lower().lstrip(".") for e in file_extensions}
+    )
+    try:
+        token = _ms_token(tenant, cid, secret,
+                          "https://graph.microsoft.com/.default")
+        site = _json.loads(_bearer_get(
+            f"https://graph.microsoft.com/v1.0/sites/{host}:/{site_path}",
+            token))
+        listing = _json.loads(_bearer_get(
+            f"https://graph.microsoft.com/v1.0/sites/{site['id']}"
+            f"/drive/root:/{folder_path.strip('/')}:/children", token))
+        out = []
+        for item in listing.get("value", []):
+            name = item.get("name", "")
+            if "file" not in item:
+                continue  # subfolders are not recursed (reference parity)
+            ext = os.path.splitext(name)[1].lower().lstrip(".")
+            if exts is not None and ext not in exts:
+                continue
+            data = _bearer_get(
+                f"https://graph.microsoft.com/v1.0/sites/{site['id']}"
+                f"/drive/root:/{folder_path.strip('/')}/{name}:/content",
+                token)
+            out.append((name, data))
+    except OSError as e:
+        raise FeatureNotAvailable(
+            f"Graph API unreachable ({e})",
+            "Check network egress to graph.microsoft.com and the app's "
+            "Sites.Read.All permission (features/sharepoint.rs parity).",
+        )
+    if not out:
+        raise FeatureNotAvailable(
+            f"No matching files in SharePoint folder {folder_path!r}",
+            f"Extensions filter: {sorted(exts) if exts else 'any'} — check "
+            "the folder path and filter (elusion.rs:717-768 parity).",
+        )
+    return out
+
+
+def load_folder_from_sharepoint(
+    site_url: str, folder_path: str, file_extensions: list[str] | None,
+    result_alias: str, spark: SparkSession | None = None, **auth,
+):
+    """elusion.rs:717-741 — load every matching file from a SharePoint
+    folder and combine with schema verification.  Downloads land in a
+    temp dir and go through the normal ``load_folder`` path, so format
+    dispatch, schema checks, and the multi-file single-scan read are
+    the same code the local folder loader uses."""
+    import shutil
+    import tempfile
+
+    from .loaders import load_folder
+
+    s = _spark(spark)
+    files = _sharepoint_folder_bytes(site_url, folder_path,
+                                     file_extensions, auth)
+    tmpd = tempfile.mkdtemp(prefix="elusion_sp_")
+    try:
+        for name, data in files:
+            with open(os.path.join(tmpd, os.path.basename(name)), "wb") as f:
+                f.write(data)
+        out = load_folder(
+            tmpd, file_extensions, result_alias, s,
+            add_filename_column=auth.pop("_add_filename_column", False),
+        )
+        # the temp dir is deleted on return — materialize first
+        return _wrap(out.df.localCheckpoint(eager=True), result_alias)
+    finally:
+        shutil.rmtree(tmpd, ignore_errors=True)
+
+
+def load_folder_from_sharepoint_with_filename_column(
+    site_url: str, folder_path: str, file_extensions: list[str] | None,
+    result_alias: str, spark: SparkSession | None = None, **auth,
+):
+    """elusion.rs:743-768 — folder load + ``filename_added`` provenance
+    column (same column name as the local/FTP folder variants)."""
+    auth["_add_filename_column"] = True
+    return load_folder_from_sharepoint(
+        site_url, folder_path, file_extensions, result_alias, spark, **auth
+    )
+
+
+def load_folder_from_sharepoint_with_service_principal(
+    tenant_id: str, client_id: str, client_secret: str,
+    site_url: str, folder_path: str, file_extensions: list[str] | None,
+    result_alias: str, spark: SparkSession | None = None,
+):
+    """elusion.rs:800-830 — positional-credentials folder variant."""
+    return load_folder_from_sharepoint(
+        site_url, folder_path, file_extensions, result_alias, spark,
+        tenant_id=tenant_id, client_id=client_id, client_secret=client_secret,
+    )
+
+
+def from_fabric_with_service_principal(
+    tenant_id: str, client_id: str, client_secret: str,
+    abfss_path: str, file_path: str, alias: str,
+    spark: SparkSession | None = None,
+):
+    """elusion.rs:5870-5888 — positional-credentials Fabric read taking
+    the reference's (abfss_path, file_path) pair.  The abfss URI
+    ``abfss://{workspace}@onelake.dfs.fabric.microsoft.com/{item}``
+    maps onto the OneLake HTTPS endpoint
+    ``https://onelake.dfs.fabric.microsoft.com/{workspace}/{item}/Files/
+    {file_path}`` — the exact URL ``from_fabric`` GETs."""
+    import urllib.parse as _up
+
+    parsed = _up.urlparse(abfss_path)
+    if parsed.scheme != "abfss":
+        raise FeatureNotAvailable(
+            f"from_fabric_with_service_principal expects an abfss:// path, "
+            f"got {abfss_path!r}",
+            "Shape: abfss://{workspace}@onelake.dfs.fabric.microsoft.com/"
+            "{lakehouse}/Files (fabric.rs parity).",
+        )
+    workspace = parsed.netloc.split("@", 1)[0]
+    host = parsed.netloc.split("@", 1)[1] if "@" in parsed.netloc else \
+        "onelake.dfs.fabric.microsoft.com"
+    item = parsed.path.strip("/")
+    url = (f"https://{host}/{workspace}/{item}/"
+           f"{file_path.lstrip('/')}")
+    return from_fabric(
+        url, alias, spark,
+        tenant_id=tenant_id, client_id=client_id, client_secret=client_secret,
+    )

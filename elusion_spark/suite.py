@@ -2904,14 +2904,18 @@ WHERE n >= 12
 @q("q87_event_rate_anomaly", _Q87_SQL)
 def q87(spark, sf):
     """Event-rate anomaly detection: each (event_type, hour) bucket's
-    z-score against its trailing 24-hour window.  Mean/std derive from
-    EXACT integer window sums (count, count²) so both engines compute z
-    from identical doubles — no accumulation-order drift; the frame is
-    history-only (24 PRECEDING..1 PRECEDING), the streaming-compatible
-    shape.  One shuffle for the hourly rollup, one for the per-type
-    window."""
-    e = _t(spark, sf, "events", "events")
-    return execute_raw_sql(_Q87_SQL, "q87", {"events": e}, spark).to_spark()
+    z-score against its trailing 24-hour window — now a thin caller of
+    the first-class ``operators.events.event_rate_anomaly`` (VERDICT r3
+    ask #4).  Mean/std derive from EXACT integer window sums (count,
+    count²) so both engines compute z from identical doubles; the frame
+    is history-only (24 PRECEDING..1 PRECEDING), the streaming-
+    compatible shape."""
+    from .operators.events import event_rate_anomaly
+
+    e = _t(spark, sf, "events", "e").df
+    return event_rate_anomaly(
+        e, "event_type", "ts", grain="hour", trailing=24, min_history=12
+    )
 
 
 _Q88_ORACLE = """
@@ -2940,25 +2944,10 @@ def q88(spark, sf):
     exact ints, mean derived at the end.  The gap-days arithmetic is
     integral end-to-end, so the only float op is one division on
     identical operands."""
-    o = _t(spark, sf, "orders", "o").df
-    from pyspark.sql import Window
+    from .operators.events import gap_stats
 
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    g = o.withColumn("prev_d", F.lag("o_orderdate").over(w)).filter(
-        F.col("prev_d").isNotNull()
-    )
-    gap = F.datediff(F.col("o_orderdate"), F.col("prev_d"))
-    return (
-        g.groupBy(F.col("o_custkey").cast("bigint").alias("o_custkey"))
-        .agg(
-            F.count("*").cast("bigint").alias("n_gaps"),
-            F.min(gap).cast("bigint").alias("min_gap"),
-            F.max(gap).cast("bigint").alias("max_gap"),
-            F.round(
-                F.sum(gap).cast("double") / F.count("*").cast("double"), 6
-            ).alias("avg_gap"),
-        )
-    )
+    o = _t(spark, sf, "orders", "o").df
+    return gap_stats(o, "o_custkey", "o_orderdate", "o_orderkey")
 
 
 # one SQL text valid in both dialects: sequenced MIN-after-MIN funnel
@@ -2988,13 +2977,16 @@ SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS step_view,
 @q("q89_funnel", _Q89_SQL)
 def q89(spark, sf):
     """Sequenced funnel (view -> click-after-view -> purchase-after-
-    click): each stage joins the previous stage's first-completion time
-    and takes the conditional MIN — order-sensitive, unlike a naive
-    per-type count.  The identical SQL text runs on both engines
-    (execute_raw_sql = the builder's sql! parity path); every value is
-    an exact count."""
-    e = _t(spark, sf, "events", "events")
-    return execute_raw_sql(_Q89_SQL, "q89", {"events": e}, spark).to_spark()
+    click) — now a thin caller of ``operators.events.funnel`` with a
+    parameterized step list (VERDICT r3 ask #4): each stage joins the
+    previous stage's first-completion time and takes the conditional
+    MIN — order-sensitive, unlike a naive per-type count.  Every value
+    is an exact count; the oracle replays the same MIN-after-MIN chain
+    in SQL."""
+    from .operators.events import funnel
+
+    e = _t(spark, sf, "events", "e").df
+    return funnel(e, ["view", "click", "purchase"])
 
 
 _Q90_ORACLE = """
@@ -3022,23 +3014,10 @@ def q90(spark, sf):
     both engines) fits the one-month events fixture; offsets are exact
     integer day-diffs / 7.  Two shuffles: the per-user first-activity
     agg and the final matrix rollup."""
+    from .operators.events import cohort_retention
+
     e = _t(spark, sf, "events", "e").df
-    f = e.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort")
-    )
-    a = e.select(
-        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
-    ).distinct()
-    return (
-        f.join(a, "user_id")
-        .groupBy(
-            F.col("cohort").cast("date").alias("cohort_week"),
-            F.floor(
-                F.datediff(F.col("w"), F.col("cohort")) / 7
-            ).cast("bigint").alias("week_offset"),
-        )
-        .agg(F.count("*").cast("bigint").alias("active_users"))
-    )
+    return cohort_retention(e, "user_id", "ts", grain="week")
 
 
 _Q91_TERMS = ["join", "hash", "stream"]

@@ -1789,3 +1789,176 @@ def test_fuzzy_join_segment_scheme_matches_length_scheme(spark):
         )
         assert got["length"] == brute, f"d={d} length scheme lost pairs"
         assert got["segment"] == brute, f"d={d} segment scheme lost pairs"
+
+
+def test_funnel_sequencing_edge_cases(spark):
+    """funnel() is ORDER-SENSITIVE: a purchase before the first click
+    does not convert; repeated steps collapse to the first qualifying
+    event; same-timestamp completion counts (>= semantics); duplicate
+    step names get positional column suffixes."""
+    import datetime as dt
+
+    from elusion_spark.operators.events import funnel
+
+    T = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1: clean view -> click -> purchase
+        (1, "view", T(0)), (1, "click", T(5)), (1, "purchase", T(9)),
+        # u2: purchase BEFORE first click -> converts only to click
+        (2, "view", T(0)), (2, "purchase", T(1)), (2, "click", T(2)),
+        # u3: click before any view, then view (no later click)
+        (3, "click", T(0)), (3, "view", T(1)),
+        # u4: repeated views/clicks — first qualifying only
+        (4, "view", T(0)), (4, "view", T(1)), (4, "click", T(2)),
+        (4, "click", T(3)), (4, "purchase", T(4)),
+        # u5: click at the SAME timestamp as first view (>= counts)
+        (5, "view", T(0)), (5, "click", T(0)),
+        # u6: never viewed
+        (6, "click", T(0)), (6, "purchase", T(1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    out = funnel(df, ["view", "click", "purchase"]).collect()[0]
+    # views: u1 u2 u3 u4 u5; clicks-after-view: u1 u2 u4 u5; purchases
+    # after those clicks: u1 u4
+    assert (out["step_view"], out["step_click"], out["step_purchase"]) \
+        == (5, 4, 2)
+
+    # re-entry funnel with a repeated step name: view -> click -> view
+    out2 = funnel(df, ["view", "click", "view"]).collect()[0]
+    assert out2["step_view"] == 5 and out2["step_click"] == 4
+    # users with a view at-or-after their first qualifying click:
+    # u4 (view@0? no — first click T(2), views at 0,1 are earlier...
+    # actually >= first-click: none of u4's views; u5 view@0 == click@0)
+    assert "step_3_view" in out2.asDict()
+    assert out2["step_3_view"] == 1   # u5 only
+
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        funnel(df, [])
+
+
+def test_event_rate_anomaly_params_and_suppression(spark):
+    """Grain/window parameters work; buckets with thin history or zero
+    variance are suppressed; a genuine burst scores a high z."""
+    import datetime as dt
+
+    from elusion_spark.operators.events import event_rate_anomaly
+
+    rows = []
+    # 30 hours of near-steady 4-6 events/hour, then a 50-event burst;
+    # and a second type with EXACTLY constant rate (zero variance)
+    for h in range(30):
+        for i in range(4 + (h % 3)):
+            rows.append(("a", dt.datetime(2024, 1, 1) + dt.timedelta(
+                hours=h, minutes=i)))
+        for i in range(5):
+            rows.append(("flat", dt.datetime(2024, 1, 1) + dt.timedelta(
+                hours=h, minutes=i)))
+    for i in range(50):
+        rows.append(("a", dt.datetime(2024, 1, 2, 6) + dt.timedelta(
+            minutes=i % 60, seconds=i // 60)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+
+    out = {(r["event_type"], r["bucket_hour"]): r for r in event_rate_anomaly(
+        df, grain="hour", trailing=24, min_history=12).collect()}
+    burst = out[("a", dt.datetime(2024, 1, 2, 6))]
+    assert burst["c"] == 50 and burst["z"] > 10
+    # the first 12 hours lack history -> suppressed
+    assert ("a", dt.datetime(2024, 1, 1, 5)) not in out
+    # the zero-variance type never scores (no sane z exists)
+    assert not any(t == "flat" for t, _ in out)
+
+    with pytest.raises(ValueError, match="grain"):
+        event_rate_anomaly(df, grain="fortnight")
+
+
+def test_cohort_retention_grains(spark):
+    """Day/week/month grains produce the expected offsets (month via
+    calendar months, not day-division)."""
+    import datetime as dt
+
+    from elusion_spark.operators.events import cohort_retention
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1)), (1, dt.datetime(2024, 1, 8)),
+        (1, dt.datetime(2024, 3, 4)),
+        (2, dt.datetime(2024, 1, 2)), (2, dt.datetime(2024, 1, 3)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    wk = {(r["cohort_week"], r["week_offset"]): r["active_users"]
+          for r in cohort_retention(df, grain="week").collect()}
+    jan1 = dt.date(2024, 1, 1)
+    assert wk[(jan1, 0)] == 2          # both users active in cohort week
+    assert wk[(jan1, 1)] == 1          # u1 returns next week
+    assert wk[(jan1, 9)] == 1          # u1 returns 9 weeks later
+
+    mo = {(r["cohort_month"], r["month_offset"]): r["active_users"]
+          for r in cohort_retention(df, grain="month").collect()}
+    assert mo[(jan1, 0)] == 2 and mo[(jan1, 2)] == 1
+
+    import pytest
+
+    with pytest.raises(ValueError, match="grain"):
+        cohort_retention(df, grain="quarter")
+
+
+def test_gap_stats_min_gaps_filter(spark):
+    """Entities below min_gaps drop; gaps derive from the (date, tiebreak)
+    total order so same-date events produce zero-day gaps."""
+    import datetime as dt
+
+    from elusion_spark.operators.events import gap_stats
+
+    rows = [
+        (1, dt.date(2024, 1, 1), 1), (1, dt.date(2024, 1, 4), 2),
+        (1, dt.date(2024, 1, 4), 3),   # same-date pair -> 0-day gap
+        (2, dt.date(2024, 2, 1), 4),   # single order: no gap
+    ]
+    df = spark.createDataFrame(rows, "k long, d date, tb long")
+    out = {r["k"]: r for r in gap_stats(df, "k", "d", "tb").collect()}
+    assert set(out) == {1}
+    assert (out[1]["n_gaps"], out[1]["min_gap"], out[1]["max_gap"]) == (2, 0, 3)
+    assert out[1]["avg_gap"] == 1.5
+    assert gap_stats(df, "k", "d", "tb", min_gaps=3).count() == 0
+
+
+def test_mad_outliers_approx_flag_matches_exact_within_tolerance(spark):
+    """approx=True (Greenwald-Khanna sketch medians — the fixed-memory
+    100 TB path) flags the same rows as the exact path on a well-
+    separated fixture, and the builder's PERCENTILE_APPROX whitelist
+    keyword tracks exact PERCENTILE within sketch tolerance."""
+    from elusion_spark.functions.stats import mad_outliers
+
+    df = spark.range(0, 5000).selectExpr(
+        "id",
+        "id % 3 AS g",
+        # tight cluster around 100 + two planted extremes per group
+        "CASE WHEN id < 6 THEN 10000.0 + id "
+        "ELSE 100.0 + (id % 37) * 0.1 END AS v",
+    )
+    exact = {(r["g"], r["id"]) for r in mad_outliers(
+        df, "v", by=["g"]).select("g", "id").collect()}
+    approx = {(r["g"], r["id"]) for r in mad_outliers(
+        df, "v", by=["g"], approx=True).select("g", "id").collect()}
+    assert exact == approx and len(exact) == 6
+
+    # builder surface: PERCENTILE_APPROX is the one-keyword swap
+    from elusion_spark import CustomDataFrame
+
+    c = CustomDataFrame.from_spark(df.selectExpr("g", "v"), "t")
+    both = (
+        c.select(["g"])
+        .agg([
+            "PERCENTILE(v, 0.5) AS p_exact",
+            "PERCENTILE_APPROX(v, 0.5, 10000) AS p_approx",
+        ])
+        .group_by_all()
+        .elusion("pcmp")
+        .df.collect()
+    )
+    for r in both:
+        assert abs(float(r["p_exact"]) - float(r["p_approx"])) <= 2.0, r

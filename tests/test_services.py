@@ -1607,3 +1607,93 @@ def test_ftp_live_socket_roundtrip(spark, tmp_path):
                         port=port)
     finally:
         srv.close()
+
+
+def test_sharepoint_folder_and_sp_signature_variants(spark, monkeypatch):
+    """The reference's folder + service-principal signature long-tail
+    (elusion.rs:717,743,770,800,5870) exists with matching parameter
+    order, and the folder loader downloads/combines matching files
+    (stubbed transport), with the filename variant adding
+    filename_added."""
+    import inspect
+    import json as _json
+
+    import elusion_spark as ES
+    import elusion_spark.sources.connectors as C
+
+    expect = {
+        "load_folder_from_sharepoint": (
+            "site_url", "folder_path", "file_extensions", "result_alias"),
+        "load_folder_from_sharepoint_with_filename_column": (
+            "site_url", "folder_path", "file_extensions", "result_alias"),
+        "load_from_sharepoint_with_service_principal": (
+            "tenant_id", "client_id", "client_secret", "site_url",
+            "file_path", "alias"),
+        "load_folder_from_sharepoint_with_service_principal": (
+            "tenant_id", "client_id", "client_secret", "site_url",
+            "folder_path", "file_extensions", "result_alias"),
+        "from_fabric_with_service_principal": (
+            "tenant_id", "client_id", "client_secret", "abfss_path",
+            "file_path", "alias"),
+    }
+    for name, lead in expect.items():
+        got = tuple(inspect.signature(getattr(ES, name)).parameters)[:len(lead)]
+        assert got == lead, f"{name}: {got}"
+
+    def fake_bearer_get(url, token):
+        if url.endswith(":/sites/TeamSite"):
+            return _json.dumps({"id": "site-9"}).encode()
+        if url.endswith(":/children"):
+            return _json.dumps({"value": [
+                {"name": "a.csv", "file": {}},
+                {"name": "b.csv", "file": {}},
+                {"name": "skip.txt", "file": {}},
+                {"name": "sub", "folder": {}},
+            ]}).encode()
+        if url.endswith("/a.csv:/content"):
+            return b"region,total\nEU,1\n"
+        if url.endswith("/b.csv:/content"):
+            return b"region,total\nUS,2\n"
+        raise AssertionError(f"unexpected URL {url}")
+
+    monkeypatch.setattr(C, "_ms_token", lambda *a: "tok")
+    monkeypatch.setattr(C, "_bearer_get", fake_bearer_get)
+
+    out = C.load_folder_from_sharepoint_with_service_principal(
+        "t", "c", "s", "https://contoso.sharepoint.com/sites/TeamSite",
+        "reports", ["csv"], "spf", spark)
+    assert sorted((r["region"], r["total"]) for r in out.df.collect()) == \
+        [("EU", 1), ("US", 2)]
+
+    out2 = C.load_folder_from_sharepoint_with_filename_column(
+        "https://contoso.sharepoint.com/sites/TeamSite", "reports",
+        ["csv"], "spf2", spark,
+        tenant_id="t", client_id="c", client_secret="s")
+    got = sorted((r["region"], r["filename_added"])
+                 for r in out2.df.collect())
+    assert got == [("EU", "a.csv"), ("US", "b.csv")]
+
+    # single-file SP-credential delegate reuses the file path
+    out3 = C.load_from_sharepoint_with_service_principal(
+        "t", "c", "s", "https://contoso.sharepoint.com/sites/TeamSite",
+        "reports/a.csv", "sp1", spark)
+    assert out3.df.count() == 1
+
+    # fabric abfss -> OneLake URL mapping
+    seen = {}
+
+    def fake_from_fabric(url, alias, spark=None, **auth):
+        seen["url"] = url
+        seen["auth"] = auth
+        return "ok"
+
+    monkeypatch.setattr(C, "from_fabric", fake_from_fabric)
+    r = C.from_fabric_with_service_principal(
+        "t", "c", "s",
+        "abfss://ws@onelake.dfs.fabric.microsoft.com/lakehouse.Lakehouse/Files",
+        "data/t.csv", "fb", spark)
+    assert r == "ok"
+    assert seen["url"] == ("https://onelake.dfs.fabric.microsoft.com/ws/"
+                           "lakehouse.Lakehouse/Files/data/t.csv")
+    assert seen["auth"] == {"tenant_id": "t", "client_id": "c",
+                            "client_secret": "s"}
