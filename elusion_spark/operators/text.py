@@ -673,6 +673,7 @@ def bm25_score_batched(
     k1: float = 1.2,
     b: float = 0.75,
     round_digits: int = 9,
+    max_df_fraction: float | None = None,
 ) -> DataFrame:
     """Okapi BM25 of every document against EVERY query in ``queries``
     — the batched form of ``bm25_score`` (one query) and the lexical
@@ -696,8 +697,14 @@ def bm25_score_batched(
     term + ints); the query side is broadcast (|Q|·terms rows — the
     regime where batched retrieval makes sense); output fan-out is
     ``sum_t df(t) · |queries containing t|``, linear in genuine
-    matches.  Returns ``(q_id, id_col, score)`` for (query, doc) pairs
-    sharing >= 1 term."""
+    matches.  That fan-out has one failure mode: STOPWORD query terms
+    (df ≈ N) pair every query with nearly every document while
+    contributing ~zero IDF.  ``max_df_fraction`` drops terms with
+    ``df > floor(frac·N)`` from scoring — the same df-cap discipline
+    as the containment operator's stop-shingle kill, and the batch
+    analogue of WAND/max-score pruning; leave ``None`` for exact BM25.
+    Returns ``(q_id, id_col, score)`` for (query, doc) pairs sharing
+    >= 1 surviving term."""
     qpairs = queries.select(
         F.col(q_id).alias("__qid"), F.explode(q_terms).alias("__t")
     ).distinct()
@@ -727,10 +734,16 @@ def bm25_score_batched(
         f"CAST(__dl AS DOUBLE) / (CAST(__tdl AS DOUBLE) / CAST(__n AS DOUBLE))))"
         f", {round_digits}) AS DECIMAL(28,{round_digits}))"
     )
+    scored = tf.join(dft, "__t").crossJoin(F.broadcast(stats))
+    if max_df_fraction is not None:
+        # prune BEFORE the qpairs fan-out join — that is where a
+        # stopword term multiplies df(t) by |queries containing t|
+        scored = scored.filter(F.expr(
+            f"__df <= FLOOR({float(max_df_fraction)!r} "
+            f"* CAST(__n AS DOUBLE))"
+        ))
     return (
-        tf.join(dft, "__t")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("__c", F.expr(contrib))
+        scored.withColumn("__c", F.expr(contrib))
         .join(F.broadcast(qpairs), "__t")
         .groupBy("__qid", "__id")
         .agg(F.expr("CAST(SUM(__c) AS DOUBLE)").alias("score"))

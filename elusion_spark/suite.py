@@ -3361,6 +3361,7 @@ def q100(spark, sf):
 
 
 _Q101_K, _Q101_FINAL, _Q101_QTERMS = 10, 5, 8
+_Q101_MAXDF = 0.2  # stop-term df-cap: terms in >20% of docs don't score
 
 _Q101_TOKS = (
     "list_filter(regexp_split_to_array(lower(trim(text)), ' +'), "
@@ -3417,6 +3418,7 @@ contrib AS (
                   / (CAST(stats.tdl AS DOUBLE) / CAST(stats.n AS DOUBLE))))
            , 9) AS DECIMAL(28,9)) AS c
     FROM tf JOIN dft ON tf.t = dft.t, stats
+    WHERE dft.df <= FLOOR({_Q101_MAXDF!r} * CAST(stats.n AS DOUBLE))
 ),
 sparse_scores AS (
     SELECT qt.query_id, ct.doc_id AS id,
@@ -3479,7 +3481,8 @@ def q101(spark, sf):
         ).alias("terms"),
     )
     sparse = TX.bm25_score_batched(
-        docs, qd, "doc_id", "text", "query_id", "terms"
+        docs, qd, "doc_id", "text", "query_id", "terms",
+        max_df_fraction=_Q101_MAXDF,
     ).filter(F.col("doc_id") != F.col("query_id"))
     wq = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id")

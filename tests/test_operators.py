@@ -1962,3 +1962,29 @@ def test_mad_outliers_approx_flag_matches_exact_within_tolerance(spark):
     )
     for r in both:
         assert abs(float(r["p_exact"]) - float(r["p_approx"])) <= 2.0, r
+
+
+def test_bm25_batched_max_df_fraction_drops_stop_terms(spark):
+    """max_df_fraction prunes high-df terms BEFORE the query fan-out:
+    a term present in every document stops scoring (and stops pairing
+    queries with the whole corpus), while rare terms are unaffected —
+    their scores match the uncapped run exactly."""
+    from elusion_spark.operators.text import bm25_score_batched
+
+    docs = spark.createDataFrame(
+        [(i, f"common filler words plus unique{i} token") for i in range(20)],
+        "doc_id long, text string",
+    )
+    qdf = spark.createDataFrame(
+        [(1, ["common", "unique3"])], "query_id long, terms array<string>"
+    )
+    uncapped = bm25_score_batched(docs, qdf)
+    assert uncapped.count() == 20          # 'common' pairs with every doc
+    capped = bm25_score_batched(docs, qdf, max_df_fraction=0.5)
+    rows = capped.collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == 3
+    # the rare term's contribution is identical with and without the cap
+    unc3 = [r["score"] for r in uncapped.collect() if r["doc_id"] == 3]
+    # uncapped doc3 score = common + unique3 contributions; capped = unique3
+    # only — so capped <= uncapped and both positive
+    assert 0 < rows[0]["score"] <= unc3[0]
