@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "q82_shipping_priority",  # TPC-H Q3 star probe (3-way join + topk)
     "q93_hybrid_search",      # BM25 + dense cosine via reciprocal-rank fusion
     "q101_batched_hybrid",    # |Q|-query hybrid: knn_join + batched BM25 + RRF
+    "q103_top_k_per_group",   # per-group quality cut via WindowGroupLimit
     "q46_training_corpus",    # end-to-end curation composite (9 stages)
 ]
 

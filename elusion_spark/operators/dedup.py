@@ -1066,3 +1066,45 @@ def fuzzy_join(
         .drop("__key", "__n", "__m", "__i", "__s")
     )
     return out if keep_cols else out.select(left_col, right_col, "__dist")
+
+
+def latest_by_key(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tiebreak_col: str | None = None,
+    keep: str = "latest",
+) -> DataFrame:
+    """Keep exactly one row per key — the newest (or oldest) by
+    ``order_col`` — the versioned-corpus / CDC-compaction primitive
+    (re-crawled URLs, re-scored documents, upserted records landing as
+    appends).  ``drop_duplicates`` keeps an ARBITRARY row; pipelines
+    that re-ingest need the deterministic one.
+
+    ``tiebreak_col`` breaks order ties (pass a unique id for full
+    determinism; without it, equal-ordered rows fall back to an
+    arbitrary-but-single winner).  ``keep`` is ``latest`` or
+    ``earliest``.
+
+    Plan: one hash-partitioned window with ``row_number() = 1`` —
+    Spark lowers the rank-filter to WindowGroupLimit, so each partition
+    keeps a running top-1 instead of sorting whole groups; one shuffle
+    keyed by ``keys``, payload moves once."""
+    from pyspark.sql import Window
+
+    if keep not in ("latest", "earliest"):
+        raise ValueError(f"keep must be latest/earliest, got {keep!r}")
+    order = [
+        F.col(order_col).desc() if keep == "latest" else F.col(order_col)
+    ]
+    if tiebreak_col is not None:
+        order.append(
+            F.col(tiebreak_col).desc() if keep == "latest"
+            else F.col(tiebreak_col)
+        )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

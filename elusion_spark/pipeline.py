@@ -553,3 +553,42 @@ def weighted_sample(
         .orderBy(F.col("__wskey").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    k: int,
+    ascending: bool = False,
+    tiebreak_col: str | None = None,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Top-``k`` rows per group by ``order_cols`` — the per-domain /
+    per-language / per-source quality cut every corpus spec contains
+    ("best 1000 documents per domain"), and the grouped counterpart of
+    the global top-k (which lowers to TakeOrderedAndProject).
+
+    Plan: ``row_number() <= k`` over a ``keys``-partitioned window —
+    Spark lowers it to WindowGroupLimit (Partial on the map side,
+    Final after the exchange), so each task keeps a bounded k-heap
+    per group instead of sorting whole groups; one shuffle keyed by
+    ``keys``.  ``tiebreak_col`` (a unique id) makes the cut
+    deterministic under score ties; ``rank_col`` optionally emits the
+    per-group rank."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    order = [
+        F.col(c) if ascending else F.col(c).desc() for c in order_cols
+    ]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(*keys).orderBy(*order)
+    out = df.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= int(k)
+    )
+    if rank_col is not None:
+        return out.withColumnRenamed("__rn", rank_col)
+    return out.drop("__rn")

@@ -213,13 +213,28 @@ def _active_delta_files(log_dir: str) -> list[str]:
     return list(active)
 
 
+def _pre_claim_hook(version: int) -> None:
+    """Test seam: called between the version scan and the put-if-absent
+    claim so tests can inject a racing committer deterministically."""
+
+
 def _write_delta_fallback(df: DataFrame, mode: str, path: str,
                           partition_by) -> None:
     """Minimal writer for the public Delta protocol: data as ordinary
-    distributed parquet writes, then one atomic commit JSON per version
+    distributed parquet writes, then one commit JSON per version
     (protocol/metaData on v0, add actions, remove actions on overwrite).
     Scale: the data write is Spark-native (one file per task); only the
-    commit metadata touches the driver."""
+    commit metadata touches the driver.
+
+    Concurrency follows the protocol's optimistic rule: the commit file
+    is claimed PUT-IF-ABSENT (``os.link`` of a fully-written temp file
+    — atomic, fails on EEXIST) and a lost race re-scans the log and
+    retries at the next version.  A plain ``os.rename`` here would
+    silently CLOBBER a concurrent writer's commit, orphaning its data
+    files — the exact failure multi-writer lakes hit.  Appends never
+    logically conflict, so retrying is always safe; overwrite recomputes
+    its remove-set from the fresh log each attempt, so it removes
+    exactly what is active at ITS commit version."""
     import json as _json
     import time as _time
     import uuid as _uuid
@@ -227,67 +242,100 @@ def _write_delta_fallback(df: DataFrame, mode: str, path: str,
     if mode not in ("overwrite", "append"):
         raise WriterError(f"Delta write mode must be overwrite/append, got {mode!r}")
     log_dir = os.path.join(path, "_delta_log")
-    versions = sorted(
-        int(os.path.splitext(f)[0])
-        for f in (os.listdir(log_dir) if os.path.isdir(log_dir) else [])
-        if f.endswith(".json") and os.path.splitext(f)[0].isdigit()
-    )
-    version = (versions[-1] + 1) if versions else 0
-    removed = _active_delta_files(log_dir) if (mode == "overwrite" and versions) else []
 
-    before = set(_list_table_files(path))
-    w = df.write.mode("append")  # append at the FS level; log decides visibility
+    # Each writer stages into its OWN underscore-prefixed dir (invisible
+    # to parquet readers) and then moves part files into place: the
+    # Hadoop committer's shared _temporary dir under a common output
+    # path is NOT safe for concurrent jobs — two appends would clobber
+    # each other's staging.  Unique staging + same-FS renames keeps
+    # concurrent appends fully parallel; part-file names carry UUIDs so
+    # moves cannot collide.
+    import shutil as _shutil
+    import uuid as _uuid
+
+    stage = os.path.join(path, f"_stage_{_uuid.uuid4().hex}")
+    w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
-    w.parquet(path)
-    after = _list_table_files(path)
-    new_files = {p: s for p, s in after.items() if p not in before}
+    w.parquet(stage)
+    new_files: dict[str, int] = {}
+    for root, _dirs, files in os.walk(stage):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            src = os.path.join(root, f)
+            rel = os.path.relpath(src, stage)
+            dst = os.path.join(path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(src, dst)
+            new_files[rel] = os.path.getsize(dst)
+    _shutil.rmtree(stage, ignore_errors=True)
 
-    now_ms = int(_time.time() * 1000)
-    actions: list[dict] = []
-    if version == 0:
-        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
-        actions.append({
-            "metaData": {
-                "id": str(_uuid.uuid4()),
-                "format": {"provider": "parquet", "options": {}},
-                "schemaString": df.schema.json(),
-                "partitionColumns": list(partition_by or []),
-                "configuration": {},
-                "createdTime": now_ms,
-            }
-        })
-    for rel in removed:
-        actions.append({
-            "remove": {"path": rel, "deletionTimestamp": now_ms,
-                       "dataChange": True}
-        })
-    for rel, size in sorted(new_files.items()):
-        part_values = {
-            seg.split("=", 1)[0]: seg.split("=", 1)[1]
-            for seg in rel.split(os.sep)[:-1]
-            if "=" in seg
-        }
-        actions.append({
-            "add": {
-                "path": rel.replace(os.sep, "/"),
-                "partitionValues": part_values,
-                "size": size,
-                "modificationTime": now_ms,
-                "dataChange": True,
-            }
-        })
-    actions.append({
-        "commitInfo": {"timestamp": now_ms, "operation": "WRITE",
-                       "operationParameters": {"mode": mode}}
-    })
     os.makedirs(log_dir, exist_ok=True)
-    commit = os.path.join(log_dir, f"{version:020d}.json")
-    tmp = commit + ".tmp"
-    with open(tmp, "w") as f:
-        for a in actions:
-            f.write(_json.dumps(a) + "\n")
-    os.rename(tmp, commit)  # atomic commit — readers never see a partial log
+    for _attempt in range(50):
+        versions = sorted(
+            int(os.path.splitext(f)[0])
+            for f in os.listdir(log_dir)
+            if f.endswith(".json") and os.path.splitext(f)[0].isdigit()
+        )
+        version = (versions[-1] + 1) if versions else 0
+        removed = (
+            _active_delta_files(log_dir)
+            if (mode == "overwrite" and versions) else []
+        )
+        now_ms = int(_time.time() * 1000)
+        actions: list[dict] = []
+        if version == 0:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+            actions.append({
+                "metaData": {
+                    "id": str(_uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": df.schema.json(),
+                    "partitionColumns": list(partition_by or []),
+                    "configuration": {},
+                    "createdTime": now_ms,
+                }
+            })
+        for rel in removed:
+            actions.append({
+                "remove": {"path": rel, "deletionTimestamp": now_ms,
+                           "dataChange": True}
+            })
+        for rel, size in sorted(new_files.items()):
+            part_values = {
+                seg.split("=", 1)[0]: seg.split("=", 1)[1]
+                for seg in rel.split(os.sep)[:-1]
+                if "=" in seg
+            }
+            actions.append({
+                "add": {
+                    "path": rel.replace(os.sep, "/"),
+                    "partitionValues": part_values,
+                    "size": size,
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                }
+            })
+        actions.append({
+            "commitInfo": {"timestamp": now_ms, "operation": "WRITE",
+                           "operationParameters": {"mode": mode}}
+        })
+        commit = os.path.join(log_dir, f"{version:020d}.json")
+        tmp = commit + f".{_uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            for a in actions:
+                f.write(_json.dumps(a) + "\n")
+        _pre_claim_hook(version)
+        try:
+            os.link(tmp, commit)  # put-if-absent: atomic, EEXIST on race
+            os.unlink(tmp)
+            return
+        except FileExistsError:
+            os.unlink(tmp)  # lost the race — rescan the log and retry
+    raise WriterError(
+        f"Delta commit contention: gave up after 50 attempts at {path}")
 
 
 def write_to_excel(df: DataFrame, path: str, sheet: str = "Sheet1",

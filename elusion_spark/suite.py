@@ -3512,6 +3512,77 @@ def q101(spark, sf):
     )
 
 
+_Q102_SQL = """
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       o_orderdate, o_totalprice
+FROM (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC,
+                                         o_orderkey DESC) AS rn
+      FROM orders)
+WHERE rn = 1
+"""
+
+
+@q("q102_latest_by_key", _Q102_SQL)
+def q102(spark, sf):
+    """Versioned-corpus compaction: each customer's newest order by
+    (date, orderkey) — ``latest_by_key``, the deterministic form of
+    drop_duplicates for re-ingested data (CDC compaction, re-crawled
+    URLs).  The rank-1 filter lowers to WindowGroupLimit: a running
+    top-1 per key on both map and reduce sides, never a full per-group
+    sort.  The oracle replays the identical window; membership of every
+    surviving row is hash-checked."""
+    o = _t(spark, sf, "orders", "o").df
+    return D.latest_by_key(
+        o, ["o_custkey"], "o_orderdate", tiebreak_col="o_orderkey"
+    ).select(
+        F.col("o_custkey").cast("bigint").alias("o_custkey"),
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        "o_orderdate",
+        "o_totalprice",
+    )
+
+
+_Q103_K = 5
+
+_Q103_SQL = f"""
+WITH d AS (SELECT doc_id, lang, ROUND({_QUALITY}, 9) AS q FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, q,
+       CAST(rn AS BIGINT) AS rnk
+FROM (SELECT doc_id, lang, q,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY q DESC, doc_id) AS rn
+      FROM d)
+WHERE rn <= {_Q103_K}
+"""
+
+
+@q("q103_top_k_per_group", _Q103_SQL)
+def q103(spark, sf):
+    """Per-group quality cut: the 5 best documents per language by
+    quality score — ``top_k_per_group``, the "best N per domain" corpus
+    budget primitive.  The rank<=k filter lowers to WindowGroupLimit
+    (bounded k-heap per group map-side AND reduce-side), so cost is
+    O(rows) + one keys-shuffle regardless of group sizes.  Rounded
+    score + doc_id tiebreak keeps the cut engine-identical."""
+    from .pipeline import top_k_per_group
+
+    docs = _t(spark, sf, "documents", "d").df.select(
+        "doc_id", "lang", F.round(TX.quality_score("text"), 9).alias("q")
+    )
+    return top_k_per_group(
+        docs, ["lang"], ["q"], _Q103_K,
+        tiebreak_col="doc_id", rank_col="rnk",
+    ).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lang",
+        "q",
+        F.col("rnk").cast("bigint").alias("rnk"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -3528,7 +3599,8 @@ _NEEDS_EVIDENCE = [
     # Priority 2 — new in round 4 or implementation touched in round 4
     # (batched RRF/bm25, fuzzy_join second blocking key, events lift,
     # approx-percentile flag):
-    "q101_batched_hybrid", "q93_hybrid_search", "q91_bm25_search",
+    "q101_batched_hybrid", "q102_latest_by_key", "q103_top_k_per_group",
+    "q93_hybrid_search", "q91_bm25_search",
     "q96_fuzzy_match", "q87_event_rate_anomaly", "q88_order_gap_stats",
     "q89_funnel", "q90_cohort_retention", "q95_mad_outliers",
     "q51_percentiles",

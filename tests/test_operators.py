@@ -1988,3 +1988,43 @@ def test_bm25_batched_max_df_fraction_drops_stop_terms(spark):
     # uncapped doc3 score = common + unique3 contributions; capped = unique3
     # only — so capped <= uncapped and both positive
     assert 0 < rows[0]["score"] <= unc3[0]
+
+
+def test_latest_by_key_and_top_k_per_group_semantics(spark):
+    """latest/earliest selection with tiebreaks; top-k ordering,
+    ascending mode, rank emission, and validation errors."""
+    import datetime as dt
+
+    import pytest
+
+    from elusion_spark.operators.dedup import latest_by_key
+    from elusion_spark.pipeline import top_k_per_group
+
+    rows = [
+        (1, dt.date(2024, 1, 1), 10, 1.0),
+        (1, dt.date(2024, 3, 1), 11, 2.0),
+        (1, dt.date(2024, 3, 1), 12, 3.0),   # date tie -> higher id wins
+        (2, dt.date(2024, 2, 2), 20, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, d date, id long, v double")
+
+    latest = {r["k"]: r["id"] for r in latest_by_key(
+        df, ["k"], "d", tiebreak_col="id").collect()}
+    assert latest == {1: 12, 2: 20}
+    earliest = {r["k"]: r["id"] for r in latest_by_key(
+        df, ["k"], "d", tiebreak_col="id", keep="earliest").collect()}
+    assert earliest == {1: 10, 2: 20}
+    with pytest.raises(ValueError, match="latest/earliest"):
+        latest_by_key(df, ["k"], "d", keep="newest")
+
+    top = top_k_per_group(df, ["k"], ["v"], 2,
+                          tiebreak_col="id", rank_col="r")
+    got = sorted((r["k"], r["r"], r["id"]) for r in top.collect())
+    assert got == [(1, 1, 12), (1, 2, 11), (2, 1, 20)]
+    bottom = top_k_per_group(df, ["k"], ["v"], 1, ascending=True,
+                             tiebreak_col="id")
+    assert sorted((r["k"], r["id"]) for r in bottom.collect()) == \
+        [(1, 10), (2, 20)]
+    assert "r" not in bottom.columns and "__rn" not in bottom.columns
+    with pytest.raises(ValueError, match=">= 1"):
+        top_k_per_group(df, ["k"], ["v"], 0)

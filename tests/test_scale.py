@@ -255,6 +255,9 @@ SHUFFLE_BUDGETS = {
     # internals (term/tf/df aggs) + per-query fusion agg + final window;
     # every exchange carries id/term/int rows, never bodies or vectors
     "q101_batched_hybrid": 12,
+    # one keys-shuffle each; WindowGroupLimit bounds per-group work
+    "q102_latest_by_key": 1,
+    "q103_top_k_per_group": 1,
 }
 
 
@@ -613,3 +616,18 @@ def test_cluster_by_zorder_all_null_column_raises(spark):
     )
     with pytest.raises(ValueError, match="non-NULL"):
         cluster_by_zorder(df, ["a", "b"]).count()
+
+
+def test_latest_and_topk_lower_to_window_group_limit(spark):
+    """latest_by_key and top_k_per_group must lower the rank filter to
+    WindowGroupLimit (bounded per-group heap on BOTH sides of the
+    exchange) — a full per-group sort would regress quietly and cost
+    n·log(group) at scale."""
+    from elusion_spark.suite import QUERIES
+
+    for name in ("q102_latest_by_key", "q103_top_k_per_group"):
+        df = QUERIES[name](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("WindowGroupLimit") >= 2, \
+            f"{name}: rank filter did not lower to WindowGroupLimit\n{plan}"
+        assert "Partial" in plan and "Final" in plan

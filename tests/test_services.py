@@ -1697,3 +1697,69 @@ def test_sharepoint_folder_and_sp_signature_variants(spark, monkeypatch):
                            "lakehouse.Lakehouse/Files/data/t.csv")
     assert seen["auth"] == {"tenant_id": "t", "client_id": "c",
                             "client_secret": "s"}
+
+
+def test_delta_fallback_concurrent_append_commit_race(spark, tmp_path):
+    """Two committers racing for the same version must NOT clobber each
+    other: the put-if-absent claim loses EEXIST and retries at the next
+    version, so both commits land and every row stays visible.  The
+    race is injected deterministically via the _pre_claim_hook seam,
+    then a 4-thread live append confirms end-to-end."""
+    import json as _json
+    import os
+    import threading
+
+    from elusion_spark.sinks import writers as W
+    from elusion_spark.sources.loaders import load_delta
+
+    d = str(tmp_path / "dtab")
+    df = spark.range(0, 10).selectExpr("id", "id % 2 AS k")
+    W.write_to_delta(df, "overwrite", d)
+    assert load_delta(d, "t", spark).df.count() == 10
+
+    # inject: a rival commit appears at the version this writer scanned
+    log_dir = os.path.join(d, "_delta_log")
+    fired = {"n": 0}
+    orig_hook = W._pre_claim_hook
+
+    def rival(version):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as f:
+                f.write(_json.dumps(
+                    {"commitInfo": {"timestamp": 0, "operation": "RIVAL"}}
+                ) + "\n")
+
+    W._pre_claim_hook = rival
+    try:
+        W.write_to_delta(spark.range(100, 105).selectExpr(
+            "id", "id % 2 AS k"), "append", d)
+    finally:
+        W._pre_claim_hook = orig_hook
+    assert fired["n"] == 1
+    # the writer retried past the rival: both its commit AND the rival's
+    versions = sorted(f for f in os.listdir(log_dir) if f.endswith(".json"))
+    assert len(versions) == 3  # v0 (initial), v1 (rival), v2 (retried append)
+    assert load_delta(d, "t", spark).df.count() == 15
+
+    # live 4-thread concurrent append: all rows visible, versions distinct
+    errs = []
+
+    def appender(lo):
+        try:
+            W.write_to_delta(
+                spark.range(lo, lo + 3).selectExpr("id", "id % 2 AS k"),
+                "append", d)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=appender, args=(1000 + i * 10,))
+               for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert load_delta(d, "t", spark).df.count() == 15 + 12
+    versions = [f for f in os.listdir(log_dir) if f.endswith(".json")]
+    assert len(versions) == len(set(versions)) == 7
