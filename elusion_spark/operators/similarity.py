@@ -438,7 +438,7 @@ def knn_join(
     c_vec: str = "embedding",
     centroids: list[list[float]] | None = None,
     nprobe: int = 4,
-    n_blocks: int = 32,
+    n_blocks: int | None = None,
     round_digits: int = 4,
     exclude_self: bool = False,
     max_cluster_size: int | None = None,
@@ -456,6 +456,8 @@ def knn_join(
       ``nprobe == nlist`` (then exact, the q73 oracle setting).
     - **Exact block mode** (no centroids): corpus rows key on
       ``hash(id) % n_blocks``; each query replicates to every block.
+      ``n_blocks=None`` (default) adapts to the corpus: ~8k rows per
+      block, capped at 64 — pass an explicit count for a fixed layout.
       Exact at |Q|·|C| GEMM flops, spread across ``n_blocks`` cogroups —
       the brute-force baseline, viable when one side is small.
 
@@ -507,6 +509,14 @@ def knn_join(
             )
     else:
         spark = corpus.sparkSession
+        if n_blocks is None:
+            # adaptive: target ~8k corpus rows per block — enough work to
+            # amortize each cogroup's Arrow+Python overhead, small enough
+            # to bound per-task GEMM memory; one cheap count() job.  A
+            # small corpus collapses to few blocks (a 2k-row corpus in 32
+            # fixed blocks pays 32 task setups for trivial GEMMs).
+            cnt = corpus.count()
+            n_blocks = max(1, min(64, -(-cnt // 8192)))
         blocks = spark.range(n_blocks).select(
             F.col("id").cast("int").alias("__key")
         )
