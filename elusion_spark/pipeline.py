@@ -592,3 +592,58 @@ def top_k_per_group(
     if rank_col is not None:
         return out.withColumnRenamed("__rn", rank_col)
     return out.drop("__rn")
+
+
+def assign_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic training-shard assignment: ``shard = knuth(id) %
+    n_shards`` and ``pos`` = rank within the shard by ``(knuth(id),
+    id)`` — the content-stable shuffle every epoch-reproducible
+    training pipeline needs (re-running the job on a re-ingested
+    corpus yields the SAME shard layout and order; ``salt`` reseeds
+    an epoch).
+
+    Plan: shard id is a scan-stage expression; the position is one
+    keys-partitioned window — a single shuffle on the shard id, which
+    ``write_training_shards`` then reuses as the write partitioning.
+    Adds ``shard`` (int) and ``pos`` (0-based bigint)."""
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = _knuth_uniform_hash(id_col, salt)
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", (F.col("__h") % F.lit(int(n_shards))).cast("int"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("bigint"))
+        .drop("__h")
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    salt: int = 0,
+    order_within_shard: bool = True,
+) -> dict:
+    """Materialize ``assign_shards`` as exactly one parquet file per
+    shard (``shard=<k>/part-*.parquet``), rows laid out in shard
+    position order — what a data loader streams sequentially per
+    worker.  ONE shuffle total: the ``repartition(n, shard)`` both
+    computes the window and becomes the file layout.  Returns
+    ``{n_shards, rows}``."""
+    assigned = assign_shards(df, id_col, n_shards, salt)
+    out = assigned.repartition(int(n_shards), "shard")
+    if order_within_shard:
+        out = out.sortWithinPartitions("shard", "pos")
+    out.write.mode("overwrite").partitionBy("shard").parquet(path)
+    spark = df.sparkSession
+    rows = spark.read.parquet(path).count()
+    return {"n_shards": int(n_shards), "rows": int(rows)}

@@ -3583,6 +3583,111 @@ def q103(spark, sf):
     )
 
 
+# Deterministic URL fixture shared by both engines ({S} = string-cast
+# type token: STRING on Spark, VARCHAR on DuckDB).  Exercises every
+# normalization rule: mixed-case scheme/host, fragments (%5), utm
+# params inside a query (%2), a tracking-only query that must collapse
+# to nothing (%13), trailing path slash without a query (odd & %3),
+# and a blocked scheme (%11).
+_Q104_URL = """concat(
+    CASE WHEN doc_id % 11 = 0 THEN 'FTP' ELSE 'HTTPS' END,
+    '://Host', CAST(doc_id % 50 AS {S}),
+    '.Example', CAST(doc_id % 7 AS {S}), '.COM/Path',
+    CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+    CASE WHEN doc_id % 2 = 0
+         THEN concat('?id=', CAST(doc_id AS {S}),
+                     '&utm_source=news&utm_medium=x')
+         WHEN doc_id % 13 = 0 THEN '?utm_campaign=only'
+         ELSE '' END,
+    CASE WHEN doc_id % 5 = 0 THEN '#section2' ELSE '' END)"""
+
+_Q104_BLOCKED = ["example2.com", "host7.example3.com"]
+
+_Q104_SQL = f"""
+WITH u AS (SELECT doc_id, {_Q104_URL.format(S='VARCHAR')} AS url
+           FROM documents),
+n1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS e FROM u),
+n2 AS (SELECT doc_id, regexp_replace(e,
+           '([?&])(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|igshid|ref_src)=[^&#]*',
+           '\\1', 'g') AS e FROM n1),
+n3 AS (SELECT doc_id, regexp_replace(e, '\\?&', '?', 'g') AS e FROM n2),
+n4 AS (SELECT doc_id, regexp_replace(e, '&&+', '&', 'g') AS e FROM n3),
+n5 AS (SELECT doc_id, regexp_replace(e, '[?&]$', '', 'g') AS e FROM n4),
+n6 AS (SELECT doc_id,
+              concat(lower(regexp_extract(e, '^([^/]*//[^/?#]*)', 1)),
+                     regexp_replace(e, '^[^/]*//[^/?#]*', '')) AS e
+       FROM n5),
+norm AS (SELECT doc_id,
+                regexp_replace(e, '(//[^/]+/.+)/$', '\\1', 'g') AS url
+         FROM n6),
+hosted AS (SELECT doc_id, url,
+                  lower(regexp_extract(url,
+                      '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)',
+                      1)) AS host
+           FROM norm)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, url
+FROM hosted
+WHERE url LIKE 'https://%'
+  AND NOT (host = 'example2.com' OR host LIKE '%.example2.com')
+  AND NOT (host = 'host7.example3.com'
+           OR host LIKE '%.host7.example3.com')
+"""
+
+
+@q("q104_url_filter", _Q104_SQL)
+def q104(spark, sf):
+    """Web-corpus hygiene end-to-end: a deterministic mixed-case URL per
+    document runs through ``normalize_url`` (fragment strip, tracking-
+    param strip with ?/& tidy-up, scheme+host lowercase, trailing-slash
+    rule) and ``filter_urls`` (scheme allowlist + parent-domain
+    blocklist via exploded host-suffix semi-join).  The oracle replays
+    the identical RE2-safe regex chain and suffix logic; every
+    surviving normalized URL is hash-checked byte-for-byte."""
+    from .operators.web import filter_urls, normalize_url
+
+    docs = _t(spark, sf, "documents", "d").df
+    with_urls = docs.select(
+        "doc_id", F.expr(_Q104_URL.format(S="STRING")).alias("__raw")
+    ).withColumn("url", normalize_url("__raw")).drop("__raw")
+    return filter_urls(with_urls, "url", _Q104_BLOCKED).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "url"
+    )
+
+
+_Q105_SHARDS = 8
+
+_Q105_SQL = f"""
+WITH h AS (
+    SELECT doc_id,
+           ((doc_id % 2147483648) * 2654435761) % 4294967296 AS hh
+    FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(hh % {_Q105_SHARDS} AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY hh % {_Q105_SHARDS}
+                               ORDER BY hh, doc_id) - 1 AS BIGINT) AS pos
+FROM h
+"""
+
+
+@q("q105_assign_shards", _Q105_SQL)
+def q105(spark, sf):
+    """Deterministic training-shard layout: content-stable Knuth-hash
+    shard id + within-shard position — the epoch-reproducible shuffle a
+    training data loader consumes (``write_training_shards``
+    materializes this as one file per shard).  The oracle replays the
+    engine-wide hash recipe, so every row's (shard, pos) placement is
+    hash-checked, not just counts."""
+    from .pipeline import assign_shards
+
+    docs = _t(spark, sf, "documents", "d").df.select("doc_id")
+    return assign_shards(docs, "doc_id", _Q105_SHARDS).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("shard").cast("bigint").alias("shard"),
+        F.col("pos").cast("bigint").alias("pos"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -3600,6 +3705,7 @@ _NEEDS_EVIDENCE = [
     # (batched RRF/bm25, fuzzy_join second blocking key, events lift,
     # approx-percentile flag):
     "q101_batched_hybrid", "q102_latest_by_key", "q103_top_k_per_group",
+    "q104_url_filter", "q105_assign_shards",
     "q93_hybrid_search", "q91_bm25_search",
     "q96_fuzzy_match", "q87_event_rate_anomaly", "q88_order_gap_stats",
     "q89_funnel", "q90_cohort_retention", "q95_mad_outliers",

@@ -2028,3 +2028,85 @@ def test_latest_by_key_and_top_k_per_group_semantics(spark):
     assert "r" not in bottom.columns and "__rn" not in bottom.columns
     with pytest.raises(ValueError, match=">= 1"):
         top_k_per_group(df, ["k"], ["v"], 0)
+
+
+def test_normalize_url_and_filter_urls_edges(spark):
+    """URL canonicalization edge cases and blocklist semantics: parent
+    domains block subdomains, unrelated lookalike hosts survive, bag
+    semantics preserved, non-http(s) schemes dropped."""
+    from elusion_spark.operators.web import filter_urls, normalize_url
+
+    cases = [
+        (1, "HTTPS://WWW.Example.COM/A/B/?utm_source=x"),
+        (2, "https://example.com/page?id=3&utm_medium=m&x=1#frag"),
+        (3, "https://example.com/?utm_campaign=only"),
+        (4, "ftp://example.com/file"),
+        (5, "https://ads.tracker.net/zap"),
+        (6, "https://nottracker.net/ok"),          # lookalike survives
+        (7, "https://tracker.net.evil.com/ok"),    # suffix only, not infix
+        (7, "https://tracker.net.evil.com/ok"),    # duplicate row survives x2
+    ]
+    df = spark.createDataFrame(cases, "id long, url string")
+    norm = {(r["id"], r["url"]) for r in df.select(
+        "id", normalize_url("url").alias("url")).collect()}
+    assert (1, "https://www.example.com/A/B") in norm
+    assert (2, "https://example.com/page?id=3&x=1") in norm
+    assert (3, "https://example.com/") in norm   # root slash kept
+    assert (4, "ftp://example.com/file") in norm
+
+    normed = df.select("id", normalize_url("url").alias("url"))
+    kept = filter_urls(normed, "url", ["tracker.net"]).collect()
+    ids = sorted(r["id"] for r in kept)
+    assert ids == [1, 2, 3, 6, 7, 7]   # 4=ftp, 5=blocked subdomain
+
+    # blocklist as a DataFrame side works too
+    bl = spark.createDataFrame([("EXAMPLE.com",)], "domain string")
+    kept2 = sorted(r["id"] for r in filter_urls(normed, "url", bl).collect())
+    assert kept2 == [5, 6, 7, 7]       # www.example.com + example.com gone
+
+
+def test_assign_shards_and_write_training_shards(spark, tmp_path):
+    """Shard layout is content-stable (re-run == same layout), positions
+    are dense 0..n-1 per shard, salt reshuffles, and the writer lands
+    exactly one file per shard with rows in position order."""
+    import os
+
+    import pytest
+
+    from elusion_spark.pipeline import assign_shards, write_training_shards
+
+    df = spark.range(0, 1000).selectExpr("id AS doc_id", "id * 2 AS v")
+    a = {(r["doc_id"]): (r["shard"], r["pos"])
+         for r in assign_shards(df, "doc_id", 8).collect()}
+    b = {(r["doc_id"]): (r["shard"], r["pos"])
+         for r in assign_shards(df, "doc_id", 8).collect()}
+    assert a == b and len(a) == 1000
+    shards = {s for s, _ in a.values()}
+    assert shards == set(range(8))
+    # positions dense per shard
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for s, p in a.values():
+        by_shard[s].append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps)))
+    salted = {(r["doc_id"]): (r["shard"], r["pos"])
+              for r in assign_shards(df, "doc_id", 8, salt=1).collect()}
+    assert salted != a
+    with pytest.raises(ValueError, match=">= 1"):
+        assign_shards(df, "doc_id", 0)
+
+    p = str(tmp_path / "shards")
+    stats = write_training_shards(df, p, "doc_id", 4)
+    assert stats == {"n_shards": 4, "rows": 1000}
+    for s in range(4):
+        d = os.path.join(p, f"shard={s}")
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, f"shard {s}: {files}"
+    back = spark.read.parquet(p)
+    assert back.count() == 1000
+    # within-file order == pos order (read one shard file directly)
+    one = spark.read.parquet(os.path.join(p, "shard=0")).select("pos").collect()
+    got = [r["pos"] for r in one]
+    assert got == sorted(got)

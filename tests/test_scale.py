@@ -258,6 +258,11 @@ SHUFFLE_BUDGETS = {
     # one keys-shuffle each; WindowGroupLimit bounds per-group work
     "q102_latest_by_key": 1,
     "q103_top_k_per_group": 1,
+    # scheme filter + distinct-host agg + the blocked-host anti-join's
+    # exchange; the blocklist itself broadcasts
+    "q104_url_filter": 2,
+    # scan-stage shard expr + ONE shard-keyed window
+    "q105_assign_shards": 1,
 }
 
 
