@@ -50,18 +50,37 @@ def event_rate_anomaly(
     (type, bucket), independent of event payload width."""
     if grain not in _GRAINS:
         raise ValueError(f"grain must be one of {_GRAINS}, got {grain!r}")
-    from pyspark.sql import Window
-
     hourly = df.groupBy(
         F.col(type_col).alias("event_type"),
         F.date_trunc(grain, F.col(ts_col)).alias(f"bucket_{grain}"),
     ).agg(F.count("*").cast("bigint").alias("c"))
+    return score_bucket_anomalies(
+        hourly, grain=grain, trailing=trailing,
+        min_history=min_history, round_digits=round_digits,
+    )
+
+
+def score_bucket_anomalies(
+    buckets: DataFrame,
+    grain: str = "hour",
+    trailing: int = 24,
+    min_history: int = 12,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Score an ALREADY-BUCKETED count table ``(event_type,
+    bucket_<grain>, c)`` — the shared back half of
+    ``event_rate_anomaly``, and what the streaming face applies to its
+    incrementally-maintained rollup store (the counts arrive from
+    ``streaming.core.stream_event_rate_anomaly``'s foreachBatch folds,
+    the scoring math is THIS code — stream and batch cannot drift)."""
+    from pyspark.sql import Window
+
     w = (
         Window.partitionBy("event_type")
         .orderBy(f"bucket_{grain}")
         .rowsBetween(-trailing, -1)
     )
-    scored = hourly.select(
+    scored = buckets.select(
         "*",
         F.sum("c").over(w).alias("__s1"),
         F.sum(F.col("c") * F.col("c")).over(w).alias("__s2"),

@@ -11,7 +11,9 @@ from .core import (  # noqa: F401
     run_available_now_to_memory,
     run_available_now_update_to_memory,
     running_totals_stateful,
+    score_event_rate_store,
     session_agg,
+    stream_event_rate_anomaly,
     stream_stream_join,
     stream_to_rollup,
     stream_write_files,

@@ -593,3 +593,60 @@ def stream_to_rollup(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_event_rate_anomaly(
+    sdf: DataFrame,
+    store_path: str,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    grain: str = "hour",
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """Streaming face of ``operators.events.event_rate_anomaly``: each
+    micro-batch folds its per-(type, bucket) counts into the mergeable
+    rollup store (exactly-once via the store's high-water-mark marker),
+    and ``score_event_rate_store`` applies the IDENTICAL trailing-window
+    z-score the batch operator uses — counts accumulate incrementally at
+    O(batch + live buckets) per trigger, scoring reads |buckets| rows,
+    and the stream can never drift from the batch math because the
+    scoring code is shared, not copied.
+
+    Returns the streaming query handle; call ``score_event_rate_store``
+    (any time, any process) for current anomalies."""
+    bucketed = sdf.select(
+        F.col(type_col).alias("event_type"),
+        F.date_trunc(grain, F.col(ts_col)).alias(f"bucket_{grain}"),
+    )
+    return stream_to_rollup(
+        bucketed, store_path,
+        ["event_type", f"bucket_{grain}"],
+        {"c": ("count", None)},
+        checkpoint=checkpoint,
+        available_now=available_now,
+    )
+
+
+def score_event_rate_store(
+    spark: SparkSession,
+    store_path: str,
+    grain: str = "hour",
+    trailing: int = 24,
+    min_history: int = 12,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Score the rollup store ``stream_event_rate_anomaly`` maintains —
+    the batch operator's z-math over the incrementally-folded counts."""
+    from ..operators.events import score_bucket_anomalies
+    from ..sinks.maintenance import read_rollup
+
+    buckets = read_rollup(
+        spark, store_path, {"c": ("count", None)}
+    ).select(
+        "event_type", f"bucket_{grain}", F.col("c").cast("bigint").alias("c")
+    )
+    return score_bucket_anomalies(
+        buckets, grain=grain, trailing=trailing,
+        min_history=min_history, round_digits=round_digits,
+    )

@@ -482,3 +482,47 @@ def test_near_dup_stream_out_of_order_ids_lose_no_pairs(spark, tmp_path):
     # the star may re-root, but the candidate graph's components —
     # what the downstream verifier/union-find actually consumes — match
     assert components(got) == components(batch_pairs)
+
+
+def test_stream_event_rate_anomaly_matches_batch(spark, tmp_path):
+    """Streaming rate-anomaly (incremental rollup-store counts + the
+    SHARED scoring code) == the batch event_rate_anomaly over the same
+    events, with the stream split across micro-batches."""
+    import datetime as dt
+
+    from elusion_spark.operators.events import event_rate_anomaly
+
+    rows = []
+    for h in range(30):
+        for i in range(4 + (h % 3)):
+            rows.append(("a", dt.datetime(2024, 1, 1)
+                         + dt.timedelta(hours=h, minutes=i)))
+    for i in range(40):
+        rows.append(("a", dt.datetime(2024, 1, 2, 6)
+                     + dt.timedelta(minutes=i % 60)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+
+    src = str(tmp_path / "ev_src")
+    df.filter("ts < '2024-01-01 15:00:00'").coalesce(1) \
+        .write.parquet(src + "/f=a")
+    df.filter("ts >= '2024-01-01 15:00:00'").coalesce(1) \
+        .write.parquet(src + "/f=b")
+
+    schema = spark.read.parquet(src + "/f=a").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    store = str(tmp_path / "rate_store")
+    q = ST.stream_event_rate_anomaly(stream, store)
+    q.awaitTermination(120)
+
+    got = {
+        (r["event_type"], r["bucket_hour"]): (r["c"], r["z"])
+        for r in ST.score_event_rate_store(spark, store).collect()
+    }
+    want = {
+        (r["event_type"], r["bucket_hour"]): (r["c"], r["z"])
+        for r in event_rate_anomaly(df).collect()
+    }
+    assert got == want and want, "stream store must reproduce batch z-scores"
