@@ -823,16 +823,33 @@ class CustomDataFrame:
     def intersect(self, other: "CustomDataFrame", alias: str = "intersect_result") -> "CustomDataFrame":
         return self._binary(other, DataFrame.intersect, alias)
 
+    @staticmethod
+    def _bag_setop(fn: Callable[[DataFrame, DataFrame], DataFrame]):
+        """Run a bag set op with DUPLICATE-NAMED columns tolerated:
+        Spark's RewriteExceptAll/IntersectAll optimizer rule generates
+        an invalid plan when a side projects the same column twice
+        (PLAN_VALIDATION_FAILED_RULE_IN_BATCH, found by the set-op
+        fuzzer) — positionally rename to unique temporaries, run the op,
+        rename back."""
+        def run(a: DataFrame, b: DataFrame) -> DataFrame:
+            names = a.columns
+            if len(set(names)) == len(names):
+                return fn(a, b)
+            tmp = [f"__c{i}" for i in range(len(names))]
+            out = fn(a.toDF(*tmp), b.toDF(*tmp))
+            return out.toDF(*names)
+        return run
+
     def except_all(self, other: "CustomDataFrame", alias: str = "except_all_result") -> "CustomDataFrame":
         """SQL EXCEPT ALL — bag semantics: each row survives
         ``max(count_left - count_right, 0)`` times (beyond parity; the
         reference exposes only the DISTINCT set ops)."""
-        return self._binary(other, DataFrame.exceptAll, alias)
+        return self._binary(other, self._bag_setop(DataFrame.exceptAll), alias)
 
     def intersect_all(self, other: "CustomDataFrame", alias: str = "intersect_all_result") -> "CustomDataFrame":
         """SQL INTERSECT ALL — bag semantics: each row survives
         ``min(count_left, count_right)`` times."""
-        return self._binary(other, DataFrame.intersectAll, alias)
+        return self._binary(other, self._bag_setop(DataFrame.intersectAll), alias)
 
     # --------------------------------------------------------- eager helpers
 

@@ -555,3 +555,98 @@ def _run_star_case(spark, duck_star, seed):
 @pytest.mark.parametrize("seed", range(10))
 def test_randomized_star_join_matches_oracle(spark, duck_star, seed):
     _run_star_case(spark, duck_star, seed)
+
+
+# ------------------------------------------- bag set-op fuzz (round 4)
+
+def _run_bag_setop_case(spark, duck, seed):
+    """EXCEPT ALL / INTERSECT ALL over low-cardinality projections —
+    multiplicities (not just membership) must match the oracle."""
+    import random as _random
+
+    from elusion_spark.sources.loaders import load_parquet
+
+    rng = _random.Random(60_000 + seed)
+    t = rng.choice(["customer", "orders"])
+    cat = {"customer": "c_nationkey", "orders": "o_orderstatus"}[t]
+    low = {"customer": "c_mktsegment", "orders": "o_orderstatus"}[t]
+    num = {"customer": "c_custkey", "orders": "o_orderkey"}[t]
+    p1 = f"{num} % {rng.randint(2, 7)} <> 0"
+    p2 = f"{num} % {rng.randint(2, 5)} <> 1"
+    op = rng.choice(["except_all", "intersect_all"])
+
+    a = load_parquet(f"{SF}/{t}.parquet", "a", spark).filter(p1) \
+        .select([cat, low]).elusion(f"bag_a_{seed}")
+    b = load_parquet(f"{SF}/{t}.parquet", "b", spark).filter(p2) \
+        .select([cat, low]).elusion(f"bag_b_{seed}")
+    out = getattr(a, op)(b)
+    srows = sorted(map(tuple, out.df.collect()))
+
+    sql_op = {"except_all": "EXCEPT ALL",
+              "intersect_all": "INTERSECT ALL"}[op]
+    sql = (
+        f"SELECT {cat}, {low} FROM {t} WHERE {p1} {sql_op} "
+        f"SELECT {cat}, {low} FROM {t} WHERE {p2}"
+    )
+    orows = sorted(map(tuple, duck.execute(sql).fetchall()))
+    assert srows == orows, f"seed={seed} t={t} op={op} p1={p1!r} p2={p2!r}"
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_randomized_bag_setops_match_oracle(spark, duck, seed):
+    _run_bag_setop_case(spark, duck, seed)
+
+
+# --------------------------------- grouped top-k / latest fuzz (round 4)
+
+def _run_topk_case(spark, duck, seed):
+    """top_k_per_group / latest_by_key vs a DuckDB row_number window:
+    random k, direction, and order column, id tiebreak — per-row
+    membership AND rank must match."""
+    import random as _random
+
+    from elusion_spark.operators.dedup import latest_by_key
+    from elusion_spark.pipeline import top_k_per_group
+
+    rng = _random.Random(70_000 + seed)
+    t = rng.choice(["customer", "orders"])
+    key = {"customer": "c_mktsegment", "orders": "o_orderstatus"}[t]
+    order = rng.choice(NUMERIC[t])
+    uid = {"customer": "c_custkey", "orders": "o_orderkey"}[t]
+    k = rng.randint(1, 7)
+    asc = rng.choice([True, False])
+
+    df = spark.read.parquet(f"{SF}/{t}.parquet")
+    if rng.random() < 0.5:
+        got = top_k_per_group(df, [key], [order], k, ascending=asc,
+                              tiebreak_col=uid, rank_col="r")
+        srows = sorted(
+            (r[key], r[uid], r["r"]) for r in got.select(key, uid, "r").collect()
+        )
+        direction = "ASC" if asc else "DESC"
+        sql = (
+            f"SELECT {key}, {uid}, rn FROM ("
+            f"SELECT {key}, {uid}, ROW_NUMBER() OVER (PARTITION BY {key} "
+            f"ORDER BY {order} {direction}, {uid}) AS rn FROM {t}) "
+            f"WHERE rn <= {k}"
+        )
+        orows = sorted(map(tuple, duck.execute(sql).fetchall()))
+        assert srows == orows, f"seed={seed} t={t} k={k} asc={asc} o={order}"
+    else:
+        keep = rng.choice(["latest", "earliest"])
+        got = latest_by_key(df, [key], order, tiebreak_col=uid, keep=keep)
+        srows = sorted((r[key], r[uid]) for r in got.select(key, uid).collect())
+        direction = "DESC" if keep == "latest" else "ASC"
+        sql = (
+            f"SELECT {key}, {uid} FROM ("
+            f"SELECT {key}, {uid}, ROW_NUMBER() OVER (PARTITION BY {key} "
+            f"ORDER BY {order} {direction}, {uid} {direction}) AS rn FROM {t}) "
+            f"WHERE rn = 1"
+        )
+        orows = sorted(map(tuple, duck.execute(sql).fetchall()))
+        assert srows == orows, f"seed={seed} t={t} keep={keep} o={order}"
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_randomized_grouped_topk_matches_oracle(spark, duck, seed):
+    _run_topk_case(spark, duck, seed)
