@@ -178,3 +178,138 @@ def time_rollup(
     return grouped.agg(
         *[F.expr(expr).alias(alias) for alias, expr in aggs.items()]
     )
+
+
+_GRAIN_INTERVAL = {
+    "minute": "interval 1 minute",
+    "hour": "interval 1 hour",
+    "day": "interval 1 day",
+    "week": "interval 7 day",
+}
+
+
+def ohlc_resample(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    grain: str = "hour",
+    by: list[str] | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Open/high/low/close/count per time bucket (per optional series
+    keys) — the candlestick/downsampling rollup every time-series store
+    ships (TimescaleDB ``time_bucket`` + first/last, kdb ``xbar``).
+
+    open/close are ``min_by``/``max_by`` over a ``(ts, tiebreak)``
+    struct — ONE aggregation pass, no window, no self-join; pass a
+    unique ``tiebreak_col`` to make simultaneous events deterministic.
+    Output: ``(*by, bucket_<grain>, open, high, low, close, n)``.  One
+    shuffle (the bucket agg), payload never moves twice."""
+    if grain not in _GRAIN_INTERVAL:
+        raise ValueError(
+            f"grain must be one of {sorted(_GRAIN_INTERVAL)}, got {grain!r}")
+    keys = list(by or [])
+    order = (
+        F.struct(F.col(ts_col), F.col(tiebreak_col)) if tiebreak_col
+        else F.struct(F.col(ts_col))
+    )
+    return df.groupBy(
+        *keys, F.date_trunc(grain, F.col(ts_col)).alias(f"bucket_{grain}")
+    ).agg(
+        F.min_by(F.col(value_col), order).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max_by(F.col(value_col), order).alias("close"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+
+def gapfill_resample(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    grain: str = "hour",
+    by: list[str] | None = None,
+    method: str = "locf",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Dense per-series time grid with gap filling — TimescaleDB's
+    ``time_bucket_gapfill`` + ``locf``/``interpolate`` as one operator:
+    bucket the series (DECIMAL-folded mean per bucket), generate EVERY
+    bucket between each series' first and last, and fill the holes.
+
+    ``method='locf'`` carries the last observed bucket mean forward
+    (leading gaps stay NULL); ``method='linear'`` interpolates interior
+    gaps between the surrounding observed buckets on the epoch-seconds
+    axis (leading/trailing gaps stay NULL).  Output: ``(*by,
+    bucket_<grain>, value, is_gap)``.
+
+    Scale shape: the dense grid generates per SERIES via one
+    ``sequence()`` explode (len = series span / grain — bounded by
+    retention, not row count), the fill is per-series windows over the
+    grid, and nothing ever touches the raw-event grain again after the
+    first bucket agg.  Shuffles: bucket agg + span agg + one grid join
+    + the fill window — all keyed by the series."""
+    if grain not in _GRAIN_INTERVAL:
+        raise ValueError(
+            f"grain must be one of {sorted(_GRAIN_INTERVAL)}, got {grain!r}")
+    if method not in ("locf", "linear"):
+        raise ValueError(f"method must be locf/linear, got {method!r}")
+    keys = list(by or [])
+    bcol = f"bucket_{grain}"
+    bucketed = df.groupBy(
+        *keys, F.date_trunc(grain, F.col(ts_col)).alias(bcol)
+    ).agg(
+        F.expr(
+            f"CAST(SUM(CAST({value_col} AS DECIMAL(38,9))) AS DOUBLE)"
+            f" / CAST(COUNT(*) AS DOUBLE)"
+        ).alias("__v")
+    )
+    span = bucketed.groupBy(*keys).agg(
+        F.min(bcol).alias("__mn"), F.max(bcol).alias("__mx")
+    )
+    grid = span.select(
+        *keys,
+        F.explode(
+            F.expr(f"sequence(__mn, __mx, {_GRAIN_INTERVAL[grain]})")
+        ).alias(bcol),
+    )
+    joined = grid.join(bucketed, [*keys, bcol], "left")
+    w = Window.partitionBy(*keys).orderBy(bcol) if keys else \
+        Window.orderBy(bcol)
+    prev = w.rowsBetween(Window.unboundedPreceding, 0)
+    nxt = w.rowsBetween(0, Window.unboundedFollowing)
+    if method == "locf":
+        filled = F.round(
+            F.last("__v", ignorenulls=True).over(prev), round_digits
+        )
+    else:
+        ep = f"CAST(unix_timestamp({bcol}) AS DOUBLE)"
+        pv = F.last("__v", ignorenulls=True).over(prev)
+        pb = F.last(
+            F.when(F.col("__v").isNotNull(), F.col(bcol)), ignorenulls=True
+        ).over(prev)
+        nv = F.first("__v", ignorenulls=True).over(nxt)
+        nb = F.first(
+            F.when(F.col("__v").isNotNull(), F.col(bcol)), ignorenulls=True
+        ).over(nxt)
+        frac = (
+            (F.expr(ep) - F.expr(f"CAST(unix_timestamp(__pb) AS DOUBLE)"))
+            / (F.expr("CAST(unix_timestamp(__nb) AS DOUBLE)")
+               - F.expr("CAST(unix_timestamp(__pb) AS DOUBLE)"))
+        )
+        joined = (
+            joined.withColumn("__pv", pv).withColumn("__pb", pb)
+            .withColumn("__nv", nv).withColumn("__nb", nb)
+        )
+        filled = F.round(
+            F.when(F.col("__v").isNotNull(), F.col("__v")).otherwise(
+                F.col("__pv")
+                + (F.col("__nv") - F.col("__pv")) * frac
+            ),
+            round_digits,
+        )
+    out = joined.withColumn("value", filled).withColumn(
+        "is_gap", F.col("__v").isNull()
+    )
+    return out.select(*keys, bcol, "value", "is_gap")

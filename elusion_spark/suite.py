@@ -3688,6 +3688,110 @@ def q105(spark, sf):
     )
 
 
+_Q106_SQL = """
+WITH b AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket_hour,
+           ts, event_id, value
+    FROM events
+),
+r AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY event_type, bucket_hour
+                              ORDER BY ts, event_id) AS ra,
+           ROW_NUMBER() OVER (PARTITION BY event_type, bucket_hour
+                              ORDER BY ts DESC, event_id DESC) AS rd
+    FROM b
+)
+SELECT event_type, bucket_hour,
+       MIN(CASE WHEN ra = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MIN(CASE WHEN rd = 1 THEN value END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM r
+GROUP BY event_type, bucket_hour
+"""
+
+
+@q("q106_ohlc_resample", _Q106_SQL)
+def q106(spark, sf):
+    """OHLC downsampling per (event_type, hour): open/close via
+    min_by/max_by over a (ts, event_id) struct — ONE aggregation pass,
+    no window, no self-join (the oracle needs two rank windows to say
+    the same thing).  Values are picked, not computed, so they are
+    bit-identical; the unique tiebreak makes simultaneous events
+    deterministic."""
+    from .operators.temporal import ohlc_resample
+
+    e = _t(spark, sf, "events", "e").df
+    return ohlc_resample(
+        e, "ts", "value", grain="hour", by=["event_type"],
+        tiebreak_col="event_id",
+    )
+
+
+_Q107_SQL = """
+WITH b AS (
+    SELECT event_type, date_trunc('hour', ts) AS bh,
+           CAST(SUM(CAST(value AS DECIMAL(38,9))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS v
+    FROM events GROUP BY 1, 2
+),
+span AS (SELECT event_type, MIN(bh) AS mn, MAX(bh) AS mx
+         FROM b GROUP BY 1),
+grid AS (
+    SELECT s.event_type, u.bh
+    FROM span s, unnest(generate_series(s.mn, s.mx, INTERVAL 1 HOUR))
+         AS u(bh)
+),
+j AS (
+    SELECT g.event_type, g.bh, b.v
+    FROM grid g LEFT JOIN b ON g.event_type = b.event_type AND g.bh = b.bh
+),
+wnd AS (
+    SELECT event_type, bh, v,
+           LAST_VALUE(v IGNORE NULLS) OVER w_prev AS pv,
+           LAST_VALUE(CASE WHEN v IS NOT NULL THEN bh END IGNORE NULLS)
+               OVER w_prev AS pb,
+           FIRST_VALUE(v IGNORE NULLS) OVER w_next AS nv,
+           FIRST_VALUE(CASE WHEN v IS NOT NULL THEN bh END IGNORE NULLS)
+               OVER w_next AS nb
+    FROM j
+    WINDOW w_prev AS (PARTITION BY event_type ORDER BY bh
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w_next AS (PARTITION BY event_type ORDER BY bh
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, bh AS bucket_hour,
+       ROUND(CASE WHEN v IS NOT NULL THEN v
+                  ELSE pv + (nv - pv) *
+                       ((CAST(epoch(bh) AS DOUBLE)
+                         - CAST(epoch(pb) AS DOUBLE))
+                        / (CAST(epoch(nb) AS DOUBLE)
+                           - CAST(epoch(pb) AS DOUBLE)))
+             END, 6) AS value,
+       v IS NULL AS is_gap
+FROM wnd
+"""
+
+
+@q("q107_gapfill_linear", _Q107_SQL)
+def q107(spark, sf):
+    """time_bucket_gapfill + interpolate: the dense hourly grid per
+    event type with linearly-interpolated interior gaps (leading/
+    trailing gaps stay NULL) — bucket means DECIMAL-fold on both
+    engines, the interpolation runs the identical left-associated
+    arithmetic over exact epoch seconds, and the grid itself (every
+    generated bucket and its is_gap flag) is part of the hash-checked
+    answer."""
+    from .operators.temporal import gapfill_resample
+
+    e = _t(spark, sf, "events", "e").df
+    return gapfill_resample(
+        e, "ts", "value", grain="hour", by=["event_type"], method="linear"
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -3705,7 +3809,8 @@ _NEEDS_EVIDENCE = [
     # (batched RRF/bm25, fuzzy_join second blocking key, events lift,
     # approx-percentile flag):
     "q101_batched_hybrid", "q102_latest_by_key", "q103_top_k_per_group",
-    "q104_url_filter", "q105_assign_shards",
+    "q104_url_filter", "q105_assign_shards", "q106_ohlc_resample",
+    "q107_gapfill_linear",
     "q93_hybrid_search", "q91_bm25_search",
     "q96_fuzzy_match", "q87_event_rate_anomaly", "q88_order_gap_stats",
     "q89_funnel", "q90_cohort_retention", "q95_mad_outliers",

@@ -2110,3 +2110,60 @@ def test_assign_shards_and_write_training_shards(spark, tmp_path):
     one = spark.read.parquet(os.path.join(p, "shard=0")).select("pos").collect()
     got = [r["pos"] for r in one]
     assert got == sorted(got)
+
+
+def test_ohlc_and_gapfill_semantics(spark):
+    """OHLC picks first/last by (ts, tiebreak); gapfill generates the
+    dense grid, locf carries forward (leading gap NULL), linear
+    interpolates interior gaps only."""
+    import datetime as dt
+
+    import pytest
+
+    from elusion_spark.operators.temporal import (
+        gapfill_resample,
+        ohlc_resample,
+    )
+
+    T = dt.datetime
+    rows = [
+        ("a", T(2024, 1, 1, 0, 5), 1, 10.0),
+        ("a", T(2024, 1, 1, 0, 5), 2, 99.0),    # same ts -> tiebreak id
+        ("a", T(2024, 1, 1, 0, 50), 3, 4.0),
+        # hours 1 and 2 empty for series a
+        ("a", T(2024, 1, 1, 3, 0), 4, 40.0),
+        ("b", T(2024, 1, 1, 1, 0), 5, 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "s string, ts timestamp, id long, v double"
+    )
+    ohlc = {(r["s"], r["bucket_hour"].hour): r for r in ohlc_resample(
+        df, "ts", "v", by=["s"], tiebreak_col="id").collect()}
+    r0 = ohlc[("a", 0)]
+    assert (r0["open"], r0["close"], r0["high"], r0["low"], r0["n"]) == \
+        (10.0, 4.0, 99.0, 4.0, 3)
+
+    locf = {(r["s"], r["bucket_hour"].hour): (r["value"], r["is_gap"])
+            for r in gapfill_resample(
+                df, "ts", "v", by=["s"], method="locf").collect()}
+    # series a: h0 mean (10+99+4)/3, h1/h2 gaps carry it, h3 observed
+    assert locf[("a", 0)][0] == round((10.0 + 99.0 + 4.0) / 3, 6)
+    assert locf[("a", 1)] == (locf[("a", 0)][0], True)
+    assert locf[("a", 2)] == (locf[("a", 0)][0], True)
+    assert locf[("a", 3)] == (40.0, False)
+    assert ("b", 1) in locf and len(
+        [k for k in locf if k[0] == "b"]) == 1   # single-bucket series
+
+    lin = {(r["s"], r["bucket_hour"].hour): (r["value"], r["is_gap"])
+           for r in gapfill_resample(
+               df, "ts", "v", by=["s"], method="linear").collect()}
+    # interpolation runs on the UNROUNDED bucket mean (the rounding is
+    # display-grade, applied at the end — same as the oracle)
+    m0 = (10.0 + 99.0 + 4.0) / 3
+    assert lin[("a", 1)][0] == round(m0 + (40.0 - m0) * (1 / 3), 6)
+    assert lin[("a", 2)][0] == round(m0 + (40.0 - m0) * (2 / 3), 6)
+
+    with pytest.raises(ValueError, match="grain"):
+        ohlc_resample(df, "ts", "v", grain="fortnight")
+    with pytest.raises(ValueError, match="locf/linear"):
+        gapfill_resample(df, "ts", "v", method="spline")

@@ -263,6 +263,11 @@ SHUFFLE_BUDGETS = {
     "q104_url_filter": 2,
     # scan-stage shard expr + ONE shard-keyed window
     "q105_assign_shards": 1,
+    # single bucket-agg pass; open/close are min_by/max_by, no window
+    "q106_ohlc_resample": 1,
+    # the series-key partitioning is established once and REUSED by the
+    # span agg, grid join, and fill window (subset-of-keys clustering)
+    "q107_gapfill_linear": 2,
 }
 
 
