@@ -1108,3 +1108,38 @@ def latest_by_key(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def dedup_keep_cluster_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Exact transitive dedup keeping each cluster's BEST member by
+    ``score_col`` (ties break to the smaller id) — the curation-grade
+    form of ``dedup_keep_cluster_min``: near-duplicate web pages differ
+    in boilerplate and truncation, and the copy worth training on is
+    the highest-quality one, not the lowest-id one.
+
+    Plan: components resolve as usual; one (cluster, score)-ranked
+    ``max_by`` aggregation over a struct picks the winner per cluster
+    (|clusters| rows), and a semi-join keeps winners + all unpaired
+    rows.  The extra cost vs keep-min is one broadcastable agg over
+    cluster members only — unpaired rows (the overwhelming majority)
+    never enter it."""
+    cc = connected_components(pairs)  # (id, cluster_id) for PAIRED rows
+    scored = cc.join(
+        df.select(F.col(id_col).alias("id"), F.col(score_col).alias("__s")),
+        "id",
+    )
+    # max_by over (score, -id): higher score wins, ties -> smaller id
+    winners = scored.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col("id"), F.struct(F.col("__s"), (-F.col("id")).alias("__neg"))
+        ).alias(id_col)
+    ).select(id_col)
+    losers = cc.join(
+        winners.select(F.col(id_col).alias("id")), "id", "left_anti"
+    ).select(F.col("id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")

@@ -40,13 +40,18 @@ def prepare_training_corpus(
     max_xent: float | None = None,
     drop_contained: bool = False,
     containment_threshold: float = 0.9,
+    keep: str = "min_id",
 ) -> DataFrame:
     """Filter + dedup a document table for training.
 
     Output columns: id, text, lang, quality, n_tokens, n_chars_norm,
     fingerprint.  Near-duplicate clusters are resolved TRANSITIVELY
-    (connected components over LSH pairs), keeping each cluster's min id
-    — a pairwise keep-one misses A~B~C chains where A̸~C.
+    (connected components over LSH pairs) — a pairwise keep-one misses
+    A~B~C chains where A̸~C.  ``keep='min_id'`` (default) keeps each
+    cluster's smallest id; ``keep='best_quality'`` keeps the
+    highest-quality member (ties -> smaller id) — near-dups differ in
+    boilerplate/truncation, and the copy worth training on is the best
+    one, not the first-crawled one.
 
     ``max_xent`` (optional) adds the CCNet-style perplexity gate: docs
     whose unigram-LM cross-entropy (``text.lm_score``, model fitted on
@@ -82,13 +87,13 @@ def prepare_training_corpus(
     if exact_first:
         # cheap exact pass first shrinks the LSH input: keep min id per
         # content hash (ids-only shuffle)
-        keep = (
+        exact_keep = (
             filtered.select(F.md5("text").alias("__h"), "id")
             .groupBy("__h")
             .agg(F.min("id").alias("keep_id"))
             .select(F.col("keep_id").alias("id"))
         )
-        filtered = filtered.join(keep, "id", "left_semi")
+        filtered = filtered.join(exact_keep, "id", "left_semi")
 
     if max_xent is not None:
         scored = TX.lm_score(filtered, "id", "text").filter(
@@ -120,7 +125,13 @@ def prepare_training_corpus(
         num_hashes=minhash_hashes, bands=minhash_bands,
         threshold=near_dup_threshold, verify=minhash_verify,
     )
-    return D.dedup_keep_cluster_min(filtered, pairs, "id").withColumn(
+    if keep == "best_quality":
+        kept = D.dedup_keep_cluster_best(filtered, pairs, "id", "quality")
+    elif keep == "min_id":
+        kept = D.dedup_keep_cluster_min(filtered, pairs, "id")
+    else:
+        raise ValueError(f"keep must be min_id/best_quality, got {keep!r}")
+    return kept.withColumn(
         "n_chars_norm", F.length(F.regexp_replace("text", r"\s+", " "))
     )
 

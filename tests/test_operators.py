@@ -2167,3 +2167,54 @@ def test_ohlc_and_gapfill_semantics(spark):
         ohlc_resample(df, "ts", "v", grain="fortnight")
     with pytest.raises(ValueError, match="locf/linear"):
         gapfill_resample(df, "ts", "v", method="spline")
+
+
+def test_dedup_keep_cluster_best_quality(spark):
+    """Quality-aware transitive dedup: the highest-score member of each
+    near-dup cluster survives (ties -> smaller id); unpaired rows are
+    untouched; chains resolve transitively (A~B~C keeps only one even
+    when A and C never paired directly)."""
+    from elusion_spark.operators.dedup import (
+        dedup_keep_cluster_best,
+        dedup_keep_cluster_min,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 0.2), (2, 0.9), (3, 0.9),   # cluster {1,2,3}: 2 wins (tie 2<3)
+            (10, 0.5), (11, 0.4),           # cluster {10,11}: 10 wins
+            (99, 0.1),                      # unpaired, survives
+        ],
+        "id long, q double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    best = sorted(r["id"] for r in dedup_keep_cluster_best(
+        df, pairs, "id", "q").collect())
+    assert best == [2, 10, 99]
+    mins = sorted(r["id"] for r in dedup_keep_cluster_min(
+        df, pairs, "id").collect())
+    assert mins == [1, 10, 99]
+
+    # pipeline knob
+    import pytest
+
+    from elusion_spark.pipeline import prepare_training_corpus
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " * 4
+          + ("extra high quality sentence with many varied words here"
+             if i == 2 else "")) for i in range(3)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="min_id/best_quality"):
+        prepare_training_corpus(docs, min_quality=0.0, min_tokens=1,
+                                keep="random")
+    out_min = prepare_training_corpus(
+        docs, min_quality=0.0, min_tokens=1, near_dup_threshold=0.5,
+        exact_first=False, keep="min_id")
+    out_best = prepare_training_corpus(
+        docs, min_quality=0.0, min_tokens=1, near_dup_threshold=0.5,
+        exact_first=False, keep="best_quality")
+    assert out_min.count() >= 1 and out_best.count() == out_min.count()
