@@ -3792,6 +3792,75 @@ def q107(spark, sf):
     )
 
 
+def _q108_oracle() -> str:
+    """q46's recursive-CTE cluster pipeline, but keeping each cluster's
+    HIGHEST-QUALITY member (ties -> min id) and emitting the per-doc
+    survivor list — stronger than q46's lang rollup: every surviving id
+    and its quality is in the hash."""
+    shingles = _duck_shingles("exact", id_col="id")
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id AS id, text, {_QUALITY} AS quality,
+             CAST({_TOKENS} AS BIGINT) AS n_tokens
+      FROM documents
+    ), filtered AS (
+      SELECT * FROM base WHERE quality >= 0.3 AND n_tokens >= 5
+    ), keepers AS (
+      SELECT min(id) AS id FROM filtered GROUP BY md5(text)
+    ), exact AS (
+      SELECT f.* FROM filtered f JOIN keepers k ON f.id = k.id
+    ), sh AS ({shingles}
+    ), pairs AS (
+      SELECT a.id AS ia, b.id AS ib FROM sh a JOIN sh b ON a.id < b.id
+      WHERE {_DUCK_JACCARD} >= 0.5
+    ), edges AS (
+      SELECT ia AS x, ib AS y FROM pairs
+      UNION ALL SELECT ib AS x, ia AS y FROM pairs
+    ), reach AS (
+      SELECT x AS src, y AS dst FROM edges
+      UNION
+      SELECT r.src, e.y AS dst FROM reach r JOIN edges e ON e.x = r.dst
+    ), clus AS (
+      SELECT src AS id, least(src, min(dst)) AS root FROM reach GROUP BY src
+    ), members AS (
+      SELECT c.root, c.id, e.quality FROM clus c JOIN exact e ON c.id = e.id
+    ), winners AS (
+      SELECT id FROM (
+        SELECT id, ROW_NUMBER() OVER (PARTITION BY root
+                                      ORDER BY quality DESC, id) AS rn
+        FROM members) WHERE rn = 1
+    ), losers AS (
+      SELECT id FROM members WHERE id NOT IN (SELECT id FROM winners)
+    )
+    SELECT CAST(id AS BIGINT) AS id, ROUND(quality, 9) AS quality,
+           n_tokens
+    FROM exact WHERE id NOT IN (SELECT id FROM losers)
+    """
+
+
+@q("q108_best_quality_dedup", _q108_oracle())
+def q108(spark, sf):
+    """The curation pipeline with quality-aware cluster resolution
+    (``keep='best_quality'``): transitive near-dup clusters keep their
+    highest-quality member, ties to the smaller id.  The oracle replays
+    the full pipeline with a recursive reachability CTE and a
+    (quality DESC, id) rank — every surviving doc id and its quality
+    are hash-checked, so the winner choice itself is verified, not just
+    survivor counts."""
+    from .pipeline import prepare_training_corpus
+
+    d = _t(spark, sf, "documents", "d").df
+    corpus = prepare_training_corpus(
+        d, min_quality=0.3, min_tokens=5, near_dup_threshold=0.5,
+        minhash_verify="exact", keep="best_quality",
+    )
+    return corpus.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.round("quality", 9).alias("quality"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -3810,7 +3879,7 @@ _NEEDS_EVIDENCE = [
     # approx-percentile flag):
     "q101_batched_hybrid", "q102_latest_by_key", "q103_top_k_per_group",
     "q104_url_filter", "q105_assign_shards", "q106_ohlc_resample",
-    "q107_gapfill_linear",
+    "q107_gapfill_linear", "q108_best_quality_dedup",
     "q93_hybrid_search", "q91_bm25_search",
     "q96_fuzzy_match", "q87_event_rate_anomaly", "q88_order_gap_stats",
     "q89_funnel", "q90_cohort_retention", "q95_mad_outliers",
