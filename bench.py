@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "q93_hybrid_search",      # BM25 + dense cosine via reciprocal-rank fusion
     "q101_batched_hybrid",    # |Q|-query hybrid: knn_join + batched BM25 + RRF
     "q103_top_k_per_group",   # per-group quality cut via WindowGroupLimit
+    "q106_ohlc_resample",     # OHLC candlesticks in one min_by/max_by agg pass
+    "q107_gapfill_linear",    # dense time grid + linear interpolation
     "q46_training_corpus",    # end-to-end curation composite (9 stages)
 ]
 

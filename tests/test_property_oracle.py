@@ -650,3 +650,59 @@ def _run_topk_case(spark, duck, seed):
 @pytest.mark.parametrize("seed", range(10))
 def test_randomized_grouped_topk_matches_oracle(spark, duck, seed):
     _run_topk_case(spark, duck, seed)
+
+
+# ------------------------------------------------ gapfill fuzz (round 4)
+
+def _run_gapfill_case(spark, duck_events, seed):
+    """locf gap filling vs a DuckDB generate_series + IGNORE NULLS
+    window, with randomized grain and with/without series keys — the
+    grid membership, filled values, and is_gap flags all compare."""
+    import random as _random
+
+    from elusion_spark.operators.temporal import gapfill_resample
+
+    rng = _random.Random(80_000 + seed)
+    grain = rng.choice(["hour", "day"])
+    by = rng.choice([["event_type"], None])
+    df = spark.read.parquet(f"{SF}/events.parquet")
+    out = gapfill_resample(df, "ts", "value", grain=grain, by=by,
+                           method="locf")
+    cols = ([*(by or []), f"bucket_{grain}", "value", "is_gap"])
+    srows = sorted(
+        tuple(r[c] for c in cols) for r in out.collect()
+    )
+
+    part = "PARTITION BY event_type" if by else ""
+    key_sel = "event_type, " if by else ""
+    key_grp = "event_type, " if by else ""
+    iv = {"hour": "INTERVAL 1 HOUR", "day": "INTERVAL 1 DAY"}[grain]
+    sql = f"""
+    WITH b AS (
+        SELECT {key_sel}date_trunc('{grain}', ts) AS bh,
+               CAST(SUM(CAST(value AS DECIMAL(38,9))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS v
+        FROM events GROUP BY {key_grp}date_trunc('{grain}', ts)
+    ),
+    span AS (SELECT {key_sel}MIN(bh) AS mn, MAX(bh) AS mx FROM b
+             {'GROUP BY event_type' if by else ''}),
+    grid AS (SELECT {'s.event_type, ' if by else ''}u.bh
+             FROM span s, unnest(generate_series(s.mn, s.mx, {iv}))
+                  AS u(bh)),
+    j AS (SELECT {'g.event_type, ' if by else ''}g.bh, b.v
+          FROM grid g LEFT JOIN b
+          ON {'g.event_type = b.event_type AND ' if by else ''}g.bh = b.bh)
+    SELECT {key_sel}bh,
+           ROUND(LAST_VALUE(v IGNORE NULLS) OVER ({part} ORDER BY bh
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+               AS value,
+           v IS NULL AS is_gap
+    FROM j
+    """
+    orows = sorted(map(tuple, duck_events.execute(sql).fetchall()))
+    assert srows == orows, f"seed={seed} grain={grain} by={by}"
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_randomized_gapfill_matches_oracle(spark, duck_events, seed):
+    _run_gapfill_case(spark, duck_events, seed)
