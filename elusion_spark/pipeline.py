@@ -621,7 +621,15 @@ def assign_shards(
     Plan: shard id is a scan-stage expression; the position is one
     keys-partitioned window — a single shuffle on the shard id, which
     ``write_training_shards`` then reuses as the write partitioning.
-    Adds ``shard`` (int) and ``pos`` (0-based bigint)."""
+    Adds ``shard`` (int) and ``pos`` (0-based bigint).
+
+    Sizing rule at scale: shard = reducer task = output file, so pick
+    ``n_shards`` from the CORPUS size (rows·row_bytes / target file
+    size — e.g. a 100 TB corpus at 1 GB shards wants ~100k shards),
+    never a small constant; an undersized shard count concentrates the
+    per-shard position sort (and the file write) on a handful of
+    spilling tasks.  The hash is uniform, so equal-sized shards come
+    free."""
     from pyspark.sql import Window
 
     if n_shards < 1:
