@@ -4,6 +4,7 @@ from .core import (  # noqa: F401
     dedup_stream,
     enrich_stream,
     foreach_batch_upsert,
+    funnel_stream,
     ingest_corpus_stream,
     near_dup_candidates_stream,
     read_file_stream,

@@ -650,3 +650,98 @@ def score_event_rate_store(
         buckets, grain=grain, trailing=trailing,
         min_history=min_history, round_digits=round_digits,
     )
+
+
+def funnel_stream(
+    sdf: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    max_events_per_user: int = 1000,
+) -> DataFrame:
+    """Streaming sequenced funnel — the incremental form of
+    ``operators.events.funnel``: per-user state tracks every
+    funnel-relevant event seen so far, and each micro-batch replays the
+    MIN-after-MIN completion chain over the merged history, emitting
+    ``(user_id, n_completed)``.
+
+    Keeping the (deduplicated, sorted) event history — not just the
+    completion times — is what makes this EXACT under out-of-order
+    arrival: a late step-1 event with an earlier timestamp can
+    re-qualify step-2 events that were previously ineligible, which a
+    completion-times-only state cannot reconstruct.  State is bounded
+    by ``max_events_per_user`` funnel-relevant (ts, step) pairs per
+    user (~12 B each); past the cap the EARLIEST events win, which
+    preserves the chain exactly unless a user's true completion path
+    lives entirely beyond the cap.
+
+    Batch parity: per-step conversion counts are
+    ``count(n_completed >= i)`` over each user's LAST emission — the
+    construction the stream==batch test uses.  Duplicate step names
+    (re-entry funnels) need positional bookkeeping the streaming state
+    does not carry — rejected explicitly."""
+    import pandas as pd
+
+    if len(set(steps)) != len(steps):
+        raise ValueError(
+            "funnel_stream: duplicate step names are not supported "
+            "(use the batch funnel for re-entry funnels)")
+    step_idx = {s: i for i, s in enumerate(steps)}
+    n_steps = len(steps)
+    mapping = F.create_map(
+        *[x for s, i in step_idx.items() for x in (F.lit(s), F.lit(i))]
+    )
+    prepared = (
+        sdf.filter(F.col(type_col).isin(list(steps)))
+        .select(
+            F.col(user_col).cast("long").alias("__u"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__ts"),
+            mapping[F.col(type_col)].cast("int").alias("__step"),
+        )
+    )
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_completed", T.IntegerType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("ts", T.ArrayType(T.LongType())),
+        T.StructField("step", T.ArrayType(T.IntegerType())),
+    ])
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        evs: set[tuple[int, int]] = set()
+        if state.exists:
+            old_ts, old_step = state.get
+            evs.update(zip(old_ts, old_step))
+        for pdf in pdfs:
+            evs.update(
+                (int(t), int(s)) for t, s in zip(pdf["__ts"], pdf["__step"])
+            )
+        ordered = sorted(evs)[: int(max_events_per_user)]
+        state.update((
+            [t for t, _ in ordered],
+            [s for _, s in ordered],
+        ))
+        prev = None
+        n_completed = 0
+        for i in range(n_steps):
+            cand = [
+                t for t, s in ordered
+                if s == i and (i == 0 or t >= prev)
+            ]
+            if not cand:
+                break
+            prev = min(cand)
+            n_completed += 1
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_completed": [n_completed]}
+        )
+
+    return prepared.groupBy("__u").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

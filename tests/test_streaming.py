@@ -526,3 +526,67 @@ def test_stream_event_rate_anomaly_matches_batch(spark, tmp_path):
         for r in event_rate_anomaly(df).collect()
     }
     assert got == want and want, "stream store must reproduce batch z-scores"
+
+
+def test_funnel_stream_matches_batch_with_out_of_order_batches(spark, tmp_path):
+    """Streaming funnel == batch funnel per step, with the LATER
+    micro-batch carrying EARLIER timestamps (a late-arriving view must
+    retroactively qualify a click that was previously ineligible) — the
+    case the replayable event-history state exists for."""
+    import datetime as dt
+
+    from elusion_spark.operators.events import funnel
+
+    T = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    early = [
+        (1, "view", T(0)), (1, "click", T(5)), (1, "purchase", T(9)),
+        (2, "purchase", T(1)), (2, "click", T(2)),     # no view yet
+        (3, "click", T(3)),                            # click before view
+        (4, "view", T(0)), (4, "click", T(2)),
+        (5, "noise", T(1)),
+    ]
+    late = [
+        (2, "view", T(0)),    # late view BEFORE 2's click -> qualifies it
+        (3, "view", T(4)),    # view AFTER 3's click -> click stays dead
+        (4, "purchase", T(7)),
+        (5, "view", T(2)),
+    ]
+    all_rows = early + late
+    df = spark.createDataFrame(
+        all_rows, "user_id long, event_type string, ts timestamp"
+    )
+
+    src = str(tmp_path / "funnel_src")
+    spark.createDataFrame(early, "user_id long, event_type string, ts timestamp") \
+        .coalesce(1).write.parquet(src + "/b=a")
+    spark.createDataFrame(late, "user_id long, event_type string, ts timestamp") \
+        .coalesce(1).write.parquet(src + "/b=b")
+
+    schema = spark.read.parquet(src + "/b=a").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    steps = ["view", "click", "purchase"]
+    got_df = ST.run_available_now_update_to_memory(
+        ST.funnel_stream(stream, steps)
+    )
+    final = {
+        r["user_id"]: r["mx"]
+        for r in got_df.groupBy("user_id")
+        .agg(F.max("n_completed").alias("mx")).collect()
+    }
+    got_counts = [
+        sum(1 for v in final.values() if v >= i + 1) for i in range(3)
+    ]
+    want = funnel(df, steps).collect()[0]
+    assert got_counts == [want["step_view"], want["step_click"],
+                          want["step_purchase"]]
+    # the late view retro-qualified user 2's click (purchase@T1 still
+    # precedes the click, so no third step); view-after-click did not
+    assert final[2] == 2 and final[3] == 1 and final[5] == 1
+
+    import pytest
+
+    with pytest.raises(ValueError, match="duplicate step"):
+        ST.funnel_stream(stream, ["view", "click", "view"])
