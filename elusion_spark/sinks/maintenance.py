@@ -341,14 +341,55 @@ def scd2_merge(
 
 # ------------------------------------------------- mergeable rollup store
 
-_ROLLUP_KINDS = {"count", "sum", "min", "max", "hll"}
+_ROLLUP_KINDS = {"count", "sum", "min", "max", "hll", "hist"}
+
+
+def hist_quantile_expr(hist_col: str, q: float, lo: float, hi: float,
+                       n_bins: int):
+    """Linearly-interpolated quantile estimate from a fixed-bin
+    histogram column (the read-time finalizer for ``hist`` rollup
+    columns): walk the cumulative counts to the first bin crossing
+    ``q * total`` and interpolate inside it.  Error is bounded by one
+    bin width — the classic space/accuracy dial of histogram quantiles
+    (more bins = tighter estimates, still an exact-merge monoid).
+    Returns NULL for an empty histogram.  Pure expression, fully
+    composable (no UDF, no collect)."""
+    from pyspark.sql import functions as F
+
+    width = (float(hi) - float(lo)) / int(n_bins)
+    qf = float(q)
+    total = f"aggregate({hist_col}, CAST(0 AS BIGINT), (a, b) -> a + b)"
+    walk = (
+        f"aggregate({hist_col}, "
+        f"named_struct('i', 0, 'cum', CAST(0 AS BIGINT), "
+        f"'pos', -1, 'before', CAST(0 AS BIGINT)), "
+        f"(s, x) -> named_struct("
+        f"'i', s.i + 1, "
+        f"'cum', s.cum + x, "
+        f"'pos', IF(s.pos >= 0, s.pos, "
+        f"IF(CAST(s.cum + x AS DOUBLE) >= {qf!r} * CAST(__ht AS DOUBLE), "
+        f"s.i, -1)), "
+        f"'before', IF(s.pos >= 0, s.before, "
+        f"IF(CAST(s.cum + x AS DOUBLE) >= {qf!r} * CAST(__ht AS DOUBLE), "
+        f"s.cum, CAST(0 AS BIGINT)))))"
+    )
+    # bind total once via a single-element transform (lambda-let idiom)
+    return F.expr(
+        f"transform(array({total}), __ht -> "
+        f"transform(array({walk}), s -> "
+        f"IF(__ht = 0 OR s.pos < 0, CAST(NULL AS DOUBLE), "
+        f"{float(lo)!r} + {width!r} * (CAST(s.pos AS DOUBLE) + "
+        f"({qf!r} * CAST(__ht AS DOUBLE) - CAST(s.before AS DOUBLE)) "
+        f"/ CAST(element_at({hist_col}, s.pos + 1) AS DOUBLE))))[0])[0]"
+    )
 
 
 def _rollup_partial(df, keys: list[str], spec: dict, lg_k: int):
     from pyspark.sql import functions as F
 
     aggs = []
-    for alias, (kind, col) in spec.items():
+    for alias, entry in spec.items():
+        kind, col = entry[0], entry[1]
         if kind not in _ROLLUP_KINDS:
             raise ValueError(f"unknown rollup kind {kind!r} for {alias!r}")
         if kind == "count":
@@ -359,6 +400,29 @@ def _rollup_partial(df, keys: list[str], spec: dict, lg_k: int):
             aggs.append(F.min(col).alias(alias))
         elif kind == "max":
             aggs.append(F.max(col).alias(alias))
+        elif kind == "hist":
+            lo, hi, nb = float(entry[2]), float(entry[3]), int(entry[4])
+            if not (hi > lo and nb >= 1):
+                raise ValueError(
+                    f"hist {alias!r} needs hi > lo and n_bins >= 1")
+            width = (hi - lo) / nb
+            idx = F.least(
+                F.greatest(
+                    F.floor((F.col(col) - F.lit(lo)) / F.lit(width)),
+                    F.lit(0),
+                ),
+                F.lit(nb - 1),
+            )
+            aggs.append(
+                F.array(*[
+                    F.sum(
+                        F.when(
+                            F.col(col).isNotNull() & (idx == i), 1
+                        ).otherwise(0)
+                    ).cast("bigint")
+                    for i in range(nb)
+                ]).alias(alias)
+            )
         else:
             aggs.append(F.expr(f"hll_sketch_agg({col}, {lg_k})").alias(alias))
     return df.groupBy(*keys).agg(*aggs)
@@ -368,13 +432,22 @@ def _rollup_merge(df, keys: list[str], spec: dict):
     from pyspark.sql import functions as F
 
     aggs = []
-    for alias, (kind, _col) in spec.items():
+    for alias, entry in spec.items():
+        kind = entry[0]
         if kind in ("count", "sum"):
             aggs.append(F.sum(alias).alias(alias))
         elif kind == "min":
             aggs.append(F.min(alias).alias(alias))
         elif kind == "max":
             aggs.append(F.max(alias).alias(alias))
+        elif kind == "hist":
+            nb = int(entry[4])
+            # element-wise vector add: histograms form an exact monoid
+            aggs.append(F.expr(
+                f"aggregate(collect_list({alias}), "
+                f"array_repeat(CAST(0 AS BIGINT), {nb}), "
+                f"(acc, x) -> zip_with(acc, x, (a, b) -> a + b))"
+            ).alias(alias))
         else:
             aggs.append(F.expr(f"hll_union_agg({alias})").alias(alias))
     return df.groupBy(*keys).agg(*aggs)
@@ -397,13 +470,17 @@ def update_rollup(
     rows), never the history.
 
     ``spec`` maps output column -> ``(kind, col)`` with kind in
-    {count, sum, min, max, hll} (``("count", None)`` = COUNT(*)).
-    All five kinds form commutative monoids, so incremental results
-    equal the full-recompute results — exactly for count/sum/min/max;
-    for HLL the union covers the same value set but DataSketches'
-    union gadget may differ from a direct build by a fraction of the
+    {count, sum, min, max, hll, hist} (``("count", None)`` = COUNT(*);
+    ``("hist", col, lo, hi, n_bins)`` = fixed-bin histogram, out-of-
+    range values clamp to the edge bins).  All kinds form commutative
+    monoids, so incremental results equal the full-recompute results —
+    exactly for count/sum/min/max AND hist (vector add is exact; only
+    the quantile ESTIMATE read off it carries bin-width error); for
+    HLL the union covers the same value set but DataSketches' union
+    gadget may differ from a direct build by a fraction of the
     sketch's own error bound.  AVG = sum/count at read time — see
-    ``read_rollup``.
+    ``read_rollup``, which also derives ``<name>_p50``/``<name>_p90``
+    for hist columns.
 
     Atomic tmp-dir swap; the store is tiny (one row per key), so the
     rewrite is O(|keys|), not O(data).  ``sidecar`` maps underscore-
@@ -461,11 +538,19 @@ def read_rollup(
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(store_path)
-    for alias, (kind, _c) in spec.items():
+    for alias, entry in spec.items():
+        kind = entry[0]
         if kind == "hll":
             df = df.withColumn(
                 f"{alias}_estimate", F.expr(f"hll_sketch_estimate({alias})")
             )
+        elif kind == "hist":
+            lo, hi, nb = float(entry[2]), float(entry[3]), int(entry[4])
+            for q, name in ((0.5, "p50"), (0.9, "p90")):
+                df = df.withColumn(
+                    f"{alias}_{name}",
+                    hist_quantile_expr(alias, q, lo, hi, nb),
+                )
     for name, (s, c) in (avg_pairs or {}).items():
         df = df.withColumn(
             name, F.col(s).cast("double") / F.col(c).cast("double")

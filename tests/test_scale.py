@@ -641,3 +641,48 @@ def test_latest_and_topk_lower_to_window_group_limit(spark):
         assert plan.count("WindowGroupLimit") >= 2, \
             f"{name}: rank filter did not lower to WindowGroupLimit\n{plan}"
         assert "Partial" in plan and "Final" in plan
+
+
+def test_rollup_hist_kind_exact_merge_and_quantiles(spark, tmp_path):
+    """The hist rollup column merges EXACTLY (vector add is a monoid:
+    3-batch incremental bins == one-shot recompute bins, bit-for-bit)
+    and the read-time p50/p90 estimates land within one bin width of
+    the true percentiles."""
+    from pyspark.sql import functions as F
+
+    from elusion_spark.sinks.maintenance import read_rollup, update_rollup
+
+    df = spark.range(0, 30_000).selectExpr(
+        "CAST(id % 3 AS STRING) AS g",
+        "CAST(pmod(xxhash64(id), 1000) AS DOUBLE) AS v",
+    )
+    spec = {"n": ("count", None),
+            "vh": ("hist", "v", 0.0, 1000.0, 50)}
+    store = str(tmp_path / "hist_store")
+    for lo, hi in ((0, 10_000), (10_000, 20_000), (20_000, 30_000)):
+        update_rollup(spark, store,
+                      df.filter(f"id >= {lo} AND id < {hi}"), ["g"], spec)
+
+    got = {r["g"]: (r["n"], r["vh"], r["vh_p50"], r["vh_p90"])
+           for r in read_rollup(spark, store, spec).collect()}
+
+    # one-shot recompute of the same bins
+    idx = F.least(F.greatest(F.floor(F.col("v") / 20.0), F.lit(0)),
+                  F.lit(49))
+    direct = df.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.array(*[F.sum(F.when(idx == i, 1).otherwise(0)).cast("bigint")
+                  for i in range(50)]).alias("vh"),
+    )
+    want = {r["g"]: (r["n"], r["vh"]) for r in direct.collect()}
+    truth = {r["g"]: (r["p50"], r["p90"]) for r in df.groupBy("g").agg(
+        F.expr("percentile(v, 0.5)").alias("p50"),
+        F.expr("percentile(v, 0.9)").alias("p90"),
+    ).collect()}
+    assert set(got) == set(want)
+    for g in want:
+        n, bins = want[g]
+        gn, gbins, p50, p90 = got[g]
+        assert (gn, gbins) == (n, bins), f"group {g}: bins diverged"
+        assert abs(p50 - truth[g][0]) <= 20.0 + 1e-9   # one bin width
+        assert abs(p90 - truth[g][1]) <= 20.0 + 1e-9
