@@ -3861,6 +3861,160 @@ def q108(spark, sf):
     )
 
 
+@q(
+    "q109_order_priority",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q109(spark, sf):
+    """TPC-H Q4 shape (order priority checking): orders in a quarter
+    with at least one lineitem shipped AFTER the order date, counted
+    per priority — a mixed equi + non-equi LEFT SEMI through the
+    builder (Spark plans the equi key as the join, the date comparison
+    as the join condition residual; the oracle says EXISTS)."""
+    o = _t(spark, sf, "orders", "o")
+    li = _t(spark, sf, "lineitem", "l")
+    return (
+        o.join(li, ["o.o_orderkey = l.l_orderkey",
+                    "l.l_shipdate > o.o_orderdate"], "LEFT SEMI")
+        .filter_many([
+            "o.o_orderdate >= '1996-01-01'",
+            "o.o_orderdate < '1996-04-01'",
+        ])
+        .select(["o.o_orderpriority AS o_orderpriority"])
+        .agg(["CAST(COUNT(*) AS BIGINT) AS order_count"])
+        .group_by_all()
+        .to_spark()
+    )
+
+
+@q(
+    "q110_priority_shipping_mix",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q110(spark, sf):
+    """TPC-H Q12 shape (shipping-priority mix): two complementary
+    conditional counts over an orders⋈lineitem year — the CASE-in-agg
+    path with IN / NOT IN lists, exact integer sums."""
+    o = _t(spark, sf, "orders", "o")
+    li = _t(spark, sf, "lineitem", "l")
+    return (
+        o.join(li, ["o.o_orderkey = l.l_orderkey"], "INNER")
+        .filter_many([
+            "l.l_shipdate >= '1996-01-01'",
+            "l.l_shipdate < '1997-01-01'",
+        ])
+        .select(["l.l_returnflag AS l_returnflag"])
+        .agg([
+            "CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')"
+            " THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count",
+            "CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT',"
+            " '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count",
+        ])
+        .group_by_all()
+        .to_spark()
+    )
+
+
+_Q111_QTY = 150
+
+@q(
+    "q111_large_volume_customer",
+    f"""
+    WITH big AS (
+        SELECT l_orderkey, {DSUM('l_quantity')} AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > {_Q111_QTY}
+    )
+    SELECT c.c_custkey AS c_custkey, o.o_orderkey AS o_orderkey,
+           o.o_totalprice AS o_totalprice, big.sum_qty AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+    """,
+)
+def q111(spark, sf):
+    """TPC-H Q18 shape (large-volume customers): orders whose TOTAL
+    lineitem quantity clears a threshold, joined back to their
+    customers — grouped-HAVING feeding a join (the oracle's IN-over-
+    grouped-subquery), top-100 by price with an orderkey tiebreak."""
+    c = _t(spark, sf, "customer", "c")
+    o = _t(spark, sf, "orders", "o")
+    li = _t(spark, sf, "lineitem", "l")
+    big = (
+        li.select(["l.l_orderkey AS l_orderkey"])
+        .agg([f"{DSUM('l.l_quantity')} AS sum_qty"])
+        .group_by_all()
+        .having(f"SUM(l.l_quantity) > {_Q111_QTY}")
+        .elusion("big")
+    )
+    return (
+        c.join_many([
+            (o, ["c.c_custkey = o.o_custkey"], "INNER"),
+            (big, ["o.o_orderkey = big.l_orderkey"], "INNER"),
+        ])
+        .select([
+            "c.c_custkey AS c_custkey",
+            "o.o_orderkey AS o_orderkey",
+            "o.o_totalprice AS o_totalprice",
+            "big.sum_qty AS sum_qty",
+        ])
+        .order_by_many([("o_totalprice", "DESC"), ("o_orderkey", "ASC")])
+        .limit(100)
+        .to_spark()
+    )
+
+
+@q(
+    "q112_supplier_part_counts",
+    """
+    SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13' AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 7, 14, 23, 36, 45)
+    GROUP BY p_brand, p_size
+    """,
+)
+def q112(spark, sf):
+    """TPC-H Q16 shape (supplier-part relationship): distinct suppliers
+    per surviving (brand, size) after negative predicates (<>,
+    NOT LIKE) and an IN size list — count-distinct over a join with
+    pushdown-able exclusions."""
+    p = _t(spark, sf, "part", "p")
+    li = _t(spark, sf, "lineitem", "l")
+    return (
+        p.join(li, ["p.p_partkey = l.l_partkey"], "INNER")
+        .filter_many([
+            "p.p_brand <> 'Brand#13'",
+            "p.p_type NOT LIKE 'PROMO%'",
+            "p.p_size IN (1, 7, 14, 23, 36, 45)",
+        ])
+        .select(["p.p_brand AS p_brand", "p.p_size AS p_size"])
+        .agg(["CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt"])
+        .group_by_all()
+        .to_spark()
+        .withColumn("p_size", F.col("p_size").cast("bigint"))
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -3880,6 +4034,8 @@ _NEEDS_EVIDENCE = [
     "q101_batched_hybrid", "q102_latest_by_key", "q103_top_k_per_group",
     "q104_url_filter", "q105_assign_shards", "q106_ohlc_resample",
     "q107_gapfill_linear", "q108_best_quality_dedup",
+    "q109_order_priority", "q110_priority_shipping_mix",
+    "q111_large_volume_customer", "q112_supplier_part_counts",
     "q93_hybrid_search", "q91_bm25_search",
     "q96_fuzzy_match", "q87_event_rate_anomaly", "q88_order_gap_stats",
     "q89_funnel", "q90_cohort_retention", "q95_mad_outliers",

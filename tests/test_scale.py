@@ -265,6 +265,13 @@ SHUFFLE_BUDGETS = {
     "q105_assign_shards": 1,
     # single bucket-agg pass; open/close are min_by/max_by, no window
     "q106_ohlc_resample": 1,
+    # TPC-H analogs: semi/inner join + one partial->final agg exchange
+    "q109_order_priority": 1,
+    "q110_priority_shipping_mix": 1,
+    # grouped-HAVING build side + the customer join + TakeOrdered
+    "q111_large_volume_customer": 2,
+    # count-distinct expand + agg; part dim broadcasts
+    "q112_supplier_part_counts": 2,
     # the series-key partitioning is established once and REUSED by the
     # span agg, grid join, and fill window (subset-of-keys clustering)
     "q107_gapfill_linear": 2,
