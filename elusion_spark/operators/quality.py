@@ -90,6 +90,8 @@ def check_constraints(
         {"name": ..., "kind": "custom",    "predicate": sql_bool}
         {"name": ..., "kind": "unique",    "col": c}       # or cols=[...]
         {"name": ..., "kind": "ref", "col": c, "dim": DataFrame, "dim_col": d}
+        {"name": ..., "kind": "freshness", "col": ts,
+         "max_age_days": n, "as_of": dt_or_iso}   # as_of default: utcnow
 
     Semantics notes (SQL-constraint conventions):
 
@@ -97,6 +99,9 @@ def check_constraints(
       semantics — pair with ``not_null`` to forbid them);
     - ``ref`` ignores NULL foreign keys (SQL FK semantics — nullable
       FKs are legitimate; again pair with ``not_null`` to forbid);
+    - ``freshness`` is DATASET-level (deequ-style): the table passes
+      when ``MAX(col) >= as_of - max_age_days`` — one extra column in
+      the same single aggregation pass, reported as 0/1 violations;
     - ``approx=True`` swaps the exact distinct count in ``unique``
       rules for an HLL estimate (fixed-size aggregation state) and
       passes when the duplicate estimate is within the sketch's own
@@ -104,9 +109,10 @@ def check_constraints(
       100 TB scale, not individual duplicate rows."""
     spark = df.sparkSession
     row_local = [r for r in rules
-                 if r["kind"] not in ("unique", "ref")]
+                 if r["kind"] not in ("unique", "ref", "freshness")]
     uniques = [r for r in rules if r["kind"] == "unique"]
     refs = [r for r in rules if r["kind"] == "ref"]
+    fresh = [r for r in rules if r["kind"] == "freshness"]
 
     aggs = [F.count(F.lit(1)).alias("__total")]
     for i, r in enumerate(row_local):
@@ -137,6 +143,8 @@ def check_constraints(
                     f"__u{i}"
                 )
             )
+    for i, r in enumerate(fresh):
+        aggs.append(F.max(df[r["col"]]).alias(f"__f{i}"))
     head = df.agg(*aggs).collect()[0]
     total = int(head["__total"])
 
@@ -153,6 +161,25 @@ def check_constraints(
         else:
             v = int(head[f"__u{i}"] or 0)
             rows.append((r["name"], "unique", v, total, v == 0))
+    for i, r in enumerate(fresh):
+        import datetime as _dt
+
+        mx = head[f"__f{i}"]
+        as_of = r.get("as_of") or _dt.datetime.now(_dt.timezone.utc).replace(
+            tzinfo=None
+        )
+        if isinstance(as_of, str):
+            as_of = _dt.datetime.fromisoformat(as_of)
+        if isinstance(as_of, _dt.date) and not isinstance(as_of, _dt.datetime):
+            as_of = _dt.datetime.combine(as_of, _dt.time())
+        bound = as_of - _dt.timedelta(days=float(r["max_age_days"]))
+        if mx is not None and isinstance(mx, _dt.date) and not isinstance(
+            mx, _dt.datetime
+        ):
+            mx = _dt.datetime.combine(mx, _dt.time())
+        # dataset-level rule: 1 violation = the whole table is stale
+        stale = mx is None or mx < bound
+        rows.append((r["name"], "freshness", int(stale), total, not stale))
     for r in refs:
         dim_keys = F.broadcast(
             r["dim"].select(r["dim"][r["dim_col"]].alias("__k")).distinct()

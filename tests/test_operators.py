@@ -2218,3 +2218,35 @@ def test_dedup_keep_cluster_best_quality(spark):
         docs, min_quality=0.0, min_tokens=1, near_dup_threshold=0.5,
         exact_first=False, keep="best_quality")
     assert out_min.count() >= 1 and out_best.count() == out_min.count()
+
+
+def test_check_constraints_freshness_rule(spark):
+    """Dataset-level freshness: passes when MAX(ts) is within the
+    window of as_of, fails when stale or when the column is all-NULL;
+    rides the same single aggregation pass."""
+    import datetime as dt
+
+    from elusion_spark.operators.quality import check_constraints
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 10)), (2, dt.datetime(2024, 1, 14))],
+        "id long, ts timestamp",
+    )
+    rules = [
+        {"name": "fresh_ok", "kind": "freshness", "col": "ts",
+         "max_age_days": 3, "as_of": "2024-01-16"},
+        {"name": "fresh_stale", "kind": "freshness", "col": "ts",
+         "max_age_days": 1, "as_of": "2024-01-16"},
+    ]
+    rep = {r["rule"]: (r["violations"], r["pass"])
+           for r in check_constraints(df, rules).collect()}
+    assert rep == {"fresh_ok": (0, True), "fresh_stale": (1, False)}
+
+    empty_ts = spark.createDataFrame(
+        [(1, None)], "id long, ts timestamp"
+    )
+    rep2 = check_constraints(empty_ts, [
+        {"name": "f", "kind": "freshness", "col": "ts",
+         "max_age_days": 365, "as_of": "2024-01-16"},
+    ]).collect()[0]
+    assert rep2["pass"] is False
