@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     "q103_top_k_per_group",   # per-group quality cut via WindowGroupLimit
     "q106_ohlc_resample",     # OHLC candlesticks in one min_by/max_by agg pass
     "q107_gapfill_linear",    # dense time grid + linear interpolation
+    "q113_forecast_revenue",  # TPC-H Q6: pure scan-filter-agg (pushdown probe)
+    "q115_market_share",      # TPC-H Q8: 8-way join + conditional ratio
+    "q121_waiting_suppliers", # TPC-H Q21: EXISTS + NOT EXISTS quantifier pair
     "q46_training_corpus",    # end-to-end curation composite (9 stages)
 ]
 

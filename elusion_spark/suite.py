@@ -4015,6 +4015,387 @@ def q112(spark, sf):
     )
 
 
+@q(
+    "q113_forecast_revenue",
+    f"""
+    SELECT {DSUM('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q113(spark, sf):
+    """TPC-H Q6 shape (forecasting revenue change): a pure scan-filter-
+    aggregate with three pushdown-able range predicates and a single
+    global sum — the canonical full-scan probe.  Every predicate reaches
+    the parquet scan (PushedFilters); the aggregate is one exact-decimal
+    partial per partition + one counter-row merge, zero data shuffles."""
+    li = _t(spark, sf, "lineitem", "l")
+    return (
+        li.filter_many([
+            "l.l_shipdate >= '1996-01-01'",
+            "l.l_shipdate < '1997-01-01'",
+            "l.l_discount BETWEEN 0.05 AND 0.07",
+            "l.l_quantity < 24",
+        ])
+        .agg([f"{DSUM('l.l_extendedprice * l.l_discount')} AS revenue"])
+        .group_by_all()
+        .to_spark()
+    )
+
+
+@q(
+    "q114_nation_volume_shipping",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+           {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+           OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, CAST(YEAR(l_shipdate) AS BIGINT)
+    """,
+)
+def q114(spark, sf):
+    """TPC-H Q7 shape (volume shipping between nation pairs): the same
+    dimension table joined TWICE under different aliases (supplier
+    nation vs customer nation) with a symmetric OR pair predicate —
+    exercises alias-scoped resolution across duplicate base tables.
+    Both nation copies broadcast; the pair predicate prunes post-join
+    (it spans both copies so it cannot push into either scan alone)."""
+    s = _t(spark, sf, "supplier", "s")
+    li = _t(spark, sf, "lineitem", "l")
+    o = _t(spark, sf, "orders", "o")
+    c = _t(spark, sf, "customer", "c")
+    n1 = _t(spark, sf, "nation", "n1").broadcast()
+    n2 = _t(spark, sf, "nation", "n2").broadcast()
+    return (
+        s.join_many([
+            (li, ["s.s_suppkey = l.l_suppkey"], "INNER"),
+            (o, ["l.l_orderkey = o.o_orderkey"], "INNER"),
+            (c, ["o.o_custkey = c.c_custkey"], "INNER"),
+            (n1, ["s.s_nationkey = n1.n_nationkey"], "INNER"),
+            (n2, ["c.c_nationkey = n2.n_nationkey"], "INNER"),
+        ])
+        .filter_many([
+            "((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')"
+            " OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))",
+            "l.l_shipdate >= '1996-01-01'",
+            "l.l_shipdate < '1998-01-01'",
+        ])
+        .select([
+            "n1.n_name AS supp_nation",
+            "n2.n_name AS cust_nation",
+            "CAST(YEAR(l.l_shipdate) AS BIGINT) AS l_year",
+        ])
+        .agg([f"{DSUM('l.l_extendedprice * (1 - l.l_discount)')} AS revenue"])
+        .group_by([
+            "n1.n_name", "n2.n_name",
+            "CAST(YEAR(l.l_shipdate) AS BIGINT)",
+        ])
+        .to_spark()
+    )
+
+
+@q(
+    "q115_market_share",
+    """
+    SELECT o_year,
+           CAST(SUM(CAST(CASE WHEN nation = 'NATION_6' THEN volume
+                              ELSE 0.0 END AS DECIMAL(38,9))) AS DOUBLE)
+           / CAST(SUM(CAST(volume AS DECIMAL(38,9))) AS DOUBLE)
+               AS mkt_share
+    FROM (
+        SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+          AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+    ) allnations
+    GROUP BY o_year
+    """,
+)
+def q115(spark, sf):
+    """TPC-H Q8 shape (national market share): an 8-way join (nation
+    twice: the customer side gates on region, the supplier side labels
+    the share) feeding a ratio of conditional to total volume per year.
+    Built as a nested derived table (`.elusion()`) so the share is a
+    single grouped pass over the joined rows; all four dimensions
+    broadcast, the only data-sized shuffle is the grouped ratio."""
+    p = _t(spark, sf, "part", "p").broadcast()
+    li = _t(spark, sf, "lineitem", "l")
+    s = _t(spark, sf, "supplier", "s").broadcast()
+    o = _t(spark, sf, "orders", "o")
+    c = _t(spark, sf, "customer", "c")
+    n1 = _t(spark, sf, "nation", "n1").broadcast()
+    n2 = _t(spark, sf, "nation", "n2").broadcast()
+    r = _t(spark, sf, "region", "r").broadcast()
+    an = (
+        p.join_many([
+            (li, ["p.p_partkey = l.l_partkey"], "INNER"),
+            (s, ["l.l_suppkey = s.s_suppkey"], "INNER"),
+            (o, ["l.l_orderkey = o.o_orderkey"], "INNER"),
+            (c, ["o.o_custkey = c.c_custkey"], "INNER"),
+            (n1, ["c.c_nationkey = n1.n_nationkey"], "INNER"),
+            (r, ["n1.n_regionkey = r.r_regionkey"], "INNER"),
+            (n2, ["s.s_nationkey = n2.n_nationkey"], "INNER"),
+        ])
+        .filter_many([
+            "r.r_name = 'AMERICA'",
+            "p.p_type = 'ECONOMY'",
+            "o.o_orderdate >= '1996-01-01'",
+            "o.o_orderdate < '1998-01-01'",
+        ])
+        .select([
+            "CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year",
+            "l.l_extendedprice * (1 - l.l_discount) AS volume",
+            "n2.n_name AS nation",
+        ])
+        .elusion("an")
+    )
+    return (
+        an.select(["an.o_year AS o_year"])
+        .agg([
+            "CAST(SUM(CAST(CASE WHEN an.nation = 'NATION_6' THEN an.volume"
+            " ELSE 0.0 END AS DECIMAL(38,9))) AS DOUBLE)"
+            " / CAST(SUM(CAST(an.volume AS DECIMAL(38,9))) AS DOUBLE)"
+            " AS mkt_share",
+        ])
+        .group_by_all()
+        .to_spark()
+    )
+
+
+@q(
+    "q116_product_profit",
+    f"""
+    SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+           {DSUM('l_extendedprice * (1 - l_discount) - '
+                 'p_retailprice * l_quantity * 0.01')} AS sum_profit
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, CAST(YEAR(o_orderdate) AS BIGINT)
+    """,
+)
+def q116(spark, sf):
+    """TPC-H Q9 shape (product-type profit): profit per supplier nation
+    per year over a name-pattern part slice.  The testdata has no
+    partsupp table, so supply cost is modeled as 1% of retail price —
+    same arithmetic shape (revenue minus a part-priced cost term inside
+    the exact-decimal sum; reference README's profit example).  part
+    prunes FIRST (LIKE on the broadcast side), so the fact scan joins
+    against an already-filtered build."""
+    p = _t(spark, sf, "part", "p").broadcast()
+    li = _t(spark, sf, "lineitem", "l")
+    s = _t(spark, sf, "supplier", "s").broadcast()
+    o = _t(spark, sf, "orders", "o")
+    n = _t(spark, sf, "nation", "n").broadcast()
+    profit = ("l.l_extendedprice * (1 - l.l_discount) - "
+              "p.p_retailprice * l.l_quantity * 0.01")
+    return (
+        p.join_many([
+            (li, ["p.p_partkey = l.l_partkey"], "INNER"),
+            (s, ["l.l_suppkey = s.s_suppkey"], "INNER"),
+            (o, ["l.l_orderkey = o.o_orderkey"], "INNER"),
+            (n, ["s.s_nationkey = n.n_nationkey"], "INNER"),
+        ])
+        .filter("p.p_name LIKE '%widget%'")
+        .select([
+            "n.n_name AS nation",
+            "CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year",
+        ])
+        .agg([f"{DSUM(profit)} AS sum_profit"])
+        .group_by(["n.n_name", "CAST(YEAR(o.o_orderdate) AS BIGINT)"])
+        .to_spark()
+    )
+
+
+@q(
+    "q117_customer_distribution",
+    """
+    WITH co AS (
+        SELECT c_custkey,
+               CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM co GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q117(spark, sf):
+    """TPC-H Q13 shape (customer order-count distribution): a LEFT
+    join whose EXTRA predicate lives in the ON clause (so no-order and
+    all-urgent customers both survive with count 0), then a histogram
+    of the per-customer counts — two grouped passes, the second over
+    |customers| rows keyed by a small-domain integer."""
+    c = _t(spark, sf, "customer", "c")
+    o = _t(spark, sf, "orders", "o")
+    co = (
+        c.join(o, ["c.c_custkey = o.o_custkey",
+                   "o.o_orderpriority <> '1-URGENT'"], "LEFT")
+        .select(["c.c_custkey AS c_custkey"])
+        .agg(["CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count"])
+        .group_by_all()
+        .elusion("co")
+    )
+    return (
+        co.select(["co.c_count AS c_count"])
+        .agg(["CAST(COUNT(*) AS BIGINT) AS custdist"])
+        .group_by_all()
+        .order_by_many([("custdist", "DESC"), ("c_count", "DESC")])
+        .to_spark()
+    )
+
+
+_Q118_SQL = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(38,9))) AS DOUBLE) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@q("q118_top_supplier", _Q118_SQL)
+def q118(spark, sf):
+    """TPC-H Q15 shape (top supplier): a revenue CTE referenced twice —
+    once as the join probe, once inside a scalar MAX subquery — through
+    the raw-SQL surface.  Catalyst evaluates the one-row MAX and
+    broadcasts it as a filter; the equality is safe because both sides
+    derive the revenue from the same exact-decimal sum (bit-identical
+    doubles).  Reference: elusion.rs raw-SQL CTE examples."""
+    li = _t(spark, sf, "lineitem", "lineitem")
+    s = _t(spark, sf, "supplier", "supplier")
+    return execute_raw_sql(
+        _Q118_SQL, "q118", {"lineitem": li, "supplier": s}, spark
+    ).to_spark()
+
+
+_Q119_SQL = """
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,9))) AS DOUBLE)
+            / 7.0 AS DOUBLE) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#13' AND p_size <= 25
+  AND l_quantity < (
+      SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(38,9)))
+                         AS DOUBLE) / COUNT(*))
+      FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@q("q119_small_quantity_revenue", _Q119_SQL)
+def q119(spark, sf):
+    """TPC-H Q17 shape (small-quantity-order revenue): a CORRELATED
+    scalar subquery — each part's average order quantity gates its own
+    lineitems.  Catalyst decorrelates to an aggregate-then-join (the
+    same plan DuckDB builds), so the identical ANSI text runs on both
+    engines.  The mean is written as exact-decimal SUM / COUNT rather
+    than AVG so the threshold double is partitioning-independent."""
+    li = _t(spark, sf, "lineitem", "lineitem")
+    p = _t(spark, sf, "part", "part")
+    return execute_raw_sql(
+        _Q119_SQL, "q119", {"lineitem": li, "part": p}, spark
+    ).to_spark()
+
+
+_Q120_SQL = """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,9))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_nationkey IN (3, 7, 13, 17, 21)
+  AND c_acctbal > (
+      SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(38,9))) AS DOUBLE)
+             / COUNT(*)
+      FROM customer c2
+      WHERE c2.c_acctbal > 0.0 AND c2.c_nationkey IN (3, 7, 13, 17, 21))
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+
+
+@q("q120_sales_opportunity", _Q120_SQL)
+def q120(spark, sf):
+    """TPC-H Q22 shape (global sales opportunity): customers in a key
+    list with above-average positive balances and NO orders — an
+    uncorrelated scalar threshold PLUS a correlated NOT EXISTS
+    (anti-join) in one predicate.  The anti side joins on the orders
+    key only (never widens), and the scalar mean is the exact-decimal
+    SUM/COUNT form so the cut is engine-identical."""
+    c = _t(spark, sf, "customer", "customer")
+    o = _t(spark, sf, "orders", "orders")
+    return execute_raw_sql(
+        _Q120_SQL, "q120", {"customer": c, "orders": o}, spark
+    ).to_spark()
+
+
+_Q121_SQL = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAYS
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAYS)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+@q("q121_waiting_suppliers", _Q121_SQL)
+def q121(spark, sf):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the double
+    correlated-quantifier query — EXISTS (another supplier touched the
+    order) AND NOT EXISTS (any OTHER supplier was also late), both
+    correlated on the outer lineitem AND the outer order's date.  The
+    testdata has no receipt/commit dates, so "late" is shipped >60 days
+    after the order date — same quantifier structure.  Catalyst plans
+    the pair as LEFT SEMI + LEFT ANTI over the fact's join key; the
+    deterministic (numwait, name) order makes the LIMIT stable."""
+    s = _t(spark, sf, "supplier", "supplier")
+    li = _t(spark, sf, "lineitem", "lineitem")
+    o = _t(spark, sf, "orders", "orders")
+    return execute_raw_sql(
+        _Q121_SQL, "q121", {"supplier": s, "lineitem": li, "orders": o},
+        spark,
+    ).to_spark()
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -4036,6 +4417,11 @@ _NEEDS_EVIDENCE = [
     "q107_gapfill_linear", "q108_best_quality_dedup",
     "q109_order_priority", "q110_priority_shipping_mix",
     "q111_large_volume_customer", "q112_supplier_part_counts",
+    "q113_forecast_revenue", "q114_nation_volume_shipping",
+    "q115_market_share", "q116_product_profit",
+    "q117_customer_distribution", "q118_top_supplier",
+    "q119_small_quantity_revenue", "q120_sales_opportunity",
+    "q121_waiting_suppliers",
     "q93_hybrid_search", "q91_bm25_search",
     "q96_fuzzy_match", "q87_event_rate_anomaly", "q88_order_gap_stats",
     "q89_funnel", "q90_cohort_retention", "q95_mad_outliers",
