@@ -4396,6 +4396,93 @@ def q121(spark, sf):
     ).to_spark()
 
 
+_Q122_SQL = """
+SELECT DISTINCT s_acctbal, s_name, n_name AS nation,
+       CAST(p_partkey AS BIGINT) AS p_partkey, p_brand
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_size = 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+  AND s_acctbal = (
+      SELECT MIN(s2.s_acctbal)
+      FROM supplier s2
+      JOIN lineitem l2 ON s2.s_suppkey = l2.l_suppkey
+      JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, p_partkey, s_name
+"""
+
+
+@q("q122_min_cost_supplier", _Q122_SQL)
+def q122(spark, sf):
+    """TPC-H Q2 shape (minimum-cost supplier): for each qualifying part,
+    the EU supplier with the minimum account balance among the
+    suppliers that actually shipped it — a correlated scalar MIN whose
+    subquery repeats the outer's 3-dim join.  The testdata has no
+    partsupp, so lineitem is the part-supplier bridge (DISTINCT
+    collapses its multiplicity; balances are stored doubles compared
+    without arithmetic, so the equality is engine-exact).  Catalyst
+    decorrelates to a per-part aggregate joined back — both sides of
+    that join prune on the same region/size/type predicates first."""
+    p = _t(spark, sf, "part", "part")
+    li = _t(spark, sf, "lineitem", "lineitem")
+    s = _t(spark, sf, "supplier", "supplier")
+    n = _t(spark, sf, "nation", "nation")
+    r = _t(spark, sf, "region", "region")
+    return execute_raw_sql(
+        _Q122_SQL, "q122",
+        {"part": p, "lineitem": li, "supplier": s, "nation": n,
+         "region": r}, spark,
+    ).to_spark()
+
+
+_Q123_SQL = """
+WITH shipped AS (
+    SELECT l_suppkey, l_partkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,9))) AS DOUBLE) AS qty
+    FROM lineitem
+    WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+      AND l_partkey IN (SELECT p_partkey FROM part
+                        WHERE p_name LIKE 'small%')
+    GROUP BY l_suppkey, l_partkey
+),
+part_total AS (
+    SELECT l_partkey,
+           CAST(SUM(CAST(qty AS DECIMAL(38,9))) AS DOUBLE) AS total_qty
+    FROM shipped GROUP BY l_partkey
+)
+SELECT DISTINCT s_name, n_name AS nation
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM shipped JOIN part_total USING (l_partkey)
+    WHERE qty > 0.3 * total_qty)
+ORDER BY s_name
+"""
+
+
+@q("q123_part_promotion_suppliers", _Q123_SQL)
+def q123(spark, sf):
+    """TPC-H Q20 shape (potential part promotion): suppliers holding a
+    dominant share of a name-pattern part's yearly shipments — nested
+    IN subqueries three deep (supplier ← shipped-share ← part-name
+    list) with a share threshold replacing partsupp availability.
+    Exercises IN-subquery-to-semi-join planning at two levels plus a
+    USING join between two grouped CTEs over the same scan (reused
+    exchange).  With q113-q122 this completes all 22 classic TPC-H
+    query shapes adapted to the testdata star schema."""
+    li = _t(spark, sf, "lineitem", "lineitem")
+    p = _t(spark, sf, "part", "part")
+    s = _t(spark, sf, "supplier", "supplier")
+    n = _t(spark, sf, "nation", "nation")
+    return execute_raw_sql(
+        _Q123_SQL, "q123",
+        {"lineitem": li, "part": p, "supplier": s, "nation": n}, spark,
+    ).to_spark()
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -4421,7 +4508,8 @@ _NEEDS_EVIDENCE = [
     "q115_market_share", "q116_product_profit",
     "q117_customer_distribution", "q118_top_supplier",
     "q119_small_quantity_revenue", "q120_sales_opportunity",
-    "q121_waiting_suppliers",
+    "q121_waiting_suppliers", "q122_min_cost_supplier",
+    "q123_part_promotion_suppliers",
     "q93_hybrid_search", "q91_bm25_search",
     "q96_fuzzy_match", "q87_event_rate_anomaly", "q88_order_gap_stats",
     "q89_funnel", "q90_cohort_retention", "q95_mad_outliers",
