@@ -1,0 +1,248 @@
+"""Distributed training of linear quality classifiers.
+
+The curation stack so far could only *apply* a trained filter head
+(``classifier_score``, the fastText/DCLM/FineWeb-Edu shape).  This module
+closes the loop: train the logistic-regression head ON the cluster, over
+a feature column, without any ML library — full-batch gradient descent
+where each iteration is exactly ONE aggregation job.
+
+Reference parity note: the reference engine (DataBora/elusion) has no
+training surface; this is a beyond-parity component of the
+training-data-pipeline family (same tier as dedup/ANN).
+
+100 TB design
+-------------
+- Per iteration: one scan producing ``dim + 2`` aggregate values (the
+  gradient vector, the bias gradient, the loss).  The driver holds only
+  the weight vector — O(dim) state, never row data.
+- The feature projection is persisted once and reused by every
+  iteration, so iterations after the first read cached columnar batches,
+  not the source.
+- Gradient sums go through ``CAST(... AS DECIMAL(38,18))`` partials:
+  exact fixed-point accumulation, so the learned weights are
+  bit-identical under ANY partitioning or execution order — training is
+  reproducible across cluster sizes (and matches a sequential oracle).
+- ``sample_fraction`` turns full-batch GD into deterministic
+  subsampled GD (Knuth-hash row selection) when even one pass per
+  iteration over the full corpus is too much.
+- The per-row gradient term is a codegen expression for ``dim <= 128``
+  (element_at products — JVM-side, no Python); wider heads switch to an
+  Arrow-batched pandas_udf that emits per-batch partial gradients
+  (numpy GEMV), reduced by the same grouped sum.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "DECIMAL(38,18)"
+
+
+@dataclass
+class LogRegModel:
+    """Trained head + training trace.  ``weights`` feed straight into
+    ``classifier_score`` (similarity.py) for the scoring/filter side."""
+
+    weights: list[float]
+    bias: float
+    n_rows: int
+    loss_history: list[float] = field(default_factory=list)
+
+    def score(self, df: DataFrame, vec_col: str, out_col: str = "score",
+              threshold: float | None = None) -> DataFrame:
+        from .similarity import classifier_score
+
+        return classifier_score(df, vec_col, self.weights, bias=self.bias,
+                                out_col=out_col, threshold=threshold)
+
+
+def _margin_expr(vec_col: str, weights: list[float], bias: float) -> str:
+    """w·x + b as a left-associated sum of element products — the exact
+    association order the SQL oracle replicates."""
+    terms = [
+        f"({w!r} * CAST(element_at({vec_col}, {j + 1}) AS DOUBLE))"
+        for j, w in enumerate(weights)
+    ]
+    expr = " + ".join(terms) if terms else "0.0"
+    if bias:
+        expr = f"({expr}) + {bias!r}"
+    return expr
+
+
+def train_logreg(
+    df: DataFrame,
+    features_col: str,
+    label_col: str,
+    dim: int,
+    iters: int = 10,
+    lr: float = 1.0,
+    l2: float = 0.0,
+    fit_bias: bool = True,
+    init_weights: list[float] | None = None,
+    init_bias: float = 0.0,
+    sample_fraction: float | None = None,
+    sample_id_col: str | None = None,
+    seed: int = 42,
+    track_loss: bool = True,
+) -> LogRegModel:
+    """Full-batch logistic regression via gradient descent.
+
+    ``df[features_col]`` is ``array<numeric>`` of length ``dim``;
+    ``df[label_col]`` is 0/1 (numeric).  Each iteration runs one
+    aggregation job; weights live on the driver (O(dim)).
+
+    Update rule (mean gradient, optional L2 on weights only)::
+
+        w  <-  w - lr * (sum((p - y) * x) / n + l2 * w)
+        b  <-  b - lr *  sum(p - y) / n
+
+    Deterministic: gradient/loss sums accumulate in DECIMAL(38,18), so
+    the result is independent of partitioning and matches a sequential
+    (or SQL-oracle) replay bit for bit, modulo last-ulp libm
+    differences in exp/log themselves.
+    """
+    if dim <= 0 or iters <= 0:
+        raise ValueError("dim and iters must be positive")
+    x, y = features_col, label_col
+    src = df
+    if sample_fraction is not None:
+        if not (0.0 < sample_fraction <= 1.0):
+            raise ValueError("sample_fraction must be in (0, 1]")
+        if sample_id_col is None:
+            raise ValueError(
+                "sample_fraction needs sample_id_col (content-stable "
+                "hash sampling — see pipeline.hash_sample)"
+            )
+        from ..pipeline import hash_sample  # deterministic row cut
+
+        src = hash_sample(df, sample_id_col, sample_fraction, salt=seed)
+    proj = src.select(
+        F.col(x).alias("__x"), F.col(y).cast("double").alias("__y")
+    ).persist()
+    try:
+        n = proj.count()
+        if n == 0:
+            raise ValueError("train_logreg: empty input")
+        w = [float(v) for v in (init_weights or [0.0] * dim)]
+        if len(w) != dim:
+            raise ValueError(f"init_weights must have length {dim}")
+        b = float(init_bias)
+        history: list[float] = []
+        for _ in range(iters):
+            margin = _margin_expr("__x", w, b)
+            p = f"(1.0 / (1.0 + exp(-({margin}))))"
+            aggs = [
+                F.expr(
+                    f"CAST(SUM(CAST(({p} - __y) * "
+                    f"CAST(element_at(__x, {j + 1}) AS DOUBLE) "
+                    f"AS {_DEC})) AS DOUBLE)"
+                ).alias(f"g{j}")
+                for j in range(dim)
+            ]
+            aggs.append(
+                F.expr(
+                    f"CAST(SUM(CAST({p} - __y AS {_DEC})) AS DOUBLE)"
+                ).alias("gb")
+            )
+            if track_loss:
+                # clamped cross-entropy: exact on the same doubles
+                aggs.append(
+                    F.expr(
+                        f"CAST(SUM(CAST(-(__y * log(greatest({p}, 1e-15))"
+                        f" + (1.0 - __y) * log(greatest(1.0 - {p}, 1e-15)))"
+                        f" AS {_DEC})) AS DOUBLE)"
+                    ).alias("loss")
+                )
+            row = proj.agg(*aggs).collect()[0]
+            w = [
+                w[j] - lr * (row[f"g{j}"] / n + l2 * w[j])
+                for j in range(dim)
+            ]
+            if fit_bias:
+                b = b - lr * (row["gb"] / n)
+            if track_loss:
+                history.append(row["loss"] / n)
+        return LogRegModel(weights=w, bias=b, n_rows=n,
+                           loss_history=history)
+    finally:
+        proj.unpersist()
+
+
+def train_logreg_wide(
+    df: DataFrame,
+    features_col: str,
+    label_col: str,
+    dim: int,
+    iters: int = 10,
+    lr: float = 1.0,
+    l2: float = 0.0,
+    fit_bias: bool = True,
+) -> LogRegModel:
+    """Wide-head variant (dim > ~128): per-Arrow-batch partial gradients
+    via numpy GEMV inside ``mapInPandas`` (one d-vector per batch), then
+    a tiny grouped reduce.  Loses the bit-exact partitioning invariance
+    of the expression path (numpy partials sum in batch order) — use for
+    embedding-width heads where that trade is obviously right."""
+    import numpy as np  # noqa: F401 — import guard up front
+    import pandas as pd
+
+    proj = df.select(
+        F.col(features_col).alias("x"),
+        F.col(label_col).cast("double").alias("y"),
+    ).persist()
+    try:
+        n = proj.count()
+        if n == 0:
+            raise ValueError("train_logreg_wide: empty input")
+        w = [0.0] * dim
+        b = 0.0
+        history: list[float] = []
+        for _ in range(iters):
+            W = np.asarray(w, dtype=np.float64)
+            bb = float(b)
+
+            def _partials(batches, W=W, bb=bb):
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    X = np.asarray(
+                        [np.asarray(v, dtype=np.float64) for v in pdf["x"]]
+                    )
+                    yv = pdf["y"].to_numpy(dtype=np.float64)
+                    p = 1.0 / (1.0 + np.exp(-(X @ W + bb)))
+                    err = p - yv
+                    loss = float(
+                        -np.sum(yv * np.log(np.maximum(p, 1e-15))
+                                + (1 - yv)
+                                * np.log(np.maximum(1 - p, 1e-15)))
+                    )
+                    # one (dim+2)-vector per Arrow batch:
+                    # [grad..., bias grad, loss] — a single grouped
+                    # reduce recovers all of them in ONE job
+                    yield pd.DataFrame({
+                        "g": [(err @ X).tolist()
+                              + [float(err.sum()), loss]],
+                    })
+
+            parts = proj.mapInPandas(_partials, "g array<double>")
+            grad = (
+                parts.select(F.posexplode("g").alias("j", "v"))
+                .groupBy("j")
+                .agg(F.sum("v").alias("g"))
+                .collect()
+            )
+            gvec = [0.0] * (dim + 2)
+            for r in grad:
+                gvec[r["j"]] = r["g"]
+            w = [w[j] - lr * (gvec[j] / n + l2 * w[j]) for j in range(dim)]
+            if fit_bias:
+                b = b - lr * (gvec[dim] / n)
+            history.append(gvec[dim + 1] / n)
+        return LogRegModel(weights=w, bias=b, n_rows=n,
+                           loss_history=history)
+    finally:
+        proj.unpersist()

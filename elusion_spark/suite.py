@@ -4483,6 +4483,78 @@ def q123(spark, sf):
     ).to_spark()
 
 
+_Q124_F1 = "LEAST(n_chars / 1000.0, 2.0)"
+_Q124_F2 = "(LENGTH(text) - LENGTH(REPLACE(text, 'e', ''))) / (n_chars + 1.0)"
+_Q124_F3 = "(LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) / (n_chars + 1.0)"
+_Q124_Y = "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END"
+_Q124_ITERS = 3
+
+
+def _q124_oracle() -> str:
+    """Unrolled full-batch gradient descent in pure SQL: each iteration
+    is one CTE whose weights are exact-decimal gradient means over the
+    previous iteration's scalar weights — the sequential replay of
+    train_logreg's distributed update, bit-comparable because both
+    engines accumulate (p - y)·x in DECIMAL(38,18)."""
+    feats = (f"SELECT {_Q124_F1} AS f1, {_Q124_F2} AS f2, "
+             f"{_Q124_F3} AS f3, 1.0 AS f4, {_Q124_Y} AS y FROM documents")
+    ws = ["0.0"] * 4
+    # AS MATERIALIZED is load-bearing: without it DuckDB inlines each
+    # iteration CTE at every scalar-subquery reference site, and the
+    # plan grows exponentially in the iteration count (measured: 3
+    # unrolled iterations plan for ~46 s inlined vs 0.06 s materialized)
+    ctes = [f"feats AS MATERIALIZED ({feats})",
+            "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM feats)"]
+    for it in range(1, _Q124_ITERS + 1):
+        margin = " + ".join(f"({w} * f{j + 1})" for j, w in enumerate(ws))
+        p = f"(1.0 / (1.0 + EXP(-({margin}))))"
+        sels = []
+        for j in range(4):
+            g = (f"CAST(SUM(CAST(({p} - y) * f{j + 1} "
+                 f"AS DECIMAL(38,18))) AS DOUBLE)")
+            sels.append(f"{ws[j]} - ({g} / (SELECT n FROM nn)) AS w{j + 1}")
+        ctes.append(f"it{it} AS MATERIALIZED (SELECT "
+                    + ", ".join(sels) + " FROM feats)")
+        ws = [f"(SELECT w{j + 1} FROM it{it})" for j in range(4)]
+    last = f"it{_Q124_ITERS}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(j AS BIGINT) AS feature,
+       ROUND(CASE j WHEN 1 THEN (SELECT w1 FROM {last})
+                    WHEN 2 THEN (SELECT w2 FROM {last})
+                    WHEN 3 THEN (SELECT w3 FROM {last})
+                    ELSE (SELECT w4 FROM {last}) END, 7) AS weight
+FROM (VALUES (1), (2), (3), (4)) AS t(j)
+ORDER BY feature
+"""
+    )
+
+
+@q("q124_train_quality_classifier", _q124_oracle())
+def q124(spark, sf):
+    """Distributed logistic-regression TRAINING (operators/train.py):
+    fit a 4-feature quality head (length, punctuation ratio, whitespace
+    ratio, intercept) predicting lang='en' over documents — 3 full-batch
+    GD iterations, each ONE aggregation job with DECIMAL(38,18) gradient
+    accumulation.  The oracle replays the whole optimization as unrolled
+    SQL CTEs (one per iteration); weights match to 7dp because the
+    decimal-exact sums make the update partitioning-independent.  The
+    scoring half of this loop is q67 (classifier_score)."""
+    from .operators.train import train_logreg
+
+    docs = _t(spark, sf, "documents", "d").df
+    feats = docs.selectExpr(
+        f"array({_Q124_F1}, {_Q124_F2}, {_Q124_F3}, 1.0) AS x",
+        f"{_Q124_Y} AS y",
+    )
+    m = train_logreg(feats, "x", "y", dim=4, iters=_Q124_ITERS, lr=1.0,
+                     fit_bias=False, track_loss=False)
+    return spark.createDataFrame(
+        [(j + 1, round(w, 7)) for j, w in enumerate(m.weights)],
+        "feature BIGINT, weight DOUBLE",
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -4509,7 +4581,7 @@ _NEEDS_EVIDENCE = [
     "q117_customer_distribution", "q118_top_supplier",
     "q119_small_quantity_revenue", "q120_sales_opportunity",
     "q121_waiting_suppliers", "q122_min_cost_supplier",
-    "q123_part_promotion_suppliers",
+    "q123_part_promotion_suppliers", "q124_train_quality_classifier",
     "q93_hybrid_search", "q91_bm25_search",
     "q96_fuzzy_match", "q87_event_rate_anomaly", "q88_order_gap_stats",
     "q89_funnel", "q90_cohort_retention", "q95_mad_outliers",

@@ -2250,3 +2250,95 @@ def test_check_constraints_freshness_rule(spark):
          "max_age_days": 365, "as_of": "2024-01-16"},
     ]).collect()[0]
     assert rep2["pass"] is False
+
+
+# ---------------------------------------------------------------------
+# operators/train.py — distributed logistic-regression training
+# ---------------------------------------------------------------------
+
+def _logreg_fixture(spark, n=4000):
+    from pyspark.sql import functions as F
+
+    # deterministic separable data: y = 1 iff 2a - b > 0
+    return (
+        spark.range(n)
+        .withColumn("a", (F.pmod(F.col("id") * 2654435761,
+                                 F.lit(1000)) / 500.0) - 1.0)
+        .withColumn("b", (F.pmod((F.col("id") + 7) * 40503,
+                                 F.lit(1000)) / 500.0) - 1.0)
+        .withColumn("x", F.array("a", "b"))
+        .withColumn("y", (F.col("a") * 2 - F.col("b") > 0).cast("int"))
+    )
+
+
+def test_train_logreg_learns_and_is_deterministic(spark):
+    """Loss decreases monotonically-ish, the learned boundary separates
+    >95% of a separable set, and the DECIMAL-accumulated gradients make
+    the weights BIT-identical under arbitrary repartitioning."""
+    from pyspark.sql import functions as F
+
+    from elusion_spark.operators.train import train_logreg
+
+    df = _logreg_fixture(spark)
+    m = train_logreg(df, "x", "y", dim=2, iters=30, lr=2.0)
+    assert m.n_rows == 4000
+    assert m.loss_history[-1] < m.loss_history[0] * 0.5
+    acc = (
+        m.score(df, "x")
+        .withColumn("pred", (F.col("score") > 0.5).cast("int"))
+        .filter("pred = y").count() / 4000
+    )
+    assert acc > 0.95
+    # sign structure of the true boundary 2a - b
+    assert m.weights[0] > 0 and m.weights[1] < 0
+
+    m2 = train_logreg(df.repartition(23), "x", "y", dim=2, iters=30,
+                      lr=2.0)
+    assert m2.weights == m.weights and m2.bias == m.bias
+
+
+def test_train_logreg_wide_matches_expression_path(spark):
+    """The Arrow-batched wide head converges to the same optimum as the
+    codegen-expression path (numpy partials lose bit-exactness, not
+    correctness)."""
+    from elusion_spark.operators.train import (train_logreg,
+                                               train_logreg_wide)
+
+    df = _logreg_fixture(spark, n=2000)
+    a = train_logreg(df, "x", "y", dim=2, iters=15, lr=1.0)
+    b = train_logreg_wide(df, "x", "y", dim=2, iters=15, lr=1.0)
+    for wa, wb in zip(a.weights, b.weights):
+        assert abs(wa - wb) < 1e-9
+    assert abs(a.bias - b.bias) < 1e-9
+
+
+def test_train_logreg_l2_shrinks_weights(spark):
+    from elusion_spark.operators.train import train_logreg
+
+    df = _logreg_fixture(spark, n=2000)
+    free = train_logreg(df, "x", "y", dim=2, iters=20, lr=1.0)
+    reg = train_logreg(df, "x", "y", dim=2, iters=20, lr=1.0, l2=0.5)
+    assert sum(w * w for w in reg.weights) < sum(
+        w * w for w in free.weights)
+
+
+def test_train_logreg_sampling_and_errors(spark):
+    import pytest as _pytest
+
+    from elusion_spark.operators.train import train_logreg
+
+    df = _logreg_fixture(spark, n=2000)
+    m = train_logreg(df, "x", "y", dim=2, iters=5, lr=1.0,
+                     sample_fraction=0.5, sample_id_col="id")
+    # Knuth cut keeps ~half, content-stable
+    assert 800 < m.n_rows < 1200
+    m2 = train_logreg(df.repartition(7), "x", "y", dim=2, iters=5,
+                      lr=1.0, sample_fraction=0.5, sample_id_col="id")
+    assert m2.n_rows == m.n_rows and m2.weights == m.weights
+
+    with _pytest.raises(ValueError):
+        train_logreg(df, "x", "y", dim=2, iters=5, sample_fraction=0.5)
+    with _pytest.raises(ValueError):
+        train_logreg(df, "x", "y", dim=0, iters=5)
+    with _pytest.raises(ValueError):
+        train_logreg(df.filter("id < 0"), "x", "y", dim=2, iters=1)
