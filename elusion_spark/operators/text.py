@@ -605,6 +605,96 @@ def repetition_signals(
     )
 
 
+def hashed_tf_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 256,
+    hash_fn: str = "xxhash64",
+    log_tf: bool = False,
+    l2_normalize: bool = False,
+    lowercase: bool = True,
+    out_col: str = "features",
+) -> DataFrame:
+    """Hashing-trick term-frequency featurizer: text → fixed-``dim``
+    dense vector, entirely in-engine (no vocabulary fit, no external
+    tokenizer/model) — the feature side of ``train_logreg`` and a
+    drop-in embedding substitute for the ANN/knn operators when no
+    learned embeddings exist yet.
+
+    Pipeline (all built-in expressions, no Python in the loop):
+    whitespace-split → bucket = hash(token) mod dim → per-(doc, bucket)
+    count with map-side partial aggregation → per-doc dense assembly via
+    a bucket→count map probed over ``sequence(0, dim-1)`` (so
+    ``collect_list`` order never matters).
+
+    Shuffle story at 100 TB: token explosion happens map-side; the only
+    exchanges carry ``(id, bucket, partial_count)`` then ``(id, dim
+    longs)`` — document bodies never shuffle.  One scan, two narrow
+    exchanges, output rows are ``dim`` numbers each.
+
+    ``hash_fn``:
+    - ``'xxhash64'`` (default): Spark's 64-bit hash — production choice.
+    - ``'portable'``: a (length, first-char, last-char) mixing function
+      expressible identically in ANSI SQL on any engine — collision-richer,
+      meant for cross-engine reproducibility (the suite oracle) and
+      auditability, same contract as ``hash_sample``'s Knuth form.
+
+    ``log_tf`` applies ``ln(1 + tf)``; ``l2_normalize`` scales to unit
+    norm (zero vectors stay zero).  Both default off so the base output
+    is exact integers.
+    """
+    if dim <= 0:
+        raise ValueError("dim must be positive")
+    if hash_fn not in ("xxhash64", "portable"):
+        raise ValueError("hash_fn must be 'xxhash64' or 'portable'")
+    txt = f"lower({text_col})" if lowercase else text_col
+    toks = (
+        df.select(F.col(id_col).alias("__id"),
+                  F.explode(F.expr(f"split({txt}, '\\\\s+')")).alias("__tok"))
+        .filter("__tok <> ''")
+    )
+    if hash_fn == "xxhash64":
+        bucket = F.expr(f"pmod(xxhash64(__tok), {dim})")
+    else:
+        bucket = F.expr(
+            f"pmod(CAST(length(__tok) AS BIGINT) * 1315423911"
+            f" + CAST(ascii(substring(__tok, 1, 1)) AS BIGINT) * 2654435761"
+            f" + CAST(ascii(substring(__tok, length(__tok), 1)) AS BIGINT)"
+            f" * 97, {dim})"
+        )
+    tf = (
+        toks.select("__id", bucket.cast("int").alias("__b"))
+        .groupBy("__id", "__b").agg(F.count("*").alias("__tf"))
+    )
+    vec = F.expr(
+        f"transform(sequence(0, {dim - 1}), "
+        f"b -> CAST(coalesce(element_at(__m, b), 0) AS DOUBLE))"
+    )
+    if log_tf:
+        vec = F.expr(
+            f"transform(sequence(0, {dim - 1}), "
+            f"b -> ln(1.0 + CAST(coalesce(element_at(__m, b), 0) AS DOUBLE)))"
+        )
+    out = (
+        tf.groupBy("__id")
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct("__b", "__tf"))).alias("__m"))
+        .select(F.col("__id").alias(id_col), vec.alias(out_col))
+    )
+    if l2_normalize:
+        nrm = (
+            f"sqrt(aggregate(transform({out_col}, v -> v * v), "
+            f"CAST(0 AS DOUBLE), (a, v) -> a + v))"
+        )
+        out = out.withColumn(
+            out_col,
+            F.expr(f"CASE WHEN {nrm} = 0.0 THEN {out_col} ELSE "
+                   f"transform({out_col}, v -> v / {nrm}) END"),
+        )
+    return out
+
+
 def bm25_score(
     df: DataFrame,
     query_terms: list[str],

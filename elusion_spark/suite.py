@@ -4555,6 +4555,60 @@ def q124(spark, sf):
     )
 
 
+_Q125_DIM = 16
+
+@q(
+    "q125_hashed_tf_features",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            FROM documents) t
+        WHERE tok <> ''
+    ), tf AS (
+        SELECT doc_id,
+               CAST((LENGTH(tok) * 1315423911
+                     + ASCII(SUBSTRING(tok, 1, 1)) * 2654435761
+                     + ASCII(SUBSTRING(tok, LENGTH(tok), 1)) * 97)
+                    % {_Q125_DIM} AS INT) AS b,
+               COUNT(*) AS c
+        FROM toks GROUP BY doc_id, b
+    ), grid AS (
+        SELECT d.doc_id, g.b
+        FROM (SELECT DISTINCT doc_id FROM toks) d,
+             (SELECT UNNEST(range({_Q125_DIM})) AS b) g
+    ), dense AS (
+        SELECT grid.doc_id, grid.b, COALESCE(tf.c, 0) AS c
+        FROM grid LEFT JOIN tf
+          ON grid.doc_id = tf.doc_id AND grid.b = tf.b
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           STRING_AGG(CAST(c AS VARCHAR), ',' ORDER BY b) AS features_str
+    FROM dense GROUP BY doc_id
+    """,
+)
+def q125(spark, sf):
+    """Hashing-trick featurizer (text.py hashed_tf_features): text →
+    dense {_Q125_DIM}-bucket term-frequency vector with the PORTABLE
+    mixing function, so DuckDB reproduces every bucket assignment from
+    the documented ANSI form (same auditable-hash contract as
+    hash_sample).  Counts stay exact integers; the vector is emitted
+    joined as a string because array cells break the driver's hash
+    compare.  Feeds train_logreg (q124) and the ANN family with
+    in-engine features when no learned embeddings exist."""
+    feats = TX.hashed_tf_features(
+        _t(spark, sf, "documents", "d").df,
+        dim=_Q125_DIM, hash_fn="portable",
+    )
+    return feats.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.expr("array_join(transform(features, "
+               "v -> CAST(CAST(v AS BIGINT) AS STRING)), ',')"
+               ).alias("features_str"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -4582,6 +4636,7 @@ _NEEDS_EVIDENCE = [
     "q119_small_quantity_revenue", "q120_sales_opportunity",
     "q121_waiting_suppliers", "q122_min_cost_supplier",
     "q123_part_promotion_suppliers", "q124_train_quality_classifier",
+    "q125_hashed_tf_features",
     "q93_hybrid_search", "q91_bm25_search",
     "q96_fuzzy_match", "q87_event_rate_anomaly", "q88_order_gap_stats",
     "q89_funnel", "q90_cohort_retention", "q95_mad_outliers",

@@ -2342,3 +2342,84 @@ def test_train_logreg_sampling_and_errors(spark):
         train_logreg(df, "x", "y", dim=0, iters=5)
     with _pytest.raises(ValueError):
         train_logreg(df.filter("id < 0"), "x", "y", dim=2, iters=1)
+
+
+def test_hashed_tf_features_counts_and_norms(spark):
+    """xxhash64-path counts match a driver-side replay of the same
+    hashing; log/l2 variants match numpy on the counted vector."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from elusion_spark.operators.text import hashed_tf_features
+
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b b b"), (3, "   "), (4, "x")],
+        "doc_id long, text string",
+    )
+    dim = 8
+    out = {r["doc_id"]: r["features"] for r in
+           hashed_tf_features(df, dim=dim).collect()}
+    # whitespace-only doc yields no tokens -> no feature row
+    assert set(out) == {1, 2, 4}
+    # replay the bucketing with Spark's own xxhash64 to get expectations
+    buckets = {r["t"]: r["b"] for r in spark.sql(
+        f"SELECT t, pmod(xxhash64(t), {dim}) AS b FROM "
+        "VALUES ('a'), ('b'), ('c'), ('x') AS v(t)").collect()}
+    exp1 = [0.0] * dim
+    exp1[buckets["a"]] += 2
+    exp1[buckets["b"]] += 1
+    exp1[buckets["c"]] += 1
+    assert out[1] == exp1
+    assert out[2][buckets["b"]] == 3.0 and sum(out[2]) == 3.0
+    assert sum(out[4]) == 1.0
+
+    logv = {r["doc_id"]: r["features"] for r in hashed_tf_features(
+        df, dim=dim, log_tf=True).collect()}
+    assert abs(logv[2][buckets["b"]] - math.log(4.0)) < 1e-12
+    l2 = {r["doc_id"]: r["features"] for r in hashed_tf_features(
+        df, dim=dim, l2_normalize=True).collect()}
+    assert abs(sum(v * v for v in l2[1]) - 1.0) < 1e-12
+
+
+def test_hashed_tf_features_portable_and_train_chain(spark):
+    """Portable hash is engine-reproducible (replayed in python here),
+    and the featurizer output feeds train_logreg end-to-end: a head
+    trained on hashed features separates a token-marked corpus."""
+    from pyspark.sql import functions as F
+
+    import pytest as _pytest
+
+    from elusion_spark.operators.text import hashed_tf_features
+    from elusion_spark.operators.train import train_logreg
+
+    dim = 32
+    rows = [(i, ("good text sample" if i % 2 == 0 else "bad junk noise")
+             + f" filler{i % 5}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    feats = hashed_tf_features(df, dim=dim, hash_fn="portable")
+
+    def bucket(tok):
+        return (len(tok) * 1315423911 + ord(tok[0]) * 2654435761
+                + ord(tok[-1]) * 97) % dim
+
+    row0 = feats.filter("doc_id = 0").collect()[0]["features"]
+    exp = [0.0] * dim
+    for t in "good text sample filler0".split():
+        exp[bucket(t)] += 1
+    assert row0 == exp
+
+    data = feats.join(
+        df.select("doc_id",
+                  (F.col("doc_id") % 2 == 0).cast("int").alias("y")),
+        "doc_id")
+    m = train_logreg(data, "features", "y", dim=dim, iters=25, lr=2.0)
+    acc = (m.score(data, "features")
+           .withColumn("p", (F.col("score") > 0.5).cast("int"))
+           .filter("p = y").count() / 200)
+    assert acc > 0.99
+
+    with _pytest.raises(ValueError):
+        hashed_tf_features(df, dim=0)
+    with _pytest.raises(ValueError):
+        hashed_tf_features(df, hash_fn="md5")
