@@ -84,6 +84,7 @@ def train_logreg(
     fit_bias: bool = True,
     init_weights: list[float] | None = None,
     init_bias: float = 0.0,
+    standardize: bool = False,
     sample_fraction: float | None = None,
     sample_id_col: str | None = None,
     seed: int = 42,
@@ -104,6 +105,14 @@ def train_logreg(
     the result is independent of partitioning and matches a sequential
     (or SQL-oracle) replay bit for bit, modulo last-ulp libm
     differences in exp/log themselves.
+
+    ``standardize=True`` z-scores every feature first (one extra
+    decimal-exact stats pass), runs GD in the well-conditioned
+    standardized space, and folds the weights BACK to raw-feature space
+    on return — so ``model.score`` applies to the original features and
+    badly-scaled inputs (raw counts next to ratios) no longer need
+    per-feature learning rates.  With L2, the penalty applies in
+    standardized space (the usual convention).
     """
     if dim <= 0 or iters <= 0:
         raise ValueError("dim and iters must be positive")
@@ -127,6 +136,32 @@ def train_logreg(
         n = proj.count()
         if n == 0:
             raise ValueError("train_logreg: empty input")
+        mu = sig = None
+        if standardize:
+            stats = proj.agg(*(
+                [F.expr(
+                    f"CAST(SUM(CAST(CAST(element_at(__x, {j + 1}) AS "
+                    f"DOUBLE) AS {_DEC})) AS DOUBLE)").alias(f"s{j}")
+                 for j in range(dim)]
+                + [F.expr(
+                    f"CAST(SUM(CAST(CAST(element_at(__x, {j + 1}) AS "
+                    f"DOUBLE) * CAST(element_at(__x, {j + 1}) AS DOUBLE)"
+                    f" AS {_DEC})) AS DOUBLE)").alias(f"q{j}")
+                   for j in range(dim)]
+            )).collect()[0]
+            mu = [stats[f"s{j}"] / n for j in range(dim)]
+            var = [stats[f"q{j}"] / n - mu[j] * mu[j] for j in range(dim)]
+            sig = [math.sqrt(v) if v > 1e-24 else 1.0 for v in var]
+            std_items = ", ".join(
+                f"((CAST(element_at(__x, {j + 1}) AS DOUBLE) - {mu[j]!r})"
+                f" / {sig[j]!r})"
+                for j in range(dim)
+            )
+            proj2 = proj.select(
+                F.expr(f"array({std_items})").alias("__x"), "__y"
+            ).persist()
+            proj.unpersist()
+            proj = proj2
         w = [float(v) for v in (init_weights or [0.0] * dim)]
         if len(w) != dim:
             raise ValueError(f"init_weights must have length {dim}")
@@ -173,6 +208,11 @@ def train_logreg(
                 b = b - lr * (row["gb"] / n)
             if track_loss:
                 history.append(row["loss"] / n)
+        if standardize:
+            # fold z-space weights back to raw-feature space:
+            # w_std·(x-μ)/σ + b  ==  (w_std/σ)·x + (b - Σ w_std·μ/σ)
+            b = b - sum(w[j] * mu[j] / sig[j] for j in range(dim))
+            w = [w[j] / sig[j] for j in range(dim)]
         return LogRegModel(weights=w, bias=b, n_rows=n,
                            loss_history=history)
     finally:

@@ -2423,3 +2423,37 @@ def test_hashed_tf_features_portable_and_train_chain(spark):
         hashed_tf_features(df, dim=0)
     with _pytest.raises(ValueError):
         hashed_tf_features(df, hash_fn="md5")
+
+
+def test_train_logreg_standardize(spark):
+    """Badly-scaled features (raw counts next to tiny ratios) are
+    unlearnable at a single lr without standardization; with
+    standardize=True the same budget converges, the returned weights
+    apply to RAW features (fold-back), and determinism still holds."""
+    from pyspark.sql import functions as F
+
+    from elusion_spark.operators.train import train_logreg
+
+    df = (
+        _logreg_fixture(spark, n=2000)
+        # x scaled wildly: [1000a, b/1000]; boundary still 2a - b > 0
+        .withColumn("x", F.array(F.col("a") * 1000.0,
+                                 F.col("b") / 1000.0))
+    )
+    raw = train_logreg(df, "x", "y", dim=2, iters=25, lr=0.5)
+    std = train_logreg(df, "x", "y", dim=2, iters=25, lr=0.5,
+                       standardize=True)
+    acc = {}
+    for name, m in (("raw", raw), ("std", std)):
+        acc[name] = (
+            m.score(df, "x")
+            .withColumn("p", (F.col("score") > 0.5).cast("int"))
+            .filter("p = y").count() / 2000
+        )
+    assert acc["std"] > 0.95
+    assert acc["std"] > acc["raw"] + 0.05
+    assert std.loss_history[-1] < raw.loss_history[-1]
+
+    m2 = train_logreg(df.repartition(31), "x", "y", dim=2, iters=25,
+                      lr=0.5, standardize=True)
+    assert m2.weights == std.weights and m2.bias == std.bias
