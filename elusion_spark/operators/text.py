@@ -12,6 +12,8 @@ Expressions are deliberately written with engine-portable primitives
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -612,6 +614,7 @@ def hashed_tf_features(
     dim: int = 256,
     hash_fn: str = "xxhash64",
     log_tf: bool = False,
+    idf: bool = False,
     l2_normalize: bool = False,
     lowercase: bool = True,
     out_col: str = "features",
@@ -640,9 +643,12 @@ def hashed_tf_features(
       meant for cross-engine reproducibility (the suite oracle) and
       auditability, same contract as ``hash_sample``'s Knuth form.
 
-    ``log_tf`` applies ``ln(1 + tf)``; ``l2_normalize`` scales to unit
-    norm (zero vectors stay zero).  Both default off so the base output
-    is exact integers.
+    ``log_tf`` applies ``ln(1 + tf)``; ``idf`` multiplies each bucket
+    by the smoothed inverse document frequency ``ln((N + 1) / (df_b +
+    1)) + 1`` (df is a second agg over the same (doc, bucket) counts —
+    ``dim`` rows total, folded in as literals, no join); ``l2_normalize``
+    scales to unit norm (zero vectors stay zero).  All default off so
+    the base output is exact integers.
     """
     if dim <= 0:
         raise ValueError("dim must be positive")
@@ -667,15 +673,32 @@ def hashed_tf_features(
         toks.select("__id", bucket.cast("int").alias("__b"))
         .groupBy("__id", "__b").agg(F.count("*").alias("__tf"))
     )
-    vec = F.expr(
-        f"transform(sequence(0, {dim - 1}), "
-        f"b -> CAST(coalesce(element_at(__m, b), 0) AS DOUBLE))"
-    )
+    cell = "CAST(coalesce(element_at(__m, b), 0) AS DOUBLE)"
     if log_tf:
-        vec = F.expr(
-            f"transform(sequence(0, {dim - 1}), "
-            f"b -> ln(1.0 + CAST(coalesce(element_at(__m, b), 0) AS DOUBLE)))"
+        cell = f"ln(1.0 + {cell})"
+    if idf:
+        # one rollup job: per-bucket rows carry df, the grand-total row
+        # carries N (distinct docs); folded in as a literal dim-array so
+        # the weighting is pure codegen (no join)
+        stats = (
+            tf.rollup("__b")
+            .agg(F.count("*").alias("df"),
+                 F.countDistinct("__id").alias("nd"))
+            .collect()
         )
+        n_docs = 0
+        dfs = [0] * dim
+        for r in stats:
+            if r["__b"] is None:
+                n_docs = r["nd"]
+            else:
+                dfs[r["__b"]] = r["df"]
+        idf_vals = ", ".join(
+            repr(math.log((n_docs + 1.0) / (dfs[bk] + 1.0)) + 1.0)
+            for bk in range(dim)
+        )
+        cell = f"({cell}) * element_at(array({idf_vals}), b + 1)"
+    vec = F.expr(f"transform(sequence(0, {dim - 1}), b -> {cell})")
     out = (
         tf.groupBy("__id")
         .agg(F.map_from_entries(

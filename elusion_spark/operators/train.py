@@ -112,7 +112,10 @@ def train_logreg(
     on return — so ``model.score`` applies to the original features and
     badly-scaled inputs (raw counts next to ratios) no longer need
     per-feature learning rates.  With L2, the penalty applies in
-    standardized space (the usual convention).
+    standardized space (the usual convention).  A CONSTANT feature
+    (e.g. an explicit 1.0 intercept column) standardizes to all-zeros
+    and therefore learns nothing — under ``standardize=True`` rely on
+    ``fit_bias`` (the default) for the intercept instead.
     """
     if dim <= 0 or iters <= 0:
         raise ValueError("dim and iters must be positive")

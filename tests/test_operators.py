@@ -2457,3 +2457,31 @@ def test_train_logreg_standardize(spark):
     m2 = train_logreg(df.repartition(31), "x", "y", dim=2, iters=25,
                       lr=0.5, standardize=True)
     assert m2.weights == std.weights and m2.bias == std.bias
+
+
+def test_hashed_tf_features_idf(spark):
+    """IDF weighting: a bucket hit by every doc gets weight ~1 (smoothed
+    floor), a rare bucket gets ln((N+1)/(df+1))+1 — verified against a
+    python replay on the known bucket assignments."""
+    import math
+
+    from elusion_spark.operators.text import hashed_tf_features
+
+    df = spark.createDataFrame(
+        [(1, "common rare1"), (2, "common"), (3, "common"),
+         (4, "common")],
+        "doc_id long, text string",
+    )
+    dim = 16
+    buckets = {r["t"]: r["b"] for r in spark.sql(
+        f"SELECT t, pmod(xxhash64(t), {dim}) AS b FROM "
+        "VALUES ('common'), ('rare1') AS v(t)").collect()}
+    assert buckets["common"] != buckets["rare1"], "pick different tokens"
+    out = {r["doc_id"]: r["features"] for r in hashed_tf_features(
+        df, dim=dim, idf=True).collect()}
+    n = 4
+    w_common = math.log((n + 1) / (4 + 1)) + 1.0   # df=4 -> 1.0
+    w_rare = math.log((n + 1) / (1 + 1)) + 1.0
+    assert abs(out[2][buckets["common"]] - w_common) < 1e-12
+    assert abs(out[1][buckets["rare1"]] - w_rare) < 1e-12
+    assert out[1][buckets["common"]] == w_common
