@@ -275,6 +275,23 @@ SHUFFLE_BUDGETS = {
     # the series-key partitioning is established once and REUSED by the
     # span agg, grid join, and fill window (subset-of-keys clustering)
     "q107_gapfill_linear": 2,
+    # TPC-H shape completion (q113-q123): dims broadcast throughout,
+    # the only data-sized exchange is the fact-side agg; extra counts
+    # are small grouped/decorrelated passes, never body rows
+    "q113_forecast_revenue": 1,   # pure scan + one global agg
+    "q114_nation_volume_shipping": 1,
+    "q115_market_share": 1,       # 8-way join, dims broadcast
+    "q116_product_profit": 1,
+    "q117_customer_distribution": 3,  # LEFT join + 2 grouped passes
+    "q118_top_supplier": 4,       # revenue CTE agg + join + scalar MAX
+    "q119_small_quantity_revenue": 2,  # decorrelated per-part avg + agg
+    "q120_sales_opportunity": 3,  # scalar mean + anti-join + final agg
+    "q121_waiting_suppliers": 1,  # semi/anti fold into the fact exchange
+    "q122_min_cost_supplier": 5,  # decorrelated MIN join-back + distinct
+    "q123_part_promotion_suppliers": 5,  # two grouped CTEs + two semis
+    # (id,bucket) partial-agg exchange + per-doc assembly exchange;
+    # token explosion and bodies stay map-side
+    "q125_hashed_tf_features": 2,
 }
 
 
