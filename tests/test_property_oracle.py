@@ -706,3 +706,72 @@ def _run_gapfill_case(spark, duck_events, seed):
 @pytest.mark.parametrize("seed", range(6))
 def test_randomized_gapfill_matches_oracle(spark, duck_events, seed):
     _run_gapfill_case(spark, duck_events, seed)
+
+
+# ---------------------------------------------------------------------
+# correlated / quantified subqueries through the raw-SQL surface
+# (the q69/q70/q119-q123 shapes, randomized: Catalyst's decorrelation
+# must agree with DuckDB's on arbitrary thresholds and quantifiers)
+# ---------------------------------------------------------------------
+
+def _run_subquery_case(spark, duck, seed):
+    from elusion_spark.sources.loaders import execute_raw_sql, load_parquet
+
+    rng = random.Random(10_000 + seed)
+    pattern = rng.choice(["exists", "not_exists", "in", "not_in",
+                          "corr_scalar", "uncorr_scalar"])
+    t_price = rng.choice([50_000, 150_000, 250_000, 350_000])
+    t_bal = rng.choice([-500.0, 0.0, 2_500.0, 7_500.0])
+    frac = rng.choice([0.5, 1.0, 1.5])
+
+    if pattern in ("exists", "not_exists"):
+        neg = "NOT " if pattern == "not_exists" else ""
+        sql = (
+            "SELECT c_custkey, c_acctbal FROM customer "
+            f"WHERE c_acctbal > {t_bal!r} AND {neg}EXISTS ("
+            "SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            f"AND o_totalprice > {t_price})"
+        )
+    elif pattern in ("in", "not_in"):
+        neg = "NOT " if pattern == "not_in" else ""
+        sql = (
+            "SELECT c_custkey, c_nationkey FROM customer "
+            f"WHERE c_custkey {neg}IN ("
+            "SELECT o_custkey FROM orders "
+            f"WHERE o_totalprice > {t_price})"
+        )
+    elif pattern == "corr_scalar":
+        # each order vs its own customer's mean (exact-decimal mean so
+        # the threshold double is engine-identical)
+        sql = (
+            "SELECT o_orderkey FROM orders o1 "
+            f"WHERE o_totalprice > {frac!r} * ("
+            "SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(38,9))) "
+            "AS DOUBLE) / COUNT(*) FROM orders o2 "
+            "WHERE o2.o_custkey = o1.o_custkey)"
+        )
+    else:
+        sql = (
+            "SELECT c_custkey FROM customer "
+            f"WHERE c_acctbal > {frac!r} * ("
+            "SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(38,9))) "
+            "AS DOUBLE) / COUNT(*) FROM customer c2 "
+            f"WHERE c2.c_acctbal > {t_bal!r})"
+        )
+
+    c = load_parquet(f"{SF}/customer.parquet", "customer", spark)
+    o = load_parquet(f"{SF}/orders.parquet", "orders", spark)
+    sdf = execute_raw_sql(sql, f"subq{seed}",
+                          {"customer": c, "orders": o}, spark).df
+    srows = {tuple(r) for r in sdf.collect()}
+    orows = {tuple(r) for r in duck.execute(sql).fetchall()}
+    assert srows == orows, (
+        f"seed={seed} pattern={pattern}\nsql={sql}\n"
+        f"spark-only: {list(srows - orows)[:3]}\n"
+        f"oracle-only: {list(orows - srows)[:3]}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_randomized_subqueries_match_oracle(spark, duck, seed):
+    _run_subquery_case(spark, duck, seed)
