@@ -296,3 +296,77 @@ def train_logreg_wide(
                            loss_history=history)
     finally:
         proj.unpersist()
+
+
+def evaluate_classifier(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    threshold: float = 0.5,
+    auc: bool = True,
+) -> DataFrame:
+    """Classifier quality report as ONE row: n / n_pos / confusion
+    counts / accuracy / precision / recall / f1 (+ AUC) — the evaluate
+    side of the train_logreg → classifier_score loop.
+
+    Confusion metrics are a single aggregation pass (conditional BIGINT
+    sums — exact).  AUC is the tie-aware Mann-Whitney statistic: ranks
+    come from ``RANK() OVER (ORDER BY score)`` plus the tie-average
+    correction, so it is exact (equal to the trapezoidal ROC area) and
+    deterministic whenever the scores are.  NOTE: the rank is a GLOBAL
+    window — a single-partition sort over the scored rows.  That is the
+    right trade for eval sets (they are bounded by construction); for
+    whole-corpus AUC at 100 TB, score-bucket the rows first and use a
+    histogram approximation instead.  Undefined ratios (no positives,
+    no predicted positives, one class absent) come back NULL, never a
+    division error."""
+    pred = f"(CAST({score_col} AS DOUBLE) >= {float(threshold)!r})"
+    y = f"(CAST({label_col} AS DOUBLE) = 1.0)"
+    base = df.select(
+        F.expr(f"CAST({pred} AS INT)").alias("__p"),
+        F.expr(f"CAST({y} AS INT)").alias("__y"),
+        F.col(score_col).cast("double").alias("__s"),
+    )
+    if auc:
+        from pyspark.sql import Window
+
+        wr = Window.orderBy("__s")
+        wt = Window.partitionBy("__s")
+        base = base.withColumn(
+            "__ar",
+            F.rank().over(wr).cast("double")
+            + (F.count("*").over(wt).cast("double") - 1.0) / 2.0,
+        )
+    aggs = [
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(SUM(__y) AS BIGINT)").alias("n_pos"),
+        F.expr("CAST(SUM(__p * __y) AS BIGINT)").alias("tp"),
+        F.expr("CAST(SUM(__p * (1 - __y)) AS BIGINT)").alias("fp"),
+        F.expr("CAST(SUM((1 - __p) * (1 - __y)) AS BIGINT)").alias("tn"),
+        F.expr("CAST(SUM((1 - __p) * __y) AS BIGINT)").alias("fn"),
+    ]
+    if auc:
+        aggs.append(F.expr(
+            "CAST(SUM(CAST(__y * __ar AS DECIMAL(38,9))) AS DOUBLE)"
+        ).alias("__rpos"))
+    row = base.agg(*aggs)
+    m = row.selectExpr(
+        "n", "n_pos", "tp", "fp", "tn", "fn",
+        "CAST((tp + tn) AS DOUBLE) / n AS accuracy",
+        "CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) "
+        "END AS precision",
+        "CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) "
+        "END AS recall",
+        *(
+            ["CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN "
+             "(__rpos - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2.0) "
+             "/ (CAST(n_pos AS DOUBLE) * (n - n_pos)) END AS auc"]
+            if auc else []
+        ),
+    )
+    return m.selectExpr(
+        "*",
+        "CASE WHEN precision IS NOT NULL AND recall IS NOT NULL "
+        "AND precision + recall > 0 THEN "
+        "2.0 * precision * recall / (precision + recall) END AS f1",
+    )

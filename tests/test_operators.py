@@ -2485,3 +2485,35 @@ def test_hashed_tf_features_idf(spark):
     assert abs(out[2][buckets["common"]] - w_common) < 1e-12
     assert abs(out[1][buckets["rare1"]] - w_rare) < 1e-12
     assert out[1][buckets["common"]] == w_common
+
+
+def test_evaluate_classifier_metrics_and_auc(spark):
+    """Hand-checkable confusion + tie-aware Mann-Whitney AUC, plus the
+    NULL conventions for degenerate slices."""
+    from elusion_spark.operators.train import evaluate_classifier
+
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.8, 0), (0.7, 1), (0.3, 0)], "s double, y int")
+    r = evaluate_classifier(df, "s", "y").collect()[0]
+    assert (r["n"], r["n_pos"], r["tp"], r["fp"], r["tn"], r["fn"]) == \
+        (4, 2, 2, 1, 1, 0)
+    assert abs(r["accuracy"] - 0.75) < 1e-12
+    assert abs(r["precision"] - 2 / 3) < 1e-12
+    assert r["recall"] == 1.0
+    assert abs(r["auc"] - 0.75) < 1e-12          # one discordant pair
+    assert abs(r["f1"] - 0.8) < 1e-12
+
+    # ties: all scores equal -> AUC exactly 0.5 (tie-average)
+    ties = spark.createDataFrame(
+        [(0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)], "s double, y int")
+    rt = evaluate_classifier(ties, "s", "y").collect()[0]
+    assert abs(rt["auc"] - 0.5) < 1e-12
+
+    # single-class input -> auc/f1 NULL, no division error
+    one = spark.createDataFrame([(0.9, 1), (0.2, 1)], "s double, y int")
+    ro = evaluate_classifier(one, "s", "y").collect()[0]
+    assert ro["auc"] is None and ro["recall"] == 0.5
+    allneg = spark.createDataFrame([(0.1, 0), (0.2, 0)],
+                                   "s double, y int")
+    rn = evaluate_classifier(allneg, "s", "y").collect()[0]
+    assert rn["precision"] is None and rn["f1"] is None
