@@ -319,10 +319,14 @@ def evaluate_classifier(
     whole-corpus AUC at 100 TB, score-bucket the rows first and use a
     histogram approximation instead.  Undefined ratios (no positives,
     no predicted positives, one class absent) come back NULL, never a
-    division error."""
+    division error.  Rows with a NULL score or label are EXCLUDED
+    (counting them in ``n`` while no sum can classify them would skew
+    every ratio)."""
     pred = f"(CAST({score_col} AS DOUBLE) >= {float(threshold)!r})"
     y = f"(CAST({label_col} AS DOUBLE) = 1.0)"
-    base = df.select(
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
         F.expr(f"CAST({pred} AS INT)").alias("__p"),
         F.expr(f"CAST({y} AS INT)").alias("__y"),
         F.col(score_col).cast("double").alias("__s"),

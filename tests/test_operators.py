@@ -2517,3 +2517,14 @@ def test_evaluate_classifier_metrics_and_auc(spark):
                                    "s double, y int")
     rn = evaluate_classifier(allneg, "s", "y").collect()[0]
     assert rn["precision"] is None and rn["f1"] is None
+
+
+def test_evaluate_classifier_null_rows_excluded(spark):
+    from elusion_spark.operators.train import evaluate_classifier
+
+    df = spark.createDataFrame(
+        [(0.9, 1), (None, 1), (0.2, None), (0.1, 0)],
+        "s double, y int")
+    r = evaluate_classifier(df, "s", "y").collect()[0]
+    assert r["n"] == 2 and r["tp"] == 1 and r["tn"] == 1
+    assert r["accuracy"] == 1.0
