@@ -257,6 +257,117 @@ def embedding_near_dup_pairs(
 
 # --------------------------------------------------------------------- ivf
 
+class KMeansModel:
+    """Distributed-k-means result: centroids + cluster sizes + the
+    inertia trace.  ``assign`` scores new data with the same broadcast
+    argmin expression the fit used (no shuffle)."""
+
+    def __init__(self, centroids: list[list[float]], sizes: list[int],
+                 inertia_history: list[float]):
+        self.centroids = centroids
+        self.sizes = sizes
+        self.inertia_history = inertia_history
+
+    def assign(self, df: DataFrame, vec_col: str,
+               out_col: str = "cluster_id") -> DataFrame:
+        return df.withColumn(
+            out_col, assign_clusters_col(vec_col, self.centroids))
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    k: int,
+    iters: int = 10,
+    init_centroids: list[list[float]] | None = None,
+    sample_fraction: float = 0.1,
+    sample_iters: int = 5,
+    seed: int = 42,
+    track_inertia: bool = True,
+) -> KMeansModel:
+    """FULL-data distributed Lloyd iterations — the scale path past
+    ``ivf_build``'s sample-only fit (sample-fit is right when every
+    cluster is well-represented in a 100k sample; refining over ALL
+    rows is right when clusters are thin, skewed, or k is large
+    relative to the sample).
+
+    Each iteration is ONE aggregation job: the broadcast argmin
+    expression assigns every row, then a grouped pass computes per-
+    cluster counts + per-dimension DECIMAL(38,9)-exact coordinate sums
+    (k·(dim+1) numbers to the driver — O(k·dim) driver state, like
+    train_logreg's O(dim)).  Exact decimal accumulation + first-min
+    tie-breaking make the fitted centroids bit-identical under any
+    partitioning, so a re-fit on a resized cluster reproduces the model.
+
+    ``init_centroids`` pins initialization (tests/oracles); otherwise
+    init comes from ``ivf_build``'s vectorized sample Lloyd (cheap,
+    good starting point).  Empty clusters keep their previous centroid.
+    ``sizes`` are the cluster populations at the LAST assignment (the
+    returned centroids are the means of exactly those members —
+    standard Lloyd bookkeeping; ``assign`` with the returned centroids
+    can move boundary points once more).
+    """
+    if k <= 0 or iters <= 0 or dim <= 0:
+        raise ValueError("k, dim and iters must be positive")
+    if init_centroids is not None:
+        if len(init_centroids) != k or any(len(c) != dim
+                                           for c in init_centroids):
+            raise ValueError(f"init_centroids must be {k} x {dim}")
+        C = [[float(v) for v in c] for c in init_centroids]
+    else:
+        _, C = ivf_build(df, vec_col, dim, nlist=k,
+                         sample_fraction=sample_fraction,
+                         iters=sample_iters, seed=seed)
+    proj = df.select(F.col(vec_col).alias("__v")).filter(
+        F.col("__v").isNotNull()).persist()
+    try:
+        sizes = [0] * k
+        history: list[float] = []
+        for _ in range(iters):
+            assigned = proj.withColumn(
+                "__c", assign_clusters_col("__v", C))
+            aggs = [F.expr("CAST(COUNT(*) AS BIGINT)").alias("n")]
+            aggs += [
+                F.expr(
+                    f"CAST(SUM(CAST(CAST(element_at(__v, {j + 1}) AS "
+                    f"DOUBLE) AS DECIMAL(38,9))) AS DOUBLE)"
+                ).alias(f"s{j}")
+                for j in range(dim)
+            ]
+            if track_inertia:
+                dists = ", ".join(
+                    f"aggregate(zip_with(__v, {_vec_literal(c)}, "
+                    f"(x, y) -> (CAST(x AS DOUBLE) - y) * "
+                    f"(CAST(x AS DOUBLE) - y)), "
+                    f"CAST(0 AS DOUBLE), (a, v) -> a + v)"
+                    for c in C
+                )
+                assigned = assigned.withColumn(
+                    "__d", F.expr(f"array_min(array({dists}))"))
+                aggs.append(F.expr(
+                    f"CAST(SUM(CAST(__d AS DECIMAL(38,9))) AS DOUBLE)"
+                ).alias("inert"))
+            rows = assigned.groupBy("__c").agg(*aggs).collect()
+            sizes = [0] * k
+            newC = [list(c) for c in C]
+            inerts = [0.0] * k
+            for r in rows:
+                ci = r["__c"]
+                sizes[ci] = r["n"]
+                if r["n"] > 0:
+                    newC[ci] = [r[f"s{j}"] / r["n"] for j in range(dim)]
+                if track_inertia:
+                    inerts[ci] = r["inert"]
+            C = newC
+            if track_inertia:
+                # index-ordered fold so the trace is partition-invariant
+                history.append(sum(inerts))
+        return KMeansModel(C, sizes, history)
+    finally:
+        proj.unpersist()
+
+
 def ivf_build(
     df: DataFrame,
     vec_col: str,

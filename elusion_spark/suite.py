@@ -4671,6 +4671,77 @@ def q126(spark, sf):
     )
 
 
+_Q127_INIT = [[-0.5, -0.5], [0.5, 0.5]]
+_Q127_ITERS = 2
+
+
+def _q127_oracle() -> str:
+    """Unrolled distributed Lloyd in SQL: per iteration, assignment =
+    first-min argmin over the previous CTE's scalar centroids, new
+    centroids = decimal-exact conditional coordinate sums / counts —
+    the sequential replay of kmeans_fit (same MATERIALIZED discipline
+    as q124's unrolled GD)."""
+    feats = ("SELECT CAST(embedding[1] AS DOUBLE) AS x1, "
+             "CAST(embedding[2] AS DOUBLE) AS x2 FROM embeddings")
+    cs = [[repr(v) for v in c] for c in _Q127_INIT]
+    ctes = [f"feats AS MATERIALIZED ({feats})"]
+    prev = None
+    for it in range(1, _Q127_ITERS + 1):
+        if prev:
+            cs = [[f"(SELECT c{i}x FROM {prev})",
+                   f"(SELECT c{i}y FROM {prev})"] for i in range(2)]
+        d = [f"((x1 - {cs[i][0]}) * (x1 - {cs[i][0]}) + "
+             f"(x2 - {cs[i][1]}) * (x2 - {cs[i][1]}))" for i in range(2)]
+        a = f"CASE WHEN {d[0]} <= {d[1]} THEN 0 ELSE 1 END"
+        sels = []
+        for i in range(2):
+            cnt = f"SUM(CASE WHEN {a} = {i} THEN 1 ELSE 0 END)"
+            for ax, col in (("x", "x1"), ("y", "x2")):
+                s = (f"CAST(SUM(CASE WHEN {a} = {i} THEN "
+                     f"CAST({col} AS DECIMAL(38,9)) END) AS DOUBLE)")
+                sels.append(f"{s} / {cnt} AS c{i}{ax}")
+            sels.append(f"CAST({cnt} AS BIGINT) AS n{i}")
+        ctes.append(f"it{it} AS MATERIALIZED (SELECT "
+                    + ", ".join(sels) + " FROM feats)")
+        prev = f"it{it}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(t.j AS BIGINT) AS cluster_id,
+       CASE t.j WHEN 0 THEN (SELECT n0 FROM {prev})
+                ELSE (SELECT n1 FROM {prev}) END AS n,
+       ROUND(CASE t.j WHEN 0 THEN (SELECT c0x FROM {prev})
+                      ELSE (SELECT c1x FROM {prev}) END, 7) AS cx,
+       ROUND(CASE t.j WHEN 0 THEN (SELECT c0y FROM {prev})
+                      ELSE (SELECT c1y FROM {prev}) END, 7) AS cy
+FROM (VALUES (0), (1)) AS t(j)
+ORDER BY cluster_id
+"""
+    )
+
+
+@q("q127_kmeans_fit", _q127_oracle())
+def q127(spark, sf):
+    """Distributed k-means (similarity.py kmeans_fit): 2 full-data Lloyd
+    iterations over the first two embedding dimensions from a pinned
+    init — each iteration ONE grouped aggregation job (broadcast argmin
+    assignment, DECIMAL(38,9) coordinate sums), centroids bit-identical
+    under any partitioning.  The oracle replays the whole optimization
+    as unrolled CTEs; first-min tie-breaking matches Spark's
+    array_position(arr, array_min(arr)) semantics."""
+    from .operators.similarity import kmeans_fit
+
+    e = _t(spark, sf, "embeddings", "e").df.selectExpr(
+        "array(CAST(element_at(embedding, 1) AS DOUBLE), "
+        "CAST(element_at(embedding, 2) AS DOUBLE)) AS v")
+    m = kmeans_fit(e, "v", dim=2, k=2, iters=_Q127_ITERS,
+                   init_centroids=_Q127_INIT, track_inertia=False)
+    return spark.createDataFrame(
+        [(i, int(m.sizes[i]), round(m.centroids[i][0], 7),
+          round(m.centroids[i][1], 7)) for i in range(2)],
+        "cluster_id BIGINT, n BIGINT, cx DOUBLE, cy DOUBLE",
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -4699,6 +4770,7 @@ _NEEDS_EVIDENCE = [
     "q121_waiting_suppliers", "q122_min_cost_supplier",
     "q123_part_promotion_suppliers", "q124_train_quality_classifier",
     "q125_hashed_tf_features", "q126_classifier_eval",
+    "q127_kmeans_fit",
     "q93_hybrid_search", "q91_bm25_search",
     "q96_fuzzy_match", "q87_event_rate_anomaly", "q88_order_gap_stats",
     "q89_funnel", "q90_cohort_retention", "q95_mad_outliers",

@@ -2528,3 +2528,55 @@ def test_evaluate_classifier_null_rows_excluded(spark):
     r = evaluate_classifier(df, "s", "y").collect()[0]
     assert r["n"] == 2 and r["tp"] == 1 and r["tn"] == 1
     assert r["accuracy"] == 1.0
+
+
+def test_kmeans_fit_converges_and_is_deterministic(spark):
+    """Planted two-blob data: centroids land on the blob means, inertia
+    decreases monotonically, empty clusters keep their centroid, and
+    refits are bit-identical under repartitioning."""
+    from pyspark.sql import functions as F
+
+    from elusion_spark.operators.similarity import kmeans_fit
+
+    # blob A around (0, 0), blob B around (10, 10), deterministic jitter
+    df = (
+        spark.range(400)
+        .withColumn("g", (F.col("id") % 2).cast("int"))
+        .withColumn("j1", (F.pmod(F.col("id") * 2654435761,
+                                  F.lit(100)) / 100.0) - 0.5)
+        .withColumn("j2", (F.pmod(F.col("id") * 40503,
+                                  F.lit(100)) / 100.0) - 0.5)
+        .withColumn("v", F.array(F.col("g") * 10.0 + F.col("j1"),
+                                 F.col("g") * 10.0 + F.col("j2")))
+    )
+    m = kmeans_fit(df, "v", dim=2, k=2, iters=5,
+                   init_centroids=[[1.0, 1.0], [9.0, 9.0]])
+    assert sorted(m.sizes) == [200, 200]
+    lo, hi = sorted(m.centroids, key=lambda c: c[0])
+    assert abs(lo[0]) < 0.5 and abs(hi[0] - 10.0) < 0.5
+    assert all(b <= a + 1e-9 for a, b in
+               zip(m.inertia_history, m.inertia_history[1:]))
+
+    m2 = kmeans_fit(df.repartition(19), "v", dim=2, k=2, iters=5,
+                    init_centroids=[[1.0, 1.0], [9.0, 9.0]])
+    assert m2.centroids == m.centroids
+    assert m2.inertia_history == m.inertia_history
+
+    # a far-away centroid captures nothing and stays put
+    m3 = kmeans_fit(df, "v", dim=2, k=3, iters=3,
+                    init_centroids=[[0.0, 0.0], [10.0, 10.0],
+                                    [1e6, 1e6]])
+    assert m3.sizes[2] == 0 and m3.centroids[2] == [1e6, 1e6]
+
+    # assign() reproduces the fitted split
+    counts = {r["cluster_id"]: r["n"] for r in
+              m.assign(df, "v").groupBy("cluster_id")
+              .agg(F.count("*").alias("n")).collect()}
+    assert sorted(counts.values()) == [200, 200]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kmeans_fit(df, "v", dim=2, k=0)
+    with _pytest.raises(ValueError):
+        kmeans_fit(df, "v", dim=2, k=2, init_centroids=[[1.0]])
