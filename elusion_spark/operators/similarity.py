@@ -376,13 +376,19 @@ def ivf_build(
     sample_fraction: float = 0.1,
     iters: int = 5,
     seed: int = 42,
+    refine_iters: int = 0,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Fit IVF centroids on a sample (driver-side Lloyd iterations over at
     most ~100k sampled vectors), then assign every row a cluster id via a
     broadcast argmin expression.  Returns (df+cluster_id, centroids).
 
     At 100 TB: sample-fit cost is constant; assignment is one scan; write
-    the result partitioned by cluster_id so probes prune partitions."""
+    the result partitioned by cluster_id so probes prune partitions.
+    ``refine_iters > 0`` follows the sample fit with that many FULL-data
+    distributed Lloyd rounds (``kmeans_fit`` seeded from the sample
+    centroids — one grouped aggregation job each): use it when nlist is
+    large relative to the sample or the embedding distribution is
+    skewed, so thin clusters get balanced by data the sample missed."""
     rows = (
         df.select(vec_col)
         .sample(fraction=min(sample_fraction, 1.0), seed=seed)
@@ -411,6 +417,11 @@ def ivf_build(
             if len(members):
                 C[ci] = members.mean(axis=0)
     centroids = [list(map(float, c)) for c in C]
+    if refine_iters > 0:
+        centroids = kmeans_fit(
+            df, vec_col, dim, nlist, iters=refine_iters,
+            init_centroids=centroids, track_inertia=False,
+        ).centroids
     assigned = df.withColumn(
         "cluster_id", assign_clusters_col(vec_col, centroids)
     )

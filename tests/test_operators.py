@@ -2580,3 +2580,29 @@ def test_kmeans_fit_converges_and_is_deterministic(spark):
         kmeans_fit(df, "v", dim=2, k=0)
     with _pytest.raises(ValueError):
         kmeans_fit(df, "v", dim=2, k=2, init_centroids=[[1.0]])
+
+
+def test_ivf_build_refine_iters_improves_inertia(spark):
+    """Full-data refinement after the sample fit can only improve (or
+    hold) the clustering objective; the refined index keeps the same
+    shape contract."""
+    from pyspark.sql import functions as F
+
+    from elusion_spark.operators.similarity import ivf_build, kmeans_fit
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+    base_df, base_c = ivf_build(emb, "embedding", dim=64, nlist=4,
+                                sample_fraction=0.2, seed=3)
+    ref_df, ref_c = ivf_build(emb, "embedding", dim=64, nlist=4,
+                              sample_fraction=0.2, seed=3,
+                              refine_iters=3)
+    assert len(ref_c) == 4 and all(len(c) == 64 for c in ref_c)
+    assert ref_df.filter("cluster_id IS NULL").count() == 0
+
+    def inertia(cents):
+        # one evaluation round: inertia under fixed centroids
+        return kmeans_fit(emb, "embedding", dim=64, k=4, iters=1,
+                          init_centroids=cents).inertia_history[0]
+
+    assert inertia(ref_c) <= inertia(base_c) + 1e-9
