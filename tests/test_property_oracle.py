@@ -775,3 +775,93 @@ def _run_subquery_case(spark, duck, seed):
 @pytest.mark.parametrize("seed", range(12))
 def test_randomized_subqueries_match_oracle(spark, duck, seed):
     _run_subquery_case(spark, duck, seed)
+
+
+# ---------------------------------------------------------------------
+# outer / anti / right-semi joins (the join-type long tail the original
+# join family left out: null-extension and exclusion semantics)
+# ---------------------------------------------------------------------
+
+def _run_outer_join_case(spark, duck, seed):
+    from elusion_spark.sources.loaders import load_parquet
+
+    rng = random.Random(20_000 + seed)
+    o_pred = (f"o_totalprice {rng.choice(['<', '>'])} "
+              f"{round(rng.uniform(50000, 350000), 2)}")
+    c_pred = f"c_nationkey {rng.choice(['<', '>='])} {rng.randint(3, 20)}"
+    how = rng.choice(["LEFT ANTI", "LEFT", "FULL", "RIGHT SEMI"])
+
+    # .elusion() materializes each filtered side as a derived table so
+    # the predicates apply BEFORE the join — required for semi/anti/full
+    # semantics (the builder otherwise applies filters at assembly,
+    # after the join has dropped the other side's columns)
+    o = (load_parquet(f"{SF}/orders.parquet", "t", spark)
+         .filter(o_pred.replace("o_", "t.o_")).elusion("o"))
+    c = (load_parquet(f"{SF}/customer.parquet", "u", spark)
+         .filter(c_pred.replace("c_", "u.c_")).elusion("c"))
+    joined = o.join(c, ["o.o_custkey = c.c_custkey"], how)
+
+    if how == "LEFT ANTI":
+        q = (joined.select(["o.o_orderstatus"])
+             .agg(["CAST(COUNT(*) AS BIGINT) AS n"]).group_by_all())
+        sql = (
+            f"SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n "
+            f"FROM orders WHERE {o_pred} AND o_custkey NOT IN "
+            f"(SELECT c_custkey FROM customer WHERE {c_pred}) "
+            f"GROUP BY o_orderstatus"
+        )
+    elif how == "RIGHT SEMI":
+        q = (joined.select(["c.c_mktsegment"])
+             .agg(["CAST(COUNT(*) AS BIGINT) AS n"]).group_by_all())
+        sql = (
+            f"SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n "
+            f"FROM customer WHERE {c_pred} AND c_custkey IN "
+            f"(SELECT o_custkey FROM orders WHERE {o_pred}) "
+            f"GROUP BY c_mktsegment"
+        )
+    elif how == "LEFT":
+        q = (joined.select(["o.o_orderstatus"])
+             .agg(["CAST(COUNT(*) AS BIGINT) AS n",
+                   "CAST(COUNT(c.c_custkey) AS BIGINT) AS matched"])
+             .group_by_all())
+        sql = (
+            f"SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CAST(COUNT(c_custkey) AS BIGINT) AS matched "
+            f"FROM (SELECT * FROM orders WHERE {o_pred}) o "
+            f"LEFT JOIN (SELECT * FROM customer WHERE {c_pred}) c "
+            f"ON o_custkey = c_custkey GROUP BY o_orderstatus"
+        )
+    else:  # FULL
+        q = (joined.agg([
+            "CAST(COUNT(*) AS BIGINT) AS n",
+            "CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS cust_only",
+            "CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS order_only",
+        ]).group_by_all())
+        sql = (
+            f"SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS cust_only, "
+            f"CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS order_only "
+            f"FROM (SELECT * FROM orders WHERE {o_pred}) o "
+            f"FULL JOIN (SELECT * FROM customer WHERE {c_pred}) c "
+            f"ON o_custkey = c_custkey"
+        )
+
+    srows = {tuple(sorted(r.asDict().items()))
+             for r in q.to_spark().collect()}
+    cur = duck.execute(sql)
+    cols = [d[0] for d in cur.description]
+    orows = {tuple(sorted(zip(cols, row))) for row in cur.fetchall()}
+    assert srows == orows, (
+        f"seed={seed} how={how} o={o_pred} c={c_pred}\n"
+        f"spark-only: {list(srows - orows)[:3]}\n"
+        f"oracle-only: {list(orows - srows)[:3]}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_randomized_outer_joins_match_oracle(spark, duck, seed):
+    _run_outer_join_case(spark, duck, seed)
