@@ -4742,6 +4742,64 @@ def q127(spark, sf):
     )
 
 
+@q(
+    "q128_tfidf_features",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            FROM documents) t
+        WHERE tok <> ''
+    ), tf AS (
+        SELECT doc_id,
+               CAST((LENGTH(tok) * 1315423911
+                     + ASCII(SUBSTRING(tok, 1, 1)) * 2654435761
+                     + ASCII(SUBSTRING(tok, LENGTH(tok), 1)) * 97)
+                    % {_Q125_DIM} AS INT) AS b,
+               COUNT(*) AS c
+        FROM toks GROUP BY doc_id, b
+    ), dfs AS (
+        SELECT b, COUNT(*) AS df FROM tf GROUP BY b
+    ), nn AS (
+        SELECT COUNT(DISTINCT doc_id) AS n FROM toks
+    ), grid AS (
+        SELECT d.doc_id, g.b
+        FROM (SELECT DISTINCT doc_id FROM toks) d,
+             (SELECT UNNEST(range({_Q125_DIM})) AS b) g
+    ), dense AS (
+        SELECT grid.doc_id, grid.b,
+               COALESCE(tf.c, 0)
+               * (LN(((SELECT n FROM nn) + 1.0)
+                     / (COALESCE(dfs.df, 0) + 1.0)) + 1.0) AS v
+        FROM grid
+        LEFT JOIN tf ON grid.doc_id = tf.doc_id AND grid.b = tf.b
+        LEFT JOIN dfs ON grid.b = dfs.b
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           STRING_AGG(CAST(CAST(ROUND(v * 10000) AS BIGINT) AS VARCHAR),
+                      ',' ORDER BY b) AS features_str
+    FROM dense GROUP BY doc_id
+    """,
+)
+def q128(spark, sf):
+    """TF-IDF variant of q125: the idf=True path — per-bucket document
+    frequency and the distinct-doc total come from ONE rollup job and
+    fold in as codegen literals; the oracle recomputes the same smoothed
+    ``ln((N+1)/(df+1))+1`` weights from scratch.  Values compare at 4dp
+    (scaled-BIGINT strings) to absorb last-ulp libm ln() differences."""
+    feats = TX.hashed_tf_features(
+        _t(spark, sf, "documents", "d").df,
+        dim=_Q125_DIM, hash_fn="portable", idf=True,
+    )
+    return feats.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.expr("array_join(transform(features, "
+               "v -> CAST(CAST(ROUND(v * 10000, 0) AS BIGINT) AS STRING))"
+               ", ',')").alias("features_str"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -4770,7 +4828,7 @@ _NEEDS_EVIDENCE = [
     "q121_waiting_suppliers", "q122_min_cost_supplier",
     "q123_part_promotion_suppliers", "q124_train_quality_classifier",
     "q125_hashed_tf_features", "q126_classifier_eval",
-    "q127_kmeans_fit",
+    "q127_kmeans_fit", "q128_tfidf_features",
     "q93_hybrid_search", "q91_bm25_search",
     "q96_fuzzy_match", "q87_event_rate_anomaly", "q88_order_gap_stats",
     "q89_funnel", "q90_cohort_retention", "q95_mad_outliers",
