@@ -25,9 +25,11 @@ from pyspark.sql import functions as F
 
 from elusion_spark import (
     CustomDataFrame,
+    evaluate_classifier,
     execute_raw_sql,
     get_spark,
     hashed_tf_features,
+    kmeans_fit,
     train_logreg,
 )
 
@@ -53,17 +55,25 @@ print(f"-- trained on {model.n_rows} docs; "
       f"loss {model.loss_history[0]:.4f} -> {model.loss_history[-1]:.4f} --")
 
 kept = model.score(labeled, "features", threshold=0.5)
-acc = (model.score(labeled, "features")
-       .withColumn("pred", (F.col("score") > 0.5).cast("int"))
-       .filter("pred = y").count() / model.n_rows)
-print(f"-- self-fit accuracy {acc:.3f}; kept {kept.count()} docs "
-      f"above 0.5 --")
+report = evaluate_classifier(
+    model.score(labeled, "features"), "score", "y").collect()[0]
+print(f"-- eval: acc {report['accuracy']:.3f} "
+      f"precision {report['precision']:.3f} recall {report['recall']:.3f} "
+      f"auc {report['auc']:.3f}; kept {kept.count()} docs above 0.5 --")
 
 # reproducibility: same data, different partitioning, identical model
 model2 = train_logreg(labeled.repartition(13), "features", "y",
                       dim=64, iters=30, lr=2.0, standardize=True)
 assert model2.weights == model.weights and model2.bias == model.bias
 print("-- retrain under different partitioning: bit-identical weights --")
+
+# ------------------------------------------------ distributed k-means
+# topic-balance the corpus: cluster the hashed features over ALL rows
+# (one grouped aggregation job per Lloyd iteration, bit-reproducible
+# centroids), then inspect the cluster populations
+km = kmeans_fit(feats, "features", dim=64, k=4, iters=5, seed=11)
+print(f"-- k-means sizes {km.sizes}; inertia "
+      f"{km.inertia_history[0]:.1f} -> {km.inertia_history[-1]:.1f} --")
 
 # ------------------------------------------------- TPC-H shapes, raw SQL
 li = CustomDataFrame.new(f"{sf}/lineitem.parquet", "lineitem", spark)
