@@ -556,3 +556,68 @@ def read_rollup(
             name, F.col(s).cast("double") / F.col(c).cast("double")
         )
     return df
+
+
+def snapshot_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    key_cols: list[str] | str,
+    compare_cols: list[str] | None = None,
+    summary: bool = False,
+) -> DataFrame:
+    """Version-to-version corpus diff: classify every key as ``added``
+    (new only), ``removed`` (old only), ``changed`` (present in both,
+    any compared column differs under null-safe equality) or
+    ``unchanged`` — the governance primitive behind "what did this
+    refresh actually do" (pairs with scd2_merge, which APPLIES changes;
+    this one AUDITS them).
+
+    One FULL OUTER join on the key (each side shuffles once on the key
+    columns; with both snapshots bucketed by key it is co-located and
+    shuffle-free).  ``compare_cols`` defaults to every shared non-key
+    column.  Row-level output carries the keys + ``diff_status``;
+    ``summary=True`` folds to one row per status (count) — the whole
+    audit is then two exchanges end to end.
+    """
+    from pyspark.sql import functions as F
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must not be empty")
+    if compare_cols is None:
+        shared = [c for c in old_df.columns
+                  if c in set(new_df.columns) and c not in keys]
+        compare_cols = shared
+    o = old_df.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        *[F.col(c).alias(f"__oc_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_old"),
+    )
+    n = new_df.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in keys],
+        *[F.col(c).alias(f"__nc_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_new"),
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
+        cond = c if cond is None else (cond & c)
+    joined = o.join(n, cond, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"__oc_{c}").eqNullSafe(F.col(f"__nc_{c}"))
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    out = joined.select(
+        *[F.coalesce(F.col(f"__nk_{k}"), F.col(f"__ok_{k}")).alias(k)
+          for k in keys],
+        status.alias("diff_status"),
+    )
+    if summary:
+        return out.groupBy("diff_status").agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"))
+    return out

@@ -4800,6 +4800,52 @@ def q128(spark, sf):
     )
 
 
+@q(
+    "q129_snapshot_diff",
+    """
+    WITH old AS (SELECT doc_id, text FROM documents),
+    new AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 11 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, 'fresh doc' AS text
+        FROM documents WHERE doc_id % 13 = 0
+    )
+    SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+                ELSE 'changed' END AS diff_status,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM old o FULL JOIN new n ON o.doc_id = n.doc_id
+    GROUP BY diff_status
+    """,
+)
+def q129(spark, sf):
+    """Snapshot diff (maintenance.py snapshot_diff): audit what a corpus
+    refresh actually did — added / removed / changed / unchanged per
+    key via ONE full-outer join with null-safe column comparison, folded
+    to status counts (two exchanges end to end; co-located and
+    shuffle-free when both snapshots are bucketed by key).  The "new"
+    version is derived deterministically from documents on both engines
+    (drops every 11th, edits every 7th, adds one per 13th)."""
+    from .sinks.maintenance import snapshot_diff
+
+    docs = _t(spark, sf, "documents", "d").df.select("doc_id", "text")
+    new = (
+        docs.filter("doc_id % 11 <> 0")
+        .selectExpr("doc_id",
+                    "CASE WHEN doc_id % 7 = 0 THEN concat(text, ' v2') "
+                    "ELSE text END AS text")
+        .unionAll(
+            docs.filter("doc_id % 13 = 0")
+            .selectExpr("doc_id + 1000000 AS doc_id",
+                        "'fresh doc' AS text"))
+    )
+    return snapshot_diff(docs, new, "doc_id", ["text"], summary=True)
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -4828,7 +4874,7 @@ _NEEDS_EVIDENCE = [
     "q121_waiting_suppliers", "q122_min_cost_supplier",
     "q123_part_promotion_suppliers", "q124_train_quality_classifier",
     "q125_hashed_tf_features", "q126_classifier_eval",
-    "q127_kmeans_fit", "q128_tfidf_features",
+    "q127_kmeans_fit", "q128_tfidf_features", "q129_snapshot_diff",
     "q93_hybrid_search", "q91_bm25_search",
     "q96_fuzzy_match", "q87_event_rate_anomaly", "q88_order_gap_stats",
     "q89_funnel", "q90_cohort_retention", "q95_mad_outliers",

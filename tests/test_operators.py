@@ -2606,3 +2606,39 @@ def test_ivf_build_refine_iters_improves_inertia(spark):
                           init_centroids=cents).inertia_history[0]
 
     assert inertia(ref_c) <= inertia(base_c) + 1e-9
+
+
+def test_snapshot_diff_statuses_and_null_safety(spark):
+    """Row-level statuses, null-safe comparison (NULL==NULL is
+    unchanged, NULL vs value is changed), compare_cols default, and the
+    summary fold."""
+    from elusion_spark.sinks.maintenance import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 30), (4, None, 40)],
+        "id long, v string, w int")
+    new = spark.createDataFrame(
+        [(1, "a", 10),        # unchanged
+         (2, "b", 99),        # changed (NULL -> 99)
+         (4, None, 40),       # unchanged (NULL == NULL)
+         (5, "e", 50)],       # added;  3 removed
+        "id long, v string, w int")
+    rows = {r["id"]: r["diff_status"] for r in
+            snapshot_diff(old, new, "id").collect()}
+    assert rows == {1: "unchanged", 2: "changed", 3: "removed",
+                    4: "unchanged", 5: "added"}
+
+    # restrict comparison: under v-only, key 2 is unchanged
+    rows_v = {r["id"]: r["diff_status"] for r in
+              snapshot_diff(old, new, "id", ["v"]).collect()}
+    assert rows_v[2] == "unchanged"
+
+    summ = {r["diff_status"]: r["n"] for r in
+            snapshot_diff(old, new, "id", summary=True).collect()}
+    assert summ == {"unchanged": 2, "changed": 1, "removed": 1,
+                    "added": 1}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        snapshot_diff(old, new, [])
