@@ -292,6 +292,12 @@ SHUFFLE_BUDGETS = {
     # (id,bucket) partial-agg exchange + per-doc assembly exchange;
     # token explosion and bodies stay map-side
     "q125_hashed_tf_features": 2,
+    # same two narrow exchanges as q125 (df/N rollup collects driver-
+    # side before the returned plan exists)
+    "q128_tfidf_features": 2,
+    # full-outer on the key (SMJ both sides — outer joins can't
+    # broadcast) + the status-count fold
+    "q129_snapshot_diff": 3,
 }
 
 
