@@ -336,15 +336,8 @@ def kmeans_fit(
                 for j in range(dim)
             ]
             if track_inertia:
-                dists = ", ".join(
-                    f"aggregate(zip_with(__v, {_vec_literal(c)}, "
-                    f"(x, y) -> (CAST(x AS DOUBLE) - y) * "
-                    f"(CAST(x AS DOUBLE) - y)), "
-                    f"CAST(0 AS DOUBLE), (a, v) -> a + v)"
-                    for c in C
-                )
                 assigned = assigned.withColumn(
-                    "__d", F.expr(f"array_min(array({dists}))"))
+                    "__d", _min_sq_dist_col("__v", C))
                 aggs.append(F.expr(
                     f"CAST(SUM(CAST(__d AS DECIMAL(38,9))) AS DOUBLE)"
                 ).alias("inert"))
@@ -426,6 +419,39 @@ def ivf_build(
         "cluster_id", assign_clusters_col(vec_col, centroids)
     )
     return assigned, centroids
+
+
+def _min_sq_dist_col(vec_col: str, centroids: list[list[float]]):
+    """Min squared distance to any centroid — same small/large codebook
+    split as ``assign_clusters_col`` (unrolled HOF expressions are
+    interpreted, so past ~32 centroids one numpy GEMM per Arrow batch
+    is the only plan that scales)."""
+    if len(centroids) <= 32:
+        dists = ", ".join(
+            f"aggregate(zip_with({vec_col}, {_vec_literal(c)}, "
+            f"(x, y) -> (CAST(x AS DOUBLE) - y) * "
+            f"(CAST(x AS DOUBLE) - y)), "
+            f"CAST(0 AS DOUBLE), (a, v) -> a + v)"
+            for c in centroids
+        )
+        return F.expr(f"array_min(array({dists}))")
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    Cm = np.asarray(centroids, dtype=np.float64)
+    c_sq = (Cm * Cm).sum(axis=1)
+
+    def _mind(vs):
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        if V.size == 0:
+            return pd.Series([], dtype="float64")
+        d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ Cm.T) + c_sq
+        return pd.Series(np.maximum(d2.min(axis=1), 0.0))
+
+    _mind.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return pandas_udf(_mind, "double")(F.col(vec_col))
 
 
 def assign_clusters_col(vec_col: str, centroids: list[list[float]]):

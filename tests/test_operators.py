@@ -2642,3 +2642,28 @@ def test_snapshot_diff_statuses_and_null_safety(spark):
 
     with _pytest.raises(ValueError):
         snapshot_diff(old, new, [])
+
+
+def test_kmeans_fit_large_k_inertia_path(spark):
+    """k > 32 switches assignment AND the inertia column to the
+    vectorized Arrow path; the trace still decreases monotonically."""
+    from pyspark.sql import functions as F
+
+    from elusion_spark.operators.similarity import kmeans_fit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    m = kmeans_fit(emb, "embedding", dim=64, k=40, iters=2,
+                   sample_fraction=1.0, seed=5)
+    assert len(m.centroids) == 40
+    assert len(m.inertia_history) == 2
+    assert m.inertia_history[1] <= m.inertia_history[0] + 1e-9
+    assert sum(m.sizes) == emb.count()
+
+
+def test_evaluate_classifier_no_auc(spark):
+    from elusion_spark.operators.train import evaluate_classifier
+
+    df = spark.createDataFrame([(0.9, 1), (0.1, 0)], "s double, y int")
+    r = evaluate_classifier(df, "s", "y", auc=False).collect()[0]
+    assert "auc" not in r.asDict()
+    assert r["accuracy"] == 1.0 and r["f1"] == 1.0
