@@ -167,3 +167,63 @@ def plan_report(df: DataFrame) -> dict:
         "has_cartesian": "CartesianProduct" in plan,
         "take_ordered": "TakeOrderedAndProject" in plan,
     }
+
+
+def join_audit(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    approx_distinct: bool = False,
+) -> DataFrame:
+    """Pre-join key diagnostics — the "should I salt / broadcast /
+    bucket this?" report, one row per side:
+
+    ``side, n_rows, null_keys, distinct_keys, top_key, top_key_cnt,
+    top_share, skew_ratio``
+
+    - ``top_share`` = hottest key's fraction of the side's rows — the
+      direct trigger for ``join_salted`` (AQE splits shuffle-size skew,
+      not a single hot KEY's post-join blowup);
+    - ``skew_ratio`` = top_key_cnt · distinct_keys / n_rows (1.0 means
+      perfectly uniform keys; ≫1 means salted or filtered treatment);
+    - ``null_keys`` never match in an equi-join — a large count means
+      filter them BEFORE shuffling, not after.
+
+    Cost: one aggregate + one top-1-key pass per side (the grouped
+    count reuses the aggregate's exchange); nothing collects.
+    ``approx_distinct=True`` swaps exact COUNT(DISTINCT) for
+    approx_count_distinct at corpus scale (the report is advisory —
+    ±2% on one column is the right trade there).
+    """
+    def _side(df: DataFrame, key: str, name: str) -> DataFrame:
+        d = (f"approx_count_distinct({key})" if approx_distinct
+             else f"COUNT(DISTINCT {key})")
+        stats = df.selectExpr(
+            f"'{name}' AS side",
+            "CAST(COUNT(*) AS BIGINT) AS n_rows",
+            f"CAST(SUM(CASE WHEN {key} IS NULL THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS null_keys",
+            f"CAST({d} AS BIGINT) AS distinct_keys",
+        )
+        top = (
+            df.filter(F.col(key).isNotNull())
+            .groupBy(F.col(key).cast("string").alias("__k"))
+            .agg(F.count("*").alias("__c"))
+            .orderBy(F.col("__c").desc(), F.col("__k").asc())
+            .limit(1)
+            .selectExpr(f"'{name}' AS side", "__k AS top_key",
+                        "CAST(__c AS BIGINT) AS top_key_cnt")
+        )
+        return stats.join(top, "side", "left")
+
+    out = _side(left, left_key, "left").unionByName(
+        _side(right, right_key, "right"))
+    return out.selectExpr(
+        "side", "n_rows", "null_keys", "distinct_keys", "top_key",
+        "top_key_cnt",
+        "CASE WHEN n_rows > 0 THEN ROUND(CAST(top_key_cnt AS DOUBLE) "
+        "/ n_rows, 7) END AS top_share",
+        "CASE WHEN n_rows > 0 THEN ROUND(CAST(top_key_cnt AS DOUBLE) "
+        "* distinct_keys / n_rows, 7) END AS skew_ratio",
+    )

@@ -4846,6 +4846,56 @@ def q129(spark, sf):
     return snapshot_diff(docs, new, "doc_id", ["text"], summary=True)
 
 
+def _q130_side(side: str, table: str, key: str) -> str:
+    return f"""
+    SELECT '{side}' AS side,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN {key} IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS null_keys,
+           CAST(COUNT(DISTINCT {key}) AS BIGINT) AS distinct_keys,
+           (SELECT CAST({key} AS VARCHAR) FROM {table}
+            WHERE {key} IS NOT NULL GROUP BY {key}
+            ORDER BY COUNT(*) DESC, CAST({key} AS VARCHAR) ASC
+            LIMIT 1) AS top_key,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {table}
+            WHERE {key} IS NOT NULL GROUP BY {key}
+            ORDER BY COUNT(*) DESC, CAST({key} AS VARCHAR) ASC
+            LIMIT 1) AS top_key_cnt
+    FROM {table}
+    """
+
+
+@q(
+    "q130_join_audit",
+    f"""
+    WITH sides AS ({_q130_side('left', 'orders', 'o_custkey')}
+                   UNION ALL
+                   {_q130_side('right', 'customer', 'c_custkey')})
+    SELECT side, n_rows, null_keys, distinct_keys, top_key, top_key_cnt,
+           CASE WHEN n_rows > 0 THEN
+               ROUND(CAST(top_key_cnt AS DOUBLE) / n_rows, 7)
+           END AS top_share,
+           CASE WHEN n_rows > 0 THEN
+               ROUND(CAST(top_key_cnt AS DOUBLE) * distinct_keys
+                     / n_rows, 7)
+           END AS skew_ratio
+    FROM sides
+    """,
+)
+def q130(spark, sf):
+    """Pre-join key diagnostics (scale.py join_audit): per-side row /
+    null-key / distinct-key counts plus the hottest key's share and the
+    uniformity ratio — the decision report feeding join_salted /
+    broadcast / bucket choices (q62 is the treatment; this is the
+    diagnosis).  Hot-key ties break on the STRING form of the key on
+    both engines, so the report is deterministic."""
+    from .operators.scale import join_audit
+
+    o = _t(spark, sf, "orders", "o").df
+    c = _t(spark, sf, "customer", "c").df
+    return join_audit(o, c, "o_custkey", "c_custkey")
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -4875,6 +4925,7 @@ _NEEDS_EVIDENCE = [
     "q123_part_promotion_suppliers", "q124_train_quality_classifier",
     "q125_hashed_tf_features", "q126_classifier_eval",
     "q127_kmeans_fit", "q128_tfidf_features", "q129_snapshot_diff",
+    "q130_join_audit",
     "q93_hybrid_search", "q91_bm25_search",
     "q96_fuzzy_match", "q87_event_rate_anomaly", "q88_order_gap_stats",
     "q89_funnel", "q90_cohort_retention", "q95_mad_outliers",

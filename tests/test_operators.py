@@ -2667,3 +2667,34 @@ def test_evaluate_classifier_no_auc(spark):
     r = evaluate_classifier(df, "s", "y", auc=False).collect()[0]
     assert "auc" not in r.asDict()
     assert r["accuracy"] == 1.0 and r["f1"] == 1.0
+
+
+def test_join_audit_skew_and_nulls(spark):
+    """A planted 60%-hot key shows up as top_key with the right share;
+    null keys count separately; skew_ratio ~ distinct for the hot side
+    and ~1 for a uniform side."""
+    from elusion_spark.operators.scale import join_audit
+
+    hot = spark.createDataFrame(
+        [(7, i) for i in range(60)]
+        + [(i % 20 + 100, i) for i in range(38)]
+        + [(None, 999), (None, 998)],
+        "k long, v long")
+    uniform = spark.createDataFrame(
+        [(i % 50, i) for i in range(100)], "k long, v long")
+    rep = {r["side"]: r for r in
+           join_audit(hot, uniform, "k", "k").collect()}
+    left = rep["left"]
+    assert left["n_rows"] == 100 and left["null_keys"] == 2
+    assert left["top_key"] == "7" and left["top_key_cnt"] == 60
+    assert abs(left["top_share"] - 0.6) < 1e-9
+    assert left["skew_ratio"] > 5.0
+    right = rep["right"]
+    assert right["null_keys"] == 0 and right["distinct_keys"] == 50
+    assert right["top_key_cnt"] == 2 and abs(
+        right["skew_ratio"] - 1.0) < 1e-9
+
+    # approx mode still produces a sane report
+    approx = {r["side"]: r for r in join_audit(
+        hot, uniform, "k", "k", approx_distinct=True).collect()}
+    assert 15 <= approx["left"]["distinct_keys"] <= 27
