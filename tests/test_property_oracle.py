@@ -865,3 +865,57 @@ def _run_outer_join_case(spark, duck, seed):
 @pytest.mark.parametrize("seed", range(12))
 def test_randomized_outer_joins_match_oracle(spark, duck, seed):
     _run_outer_join_case(spark, duck, seed)
+
+
+# ---------------------------------------------------------------------
+# window FRAME specs: RANGE (peer/tie semantics) and FOLLOWING-only /
+# detached frames — the divergence-prone corners the ROWS-only family
+# above doesn't reach
+# ---------------------------------------------------------------------
+
+def _run_frame_case(spark, duck, seed):
+    from elusion_spark.sources.loaders import load_parquet
+
+    rng = random.Random(30_000 + seed)
+    k, j = rng.randint(1, 5), rng.randint(0, 4)
+    pattern = rng.choice(["range_sum", "range_count", "max_following",
+                          "detached_first", "last_bounded"])
+    if pattern == "range_sum":
+        # ORDER BY user_id has heavy ties within event_type: RANGE
+        # includes ALL peers — the semantics ROWS frames never test
+        expr = (f"CAST(SUM(CAST(value AS DECIMAL(38,9))) OVER ("
+                f"PARTITION BY event_type ORDER BY user_id "
+                f"RANGE BETWEEN {k} PRECEDING AND {j} FOLLOWING) "
+                f"AS DOUBLE)")
+    elif pattern == "range_count":
+        expr = ("CAST(COUNT(*) OVER (PARTITION BY event_type "
+                "ORDER BY user_id RANGE BETWEEN UNBOUNDED PRECEDING "
+                "AND CURRENT ROW) AS BIGINT)")
+    elif pattern == "max_following":
+        expr = ("CAST(MAX(value) OVER (PARTITION BY user_id "
+                "ORDER BY event_id ROWS BETWEEN CURRENT ROW "
+                "AND UNBOUNDED FOLLOWING) AS DOUBLE)")
+    elif pattern == "detached_first":
+        # frame entirely before the current row: empty at partition
+        # start -> NULL on both engines
+        expr = (f"CAST(FIRST_VALUE(event_id) OVER (PARTITION BY user_id "
+                f"ORDER BY event_id ROWS BETWEEN {k + 1} PRECEDING "
+                f"AND 1 PRECEDING) AS BIGINT)")
+    else:
+        expr = (f"CAST(LAST_VALUE(event_id) OVER (PARTITION BY user_id "
+                f"ORDER BY event_id ROWS BETWEEN CURRENT ROW "
+                f"AND {j + 1} FOLLOWING) AS BIGINT)")
+
+    e = load_parquet(f"{SF}/events.parquet", "e", spark)
+    q = e.filter("user_id <= 40").select(["event_id"]).window(
+        f"{expr} AS w")
+    srows = sorted((r["event_id"], r["w"])
+                   for r in q.to_spark().collect())
+    sql = f"SELECT event_id, {expr} AS w FROM events WHERE user_id <= 40"
+    orows = sorted((a, b) for a, b in duck.execute(sql).fetchall())
+    assert srows == orows, f"seed={seed} expr={expr}"
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_randomized_window_frames_match_oracle(spark, duck_events, seed):
+    _run_frame_case(spark, duck_events, seed)
