@@ -66,14 +66,48 @@ def score_bucket_anomalies(
     trailing: int = 24,
     min_history: int = 12,
     round_digits: int = 6,
+    densify: bool = False,
 ) -> DataFrame:
     """Score an ALREADY-BUCKETED count table ``(event_type,
     bucket_<grain>, c)`` — the shared back half of
     ``event_rate_anomaly``, and what the streaming face applies to its
     incrementally-maintained rollup store (the counts arrive from
     ``streaming.core.stream_event_rate_anomaly``'s foreachBatch folds,
-    the scoring math is THIS code — stream and batch cannot drift)."""
+    the scoring math is THIS code — stream and batch cannot drift).
+
+    The window is over OBSERVED buckets: with ``densify=False``
+    (default) "trailing 24" means the trailing 24 NON-EMPTY buckets,
+    and a bucket with zero events produces no row at all — a total
+    outage (the strongest drop anomaly) is invisible.  Pass
+    ``densify=True`` to materialize the full per-type bucket grid
+    (``sequence`` between each type's min and max bucket, zero-filled)
+    before scoring, so outage buckets get real z-scores; the densified
+    path keeps only ``(event_type, bucket, c)`` (extra columns cannot
+    be zero-filled).  Grid size is bounded by time-range/grain per
+    type, never by event volume."""
     from pyspark.sql import Window
+
+    bcol = f"bucket_{grain}"
+    if densify:
+        step = {
+            "minute": "interval 1 minute", "hour": "interval 1 hour",
+            "day": "interval 1 day", "week": "interval 7 day",
+            "month": "interval 1 month",
+        }[grain]
+        grid = (
+            buckets.groupBy("event_type")
+            .agg(F.min(bcol).alias("__lo"), F.max(bcol).alias("__hi"))
+            .select(
+                "event_type",
+                F.explode(
+                    F.expr(f"sequence(__lo, __hi, {step})")
+                ).alias(bcol),
+            )
+        )
+        buckets = grid.join(buckets, ["event_type", bcol], "left").select(
+            "event_type", bcol,
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c"),
+        )
 
     w = (
         Window.partitionBy("event_type")
@@ -112,7 +146,9 @@ def gap_stats(
     """Inter-event gap statistics per entity (repeat-purchase cadence,
     crawl revisit intervals, session spacing): LAG over a
     ``(date, tiebreak)`` total order, day-diffs aggregated as exact
-    integers, the mean derived in one final division.
+    integers, the mean derived in one final division.  The entity key
+    keeps its native type (string user/doc ids group correctly — no
+    numeric cast is applied).
 
     Output: ``(key_col, n_gaps, min_gap, max_gap, avg_gap)`` for
     entities with at least ``min_gaps`` gaps.  One shuffle: the
@@ -126,7 +162,7 @@ def gap_stats(
     )
     gap = F.datediff(F.col(date_col), F.col("__prev"))
     return (
-        g.groupBy(F.col(key_col).cast("bigint").alias(key_col))
+        g.groupBy(key_col)
         .agg(
             F.count("*").cast("bigint").alias("n_gaps"),
             F.min(gap).cast("bigint").alias("min_gap"),

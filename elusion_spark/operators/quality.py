@@ -144,7 +144,29 @@ def check_constraints(
                 )
             )
     for i, r in enumerate(fresh):
-        aggs.append(F.max(df[r["col"]]).alias(f"__f{i}"))
+        # the whole comparison runs IN-ENGINE: both MAX(col) and the
+        # anchor are evaluated in the same session timezone, so a
+        # non-UTC spark.sql.session.timeZone cannot skew the result
+        # (collecting MAX as a naive driver datetime and comparing it
+        # to naive utcnow was off by the tz offset near the boundary)
+        import datetime as _dt
+
+        secs = float(r["max_age_days"]) * 86400.0
+        ao = r.get("as_of")
+        if ao is None:
+            anchor = "current_timestamp()"
+        else:
+            if isinstance(ao, str):
+                ao = _dt.datetime.fromisoformat(ao)
+            if isinstance(ao, _dt.date) and not isinstance(ao, _dt.datetime):
+                ao = _dt.datetime.combine(ao, _dt.time())
+            # isoformat keeps a tz offset when as_of is aware; Spark
+            # timestamp literals accept it, naive stays session-local
+            anchor = f"TIMESTAMP '{ao.isoformat(sep=' ')}'"
+        aggs.append(F.expr(
+            f"max({_qid(r['col'])}) >= {anchor}"
+            f" - make_dt_interval(0, 0, 0, {secs!r})"
+        ).alias(f"__f{i}"))
     head = df.agg(*aggs).collect()[0]
     total = int(head["__total"])
 
@@ -162,23 +184,10 @@ def check_constraints(
             v = int(head[f"__u{i}"] or 0)
             rows.append((r["name"], "unique", v, total, v == 0))
     for i, r in enumerate(fresh):
-        import datetime as _dt
-
-        mx = head[f"__f{i}"]
-        as_of = r.get("as_of") or _dt.datetime.now(_dt.timezone.utc).replace(
-            tzinfo=None
-        )
-        if isinstance(as_of, str):
-            as_of = _dt.datetime.fromisoformat(as_of)
-        if isinstance(as_of, _dt.date) and not isinstance(as_of, _dt.datetime):
-            as_of = _dt.datetime.combine(as_of, _dt.time())
-        bound = as_of - _dt.timedelta(days=float(r["max_age_days"]))
-        if mx is not None and isinstance(mx, _dt.date) and not isinstance(
-            mx, _dt.datetime
-        ):
-            mx = _dt.datetime.combine(mx, _dt.time())
-        # dataset-level rule: 1 violation = the whole table is stale
-        stale = mx is None or mx < bound
+        # dataset-level rule: 1 violation = the whole table is stale;
+        # NULL (all-NULL column) compares to NULL in-engine -> stale
+        ok = head[f"__f{i}"]
+        stale = not bool(ok) if ok is not None else True
         rows.append((r["name"], "freshness", int(stale), total, not stale))
     for r in refs:
         dim_keys = F.broadcast(

@@ -649,6 +649,12 @@ def hashed_tf_features(
     ``dim`` rows total, folded in as literals, no join); ``l2_normalize``
     scales to unit norm (zero vectors stay zero).  All default off so
     the base output is exact integers.
+
+    Every distinct input id appears in the output: documents with no
+    tokens (empty/whitespace-only/NULL text) get a ZERO vector rather
+    than silently vanishing — so a later inner join of features to
+    labels keeps all rows, and the IDF ``N`` counts ALL distinct input
+    docs, tokenless ones included.
     """
     if dim <= 0:
         raise ValueError("dim must be positive")
@@ -677,21 +683,18 @@ def hashed_tf_features(
     if log_tf:
         cell = f"ln(1.0 + {cell})"
     if idf:
-        # one rollup job: per-bucket rows carry df, the grand-total row
-        # carries N (distinct docs); folded in as a literal dim-array so
-        # the weighting is pure codegen (no join)
+        # one rollup job: per-bucket rows carry df; N is the distinct
+        # count over ALL input ids (tokenless docs included — they get
+        # zero vectors below, so they are corpus members for IDF);
+        # folded in as a literal dim-array so the weighting is pure
+        # codegen (no join)
         stats = (
-            tf.rollup("__b")
-            .agg(F.count("*").alias("df"),
-                 F.countDistinct("__id").alias("nd"))
-            .collect()
+            tf.rollup("__b").agg(F.count("*").alias("df")).collect()
         )
-        n_docs = 0
+        n_docs = df.select(F.countDistinct(id_col)).collect()[0][0]
         dfs = [0] * dim
         for r in stats:
-            if r["__b"] is None:
-                n_docs = r["nd"]
-            else:
+            if r["__b"] is not None:
                 dfs[r["__b"]] = r["df"]
         idf_vals = ", ".join(
             repr(math.log((n_docs + 1.0) / (dfs[bk] + 1.0)) + 1.0)
@@ -699,10 +702,16 @@ def hashed_tf_features(
         )
         cell = f"({cell}) * element_at(array({idf_vals}), b + 1)"
     vec = F.expr(f"transform(sequence(0, {dim - 1}), b -> {cell})")
+    # left-join the bucket maps back onto the distinct input ids so
+    # tokenless docs emit zero vectors (element_at on the NULL map is
+    # NULL -> coalesce 0) instead of silently dropping out
+    maps = tf.groupBy("__id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__b", "__tf"))).alias("__m")
+    )
     out = (
-        tf.groupBy("__id")
-        .agg(F.map_from_entries(
-            F.collect_list(F.struct("__b", "__tf"))).alias("__m"))
+        df.select(F.col(id_col).alias("__id")).distinct()
+        .join(maps, "__id", "left")
         .select(F.col("__id").alias(id_col), vec.alias(out_col))
     )
     if l2_normalize:

@@ -303,25 +303,42 @@ def evaluate_classifier(
     score_col: str,
     label_col: str,
     threshold: float = 0.5,
-    auc: bool = True,
+    auc: bool | str = True,
+    auc_buckets: int = 1000,
+    score_range: tuple[float, float] = (0.0, 1.0),
 ) -> DataFrame:
     """Classifier quality report as ONE row: n / n_pos / confusion
     counts / accuracy / precision / recall / f1 (+ AUC) — the evaluate
     side of the train_logreg → classifier_score loop.
 
     Confusion metrics are a single aggregation pass (conditional BIGINT
-    sums — exact).  AUC is the tie-aware Mann-Whitney statistic: ranks
-    come from ``RANK() OVER (ORDER BY score)`` plus the tie-average
-    correction, so it is exact (equal to the trapezoidal ROC area) and
-    deterministic whenever the scores are.  NOTE: the rank is a GLOBAL
-    window — a single-partition sort over the scored rows.  That is the
-    right trade for eval sets (they are bounded by construction); for
-    whole-corpus AUC at 100 TB, score-bucket the rows first and use a
-    histogram approximation instead.  Undefined ratios (no positives,
-    no predicted positives, one class absent) come back NULL, never a
-    division error.  Rows with a NULL score or label are EXCLUDED
-    (counting them in ``n`` while no sum can classify them would skew
-    every ratio)."""
+    sums — exact).  ``auc=True`` computes the tie-aware Mann-Whitney
+    statistic: ranks come from ``RANK() OVER (ORDER BY score)`` plus
+    the tie-average correction, so it is exact (equal to the
+    trapezoidal ROC area) and deterministic whenever the scores are.
+    NOTE: that rank is a GLOBAL window — a single-partition sort over
+    the scored rows, the right trade for eval sets (bounded by
+    construction) but a cliff if handed a whole scored corpus.
+
+    ``auc="approx"`` is the 100 TB path: scores are clamped to
+    ``score_range`` and histogrammed into ``auc_buckets`` equal-width
+    buckets (one hash-aggregation shuffling ≤``auc_buckets`` rows, NO
+    global window anywhere in the plan); AUC is then the tie-aware
+    statistic over the bucketed scores, computed exactly in integer
+    arithmetic from the ≤``auc_buckets`` collected histogram rows.
+    Treating every score in a bucket as tied biases the estimate by at
+    most the mass of genuinely-distinct scores that share a bucket —
+    error ≤ one bucket width (≤ 1/auc_buckets of the score range), and
+    exact when distinct scores never collide (e.g. 4dp-rounded scores
+    with 10000 buckets).  Default ``score_range=(0, 1)`` fits
+    probability outputs (sigmoid heads); widen it for margin scores.
+
+    Undefined ratios (no positives, no predicted positives, one class
+    absent) come back NULL, never a division error.  Rows with a NULL
+    score or label are EXCLUDED (counting them in ``n`` while no sum
+    can classify them would skew every ratio)."""
+    if auc not in (True, False, "approx"):
+        raise ValueError("auc must be True, False, or 'approx'")
     pred = f"(CAST({score_col} AS DOUBLE) >= {float(threshold)!r})"
     y = f"(CAST({label_col} AS DOUBLE) = 1.0)"
     base = df.filter(
@@ -331,7 +348,41 @@ def evaluate_classifier(
         F.expr(f"CAST({y} AS INT)").alias("__y"),
         F.col(score_col).cast("double").alias("__s"),
     )
-    if auc:
+    approx_auc_expr = None
+    if auc == "approx":
+        lo, hi = (float(score_range[0]), float(score_range[1]))
+        nb = int(auc_buckets)
+        if not (hi > lo) or nb <= 0:
+            raise ValueError("score_range must be increasing and "
+                             "auc_buckets positive")
+        # histogram pass: ≤nb rows shuffle, ≤nb rows collect (bounded
+        # by the PARAMETER, never by data size)
+        bexpr = (f"LEAST({nb - 1}, GREATEST(0, CAST(FLOOR("
+                 f"(__s - {lo!r}) / {hi - lo!r} * {nb}) AS INT)))")
+        hist = sorted(
+            base.groupBy(F.expr(bexpr).alias("__b")).agg(
+                F.sum("__y").cast("bigint").alias("pos"),
+                F.sum(1 - F.col("__y")).cast("bigint").alias("neg"),
+            ).collect(),
+            key=lambda r: r["__b"],
+        )
+        # tie-aware Mann-Whitney over bucketed scores, all-integer:
+        # AUC = Σ_b pos_b·(neg_below + neg_b/2) / (P·N)
+        #     = Σ_b pos_b·(2·neg_below + neg_b) / (2·P·N)
+        p_tot = sum(r["pos"] for r in hist)
+        n_tot = sum(r["neg"] for r in hist)
+        num2 = 0
+        cum_neg = 0
+        for r in hist:
+            num2 += r["pos"] * (2 * cum_neg + r["neg"])
+            cum_neg += r["neg"]
+        if p_tot > 0 and n_tot > 0:
+            # the D suffix makes this a DOUBLE literal (a bare decimal
+            # literal would come back as DECIMAL and change the schema)
+            approx_auc_expr = f"{num2 / (2.0 * p_tot * n_tot)!r}D"
+        else:
+            approx_auc_expr = "CAST(NULL AS DOUBLE)"
+    if auc is True:
         from pyspark.sql import Window
 
         wr = Window.orderBy("__s")
@@ -349,11 +400,19 @@ def evaluate_classifier(
         F.expr("CAST(SUM((1 - __p) * (1 - __y)) AS BIGINT)").alias("tn"),
         F.expr("CAST(SUM((1 - __p) * __y) AS BIGINT)").alias("fn"),
     ]
-    if auc:
+    if auc is True:
         aggs.append(F.expr(
             "CAST(SUM(CAST(__y * __ar AS DECIMAL(38,9))) AS DOUBLE)"
         ).alias("__rpos"))
     row = base.agg(*aggs)
+    if auc is True:
+        auc_sel = ["CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN "
+                   "(__rpos - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2.0) "
+                   "/ (CAST(n_pos AS DOUBLE) * (n - n_pos)) END AS auc"]
+    elif auc == "approx":
+        auc_sel = [f"{approx_auc_expr} AS auc"]
+    else:
+        auc_sel = []
     m = row.selectExpr(
         "n", "n_pos", "tp", "fp", "tn", "fn",
         "CAST((tp + tn) AS DOUBLE) / n AS accuracy",
@@ -361,12 +420,7 @@ def evaluate_classifier(
         "END AS precision",
         "CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) "
         "END AS recall",
-        *(
-            ["CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN "
-             "(__rpos - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2.0) "
-             "/ (CAST(n_pos AS DOUBLE) * (n - n_pos)) END AS auc"]
-            if auc else []
-        ),
+        *auc_sel,
     )
     return m.selectExpr(
         "*",

@@ -692,16 +692,20 @@ def funnel_stream(
     mapping = F.create_map(
         *[x for s, i in step_idx.items() for x in (F.lit(s), F.lit(i))]
     )
+    # the state key is the user id's STRING form: stable for long ids,
+    # string ids, and UUIDs alike (a numeric cast would NULL out string
+    # ids and merge every such user into one state group — diverging
+    # from the batch funnel, which accepts any id type)
     prepared = (
         sdf.filter(F.col(type_col).isin(list(steps)))
         .select(
-            F.col(user_col).cast("long").alias("__u"),
+            F.col(user_col).cast("string").alias("__u"),
             F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__ts"),
             mapping[F.col(type_col)].cast("int").alias("__step"),
         )
     )
     out_schema = T.StructType([
-        T.StructField("user_id", T.LongType()),
+        T.StructField("user_id", T.StringType()),
         T.StructField("n_completed", T.IntegerType()),
     ])
     state_schema = T.StructType([

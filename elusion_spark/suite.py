@@ -4896,6 +4896,69 @@ def q130(spark, sf):
     return join_audit(o, c, "o_custkey", "c_custkey")
 
 
+_Q131_NB = 1000
+
+
+@q(
+    "q131_approx_auc",
+    f"""
+    WITH scored AS (
+        SELECT ROUND(1/(1+exp(-(list_dot_product(CAST(embedding AS
+                   DOUBLE[]), {_HEAD_W!r}) + 0.1))), 4) AS s,
+               CAST(vec_id % 2 AS INT) AS y
+        FROM embeddings
+    ), h AS (
+        SELECT LEAST({_Q131_NB - 1}, GREATEST(0,
+                   CAST(FLOOR((s - 0.0) / 1.0 * {_Q131_NB}) AS INT)))
+                   AS b,
+               CAST(SUM(y) AS BIGINT) AS pos,
+               CAST(SUM(1 - y) AS BIGINT) AS neg
+        FROM scored GROUP BY 1
+    ), c AS (
+        SELECT pos, neg,
+               CAST(COALESCE(SUM(neg) OVER (ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS cumneg
+        FROM h
+    ), tot AS (
+        SELECT CAST(SUM(pos) AS BIGINT) AS p_tot,
+               CAST(SUM(neg) AS BIGINT) AS n_tot,
+               CAST(SUM(pos * (2 * cumneg + neg)) AS BIGINT) AS num2
+        FROM c
+    )
+    SELECT CAST((SELECT SUM(pos) + SUM(neg) FROM h) AS BIGINT) AS n,
+           p_tot AS n_pos,
+           CASE WHEN p_tot > 0 AND n_tot > 0 THEN
+               CAST(num2 AS DOUBLE)
+               / (2.0 * CAST(p_tot AS DOUBLE) * CAST(n_tot AS DOUBLE))
+           END AS auc
+    FROM tot
+    """,
+)
+def q131(spark, sf):
+    """Histogram-bucketed approximate AUC (train.py evaluate_classifier
+    auc='approx' — the 100 TB evaluation path): scores bucket into
+    {_Q131_NB} equal-width cells via ONE hash aggregation (no global
+    rank window anywhere in the plan — the exact path's documented
+    single-partition cliff is gone), and the tie-aware Mann-Whitney
+    statistic folds over the ≤{_Q131_NB} histogram rows in exact
+    integer arithmetic.  Same q126 fixture (q67 head scores, vec_id
+    parity labels); the oracle replays the identical bucketing and
+    integer cumulative fold, so the match is exact, not tolerance-
+    based."""
+    from .operators.similarity import classifier_score
+    from .operators.train import evaluate_classifier
+
+    e = _t(spark, sf, "embeddings", "e").df
+    scored = classifier_score(e, "embedding", _HEAD_W, bias=0.1).select(
+        F.round("score", 4).alias("s"),
+        (F.col("vec_id") % 2).cast("int").alias("y"),
+    )
+    return evaluate_classifier(
+        scored, "s", "y", auc="approx", auc_buckets=_Q131_NB
+    ).select("n", "n_pos", "auc")
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -4904,48 +4967,44 @@ def q130(spark, sf):
 # keep their round-1 evidence even if they fall past a cap.
 # ---------------------------------------------------------------------
 _NEEDS_EVIDENCE = [
-    # Priority 1 (round 4) — the 8 queries whose only driver evidence is
-    # round 1 (VERDICT r3 ask #1): they sat past the 50-slot cap twice.
-    "q42_union_all_append", "q43_drop_duplicates_by_col",
-    "q44_window_frames", "q45_agg_whitelist", "q47_rollup",
-    "q48_string_agg", "q49_array_agg_distinct", "q50_pii_redaction",
-    # Priority 2 — new in round 4 or implementation touched in round 4
-    # (batched RRF/bm25, fuzzy_join second blocking key, events lift,
-    # approx-percentile flag):
-    "q101_batched_hybrid", "q102_latest_by_key", "q103_top_k_per_group",
-    "q104_url_filter", "q105_assign_shards", "q106_ohlc_resample",
-    "q107_gapfill_linear", "q108_best_quality_dedup",
-    "q109_order_priority", "q110_priority_shipping_mix",
-    "q111_large_volume_customer", "q112_supplier_part_counts",
-    "q113_forecast_revenue", "q114_nation_volume_shipping",
-    "q115_market_share", "q116_product_profit",
-    "q117_customer_distribution", "q118_top_supplier",
-    "q119_small_quantity_revenue", "q120_sales_opportunity",
-    "q121_waiting_suppliers", "q122_min_cost_supplier",
-    "q123_part_promotion_suppliers", "q124_train_quality_classifier",
-    "q125_hashed_tf_features", "q126_classifier_eval",
-    "q127_kmeans_fit", "q128_tfidf_features", "q129_snapshot_diff",
-    "q130_join_audit",
-    "q93_hybrid_search", "q91_bm25_search",
-    "q96_fuzzy_match", "q87_event_rate_anomaly", "q88_order_gap_stats",
-    "q89_funnel", "q90_cohort_retention", "q95_mad_outliers",
-    "q51_percentiles",
-    # Priority 3 — r1-only evidence, unchanged (same reason as P1 but
-    # these 7 DID make r3's window... keep them high until every query
-    # has evidence within two rounds):
-    "q28_calendar", "q29_json_extract", "q34_quality_fingerprint",
-    "q35_media_kinds", "q39_string_functions", "q40_datetime_functions",
-    "q41_math_functions",
-    # Priority 4 — r2-green, oldest first among the remaining r2 batch
-    # so the window keeps rotating:
-    "q52_audio_decode", "q53_corpus_boilerplate", "q54_date_bin",
-    "q55_left_mark", "q56_semi_anti", "q57_asof_join", "q58_range_join",
-    "q59_time_rollup", "q60_sessionize", "q61_distinct_sketch",
-    "q63_decontamination", "q66_pack_sequences",
+    # Round-5 rotation (VERDICT r4 ask #1): oldest driver evidence
+    # first.  Priority 1 — queries NEW in round 5 (no evidence yet):
+    "q131_approx_auc", "q132_grouping_builder",
+    # Priority 2 — the 41 queries whose latest driver evidence is r2:
     "q01_pricing_summary", "q02_top_orders", "q03_region_rollup",
     "q04_segment_monthly", "q05_window_rank", "q06_running_total",
     "q07_pivot_linestatus", "q08_unpivot_part", "q10_text_stats",
-    "q11_lang_id", "q12_fill_null", "q13_drop_null",
+    "q11_lang_id", "q12_fill_null", "q13_drop_null", "q14_fill_down",
+    "q15_except", "q16_intersect", "q17_union", "q18_cosine_topk",
+    "q19_ngram_jaccard", "q20_raw_sql_cte", "q21_date_breakdown",
+    "q22_corr_manual", "q23_null_analysis", "q24_string_group",
+    "q25_having_raw", "q26_case_tier", "q27_offset", "q33_ivf_topk",
+    "q36_image_decode", "q37_frame_sample", "q38_media_features_topk",
+    "q52_audio_decode", "q53_corpus_boilerplate", "q54_date_bin",
+    "q56_semi_anti", "q57_asof_join", "q58_range_join",
+    "q59_time_rollup", "q60_sessionize", "q61_distinct_sketch",
+    "q63_decontamination", "q66_pack_sequences",
+    # Priority 3 — r3-latest queries whose implementation was touched
+    # this round (gap_stats key fix, hashed_tf zero-vector contract,
+    # fuzzy_join count filter, sq8 rework) or that VERDICT flagged:
+    "q96_fuzzy_match", "q81_sq8_topk", "q99_grouping_sets",
+    # Priority 4 — remaining r3-latest, oldest-band first (overflow
+    # past the 50-slot cap rotates into round 6):
+    "q09_dedup_exact", "q30_minhash_pairs", "q31_simhash_pairs",
+    "q32_embedding_near_dup", "q35_media_kinds", "q39_string_functions",
+    "q40_datetime_functions", "q41_math_functions",
+    "q46_training_corpus", "q55_left_mark", "q62_skew_join_salted",
+    "q64_repetition_signals", "q65_semantic_dedup",
+    "q67_classifier_filter", "q68_sample_and_cap", "q69_exists_subquery",
+    "q70_scalar_subquery", "q71_train_val_test_split", "q72_lm_score",
+    "q73_knn_join", "q74_chunk_documents", "q75_threshold_sweep",
+    "q76_lm_score_bigram", "q77_containment_pairs",
+    "q78_incremental_dedup", "q79_upsample_by_weight",
+    "q80_temperature_mix", "q82_shipping_priority",
+    "q83_local_supplier_volume", "q84_promo_revenue",
+    "q85_bracket_predicates", "q86_returned_items", "q92_histogram",
+    "q94_weighted_sample", "q97_except_all", "q98_distribution_windows",
+    "q100_corpus_report_card",
 ]
 _NEEDS_EVIDENCE = [k for k in _NEEDS_EVIDENCE if k in QUERIES]
 QUERIES = {

@@ -1926,6 +1926,59 @@ def test_gap_stats_min_gaps_filter(spark):
     assert gap_stats(df, "k", "d", "tb", min_gaps=3).count() == 0
 
 
+def test_gap_stats_string_entity_keys(spark):
+    """String/UUID entity keys group per-entity (the old bigint cast
+    NULLed them into ONE merged group — ADVICE r4)."""
+    import datetime as dt
+
+    from elusion_spark.operators.events import gap_stats
+
+    rows = [
+        ("u-a", dt.date(2024, 1, 1), 1), ("u-a", dt.date(2024, 1, 3), 2),
+        ("u-b", dt.date(2024, 1, 1), 3), ("u-b", dt.date(2024, 1, 11), 4),
+    ]
+    df = spark.createDataFrame(rows, "k string, d date, tb long")
+    out = {r["k"]: r for r in gap_stats(df, "k", "d", "tb").collect()}
+    assert set(out) == {"u-a", "u-b"}
+    assert out["u-a"]["max_gap"] == 2 and out["u-b"]["max_gap"] == 10
+
+
+def test_score_bucket_anomalies_densify_detects_outage(spark):
+    """densify=True zero-fills the per-type bucket grid, so a total
+    outage hour scores as a strong drop; the default observed-only
+    window cannot see it at all (ADVICE r4)."""
+    import datetime as dt
+
+    from elusion_spark.operators.events import (
+        event_rate_anomaly, score_bucket_anomalies,
+    )
+
+    rows = []
+    # ~10 events/hour (9-11, nonconstant so variance > 0) for 30 hours,
+    # EXCEPT hour 25 (total outage)
+    for h in range(30):
+        if h == 25:
+            continue
+        for i in range(9 + h % 3):
+            rows.append(("a", dt.datetime(2024, 1, 1, h % 24, i)
+                         + dt.timedelta(days=h // 24)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    base = {r["bucket_hour"]: r for r in event_rate_anomaly(
+        df, trailing=24, min_history=12).collect()}
+    outage = dt.datetime(2024, 1, 2, 1)
+    assert outage not in base, "observed-only window cannot see outage"
+
+    from pyspark.sql import functions as F
+
+    buckets = df.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bucket_hour"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    dense = {r["bucket_hour"]: r for r in score_bucket_anomalies(
+        buckets, trailing=24, min_history=12, densify=True).collect()}
+    assert dense[outage]["c"] == 0 and dense[outage]["z"] < -5
+
+
 def test_mad_outliers_approx_flag_matches_exact_within_tolerance(spark):
     """approx=True (Greenwald-Khanna sketch medians — the fixed-memory
     100 TB path) flags the same rows as the exact path on a well-
@@ -2252,6 +2305,62 @@ def test_check_constraints_freshness_rule(spark):
     assert rep2["pass"] is False
 
 
+def test_check_constraints_freshness_tz_independent(spark):
+    """The freshness comparison runs in-engine, so a non-UTC
+    spark.sql.session.timeZone gives the same verdict as UTC near the
+    boundary (ADVICE r4: naive driver-side compare was off by the tz
+    offset)."""
+    import datetime as dt
+
+    from elusion_spark.operators.quality import check_constraints
+
+    # MAX(ts) is ~30 minutes old in real terms: always fresh under a
+    # 1-hour window, regardless of session tz rendering
+    now = dt.datetime.now(dt.timezone.utc)
+    df = spark.createDataFrame(
+        [(1, (now - dt.timedelta(minutes=30)).replace(tzinfo=None))],
+        "id long, ts timestamp",
+    )
+    rule = [{"name": "f", "kind": "freshness", "col": "ts",
+             "max_age_days": 1.0 / 24.0}]
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # the fixture timestamp above was rendered under the ORIGINAL
+        # session tz; rebuild it under UTC so the data itself is fixed
+        df_utc = spark.createDataFrame(
+            [(1, (now - dt.timedelta(minutes=30)).replace(tzinfo=None))],
+            "id long, ts timestamp",
+        )
+        r_utc = check_constraints(df_utc, rule).collect()[0]["pass"]
+        spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+        # same INSTANT expressed in +14 wall time
+        k_wall = (now.astimezone(
+            dt.timezone(dt.timedelta(hours=14))
+        ) - dt.timedelta(minutes=30)).replace(tzinfo=None)
+        df_k = spark.createDataFrame(
+            [(1, k_wall)], "id long, ts timestamp",
+        )
+        r_k = check_constraints(df_k, rule).collect()[0]["pass"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    assert r_utc is True and r_k is True
+
+    # explicit aware as_of: verdict identical under both session tzs
+    anchor = dt.datetime(2024, 1, 16, tzinfo=dt.timezone.utc)
+    df2 = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 15, 20, 0))], "id long, ts timestamp",
+    )
+    rule2 = [{"name": "f2", "kind": "freshness", "col": "ts",
+              "max_age_days": 0.5, "as_of": anchor}]
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        a = check_constraints(df2, rule2).collect()[0]["pass"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    assert a is True
+
+
 # ---------------------------------------------------------------------
 # operators/train.py — distributed logistic-regression training
 # ---------------------------------------------------------------------
@@ -2360,8 +2469,10 @@ def test_hashed_tf_features_counts_and_norms(spark):
     dim = 8
     out = {r["doc_id"]: r["features"] for r in
            hashed_tf_features(df, dim=dim).collect()}
-    # whitespace-only doc yields no tokens -> no feature row
-    assert set(out) == {1, 2, 4}
+    # whitespace-only doc yields a ZERO vector, not a dropped row
+    # (a later inner join of features to labels must not lose docs)
+    assert set(out) == {1, 2, 3, 4}
+    assert out[3] == [0.0] * dim
     # replay the bucketing with Spark's own xxhash64 to get expectations
     buckets = {r["t"]: r["b"] for r in spark.sql(
         f"SELECT t, pmod(xxhash64(t), {dim}) AS b FROM "
@@ -2469,7 +2580,7 @@ def test_hashed_tf_features_idf(spark):
 
     df = spark.createDataFrame(
         [(1, "common rare1"), (2, "common"), (3, "common"),
-         (4, "common")],
+         (4, "common"), (5, "")],
         "doc_id long, text string",
     )
     dim = 16
@@ -2479,12 +2590,14 @@ def test_hashed_tf_features_idf(spark):
     assert buckets["common"] != buckets["rare1"], "pick different tokens"
     out = {r["doc_id"]: r["features"] for r in hashed_tf_features(
         df, dim=dim, idf=True).collect()}
-    n = 4
-    w_common = math.log((n + 1) / (4 + 1)) + 1.0   # df=4 -> 1.0
+    # N counts ALL distinct input docs, the tokenless doc 5 included
+    n = 5
+    w_common = math.log((n + 1) / (4 + 1)) + 1.0
     w_rare = math.log((n + 1) / (1 + 1)) + 1.0
     assert abs(out[2][buckets["common"]] - w_common) < 1e-12
     assert abs(out[1][buckets["rare1"]] - w_rare) < 1e-12
-    assert out[1][buckets["common"]] == w_common
+    assert abs(out[1][buckets["common"]] - w_common) < 1e-12
+    assert out[5] == [0.0] * dim
 
 
 def test_evaluate_classifier_metrics_and_auc(spark):
@@ -2528,6 +2641,56 @@ def test_evaluate_classifier_null_rows_excluded(spark):
     r = evaluate_classifier(df, "s", "y").collect()[0]
     assert r["n"] == 2 and r["tp"] == 1 and r["tn"] == 1
     assert r["accuracy"] == 1.0
+
+
+def test_evaluate_classifier_approx_auc(spark):
+    """auc='approx' (histogram-bucketed Mann-Whitney — the 100 TB
+    evaluation path, VERDICT r4 ask #2): within one bucket width of the
+    exact AUC on a spread fixture, EXACT when distinct scores never
+    share a bucket, no global-rank window in the plan, and degenerate
+    inputs return NULL like the exact path."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from elusion_spark.operators.train import evaluate_classifier
+
+    # 2000 rows, scores on a 1e-3 grid, labels noisily follow the score
+    df = (
+        spark.range(2000)
+        .withColumn("s", F.expr("round(pmod(id * 2654435761, 1000)"
+                                " / 1000.0, 3)"))
+        .withColumn("y", F.expr(
+            "CAST(pmod(id * 40503, 1000) / 1000.0 < s AS INT)"))
+    )
+    exact = evaluate_classifier(df, "s", "y").collect()[0]
+    approx = evaluate_classifier(
+        df, "s", "y", auc="approx", auc_buckets=100).collect()[0]
+    assert (approx["n"], approx["tp"], approx["fp"]) == \
+        (exact["n"], exact["tp"], exact["fp"])
+    assert abs(approx["auc"] - exact["auc"]) <= 1.0 / 100
+    # 10000 buckets: every distinct 3dp score gets its own bucket ->
+    # the bucketed tie structure IS the true tie structure -> exact
+    fine = evaluate_classifier(
+        df, "s", "y", auc="approx", auc_buckets=10000).collect()[0]
+    assert abs(fine["auc"] - exact["auc"]) < 1e-12
+
+    # the plan must not contain ANY window (the exact path's global
+    # rank is the single-partition cliff this flag exists to avoid)
+    plan = evaluate_classifier(
+        df, "s", "y", auc="approx", auc_buckets=100
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+    one = spark.createDataFrame([(0.9, 1), (0.2, 1)], "s double, y int")
+    ro = evaluate_classifier(one, "s", "y", auc="approx").collect()[0]
+    assert ro["auc"] is None
+
+    with pytest.raises(ValueError, match="auc must be"):
+        evaluate_classifier(df, "s", "y", auc="histogram")
+    with pytest.raises(ValueError, match="score_range"):
+        evaluate_classifier(df, "s", "y", auc="approx",
+                            score_range=(1.0, 0.0))
 
 
 def test_kmeans_fit_converges_and_is_deterministic(spark):

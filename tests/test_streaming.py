@@ -584,9 +584,35 @@ def test_funnel_stream_matches_batch_with_out_of_order_batches(spark, tmp_path):
                           want["step_purchase"]]
     # the late view retro-qualified user 2's click (purchase@T1 still
     # precedes the click, so no third step); view-after-click did not
-    assert final[2] == 2 and final[3] == 1 and final[5] == 1
+    assert final["2"] == 2 and final["3"] == 1 and final["5"] == 1
 
     import pytest
 
     with pytest.raises(ValueError, match="duplicate step"):
         ST.funnel_stream(stream, ["view", "click", "view"])
+
+
+def test_funnel_stream_string_user_ids(spark, tmp_path):
+    """String/UUID user ids must keep distinct state groups (a numeric
+    cast would NULL them all into one merged user) — ADVICE r4."""
+    import datetime as dt
+
+    T = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        ("u-aaa", "view", T(0)), ("u-aaa", "click", T(2)),
+        ("u-bbb", "view", T(1)),
+        ("u-ccc", "click", T(3)),          # click with no view: 0 steps
+    ]
+    src = str(tmp_path / "funnel_str_src")
+    spark.createDataFrame(
+        rows, "user_id string, event_type string, ts timestamp"
+    ).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src)
+    )
+    got = ST.run_available_now_update_to_memory(
+        ST.funnel_stream(stream, ["view", "click"])
+    )
+    final = {r["user_id"]: r["n_completed"] for r in got.collect()}
+    assert final == {"u-aaa": 2, "u-bbb": 1, "u-ccc": 0}
