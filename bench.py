@@ -60,6 +60,50 @@ BENCH_QUERIES = [
     "q46_training_corpus",    # end-to-end curation composite (9 stages)
 ]
 
+# Per-query wall-time budgets at sf0.1 (seconds, min-of-two warm): set
+# at ~1.5x the round-4/5 steady-state times so a 40-50% constant-factor
+# slip on any single query surfaces as a "budget_violations" entry in
+# the bench JSON the same round it happens, instead of waiting for a
+# judge diff (VERDICT r4 ask #3 — the wall-time analogue of
+# test_scale.py's shuffle-count pins).  Tighten alongside real wins;
+# never loosen to silence a regression without a SCALE.md note.
+BUDGETS_SF01 = {
+    "q01_pricing_summary": 1.8, "q03_region_rollup": 0.7,
+    "q04_segment_monthly": 0.7, "q05_window_rank": 0.3,
+    "q06_running_total": 0.5, "q07_pivot_linestatus": 1.0,
+    "q10_text_stats": 0.35, "q18_cosine_topk": 0.4,
+    "q30_minhash_pairs": 1.8, "q31_simhash_pairs": 2.0,
+    "q32_embedding_near_dup": 1.9, "q35_media_kinds": 0.35,
+    "q39_string_functions": 0.25, "q44_window_frames": 0.3,
+    "q45_agg_whitelist": 0.5, "q51_percentiles": 1.9,
+    "q57_asof_join": 0.75, "q59_time_rollup": 0.55,
+    "q60_sessionize": 0.55, "q61_distinct_sketch": 0.3,
+    "q62_skew_join_salted": 1.2, "q63_decontamination": 1.7,
+    "q64_repetition_signals": 2.0, "q65_semantic_dedup": 2.6,
+    "q72_lm_score": 1.2, "q73_knn_join": 3.7,
+    "q74_chunk_documents": 0.55, "q75_threshold_sweep": 0.6,
+    "q76_lm_score_bigram": 2.1, "q77_containment_pairs": 2.2,
+    "q81_sq8_topk": 1.0, "q82_shipping_priority": 1.2,
+    "q93_hybrid_search": 1.5, "q101_batched_hybrid": 2.4,
+    "q103_top_k_per_group": 0.4, "q106_ohlc_resample": 0.5,
+    "q107_gapfill_linear": 0.8, "q113_forecast_revenue": 0.3,
+    "q115_market_share": 1.3, "q121_waiting_suppliers": 1.6,
+    "q46_training_corpus": 4.8,
+    "q01_cache_miss": 1.8, "q01_cache_hit": 0.3,
+}
+
+# Standing sf1 slope section (VERDICT r4 ask #8): the 10 headline
+# relational shapes re-timed at the 10x fixture (6M lineitem) so every
+# round grades SLOPE, not just sf0.1 shape.  The fixture is a
+# deterministic key-shift replica (tools/make_scale_fixtures.py) —
+# rebuilt on the fly when /tmp gets wiped between rounds.
+SF1_QUERIES = [
+    "q01_pricing_summary", "q04_segment_monthly", "q05_window_rank",
+    "q06_running_total", "q07_pivot_linestatus", "q45_agg_whitelist",
+    "q82_shipping_priority", "q113_forecast_revenue",
+    "q115_market_share", "q121_waiting_suppliers",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -141,17 +185,64 @@ def main() -> None:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = -1.0
-    print(
-        json.dumps(
-            {
-                "metric": "suite_seconds",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+
+    out: dict = {
+        "metric": "suite_seconds",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+
+    # wall-time budget check (sf0.1 runs only — budgets are calibrated
+    # to that scale factor)
+    if abs(sf - 0.1) < 1e-9:
+        viol = {
+            n: {"sec": t, "budget": BUDGETS_SF01[n]}
+            for n, t in times.items()
+            if n in BUDGETS_SF01 and t > BUDGETS_SF01[n]
+        }
+        out["budget_violations"] = viol
+
+        # sf1 slope block: rebuild the deterministic 10x fixture if /tmp
+        # was wiped, then the same warm + two-pass min methodology
+        if os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1":
+            try:
+                sf1_dir = "/tmp/sf1"
+                if not os.path.exists(f"{sf1_dir}/lineitem.parquet"):
+                    import subprocess
+
+                    subprocess.run(
+                        [sys.executable, os.path.join(
+                            os.path.dirname(os.path.abspath(__file__)),
+                            "tools", "make_scale_fixtures.py")],
+                        check=True, capture_output=True, timeout=900,
+                    )
+                for wname in SF1_QUERIES:      # untimed warm at sf1
+                    QUERIES[wname](spark, sf1_dir).write.format(
+                        "noop").mode("overwrite").save()
+                spark.catalog.clearCache()
+                t1: dict[str, float] = {}
+                for _pass in range(2):
+                    for name in SF1_QUERIES:
+                        t0 = time.perf_counter()
+                        QUERIES[name](spark, sf1_dir).write.format(
+                            "noop").mode("overwrite").save()
+                        el = round(time.perf_counter() - t0, 3)
+                        if name not in t1 or el < t1[name]:
+                            t1[name] = el
+                    spark.catalog.clearCache()
+                out["sf1"] = {
+                    "queries": t1,
+                    "total": round(sum(t1.values()), 3),
+                    "note": "10x key-shift replica of sf0.1 "
+                            "(6M lineitem); slope vs the sf0.1 "
+                            "queries above",
+                }
+            except Exception as exc:   # fixture build/run failure must
+                out["sf1"] = {"error": str(exc)[:200]}  # not kill bench
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

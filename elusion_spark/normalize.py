@@ -267,6 +267,43 @@ def extract_agg_calls(condition: str) -> list[str]:
     return [text for _s, _e, text in extract_agg_call_spans(condition)]
 
 
+def rewrite_grouping_refs(expr: str, resolve) -> str:
+    """Rewrite the ARGUMENTS of ``GROUPING(...)`` / ``GROUPING_ID(...)``
+    through ``resolve`` (expression-text → replacement-text), leaving
+    everything else untouched.  The builder aliases grouping columns
+    internally (``__g{i}``), so user-written GROUPING(col) provenance
+    refs must be mapped onto those aliases for Spark's analyzer to
+    match them against the rollup/cube grouping expressions (reference
+    whitelists GROUPING — normalize.rs:43-53)."""
+
+    def _builder(name):
+        def b(inner):
+            args, depth, cur = [], 0, []
+            for ch in inner:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                if ch == "," and depth == 0:
+                    args.append("".join(cur))
+                    cur = []
+                else:
+                    cur.append(ch)
+            if cur or args:
+                args.append("".join(cur))
+            new = [resolve(a.strip()) for a in args if a.strip()]
+            return f"{name}({', '.join(new)})"
+
+        return b
+
+    def seg(s: str) -> str:
+        s = _replace_call(s, "grouping_id", _builder("grouping_id"))
+        s = _replace_call(s, "grouping", _builder("grouping"))
+        return s
+
+    return _map_nonliteral(expr, seg)
+
+
 _CTE_RE = re.compile(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\((.*)\)\s*$",
                      re.IGNORECASE | re.DOTALL)
 

@@ -862,11 +862,14 @@ def sq_fit(df: DataFrame, vec_col: str, dim: int) -> tuple[list[float], list[flo
     ``(mins, spans)`` where ``spans[j] = max_j - min_j`` over the corpus.
 
     One posexplode shuffle carrying ``(pos, val)`` pairs — fixed-width,
-    independent of row width — then a ``dim``-row collect.  At 100 TB the
-    fit can run on a sample instead (min/max are order statistics; a
-    small margin on the span covers sampling error), but unlike k-means
-    the exact fit is itself a single cheap aggregation, so full-corpus
-    fits stay viable far longer than PQ/IVF training would."""
+    independent of row width — then a ``dim``-row collect.  (A wide
+    2·dim-column single aggregation was measured 5x SLOWER at dim 64:
+    the 128-buffer generated aggregate loses to the explode's tight
+    loop — don't "optimize" this back.)  At 100 TB the fit can run on a
+    sample instead (min/max are order statistics; a small margin on the
+    span covers sampling error), but unlike k-means the exact fit is
+    itself a single cheap aggregation, so full-corpus fits stay viable
+    far longer than PQ/IVF training would."""
     rows = (
         df.select(F.posexplode(F.col(vec_col)).alias("pos", "val"))
         .groupBy("pos")
@@ -937,12 +940,35 @@ def sq_topk(
     import math
 
     qnorm = math.sqrt(sum(float(x) * float(x) for x in query))
+    # decode, dot and norm fuse into ONE zip_with + aggregate pass over
+    # the raw codes: HOFs are CodegenFallback (no codegen subexpression
+    # elimination), so the naive decode-then-two-aggregates shape
+    # re-evaluates the whole decode chain per reference.  Per element:
+    # dv = m + c·(s/255) with s/255 prefolded as a driver-side literal
+    # (IEEE division — bit-identical to dividing in-engine), then the
+    # (dv·q, dv²) pair folds left-to-right, the same operand order as
+    # the separate dot_expr/norm_expr — so the cosine values stay
+    # bit-identical and the cross-engine hash-parity contract survives.
+    trip = ", ".join(
+        f"named_struct('m', {float(m)!r}D, 's', {float(s) / 255.0!r}D, "
+        f"'q', {float(qj)!r}D)"
+        for m, s, qj in zip(mins, spans, query)
+    )
+    fused = (
+        f"aggregate(zip_with({code_col}, array({trip}), "
+        f"(c, t) -> struct("
+        f"(t.m + CAST(c AS DOUBLE) * t.s) * t.q AS d, "
+        f"(t.m + CAST(c AS DOUBLE) * t.s) * (t.m + CAST(c AS DOUBLE) * t.s)"
+        f" AS n)), "
+        f"struct(CAST(0 AS DOUBLE) AS d, CAST(0 AS DOUBLE) AS n), "
+        f"(acc, v) -> struct(acc.d + v.d AS d, acc.n + v.n AS n))"
+    )
     out = (
-        df.withColumn("__dv", sq_decode_expr(code_col, mins, spans))
+        df.withColumn("__dn", F.expr(fused))
         .select(
             F.col(id_col),
             F.round(
-                dot_expr("__dv", query) / (norm_expr("__dv") * F.lit(qnorm)),
+                F.expr("__dn.d") / (F.expr("sqrt(__dn.n)") * F.lit(qnorm)),
                 round_digits,
             ).alias("cosine"),
         )

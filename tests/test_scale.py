@@ -350,6 +350,25 @@ def test_shuffle_budgets(spark, name, budget):
     )
 
 
+def test_bench_time_budgets_cover_every_bench_query():
+    """Every benchmarked query (and the cache pair) must have a
+    wall-time budget, and every budget must point at a real bench
+    entry — so the bench's budget_violations check can never silently
+    skip a query.  (The timing enforcement itself runs inside bench.py
+    at sf0.1 — the driver records violations in BENCH_r{N}.json the
+    round they happen.)"""
+    import bench
+
+    benched = set(bench.BENCH_QUERIES) | {"q01_cache_miss",
+                                          "q01_cache_hit"}
+    assert set(bench.BUDGETS_SF01) == benched
+    assert all(b > 0 for b in bench.BUDGETS_SF01.values())
+    from elusion_spark.suite import QUERIES
+
+    assert set(bench.SF1_QUERIES) <= set(QUERIES)
+    assert set(bench.BENCH_QUERIES) <= set(QUERIES)
+
+
 def test_upsert_partitioned_touches_only_affected_partitions(spark, tmp_path):
     """MERGE-like upsert rewrites only the partitions the updates touch:
     untouched partition files are byte-identical afterwards, updated keys
