@@ -243,7 +243,13 @@ class CustomDataFrame:
     def group_by_rollup(self, columns: Sequence[str] | str, *more: str) -> "CustomDataFrame":
         """Hierarchical subtotals (beyond-parity: the reference whitelists
         GROUPING but has no rollup builder — SURVEY §2.5).  Runs as
-        Spark's native ROLLUP (one pass, no self-union)."""
+        Spark's native ROLLUP (one pass, no self-union).
+
+        ``GROUPING(col)`` / ``GROUPING_ID(col, ...)`` provenance refs
+        work in ``.agg()``, ``.select()`` and ``.having()`` — the
+        builder resolves them through its internal grouping aliases, so
+        subtotal/grand-total rows are distinguishable from genuine NULL
+        groups exactly as in raw SQL."""
         c = self.group_by(columns, *more)
         c.group_mode = "rollup"
         return c
@@ -583,12 +589,58 @@ class CustomDataFrame:
                 N.canonical(g): f"__g{i}" for i, g in enumerate(group_exprs)
             }
 
+            # GROUPING()/GROUPING_ID() provenance refs (reference
+            # whitelists GROUPING — normalize.rs:43-53): the builder
+            # aliases grouping columns internally, so user refs like
+            # GROUPING(region) must map onto the __g{i} aliases AND the
+            # aliases must exist as real child columns for the analyzer
+            # to match them against the rollup/cube grouping exprs.
+            grp_rewrite = None
+            grp_hit: list[bool] = []
+            if self.group_mode in ("rollup", "cube"):
+                _grp_pat = re.compile(r"\bgrouping(_id)?\s*\(", re.I)
+
+                def _resolve(arg: str) -> str:
+                    key = N.canonical(N.normalize_expression(arg))
+                    alias = canon_group.get(key)
+                    if alias is None:
+                        raise GroupByAllError(
+                            f"GROUPING() argument {arg!r} is not a "
+                            f"{self.group_mode} grouping column",
+                            f"Arguments to GROUPING/GROUPING_ID must be "
+                            f"among the group_by_{self.group_mode}() "
+                            f"columns: {self.group_by_cols}.",
+                        )
+                    grp_hit.append(True)
+                    return alias
+
+                def grp_rewrite(body: str) -> str:
+                    if not _grp_pat.search(body):
+                        return body
+                    return N.rewrite_grouping_refs(body, _resolve)
+
+                agg_items = [(grp_rewrite(b), a) for b, a in agg_items]
+                # GROUPING in .select() is legal SQL; it is an aggregate,
+                # so such items move to the aggregation list
+                moved = [
+                    (grp_rewrite(b), al or N.default_alias(b))
+                    for b, al in sel_items if _grp_pat.search(b)
+                ]
+                if moved:
+                    sel_items = [
+                        (b, al) for b, al in sel_items
+                        if not _grp_pat.search(b)
+                    ]
+                    agg_items = agg_items + moved
+
             # HAVING: alias refs pass through; raw agg calls become hidden aggs
             hidden: list[tuple[str, str]] = []
             havings: list[str] = []
             known_aggs = {N.canonical(b): a for b, a in agg_items}
             for h in self.havings:
                 h2 = N.normalize_expression(h)
+                if grp_rewrite is not None:
+                    h2 = grp_rewrite(h2)
                 # substitute by recorded span, right-to-left, so literals
                 # containing agg-call text survive and overlapping call
                 # texts can't corrupt earlier replacements (ADVICE r1)
@@ -605,6 +657,15 @@ class CustomDataFrame:
 
             aggcols = [F.expr(b).alias(a) for b, a in agg_items]
             aggcols += [F.expr(b).alias(a) for b, a in hidden]
+            if grp_hit:
+                # materialize the grouping aliases as child columns so
+                # GROUPING(__g{i}) resolves against the grouping exprs
+                cur = cur.select(
+                    "*",
+                    *[F.expr(g).alias(f"__g{i}")
+                      for i, g in enumerate(group_exprs)],
+                )
+                gcols = [F.col(f"__g{i}") for i in range(len(group_exprs))]
             if gcols:
                 grouped_data = {
                     "groupby": cur.groupBy,

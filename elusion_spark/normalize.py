@@ -23,7 +23,8 @@ SENTINEL_NULLS = ("null", "na", "n/a", "none", "-", "?", "nan")
 # Aggregate-function whitelist (normalize.rs:43-53 + Spark natives we expose).
 AGG_FUNCS = (
     "sum", "avg", "mean", "median", "min", "max", "count",
-    "last_value", "first_value", "first", "last", "grouping",
+    "last_value", "first_value", "first", "last",
+    "grouping_id", "grouping",   # longer name first: alternation order
     "string_agg", "listagg", "array_agg", "collect_list", "collect_set",
     "var", "variance", "var_pop", "var_samp",
     "stddev", "stddev_pop", "stddev_samp",

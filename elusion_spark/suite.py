@@ -4959,6 +4959,44 @@ def q131(spark, sf):
     ).select("n", "n_pos", "auc")
 
 
+@q(
+    "q132_grouping_builder",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+           {DSUM('o_totalprice')} AS total,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+           o_orderstatus, o_orderpriority
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    HAVING GROUPING(o_orderpriority) = 1
+    """,
+)
+def q132(spark, sf):
+    """GROUPING() provenance THROUGH the builder (VERDICT r4 ask #4):
+    group_by_rollup with GROUPING refs in both the aggregate list and
+    HAVING — the builder maps the user-written column refs onto its
+    internal grouping aliases and materializes them as child columns so
+    Spark's analyzer matches them against the rollup grouping exprs.
+    The HAVING keeps only the subtotal band (per-status + grand total),
+    the exact provenance filter GROUPING exists for.  Previously this
+    worked only via raw SQL (q99); the builder path is now first-class."""
+    return (
+        _t(spark, sf, "orders", "o")
+        .select(["o_orderstatus", "o_orderpriority"])
+        .agg([
+            "COUNT(*) AS cnt",
+            f"{DSUM('o_totalprice')} AS total",
+            "CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status",
+            "CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio",
+        ])
+        .group_by_rollup(["o_orderstatus", "o_orderpriority"])
+        .having("GROUPING(o_orderpriority) = 1")
+        .elusion("q132")
+        .df
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.

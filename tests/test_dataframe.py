@@ -366,3 +366,51 @@ def test_reference_readme_method_surface(spark):
     assert stats.count() >= 1
     df.show_head(1)
     df.show_tail(1)
+
+
+def test_grouping_provenance_through_builder(spark):
+    """GROUPING()/GROUPING_ID() resolve through group_by_rollup /
+    group_by_cube in agg, select and having position (round-5 fix:
+    previously the internal grouping aliases broke resolution and the
+    only path was raw SQL)."""
+    import pytest
+
+    from elusion_spark import CustomDataFrame
+    from elusion_spark.errors import GroupByAllError
+
+    df = CustomDataFrame(
+        spark.createDataFrame(
+            [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 4.0)],
+            ["k1", "k2", "v"],
+        ),
+        "t",
+    )
+    # agg position + grouping_id
+    out = {
+        (r["k1"], r["k2"]): (r["n"], r["g1"], r["gid"])
+        for r in (
+            df.select(["k1", "k2"])
+            .agg(["COUNT(*) AS n",
+                  "CAST(GROUPING(k1) AS INT) AS g1",
+                  "CAST(GROUPING_ID(k1, k2) AS INT) AS gid"])
+            .group_by_rollup(["k1", "k2"])
+            .elusion("g1x").df.collect()
+        )
+    }
+    assert out[("a", "x")] == (1, 0, 0)
+    assert out[("a", None)] == (2, 0, 1)     # k2 subtotal
+    assert out[(None, None)] == (3, 1, 3)    # grand total
+    # select position + having filter to the subtotal band
+    sub = (
+        df.select(["k1", "CAST(GROUPING(k1) AS INT) AS gk"])
+        .agg(["COUNT(*) AS n"])
+        .group_by_cube(["k1"])
+        .having("GROUPING(k1) = 0")
+        .elusion("g2x").df.collect()
+    )
+    assert sorted((r["k1"], r["gk"], r["n"]) for r in sub) == [
+        ("a", 0, 2), ("b", 0, 1)]
+    # non-grouping argument raises the friendly error
+    with pytest.raises(GroupByAllError, match="not a rollup grouping"):
+        (df.select(["k1"]).agg(["GROUPING(k2) AS g"])
+         .group_by_rollup(["k1"]).elusion("g3x"))

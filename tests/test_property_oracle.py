@@ -941,22 +941,28 @@ def _run_rollup_case(spark, duck, seed):
     c = load_parquet(f"{SF}/customer.parquet", "t", spark).filter(
         pred.replace("c_", "t.c_"))
     keyed = [f"t.{k}" for k in keys]
+    # GROUPING() provenance columns resolve THROUGH the builder (the
+    # internal grouping aliases are mapped — round-5 fix); BIGINT casts
+    # align Spark's tinyint grouping() with DuckDB's
+    grp_aggs = [
+        f"CAST(GROUPING(t.{k}) AS BIGINT) AS g{i}"
+        for i, k in enumerate(keys)
+    ]
     grouped = (c.select([f"{k} AS {k.split('.')[1]}" for k in keyed])
                .agg([f"{agg[0].replace('c_acctbal', 't.c_acctbal')} "
-                     f"AS {agg[1]}"]))
+                     f"AS {agg[1]}"] + grp_aggs))
     grouped = (grouped.group_by_rollup(keyed) if mode == "rollup"
                else grouped.group_by_cube(keyed))
-    # the grouped keys are never NULL in the data, so NULL output keys
-    # unambiguously mark subtotal rows — no GROUPING() column needed
-    # (the builder rollup aliases its grouping columns internally, so
-    # GROUPING() refs do not resolve through it; q99 exercises
-    # GROUPING() through the raw-SQL surface instead)
     srows = {tuple(sorted(r.asDict().items()))
              for r in grouped.to_spark().collect()}
 
     kl = ", ".join(keys)
+    ogrp = ", ".join(
+        f"CAST(GROUPING({k}) AS BIGINT) AS g{i}"
+        for i, k in enumerate(keys)
+    )
     sql = (
-        f"SELECT {kl}, {agg[0]} AS {agg[1]} FROM customer "
+        f"SELECT {kl}, {agg[0]} AS {agg[1]}, {ogrp} FROM customer "
         f"WHERE {pred} GROUP BY {mode.upper()}({kl})"
     )
     cur = duck.execute(sql)
