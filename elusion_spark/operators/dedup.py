@@ -929,6 +929,121 @@ def containment_pairs(
     )
 
 
+def _fuzzy_join_qgram(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    d: int,
+    q: int,
+    keep_cols: bool,
+    _return_candidates: bool = False,
+) -> DataFrame:
+    """Ed-Join-style positional q-gram prefix filtering (Xiao, Wang,
+    Lin, VLDB 2008) — the lossless blocking that stays selective where
+    PassJoin segments degenerate (corpora sharing a long common prefix:
+    every segment key collides, SCALE.md's supplier fixture).
+
+    Count-filtering bound: ``d`` edits destroy at most ``q`` positional
+    q-grams each, so two strings within distance ``d`` must share at
+    least ``|G| - d*q`` grams — in particular, under ANY fixed total
+    order of the gram vocabulary, their first ``d*q + 1`` grams
+    (the "prefix") must intersect, with positions differing by at most
+    ``d``.  Ordering grams rarest-first makes the prefix carry the
+    DISTINCTIVE grams: a corpus-wide shared prefix contributes only
+    high-frequency grams, which sort last and never become join keys —
+    exactly inverting the segment scheme's failure mode.
+
+    Strings with fewer than ``d*q + 1`` grams (length < ``q*(d+1)``)
+    have no prefix guarantee and route through the length-band join
+    (restricted to ``min(len_l, len_r) < q*(d+1)`` so the two paths
+    partition the pair space — no duplicates, no loss).
+
+    Plan: per side one explode to ``(row_id, pos, gram)`` triples, one
+    broadcast join against the gram-frequency table (vocabulary is
+    charset^q — bounded, tiny), one per-row-id window to take the
+    prefix, then a gram-keyed candidate join + pair-distinct + two id
+    joins back.  Every exchange carries ids/grams/ints, never payloads;
+    candidates are bounded by prefix-gram selectivity, not by length
+    bands."""
+    T = q * (d + 1)
+    pi = d * q + 1
+    from pyspark.sql import Window
+
+    L2 = left.withColumn("__lid", F.monotonically_increasing_id())
+    R2 = right.withColumn("__rid", F.monotonically_increasing_id())
+
+    # --- short-string path: length bands, kept disjoint via min-length
+    shortL = L2.filter(F.length(left_col) < T + d)
+    shortR = R2.filter(F.length(right_col) < T + d)
+    sj = (
+        shortL.withColumn(
+            "__band",
+            F.explode(F.sequence(F.length(left_col) - d,
+                                 F.length(left_col) + d)),
+        )
+        .join(shortR.withColumn("__band", F.length(right_col)), "__band")
+        .filter(F.least(F.length(left_col), F.length(right_col)) < T)
+        .withColumn("__dist",
+                    F.levenshtein(F.col(left_col), F.col(right_col), d))
+        .filter(F.col("__dist") >= 0)
+        .drop("__band")
+    )
+
+    # --- long-string path: rare-first positional q-gram prefixes
+    longL = L2.filter(F.length(left_col) >= T)
+    longR = R2.filter(F.length(right_col) >= T)
+
+    def grams(df, col, idc):
+        return df.select(
+            F.col(idc),
+            F.posexplode(F.expr(
+                f"transform(sequence(1, length({col}) - {q} + 1), "
+                f"p -> substr({col}, p, {q}))"
+            )).alias("__pos", "__g"),
+        )
+
+    gl = grams(longL, left_col, "__lid")
+    gr = grams(longR, right_col, "__rid")
+    # one fixed global order shared by both sides: document frequency
+    # over the RIGHT side (rarest first; unseen grams rank rarest of
+    # all).  ANY fixed order is lossless — frequency is the efficiency
+    # choice, not a correctness requirement.
+    freq = gr.groupBy("__g").agg(F.count("*").alias("__f"))
+
+    def prefix(g, idc):
+        w = Window.partitionBy(idc).orderBy(
+            F.col("__f").asc_nulls_first(), F.col("__g"), F.col("__pos")
+        )
+        return (
+            g.join(F.broadcast(freq), "__g", "left")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= pi)
+            .drop("__rn", "__f")
+        )
+
+    cand = (
+        prefix(gl, "__lid").alias("a")
+        .join(prefix(gr, "__rid").alias("b"), "__g")
+        .filter(F.abs(F.col("a.__pos") - F.col("b.__pos")) <= d)
+        .select("__lid", "__rid")
+        .distinct()
+    )
+    if _return_candidates:   # test/diagnostics hook: gram-path
+        return cand          # candidate pairs BEFORE the lev filter
+    lj = (
+        cand.join(longL, "__lid")
+        .join(longR, "__rid")
+        .withColumn("__dist",
+                    F.levenshtein(F.col(left_col), F.col(right_col), d))
+        .filter(F.col("__dist") >= 0)
+    )
+    out = sj.drop("__lid", "__rid").unionByName(
+        lj.drop("__lid", "__rid")
+    )
+    return out if keep_cols else out.select(left_col, right_col, "__dist")
+
+
 def fuzzy_join(
     left: DataFrame,
     right: DataFrame,
@@ -937,6 +1052,7 @@ def fuzzy_join(
     max_distance: int = 2,
     keep_cols: bool = True,
     scheme: str = "auto",
+    qgram: int = 2,
 ) -> DataFrame:
     """Edit-distance (Levenshtein) join with LOSSLESS blocking — the
     entity-resolution primitive (matching near-identical names/titles
@@ -961,6 +1077,15 @@ def fuzzy_join(
       disappears with ZERO recall loss.  Pair multiplicity is exact: a
       pair matching several segments is kept only at its FIRST matching
       segment (an unrolled predicate re-checks earlier segments).
+    - ``'qgram'`` — Ed-Join positional q-gram PREFIX filtering (rare
+      grams first, see ``_fuzzy_join_qgram``): the scheme for corpora
+      where segments degenerate because every string shares a long
+      common prefix/stopword segment (SCALE.md supplier fixture —
+      shared segments collide quadratically, while the distinctive
+      suffix grams are exactly what the rare-first prefix keys on).
+      Slightly more plumbing (gram-frequency pass + pair dedup), so
+      not the default; pair multiplicity is bag-exact via synthesized
+      row ids.
     - ``'auto'`` (default) — ``'segment'`` for ``max_distance <= 4``
       (key fan-out ``(2d+1)²(d+1)`` per left row stays modest),
       ``'length'`` above that.
@@ -975,6 +1100,10 @@ def fuzzy_join(
     d = int(max_distance)
     if scheme == "auto":
         scheme = "segment" if d <= 4 else "length"
+    if scheme == "qgram":
+        return _fuzzy_join_qgram(
+            left, right, left_col, right_col, d, int(qgram), keep_cols
+        )
     if scheme == "length":
         L = left.withColumn("__len_l", F.length(left_col)).withColumn(
             "__band",

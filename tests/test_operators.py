@@ -1771,7 +1771,7 @@ def test_fuzzy_join_segment_scheme_matches_length_scheme(spark):
     )
     for d in (1, 2):
         got = {}
-        for scheme in ("length", "segment"):
+        for scheme in ("length", "segment", "qgram"):
             got[scheme] = sorted(
                 (r["lid"], r["rid"], r["__dist"])
                 for r in fuzzy_join(
@@ -1789,6 +1789,63 @@ def test_fuzzy_join_segment_scheme_matches_length_scheme(spark):
         )
         assert got["length"] == brute, f"d={d} length scheme lost pairs"
         assert got["segment"] == brute, f"d={d} segment scheme lost pairs"
+        assert got["qgram"] == brute, f"d={d} qgram scheme lost pairs"
+
+
+def test_fuzzy_join_qgram_prunes_shared_prefix_corpus(spark):
+    """The supplier-fixture pathology: every name shares a long prefix,
+    so PassJoin segments genuinely collide (quadratic candidates) —
+    the rare-first q-gram prefix keys on the DISTINCTIVE tail instead.
+    Checks losslessness vs brute force AND that the candidate join is
+    selective (candidate pairs ~ matching pairs, nowhere near n^2)."""
+    from pyspark.sql import functions as F
+
+    from elusion_spark.operators.dedup import _fuzzy_join_qgram, fuzzy_join
+
+    def b36(x, w=7):
+        a = "0123456789abcdefghijklmnopqrstuvwxyz"
+        s = ""
+        for _ in range(w):
+            s += a[x % 36]
+            x //= 36
+        return s
+
+    n = 300
+    # 16-char shared prefix + pseudo-random 7-char base36 tail: typical
+    # pairwise distance is ~6 (only self-pairs are true matches), which
+    # is the real supplier-fixture shape — distinctive tails behind a
+    # segment-killing common prefix
+    names = [f"Supplier#Common-{b36(i * 2654435761 % 2**32)}"
+             for i in range(n)]
+    left = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(names)], "lid long, lname string")
+    right = spark.createDataFrame(
+        [(100_000 + i, s) for i, s in enumerate(names)],
+        "rid long, rname string")
+    d = 2
+    got = sorted(
+        (r["lid"], r["rid"], r["__dist"])
+        for r in fuzzy_join(left, right, "lname", "rname",
+                            max_distance=d, scheme="qgram").collect()
+    )
+    brute = sorted(
+        (r["lid"], r["rid"], r["dd"])
+        for r in left.crossJoin(right)
+        .withColumn("dd", F.levenshtein("lname", "rname"))
+        .filter(F.col("dd") <= d).collect()
+    )
+    assert got == brute and len(brute) >= n  # self-pairs at least
+    # selectivity: candidate pairs emitted by the gram join BEFORE the
+    # lev filter must be far below brute force (n^2) — this is the
+    # pair-count reduction the scheme exists for
+    cands = _fuzzy_join_qgram(
+        left, right, "lname", "rname", d, 2, True,
+        _return_candidates=True,
+    ).count()
+    assert len(brute) <= cands < n * n / 10, (
+        f"qgram blocking not selective: {cands} candidates for "
+        f"{n}x{n} corpus ({len(brute)} true pairs)"
+    )
 
 
 def test_funnel_sequencing_edge_cases(spark):
