@@ -735,3 +735,69 @@ def test_rollup_hist_kind_exact_merge_and_quantiles(spark, tmp_path):
         assert (gn, gbins) == (n, bins), f"group {g}: bins diverged"
         assert abs(p50 - truth[g][0]) <= 20.0 + 1e-9   # one bin width
         assert abs(p90 - truth[g][1]) <= 20.0 + 1e-9
+
+
+def _jobs_for(spark, group, fn):
+    """Run fn under a Spark job group; return how many jobs it launched.
+
+    AQE runs each materialized query stage as its own job, which would
+    make the count an AQE-internals detail rather than an action count —
+    disable it for the measurement so 1 action == 1 job."""
+    sc = spark.sparkContext
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup(group, group)
+    try:
+        fn()
+    finally:
+        sc.setJobGroup(f"{group}_done", f"{group}_done")
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    return len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+def test_train_logreg_one_job_per_iteration(spark):
+    """The training loop's scale contract: each GD iteration is exactly
+    ONE aggregation job over the persisted projection (VERDICT r4 item
+    7).  Pinned as a job-count delta so constant setup jobs (persist
+    materialization, count) don't make the test brittle."""
+    from elusion_spark.operators.train import train_logreg
+
+    df = spark.range(0, 400).selectExpr(
+        "transform(sequence(0, 7), j -> "
+        "CAST(pmod(id * (j + 3), 97) AS DOUBLE) / 97.0) AS x",
+        "CAST(id % 2 AS INT) AS y",
+    )
+    counts = {
+        iters: _jobs_for(
+            spark, f"pin_logreg_{iters}",
+            lambda iters=iters: train_logreg(
+                df, "x", "y", dim=8, iters=iters, lr=0.5),
+        )
+        for iters in (2, 4)
+    }
+    assert counts[4] - counts[2] == 2, (
+        f"expected exactly 1 job per extra GD iteration, got {counts}")
+
+
+def test_kmeans_fit_one_job_per_iteration(spark):
+    """Same contract for distributed Lloyd: one grouped-aggregation job
+    per iteration (assignment folds into the agg as a broadcast argmin
+    expression — no separate assignment job)."""
+    from elusion_spark.operators.similarity import kmeans_fit
+
+    df = spark.range(0, 300).selectExpr(
+        "transform(sequence(0, 3), j -> "
+        "CAST(pmod(id * (j + 17), 97) AS DOUBLE)) AS v",
+    )
+    init = [[float((i * 13 + j * 7) % 97) for j in range(4)]
+            for i in range(4)]
+    counts = {
+        iters: _jobs_for(
+            spark, f"pin_kmeans_{iters}",
+            lambda iters=iters: kmeans_fit(
+                df, "v", dim=4, k=4, iters=iters, init_centroids=init),
+        )
+        for iters in (2, 4)
+    }
+    assert counts[4] - counts[2] == 2, (
+        f"expected exactly 1 job per extra Lloyd iteration, got {counts}")
