@@ -405,6 +405,95 @@ def split_cuts(weights: dict[str, float]) -> list[tuple[str, int]]:
     return out
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    *,
+    text_col: str | None = None,
+    cluster_col: str | None = None,
+    pairs: DataFrame | None = None,
+    salt: int = 0,
+    split_col: str = "split",
+    key_col: str | None = None,
+) -> DataFrame:
+    """Cluster-coherent train/val/test split: every member of a
+    duplicate cluster lands on the SAME side, so near/exact copies of an
+    eval document can never leak into the training set — the
+    benchmark-contamination failure mode ``train_val_test_split`` alone
+    cannot prevent (it decides per-row, and two copies have two ids).
+
+    Exactly one clustering source:
+
+    - ``text_col``: exact-duplicate families — cluster key is
+      ``md5(text)`` (32-byte key, so the one shuffle carries hashes,
+      never document bodies; an MD5 collision merges two families,
+      which only makes the split MORE conservative).  NULL text rows
+      stay singletons.
+    - ``pairs``: near-duplicate edges (``minhash_dedup_pairs`` /
+      ``simhash_dedup_pairs`` / ``containment_pairs`` output) —
+      resolved through ``connected_components``; rows in no pair are
+      singletons.
+    - ``cluster_col``: a precomputed cluster id column on ``df``.
+
+    The split decision is the engine-wide Knuth hash of the cluster
+    REPRESENTATIVE (min member id): content-stable across runs,
+    engines, and repartitioning, and auditable from ANSI SQL —
+    ``(((min_id % 2^31) + salt) * 2654435761) % 2^32`` against the
+    cumulative weight cuts.  Adding new rows to the corpus never flips
+    an existing singleton's side; joining an existing cluster adopts
+    that cluster's side (it must — coherence is the contract; it can
+    only move a row AWAY from the eval set's training half).
+
+    Scale shape: text mode is ONE window shuffle keyed on the md5;
+    cluster mode one window on the cluster id; pairs mode the CC
+    resolution (pairs ≪ corpus) plus one left join of labels, ids
+    only.  ``key_col`` keeps the representative id for audits.
+    """
+    from pyspark.sql import Window
+
+    if sum(x is not None for x in (text_col, cluster_col, pairs)) != 1:
+        raise ValueError(
+            "leakage_safe_split needs exactly one of text_col, "
+            "cluster_col, pairs"
+        )
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    rep = "__lss_rep"
+    if text_col is not None:
+        key = F.coalesce(
+            F.md5(F.col(text_col).cast("string")),
+            # "null-<id>" can never collide with a 32-hex-char md5
+            F.concat(F.lit("null-"), F.col(id_col).cast("string")),
+        )
+        out = df.withColumn(
+            rep, F.min(id_col).over(Window.partitionBy(key))
+        )
+    elif cluster_col is not None:
+        out = df.withColumn(
+            rep, F.min(id_col).over(Window.partitionBy(cluster_col))
+        )
+    else:
+        cc = D.connected_components(pairs).select(
+            F.col("id").alias(id_col), F.col("cluster_id").alias(rep)
+        )
+        out = df.join(cc, id_col, "left").withColumn(
+            rep, F.coalesce(F.col(rep), F.col(id_col).cast("bigint"))
+        )
+    h = _knuth_uniform_hash(rep, salt)
+    case = None
+    for name, cut in split_cuts(weights):
+        cond = h < F.lit(cut)
+        case = F.when(cond, F.lit(name)) if case is None else case.when(
+            cond, F.lit(name)
+        )
+    last = F.lit(list(weights)[-1])
+    case = last if case is None else case.otherwise(last)
+    out = out.withColumn(split_col, case)
+    if key_col is not None:
+        return out.withColumnRenamed(rep, key_col)
+    return out.drop(rep)
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,

@@ -4997,6 +4997,61 @@ def q132(spark, sf):
     )
 
 
+_Q133_CUTS = [
+    ("train", 3435973836), ("val", 3865470566),
+]  # split_cuts({train:.8, val:.1, test:.1}) — asserted in tests
+
+
+@q(
+    "q133_leakage_safe_split",
+    f"""
+    WITH doubled AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents
+    ), rep AS (
+        SELECT doc_id,
+               CAST(MIN(doc_id) OVER (PARTITION BY COALESCE(MD5(text),
+                   'null-' || CAST(doc_id AS VARCHAR))) AS BIGINT)
+                   AS split_key
+        FROM doubled
+    )
+    SELECT doc_id,
+           CASE WHEN ((split_key % 2147483648 + 7) * 2654435761)
+                     % 4294967296 < {_Q133_CUTS[0][1]} THEN 'train'
+                WHEN ((split_key % 2147483648 + 7) * 2654435761)
+                     % 4294967296 < {_Q133_CUTS[1][1]} THEN 'val'
+                ELSE 'test' END AS split,
+           split_key
+    FROM rep
+    ORDER BY doc_id
+    """,
+)
+def q133(spark, sf):
+    """Leakage-safe (cluster-coherent) split: the corpus is unioned
+    with an id-shifted copy of itself so every text exists twice under
+    different ids — the exact benchmark-contamination trap.
+    ``leakage_safe_split`` groups by md5(text) (hashes, never bodies,
+    cross the one window shuffle), takes min-id as the cluster
+    representative, and makes the engine-wide Knuth-hash split decision
+    on the REPRESENTATIVE — so both copies always land on the same
+    side, while ``train_val_test_split`` alone would separate them
+    ~27% of the time.  The oracle replays md5 grouping, window min,
+    and the ANSI hash arithmetic exactly."""
+    from .pipeline import leakage_safe_split
+
+    d = _t(spark, sf, "documents", "d").df.select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    out = leakage_safe_split(
+        d.unionByName(dup), "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        text_col="text", salt=7, key_col="split_key",
+    )
+    return out.select(
+        "doc_id", "split", F.col("split_key").cast("bigint").alias("split_key")
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -5008,6 +5063,7 @@ _NEEDS_EVIDENCE = [
     # Round-5 rotation (VERDICT r4 ask #1): oldest driver evidence
     # first.  Priority 1 — queries NEW in round 5 (no evidence yet):
     "q131_approx_auc", "q132_grouping_builder",
+    "q133_leakage_safe_split",
     # Priority 2 — the 41 queries whose latest driver evidence is r2:
     "q01_pricing_summary", "q02_top_orders", "q03_region_rollup",
     "q04_segment_monthly", "q05_window_rank", "q06_running_total",

@@ -2918,3 +2918,84 @@ def test_join_audit_skew_and_nulls(spark):
     approx = {r["side"]: r for r in join_audit(
         hot, uniform, "k", "k", approx_distinct=True).collect()}
     assert 15 <= approx["left"]["distinct_keys"] <= 27
+
+
+# ------------------------------------------------ leakage_safe_split
+
+def test_leakage_safe_split_text_mode_coherent(spark):
+    """Exact copies under different ids must land on the same side, and
+    the side must equal the per-row split of the cluster's min id."""
+    from elusion_spark.pipeline import leakage_safe_split, train_val_test_split
+
+    base = spark.range(0, 200).selectExpr(
+        "id AS doc_id", "concat('doc ', CAST(id % 40 AS STRING)) AS text")
+    out = leakage_safe_split(
+        base, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+        text_col="text", salt=3, key_col="rep").collect()
+    by_text = {}
+    for r in out:
+        by_text.setdefault(r["text"], set()).add((r["split"], r["rep"]))
+    for text, sides in by_text.items():
+        assert len(sides) == 1, f"{text!r} straddles splits: {sides}"
+    # representative = min id of the family; split = that id's own split
+    solo = {r["doc_id"]: r["split"] for r in train_val_test_split(
+        base, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt=3).collect()}
+    for r in out:
+        assert r["rep"] == r["doc_id"] % 40
+        assert r["split"] == solo[r["rep"]]
+
+
+def test_leakage_safe_split_null_text_singletons(spark):
+    from elusion_spark.pipeline import leakage_safe_split
+
+    df = spark.sql(
+        "SELECT * FROM VALUES (1, CAST(NULL AS STRING)), (2, NULL), "
+        "(3, 'x'), (4, 'x') AS t(doc_id, text)")
+    out = {r["doc_id"]: r["rep"] for r in leakage_safe_split(
+        df, "doc_id", text_col="text", key_col="rep").collect()}
+    assert out[1] == 1 and out[2] == 2, "null texts must stay singletons"
+    assert out[3] == out[4] == 3
+
+
+def test_leakage_safe_split_pairs_and_cluster_modes_agree(spark):
+    from elusion_spark.pipeline import leakage_safe_split
+
+    df = spark.range(0, 100).selectExpr("id AS doc_id")
+    # chain edges 0-1, 1-2 within each block of 10 -> cluster = id//10*10..
+    pairs = spark.range(0, 100).filter("id % 10 != 0").selectExpr(
+        "id - 1 AS id_a", "id AS id_b")
+    via_pairs = leakage_safe_split(
+        df, "doc_id", pairs=pairs, salt=11, key_col="rep")
+    clustered = df.selectExpr("doc_id", "CAST(doc_id DIV 10 AS BIGINT) AS c")
+    via_col = leakage_safe_split(
+        clustered, "doc_id", cluster_col="c", salt=11, key_col="rep")
+    a = {(r["doc_id"], r["rep"], r["split"]) for r in via_pairs.collect()}
+    b = {(r["doc_id"], r["rep"], r["split"])
+         for r in via_col.drop("c").collect()}
+    assert a == b
+
+
+def test_leakage_safe_split_pairs_mode_unpaired_are_singletons(spark):
+    from elusion_spark.pipeline import leakage_safe_split
+
+    df = spark.range(0, 20).selectExpr("id AS doc_id")
+    pairs = spark.sql("SELECT 5 AS id_a, 6 AS id_b")
+    out = {r["doc_id"]: r["rep"] for r in leakage_safe_split(
+        df, "doc_id", pairs=pairs, key_col="rep").collect()}
+    assert out[6] == 5
+    for i in range(20):
+        if i != 6:
+            assert out[i] == i
+
+
+def test_leakage_safe_split_requires_exactly_one_mode(spark):
+    import pytest as _pytest
+
+    from elusion_spark.pipeline import leakage_safe_split
+
+    df = spark.range(0, 5).selectExpr("id AS doc_id", "'t' AS text")
+    with _pytest.raises(ValueError, match="exactly one"):
+        leakage_safe_split(df, "doc_id")
+    with _pytest.raises(ValueError, match="exactly one"):
+        leakage_safe_split(df, "doc_id", text_col="text", cluster_col="text")
