@@ -227,3 +227,105 @@ def join_audit(
         "CASE WHEN n_rows > 0 THEN ROUND(CAST(top_key_cnt AS DOUBLE) "
         "* distinct_keys / n_rows, 7) END AS skew_ratio",
     )
+
+
+# ------------------------------------------------ bloom join prefilter
+
+def build_bloom(
+    keys: DataFrame,
+    key_col: str,
+    expected: int | None = None,
+    fpp: float = 0.01,
+) -> tuple[list[int], int, int]:
+    """Distributed Bloom-filter build over a key column: ``(words, m,
+    k)`` where ``words`` is the filter as ``m/64`` int64 words.
+
+    Spark's own runtime row-level filtering injects exactly this
+    structure into shuffle joins, but only when IT decides to (sizes,
+    join shape) and never across queries.  This explicit build covers
+    the cases the optimizer can't see: a key set computed in an earlier
+    job/day, a prefilter reused by several downstream queries, or a
+    semi join the planner would otherwise shuffle the full fact for.
+
+    Build shape: one distinct pass over the keys, explode to the k hash
+    positions (``xxhash64(key, seed)`` — the same hash family the probe
+    expression uses, so false NEGATIVES are impossible by construction),
+    one ``bit_or`` aggregation keyed by 64-bit word index.  Only the
+    aggregated words reach the driver — ``m/64`` longs, e.g. 16 KiB at
+    m=2^20 — the same order as a broadcast-join hash table, NOT the key
+    set itself.
+
+    Sizing: standard formulas, ``m = n * ln(fpp) / ln(2)^2`` rounded up
+    to a power of two (so ``pmod`` stays cheap), ``k = m/n * ln 2``
+    clamped to [1, 8].  ``expected=None`` counts the distinct keys
+    first (one extra job)."""
+    import math
+
+    d = keys.select(F.col(key_col).alias("__k")).where(
+        F.col("__k").isNotNull()).distinct()
+    n = expected if expected is not None else d.count()
+    n = max(1, n)
+    m = 1 << max(6, math.ceil(math.log2(-n * math.log(fpp)
+                                        / (math.log(2) ** 2))))
+    k = min(8, max(1, round(m / n * math.log(2))))
+    # hash the STRING form: xxhash64 is type-sensitive (INT 5 and
+    # BIGINT 5 hash differently), so raw-column hashing would produce
+    # false negatives when fact and key columns differ in width
+    pos = [F.pmod(F.xxhash64(F.col("__k").cast("string"), F.lit(i)),
+                  F.lit(m)) for i in range(k)]
+    words = (
+        d.select(F.explode(F.array(*pos)).alias("__p"))
+        .groupBy(F.expr("CAST(__p DIV 64 AS INT)").alias("__w"))
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), "
+                    "CAST(__p % 64 AS INT)))").alias("__bits"))
+        .collect()
+    )
+    arr = [0] * (m // 64)
+    for r in words:
+        arr[r["__w"]] = r["__bits"]
+    return arr, m, k
+
+
+def bloom_prefilter(
+    fact: DataFrame,
+    keys: DataFrame,
+    fact_key: str,
+    keys_key: str | None = None,
+    expected: int | None = None,
+    fpp: float = 0.01,
+    keep_nulls: bool = False,
+) -> DataFrame:
+    """Drop fact rows whose key CANNOT be in ``keys`` before any join or
+    shuffle touches them.  Guarantee: no false negatives — every fact
+    row whose key IS in ``keys`` survives; ~``fpp`` of the non-matching
+    rows leak through (a later exact join removes them).
+
+    The 100 TB move this encodes: a semi join against a 10M-row key set
+    would shuffle the full fact; this filters at the SCAN (the probe is
+    a pure codegen conjunction of k bit tests against a broadcast word
+    array — one row, BroadcastNestedLoopJoin, no fact shuffle), so only
+    the ~matching slice ever reaches an exchange.  Compose:
+    ``bloom_prefilter(fact, keys, "k").join(keys, "k")`` — same result
+    as the plain join, shuffle sized by the match rate instead of the
+    fact."""
+    arr, m, k = build_bloom(keys, keys_key or fact_key, expected, fpp)
+    spark = fact.sparkSession
+    bloom = spark.createDataFrame([(arr,)], "__bloom: array<bigint>")
+    kq = f"`{fact_key}`"
+    out = fact.crossJoin(F.broadcast(bloom))
+    # hoist the k positions into projection columns so each is hashed
+    # once (word index + bit reuse the same value)
+    for i in range(k):
+        out = out.withColumn(
+            f"__bp{i}",
+            F.expr(f"pmod(xxhash64(CAST({kq} AS STRING), {i}), {m})"),
+        )
+    bit_checks = " AND ".join(
+        f"(element_at(__bloom, CAST(__bp{i} DIV 64 AS INT) + 1) & "
+        f"shiftleft(CAST(1 AS BIGINT), CAST(__bp{i} % 64 AS INT))) != 0"
+        for i in range(k)
+    )
+    null_arm = f"{kq} IS NULL" if keep_nulls else "FALSE"
+    cond = f"CASE WHEN {kq} IS NULL THEN {null_arm} ELSE {bit_checks} END"
+    return out.filter(F.expr(cond)).drop(
+        "__bloom", *[f"__bp{i}" for i in range(k)])

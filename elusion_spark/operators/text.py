@@ -661,10 +661,16 @@ def hashed_tf_features(
     if hash_fn not in ("xxhash64", "portable"):
         raise ValueError("hash_fn must be 'xxhash64' or 'portable'")
     txt = f"lower({text_col})" if lowercase else text_col
-    toks = (
-        df.select(F.col(id_col).alias("__id"),
-                  F.explode(F.expr(f"split({txt}, '\\\\s+')")).alias("__tok"))
-        .filter("__tok <> ''")
+    # explode_outer over the pre-filtered token array keeps tokenless
+    # docs (empty/whitespace/NULL text) flowing through the SAME
+    # aggregation path as one NULL-token row — so every distinct input
+    # id reaches the output without a distinct+join (which costs a
+    # third exchange; shuffle budget is 2)
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode_outer(
+            F.expr(f"filter(split({txt}, '\\\\s+'), t -> t <> '')")
+        ).alias("__tok"),
     )
     if hash_fn == "xxhash64":
         bucket = F.expr(f"pmod(xxhash64(__tok), {dim})")
@@ -675,8 +681,15 @@ def hashed_tf_features(
             f" + CAST(ascii(substring(__tok, length(__tok), 1)) AS BIGINT)"
             f" * 97, {dim})"
         )
+    # xxhash64 treats a NULL input as a no-op (returns the seed), so
+    # the tokenless marker row must be nulled explicitly or it would
+    # land in a real bucket
     tf = (
-        toks.select("__id", bucket.cast("int").alias("__b"))
+        toks.select(
+            "__id",
+            F.when(F.col("__tok").isNotNull(),
+                   bucket.cast("int")).alias("__b"),
+        )
         .groupBy("__id", "__b").agg(F.count("*").alias("__tf"))
     )
     cell = "CAST(coalesce(element_at(__m, b), 0) AS DOUBLE)"
@@ -688,13 +701,20 @@ def hashed_tf_features(
         # zero vectors below, so they are corpus members for IDF);
         # folded in as a literal dim-array so the weighting is pure
         # codegen (no join)
-        stats = (
-            tf.rollup("__b").agg(F.count("*").alias("df")).collect()
-        )
-        n_docs = df.select(F.countDistinct(id_col)).collect()[0][0]
+        stats = tf.rollup("__b").agg(
+            F.count("*").alias("df"),
+            F.countDistinct("__id").alias("nd"),
+            F.grouping("__b").alias("g"),
+        ).collect()
+        # the grand-total row carries N (every doc has a tf row now,
+        # tokenless ones under the NULL bucket); GROUPING() separates
+        # it from the genuine NULL-bucket group
+        n_docs = 0
         dfs = [0] * dim
         for r in stats:
-            if r["__b"] is not None:
+            if r["g"] == 1:
+                n_docs = r["nd"]
+            elif r["__b"] is not None:
                 dfs[r["__b"]] = r["df"]
         idf_vals = ", ".join(
             repr(math.log((n_docs + 1.0) / (dfs[bk] + 1.0)) + 1.0)
@@ -705,15 +725,15 @@ def hashed_tf_features(
     # left-join the bucket maps back onto the distinct input ids so
     # tokenless docs emit zero vectors (element_at on the NULL map is
     # NULL -> coalesce 0) instead of silently dropping out
+    # NULL-bucket entries (the tokenless-doc marker rows) are filtered
+    # out of the map build — a tokenless doc gets an empty map, hence a
+    # zero vector; map keys must be non-null anyway
     maps = tf.groupBy("__id").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("__b", "__tf"))).alias("__m")
+        F.map_from_entries(F.expr(
+            "filter(collect_list(struct(__b, __tf)), "
+            "s -> s.__b IS NOT NULL)")).alias("__m")
     )
-    out = (
-        df.select(F.col(id_col).alias("__id")).distinct()
-        .join(maps, "__id", "left")
-        .select(F.col("__id").alias(id_col), vec.alias(out_col))
-    )
+    out = maps.select(F.col("__id").alias(id_col), vec.alias(out_col))
     if l2_normalize:
         nrm = (
             f"sqrt(aggregate(transform({out_col}, v -> v * v), "

@@ -5052,6 +5052,52 @@ def q133(spark, sf):
     ).orderBy("doc_id")
 
 
+@q(
+    "q134_bloom_prejoin",
+    f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {DSUM('l_extendedprice')} AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000)
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q134(spark, sf):
+    """Bloom-prefiltered semi join (operators/scale.py bloom_prefilter):
+    the urgent-big-order key set builds a Bloom filter with one distinct
+    + bit_or aggregation (m/64 longs to the driver — filter-sized, not
+    key-set-sized), the fact scan drops non-candidate rows via a pure
+    codegen bit-test conjunction against the broadcast word array, and
+    the exact semi join afterwards removes the ~fpp false positives —
+    so the result is IDENTICAL to the plain semi join (the oracle), but
+    the fact rows reaching the exchange are sized by the match rate.
+    This is Spark's runtime row-level filtering made explicit: usable
+    for precomputed/reused key sets and shapes the optimizer won't
+    inject into."""
+    from .operators.scale import bloom_prefilter
+
+    li = _t(spark, sf, "lineitem", "l").df
+    keys = (
+        _t(spark, sf, "orders", "o").df
+        .filter("o_orderpriority = '1-URGENT' AND o_totalprice > 150000")
+        .select("o_orderkey")
+    )
+    pre = bloom_prefilter(li, keys, "l_orderkey", "o_orderkey")
+    exact = pre.join(
+        F.broadcast(keys.withColumnRenamed("o_orderkey", "l_orderkey")),
+        "l_orderkey", "semi")
+    return (
+        exact.groupBy("l_returnflag")
+        .agg(F.count("*").cast("bigint").alias("n"),
+             F.expr(DSUM("l_extendedprice")).alias("revenue"))
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -5063,7 +5109,7 @@ _NEEDS_EVIDENCE = [
     # Round-5 rotation (VERDICT r4 ask #1): oldest driver evidence
     # first.  Priority 1 — queries NEW in round 5 (no evidence yet):
     "q131_approx_auc", "q132_grouping_builder",
-    "q133_leakage_safe_split",
+    "q133_leakage_safe_split", "q134_bloom_prejoin",
     # Priority 2 — the 41 queries whose latest driver evidence is r2:
     "q01_pricing_summary", "q02_top_orders", "q03_region_rollup",
     "q04_segment_monthly", "q05_window_rank", "q06_running_total",

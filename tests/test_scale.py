@@ -801,3 +801,44 @@ def test_kmeans_fit_one_job_per_iteration(spark):
     }
     assert counts[4] - counts[2] == 2, (
         f"expected exactly 1 job per extra Lloyd iteration, got {counts}")
+
+
+def test_bloom_prefilter_no_false_negatives_and_plan(spark):
+    """Every true match survives the prefilter (same hash family build
+    and probe), the leak rate is ~fpp, and the probe plan is a
+    broadcast nested-loop over the ONE bloom row — no fact shuffle."""
+    from elusion_spark.operators.scale import bloom_prefilter, build_bloom
+
+    keys = spark.range(0, 500).selectExpr("CAST(id * 7 AS INT) AS k")
+    fact = spark.range(0, 100000).selectExpr(
+        "id", "CAST(id % 10000 AS BIGINT) AS k")
+    filt = bloom_prefilter(fact, keys, "k", "k")
+    truth = fact.join(keys.selectExpr("CAST(k AS BIGINT) AS k"), "k", "semi")
+    # no false negatives: truth minus filtered is empty
+    assert truth.join(filt.select("id"), "id", "anti").count() == 0
+    kept, true_n = filt.count(), truth.count()
+    assert true_n <= kept <= true_n + int(0.05 * 100000), (
+        f"leak too high: kept={kept} true={true_n}")
+    plan = filt._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    # int32 keys vs bigint fact keys above already covers the
+    # type-normalization contract (xxhash64 is width-sensitive)
+    arr, m, k = build_bloom(keys, "k")
+    assert m % 64 == 0 and len(arr) == m // 64 and 1 <= k <= 8
+
+
+def test_bloom_prefilter_null_handling(spark):
+    from elusion_spark.operators.scale import bloom_prefilter
+
+    keys = spark.range(0, 10).selectExpr("id AS k")
+    fact = spark.sql(
+        "SELECT * FROM VALUES (1, CAST(5 AS BIGINT)), "
+        "(2, CAST(999 AS BIGINT)), (3, CAST(NULL AS BIGINT)) AS t(id, k)")
+    dropped = {r["id"] for r in
+               bloom_prefilter(fact, keys, "k").collect()}
+    assert 1 in dropped and 3 not in dropped
+    kept = {r["id"] for r in
+            bloom_prefilter(fact, keys, "k", keep_nulls=True).collect()}
+    assert {1, 3} <= kept and 2 not in kept or 2 in kept  # 2 may leak (fpp)
+    assert {1, 3} <= kept
