@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "q113_forecast_revenue",  # TPC-H Q6: pure scan-filter-agg (pushdown probe)
     "q115_market_share",      # TPC-H Q8: 8-way join + conditional ratio
     "q121_waiting_suppliers", # TPC-H Q21: EXISTS + NOT EXISTS quantifier pair
+    "q133_leakage_safe_split",# cluster-coherent split (md5 window + Knuth hash)
+    "q134_bloom_prejoin",     # Bloom prefilter + exact semi join + agg
     "q46_training_corpus",    # end-to-end curation composite (9 stages)
 ]
 
@@ -88,6 +90,7 @@ BUDGETS_SF01 = {
     "q103_top_k_per_group": 0.4, "q106_ohlc_resample": 0.5,
     "q107_gapfill_linear": 0.8, "q113_forecast_revenue": 0.3,
     "q115_market_share": 1.3, "q121_waiting_suppliers": 1.6,
+    "q133_leakage_safe_split": 1.2, "q134_bloom_prejoin": 1.0,
     "q46_training_corpus": 4.8,
     "q01_cache_miss": 1.8, "q01_cache_hit": 0.3,
 }
