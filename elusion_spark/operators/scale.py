@@ -288,12 +288,13 @@ def build_bloom(
 
 def bloom_prefilter(
     fact: DataFrame,
-    keys: DataFrame,
+    keys: DataFrame | None,
     fact_key: str,
     keys_key: str | None = None,
     expected: int | None = None,
     fpp: float = 0.01,
     keep_nulls: bool = False,
+    prebuilt: tuple[list[int], int, int] | None = None,
 ) -> DataFrame:
     """Drop fact rows whose key CANNOT be in ``keys`` before any join or
     shuffle touches them.  Guarantee: no false negatives — every fact
@@ -307,8 +308,20 @@ def bloom_prefilter(
     the ~matching slice ever reaches an exchange.  Compose:
     ``bloom_prefilter(fact, keys, "k").join(keys, "k")`` — same result
     as the plain join, shuffle sized by the match rate instead of the
-    fact."""
-    arr, m, k = build_bloom(keys, keys_key or fact_key, expected, fpp)
+    fact.
+
+    ``prebuilt=(words, m, k)`` (the ``build_bloom`` return) skips the
+    build — the reuse pattern the operator exists for: build once,
+    prefilter many queries/days of facts.  The build itself costs two
+    small jobs over the KEY set, so for a one-shot join it only pays
+    when the fact dwarfs the keys; amortized, the probe is a free
+    scan-stage conjunction."""
+    if prebuilt is not None:
+        arr, m, k = prebuilt
+    else:
+        if keys is None:
+            raise ValueError("bloom_prefilter needs keys or prebuilt")
+        arr, m, k = build_bloom(keys, keys_key or fact_key, expected, fpp)
     spark = fact.sparkSession
     bloom = spark.createDataFrame([(arr,)], "__bloom: array<bigint>")
     kq = f"`{fact_key}`"

@@ -842,3 +842,20 @@ def test_bloom_prefilter_null_handling(spark):
             bloom_prefilter(fact, keys, "k", keep_nulls=True).collect()}
     assert {1, 3} <= kept and 2 not in kept or 2 in kept  # 2 may leak (fpp)
     assert {1, 3} <= kept
+
+
+def test_bloom_prefilter_prebuilt_reuse(spark):
+    """build once, prefilter many — prebuilt must reproduce the
+    inline-build result exactly (same words, same probe)."""
+    from elusion_spark.operators.scale import bloom_prefilter, build_bloom
+
+    keys = spark.range(0, 300).selectExpr("id * 3 AS k")
+    fact = spark.range(0, 5000).selectExpr("id", "id % 1000 AS k")
+    bf = build_bloom(keys, "k")
+    inline = {r["id"] for r in bloom_prefilter(fact, keys, "k").collect()}
+    reused = {r["id"] for r in
+              bloom_prefilter(fact, None, "k", prebuilt=bf).collect()}
+    assert inline == reused
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="keys or prebuilt"):
+        bloom_prefilter(fact, None, "k")
