@@ -90,7 +90,7 @@ BUDGETS_SF01 = {
     "q103_top_k_per_group": 0.4, "q106_ohlc_resample": 0.5,
     "q107_gapfill_linear": 0.8, "q113_forecast_revenue": 0.3,
     "q115_market_share": 1.3, "q121_waiting_suppliers": 1.6,
-    "q133_leakage_safe_split": 1.2, "q134_bloom_prejoin": 1.0,
+    "q133_leakage_safe_split": 0.8, "q134_bloom_prejoin": 1.8,
     "q46_training_corpus": 4.8,
     "q01_cache_miss": 1.8, "q01_cache_hit": 0.3,
 }

@@ -5086,7 +5086,10 @@ def q134(spark, sf):
         .filter("o_orderpriority = '1-URGENT' AND o_totalprice > 150000")
         .select("o_orderkey")
     )
-    pre = bloom_prefilter(li, keys, "l_orderkey", "o_orderkey")
+    # expected= skips the sizing count job; an overestimate only
+    # pads m (sizing, never correctness)
+    pre = bloom_prefilter(li, keys, "l_orderkey", "o_orderkey",
+                          expected=50_000)
     exact = pre.join(
         F.broadcast(keys.withColumnRenamed("o_orderkey", "l_orderkey")),
         "l_orderkey", "semi")
