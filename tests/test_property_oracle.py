@@ -978,3 +978,91 @@ def _run_rollup_case(spark, duck, seed):
 @pytest.mark.parametrize("seed", range(10))
 def test_randomized_rollup_cube_matches_oracle(spark, duck, seed):
     _run_rollup_case(spark, duck, seed)
+
+
+# ------------------------------------------ round-5 op fuzz families
+
+@pytest.mark.parametrize("seed", range(10))
+def test_randomized_leakage_split_matches_oracle(spark, seed):
+    """leakage_safe_split text mode vs a DuckDB replay: random family
+    sizes, weights, salts, and NULL texts — per-row split + key must
+    match exactly, and no family may straddle splits."""
+    import pandas as pd
+
+    from elusion_spark.pipeline import leakage_safe_split, split_cuts
+
+    rng = random.Random(1000 + seed)
+    n = rng.randint(80, 250)
+    nf = rng.randint(5, max(6, n // 4))
+    rows = []
+    for i in range(n):
+        fid = rng.randrange(nf)
+        text = None if rng.random() < 0.07 else f"family text {fid}"
+        rows.append((i * rng.randint(1, 3) + 7, text))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"]).drop_duplicates(
+        "doc_id")
+    names = rng.sample(["train", "val", "test", "holdout"],
+                       k=rng.randint(2, 4))
+    weights = {nm: rng.uniform(0.1, 1.0) for nm in names}
+    salt = rng.randint(0, 99)
+
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        r["doc_id"]: (r["split"], r["key"])
+        for r in leakage_safe_split(
+            sdf, "doc_id", weights, text_col="text", salt=salt,
+            key_col="key").collect()
+    }
+
+    con = duckdb.connect()
+    con.register("corpus", pdf)
+    case = " ".join(
+        f"WHEN ((k % 2147483648 + {salt}) * 2654435761) % 4294967296 "
+        f"< {cut} THEN '{nm}'"
+        for nm, cut in split_cuts(weights)
+    )
+    want = {
+        int(r[0]): (r[1], int(r[2]))
+        for r in con.execute(f"""
+            WITH rep AS (
+                SELECT doc_id,
+                       CAST(MIN(doc_id) OVER (PARTITION BY
+                           COALESCE(MD5(text),
+                                    'null-' || CAST(doc_id AS VARCHAR)))
+                           AS BIGINT) AS k
+                FROM corpus)
+            SELECT doc_id, CASE {case} ELSE '{list(weights)[-1]}' END, k
+            FROM rep""").fetchall()
+    }
+    con.close()
+    assert got == want, f"seed={seed} weights={weights} salt={salt}"
+    by_fam = {}
+    for doc_id, (split, key) in got.items():
+        by_fam.setdefault(key, set()).add(split)
+    assert all(len(v) == 1 for v in by_fam.values())
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_randomized_bloom_prefilter_lossless(spark, seed):
+    """prefilter + exact semi join must equal the plain semi join for
+    random key types, sizes, fpp — and never drop a true match."""
+    from elusion_spark.operators.scale import bloom_prefilter
+
+    rng = random.Random(2000 + seed)
+    as_str = rng.random() < 0.5
+    cast = "CAST(%s AS STRING)" if as_str else "CAST(%s AS BIGINT)"
+    nk = rng.randint(20, 400)
+    nf = rng.randint(500, 4000)
+    fpp = rng.choice([0.001, 0.01, 0.1])
+    keys = spark.range(0, nk).selectExpr(
+        cast % f"id * {rng.randint(2, 9)}" + " AS k")
+    fact = spark.range(0, nf).selectExpr(
+        "id", cast % f"id % {rng.randint(50, 2000)}" + " AS k")
+    pre = bloom_prefilter(fact, keys, "k", fpp=fpp)
+    plain = fact.join(keys, "k", "semi")
+    exact = pre.join(keys, "k", "semi")
+    a = sorted(r["id"] for r in plain.collect())
+    b = sorted(r["id"] for r in exact.collect())
+    assert a == b, f"seed={seed} str={as_str} fpp={fpp}"
+    # no false negatives even before the exact join
+    assert plain.join(pre.select("id"), "id", "anti").count() == 0
