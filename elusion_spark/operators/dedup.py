@@ -1272,3 +1272,61 @@ def dedup_keep_cluster_best(
         winners.select(F.col(id_col).alias("id")), "id", "left_anti"
     ).select(F.col("id").alias(id_col))
     return df.join(losers, id_col, "left_anti")
+
+
+def dedup_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = ". ",
+    min_chars: int = 20,
+    out_col: str | None = None,
+) -> DataFrame:
+    """C4-style repeated-span removal: split every document on ``sep``,
+    keep only the globally FIRST occurrence (by ``(id, position)``) of
+    each span of at least ``min_chars`` characters, and reassemble the
+    texts — the classic "drop any three-sentence span seen elsewhere in
+    the corpus" cleanup, at whatever granularity ``sep`` gives
+    (sentences with ``'. '``, paragraphs with ``'\\n\\n'``).
+
+    Spans SHORTER than ``min_chars`` are never treated as duplicates
+    (articles/numbers/short connectives repeat legitimately).  A later
+    duplicate span inside the SAME document is removed too (it is a
+    repeat).  Every input id stays in the output; a document losing all
+    spans comes back as ``''``.
+
+    Scale shape: exactly two exchanges — the first-occurrence window
+    partitions on ``(eligible, md5(span))`` (32-byte keys; partitioning
+    ineligible spans separately costs nothing and means no
+    union-and-rejoin), the reassembly groups on the id.  Dropped spans
+    become NULLs that ``array_join`` skips, so no row is ever filtered
+    and no doc-id join is needed to restore empty documents.
+    Deterministic under any partitioning: the winner is the global
+    ``(id, position)`` minimum, not an arrival order."""
+    if min_chars < 1:
+        raise ValueError("min_chars must be >= 1")
+    from pyspark.sql import Window
+
+    out = out_col or text_col
+    spans = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode_outer(
+            F.split(F.col(text_col), f"\\Q{sep}\\E")
+        ).alias("__i", "__s"),
+    )
+    elig = F.length("__s") >= min_chars
+    w = Window.partitionBy(elig, F.md5("__s")).orderBy("__id", "__i")
+    kept = spans.withColumn(
+        "__keep", (~elig) | (F.row_number().over(w) == 1)
+    ).withColumn("__sv", F.when(F.col("__keep"), F.col("__s")))
+    return (
+        kept.groupBy("__id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort("
+                "collect_list(struct(__i, __sv))), s -> s.__sv), "
+                f"{sep!r})"
+            ).alias(out)
+        )
+        .withColumnRenamed("__id", id_col)
+    )

@@ -5101,6 +5101,53 @@ def q134(spark, sf):
     )
 
 
+@q(
+    "q135_dedup_repeated_spans",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+    ), x AS (
+        SELECT doc_id, arr,
+               unnest(generate_series(1, array_length(arr))) AS i
+        FROM t
+    ), spans AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS i, arr[i] AS span FROM x
+    ), rnk AS (
+        SELECT doc_id, i, span,
+               LENGTH(span) >= 5 AS elig,
+               ROW_NUMBER() OVER (
+                   PARTITION BY LENGTH(span) >= 5, MD5(span)
+                   ORDER BY doc_id, i) AS rn
+        FROM spans
+    )
+    SELECT doc_id,
+           COALESCE(STRING_AGG(
+               CASE WHEN NOT elig OR rn = 1 THEN span END,
+               ' ' ORDER BY i), '') AS text_dedup
+    FROM rnk GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q135(spark, sf):
+    """C4-style repeated-span removal (dedup.py dedup_repeated_spans):
+    only the globally FIRST occurrence of each span >= min_chars
+    survives, short spans always pass, documents reassemble in
+    position order, and ids that lose every span come back as ''.
+    The synthetic corpus has no sentence punctuation, so the suite
+    demonstrates at word granularity (sep=' ', min_chars=5) — the
+    operator itself takes any separator ('. ' sentences, '\\n\\n'
+    paragraphs).  Two exchanges total: the (eligible, md5) window and
+    the id reassembly; the oracle replays the identical ranking and
+    ordered reassembly, so the match is string-exact."""
+    from .operators.dedup import dedup_repeated_spans
+
+    d = _t(spark, sf, "documents", "d").df.select("doc_id", "text")
+    return (
+        dedup_repeated_spans(d, "doc_id", "text", sep=" ", min_chars=5,
+                             out_col="text_dedup")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -5113,6 +5160,7 @@ _NEEDS_EVIDENCE = [
     # first.  Priority 1 — queries NEW in round 5 (no evidence yet):
     "q131_approx_auc", "q132_grouping_builder",
     "q133_leakage_safe_split", "q134_bloom_prejoin",
+    "q135_dedup_repeated_spans",
     # Priority 2 — the 41 queries whose latest driver evidence is r2:
     "q01_pricing_summary", "q02_top_orders", "q03_region_rollup",
     "q04_segment_monthly", "q05_window_rank", "q06_running_total",

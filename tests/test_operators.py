@@ -2999,3 +2999,46 @@ def test_leakage_safe_split_requires_exactly_one_mode(spark):
         leakage_safe_split(df, "doc_id")
     with _pytest.raises(ValueError, match="exactly one"):
         leakage_safe_split(df, "doc_id", text_col="text", cluster_col="text")
+
+
+def test_dedup_repeated_spans_semantics(spark):
+    from elusion_spark.operators.dedup import dedup_repeated_spans
+
+    df = spark.createDataFrame([
+        (1, "the quick brown fox jumps. a unique sentence here. the end"),
+        (2, "the quick brown fox jumps. another one entirely. the end"),
+        (3, "a unique sentence here. the quick brown fox jumps"),
+        (4, None),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in dedup_repeated_spans(
+        df, "doc_id", "text", sep=". ", min_chars=10).collect()}
+    # doc 1 is first everywhere and survives intact
+    assert out[1] == "the quick brown fox jumps. a unique sentence here. the end"
+    # later occurrences of long spans drop; short 'the end' (<10) stays
+    assert out[2] == "another one entirely. the end"
+    assert out[3] == ""
+    # null text -> empty string, id preserved
+    assert out[4] == ""
+    assert set(out) == {1, 2, 3, 4}
+
+
+def test_dedup_repeated_spans_within_doc_repeat(spark):
+    from elusion_spark.operators.dedup import dedup_repeated_spans
+
+    df = spark.createDataFrame(
+        [(7, "repeated sentence span. x. repeated sentence span. y")],
+        "doc_id long, text string")
+    out = dedup_repeated_spans(df, "doc_id", "text", sep=". ",
+                               min_chars=10).collect()[0]["text"]
+    assert out == "repeated sentence span. x. y"
+
+
+def test_dedup_repeated_spans_roundtrip_when_unique(spark):
+    from elusion_spark.operators.dedup import dedup_repeated_spans
+
+    rows = [(i, f"totally unique span number {i}. short {i}")
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in dedup_repeated_spans(
+        df, "doc_id", "text", sep=". ", min_chars=10).collect()}
+    assert out == dict(rows)
