@@ -1153,3 +1153,91 @@ def rrf_fuse(
             "n_lists",
         )
     return fused.select(F.col("__id").alias("id"), "rrf_score", "n_lists")
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    score_col: str | None = "score",
+    rank_col: str | None = None,
+    rel_col: str | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query retrieval quality — precision@k, recall@k, MRR@k,
+    nDCG@k — for a ranked result set against a relevance set: the
+    evaluate side of the knn_join / bm25 / rrf_fuse retrieval stack
+    (hard-negative mining and embedding-model regression checks both
+    start here).
+
+    ``results``: (query, doc, score) or (query, doc, rank).  When
+    ``rank_col`` is None, ranks derive from ``score_col`` descending
+    with the doc id as the deterministic tiebreak.  ``qrels``: (query,
+    doc[, graded rel]); ``rel_col=None`` means binary relevance.
+    Queries present in ``qrels`` but retrieving nothing score 0;
+    queries absent from ``qrels`` are dropped (trec_eval convention).
+
+    Every shuffle is keyed by the query (rank windows, joins, aggs) —
+    no global window, cost scales with |results| + |qrels| at any
+    query count.  nDCG uses the standard (2^rel − 1)/log2(rank+1)
+    gain; IDCG ranks each query's relevance set by rel desc (doc-id
+    tiebreak) so graded and binary inputs share one path."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    q, d = query_col, doc_col
+    rel = (F.col(rel_col).cast("double") if rel_col is not None
+           else F.lit(1.0))
+    qr = qrels.select(F.col(q).alias("__q"), F.col(d).alias("__d"),
+                      rel.alias("__rel"))
+    if rank_col is not None:
+        res = results.select(F.col(q).alias("__q"), F.col(d).alias("__d"),
+                             F.col(rank_col).cast("bigint").alias("__rk"))
+    else:
+        if score_col is None:
+            raise ValueError("need score_col or rank_col")
+        wr = Window.partitionBy(F.col(q)).orderBy(
+            F.col(score_col).desc(), F.col(d).asc())
+        res = results.select(
+            F.col(q).alias("__q"), F.col(d).alias("__d"),
+            F.row_number().over(wr).alias("__rk"))
+    topk = res.filter(F.col("__rk") <= k)
+
+    gain = "(pow(2.0, __rel) - 1.0)"
+    matched = topk.join(qr, ["__q", "__d"]).groupBy("__q").agg(
+        F.count("*").cast("bigint").alias("hits"),
+        F.min("__rk").alias("__first"),
+        F.expr(f"SUM({gain} / log2(__rk + 1))").alias("__dcg"),
+    )
+    wi = Window.partitionBy("__q").orderBy(
+        F.col("__rel").desc(), F.col("__d").asc())
+    rel_stats = (
+        qr.withColumn("__irk", F.row_number().over(wi))
+        .groupBy("__q")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rel"),
+            F.expr(
+                f"SUM(CASE WHEN __irk <= {k} THEN {gain} / log2(__irk + 1) "
+                f"ELSE 0.0 END)"
+            ).alias("__idcg"),
+        )
+    )
+    out = (
+        rel_stats.join(matched, "__q", "left")
+        .select(
+            F.col("__q").alias(q),
+            "n_rel",
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+            (F.coalesce("hits", F.lit(0)) / F.lit(float(k))
+             ).alias(f"precision_{k}"),
+            (F.coalesce("hits", F.lit(0)) / F.col("n_rel")
+             ).alias(f"recall_{k}"),
+            F.coalesce(1.0 / F.col("__first"), F.lit(0.0)).alias("mrr"),
+            F.when(F.col("__idcg") > 0,
+                   F.coalesce("__dcg", F.lit(0.0)) / F.col("__idcg"))
+            .otherwise(F.lit(0.0)).alias("ndcg"),
+        )
+    )
+    return out

@@ -428,3 +428,68 @@ def evaluate_classifier(
         "AND precision + recall > 0 THEN "
         "2.0 * precision * recall / (precision + recall) END AS f1",
     )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    buckets: int = 10,
+    score_range: tuple[float, float] = (0.0, 1.0),
+) -> DataFrame:
+    """Reliability diagram + expected calibration error in ONE hash
+    aggregation: scores clamp into ``buckets`` equal-width confidence
+    bins; each row reports the bin's count, mean predicted score, and
+    empirical positive rate, plus the corpus-wide ``ece`` repeated on
+    every row (Σ |acc_b − conf_b| · n_b / n — the standard ECE).
+
+    Complements ``evaluate_classifier``: AUC says the RANKING is good,
+    ECE says the PROBABILITIES mean what they claim — what you check
+    before using a quality classifier's scores as sampling weights or
+    temperature-mix inputs rather than just thresholding them.
+
+    Scale shape: one aggregation shuffling ≤``buckets`` rows, means
+    accumulated in DECIMAL(38,18) so the report is partition-invariant;
+    no window anywhere."""
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    lo, hi = score_range
+    if not hi > lo:
+        raise ValueError("score_range must be increasing")
+    width = (hi - lo) / buckets
+    b = (
+        f"LEAST({buckets - 1}, GREATEST(0, "
+        f"CAST(FLOOR((CAST({score_col} AS DOUBLE) - {lo!r}) / {width!r}) "
+        f"AS INT)))"
+    )
+    per = (
+        df.select(
+            F.expr(b).alias("bucket"),
+            F.col(score_col).cast("double").alias("__s"),
+            F.col(label_col).cast("double").alias("__y"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.expr(f"CAST(SUM(CAST(__s AS {_DEC})) AS DOUBLE)").alias("__ss"),
+            F.expr(f"CAST(SUM(CAST(__y AS {_DEC})) AS DOUBLE)").alias("__sy"),
+        )
+    )
+    per = per.select(
+        "bucket", "n",
+        (F.col("__ss") / F.col("n")).alias("mean_score"),
+        (F.col("__sy") / F.col("n")).alias("pos_rate"),
+    )
+    gap = F.abs(F.col("pos_rate") - F.col("mean_score"))
+    # fold the <=`buckets` histogram rows into the scalar via a 1-row
+    # broadcast join (no global window -> no single-partition plan node)
+    totals = per.agg(
+        F.sum("n").alias("__tot"),
+        F.sum(gap * F.col("n")).alias("__gapsum"),
+    )
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .withColumn("ece", F.col("__gapsum") / F.col("__tot"))
+        .drop("__tot", "__gapsum")
+        .orderBy("bucket")
+    )

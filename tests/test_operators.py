@@ -3042,3 +3042,70 @@ def test_dedup_repeated_spans_roundtrip_when_unique(spark):
     out = {r["doc_id"]: r["text"] for r in dedup_repeated_spans(
         df, "doc_id", "text", sep=". ", min_chars=10).collect()}
     assert out == dict(rows)
+
+
+# -------------------------------------- retrieval metrics / calibration
+
+def test_retrieval_metrics_hand_computed(spark):
+    import math
+
+    from elusion_spark.operators.similarity import retrieval_metrics
+
+    results = spark.createDataFrame(
+        [(1, 10, 0.9), (1, 11, 0.8), (1, 12, 0.7),
+         (2, 10, 0.5), (2, 13, 0.4)],
+        "query_id int, doc_id int, score double")
+    qrels = spark.createDataFrame(
+        [(1, 11), (1, 99), (2, 13), (3, 5)], "query_id int, doc_id int")
+    out = {r["query_id"]: r for r in
+           retrieval_metrics(results, qrels, k=2).collect()}
+    r1 = out[1]
+    assert (r1["n_rel"], r1["hits"]) == (2, 1)
+    assert r1["precision_2"] == 0.5 and r1["recall_2"] == 0.5
+    assert r1["mrr"] == 0.5
+    idcg = 1.0 + 1.0 / math.log2(3)
+    assert abs(r1["ndcg"] - (1.0 / math.log2(3)) / idcg) < 1e-12
+    # query with no retrieved relevant docs scores zero everywhere
+    r3 = out[3]
+    assert (r3["hits"], r3["mrr"], r3["ndcg"]) == (0, 0.0, 0.0)
+    # queries absent from qrels are dropped (trec_eval convention)
+    assert set(out) == {1, 2, 3}
+
+
+def test_retrieval_metrics_graded_and_rank_col(spark):
+    import math
+
+    from elusion_spark.operators.similarity import retrieval_metrics
+
+    results = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id int, doc_id int, rk int")
+    qrels = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 11, 3.0)],
+        "query_id int, doc_id int, rel double")
+    r = retrieval_metrics(results, qrels, rank_col="rk", rel_col="rel",
+                          k=2).collect()[0]
+    dcg = (2 ** 1 - 1) / math.log2(2) + (2 ** 3 - 1) / math.log2(3)
+    idcg = (2 ** 3 - 1) / math.log2(2) + (2 ** 1 - 1) / math.log2(3)
+    assert abs(r["ndcg"] - dcg / idcg) < 1e-12
+    assert r["recall_2"] == 1.0 and r["mrr"] == 1.0
+
+
+def test_calibration_report_ece_and_bounds(spark):
+    from elusion_spark.operators.train import calibration_report
+
+    # perfectly calibrated quarters: score 0.25 with 25% positives etc.
+    rows = []
+    for i, (s, p) in enumerate([(0.25, 0.25), (0.75, 0.75)]):
+        for j in range(100):
+            rows.append((s, 1 if j < int(p * 100) else 0))
+    df = spark.createDataFrame(rows, "s double, y int")
+    out = calibration_report(df, "s", "y", buckets=4).collect()
+    assert [r["bucket"] for r in out] == [1, 3]
+    for r in out:
+        assert abs(r["pos_rate"] - r["mean_score"]) < 1e-12
+        assert abs(r["ece"]) < 1e-12
+    # scores outside score_range clamp into the edge buckets
+    df2 = spark.createDataFrame([(-0.5, 0), (1.7, 1)], "s double, y int")
+    out2 = {r["bucket"]: r for r in
+            calibration_report(df2, "s", "y", buckets=10).collect()}
+    assert set(out2) == {0, 9}
