@@ -1066,3 +1066,80 @@ def test_randomized_bloom_prefilter_lossless(spark, seed):
     assert a == b, f"seed={seed} str={as_str} fpp={fpp}"
     # no false negatives even before the exact join
     assert plain.join(pre.select("id"), "id", "anti").count() == 0
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_randomized_retrieval_metrics_match_oracle(spark, seed):
+    """retrieval_metrics vs a DuckDB replay on random result lists and
+    (optionally graded) relevance sets — random k, overlap rates,
+    score ties (broken by doc id on both sides)."""
+    import pandas as pd
+
+    from elusion_spark.operators.similarity import retrieval_metrics
+
+    rng = random.Random(3000 + seed)
+    k = rng.randint(1, 6)
+    graded = rng.random() < 0.5
+    nq = rng.randint(3, 12)
+    res_rows, qrel_rows = [], []
+    for qid in range(nq):
+        docs = rng.sample(range(100), rng.randint(0, 15))
+        for d in docs:
+            # coarse scores force ties -> exercises the doc-id tiebreak
+            res_rows.append((qid, d, round(rng.uniform(0, 1), 1)))
+        for d in rng.sample(range(100), rng.randint(0, 6)):
+            qrel_rows.append(
+                (qid, d, float(rng.randint(1, 3)) if graded else 1.0))
+    if not qrel_rows:
+        qrel_rows.append((0, 1, 1.0))
+    res = pd.DataFrame(res_rows, columns=["query_id", "doc_id", "score"])
+    qr = pd.DataFrame(qrel_rows, columns=["query_id", "doc_id", "rel"]) \
+        .drop_duplicates(["query_id", "doc_id"])
+
+    sres = spark.createDataFrame(res) if len(res) else \
+        spark.createDataFrame([], "query_id long, doc_id long, score double")
+    sqr = spark.createDataFrame(qr)
+    got = {
+        r["query_id"]: (r["n_rel"], r["hits"],
+                        round(r[f"precision_{k}"], 7),
+                        round(r[f"recall_{k}"], 7),
+                        round(r["mrr"], 7), round(r["ndcg"], 7))
+        for r in retrieval_metrics(sres, sqr, rel_col="rel", k=k).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("res", res)
+    con.register("qr", qr)
+    want = {
+        int(r[0]): (int(r[1]), int(r[2]), r[3], r[4], r[5], r[6])
+        for r in con.execute(f"""
+        WITH ranked AS (
+            SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, doc_id) AS rk
+            FROM res),
+        matched AS (
+            SELECT r.query_id, COUNT(*) AS hits, MIN(rk) AS frk,
+                   SUM((POW(2, rel) - 1) / log2(rk + 1)) AS dcg
+            FROM ranked r JOIN qr USING (query_id, doc_id)
+            WHERE rk <= {k} GROUP BY r.query_id),
+        rel_s AS (
+            SELECT query_id, COUNT(*) AS n_rel,
+                   SUM(CASE WHEN irk <= {k}
+                       THEN (POW(2, rel) - 1) / log2(irk + 1)
+                       ELSE 0 END) AS idcg
+            FROM (SELECT query_id, rel,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY rel DESC, doc_id) AS irk FROM qr)
+            GROUP BY query_id)
+        SELECT s.query_id, n_rel, COALESCE(hits, 0),
+               ROUND(COALESCE(hits, 0) / {k}.0, 7),
+               ROUND(CAST(COALESCE(hits, 0) AS DOUBLE) / n_rel, 7),
+               ROUND(COALESCE(1.0 / frk, 0.0), 7),
+               ROUND(CASE WHEN idcg > 0
+                     THEN COALESCE(dcg, 0.0) / idcg ELSE 0.0 END, 7)
+        FROM rel_s s LEFT JOIN matched m ON s.query_id = m.query_id
+        """).fetchall()
+    }
+    con.close()
+    assert got == want, f"seed={seed} k={k} graded={graded}"
