@@ -1,0 +1,185 @@
+"""Distributed BPE tokenizer training and encoding.
+
+Beyond-parity module (the reference has no tokenizer surface): learn
+byte-pair-encoding merges from a corpus and apply them — the canonical
+"token counting with a learned vocab" step of a training-data pipeline,
+done with the classic Sennrich-style word-frequency factorization so it
+scales to any corpus size.
+
+Scale shape (the whole point): the ONLY corpus-sized job is the initial
+word-frequency aggregation — one shuffle keyed on the word, after which
+every merge iteration runs against the *vocabulary* table (unique words
++ frequencies; ~10^5-10^6 rows even for a 100 TB corpus).  Each
+iteration is ONE vocab-sized aggregation (adjacent-pair counts weighted
+by word frequency) plus a single-row driver collect of the winning
+pair; applying the merge is a literal `replace` on the symbol string —
+a narrow map.  Encoding is a pure chained-`replace` expression
+(whole-stage codegen, no UDF, no shuffle).
+
+Representation: every symbol is wrapped in ``\\x1f`` (the ASCII unit
+separator), so the word "hello" starts as
+``\\x1fh\\x1f\\x1fe\\x1f...``; two symbols are adjacent iff their
+wrappers touch (``\\x1f\\x1f``), and merging pair (a, b) is the literal
+string replace ``\\x1fa\\x1f\\x1fb\\x1f -> \\x1fab\\x1f``.  Literal
+`replace` is greedy left-to-right and non-overlapping in Spark and
+DuckDB alike, which is exactly BPE's application rule (``a a a a``
+merges to ``aa aa``, not three overlapping ``aa``) — so the DuckDB
+oracle can replay training bit-for-bit (suite q139).  Words containing
+the separator byte itself are excluded (it is unprintable; real corpora
+shed it in the `normalize_text` pass).
+
+Pair counting counts every adjacent occurrence (including overlapping
+ones like the two ``(a, a)`` pairs in ``aaa``) exactly as reference BPE
+does; ties break deterministically on (count DESC, left ASC, right
+ASC) so the learned merges are reproducible across engines and
+partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SEP = "\x1f"
+
+
+def _wrap(sym: str) -> str:
+    return SEP + sym + SEP
+
+
+def bpe_word_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """The one corpus-sized job: whitespace-split the corpus and
+    aggregate to ``(word, freq)``.  Everything after this touches only
+    the vocabulary table.  Returns columns ``(word, freq)``."""
+    w = F.explode(F.split(F.col(text_col), r"\s+")).alias("word")
+    words = df.select(w).filter(F.length("word") > 0)
+    if lowercase:
+        words = words.select(F.lower("word").alias("word"))
+    words = words.filter(~F.col("word").contains(SEP))
+    return words.groupBy("word").agg(F.count("*").cast("bigint").alias("freq"))
+
+
+def _sym_repr(col):
+    """word -> wrapped-symbol string: each character becomes
+    ``\\x1f c \\x1f``."""
+    return F.regexp_replace(col, "(.)", f"{SEP}$1{SEP}")
+
+
+def _sym_array(col):
+    """wrapped-symbol string -> array of bare symbols."""
+    return F.split(
+        F.regexp_replace(col, f"^{SEP}|{SEP}$", ""), SEP + SEP
+    )
+
+
+def bpe_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 10,
+    lowercase: bool = True,
+    word_counts: DataFrame | None = None,
+    checkpoint_every: int = 16,
+) -> list[dict]:
+    """Learn ``num_merges`` BPE merges.  Returns a list of dicts
+    ``{merge_rank, lft, rgt, pair_count}`` in learning order (bounded:
+    one row per merge — never corpus-sized).
+
+    Pass ``word_counts`` (a ``bpe_word_counts`` output, possibly
+    persisted/reused across fits) to skip the corpus scan.  The vocab
+    lineage grows one `replace` per merge; every ``checkpoint_every``
+    merges the vocab re-persists to keep plans shallow — at vocab scale
+    this is pennies."""
+    if num_merges < 1:
+        raise ValueError("num_merges must be >= 1")
+    wc = word_counts
+    if wc is None:
+        wc = bpe_word_counts(df, text_col, lowercase=lowercase)
+    vocab = wc.select(_sym_repr(F.col("word")).alias("sym"), "freq")
+    vocab = vocab.persist()
+    persisted = [vocab]
+    merges: list[dict] = []
+    try:
+        for rank in range(1, num_merges + 1):
+            syms = _sym_array(F.col("sym"))
+            pairs = F.when(
+                F.size(syms) >= 2,
+                F.expr(
+                    "transform(sequence(1, size(__a) - 1), "
+                    "i -> struct(__a[i-1] AS l, __a[i] AS r))"
+                ),
+            ).otherwise(F.array())
+            top = (
+                vocab.withColumn("__a", syms)
+                .select(F.explode(pairs).alias("p"), "freq")
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("freq").cast("bigint").alias("c"))
+                .orderBy(F.col("c").desc(), F.col("l"), F.col("r"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            l, r, c = top[0]["l"], top[0]["r"], top[0]["c"]
+            merges.append(
+                {"merge_rank": rank, "lft": l, "rgt": r, "pair_count": c}
+            )
+            vocab = vocab.withColumn(
+                "sym",
+                F.replace(
+                    F.col("sym"),
+                    F.lit(_wrap(l) + _wrap(r)),
+                    F.lit(_wrap(l + r)),
+                ),
+            )
+            if rank % checkpoint_every == 0:
+                vocab = vocab.persist()
+                vocab.count()
+                persisted.append(vocab)
+    finally:
+        for p in persisted:
+            p.unpersist()
+    return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str = "text",
+    merges: list[dict] | None = None,
+    lowercase: bool = True,
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Apply learned merges: tokenize ``text_col`` into an
+    ``array<string>`` of BPE symbols (whitespace word split, then the
+    merges replayed in rank order inside each word).
+
+    Pure expression pipeline — the merge chain compiles to
+    ``num_merges`` nested literal `replace` calls inside a `transform`
+    lambda, so encoding is a narrow whole-stage-codegen map with zero
+    shuffles and zero Python: the shape that rides a 100 TB scan for
+    free.  Adds ``n_tokens`` alongside (token counting with the learned
+    vocab)."""
+    merges = merges or []
+
+    def _apply(word):
+        s = _sym_repr(word)
+        for m in merges:
+            s = F.replace(
+                s,
+                F.lit(_wrap(m["lft"]) + _wrap(m["rgt"])),
+                F.lit(_wrap(m["lft"] + m["rgt"])),
+            )
+        return _sym_array(s)
+
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    words = F.filter(
+        F.split(text, r"\s+"),
+        lambda x: (F.length(x) > 0) & ~x.contains(SEP),
+    )
+    toks = F.flatten(F.transform(words, _apply))
+    return df.withColumn(out_col, toks).withColumn(
+        "n_tokens", F.size(F.col(out_col)).cast("bigint")
+    )

@@ -1084,6 +1084,7 @@ def rrf_fuse(
     rrf_k: int = 60,
     round_digits: int = 9,
     query_col: str | None = None,
+    max_list_rows: int | None = 100_000,
 ) -> DataFrame:
     """Reciprocal-rank fusion of N retrieval rankings (the standard
     hybrid-search combiner: BM25 + dense ANN, or multiple ANN probes):
@@ -1102,13 +1103,28 @@ def rrf_fuse(
     keeps the query column.  Without it, rankings are single lists and
     the rank window is GLOBAL (single partition) — fine for one
     query's top-k lists, a scale bug for anything larger, which is
-    exactly why the batched form exists.
+    exactly why the batched form exists.  To keep that degradation from
+    being SILENT, the single-query path probes each ranking with a
+    ``limit(max_list_rows + 1)`` count (early-stopping, never a full
+    scan) and raises if any list exceeds ``max_list_rows`` — pass
+    ``query_col`` for batched data, or ``max_list_rows=None`` to accept
+    the global window knowingly.
 
     Scale: each ranking pays one window shuffle to rank (skip by
     passing pre-ranked lists of k rows/query); the fusion itself is a
     union + one (query, id)-keyed aggregation over int rows."""
     from pyspark.sql import Window
 
+    if query_col is None and max_list_rows is not None:
+        for i, (df, _id, _sc) in enumerate(rankings):
+            if df.limit(max_list_rows + 1).count() > max_list_rows:
+                raise ValueError(
+                    f"rrf_fuse ranking #{i} exceeds max_list_rows="
+                    f"{max_list_rows} with no query_col: the rank "
+                    "window would be a single global partition. Pass "
+                    "query_col for batched multi-query fusion, or "
+                    "max_list_rows=None to accept the global window."
+                )
     parts = []
     for df, id_col, score_col in rankings:
         order = [F.col(score_col).desc(), F.col(id_col)]

@@ -6,6 +6,10 @@ step 10): language ID, quality scoring, token counting, fingerprinting.
 Design for 100 TB: every function here returns a *built-in-function
 Column expression* — no Python UDFs, no driver round-trips — so the whole
 pass stays inside whole-stage codegen and scales linearly with executors.
+(Two documented exceptions use Arrow-batched pandas_udfs for things SQL
+cannot express: ``compression_ratio`` (zlib) and ``normalize_text``'s
+optional Unicode-normalization step — both narrow maps, never
+row-at-a-time.)
 Expressions are deliberately written with engine-portable primitives
 (length/replace/like/md5) so the DuckDB oracle can mirror them exactly.
 """
@@ -13,6 +17,8 @@ Expressions are deliberately written with engine-portable primitives
 from __future__ import annotations
 
 import math
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -365,6 +371,91 @@ def redact_pii(col: str = "text", kinds: list[str] | None = None) -> Column:
     expr = F.col(col)
     for kind in kinds or list(PII_PATTERNS):
         expr = F.regexp_replace(expr, PII_PATTERNS[kind], f"[{kind.upper()}]")
+    return expr
+
+
+def compression_ratio(col: str = "text", level: int = 6) -> Column:
+    """Gopher/Dolma-style compressibility quality signal:
+    ``len(deflate(text)) / len(utf8(text))`` — boilerplate, templated
+    spam, and machine-generated repetition compress far below ~0.4,
+    natural prose sits near 0.5-0.8, so a simple band filter on this
+    one number removes a class of junk that token-level repetition
+    signals (see ``repetition_signals``) only partially catch.
+
+    This is the package's one genuinely non-SQL-expressible text
+    signal, so it is the slow path done right: an Arrow-batched
+    ``pandas_udf`` (never row-at-a-time), a narrow map with no shuffle
+    — at 100 TB it rides the scan like every other signal here.
+    zlib with a fixed ``level`` is deterministic for a given input, so
+    the parity test recomputes expected values exactly.  NULL text →
+    NULL; empty text → 1.0 (defined as incompressible, keeps the band
+    filter total)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            b = t.encode("utf-8")
+            if not b:
+                return 1.0
+            return float(len(zlib.compress(b, level))) / float(len(b))
+
+        return s.map(one)
+
+    return _ratio(F.col(col))
+
+
+def normalize_text(
+    col: str = "text",
+    form: str | None = "NFC",
+    strip_control: bool = True,
+    collapse_whitespace: bool = True,
+) -> Column:
+    """Canonical text cleanup for corpus ingestion: Unicode
+    normalization (NFC/NFKC/NFD/NFKD), control-character and
+    zero-width-character removal, and whitespace collapsing — the
+    standard first pass before hashing/dedup so that byte-different
+    encodings of the SAME text (combining vs precomposed accents,
+    NBSP vs space, BOM remnants) can't defeat exact dedup.
+
+    The control/zero-width strip and whitespace collapse are pure
+    ``regexp_replace`` chains (whole-stage codegen); only the Unicode
+    normalization itself — which Spark has no builtin for — uses an
+    Arrow-batched ``pandas_udf`` over ``unicodedata.normalize``, and
+    ``form=None`` skips it entirely, keeping the operator 100%
+    expression-side.  Narrow map, no shuffle.  Order: normalize →
+    strip → collapse → trim, so e.g. NFKC turning NBSP into a space
+    still collapses."""
+    expr: Column = F.col(col)
+    if form is not None:
+        if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+            raise ValueError(f"unknown normalization form: {form!r}")
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def _norm(s: pd.Series) -> pd.Series:
+            import unicodedata
+
+            return s.map(
+                lambda t: unicodedata.normalize(form, t)
+                if t is not None else None
+            )
+
+        expr = _norm(expr)
+    if strip_control:
+        # C0/C1 controls except \t\n\r, plus zero-width + BOM.
+        expr = F.regexp_replace(
+            expr,
+            F.lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F"
+                  "\\u200B\\u200C\\u200D\\uFEFF]"),
+            F.lit(""),
+        )
+    if collapse_whitespace:
+        expr = F.trim(F.regexp_replace(expr, F.lit("\\s+"), F.lit(" ")))
     return expr
 
 

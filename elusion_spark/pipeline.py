@@ -532,6 +532,8 @@ def sample_to_token_budget(
     strata_col: str = "lang",
     token_col: str = "n_tokens",
     seed: int = 42,
+    id_col: str | None = None,
+    deterministic: bool = False,
 ) -> DataFrame:
     """Sample each stratum down to ~its token budget: one aggregate pass
     computes per-stratum token totals, fractions = min(1, budget/total),
@@ -539,7 +541,48 @@ def sample_to_token_budget(
 
     The standard way to hit a language/domain mix for a training run
     without materializing intermediate copies — two scans total at any
-    corpus size."""
+    corpus size.
+
+    ``deterministic=True`` (requires ``id_col``) replaces the Bernoulli
+    draw with an EXACT, reproducible prefix: documents are ordered by
+    the engine-wide Knuth hash of ``(id, seed)`` within each stratum
+    and taken while the running token total stays ≤ the stratum budget
+    (the first doc of a stratum is always kept, so a budget below one
+    document still yields one).  Same rows on every run, every engine,
+    every partitioning — the form to use when a training mix must be
+    auditable.  Cost: one window shuffle keyed on the stratum (vs the
+    shuffle-free sampleBy scan); strata are the partition keys, so a
+    corpus dominated by one language bounds parallelism at that
+    stratum — acceptable because the window carries only (id, hash,
+    tokens), not document bodies: select ids first, semi-join bodies
+    back.  Budgeted strata missing from ``budgets`` are dropped in
+    both modes."""
+    if deterministic:
+        if id_col is None:
+            raise ValueError("deterministic=True requires id_col")
+        from pyspark.sql import Window
+
+        order = [_knuth_uniform_hash(id_col, salt=seed).asc(),
+                 F.col(id_col).asc()]
+        w = (
+            Window.partitionBy(F.col(strata_col))
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        budget_expr = F.create_map(
+            *[x for kv in budgets.items() for x in (F.lit(kv[0]), F.lit(int(kv[1])))]
+        )
+        cum = F.sum(F.col(token_col).cast("bigint")).over(w)
+        kept = (
+            corpus.withColumn("__budget", budget_expr[F.col(strata_col)])
+            .filter(F.col("__budget").isNotNull())
+            .withColumn("__cum", cum)
+            .withColumn("__rn", F.row_number().over(
+                Window.partitionBy(F.col(strata_col)).orderBy(*order)))
+            .filter((F.col("__cum") <= F.col("__budget")) | (F.col("__rn") == 1))
+            .drop("__budget", "__cum", "__rn")
+        )
+        return kept
     totals = {
         r[strata_col]: r["__tok"]
         for r in corpus.groupBy(strata_col)

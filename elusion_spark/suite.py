@@ -5274,6 +5274,210 @@ def q137(spark, sf):
     ).orderBy("bucket")
 
 
+@q(
+    "q138_token_budget_mix",
+    """
+    WITH h AS (
+        SELECT doc_id, lang, n_chars,
+               ((doc_id % 2147483648) + 42) * 2654435761 % 4294967296
+                   AS hh
+        FROM documents WHERE lang IN ('en', 'de', 'fr', 'zh')
+    ), c AS (
+        SELECT doc_id, lang, n_chars,
+               SUM(n_chars) OVER (PARTITION BY lang ORDER BY hh, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY hh, doc_id) AS rn
+        FROM h
+    )
+    SELECT doc_id, lang, n_chars FROM c
+    WHERE cum <= CASE lang WHEN 'en' THEN 20000 WHEN 'de' THEN 10000
+                           WHEN 'fr' THEN 5000 WHEN 'zh' THEN 100 END
+       OR rn = 1
+    ORDER BY doc_id
+    """,
+)
+def q138(spark, sf):
+    """Deterministic token-budget sampling (pipeline.py
+    sample_to_token_budget(deterministic=True)): each language is cut
+    to an exact reproducible prefix — docs ordered by the engine-wide
+    Knuth hash of (id, seed) within the stratum, kept while the
+    running char total stays <= the budget (first doc always kept, so
+    zh's 100-char budget still yields one row; es has no budget and is
+    dropped).  This is the auditable way to hit a training-mix spec:
+    same rows on every run / engine / partitioning, vs the Bernoulli
+    sampleBy mode whose draw is seed-plus-engine specific.  One window
+    shuffle keyed on the stratum, carrying only (id, hash, chars).
+    Oracle replays the identical hash order and cumulative cut."""
+    from .pipeline import sample_to_token_budget
+
+    d = _t(spark, sf, "documents", "d").df.select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = sample_to_token_budget(
+        d,
+        {"en": 20000, "de": 10000, "fr": 5000, "zh": 100},
+        strata_col="lang",
+        token_col="n_chars",
+        seed=42,
+        id_col="doc_id",
+        deterministic=True,
+    )
+    return out.orderBy("doc_id")
+
+
+_BPE_ORACLE_HEAD = """
+    WITH w0 AS MATERIALIZED (
+        SELECT chr(31) || array_to_string(regexp_split_to_array(w, ''),
+                   chr(31) || chr(31)) || chr(31) AS sym,
+               CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (
+            SELECT lower(unnest(regexp_split_to_array(text, '\\s+'))) AS w
+            FROM documents
+        )
+        WHERE length(w) > 0 AND NOT contains(w, chr(31))
+        GROUP BY 1
+    ),
+    p1 AS MATERIALIZED (
+        SELECT a[i] AS l, a[i+1] AS r, CAST(SUM(freq) AS BIGINT) AS c
+        FROM (
+            SELECT a, unnest(generate_series(1, len(a) - 1)) AS i, freq
+            FROM (SELECT string_split(trim(sym, chr(31)),
+                             chr(31) || chr(31)) AS a, freq FROM w0)
+        ) GROUP BY 1, 2
+    ),
+    m1 AS (SELECT l, r, c FROM p1 ORDER BY c DESC, l, r LIMIT 1),
+    w1 AS MATERIALIZED (
+        SELECT replace(sym,
+                   chr(31) || m.l || chr(31) || chr(31) || m.r || chr(31),
+                   chr(31) || m.l || m.r || chr(31)) AS sym, freq
+        FROM w0, m1 m
+    ),
+    p2 AS MATERIALIZED (
+        SELECT a[i] AS l, a[i+1] AS r, CAST(SUM(freq) AS BIGINT) AS c
+        FROM (
+            SELECT a, unnest(generate_series(1, len(a) - 1)) AS i, freq
+            FROM (SELECT string_split(trim(sym, chr(31)),
+                             chr(31) || chr(31)) AS a, freq FROM w1)
+        ) GROUP BY 1, 2
+    ),
+    m2 AS (SELECT l, r, c FROM p2 ORDER BY c DESC, l, r LIMIT 1),
+    w2 AS MATERIALIZED (
+        SELECT replace(sym,
+                   chr(31) || m.l || chr(31) || chr(31) || m.r || chr(31),
+                   chr(31) || m.l || m.r || chr(31)) AS sym, freq
+        FROM w1, m2 m
+    ),
+    p3 AS MATERIALIZED (
+        SELECT a[i] AS l, a[i+1] AS r, CAST(SUM(freq) AS BIGINT) AS c
+        FROM (
+            SELECT a, unnest(generate_series(1, len(a) - 1)) AS i, freq
+            FROM (SELECT string_split(trim(sym, chr(31)),
+                             chr(31) || chr(31)) AS a, freq FROM w2)
+        ) GROUP BY 1, 2
+    ),
+    m3 AS (SELECT l, r, c FROM p3 ORDER BY c DESC, l, r LIMIT 1)
+"""
+
+
+@q(
+    "q139_bpe_fit",
+    _BPE_ORACLE_HEAD + """
+    SELECT merge_rank, l AS lft, r AS rgt, c AS pair_count FROM (
+        SELECT 1 AS merge_rank, l, r, c FROM m1
+        UNION ALL SELECT 2, l, r, c FROM m2
+        UNION ALL SELECT 3, l, r, c FROM m3
+    ) ORDER BY merge_rank
+    """,
+)
+def q139(spark, sf):
+    """Distributed BPE tokenizer training (bpe.py bpe_fit): the corpus
+    collapses to a word-frequency table in its ONE corpus-sized job;
+    each of the 3 merges is then a single vocab-sized adjacent-pair
+    aggregation with a (count DESC, l, r) winner, applied as a literal
+    greedy-non-overlapping replace on the wrapped-symbol strings —
+    semantics shared exactly by Spark's and DuckDB's `replace`, so the
+    oracle unrolls the entire training loop (the q124/q127 unrolled-
+    iteration discipline) and matches bit-for-bit."""
+    from .operators.bpe import bpe_fit
+
+    d = _t(spark, sf, "documents", "d").df.select("text")
+    merges = bpe_fit(d, "text", num_merges=3, lowercase=True)
+    return spark.createDataFrame(
+        [(m["merge_rank"], m["lft"], m["rgt"], m["pair_count"])
+         for m in merges],
+        "merge_rank int, lft string, rgt string, pair_count bigint",
+    ).orderBy("merge_rank")
+
+
+@q(
+    "q140_bpe_encode",
+    _BPE_ORACLE_HEAD + """
+    , words AS (
+        SELECT doc_id, arr[i] AS w, i AS wi
+        FROM (
+            SELECT doc_id, arr,
+                   unnest(generate_series(1, len(arr))) AS i
+            FROM (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           x -> length(x) > 0
+                               AND NOT contains(x, chr(31))) AS arr
+                FROM documents
+            )
+        )
+    ), enc AS (
+        SELECT doc_id, wi,
+               string_split(trim(
+                   replace(replace(replace(
+                       chr(31) || array_to_string(
+                           regexp_split_to_array(w, ''),
+                           chr(31) || chr(31)) || chr(31),
+                       chr(31) || m1.l || chr(31) || chr(31) || m1.r
+                           || chr(31),
+                       chr(31) || m1.l || m1.r || chr(31)),
+                       chr(31) || m2.l || chr(31) || chr(31) || m2.r
+                           || chr(31),
+                       chr(31) || m2.l || m2.r || chr(31)),
+                       chr(31) || m3.l || chr(31) || chr(31) || m3.r
+                           || chr(31),
+                       chr(31) || m3.l || m3.r || chr(31)),
+                   chr(31)), chr(31) || chr(31)) AS syms
+        FROM words, m1, m2, m3
+    )
+    SELECT doc_id,
+           CAST(SUM(len(syms)) AS BIGINT) AS n_tokens,
+           STRING_AGG(array_to_string(syms, ' '), ' ' ORDER BY wi)
+               AS toks
+    FROM enc GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q140(spark, sf):
+    """BPE encoding with the just-learned merges (bpe.py bpe_encode):
+    a pure chained-replace expression inside a transform lambda — zero
+    shuffles, zero Python, the narrow-map shape that tokenizes a
+    100 TB corpus at scan speed.  Output is per-doc token count plus
+    the space-joined token stream; the oracle re-learns the same 3
+    merges in SQL and re-encodes every word, so the match covers both
+    training and application end-to-end."""
+    from .operators.bpe import bpe_encode, bpe_fit
+
+    d = _t(spark, sf, "documents", "d").df
+    merges = bpe_fit(d.select("text"), "text", num_merges=3)
+    enc = bpe_encode(d.select("doc_id", "text"), "text", merges=merges)
+    return (
+        enc.filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.array_join("tokens", " ").alias("toks"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -5287,7 +5491,8 @@ _NEEDS_EVIDENCE = [
     "q131_approx_auc", "q132_grouping_builder",
     "q133_leakage_safe_split", "q134_bloom_prejoin",
     "q135_dedup_repeated_spans", "q136_retrieval_metrics",
-    "q137_calibration_report",
+    "q137_calibration_report", "q138_token_budget_mix",
+    "q139_bpe_fit", "q140_bpe_encode",
     # Priority 2 — the 41 queries whose latest driver evidence is r2:
     "q01_pricing_summary", "q02_top_orders", "q03_region_rollup",
     "q04_segment_monthly", "q05_window_rank", "q06_running_total",

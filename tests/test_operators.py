@@ -1712,6 +1712,31 @@ def test_rrf_fuse_batched_matches_per_query_loop(spark):
     assert batched == looped
 
 
+def test_rrf_fuse_guards_oversized_single_query_lists(spark):
+    """The single-list (no query_col) form must refuse inputs larger
+    than max_list_rows — its rank window is global, so an oversized
+    list is a silent single-partition scale bug unless it errors.
+    max_list_rows=None opts back in explicitly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from elusion_spark.operators.similarity import rrf_fuse
+
+    big = spark.range(0, 50).select(
+        F.col("id"), (F.col("id") % 7).cast("double").alias("s")
+    )
+    with _pytest.raises(ValueError, match="max_list_rows"):
+        rrf_fuse([(big, "id", "s")], max_list_rows=10)
+    # Explicit opt-out still works and fuses correctly.
+    out = rrf_fuse([(big, "id", "s")], max_list_rows=None)
+    assert out.count() == 50
+    # Batched form never probes (windows partition by query).
+    batched = big.withColumn("q", F.lit(1))
+    assert rrf_fuse(
+        [(batched, "id", "s")], query_col="q", max_list_rows=10
+    ).count() == 50
+
+
 def test_bm25_batched_matches_single_query_loop(spark):
     """bm25_score_batched == bm25_score run once per query: identical
     scores for every (query, doc) pair, including the duplicate-term-
@@ -3109,3 +3134,218 @@ def test_calibration_report_ece_and_bounds(spark):
     out2 = {r["bucket"]: r for r in
             calibration_report(df2, "s", "y", buckets=10).collect()}
     assert set(out2) == {0, 9}
+
+
+def test_compression_ratio_matches_driver_zlib(spark):
+    """compression_ratio == len(zlib.compress(utf8))/len(utf8) computed
+    in the driver with the same level — exact, since zlib is
+    deterministic for fixed input+level.  NULL -> NULL, '' -> 1.0."""
+    import zlib
+
+    from elusion_spark.operators.text import compression_ratio
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "spam spam spam spam spam spam spam spam spam spam",
+        "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+        "Ünïcödé — 中文 text with mixed scripts",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, text string")
+    got = {r["id"]: r["cr"] for r in
+           df.select("id", compression_ratio("text").alias("cr")).collect()}
+    for i, t in enumerate(texts):
+        if t is None:
+            assert got[i] is None
+        elif t == "":
+            assert got[i] == 1.0
+        else:
+            b = t.encode("utf-8")
+            exp = len(zlib.compress(b, 6)) / len(b)
+            assert abs(got[i] - exp) < 1e-12, (i, got[i], exp)
+    # repeated junk compresses far below natural prose
+    assert got[2] < 0.3 < got[0]
+
+
+def test_normalize_text_nfc_matches_duckdb(spark):
+    """normalize_text(form='NFC') agrees with DuckDB's nfc_normalize on
+    combining-vs-precomposed inputs; control/zero-width strip and
+    whitespace collapse behave as documented; form=None stays 100%
+    expression-side (no Python eval node in the plan)."""
+    import duckdb
+
+    from elusion_spark.operators.text import normalize_text
+
+    tricky = [
+        "café society",            # combining acute -> é
+        "Ångström",          # Å + ö via combining marks
+        "already composed café",
+        "plain ascii",
+    ]
+    import unicodedata
+    assert unicodedata.normalize("NFC", tricky[0]) != tricky[0]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(tricky)],
+                               "id long, text string")
+    got = {r["id"]: r["t"] for r in df.select(
+        "id",
+        normalize_text("text", form="NFC", strip_control=False,
+                       collapse_whitespace=False).alias("t"),
+    ).collect()}
+    con = duckdb.connect()
+    for i, t in enumerate(tricky):
+        exp = con.execute("SELECT nfc_normalize(?)", [t]).fetchone()[0]
+        assert got[i] == exp, (i, got[i], exp)
+    # strip + collapse: zero-width/BOM/control gone, runs of blanks -> ' '
+    messy = "a​b\x00c\td \n  e﻿"
+    out = spark.createDataFrame([(messy,)], "text string").select(
+        normalize_text("text").alias("t")).first()["t"]
+    assert out == "abc d e"
+    # form=None is pure expressions: no Arrow/Python eval in the plan
+    plan = spark.createDataFrame([("x",)], "text string").select(
+        normalize_text("text", form=None).alias("t")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_sample_to_token_budget_deterministic(spark):
+    """deterministic=True: exact reproducible prefix per stratum —
+    cumulative tokens <= budget in Knuth-hash order, first doc always
+    kept, unbudgeted strata dropped, stable across repartitioning."""
+    from elusion_spark.pipeline import sample_to_token_budget
+
+    rows = [(i, ["en", "de", "es"][i % 3], 10 + (i * 7) % 50)
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n long")
+    budgets = {"en": 400, "de": 150, "zh": 99}
+    out = sample_to_token_budget(
+        df, budgets, strata_col="lang", token_col="n",
+        seed=7, id_col="doc_id", deterministic=True)
+    got = sorted((r["lang"], r["doc_id"]) for r in out.collect())
+    # replay in python: hash order, cumulative cut, first-row rule
+    import collections
+    by = collections.defaultdict(list)
+    for i, lang, n in rows:
+        h = ((i % (1 << 31)) + 7) * 2654435761 % (1 << 32)
+        by[lang].append((h, i, n))
+    exp = []
+    for lang, budget in budgets.items():
+        cum = 0
+        for rank, (h, i, n) in enumerate(sorted(by.get(lang, []))):
+            cum += n
+            if cum <= budget or rank == 0:
+                exp.append((lang, i))
+    assert got == sorted(exp)
+    # partitioning-invariant
+    got2 = sorted((r["lang"], r["doc_id"]) for r in sample_to_token_budget(
+        df.repartition(13), budgets, strata_col="lang", token_col="n",
+        seed=7, id_col="doc_id", deterministic=True).collect())
+    assert got2 == got
+    # requires id_col
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="id_col"):
+        sample_to_token_budget(df, budgets, strata_col="lang",
+                               token_col="n", deterministic=True)
+
+
+def _ref_bpe(texts, num_merges, lowercase=True):
+    """Pure-python Sennrich BPE replay: word-freq table, all-adjacent
+    pair counts, (count DESC, l ASC, r ASC) winner, greedy
+    left-to-right non-overlapping application."""
+    import collections
+    wc = collections.Counter()
+    for t in texts:
+        for w in t.split():
+            wc[w.lower() if lowercase else w] += 1
+    vocab = collections.Counter()
+    for w, f in wc.items():
+        vocab[tuple(w)] += f
+    merges = []
+    for rank in range(1, num_merges + 1):
+        pc = collections.Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        (l, r), c = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append({"merge_rank": rank, "lft": l, "rgt": r,
+                       "pair_count": c})
+        nv = collections.Counter()
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i < len(syms) - 1 and syms[i] == l
+                        and syms[i + 1] == r):
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] += f
+        vocab = nv
+    return merges
+
+
+def _ref_bpe_encode(text, merges, lowercase=True):
+    toks = []
+    for w in text.split():
+        syms = list(w.lower() if lowercase else w)
+        for m in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if (i < len(syms) - 1 and syms[i] == m["lft"]
+                        and syms[i + 1] == m["rgt"]):
+                    out.append(m["lft"] + m["rgt"])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        toks.extend(syms)
+    return toks
+
+
+def test_bpe_fit_matches_python_replay(spark):
+    """bpe_fit == the reference Sennrich algorithm exactly: same merges
+    in the same order with the same pair counts, including overlap
+    ('aaaa' contributes 3 (a,a) pairs but merges to 'aa aa') and
+    deterministic tie-breaks."""
+    from elusion_spark.operators.bpe import bpe_encode, bpe_fit
+
+    texts = [
+        "the cat sat on the mat",
+        "the battered batter bat aaaa",
+        "Banana bandana banana aaaa bb",
+        "low lower lowest low low",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = bpe_fit(df, "text", num_merges=6)
+    exp = _ref_bpe(texts, 6)
+    assert got == exp, (got, exp)
+    # encode agrees word-for-word, and n_tokens counts the symbols
+    enc = {r["id"]: (r["tokens"], r["n_tokens"]) for r in
+           bpe_encode(
+               spark.createDataFrame(
+                   [(i, t) for i, t in enumerate(texts)],
+                   "id long, text string"),
+               "text", merges=got).collect()}
+    for i, t in enumerate(texts):
+        etoks = _ref_bpe_encode(t, exp)
+        assert enc[i][0] == etoks, (i, enc[i][0], etoks)
+        assert enc[i][1] == len(etoks)
+
+
+def test_bpe_fit_single_char_words_and_exhaustion(spark):
+    """Single-character words contribute no pairs; when every word is
+    fully merged the fit stops early instead of erroring."""
+    from elusion_spark.operators.bpe import bpe_fit
+
+    df = spark.createDataFrame([("a b ab ab",)], "text string")
+    got = bpe_fit(df, "text", num_merges=10)
+    exp = _ref_bpe(["a b ab ab"], 10)
+    assert got == exp
+    assert len(got) == 1  # only (a,b) is ever mergeable
