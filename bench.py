@@ -59,6 +59,10 @@ BENCH_QUERIES = [
     "q121_waiting_suppliers", # TPC-H Q21: EXISTS + NOT EXISTS quantifier pair
     "q133_leakage_safe_split",# cluster-coherent split (md5 window + Knuth hash)
     "q134_bloom_prejoin",     # Bloom prefilter + exact semi join + agg
+    "q135_dedup_repeated_spans", # C4-style span dedup (explode+rank+reassemble)
+    "q136_retrieval_metrics", # precision/recall/MRR/nDCG per query
+    "q138_token_budget_mix",  # deterministic per-stratum token-budget prefix
+    "q140_bpe_encode",        # BPE train (3 merges) + chained-replace encode
     "q46_training_corpus",    # end-to-end curation composite (9 stages)
 ]
 
@@ -91,6 +95,8 @@ BUDGETS_SF01 = {
     "q107_gapfill_linear": 0.8, "q113_forecast_revenue": 0.3,
     "q115_market_share": 1.3, "q121_waiting_suppliers": 1.6,
     "q133_leakage_safe_split": 0.8, "q134_bloom_prejoin": 1.8,
+    "q135_dedup_repeated_spans": 2.0, "q136_retrieval_metrics": 1.2,
+    "q138_token_budget_mix": 0.6, "q140_bpe_encode": 3.5,
     "q46_training_corpus": 4.8,
     "q01_cache_miss": 1.8, "q01_cache_hit": 0.3,
 }

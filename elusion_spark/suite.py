@@ -5449,8 +5449,8 @@ def q139(spark, sf):
     )
     SELECT doc_id,
            CAST(SUM(len(syms)) AS BIGINT) AS n_tokens,
-           STRING_AGG(array_to_string(syms, ' '), ' ' ORDER BY wi)
-               AS toks
+           MD5(STRING_AGG(array_to_string(syms, ' '), ' ' ORDER BY wi))
+               AS tok_md5
     FROM enc GROUP BY doc_id ORDER BY doc_id
     """,
 )
@@ -5459,9 +5459,12 @@ def q140(spark, sf):
     a pure chained-replace expression inside a transform lambda — zero
     shuffles, zero Python, the narrow-map shape that tokenizes a
     100 TB corpus at scan speed.  Output is per-doc token count plus
-    the space-joined token stream; the oracle re-learns the same 3
-    merges in SQL and re-encodes every word, so the match covers both
-    training and application end-to-end."""
+    an md5 digest of the space-joined token stream — the digest pins
+    every byte of the encoding without shipping the retokenized corpus
+    to the driver (the audit shape you would actually collect at
+    100 TB).  The oracle re-learns the same 3 merges in SQL and
+    re-encodes every word, so the match covers both training and
+    application end-to-end."""
     from .operators.bpe import bpe_encode, bpe_fit
 
     d = _t(spark, sf, "documents", "d").df
@@ -5472,9 +5475,15 @@ def q140(spark, sf):
         .select(
             "doc_id",
             "n_tokens",
-            F.array_join("tokens", " ").alias("toks"),
+            F.md5(F.array_join("tokens", " ")).alias("tok_md5"),
         )
-        .orderBy("doc_id")
+        # The encode pipeline is shuffle-free, so a global orderBy
+        # would run it TWICE (RangePartitioning's sample pass has no
+        # exchange to reuse).  One tiny shuffle of the digest rows +
+        # an in-partition sort keeps the expensive narrow map single-
+        # pass; the digest output is driver-small by construction.
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
     )
 
 
