@@ -3349,3 +3349,40 @@ def test_bpe_fit_single_char_words_and_exhaustion(spark):
     exp = _ref_bpe(["a b ab ab"], 10)
     assert got == exp
     assert len(got) == 1  # only (a,b) is ever mergeable
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_bpe_fuzz_vs_python_reference(spark, seed):
+    """8-seed fuzz: random small-alphabet corpora (so merges collide
+    and ties actually occur, including overlapping aaa-style pairs and
+    multi-round merged-symbol pairs), full fit + encode vs the pure
+    python Sennrich replay — merges, token streams, and counts all
+    bit-equal."""
+    import random
+
+    from elusion_spark.operators.bpe import bpe_encode, bpe_fit
+
+    rng = random.Random(seed)
+    alphabet = "abc" if seed % 2 == 0 else "ab"
+    texts = [
+        " ".join(
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+            for _ in range(rng.randint(5, 20))
+        )
+        for _ in range(rng.randint(4, 12))
+    ]
+    n_merges = rng.randint(1, 5)
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = bpe_fit(df, "text", num_merges=n_merges)
+    exp = _ref_bpe(texts, n_merges)
+    assert got == exp, (seed, got, exp)
+    enc = {r["id"]: (r["tokens"], r["n_tokens"]) for r in
+           bpe_encode(
+               spark.createDataFrame(
+                   [(i, t) for i, t in enumerate(texts)],
+                   "id long, text string"),
+               "text", merges=got).collect()}
+    for i, t in enumerate(texts):
+        etoks = _ref_bpe_encode(t, exp)
+        assert enc[i][0] == etoks, (seed, i, enc[i][0], etoks)
+        assert enc[i][1] == len(etoks)
