@@ -1037,6 +1037,208 @@ def sq_norm_expr(code_col: str, mins: list[float], spans: list[float]) -> Column
     )
 
 
+# ---------------------------------------------------------------------
+# Random projection (Johnson-Lindenstrauss) dimensionality reduction
+# ---------------------------------------------------------------------
+
+
+def rp_signs(in_dim: int, out_dim: int, seed: int = 0) -> list[list[float]]:
+    """The deterministic ±1 projection matrix (``in_dim × out_dim``),
+    derived from md5 so ANY engine can replay it: ``sign(i, j) = +1``
+    iff the first hex digit of ``md5("{seed}:{i}:{j}")`` is even
+    (1-based i, j).  md5 is uniform per nibble, so entries are iid
+    Rademacher — the Achlioptas construction, which satisfies the JL
+    lemma with the same guarantees as Gaussian matrices."""
+    import hashlib
+
+    even = set("02468ace")
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[0] in even
+            else -1.0
+            for j in range(1, out_dim + 1)
+        ]
+        for i in range(1, in_dim + 1)
+    ]
+
+
+def rp_project(
+    df: DataFrame,
+    vec_col: str,
+    in_dim: int,
+    out_dim: int,
+    seed: int = 0,
+    out_col: str = "rp",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: ``in_dim``-dim vectors
+    → ``out_dim``-dim sketches via a deterministic ±1 matrix, scaled by
+    ``1/sqrt(out_dim)`` so pairwise distances are preserved in
+    expectation (JL: distortion ≤ ε needs out_dim ≈ 8·ln(n)/ε²,
+    *independent of in_dim* — 768-dim embeddings sketch to 64 dims for
+    million-row corpora).
+
+    Scale shape: the signs fold into the plan as fixed +/- terms, so
+    the projection is a zero-shuffle whole-stage-codegen map — no HOF
+    lambda (those run interpreted), no Python, no matrix broadcast; it
+    rides the scan.  Use it in front of ``knn_join``/
+    ``embedding_near_dup_pairs`` to cut GEMM flops ``in_dim/out_dim``×,
+    or as the coarse pass of a two-stage retrieval (sketch-rank, then
+    exact-rerank the survivors).
+
+    Determinism contract: ``rp_signs`` is pure md5 arithmetic, so an
+    auditing engine (DuckDB, Trino) can rebuild the identical matrix
+    from ``(seed, in_dim, out_dim)`` alone — no artifact to ship."""
+    if in_dim <= 0 or out_dim <= 0:
+        raise ValueError("in_dim and out_dim must be positive")
+    import math
+
+    signs = rp_signs(in_dim, out_dim, seed)
+    inv = 1.0 / math.sqrt(out_dim)
+    outs = []
+    for j in range(out_dim):
+        terms = " ".join(
+            f"{'+' if signs[i][j] > 0 else '-'} "
+            f"CAST(element_at({vec_col}, {i + 1}) AS DOUBLE)"
+            for i in range(in_dim)
+        )
+        outs.append(F.expr(f"(CAST(0 AS DOUBLE) {terms}) * {inv!r}"))
+    return df.withColumn(out_col, F.array(*outs))
+
+
+# ---------------------------------------------------------------------
+# Product quantization (IVF-PQ's compression half)
+# ---------------------------------------------------------------------
+
+
+class PQModel:
+    """Product-quantizer codebooks: ``m`` subspaces × ``k`` centroids ×
+    ``dim/m`` dims.  Compression: a float32 vector stores as ``m``
+    small ints — 768-dim float32 @ m=96, k=256 is 3 KB → 96 B (32×),
+    the difference between an ANN index that fits executor memory at
+    100 TB and one that thrashes."""
+
+    def __init__(self, codebooks: list[list[list[float]]], dim: int):
+        self.codebooks = codebooks
+        self.dim = dim
+        self.m = len(codebooks)
+        self.k = len(codebooks[0]) if codebooks else 0
+        self.dsub = dim // self.m if self.m else 0
+
+
+def pq_fit(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    m: int,
+    k: int,
+    iters: int = 5,
+    init_centroids: list[list[list[float]]] | None = None,
+    sample_fraction: float = 0.1,
+    seed: int = 42,
+) -> PQModel:
+    """Train PQ codebooks: ``m`` independent k-means fits, one per
+    ``dim/m``-dim subspace slice, each via ``kmeans_fit`` (ONE grouped
+    aggregation job per Lloyd iteration, DECIMAL-exact sums → codebooks
+    bit-identical under any partitioning).
+
+    ``init_centroids`` (``m × k × dsub``) pins initialization for
+    tests/oracles.  At 100 TB, fit on a sample (codebook training needs
+    ~100k rows regardless of corpus size — FAISS practice) and
+    ``pq_encode`` the full corpus; the encode is the only corpus-sized
+    pass and it is a zero-shuffle map."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    books = []
+    for s in range(m):
+        sub = df.select(
+            F.expr(f"slice({vec_col}, {s * dsub + 1}, {dsub})").alias("__sub")
+        )
+        init = init_centroids[s] if init_centroids is not None else None
+        model = kmeans_fit(
+            sub, "__sub", dim=dsub, k=k, iters=iters,
+            init_centroids=init, sample_fraction=sample_fraction,
+            seed=seed + s, track_inertia=False,
+        )
+        books.append(model.centroids)
+    return PQModel(books, dim)
+
+
+def pq_encode_expr(vec_col: str, model: PQModel) -> Column:
+    """PQ codes as ``array<int>`` (``m`` entries): per subspace, the
+    first-min argmin over its ``k`` centroids — the same unrolled
+    distance expression ``assign_clusters_col`` uses, once per
+    subspace.  Pure expression: encoding a 100 TB corpus is a narrow
+    map fused into the scan, no shuffle, no Python."""
+    codes = []
+    for s in range(model.m):
+        o = s * model.dsub
+        dists = []
+        for c in model.codebooks[s]:
+            terms = " + ".join(
+                f"(CAST(element_at({vec_col}, {o + j + 1}) AS DOUBLE) - "
+                f"{float(c[j])!r}) * "
+                f"(CAST(element_at({vec_col}, {o + j + 1}) AS DOUBLE) - "
+                f"{float(c[j])!r})"
+                for j in range(model.dsub)
+            )
+            dists.append(f"({terms})")
+        arr = "array(" + ", ".join(dists) + ")"
+        codes.append(
+            F.expr(f"array_position({arr}, array_min({arr})) - 1").cast("int")
+        )
+    return F.array(*codes)
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    id_col: str,
+    codes_col: str,
+    query: list[float],
+    model: PQModel,
+    k: int = 10,
+    round_digits: int = 7,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query builds an
+    ``m × k`` lookup table of squared subspace distances driver-side,
+    the per-row score is ``m`` literal-array lookups summed — integer
+    indexing + ``m`` adds per row, never touching a float vector — and
+    the global top-k is TakeOrderedAndProject (per-partition heads +
+    merge, no sort, no shuffle).  THE billion-vector scan shape: a
+    1000-executor cluster ADC-scans compressed codes at memory
+    bandwidth.  Returns ``(id_col, adc)`` ascending (L2), rounded with
+    an id tiebreak for a cross-engine total order."""
+    luts = []
+    for s in range(model.m):
+        o = s * model.dsub
+        qs = [float(query[o + j]) for j in range(model.dsub)]
+        # (d * d, left-associated sum) — NOT `** 2`, whose libm pow()
+        # is not guaranteed bit-equal to the multiply a SQL replay does
+        luts.append([
+            sum((qj - float(c[j])) * (qj - float(c[j]))
+                for j, qj in enumerate(qs))
+            for c in model.codebooks[s]
+        ])
+    score = None
+    for s, lut in enumerate(luts):
+        # D-suffixed literals: bare numerics in SQL text parse as
+        # DECIMAL, which would silently switch the score arithmetic
+        arr = "array(" + ", ".join(f"{float(v)!r}D" for v in lut) + ")"
+        term = F.expr(
+            f"element_at({arr}, element_at({codes_col}, {s + 1}) + 1)"
+        )
+        score = term if score is None else score + term
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(score, round_digits).alias("adc"),
+        )
+        .orderBy(F.col("adc").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def recall_at_k(
     approx: DataFrame,
     exact: DataFrame,

@@ -5456,7 +5456,7 @@ def q139(spark, sf):
 )
 def q140(spark, sf):
     """BPE encoding with the just-learned merges (bpe.py bpe_encode):
-    a pure chained-replace expression inside a transform lambda — zero
+    document-level chained literal replaces (no interpreted HOF) — zero
     shuffles, zero Python, the narrow-map shape that tokenizes a
     100 TB corpus at scan speed.  Output is per-doc token count plus
     an md5 digest of the space-joined token stream — the digest pins
@@ -5487,6 +5487,174 @@ def q140(spark, sf):
     )
 
 
+_Q141_OUT = 8
+
+
+def _q141_oracle() -> str:
+    """Re-derives the ±1 matrix IN SQL from the same md5 recipe
+    (`rp_signs`: +1 iff the first hex digit of md5('seed:i:j') is
+    even), so the oracle verifies the sign derivation end-to-end, not
+    just the arithmetic.  The oracle accumulates each output dim as a
+    DECIMAL(38,15) sum (order-free, and fine enough that per-term
+    quantization stays ~1e-14 — DECIMAL(38,9)'s 5e-10-per-term noise
+    crossed 7dp rounding boundaries); Spark's side is the fixed-order
+    double chain — ROUND(7) absorbs the remaining fold difference."""
+    rs = ", ".join(
+        f"ROUND(MAX(CASE WHEN j = {j} THEN p END), 7) AS r{j}"
+        for j in range(1, _Q141_OUT + 1)
+    )
+    return f"""
+    WITH dims AS (SELECT UNNEST(range(1, {EMB_DIM + 1})) AS i),
+    outs AS (SELECT UNNEST(range(1, {_Q141_OUT + 1})) AS j),
+    sgn AS (
+        SELECT i, j,
+               CASE WHEN substr(md5('0:' || CAST(i AS VARCHAR) || ':'
+                                 || CAST(j AS VARCHAR)), 1, 1)
+                    IN ('0','2','4','6','8','a','c','e')
+                    THEN 1.0 ELSE -1.0 END AS s
+        FROM dims, outs
+    ),
+    el AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings, dims
+    ),
+    proj AS (
+        SELECT vec_id, j,
+               CAST(SUM(CAST(x * s AS DECIMAL(38,15))) AS DOUBLE)
+               * (1.0 / sqrt({float(_Q141_OUT)!r})) AS p
+        FROM el JOIN sgn USING (i)
+        GROUP BY vec_id, j
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, {rs}
+    FROM proj GROUP BY vec_id ORDER BY vec_id
+    """
+
+
+@q("q141_random_projection", _q141_oracle())
+def q141(spark, sf):
+    """Johnson-Lindenstrauss sketch (similarity.py rp_project): 64-dim
+    embeddings -> 8-dim via the md5-derived ±1 matrix, folded into the
+    plan as fixed +/- terms — a zero-shuffle codegen map with no HOF
+    and no Python, the front-end that cuts every downstream GEMM 8x.
+    The oracle rebuilds the SAME matrix from the md5 recipe inside SQL
+    and replays the projection with decimal-exact sums."""
+    from .operators.similarity import rp_project
+
+    e = _t(spark, sf, "embeddings", "e").df.select("vec_id", "embedding")
+    out = rp_project(e, "embedding", in_dim=EMB_DIM, out_dim=_Q141_OUT,
+                     seed=0, out_col="rp")
+    return (
+        out.select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            *[F.round(F.element_at("rp", j), 7).alias(f"r{j}")
+              for j in range(1, _Q141_OUT + 1)],
+        )
+        # same single-pass discipline as q140: the projection is
+        # shuffle-free, so a global orderBy would recompute it in the
+        # range-sampling pass; the projected rows are tiny
+        .repartition(1)
+        .sortWithinPartitions("vec_id")
+    )
+
+
+_Q142_M, _Q142_DSUB, _Q142_ITERS = 2, 2, 2
+_Q142_INIT = [
+    [[-0.5, -0.5], [0.5, 0.5]],
+    [[-0.5, 0.5], [0.5, -0.5]],
+]
+_Q142_QUERY = [0.1, -0.2, 0.3, 0.05]
+
+
+def _q142_oracle() -> str:
+    """Unrolled per-subspace Lloyd (same discipline as q127, twice),
+    then in-SQL PQ encode (first-min argmin) + ADC lookup against the
+    query literal.  Centroids are DECIMAL-exact on both sides, so codes
+    and scores are bit-identical before the ROUND."""
+    ctes = []
+    sub_prev = []
+    for s in range(_Q142_M):
+        o = s * _Q142_DSUB
+        feats = (f"SELECT vec_id, CAST(embedding[{o + 1}] AS DOUBLE) AS x1,"
+                 f" CAST(embedding[{o + 2}] AS DOUBLE) AS x2"
+                 f" FROM embeddings")
+        ctes.append(f"f{s} AS MATERIALIZED ({feats})")
+        cs = [[repr(v) for v in c] for c in _Q142_INIT[s]]
+        prev = None
+        for it in range(1, _Q142_ITERS + 1):
+            if prev:
+                cs = [[f"(SELECT c{i}x FROM {prev})",
+                       f"(SELECT c{i}y FROM {prev})"] for i in range(2)]
+            d = [f"((x1 - {cs[i][0]}) * (x1 - {cs[i][0]}) + "
+                 f"(x2 - {cs[i][1]}) * (x2 - {cs[i][1]}))" for i in range(2)]
+            a = f"CASE WHEN {d[0]} <= {d[1]} THEN 0 ELSE 1 END"
+            sels = []
+            for i in range(2):
+                cnt = f"SUM(CASE WHEN {a} = {i} THEN 1 ELSE 0 END)"
+                for ax, col in (("x", "x1"), ("y", "x2")):
+                    sm = (f"CAST(SUM(CASE WHEN {a} = {i} THEN "
+                          f"CAST({col} AS DECIMAL(38,9)) END) AS DOUBLE)")
+                    sels.append(f"{sm} / {cnt} AS c{i}{ax}")
+            ctes.append(f"s{s}it{it} AS MATERIALIZED (SELECT "
+                        + ", ".join(sels) + f" FROM f{s})")
+            prev = f"s{s}it{it}"
+        sub_prev.append(prev)
+    # encode + ADC against the final centroids
+    code_exprs, lut_exprs = [], []
+    for s in range(_Q142_M):
+        o = s * _Q142_DSUB
+        p = sub_prev[s]
+        cs = [[f"(SELECT c{i}x FROM {p})", f"(SELECT c{i}y FROM {p})"]
+              for i in range(2)]
+        d = [f"((x{s}1 - {cs[i][0]}) * (x{s}1 - {cs[i][0]}) + "
+             f"(x{s}2 - {cs[i][1]}) * (x{s}2 - {cs[i][1]}))" for i in range(2)]
+        code_exprs.append(f"CASE WHEN {d[0]} <= {d[1]} THEN 0 ELSE 1 END")
+        q1, q2 = (repr(float(_Q142_QUERY[o])), repr(float(_Q142_QUERY[o + 1])))
+        lut = [f"(({q1} - {cs[i][0]}) * ({q1} - {cs[i][0]}) + "
+               f"({q2} - {cs[i][1]}) * ({q2} - {cs[i][1]}))" for i in range(2)]
+        lut_exprs.append(lut)
+    vec_cols = ", ".join(
+        f"CAST(embedding[{s * _Q142_DSUB + j + 1}] AS DOUBLE) AS x{s}{j + 1}"
+        for s in range(_Q142_M) for j in range(_Q142_DSUB)
+    )
+    adc = " + ".join(
+        f"(CASE WHEN ({code_exprs[s]}) = 0 THEN {lut_exprs[s][0]} "
+        f"ELSE {lut_exprs[s][1]} END)"
+        for s in range(_Q142_M)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+    rows_in AS (SELECT vec_id, {vec_cols} FROM embeddings)
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, ROUND({adc}, 7) AS adc
+    FROM rows_in ORDER BY adc, vec_id LIMIT 10
+    """
+    )
+
+
+@q("q142_pq_adc_topk", _q142_oracle())
+def q142(spark, sf):
+    """Product quantization end-to-end (similarity.py pq_fit /
+    pq_encode_expr / pq_adc_topk): train 2 subspace codebooks with
+    distributed Lloyd from a pinned init (ONE aggregation job per
+    iteration each, DECIMAL-exact — centroids partition-invariant),
+    encode the corpus as 2 small ints per row (a zero-shuffle codegen
+    map), then ADC top-10 for a query via literal lookup tables +
+    TakeOrderedAndProject.  The oracle replays BOTH trainings unrolled,
+    re-encodes every row, and recomputes the ADC scores — codes and
+    scores bit-identical before the final ROUND."""
+    from .operators.similarity import pq_adc_topk, pq_encode_expr, pq_fit
+
+    e = _t(spark, sf, "embeddings", "e").df.selectExpr(
+        "vec_id",
+        f"transform(slice(embedding, 1, {_Q142_M * _Q142_DSUB}), "
+        "x -> CAST(x AS DOUBLE)) AS v",
+    )
+    model = pq_fit(e, "v", dim=_Q142_M * _Q142_DSUB, m=_Q142_M, k=2,
+                   iters=_Q142_ITERS, init_centroids=_Q142_INIT)
+    enc = e.withColumn("codes", pq_encode_expr("v", model))
+    out = pq_adc_topk(enc, "vec_id", "codes", _Q142_QUERY, model, k=10)
+    return out.select(F.col("vec_id").cast("bigint").alias("vec_id"), "adc")
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -5502,6 +5670,7 @@ _NEEDS_EVIDENCE = [
     "q135_dedup_repeated_spans", "q136_retrieval_metrics",
     "q137_calibration_report", "q138_token_budget_mix",
     "q139_bpe_fit", "q140_bpe_encode",
+    "q141_random_projection", "q142_pq_adc_topk",
     # Priority 2 — the 41 queries whose latest driver evidence is r2:
     "q01_pricing_summary", "q02_top_orders", "q03_region_rollup",
     "q04_segment_monthly", "q05_window_rank", "q06_running_total",

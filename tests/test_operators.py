@@ -3386,3 +3386,131 @@ def test_bpe_fuzz_vs_python_reference(spark, seed):
         etoks = _ref_bpe_encode(t, exp)
         assert enc[i][0] == etoks, (seed, i, enc[i][0], etoks)
         assert enc[i][1] == len(etoks)
+
+
+# -----------------------------------------------------------------------
+# Random projection + product quantization
+# -----------------------------------------------------------------------
+
+
+def test_rp_project_matches_numpy_and_plan(spark):
+    """Projection equals the numpy matmul with the same md5-derived sign
+    matrix; the plan is a zero-shuffle narrow map with no HOF lambda."""
+    import numpy as np
+
+    from elusion_spark.operators.scale import plan_report
+    from elusion_spark.operators.similarity import rp_project, rp_signs
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(40, 16))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(40)],
+        "id long, v array<double>",
+    )
+    out = rp_project(df, "v", in_dim=16, out_dim=4, seed=3)
+    got = {r["id"]: r["rp"] for r in out.collect()}
+    S = np.array(rp_signs(16, 4, seed=3))
+    exp = X @ S / np.sqrt(4)
+    for i in range(40):
+        assert np.allclose(got[i], exp[i], atol=1e-12), i
+    rep = plan_report(out)
+    assert rep["shuffle_exchanges"] == 0
+    assert not rep["has_cartesian"]
+
+
+def test_rp_project_preserves_distances_jl(spark):
+    """JL sanity: pairwise distance ratios concentrate around 1 for a
+    generous target dim (statistical property, loose tolerance)."""
+    import numpy as np
+
+    from elusion_spark.operators.similarity import rp_project
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(30, 64))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(30)],
+        "id long, v array<double>",
+    )
+    got = {r["id"]: np.array(r["rp"]) for r in
+           rp_project(df, "v", in_dim=64, out_dim=32, seed=0).collect()}
+    ratios = []
+    for i in range(0, 30, 3):
+        for j in range(i + 1, 30, 7):
+            d0 = np.linalg.norm(X[i] - X[j])
+            d1 = np.linalg.norm(got[i] - got[j])
+            ratios.append(d1 / d0)
+    r = np.array(ratios)
+    assert 0.6 < r.min() and r.max() < 1.5, (r.min(), r.max())
+
+
+def _pq_fixture(seed=5, n=60, dim=8):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(n, dim))
+
+
+def test_pq_encode_and_adc_match_numpy(spark):
+    """Codes equal the numpy per-subspace argmin (first-min ties) and
+    the ADC top-k equals the numpy LUT scan, for a pinned-init fit."""
+    import numpy as np
+
+    from elusion_spark.operators.similarity import (
+        pq_adc_topk, pq_encode_expr, pq_fit)
+
+    X = _pq_fixture()
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "id long, v array<double>",
+    )
+    init = [[[float(X[r][s * 4 + j]) for j in range(4)] for r in (0, 1, 2)]
+            for s in range(2)]
+    model = pq_fit(df, "v", dim=8, m=2, k=3, iters=2, init_centroids=init)
+    enc = df.withColumn("codes", pq_encode_expr("v", model))
+    got_codes = {r["id"]: list(r["codes"]) for r in enc.collect()}
+    B = [np.array(b) for b in model.codebooks]
+    for i in range(len(X)):
+        for s in range(2):
+            d = ((X[i][s * 4:(s + 1) * 4] - B[s]) ** 2).sum(axis=1)
+            assert got_codes[i][s] == int(np.argmin(d)), (i, s)
+    q = [float(v) for v in _pq_fixture(seed=99, n=1)[0]]
+    top = pq_adc_topk(enc, "id", "codes", q, model, k=5).collect()
+    luts = [((np.array(q[s * 4:(s + 1) * 4]) - B[s]) ** 2).sum(axis=1)
+            for s in range(2)]
+    scores = sorted(
+        (round(sum(float(luts[s][got_codes[i][s]]) for s in range(2)), 7), i)
+        for i in range(len(X)))
+    assert [(r["id"], r["adc"]) for r in top] == \
+        [(i, sc) for sc, i in scores[:5]]
+
+
+def test_pq_adc_plan_is_zero_shuffle_topk(spark):
+    """encode + ADC scan compiles to TakeOrderedAndProject with zero
+    shuffle exchanges — the billion-vector scan shape."""
+    from elusion_spark.operators.scale import plan_report
+    from elusion_spark.operators.similarity import (
+        pq_adc_topk, pq_encode_expr, pq_fit)
+
+    X = _pq_fixture()
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "id long, v array<double>",
+    )
+    init = [[[float(X[r][s * 4 + j]) for j in range(4)] for r in (0, 1)]
+            for s in range(2)]
+    model = pq_fit(df, "v", dim=8, m=2, k=2, iters=1, init_centroids=init)
+    enc = df.withColumn("codes", pq_encode_expr("v", model))
+    out = pq_adc_topk(enc, "id", "codes", [0.0] * 8, model, k=3)
+    rep = plan_report(out)
+    assert rep["shuffle_exchanges"] == 0
+    assert rep["take_ordered"]
+
+
+def test_pq_fit_validates_divisibility(spark):
+    import pytest as _pytest
+
+    from elusion_spark.operators.similarity import pq_fit
+
+    df = spark.createDataFrame([(1, [0.0] * 6)], "id long, v array<double>")
+    with _pytest.raises(ValueError):
+        pq_fit(df, "v", dim=6, m=4, k=2)
