@@ -3514,3 +3514,33 @@ def test_pq_fit_validates_divisibility(spark):
     df = spark.createDataFrame([(1, [0.0] * 6)], "id long, v array<double>")
     with _pytest.raises(ValueError):
         pq_fit(df, "v", dim=6, m=4, k=2)
+
+
+def test_pq_encode_vectorized_path_matches_numpy(spark):
+    """Above the expression threshold the Arrow GEMM path kicks in and
+    still produces first-min numpy argmin codes."""
+    import numpy as np
+
+    from elusion_spark.operators.similarity import PQModel, pq_encode_expr
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(50, 16))
+    B = rng.normal(size=(4, 80, 4))  # 4*80*4 = 1280... force big below
+    model = PQModel([[list(map(float, c)) for c in B[s]]
+                     for s in range(4)], dim=16)
+    assert model.m * model.k * model.dsub <= 4096
+    # force the vectorized path regardless of size to pin agreement
+    from elusion_spark.operators.similarity import _pq_assign_vectorized
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(50)],
+        "id long, v array<double>",
+    )
+    got = {r["id"]: list(r["c"]) for r in df.withColumn(
+        "c", _pq_assign_vectorized("v", model)).collect()}
+    exp_small = {r["id"]: list(r["c"]) for r in df.withColumn(
+        "c", pq_encode_expr("v", model)).collect()}
+    for i in range(50):
+        for s in range(4):
+            d = ((X[i][s * 4:(s + 1) * 4] - B[s]) ** 2).sum(axis=1)
+            assert got[i][s] == int(np.argmin(d)), (i, s)
+    assert got == exp_small  # both physical strategies, same codes
