@@ -562,6 +562,45 @@ def ivf_search(
     )
 
 
+def ivf_pq_search(
+    encoded: DataFrame,
+    centroids: list[list[float]],
+    model: "PQModel",
+    id_col: str,
+    codes_col: str,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """The full FAISS IVF-PQ architecture on Spark storage: the coarse
+    quantizer (``ivf_build`` cluster ids) prunes to the ``nprobe``
+    nearest cells — partition pruning when the table is written
+    partitioned by ``cluster_col`` — and the scan inside the surviving
+    cells runs on PQ codes via ``pq_adc_topk``'s lookup tables.
+
+    Combined effect at 100 TB: read ``nprobe/nlist`` of the partitions
+    × ``1/16th`` the bytes per row (m=8 codes vs 64 float64s) — two
+    multiplicative IO reductions before a single row is scored, and
+    the scoring itself is TakeOrderedAndProject with zero shuffles.
+
+    ``encoded`` needs ``(id_col, codes_col, cluster_col)`` — the
+    output of ``ivf_build`` + ``pq_encode_expr``, typically persisted
+    once, partitioned by cluster."""
+    order = sorted(
+        range(len(centroids)),
+        key=lambda ci: sum(
+            (float(a) - b) * (float(a) - b)
+            for a, b in zip(query, centroids[ci])
+        ),
+    )
+    probe = order[:nprobe]
+    return pq_adc_topk(
+        encoded.filter(F.col(cluster_col).isin(probe)),
+        id_col, codes_col, query, model, k=k,
+    )
+
+
 # ---------------------------------------------------------------- knn join
 
 def _probe_clusters_udf(centroids: list[list[float]], nprobe: int):

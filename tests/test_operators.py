@@ -3544,3 +3544,56 @@ def test_pq_encode_vectorized_path_matches_numpy(spark):
             d = ((X[i][s * 4:(s + 1) * 4] - B[s]) ** 2).sum(axis=1)
             assert got[i][s] == int(np.argmin(d)), (i, s)
     assert got == exp_small  # both physical strategies, same codes
+
+
+def test_ivf_pq_search_prunes_and_matches_full_scan(spark):
+    """nprobe=nlist reproduces the full ADC scan exactly; a smaller
+    nprobe's results are a subset drawn only from probed cells, and the
+    cell filter appears in the plan (partition-prunable shape)."""
+    import numpy as np
+
+    from elusion_spark.operators.similarity import (
+        ivf_build, ivf_pq_search, pq_adc_topk, pq_encode_expr, pq_fit)
+
+    rng = np.random.default_rng(17)
+    X = rng.normal(size=(120, 8))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(120)],
+        "id long, v array<double>",
+    )
+    assigned, cents = ivf_build(df, "v", dim=8, nlist=4,
+                                sample_fraction=1.0, iters=3, seed=1)
+    init = [[[float(X[r][s * 4 + j]) for j in range(4)] for r in (0, 1, 2)]
+            for s in range(2)]
+    model = pq_fit(df, "v", dim=8, m=2, k=3, iters=2, init_centroids=init)
+    enc = assigned.withColumn("codes", pq_encode_expr("v", model)) \
+        .select("id", "codes", "cluster_id")
+    q = [float(v) for v in rng.normal(size=8)]
+    full = pq_adc_topk(enc, "id", "codes", q, model, k=5).collect()
+    all_probe = ivf_pq_search(enc, cents, model, "id", "codes", q,
+                              k=5, nprobe=4).collect()
+    assert [(r["id"], r["adc"]) for r in full] == \
+        [(r["id"], r["adc"]) for r in all_probe]
+    # the real storage shape: codes persisted partitioned by cell —
+    # the probe filter must become a PARTITION filter, not a row filter
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        enc.write.partitionBy("cluster_id").parquet(f"{tmp}/pq")
+        stored = spark.read.parquet(f"{tmp}/pq")
+        two = ivf_pq_search(stored, cents, model, "id", "codes", q,
+                            k=5, nprobe=2)
+        from elusion_spark.operators.scale import plan_report
+        rep = plan_report(two)
+        assert rep["shuffle_exchanges"] == 0 and rep["take_ordered"]
+        assert any("cluster_id" in s["partition_filters"]
+                   for s in rep["scans"]), rep["scans"]
+        probed = {r["id"] for r in two.collect()}
+    # every result comes from a probed cell
+    from pyspark.sql import functions as SF
+
+    order = sorted(range(4), key=lambda ci: sum(
+        (a - b) * (a - b) for a, b in zip(q, cents[ci])))
+    cells = {r["id"] for r in enc.filter(
+        SF.col("cluster_id").isin(order[:2])).collect()}
+    assert probed <= cells
