@@ -5655,6 +5655,81 @@ def q142(spark, sf):
     return out.select(F.col("vec_id").cast("bigint").alias("vec_id"), "adc")
 
 
+# q143: the IVF-PQ composition with PINNED coarse cells (learned coarse
+# centroids come from a driver rng sample — not SQL-replayable — so the
+# suite pins them; q142 already driver-checks the learned-codebook leg).
+_Q143_CELLS = [[-1.0, -1.0], [-1.0, 1.0], [1.0, -1.0], [1.0, 1.0]]
+_Q143_NPROBE = 2
+
+
+def _q143_oracle() -> str:
+    """Cell assignment = first-min argmin over the 4 pinned coarse
+    centroids (dims 1-2); the probe set is the NPROBE cells nearest the
+    query, computed here the same way ivf_pq_search does driver-side
+    and folded in as an IN list; inside the surviving cells the ADC
+    replay is q142's, against the same pinned-init PQ codebooks."""
+    # nearest cells to the query, replicated from ivf_pq_search's sort
+    order = sorted(
+        range(4),
+        key=lambda ci: sum(
+            (float(a) - b) * (float(a) - b)
+            for a, b in zip(_Q142_QUERY[:2], _Q143_CELLS[ci])
+        ),
+    )
+    probe = sorted(order[:_Q143_NPROBE])
+    cell_d = [
+        f"((x01 - {c[0]!r}) * (x01 - {c[0]!r}) + "
+        f"(x02 - {c[1]!r}) * (x02 - {c[1]!r}))"
+        for c in _Q143_CELLS
+    ]
+    least = "LEAST(" + ", ".join(cell_d) + ")"
+    cell = ("CASE " + " ".join(
+        f"WHEN {cell_d[i]} = {least} THEN {i}" for i in range(4)
+    ) + " END")
+    base = _q142_oracle()
+    head, tail = base.rsplit("rows_in AS (SELECT vec_id, ", 1)
+    cols, rest = tail.split(" FROM embeddings)", 1)
+    return (
+        head
+        + "rows_in AS (SELECT vec_id, " + cols
+        + " FROM embeddings)"
+        + rest.replace(
+            "FROM rows_in ORDER BY",
+            f"FROM rows_in WHERE ({cell}) IN "
+            f"({', '.join(map(str, probe))}) ORDER BY",
+        )
+    )
+
+
+@q("q143_ivf_pq_search", _q143_oracle())
+def q143(spark, sf):
+    """IVF-PQ search (similarity.py ivf_pq_search): assign each vector
+    to its nearest pinned coarse cell, probe the 2 cells nearest the
+    query (a partition filter under cell-partitioned storage), ADC-scan
+    PQ codes inside them only — nprobe/nlist of the partitions times
+    1/16th the bytes per row before any scoring, and the scoring plan
+    is TakeOrderedAndProject with zero shuffles.  The oracle replays
+    cell assignment, the probe choice, and the full q142 ADC chain."""
+    from .operators.similarity import (
+        assign_clusters_col, ivf_pq_search, pq_encode_expr, pq_fit)
+
+    e = _t(spark, sf, "embeddings", "e").df.selectExpr(
+        "vec_id",
+        f"transform(slice(embedding, 1, {_Q142_M * _Q142_DSUB}), "
+        "x -> CAST(x AS DOUBLE)) AS v",
+    )
+    model = pq_fit(e, "v", dim=_Q142_M * _Q142_DSUB, m=_Q142_M, k=2,
+                   iters=_Q142_ITERS, init_centroids=_Q142_INIT)
+    enc = e.withColumn(
+        "cluster_id",
+        assign_clusters_col(
+            f"slice(v, 1, {_Q142_DSUB})", _Q143_CELLS),
+    ).withColumn("codes", pq_encode_expr("v", model))
+    out = ivf_pq_search(enc, _Q143_CELLS, model, "vec_id", "codes",
+                        _Q142_QUERY, k=10, nprobe=_Q143_NPROBE)
+    return out.select(F.col("vec_id").cast("bigint").alias("vec_id"), "adc")
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -5670,7 +5745,7 @@ _NEEDS_EVIDENCE = [
     "q135_dedup_repeated_spans", "q136_retrieval_metrics",
     "q137_calibration_report", "q138_token_budget_mix",
     "q139_bpe_fit", "q140_bpe_encode",
-    "q141_random_projection", "q142_pq_adc_topk",
+    "q141_random_projection", "q142_pq_adc_topk", "q143_ivf_pq_search",
     # Priority 2 — the 41 queries whose latest driver evidence is r2:
     "q01_pricing_summary", "q02_top_orders", "q03_region_rollup",
     "q04_segment_monthly", "q05_window_rank", "q06_running_total",
