@@ -3597,3 +3597,72 @@ def test_ivf_pq_search_prunes_and_matches_full_scan(spark):
     cells = {r["id"] for r in enc.filter(
         SF.col("cluster_id").isin(order[:2])).collect()}
     assert probed <= cells
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_pq_fuzz_vs_numpy(spark, seed):
+    """6-seed fuzz: random (n, dim, m, k) shapes through pinned-init
+    pq_fit + encode + ADC, replayed in pure numpy with the same decimal
+    quantization contract (centroids match to ~1e-9 — the DECIMAL(38,9)
+    per-term rounding — then codes and top-k order match exactly using
+    Spark's own centroids)."""
+    import random as pyrandom
+
+    import numpy as np
+
+    from elusion_spark.operators.similarity import (
+        pq_adc_topk, pq_encode_expr, pq_fit)
+
+    rng = np.random.default_rng(seed)
+    pr = pyrandom.Random(seed)
+    m = pr.choice([2, 4])
+    dsub = pr.choice([2, 3])
+    dim = m * dsub
+    k = pr.choice([2, 3, 4])
+    n = pr.randint(30, 80)
+    iters = pr.randint(1, 3)
+    X = rng.normal(size=(n, dim))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "id long, v array<double>",
+    )
+    init = [[[float(X[r][s * dsub + j]) for j in range(dsub)]
+             for r in range(k)] for s in range(m)]
+    model = pq_fit(df, "v", dim=dim, m=m, k=k, iters=iters,
+                   init_centroids=init)
+
+    # numpy replay of the fused Lloyd (same first-min argmin; decimal
+    # quantization approximated by rounding each term to 9dp)
+    books = [np.array(init[s], dtype=np.float64) for s in range(m)]
+    for _ in range(iters):
+        newb = [b.copy() for b in books]
+        for s in range(m):
+            Xs = X[:, s * dsub:(s + 1) * dsub]
+            d2 = ((Xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            best = d2.argmin(axis=1)
+            for c in range(k):
+                mem = np.round(Xs[best == c], 9)
+                if len(mem):
+                    newb[s][c] = mem.sum(axis=0) / len(mem)
+        books = newb
+    for s in range(m):
+        got = np.array(model.codebooks[s])
+        assert np.allclose(got, books[s], atol=2e-9), (seed, s)
+
+    # codes + ADC replayed with Spark's own centroids: exact match
+    B = [np.array(b) for b in model.codebooks]
+    enc = df.withColumn("codes", pq_encode_expr("v", model))
+    got_codes = {r["id"]: list(r["codes"]) for r in enc.collect()}
+    for i in range(n):
+        for s in range(m):
+            d = ((X[i][s * dsub:(s + 1) * dsub] - B[s]) ** 2).sum(axis=1)
+            assert got_codes[i][s] == int(np.argmin(d)), (seed, i, s)
+    q = [float(v) for v in rng.normal(size=dim)]
+    top = pq_adc_topk(enc, "id", "codes", q, model, k=7).collect()
+    luts = [((np.array(q[s * dsub:(s + 1) * dsub]) - B[s]) ** 2).sum(axis=1)
+            for s in range(m)]
+    scores = sorted(
+        (round(sum(float(luts[s][got_codes[i][s]]) for s in range(m)), 7), i)
+        for i in range(n))
+    assert [(r["id"], r["adc"]) for r in top] == \
+        [(i, sc) for sc, i in scores[:7]], seed
