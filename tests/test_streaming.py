@@ -616,3 +616,29 @@ def test_funnel_stream_string_user_ids(spark, tmp_path):
     )
     final = {r["user_id"]: r["n_completed"] for r in got.collect()}
     assert final == {"u-aaa": 2, "u-bbb": 1, "u-ccc": 0}
+
+
+def test_bpe_encode_on_stream_matches_batch(spark, tmp_path):
+    """The learned-vocab tokenizer rides a stream unchanged: bpe_encode
+    is a stateless codegen expression, so streaming token counts equal
+    the batch encode row-for-row (train once offline, apply to the
+    firehose — the production tokenization shape)."""
+    from elusion_spark.operators.bpe import bpe_encode, bpe_fit
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").limit(200))
+    merges = bpe_fit(docs, "text", num_merges=3)
+
+    src = str(tmp_path / "docs_bpe_stream")
+    docs.coalesce(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = ST.read_file_stream(spark, src, schema)
+    enc = bpe_encode(stream, "text", merges=merges).select(
+        "doc_id", "n_tokens", F.md5(F.array_join("tokens", " ")).alias("h"))
+    got = {(r["doc_id"], r["n_tokens"], r["h"])
+           for r in ST.run_available_now_to_memory(enc).collect()}
+    exp = {(r["doc_id"], r["n_tokens"], r["h"])
+           for r in bpe_encode(docs, "text", merges=merges).select(
+               "doc_id", "n_tokens",
+               F.md5(F.array_join("tokens", " ")).alias("h")).collect()}
+    assert got == exp and len(got) == 200
