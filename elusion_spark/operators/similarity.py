@@ -1362,27 +1362,40 @@ def pq_adc_topk(
     model: PQModel,
     k: int = 10,
     round_digits: int = 7,
+    metric: str = "l2",
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes: the query builds an
-    ``m × k`` lookup table of squared subspace distances driver-side,
-    the per-row score is ``m`` literal-array lookups summed — integer
-    indexing + ``m`` adds per row, never touching a float vector — and
-    the global top-k is TakeOrderedAndProject (per-partition heads +
-    merge, no sort, no shuffle).  THE billion-vector scan shape: a
-    1000-executor cluster ADC-scans compressed codes at memory
-    bandwidth.  Returns ``(id_col, adc)`` ascending (L2), rounded with
-    an id tiebreak for a cross-engine total order."""
+    ``m × k`` lookup table of subspace scores driver-side, the per-row
+    score is ``m`` literal-array lookups summed — integer indexing +
+    ``m`` adds per row, never touching a float vector — and the global
+    top-k is TakeOrderedAndProject (per-partition heads + merge, no
+    sort, no shuffle).  THE billion-vector scan shape: a 1000-executor
+    cluster ADC-scans compressed codes at memory bandwidth.
+
+    ``metric='l2'`` (default) returns ``(id_col, adc)`` ascending by
+    squared distance; ``metric='ip'`` scores inner product descending
+    (MIPS — retrieval over unnormalized embedding scores; on
+    L2-normalized vectors both rank identically to cosine).  Rounded
+    with an id tiebreak for a cross-engine total order."""
+    if metric not in ("l2", "ip"):
+        raise ValueError(f"metric must be 'l2' or 'ip', got {metric!r}")
     luts = []
     for s in range(model.m):
         o = s * model.dsub
         qs = [float(query[o + j]) for j in range(model.dsub)]
         # (d * d, left-associated sum) — NOT `** 2`, whose libm pow()
         # is not guaranteed bit-equal to the multiply a SQL replay does
-        luts.append([
-            sum((qj - float(c[j])) * (qj - float(c[j]))
-                for j, qj in enumerate(qs))
-            for c in model.codebooks[s]
-        ])
+        if metric == "l2":
+            luts.append([
+                sum((qj - float(c[j])) * (qj - float(c[j]))
+                    for j, qj in enumerate(qs))
+                for c in model.codebooks[s]
+            ])
+        else:
+            luts.append([
+                sum(qj * float(c[j]) for j, qj in enumerate(qs))
+                for c in model.codebooks[s]
+            ])
     score = None
     for s, lut in enumerate(luts):
         # D-suffixed literals: bare numerics in SQL text parse as
@@ -1392,12 +1405,14 @@ def pq_adc_topk(
             f"element_at({arr}, element_at({codes_col}, {s + 1}) + 1)"
         )
         score = term if score is None else score + term
+    direction = (F.col("adc").asc() if metric == "l2"
+                 else F.col("adc").desc())
     return (
         df.select(
             F.col(id_col),
             F.round(score, round_digits).alias("adc"),
         )
-        .orderBy(F.col("adc").asc(), F.col(id_col))
+        .orderBy(direction, F.col(id_col))
         .limit(k)
     )
 

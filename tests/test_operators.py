@@ -3666,3 +3666,35 @@ def test_pq_fuzz_vs_numpy(spark, seed):
         for i in range(n))
     assert [(r["id"], r["adc"]) for r in top] == \
         [(i, sc) for sc, i in scores[:7]], seed
+
+
+def test_pq_adc_topk_ip_metric(spark):
+    """metric='ip' ranks by inner product descending and matches the
+    numpy MIPS replay; invalid metrics raise."""
+    import numpy as np
+
+    from elusion_spark.operators.similarity import (
+        pq_adc_topk, pq_encode_expr, pq_fit)
+
+    X = _pq_fixture(seed=23, n=40, dim=8)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "id long, v array<double>",
+    )
+    init = [[[float(X[r][s * 4 + j]) for j in range(4)] for r in (0, 1, 2)]
+            for s in range(2)]
+    model = pq_fit(df, "v", dim=8, m=2, k=3, iters=2, init_centroids=init)
+    enc = df.withColumn("codes", pq_encode_expr("v", model))
+    q = [float(v) for v in _pq_fixture(seed=77, n=1, dim=8)[0]]
+    top = pq_adc_topk(enc, "id", "codes", q, model, k=5,
+                      metric="ip").collect()
+    B = [np.array(b) for b in model.codebooks]
+    codes = {r["id"]: list(r["codes"]) for r in enc.collect()}
+    luts = [B[s] @ np.array(q[s * 4:(s + 1) * 4]) for s in range(2)]
+    scores = sorted(
+        ((-round(sum(float(luts[s][codes[i][s]]) for s in range(2)), 7)), i)
+        for i in range(len(X)))
+    assert [(r["id"], r["adc"]) for r in top] == \
+        [(i, -sc) for sc, i in scores[:5]]
+    with pytest.raises(ValueError):
+        pq_adc_topk(enc, "id", "codes", q, model, metric="cosine")
