@@ -298,6 +298,15 @@ SHUFFLE_BUDGETS = {
     # full-outer on the key (SMJ both sides — outer joins can't
     # broadcast) + the status-count fold
     "q129_snapshot_diff": 3,
+    # single-pass sort discipline: the one exchange is the tiny digest
+    # repartition(1) that prevents the range-sampling double-compute of
+    # the shuffle-free narrow pipeline
+    "q140_bpe_encode": 1,
+    "q141_random_projection": 1,
+    # ADC scans are TakeOrderedAndProject over the (fit-materialized)
+    # code column — zero exchanges in the returned plan
+    "q142_pq_adc_topk": 0,
+    "q143_ivf_pq_search": 0,
 }
 
 
