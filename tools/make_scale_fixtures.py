@@ -72,9 +72,16 @@ def main() -> None:
         if not os.path.exists(dst):
             os.symlink(f"{SF}/{t}.parquet", dst)
 
+    # 100x embeddings (200k 64-dim vectors) — the ANN/PQ scale fixture
+    # SCALE.md's "random projection + product quantization" section
+    # measures against
+    _replicate(emb, ["vec_id"], 1_000_000, n=100).repartition(32) \
+        .write.mode("overwrite").parquet(os.path.join(root, "scale100_emb"))
+
     for t, p in [("scale10/documents", f"{s10}/documents.parquet"),
                  ("sf1/lineitem", f"{sf1}/lineitem.parquet"),
-                 ("sf1/events", f"{sf1}/events.parquet")]:
+                 ("sf1/events", f"{sf1}/events.parquet"),
+                 ("scale100_emb", os.path.join(root, "scale100_emb"))]:
         print(t, spark.read.parquet(p).count())
 
 
