@@ -93,7 +93,7 @@ BUDGETS_SF01 = {
     "q74_chunk_documents": 0.55, "q75_threshold_sweep": 0.6,
     "q76_lm_score_bigram": 2.1, "q77_containment_pairs": 2.2,
     "q81_sq8_topk": 1.0, "q82_shipping_priority": 1.2,
-    "q93_hybrid_search": 1.5, "q101_batched_hybrid": 2.4,
+    "q93_hybrid_search": 1.8, "q101_batched_hybrid": 2.4,
     "q103_top_k_per_group": 0.4, "q106_ohlc_resample": 0.5,
     "q107_gapfill_linear": 0.8, "q113_forecast_revenue": 0.3,
     "q115_market_share": 1.3, "q121_waiting_suppliers": 1.6,
