@@ -102,6 +102,21 @@ def classifier_score(
     return out
 
 
+def l2_normalize_expr(vec_col: str) -> Column:
+    """Unit-normalize an ``array`` vector column (zero vectors pass
+    through unchanged rather than dividing by zero).  Normalize ONCE at
+    ingest and L2/ADC ranking becomes cosine ranking — the standard
+    trick that lets one compressed index serve both metrics.  Pure
+    expression; composes into the scan."""
+    nrm = (f"sqrt(aggregate(transform({vec_col}, x -> CAST(x AS DOUBLE) "
+           f"* CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (a, b) -> a + b))")
+    return F.expr(
+        f"CASE WHEN {nrm} = 0.0 THEN transform({vec_col}, "
+        f"x -> CAST(x AS DOUBLE)) "
+        f"ELSE transform({vec_col}, x -> CAST(x AS DOUBLE) / {nrm}) END"
+    )
+
+
 def cosine_topk(
     df: DataFrame, vec_col: str, id_col: str, query: list[float], k: int = 10
 ) -> DataFrame:

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from elusion_spark import (
     get_spark,
+    l2_normalize_expr,
     pq_adc_topk,
     pq_encode_expr,
     pq_fit,
@@ -41,12 +42,8 @@ spark = get_spark()
 # L2-normalize once at ingest: ADC uses squared-L2, and on unit
 # vectors L2 ranking IS cosine ranking — the standard trick that lets
 # one compressed index serve both metrics.
-emb = spark.read.parquet(f"{sf}/embeddings.parquet").selectExpr(
-    "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS raw"
-).selectExpr(
-    "vec_id",
-    "transform(raw, x -> x / sqrt(aggregate(transform(raw, y -> y * y), "
-    "CAST(0 AS DOUBLE), (a, b) -> a + b))) AS v",
+emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+    "vec_id", l2_normalize_expr("embedding").alias("v")
 )
 _q = [float((i * 37 % 13) - 6) / 7.0 for i in range(64)]
 _qn = sum(x * x for x in _q) ** 0.5

@@ -3698,3 +3698,60 @@ def test_pq_adc_topk_ip_metric(spark):
         [(i, -sc) for sc, i in scores[:5]]
     with pytest.raises(ValueError):
         pq_adc_topk(enc, "id", "codes", q, model, metric="cosine")
+
+
+def test_l2_normalize_expr(spark):
+    import numpy as np
+
+    from elusion_spark.operators.similarity import l2_normalize_expr
+
+    df = spark.createDataFrame(
+        [(0, [3.0, 4.0]), (1, [0.0, 0.0]), (2, [1.0, -1.0])],
+        "id long, v array<double>",
+    )
+    got = {r["id"]: r["n"] for r in
+           df.select("id", l2_normalize_expr("v").alias("n")).collect()}
+    assert np.allclose(got[0], [0.6, 0.8])
+    assert got[1] == [0.0, 0.0]  # zero vector passes through
+    assert np.allclose(np.linalg.norm(got[2]), 1.0)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_rp_project_fuzz_vs_numpy(spark, seed):
+    """5-seed fuzz: random (n, in_dim, out_dim, seed) shapes; the
+    projection equals numpy against the same md5 sign matrix, and the
+    signs themselves are ±1 at roughly even rates."""
+    import random as pyrandom
+
+    import numpy as np
+
+    from elusion_spark.operators.similarity import rp_project, rp_signs
+
+    pr = pyrandom.Random(seed)
+    rng = np.random.default_rng(seed)
+    n = pr.randint(10, 40)
+    in_dim = pr.choice([4, 9, 16, 33])
+    out_dim = pr.choice([2, 3, 8])
+    rp_seed = pr.randint(0, 99)
+    X = rng.normal(size=(n, in_dim))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "id long, v array<double>",
+    )
+    got = {r["id"]: r["rp"] for r in rp_project(
+        df, "v", in_dim, out_dim, seed=rp_seed).collect()}
+    S = np.array(rp_signs(in_dim, out_dim, seed=rp_seed))
+    assert set(np.unique(S)) <= {-1.0, 1.0}
+    exp = X @ S / np.sqrt(out_dim)
+    for i in range(n):
+        assert np.allclose(got[i], exp[i], atol=1e-12), (seed, i)
+
+
+def test_rp_project_validates_dims(spark):
+    from elusion_spark.operators.similarity import rp_project
+
+    df = spark.createDataFrame([(1, [0.0])], "id long, v array<double>")
+    with pytest.raises(ValueError):
+        rp_project(df, "v", in_dim=0, out_dim=2)
+    with pytest.raises(ValueError):
+        rp_project(df, "v", in_dim=2, out_dim=-1)
