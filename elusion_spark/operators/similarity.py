@@ -550,6 +550,36 @@ def ivf_read_index(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
     return spark.read.parquet(path), centroids
 
 
+def pq_write_index(
+    encoded: DataFrame,
+    model: "PQModel",
+    path: str,
+    cluster_col: str | None = None,
+) -> None:
+    """Persist a PQ (or IVF-PQ) index: the code table as parquet —
+    partitioned by ``cluster_col`` when given, so ``ivf_pq_search``
+    probes prune at the file level — plus a codebook sidecar.  The
+    sidecar is tiny (``m·k·dsub`` floats) and the code table is 16-64×
+    smaller than the float vectors it replaces: at 100 TB this is the
+    difference between an index living in hot storage and not."""
+    import json
+
+    w = encoded.write.mode("overwrite")
+    if cluster_col:
+        w = w.partitionBy(cluster_col)
+    w.parquet(path)
+    with open(f"{path}/_pq_codebooks.json", "w") as f:
+        json.dump({"dim": model.dim, "codebooks": model.codebooks}, f)
+
+
+def pq_read_index(spark, path: str) -> tuple[DataFrame, "PQModel"]:
+    import json
+
+    with open(f"{path}/_pq_codebooks.json") as f:
+        d = json.load(f)
+    return spark.read.parquet(path), PQModel(d["codebooks"], d["dim"])
+
+
 def ivf_search(
     assigned: DataFrame,
     centroids: list[list[float]],

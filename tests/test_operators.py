@@ -3755,3 +3755,44 @@ def test_rp_project_validates_dims(spark):
         rp_project(df, "v", in_dim=0, out_dim=2)
     with pytest.raises(ValueError):
         rp_project(df, "v", in_dim=2, out_dim=-1)
+
+
+def test_pq_index_roundtrip_and_pruned_search(spark, tmp_path):
+    """Write an IVF-PQ index (codes partitioned by cell + codebook
+    sidecar), read it back, search — model identical, results identical
+    to the pre-persist search, and the probe prunes partitions."""
+    import numpy as np
+
+    from elusion_spark.operators.scale import plan_report
+    from elusion_spark.operators.similarity import (
+        ivf_build, ivf_pq_search, pq_encode_expr, pq_fit,
+        pq_read_index, pq_write_index)
+
+    rng = np.random.default_rng(31)
+    X = rng.normal(size=(90, 8))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(90)],
+        "id long, v array<double>",
+    )
+    assigned, cents = ivf_build(df, "v", dim=8, nlist=3,
+                                sample_fraction=1.0, iters=2, seed=2)
+    init = [[[float(X[r][s * 4 + j]) for j in range(4)] for r in (0, 1)]
+            for s in range(2)]
+    model = pq_fit(df, "v", dim=8, m=2, k=2, iters=1, init_centroids=init)
+    enc = assigned.withColumn("codes", pq_encode_expr("v", model)) \
+        .select("id", "codes", "cluster_id")
+    q = [float(v) for v in rng.normal(size=8)]
+    before = ivf_pq_search(enc, cents, model, "id", "codes", q,
+                           k=4, nprobe=2).collect()
+
+    path = str(tmp_path / "pq_index")
+    pq_write_index(enc, model, path, cluster_col="cluster_id")
+    stored, model2 = pq_read_index(spark, path)
+    assert model2.codebooks == model.codebooks
+    assert (model2.dim, model2.m, model2.k) == (8, 2, 2)
+    after_df = ivf_pq_search(stored, cents, model2, "id", "codes", q,
+                             k=4, nprobe=2)
+    assert [(r["id"], r["adc"]) for r in after_df.collect()] == \
+        [(r["id"], r["adc"]) for r in before]
+    rep = plan_report(after_df)
+    assert any("cluster_id" in s["partition_filters"] for s in rep["scans"])
