@@ -325,22 +325,58 @@ def simhash_dedup_pairs(
     least one band — pigeonhole, so recall is EXACT for
     ``max_hamming < bands``), verify with bit_count(xor).
     ``max_bucket_size`` caps templated-text buckets (B docs → B² pairs)
-    the same way the MinHash path does — degraded recall beats an OOM."""
-    from pyspark import StorageLevel
+    the same way the MinHash path does — degraded recall beats an OOM.
 
-    from .similarity import _ensure_parallelism
-
-    width = bits // bands
-    # persisted: the O(bits·tokens) signature feeds both join sides.
+    The banding/join/verify machinery is the signature-agnostic
+    ``hamming_near_dup_pairs`` — any 64-bit locality-sensitive
+    signature (SimHash here, image perceptual hashes in
+    ``multimodal.image_near_dup_pairs``) shares it."""
     # md5 mode goes through the vectorized Arrow UDF (same output bits,
     # ~4x the throughput of the interpreted SQL chain)
     sim = (
         _simhash_md5_udf(bits)(F.col(text_col)) if hash_fn == "md5"
         else simhash_expr(text_col, bits, hash_fn)
     )
+    return hamming_near_dup_pairs(
+        df, id_col, sim, max_hamming=max_hamming, bands=bands,
+        max_bucket_size=max_bucket_size, bits=bits,
+    )
+
+
+def hamming_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket_size: int = 200,
+    bits: int = 64,
+) -> DataFrame:
+    """Generic Hamming-space near-dup pairs over ANY precomputed
+    ``bits``-wide integer signature column (name or Column expression):
+    SimHash text signatures, image dHash/pHash, audio chromaprints —
+    one blocking engine for all of them.
+
+    Pigeonhole blocking: split the signature into ``bands`` equal-width
+    bands; a pair within Hamming distance ``bands - 1`` agrees on at
+    least one band, so for ``max_hamming < bands`` recall is EXACT
+    (never a heuristic).  One shuffle on (band_idx, band_val); the
+    exact ``bit_count(xor)`` verify runs BEFORE the pair dedup, so the
+    expensive shuffle carries survivors only.  ``max_bucket_size`` caps
+    degenerate buckets (B identical signatures → B² candidate pairs) —
+    at 100 TB degraded recall on pathological templates beats an OOM.
+
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``."""
+    from pyspark import StorageLevel
+
+    from .similarity import _ensure_parallelism
+
+    width = bits // bands
+    sig = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    # persisted: the (possibly expensive) signature feeds both join sides
     sigged = (
         _ensure_parallelism(df)
-        .select(F.col(id_col).alias("__id"), sim.alias("__sim"))
+        .select(F.col(id_col).alias("__id"), sig.cast("long").alias("__sim"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     banded = sigged.select(

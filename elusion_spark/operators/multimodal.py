@@ -403,3 +403,79 @@ def decode_audio(
             )
 
     return df.select(id_col, bin_col).mapInPandas(run, AUDIO_SCHEMA)
+
+
+def _phash_bytes(data: bytes) -> int:
+    """64-bit perceptual hash of one image payload.
+
+    REAL path (PIL): classic dHash — grayscale, resize to 9×8 with
+    antialias, emit one bit per horizontal gradient (left pixel >
+    right).  Visually-similar images (recompression, mild resize,
+    brightness shifts) land within a few bits; unrelated images are
+    ~32 bits apart.
+
+    FAKE path (no PIL in this container): a 60-bit deterministic digest
+    — ``int(md5(hex(payload).upper())[16:31], 16)`` — a DIFFERENT md5
+    slice than ``_fake_u64`` so phash and decode fakes stay
+    uncorrelated.  Identical bytes hash identically (exact-dup recall
+    is real); near-visual similarity is NOT modeled by the fake, which
+    is exactly the stub contract of every decode path here.  DuckDB
+    replay: ``('0x' || substr(md5(hx), 17, 15))::BIGINT``."""
+    if _HAVE_PIL:
+        import io
+
+        im = _PIL_Image.open(io.BytesIO(data)).convert("L").resize(
+            (9, 8), _PIL_Image.LANCZOS)
+        px = list(im.getdata())
+        bits = 0
+        for r in range(8):
+            for c in range(8):
+                if px[r * 9 + c] > px[r * 9 + c + 1]:
+                    bits |= 1 << (r * 8 + c)
+        return bits
+    hx = data.hex().upper()
+    return int(hashlib.md5(hx.encode()).hexdigest()[16:31], 16)
+
+
+def image_phash(
+    df: DataFrame, id_col: str = "id", bin_col: str = "payload",
+    out_col: str = "phash",
+) -> DataFrame:
+    """Perceptual hash column over image payloads — one Arrow-batched
+    narrow pass (the codec is per-blob Python like every decode stage;
+    everything around it is columnar).  Feeds
+    ``dedup.hamming_near_dup_pairs`` for banded near-dup search."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _ph(vs):
+        return pd.Series([_phash_bytes(bytes(b)) for b in vs],
+                         dtype="int64")
+
+    _ph.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return df.withColumn(out_col, pandas_udf(_ph, "long")(F.col(bin_col)))
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    bin_col: str = "payload",
+    max_hamming: int = 6,
+    bands: int = 8,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Near-duplicate image pairs: perceptual hash (``image_phash``) +
+    the signature-agnostic banded Hamming engine text SimHash uses
+    (pigeonhole blocking — EXACT recall for ``max_hamming < bands`` —
+    one shuffle on band keys, bucket caps against pathological
+    templates).  The dedup stage never touches payload bytes: the
+    shuffle carries ``(id, 64-bit hash)`` rows regardless of image
+    size, which is what makes image dedup tractable at 100 TB of
+    media."""
+    from .dedup import hamming_near_dup_pairs
+
+    hashed = image_phash(df, id_col, bin_col, out_col="__ph")
+    return hamming_near_dup_pairs(
+        hashed, id_col, "__ph", max_hamming=max_hamming, bands=bands,
+        max_bucket_size=max_bucket_size, bits=64,
+    )

