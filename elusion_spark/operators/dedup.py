@@ -351,6 +351,7 @@ def hamming_near_dup_pairs(
     bands: int = 4,
     max_bucket_size: int = 200,
     bits: int = 64,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Generic Hamming-space near-dup pairs over ANY precomputed
     ``bits``-wide integer signature column (name or Column expression):
@@ -366,20 +367,32 @@ def hamming_near_dup_pairs(
     degenerate buckets (B identical signatures → B² candidate pairs) —
     at 100 TB degraded recall on pathological templates beats an OOM.
 
-    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``."""
+    ``group_col`` scopes the search: pairs form only WITHIN a group
+    (language/domain-scoped dedup; frame-index-aligned video matching)
+    — the group key simply joins the blocking key, so cross-group
+    candidates never materialize at all.  With a group, the output
+    carries it and ``(group, id_a, id_b)`` is the dedup key (the same
+    id pair may legitimately match in several groups — video frame
+    counting depends on exactly that).
+
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b`` (plus the
+    group column when ``group_col`` is set)."""
     from pyspark import StorageLevel
 
     from .similarity import _ensure_parallelism
 
     width = bits // bands
     sig = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    gcols = [group_col] if group_col else []
     # persisted: the (possibly expensive) signature feeds both join sides
     sigged = (
         _ensure_parallelism(df)
-        .select(F.col(id_col).alias("__id"), sig.cast("long").alias("__sim"))
+        .select(*gcols, F.col(id_col).alias("__id"),
+                sig.cast("long").alias("__sim"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     banded = sigged.select(
+        *gcols,
         "__id",
         "__sim",
         F.posexplode(
@@ -391,7 +404,7 @@ def hamming_near_dup_pairs(
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("band_idx", "band_val").orderBy("__id")
+    w = Window.partitionBy(*gcols, "band_idx", "band_val").orderBy("__id")
     banded = (
         banded.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= max_bucket_size)
@@ -401,10 +414,12 @@ def hamming_near_dup_pairs(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     l = banded.select(
+        *gcols,
         F.col("__id").alias("id_a"), F.col("__sim").alias("sim_a"),
         "band_idx", "band_val",
     )
     r = banded.select(
+        *gcols,
         F.col("__id").alias("id_b"), F.col("__sim").alias("sim_b"),
         "band_idx", "band_val",
     )
@@ -412,16 +427,18 @@ def hamming_near_dup_pairs(
     # shuffle, so filter FIRST and dedup only the survivors — the
     # multi-band duplicate factor is at most `bands`
     return (
-        l.join(r, ["band_idx", "band_val"])
+        l.join(r, gcols + ["band_idx", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "hamming",
             F.expr("bit_count(sim_a ^ sim_b)").cast("int"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
+        .dropDuplicates(gcols + ["id_a", "id_b"])
         .select(
-            F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"), "hamming"
+            *gcols,
+            F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"),
+            "hamming",
         )
     )
 

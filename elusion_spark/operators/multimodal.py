@@ -479,3 +479,49 @@ def image_near_dup_pairs(
         hashed, id_col, "__ph", max_hamming=max_hamming, bands=bands,
         max_bucket_size=max_bucket_size, bits=64,
     )
+
+
+def video_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    bin_col: str = "payload",
+    every_n: int = 30,
+    max_frames: int = 8,
+    max_hamming: int = 6,
+    bands: int = 8,
+    min_shared_frames: int = 2,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Near-duplicate video pairs: sample frames, perceptual-hash each,
+    match frames AT THE SAME SAMPLED INDEX via the banded Hamming
+    engine (``group_col=frame_idx`` — cross-index candidates never
+    materialize), then keep video pairs with at least
+    ``min_shared_frames`` matching positions.
+
+    Index-aligned matching is the cheap-and-robust middle ground: it
+    survives re-encoding/resolution changes (each frame's phash does)
+    but not trimming/offset edits — that variant needs a temporal
+    alignment join (``temporal.range_join`` on frame timestamps) over
+    the same per-frame hashes.  Scale shape: the explode is bounded by
+    ``max_frames`` per video, and after hashing the pipeline carries
+    ``(video_id, frame_idx, 64-bit hash)`` rows only — frame bytes
+    never shuffle.
+
+    Returns ``(id_a, id_b, shared_frames, mean_hamming)``."""
+    from .dedup import hamming_near_dup_pairs
+
+    frames = sample_frames(df, every_n=every_n, max_frames=max_frames,
+                           id_col=id_col, bin_col=bin_col)
+    hashed = image_phash(frames, "id", "frame", out_col="__ph")
+    pairs = hamming_near_dup_pairs(
+        hashed, "id", "__ph", max_hamming=max_hamming, bands=bands,
+        max_bucket_size=max_bucket_size, bits=64, group_col="frame_idx",
+    )
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").cast("int").alias("shared_frames"),
+            F.round(F.avg("hamming"), 4).alias("mean_hamming"),
+        )
+        .filter(F.col("shared_frames") >= min_shared_frames)
+    )

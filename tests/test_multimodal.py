@@ -199,3 +199,28 @@ def test_synthetic_blobs_stay_on_fake_path(media_df):
     assert dec[3]["n_channels"] == 1 + ((h >> 20) & 1)
     frames = MM.sample_frames(media_df.filter("id = 3")).collect()
     assert len(frames) == (h % 8) + 1
+
+
+def test_video_near_dup_pairs_fake_path(spark):
+    """Exact-duplicate video payloads share every sampled frame (same
+    deterministic fake frames), so they pair with shared_frames ==
+    their frame count and mean_hamming 0; unrelated payloads don't
+    pair at a tight threshold; group_col alignment means a frame can
+    only ever match a frame at the SAME sampled index."""
+    from pyspark.sql import functions as F
+
+    from elusion_spark.operators.multimodal import (
+        sample_frames, video_near_dup_pairs)
+
+    rows = [(i, bytes(f"VIDEO payload {i}" * 3, "ascii")) for i in range(25)]
+    dups = [(500 + i, rows[i][1]) for i in range(4)]
+    df = spark.createDataFrame(rows + dups, "id long, payload binary")
+    got = {(r["id_a"], r["id_b"]): (r["shared_frames"], r["mean_hamming"])
+           for r in video_near_dup_pairs(
+               df, max_hamming=3, bands=8, min_shared_frames=1).collect()}
+    nframes = {r["id"]: r["cnt"] for r in
+               sample_frames(df).groupBy("id")
+               .agg(F.count("*").alias("cnt")).collect()}
+    for i in range(4):
+        assert got[(i, 500 + i)] == (nframes[i], 0.0), (i, got)
+    assert all(h == 0.0 for _, h in got.values())
