@@ -525,3 +525,79 @@ def video_near_dup_pairs(
         )
         .filter(F.col("shared_frames") >= min_shared_frames)
     )
+
+
+def _audio_fingerprint_bytes(data: bytes) -> int:
+    """64-bit audio fingerprint of one payload.
+
+    REAL path (soundfile): a chromaprint-style energy-delta sketch —
+    mono-mix, split into 65 equal windows, one bit per consecutive
+    window-energy increase (robust to gain changes, which scale all
+    energies equally, and to mild re-encoding noise).
+
+    FAKE path: 60 bits of ``md5('AFP:' || hex(payload))`` — a salted
+    digest, uncorrelated with ``_fake_u64`` (decode stats, unsalted
+    slice 1-15) and ``_phash_bytes`` (images, unsalted slice 17-31;
+    md5 has only 32 hex chars, so a third modality needs a salt, not a
+    slice).  Identical bytes fingerprint identically; DuckDB replay:
+    ``('0x' || substr(md5('AFP:' || hx), 1, 15))::BIGINT``."""
+    if _HAVE_SOUNDFILE:
+        try:
+            import io
+
+            import numpy as np
+
+            samples, _rate = _soundfile.read(io.BytesIO(data),
+                                             always_2d=True)
+            mono = samples.mean(axis=1)
+            if len(mono) >= 65:
+                win = np.array_split(mono, 65)
+                e = np.array([float(np.mean(w * w)) for w in win])
+                bits = 0
+                for i in range(64):
+                    if e[i + 1] > e[i]:
+                        bits |= 1 << i
+                return bits
+        except Exception:
+            pass  # unparseable — deterministic digest fallback
+    hx = data.hex().upper()
+    return int(hashlib.md5(b"AFP:" + hx.encode()).hexdigest()[:15], 16)
+
+
+def audio_fingerprint(
+    df: DataFrame, id_col: str = "id", bin_col: str = "payload",
+    out_col: str = "afp",
+) -> DataFrame:
+    """Audio fingerprint column — Arrow-batched narrow pass, same
+    contract as ``image_phash``.  Feeds
+    ``dedup.hamming_near_dup_pairs``."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _fp(vs):
+        return pd.Series([_audio_fingerprint_bytes(bytes(b)) for b in vs],
+                         dtype="int64")
+
+    _fp.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return df.withColumn(out_col, pandas_udf(_fp, "long")(F.col(bin_col)))
+
+
+def audio_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    bin_col: str = "payload",
+    max_hamming: int = 6,
+    bands: int = 8,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Near-duplicate audio pairs: energy-delta fingerprint + the same
+    banded Hamming engine as text SimHash and image phash — the whole
+    multimodal dedup triad shares ONE blocking engine, and after the
+    fingerprint pass only ``(id, 64-bit hash)`` rows shuffle."""
+    from .dedup import hamming_near_dup_pairs
+
+    hashed = audio_fingerprint(df, id_col, bin_col, out_col="__afp")
+    return hamming_near_dup_pairs(
+        hashed, id_col, "__afp", max_hamming=max_hamming, bands=bands,
+        max_bucket_size=max_bucket_size, bits=64,
+    )

@@ -5775,6 +5775,50 @@ def q144(spark, sf):
     )
 
 
+_Q145_FP = ("('0x' || substr(md5('AFP:' || '524946460000000057415645' || "
+            "hex(text::BLOB)), 1, 15))::BIGINT")
+
+
+@q(
+    "q145_audio_near_dup",
+    f"""
+    WITH aud AS (
+        SELECT doc_id AS id, {_Q145_FP} AS fp
+        FROM documents WHERE doc_id % 3 = 1
+    ), dup AS (
+        SELECT doc_id + 1000000 AS id, {_Q145_FP} AS fp
+        FROM documents WHERE doc_id % 3 = 1 AND doc_id < 60
+    ), a AS (SELECT * FROM aud UNION ALL SELECT * FROM dup)
+    SELECT CAST(l.id AS BIGINT) AS id_a, CAST(r.id AS BIGINT) AS id_b,
+           CAST(bit_count(xor(l.fp, r.fp)) AS INT) AS hamming
+    FROM a l, a r
+    WHERE l.id < r.id AND bit_count(xor(l.fp, r.fp)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def q145(spark, sf):
+    """Audio near-duplicate pairs (multimodal.audio_near_dup_pairs):
+    energy-delta fingerprint per payload (the documented salted md5
+    fake here — soundfile absent), through the SAME banded Hamming
+    engine as text SimHash and image phash: the whole multimodal dedup
+    triad shares one blocking engine, and only (id, hash) longs ever
+    shuffle.  The WAV corpus gains exact duplicate payloads under
+    shifted ids; the oracle recomputes every fingerprint from the
+    salted recipe and brute-forces all pairs."""
+    from .operators.multimodal import audio_near_dup_pairs
+
+    media = _media_df(spark, sf).filter(F.col("id") % 3 == 1)
+    dups = (_media_df(spark, sf)
+            .filter((F.col("id") % 3 == 1) & (F.col("id") < 60))
+            .withColumn("id", F.col("id") + F.lit(1000000)))
+    allm = media.unionByName(dups)
+    return (
+        audio_near_dup_pairs(allm, "id", "payload",
+                             max_hamming=3, bands=8, max_bucket_size=1000)
+        .orderBy("id_a", "id_b")
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -5791,7 +5835,7 @@ _NEEDS_EVIDENCE = [
     "q137_calibration_report", "q138_token_budget_mix",
     "q139_bpe_fit", "q140_bpe_encode",
     "q141_random_projection", "q142_pq_adc_topk", "q143_ivf_pq_search",
-    "q144_image_near_dup",
+    "q144_image_near_dup", "q145_audio_near_dup", "q145_audio_near_dup",
     # Priority 2 — the 41 queries whose latest driver evidence is r2:
     "q01_pricing_summary", "q02_top_orders", "q03_region_rollup",
     "q04_segment_monthly", "q05_window_rank", "q06_running_total",

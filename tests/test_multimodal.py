@@ -224,3 +224,25 @@ def test_video_near_dup_pairs_fake_path(spark):
     for i in range(4):
         assert got[(i, 500 + i)] == (nframes[i], 0.0), (i, got)
     assert all(h == 0.0 for _, h in got.values())
+
+
+def test_audio_near_dup_pairs_fake_path(spark):
+    """Exact-duplicate audio payloads pair at hamming 0; fingerprints
+    are deterministic and a DIFFERENT digest slice than image phash
+    (the two modalities must not correlate)."""
+    from elusion_spark.operators.multimodal import (
+        audio_fingerprint, audio_near_dup_pairs, image_phash)
+
+    rows = [(i, bytes(f"AUDIO clip {i}" * 5, "ascii")) for i in range(30)]
+    dups = [(700 + i, rows[i][1]) for i in range(3)]
+    df = spark.createDataFrame(rows + dups, "id long, payload binary")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             audio_near_dup_pairs(df, max_hamming=3, bands=8).collect()}
+    for i in range(3):
+        assert pairs.get((i, 700 + i)) == 0, (i, pairs)
+    fp = {r["id"]: r["afp"] for r in audio_fingerprint(df).collect()}
+    ph = {r["id"]: r["phash"] for r in image_phash(df).collect()}
+    for i in range(3):
+        assert fp[i] == fp[700 + i]
+        assert fp[i] != ph[i]  # uncorrelated digest slices
+
