@@ -3847,3 +3847,44 @@ def test_image_near_dup_pairs_fake_path(spark):
     h = {r["id"]: r["phash"] for r in image_phash(df).collect()}
     for i in range(5):
         assert h[i] == h[1000 + i]
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_hamming_near_dup_pairs_group_scoped(spark, seed):
+    """group_col exactness: the output equals per-group brute force,
+    and NO cross-group pair ever appears even when signatures collide
+    across groups (same base signature planted in two groups)."""
+    import random as pyrandom
+
+    from elusion_spark.operators.dedup import hamming_near_dup_pairs
+
+    pr = pyrandom.Random(seed)
+    rows = []
+    rid = 0
+    shared = pr.getrandbits(63)  # identical across groups — must NOT pair
+    for g in range(3):
+        rows.append((rid, g, shared)); rid += 1
+        base = pr.getrandbits(63)
+        for _ in range(15):
+            b = base
+            for _ in range(pr.randint(0, 8)):
+                b ^= 1 << pr.randrange(63)
+            rows.append((rid, g, b)); rid += 1
+    df = spark.createDataFrame(rows, "id long, g int, sig long")
+    got = {(r["g"], r["id_a"], r["id_b"], r["hamming"]) for r in
+           hamming_near_dup_pairs(df, "id", "sig", max_hamming=7, bands=8,
+                                  max_bucket_size=1000,
+                                  group_col="g").collect()}
+    exp = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            if rows[i][1] != rows[j][1]:
+                continue
+            h = bin(rows[i][2] ^ rows[j][2]).count("1")
+            if h <= 7:
+                exp.add((rows[i][1], rows[i][0], rows[j][0], h))
+    assert got == exp, (seed, len(got), len(exp))
+    # the planted identical signatures sit in different groups: no pair
+    planted = {r[0] for r in rows if r[2] == shared}
+    for (_, a, b, _h) in got:
+        assert not (a in planted and b in planted)
