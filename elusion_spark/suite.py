@@ -5819,6 +5819,56 @@ def q145(spark, sf):
     )
 
 
+@q(
+    "q146_tfidf_cosine_pairs",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), ' +')) AS t
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, t, COUNT(*) AS tf
+           FROM toks WHERE t <> '' GROUP BY doc_id, t),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+    dfq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+    w AS (
+        SELECT tf.doc_id, tf.t,
+               tf.tf * (ln((n.n + 1.0) / (dfq.df + 1.0)) + 1.0) AS w
+        FROM tf, dfq, n WHERE tf.t = dfq.t
+    ),
+    nm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY doc_id),
+    u AS (SELECT w.doc_id, w.t, w.w / nm.nrm AS w
+          FROM w JOIN nm USING (doc_id)),
+    dots AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dot
+        FROM u a JOIN u b ON a.t = b.t AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           round(dot, 6) AS cosine
+    FROM dots WHERE dot >= 0.9 ORDER BY id_a, id_b
+    """,
+)
+def q146(spark, sf):
+    """Sparse TF-IDF cosine near-dup pairs (dedup.py
+    tfidf_cosine_pairs): the AllPairs/PPJoin prefix-filter family —
+    EXACT token-weighted cosine >= 0.9, completing the dedup matrix
+    (MinHash=Jaccard, SimHash=Hamming, embedding=dense cosine, this=
+    sparse lexical cosine).  Candidates come from a prefix index
+    (rarest-df-first global order, suffix-L2 bound < threshold), so
+    recall is provably 1 without an all-pairs scan; the oracle IS the
+    all-pairs scan — a brute-force TF-IDF + pairwise-dot replay in
+    DuckDB — so the hash match certifies both the weighting math and
+    the losslessness of the prefix filter end to end."""
+    from .operators.dedup import tfidf_cosine_pairs
+
+    d = _t(spark, sf, "documents", "d").df
+    return (
+        tfidf_cosine_pairs(d, "doc_id", "text", threshold=0.9)
+        .orderBy("id_a", "id_b")
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -5835,7 +5885,9 @@ _NEEDS_EVIDENCE = [
     "q137_calibration_report", "q138_token_budget_mix",
     "q139_bpe_fit", "q140_bpe_encode",
     "q141_random_projection", "q142_pq_adc_topk", "q143_ivf_pq_search",
-    "q144_image_near_dup", "q145_audio_near_dup", "q145_audio_near_dup",
+    "q144_image_near_dup", "q145_audio_near_dup",
+    "q146_tfidf_cosine_pairs", "q147_dsir_importance",
+    "q148_pmi_collocations",
     # Priority 2 — the 41 queries whose latest driver evidence is r2:
     "q01_pricing_summary", "q02_top_orders", "q03_region_rollup",
     "q04_segment_monthly", "q05_window_rank", "q06_running_total",

@@ -3888,3 +3888,89 @@ def test_hamming_near_dup_pairs_group_scoped(spark, seed):
     planted = {r[0] for r in rows if r[2] == shared}
     for (_, a, b, _h) in got:
         assert not (a in planted and b in planted)
+
+
+# --------------------------------------------- sparse TF-IDF cosine pairs
+
+@pytest.mark.parametrize("seed", range(4))
+def test_tfidf_cosine_pairs_prefix_filter_is_lossless(spark, seed):
+    """4-seed fuzz: prefix-filtered tfidf_cosine_pairs == brute-force
+    numpy TF-IDF cosine over random templated corpora.  Seeds vary
+    vocabulary size and template mix so prefixes range from 1 token to
+    nearly the whole doc; equality certifies the Cauchy-Schwarz suffix
+    bound (recall) AND the dot-product verify (precision)."""
+    import random as _random
+
+    import numpy as np
+
+    from elusion_spark.operators.dedup import tfidf_cosine_pairs
+
+    rng = _random.Random(seed)
+    vocab = [f"w{i}" for i in range(10 + 5 * seed)]
+    template = rng.sample(vocab, 5)
+    docs = []
+    for i in range(40):
+        base = list(template) if rng.random() < 0.5 else []
+        base += rng.choices(vocab, k=rng.randint(1, 12))
+        rng.shuffle(base)
+        docs.append((i, " ".join(base)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    t = 0.7
+    got = {(r["id_a"], r["id_b"]) for r in
+           tfidf_cosine_pairs(df, "doc_id", "text", threshold=t).collect()}
+
+    # numpy brute force with the same tf-idf recipe
+    toks = [d.split() for _, d in docs]
+    n = len(docs)
+    dfreq = {}
+    for ts in toks:
+        for w in set(ts):
+            dfreq[w] = dfreq.get(w, 0) + 1
+    vecs = []
+    for ts in toks:
+        v = {}
+        for w in ts:
+            v[w] = v.get(w, 0) + 1
+        v = {w: c * (np.log((n + 1.0) / (dfreq[w] + 1.0)) + 1.0)
+             for w, c in v.items()}
+        nrm = np.sqrt(sum(x * x for x in v.values()))
+        vecs.append({w: x / nrm for w, x in v.items()})
+    exp = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            dot = sum(vecs[i][w] * vecs[j].get(w, 0.0) for w in vecs[i])
+            if dot >= t:
+                exp.add((i, j))
+    assert got == exp, (seed, len(got), len(exp),
+                        sorted(got - exp)[:3], sorted(exp - got)[:3])
+
+
+def test_tfidf_cosine_prefix_index_prunes(spark):
+    """The prefix index must be strictly smaller than the full postings
+    list on a corpus with shared boilerplate (the self-correcting-skew
+    claim in the docstring), and the bucket cap must bound prefix
+    posting lists."""
+    from pyspark.sql import functions as F
+
+    from elusion_spark.operators.dedup import tfidf_weights
+
+    docs = [(i, "the quick brown fox " + f"rare{i} unique{i} tok{i%7}")
+            for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    w = tfidf_weights(df, "doc_id", "text")
+    full = w.count()
+    t = 0.8
+    from pyspark.sql.window import Window
+    ordw = Window.partitionBy("doc_id").orderBy("tok_df", "token")
+    cum = w.withColumn(
+        "__cum", F.sum(F.col("w") * F.col("w")).over(
+            ordw.rowsBetween(Window.unboundedPreceding, 0)))
+    prefix = cum.filter(
+        F.lit(1.0) - F.col("__cum") + F.col("w") * F.col("w")
+        >= F.lit(t * t - 1e-9))
+    npfx = prefix.count()
+    assert npfx < full
+    # boilerplate tokens ('the quick brown fox', df=60) should rarely
+    # be indexed: every doc has two df=1 tokens that carry most idf mass
+    boiler = prefix.filter(F.col("token") == "the").count()
+    assert boiler < 60
