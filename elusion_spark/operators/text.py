@@ -984,3 +984,90 @@ def bm25_score_batched(
             F.col("__qid").alias(q_id), F.col("__id").alias(id_col), "score"
         )
     )
+
+
+# ------------------------------------------------------- PMI collocations
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Corpus-level bigram collocations scored by pointwise mutual
+    information (Church & Hanks 1990): for adjacent token pair
+    ``(w1, w2)``, ``pmi = ln( (c12/Nb) / ((c1/Nt) * (c2/Nt)) )`` with
+    ``c12`` the bigram count over ``Nb`` total bigrams and ``c1/c2``
+    unigram counts over ``Nt`` total tokens.  High-PMI pairs are the
+    multiword expressions ("los angeles", "machine learning") a
+    tokenizer, a stopword list, or a quality filter wants to know
+    about; the ``min_count`` floor is the standard guard against
+    PMI's low-frequency bias.
+
+    Returns ``(w1, w2, pair_count, pmi)`` — every pair with
+    ``pair_count >= min_count`` (membership is integer-deterministic,
+    so the result is exactly reproducible across engines), optionally
+    cut to ``top_k`` by (pmi desc, w1, w2).
+
+    Scale shape: tokens hash-explode once; bigrams come from ONE
+    ``lead`` window on the doc partition (intra-document adjacency
+    only — no cross-document false bigrams); unigram and bigram counts
+    are each one shuffle on the gram; the unigram table joins back
+    twice BROADCAST (vocabulary-sized, not corpus-sized); totals are
+    one-row aggregates.  Document bodies never shuffle."""
+    from pyspark.sql.window import Window
+
+    # id BEFORE the generator: projected alongside posexplode it would
+    # re-evaluate per exploded row, splitting every doc into 1-token
+    # "documents" and producing zero bigrams
+    tok = (
+        df.select(
+            F.monotonically_increasing_id().alias("__doc"),
+            F.col(text_col).alias("__txt"),
+        )
+        .select(
+            "__doc",
+            F.posexplode(
+                F.split(F.lower(F.trim(F.col("__txt"))), " +")
+            ).alias("__pos", "__t"),
+        )
+        .filter(F.col("__t") != "")
+    )
+    w = Window.partitionBy("__doc").orderBy("__pos")
+    big = (
+        tok.withColumn("__t2", F.lead("__t", 1).over(w))
+        .filter(F.col("__t2").isNotNull())
+    )
+    uni = tok.groupBy("__t").agg(F.count("*").alias("__c1"))
+    pairs = big.groupBy("__t", "__t2").agg(F.count("*").alias("__c12"))
+    tots = uni.agg(F.sum("__c1").alias("nt")).collect()[0]  # one-row
+    nb = pairs.agg(F.sum("__c12").alias("nb")).collect()[0]
+    nt, nbig = float(tots["nt"] or 0), float(nb["nb"] or 0)
+    out = (
+        pairs.filter(F.col("__c12") >= int(min_count))
+        .join(F.broadcast(uni), "__t")
+        .join(
+            F.broadcast(
+                uni.select(F.col("__t").alias("__t2"),
+                           F.col("__c1").alias("__c2"))
+            ),
+            "__t2",
+        )
+        .select(
+            F.col("__t").alias("w1"),
+            F.col("__t2").alias("w2"),
+            F.col("__c12").cast("bigint").alias("pair_count"),
+            F.round(
+                F.log(
+                    (F.col("__c12").cast("double") / F.lit(nbig))
+                    / ((F.col("__c1").cast("double") / F.lit(nt))
+                       * (F.col("__c2").cast("double") / F.lit(nt)))
+                ),
+                round_digits,
+            ).alias("pmi"),
+        )
+    )
+    if top_k is not None:
+        return out.orderBy(F.desc("pmi"), "w1", "w2").limit(int(top_k))
+    return out

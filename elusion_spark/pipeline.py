@@ -798,3 +798,162 @@ def write_training_shards(
     spark = df.sparkSession
     rows = spark.read.parquet(path).count()
     return {"n_shards": int(n_shards), "rows": int(rows)}
+
+
+# ------------------------------------------------- DSIR importance weights
+
+def dsir_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_flag: str,
+    n_buckets: int = 2048,
+    ngrams: tuple[int, ...] = (1, 2),
+    hash_fn: str = "xxhash64",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Per-document DSIR importance log-weights (Xie et al. 2023,
+    *Data Selection for Language Models via Importance Resampling*):
+    score every raw document by how much more likely it is under a
+    hashed n-gram bag-of-words model of the TARGET distribution than
+    under the RAW distribution —
+    ``logw(d) = sum_b c_b(d) * (ln p_target(b) - ln p_raw(b))``
+    with add-one-smoothed bucket probabilities over ``n_buckets``
+    hashed unigram/bigram features.  Selecting high-``logw`` documents
+    tilts a web-scale corpus toward the target domain (the public
+    recipe behind quality-targeted pretraining mixes).
+
+    ``target_flag``: boolean SQL expression over ``df``'s columns
+    marking the target-domain exemplars (e.g. ``"source = 'wiki'"``).
+    Both models are fit from the SAME featurization pass: one grouped
+    conditional aggregation per bucket, so the whole fit is ONE job
+    over a vocabulary-sized (``n_buckets``-row) table.
+
+    Determinism / auditability: the per-bucket log-ratio is rounded to
+    ``round_digits`` and the per-doc fold accumulates
+    ``c_b * ratio`` in DECIMAL(38,12) — the sum is order-free, so
+    logw is bit-identical under any partitioning AND replayable by an
+    external SQL engine (the q147 oracle does exactly that).
+
+    Scale shape: tokenize+hash once at the explode (``hash_fn='md5'``
+    for cross-engine audits, xxhash64 in production); bigrams come
+    from one ``lead`` window on the doc id; bucket counts are ONE
+    shuffle on (id, bucket); the model is an ``n_buckets``-row
+    broadcast; the fold is one grouped sum on the id.  Document
+    bodies never shuffle.  Returns ``(id_col, logw DOUBLE)``."""
+    if not ngrams or any(n not in (1, 2) for n in ngrams):
+        raise ValueError("ngrams must be a non-empty subset of (1, 2)")
+    from .operators.dedup import _token_hash_sql
+    from pyspark.sql import Window
+
+    B = int(n_buckets)
+    tok = (
+        df.selectExpr(
+            f"{id_col} AS __id",
+            f"({target_flag}) AS __tgt",
+            f"posexplode(split(lower(trim({text_col})), ' +')) AS (__pos, __t)",
+        )
+        .filter("__t <> ''")
+    )
+    feats = []
+    if 2 in ngrams:
+        w = Window.partitionBy("__id").orderBy("__pos")
+        tok = tok.withColumn("__t2", F.lead("__t", 1).over(w))
+        feats.append(
+            F.when(
+                F.col("__t2").isNotNull(),
+                F.expr(
+                    "pmod("
+                    + _token_hash_sql("concat(__t, ' ', __t2)", hash_fn)
+                    + f", {B})"
+                ),
+            )
+        )
+    if 1 in ngrams:
+        feats.append(F.expr(f"pmod({_token_hash_sql('__t', hash_fn)}, {B})"))
+    grams = tok.select(
+        "__id", "__tgt",
+        F.explode(F.array_compact(F.array(*feats))).alias("__b"),
+    )
+    doc_b = grams.groupBy("__id", "__b").agg(
+        F.count("*").alias("__c"), F.first("__tgt").alias("__tgt")
+    )
+    model = (
+        doc_b.groupBy("__b")
+        .agg(
+            F.sum(F.when(F.col("__tgt"), F.col("__c")).otherwise(F.lit(0))
+                  ).alias("__ct"),
+            F.sum("__c").alias("__cr"),
+        )
+        .select(
+            "__b", "__ct", "__cr",
+            # totals folded in below; keep per-bucket counts mergeable
+        )
+    )
+    tot = model.agg(F.sum("__ct").alias("tt"), F.sum("__cr").alias("tr")
+                    ).collect()[0]  # one-row scalar
+    tt, tr = float(tot["tt"] or 0), float(tot["tr"] or 0)
+    ratio = model.select(
+        "__b",
+        F.round(
+            F.log((F.col("__ct").cast("double") + F.lit(1.0))
+                  / F.lit(tt + B))
+            - F.log((F.col("__cr").cast("double") + F.lit(1.0))
+                    / F.lit(tr + B)),
+            round_digits,
+        ).alias("__r"),
+    )
+    return (
+        doc_b.join(F.broadcast(ratio), "__b")
+        .groupBy("__id")
+        .agg(
+            F.sum(
+                (F.col("__c").cast("decimal(18,0)")
+                 * F.col("__r").cast("decimal(20,12)"))
+                .cast("decimal(38,12)")
+            ).cast("double").alias("logw")
+        )
+        .withColumnRenamed("__id", id_col)
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_flag: str,
+    k: int,
+    n_buckets: int = 2048,
+    ngrams: tuple[int, ...] = (1, 2),
+    hash_fn: str = "xxhash64",
+    seed: int = 0,
+    gumbel: bool = True,
+) -> DataFrame:
+    """DSIR selection: keep ``k`` raw documents by Gumbel-top-k over
+    the importance log-weights — equivalent to sampling WITHOUT
+    replacement with probability proportional to the importance
+    weights (the resampling step of the DSIR paper), but fully
+    deterministic: the Gumbel noise ``-ln(-ln(u))`` derives ``u``
+    from ``md5(seed || id)``, so the same corpus + seed always picks
+    the same documents and an external engine can replay the draw.
+    ``gumbel=False`` degrades to plain top-k by ``logw`` (greedy
+    selection).  Returns ``(id, logw, key)`` for the selected rows.
+
+    Scale: the selection is a global top-k (TakeOrderedAndProject) on
+    an id+two-doubles table — never the corpus itself."""
+    lw = dsir_importance(df, id_col, text_col, target_flag,
+                         n_buckets=n_buckets, ngrams=ngrams,
+                         hash_fn=hash_fn)
+    if gumbel:
+        u = (
+            (F.expr(
+                f"pmod(cast(conv(substr(md5(concat('{seed}:', "
+                f"cast({id_col} as string))), 1, 15), 16, 10) as bigint), "
+                f"1000000000)"
+            ).cast("double") + F.lit(0.5)) / F.lit(1e9)
+        )
+        key = (F.col("logw") - F.log(-F.log(u))).alias("key")
+    else:
+        key = F.col("logw").alias("key")
+    out = lw.select(id_col, "logw", key)
+    return out.orderBy(F.desc("key"), F.col(id_col)).limit(int(k))

@@ -5869,6 +5869,127 @@ def q146(spark, sf):
     )
 
 
+_Q147_B = 512
+
+
+@q(
+    "q147_dsir_importance",
+    f"""
+    WITH base AS (
+        SELECT doc_id, lang = 'en' AS tgt,
+               list_filter(string_split_regex(lower(trim(text)), ' +'),
+                           t -> t <> '') AS ts
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, tgt, unnest(ts) AS g FROM base
+        UNION ALL
+        SELECT doc_id, tgt,
+               unnest(list_transform(range(1, len(ts)),
+                                     i -> ts[i] || ' ' || ts[i+1])) AS g
+        FROM base
+    ),
+    bk AS (
+        SELECT doc_id, tgt,
+               ('0x' || substr(md5(g), 1, 15))::BIGINT % {_Q147_B} AS b
+        FROM grams
+    ),
+    db AS (SELECT doc_id, b, COUNT(*) AS c, any_value(tgt) AS tgt
+           FROM bk GROUP BY 1, 2),
+    model AS (
+        SELECT b, SUM(CASE WHEN tgt THEN c ELSE 0 END) AS ct,
+               SUM(c) AS cr
+        FROM db GROUP BY b
+    ),
+    tots AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM model),
+    ratio AS (
+        SELECT b, round(ln((ct + 1.0) / (tt + {_Q147_B}))
+                        - ln((cr + 1.0) / (tr + {_Q147_B})), 9) AS r
+        FROM model, tots
+    ),
+    lw AS (
+        SELECT doc_id,
+               CAST(SUM(CAST(c AS DECIMAL(18,0))
+                        * CAST(r AS DECIMAL(20,12))) AS DOUBLE) AS logw
+        FROM db JOIN ratio USING (b) GROUP BY doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, round(logw, 6) AS logw
+    FROM lw ORDER BY doc_id
+    """,
+)
+def q147(spark, sf):
+    """DSIR importance log-weights (pipeline.py dsir_importance; Xie et
+    al. 2023): hashed unigram+bigram bag features, add-one-smoothed
+    target (lang='en') vs raw bucket models, per-doc log-likelihood
+    ratio — the data-selection score that tilts a web corpus toward a
+    target domain.  md5 bucket hashing makes the featurization
+    bit-identical in DuckDB; the per-bucket log-ratio is rounded to
+    9dp and folded in DECIMAL(38,12), so logw is order-free and the
+    oracle replays the ENTIRE model fit + scoring exactly.  Scale: one
+    (id,bucket) shuffle + a 512-row broadcast model; bodies never
+    move."""
+    from .pipeline import dsir_importance
+
+    d = _t(spark, sf, "documents", "d").df
+    return (
+        dsir_importance(d, "doc_id", "text", "lang = 'en'",
+                        n_buckets=_Q147_B, ngrams=(1, 2), hash_fn="md5")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.round("logw", 6).alias("logw"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "q148_pmi_collocations",
+    """
+    WITH base AS (
+        SELECT list_filter(string_split_regex(lower(trim(text)), ' +'),
+                           t -> t <> '') AS ts
+        FROM documents
+    ),
+    uni AS (SELECT unnest(ts) AS t FROM base),
+    u AS (SELECT t, COUNT(*) AS c1 FROM uni GROUP BY t),
+    big AS (
+        SELECT unnest(list_transform(range(1, len(ts)),
+                                     i -> [ts[i], ts[i+1]])) AS p
+        FROM base
+    ),
+    b AS (SELECT p[1] AS w1, p[2] AS w2, COUNT(*) AS c12
+          FROM big GROUP BY 1, 2),
+    tot AS (SELECT (SELECT SUM(c1) FROM u) AS nt,
+                   (SELECT SUM(c12) FROM b) AS nb)
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS pair_count,
+           round(ln((CAST(c12 AS DOUBLE) / CAST(nb AS DOUBLE))
+                    / ((CAST(u1.c1 AS DOUBLE) / CAST(nt AS DOUBLE))
+                       * (CAST(u2.c1 AS DOUBLE) / CAST(nt AS DOUBLE)))),
+                 6) AS pmi
+    FROM b JOIN u u1 ON b.w1 = u1.t JOIN u u2 ON b.w2 = u2.t
+    CROSS JOIN tot
+    WHERE c12 >= 5
+    ORDER BY w1, w2
+    """,
+)
+def q148(spark, sf):
+    """Bigram PMI collocations (text.py pmi_collocations; Church &
+    Hanks 1990): the multiword-expression mining pass a tokenizer or
+    filter pipeline runs over a corpus.  Membership in the output is
+    the integer ``pair_count >= 5`` floor — exactly reproducible —
+    and the PMI value folds integer counts through one ln, rounded to
+    6dp on both engines.  Scale: two gram-shuffles + two broadcast
+    joins of the vocabulary-sized unigram table; bodies never
+    shuffle."""
+    from .operators.text import pmi_collocations
+
+    d = _t(spark, sf, "documents", "d").df
+    return (
+        pmi_collocations(d, "text", min_count=5)
+        .orderBy("w1", "w2")
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.

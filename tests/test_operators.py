@@ -3974,3 +3974,130 @@ def test_tfidf_cosine_prefix_index_prunes(spark):
     # be indexed: every doc has two df=1 tokens that carry most idf mass
     boiler = prefix.filter(F.col("token") == "the").count()
     assert boiler < 60
+
+
+# -------------------------------------------------- DSIR importance weights
+
+@pytest.mark.parametrize("seed", range(3))
+def test_dsir_importance_matches_python_replay(spark, seed):
+    """3-seed fuzz: dsir_importance == a pure-python replay of the
+    hashed-ngram model fit + log-ratio scoring (same md5 bucketing),
+    and target-domain documents outscore off-domain ones on average."""
+    import hashlib
+    import math
+    import random as _random
+
+    from elusion_spark.pipeline import dsir_importance
+
+    rng = _random.Random(seed)
+    tgt_vocab = ["alpha", "beta", "gamma", "delta"]
+    raw_vocab = ["one", "two", "three", "four", "five"]
+    docs = []
+    for i in range(30):
+        is_t = i % 2 == 0
+        vocab = tgt_vocab if is_t else raw_vocab
+        mixed = vocab + (raw_vocab if rng.random() < 0.3 else [])
+        docs.append((i, " ".join(rng.choices(mixed, k=rng.randint(3, 10))),
+                     is_t))
+    df = spark.createDataFrame(docs, "doc_id long, text string, tgt boolean")
+    B = 64
+    got = {r["doc_id"]: r["logw"] for r in
+           dsir_importance(df, "doc_id", "text", "tgt",
+                           n_buckets=B, hash_fn="md5").collect()}
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+    def grams(text):
+        ts = [t for t in text.lower().strip().split() if t]
+        return ([bucket(t) for t in ts]
+                + [bucket(f"{a} {b}") for a, b in zip(ts, ts[1:])])
+
+    db = {}
+    for i, text, is_t in docs:
+        c = {}
+        for b in grams(text):
+            c[b] = c.get(b, 0) + 1
+        db[i] = (c, is_t)
+    ct, cr = {}, {}
+    for c, is_t in db.values():
+        for b, n in c.items():
+            cr[b] = cr.get(b, 0) + n
+            if is_t:
+                ct[b] = ct.get(b, 0) + n
+    tt, tr = sum(ct.values()), sum(cr.values())
+    for i, (c, _t) in db.items():
+        exp = sum(
+            n * round(math.log((ct.get(b, 0) + 1.0) / (tt + B))
+                      - math.log((cr.get(b, 0) + 1.0) / (tr + B)), 9)
+            for b, n in c.items()
+        )
+        assert abs(got[i] - exp) < 1e-9, (seed, i, got[i], exp)
+    t_avg = sum(got[i] for i, _, t in docs if t) / 15
+    r_avg = sum(got[i] for i, _, t in docs if not t) / 15
+    assert t_avg > r_avg, (seed, t_avg, r_avg)
+
+
+def test_dsir_select_gumbel_is_deterministic_and_weight_biased(spark):
+    from elusion_spark.pipeline import dsir_select
+
+    docs = [(i, ("alpha beta gamma " if i < 20 else "one two three ") * 3,
+             i < 20) for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string, tgt boolean")
+    a = [r["doc_id"] for r in
+         dsir_select(df, "doc_id", "text", "tgt", k=10, n_buckets=64,
+                     hash_fn="md5", seed=1).collect()]
+    b = [r["doc_id"] for r in
+         dsir_select(df.repartition(7), "doc_id", "text", "tgt", k=10,
+                     n_buckets=64, hash_fn="md5", seed=1).collect()]
+    assert a == b and len(a) == 10
+    # weight bias: most selected docs are target-like (logw >> 0)
+    assert sum(1 for i in a if i < 20) >= 8
+    # a different seed reshuffles the draw but stays weight-biased
+    c = [r["doc_id"] for r in
+         dsir_select(df, "doc_id", "text", "tgt", k=10, n_buckets=64,
+                     hash_fn="md5", seed=2).collect()]
+    assert c != a
+
+
+# ------------------------------------------------------- PMI collocations
+
+def test_pmi_collocations_matches_python_replay(spark):
+    import math
+
+    from elusion_spark.operators.text import pmi_collocations
+
+    corpus = [
+        ("new york is in new york state",),
+        ("new york has a york minster replica",),
+        ("the state of new york is big",),
+        ("i like new york and new jersey",),
+    ]
+    df = spark.createDataFrame(corpus, "text string")
+    got = {(r["w1"], r["w2"]): (r["pair_count"], r["pmi"]) for r in
+           pmi_collocations(df, "text", min_count=2).collect()}
+
+    toks = [c[0].split() for c in corpus]
+    uni, big = {}, {}
+    for ts in toks:
+        for t in ts:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    nt, nb = sum(uni.values()), sum(big.values())
+    exp = {
+        p: (c, round(math.log((c / nb) / ((uni[p[0]] / nt)
+                                          * (uni[p[1]] / nt))), 6))
+        for p, c in big.items() if c >= 2
+    }
+    assert got == exp and ("new", "york") in got
+
+
+def test_pmi_collocations_top_k_cut(spark):
+    from elusion_spark.operators.text import pmi_collocations
+
+    df = spark.createDataFrame(
+        [("a b a b a b c d",), ("c d c d e f",)], "text string")
+    out = pmi_collocations(df, "text", min_count=2, top_k=2).collect()
+    assert len(out) == 2
+    assert all(r["pair_count"] >= 2 for r in out)
