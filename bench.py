@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "q141_random_projection", # JL sketch: md5-sign matrix folded into codegen
     "q142_pq_adc_topk",       # PQ: 2x distributed Lloyd + ADC top-k scan
     "q143_ivf_pq_search",     # IVF-PQ: cell probe filter + ADC inside
+    "q147_dsir_importance",   # DSIR: hashed-ngram models + decimal logw fold
+    "q148_pmi_collocations",  # bigram PMI mining (broadcast unigram joins)
     "q46_training_corpus",    # end-to-end curation composite (9 stages)
 ]
 
@@ -102,6 +104,7 @@ BUDGETS_SF01 = {
     "q138_token_budget_mix": 0.6, "q140_bpe_encode": 3.5,
     "q141_random_projection": 1.2, "q142_pq_adc_topk": 2.2,
     "q143_ivf_pq_search": 2.4,
+    "q147_dsir_importance": 7.0, "q148_pmi_collocations": 2.5,
     "q46_training_corpus": 4.8,
     "q01_cache_miss": 1.8, "q01_cache_hit": 0.3,
 }

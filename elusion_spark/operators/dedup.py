@@ -1391,31 +1391,61 @@ def tfidf_weights(
     df: DataFrame,
     id_col: str,
     text_col: str,
+    ngram: int = 1,
 ) -> DataFrame:
-    """Per-(doc, token) L2-normalized TF-IDF weights:
+    """Per-(doc, feature) L2-normalized TF-IDF weights:
     ``(id, token, w)`` with ``w = tf * (ln((N+1)/(df+1)) + 1)``
     normalized so each document vector has unit L2 norm, plus the
-    token document frequency ``tok_df`` (the prefix-filter sort key).
+    feature document frequency ``tok_df`` (the prefix-filter sort
+    key).  ``ngram`` picks the feature: 1 = word unigrams, n>1 =
+    space-joined word n-grams — on tiny-vocabulary/templated corpora
+    n-gram features are what keep the downstream prefix filter
+    selective (the same reason MinHash shingles at k=3 instead of
+    hashing single words).
 
-    Scale shape: one shuffle groups (id, token) counts out of the
-    explode; token document frequencies come from a token-grouped
-    count over the (already tiny) distinct (id, token) rows and join
-    back on the token; N is a one-row count (bounded collect).  The
-    per-doc norm is a window on the id — document bodies never move,
-    only (id, token-string, weight) triples, and the token strings
-    here are *distinct per doc* (vocabulary-sized, not corpus-sized).
-    """
+    Scale shape: one shuffle groups (id, feature) counts out of the
+    explode (for n>1 the n-gram assembly is a ``lead`` window on the
+    SAME id key, so it adds no extra exchange); feature document
+    frequencies come from a feature-grouped count over the (already
+    tiny) distinct (id, feature) rows and join back on the feature; N
+    is a one-row count (bounded collect).  The per-doc norm is a
+    window on the id — document bodies never move, only (id,
+    feature-string, weight) triples, and the feature strings here are
+    *distinct per doc* (vocabulary-sized, not corpus-sized)."""
     from pyspark.sql.window import Window
 
+    if ngram < 1:
+        raise ValueError("ngram must be >= 1")
     toks = (
         df.select(
             F.col(id_col).alias("__id"),
-            F.explode(
+            F.posexplode(
                 F.split(F.lower(F.trim(F.col(text_col))), " +")
-            ).alias("__t"),
+            ).alias("__pos", "__t"),
         )
         .filter(F.col("__t") != "")
     )
+    if ngram > 1:
+        # explicit numPartitions repartition: the n-gram window stage is
+        # compute-heavy per shuffle byte and AQE's size-based coalescing
+        # starves it (same measured pathology as repetition_signals);
+        # the window then reuses this exchange (same key)
+        par = df.sparkSession.sparkContext.defaultParallelism
+        toks = toks.repartition(par, "__id")
+        wl = Window.partitionBy("__id").orderBy("__pos")
+        parts = [F.col("__t")] + [
+            F.lead("__t", j).over(wl) for j in range(1, ngram)
+        ]
+        toks = (
+            toks.withColumn("__g", F.concat_ws(" ", *parts))
+            # a NULL lead marks a truncated tail gram: concat_ws skips
+            # NULLs, so detect via the last lead instead
+            .withColumn("__last", parts[-1])
+            .filter(F.col("__last").isNotNull())
+            .select("__id", F.col("__g").alias("__t"))
+        )
+    else:
+        toks = toks.select("__id", "__t")
     tf = toks.groupBy("__id", "__t").agg(F.count("*").alias("__tf"))
     n_docs = df.select(F.col(id_col)).distinct().count()  # one-row scalar
     dfreq = tf.groupBy("__t").agg(F.count("*").alias("__df"))
@@ -1446,6 +1476,7 @@ def tfidf_cosine_pairs(
     id_col: str,
     text_col: str,
     threshold: float = 0.8,
+    ngram: int = 1,
     max_bucket_size: int | None = None,
     round_digits: int = 6,
 ) -> DataFrame:
@@ -1463,12 +1494,13 @@ def tfidf_cosine_pairs(
     *prefix* is the shortest head of its token list such that the L2
     mass of the remaining suffix is < ``threshold``.  By
     Cauchy-Schwarz, a pair sharing no token from (either) prefix has
-    cosine <= ||suffix|| < threshold, so joining the prefix index
-    against the full postings list generates a **superset of every
-    qualifying pair** (recall is exact, not probabilistic).  Rare
-    tokens land in prefixes, so prefix postings are short; frequent
-    tokens carry most of a templated corpus's bulk and almost never
-    reach a prefix — exactly the skew you want in the build side.
+    cosine <= ||suffix|| < threshold; the FIRST common token in the
+    global order therefore lies in BOTH prefixes, so the symmetric
+    prefix-to-prefix join generates a **superset of every qualifying
+    pair** (recall is exact, not probabilistic).  Rare tokens land in
+    prefixes, so prefix postings are short; frequent tokens carry most
+    of a templated corpus's bulk and almost never reach a prefix —
+    exactly the skew you want in the build side.
 
     Verification is a candidate-bounded exact dot product: candidate
     pairs join the weight table twice on (id, token) and one grouped
@@ -1478,6 +1510,17 @@ def tfidf_cosine_pairs(
     posting list* (hot templated tokens), trading recall for a hard
     bound on bucket fan-out — same contract as ``minhash_dedup_pairs``.
     None (default) keeps recall exact.
+
+    ``ngram``: the feature granularity.  Prefix filtering's pruning
+    power is proportional to vocabulary size — on a tiny-vocabulary /
+    heavily templated corpus, unigram cosine at any threshold is
+    intrinsically dense (measured on the synthetic sf0.1 corpus:
+    ~500-word vocab, 23-token docs → 11.5M of 12.5M possible pairs
+    survive both the prefix AND position filters, so the verify is
+    effectively all-pairs).  ``ngram=2`` squares the vocabulary and
+    restores selectivity, exactly as MinHash shingles at k=3 rather
+    than hashing single words.  Use 1 only for rich natural-language
+    vocabularies.
 
     100 TB: every shuffle carries (id, token, double) triples;
     document bodies never leave the scan.  The candidate count is
@@ -1492,13 +1535,32 @@ def tfidf_cosine_pairs(
     curation."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError("threshold must be in (0, 1]")
+    from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
-    w = tfidf_weights(df, id_col, text_col)
-    # Prefix membership: tokens in global order (df asc, token asc);
-    # token i is indexed iff the suffix STARTING AT i still carries
-    # >= threshold² of L2 mass (eps guards float drift toward keeping
-    # extra tokens — soundness is one-sided).
+    # the weight table feeds THREE consumers (prefix index and both
+    # verify sides): persist it so the tokenize+TF-IDF lineage (3
+    # shuffles) runs once.  Feature STRINGS are hashed to 64-bit longs
+    # first — no downstream stage needs the text, and the verify joins
+    # shuffle (id, long, double) triples instead of ~15-byte n-gram
+    # strings (counting/joining by xxhash64 is exact up to ~2^-64
+    # collisions, the same discipline as repetition_signals).  (id,
+    # feature, w) rows are distinct-per-doc vocabulary-sized — far
+    # smaller than the bodies.
+    w = (
+        tfidf_weights(df, id_col, text_col, ngram=ngram)
+        .select(
+            id_col,
+            F.xxhash64("token").alias("token"),
+            "w", "tok_df",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Prefix membership: tokens in global order (df asc, then hash —
+    # any fixed global order is valid); token i is indexed iff the
+    # suffix STARTING AT i still carries >= threshold² of L2 mass (eps
+    # guards float drift toward keeping extra tokens — soundness is
+    # one-sided).
     ordw = Window.partitionBy(id_col).orderBy("tok_df", "token")
     cum = (
         w.withColumn(
@@ -1514,7 +1576,12 @@ def tfidf_cosine_pairs(
     )
     prefix = cum.filter(
         F.col("__suffix_sq") >= F.lit(threshold * threshold - 1e-9)
-    ).select(F.col(id_col).alias("__pid"), "token")
+    ).select(
+        F.col(id_col).alias("__pid"), "token",
+        # inclusive-suffix L2 mass at this token — the position filter's
+        # per-side bound (>= threshold by prefix construction, <= 1)
+        F.sqrt(F.greatest(F.col("__suffix_sq"), F.lit(0.0))).alias("__g"),
+    )
     if max_bucket_size is not None:
         cap = Window.partitionBy("token").orderBy("__pid")
         prefix = (
@@ -1522,13 +1589,32 @@ def tfidf_cosine_pairs(
             .filter(F.col("__r") <= max_bucket_size)
             .drop("__r")
         )
-    posting = w.select(F.col(id_col).alias("__fid"), "token")
+    # symmetric prefix join (PPJoin): the FIRST common token t* of a
+    # qualifying pair (in the global order) must lie in BOTH prefixes —
+    # if it were outside a's prefix, every common token would sit in
+    # a's suffix and cos <= ||suffix(a)|| < threshold.  Moreover ALL
+    # common tokens sit at-or-after t* in both docs, so by
+    # Cauchy-Schwarz cos <= ||sfx_incl(a,t*)|| * ||sfx_incl(b,t*)||:
+    # the POSITION FILTER ``__g_a * __g_b >= threshold`` holds at t*
+    # for every qualifying pair and is applied INLINE in the join
+    # (map-side, before the distinct) — on templated corpora it kills
+    # the pairs that share only late-prefix boilerplate tokens, which
+    # is where candidate counts explode (measured 11.7M -> far fewer
+    # at sf0.1 on the synthetic corpus).
     cand = (
-        prefix.join(posting, "token")
-        .filter(F.col("__pid") != F.col("__fid"))
+        prefix.join(
+            prefix.select(F.col("__pid").alias("__fid"), "token",
+                          F.col("__g").alias("__g2")),
+            "token",
+        )
+        .filter(
+            (F.col("__pid") < F.col("__fid"))
+            & (F.col("__g") * F.col("__g2")
+               >= F.lit(threshold - 1e-9))
+        )
         .select(
-            F.least("__pid", "__fid").alias("__a"),
-            F.greatest("__pid", "__fid").alias("__b"),
+            F.col("__pid").alias("__a"),
+            F.col("__fid").alias("__b"),
         )
         .distinct()
     )

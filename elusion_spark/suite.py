@@ -5822,13 +5822,20 @@ def q145(spark, sf):
 @q(
     "q146_tfidf_cosine_pairs",
     """
-    WITH toks AS (
+    WITH base AS (
         SELECT doc_id,
-               unnest(string_split_regex(lower(trim(text)), ' +')) AS t
+               list_filter(string_split_regex(lower(trim(text)), ' +'),
+                           x -> x <> '') AS ts
         FROM documents
     ),
+    toks AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ts)),
+                                     i -> ts[i] || ' ' || ts[i+1])) AS t
+        FROM base
+    ),
     tf AS (SELECT doc_id, t, COUNT(*) AS tf
-           FROM toks WHERE t <> '' GROUP BY doc_id, t),
+           FROM toks GROUP BY doc_id, t),
     n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
     dfq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
     w AS (
@@ -5852,19 +5859,22 @@ def q145(spark, sf):
 def q146(spark, sf):
     """Sparse TF-IDF cosine near-dup pairs (dedup.py
     tfidf_cosine_pairs): the AllPairs/PPJoin prefix-filter family —
-    EXACT token-weighted cosine >= 0.9, completing the dedup matrix
+    EXACT bigram-weighted cosine >= 0.9, completing the dedup matrix
     (MinHash=Jaccard, SimHash=Hamming, embedding=dense cosine, this=
     sparse lexical cosine).  Candidates come from a prefix index
-    (rarest-df-first global order, suffix-L2 bound < threshold), so
-    recall is provably 1 without an all-pairs scan; the oracle IS the
-    all-pairs scan — a brute-force TF-IDF + pairwise-dot replay in
-    DuckDB — so the hash match certifies both the weighting math and
-    the losslessness of the prefix filter end to end."""
+    (rarest-df-first global order, suffix-L2 bound < threshold) plus
+    the PPJoin position filter, so recall is provably 1 without an
+    all-pairs scan; ngram=2 because this synthetic corpus's ~500-word
+    vocabulary defeats unigram prefixes (dedup.py docstring has the
+    measured numbers).  The oracle IS the all-pairs scan — a
+    brute-force TF-IDF + pairwise-dot replay in DuckDB — so the hash
+    match certifies both the weighting math and the losslessness of
+    the prefix+position filters end to end."""
     from .operators.dedup import tfidf_cosine_pairs
 
     d = _t(spark, sf, "documents", "d").df
     return (
-        tfidf_cosine_pairs(d, "doc_id", "text", threshold=0.9)
+        tfidf_cosine_pairs(d, "doc_id", "text", threshold=0.9, ngram=2)
         .orderBy("id_a", "id_b")
     )
 

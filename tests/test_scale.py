@@ -307,6 +307,10 @@ SHUFFLE_BUDGETS = {
     # code column — zero exchanges in the returned plan
     "q142_pq_adc_topk": 0,
     "q143_ivf_pq_search": 0,
+    # hashed-ngram featurize + (id,bucket) count + broadcast model fold
+    "q147_dsir_importance": 4,
+    # gram explode + two gram-count shuffles + broadcast unigram joins
+    "q148_pmi_collocations": 5,
 }
 
 
