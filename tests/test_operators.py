@@ -4101,3 +4101,59 @@ def test_pmi_collocations_top_k_cut(spark):
     out = pmi_collocations(df, "text", min_count=2, top_k=2).collect()
     assert len(out) == 2
     assert all(r["pair_count"] >= 2 for r in out)
+
+
+def test_tfidf_cosine_prefix_selectivity_on_rich_vocab(spark):
+    """Selectivity regression pin (SCALE.md round-5 TF-IDF section):
+    on a rich-vocabulary corpus the prefix+position filters must keep
+    candidates to a small fraction of all pairs while recall stays
+    exact on planted near-dups.  (The templated sf corpus is the
+    documented worst case; THIS is the operating point.)"""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from elusion_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+        tfidf_weights,
+    )
+
+    rng = np.random.default_rng(7)
+    V, N, L = 5000, 800, 60
+    zipf = rng.zipf(1.3, size=(N, L)) % V
+    docs = [(i, " ".join(f"w{t}" for t in row))
+            for i, row in enumerate(zipf)]
+    extra = []
+    for i in range(40):
+        toks = docs[i][1].split()
+        toks[7] = f"w{i % V}"
+        extra.append((1000000 + i, " ".join(toks)))
+    df = spark.createDataFrame(docs + extra, "doc_id long, text string")
+    t = 0.9
+    out = tfidf_cosine_pairs(df, "doc_id", "text", threshold=t)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert {(i, 1000000 + i) for i in range(40)} <= got
+
+    # candidate count: replicate the generation stage and pin the ratio
+    w = (tfidf_weights(df, "doc_id", "text")
+         .select("doc_id", F.xxhash64("token").alias("token"),
+                 "w", "tok_df"))
+    ordw = Window.partitionBy("doc_id").orderBy("tok_df", "token")
+    cum = w.withColumn(
+        "__cum", F.sum(F.col("w") * F.col("w")).over(
+            ordw.rowsBetween(Window.unboundedPreceding, 0)))
+    cum = cum.withColumn(
+        "__sfx", F.lit(1.0) - F.col("__cum") + F.col("w") * F.col("w"))
+    prefix = cum.filter(F.col("__sfx") >= F.lit(t * t - 1e-9)).select(
+        F.col("doc_id").alias("__pid"), "token",
+        F.sqrt(F.greatest(F.col("__sfx"), F.lit(0.0))).alias("__g"))
+    cand = (
+        prefix.join(prefix.select(F.col("__pid").alias("__fid"), "token",
+                                  F.col("__g").alias("__g2")), "token")
+        .filter((F.col("__pid") < F.col("__fid"))
+                & (F.col("__g") * F.col("__g2") >= F.lit(t - 1e-9)))
+        .select("__pid", "__fid").distinct().count()
+    )
+    n = N + 40
+    assert cand < 0.02 * n * (n - 1) / 2, cand

@@ -78,6 +78,25 @@ def main() -> None:
     _replicate(emb, ["vec_id"], 1_000_000, n=100).repartition(32) \
         .write.mode("overwrite").parquet(os.path.join(root, "scale100_emb"))
 
+    # rich-vocabulary corpus (SCALE.md "sparse TF-IDF cosine pairs"):
+    # zipf-1.3 over a 30k-word vocab, 120-token docs, 1,000 planted
+    # near-dups (3 token edits each) — the realistic operating point
+    # where prefix filtering prunes 1,500x
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    V, N, L = 30000, 20000, 120
+    zipf = rng.zipf(1.3, size=(N, L)) % V
+    docs_rows = [(i, " ".join(f"w{t}" for t in row))
+                 for i, row in enumerate(zipf)]
+    extra = []
+    for i in range(1000):
+        toks = docs_rows[i][1].split()
+        for j in range(3):
+            toks[(j * 37) % len(toks)] = f"w{(i + j) % V}"
+        extra.append((1000000 + i, " ".join(toks)))
+    spark.createDataFrame(docs_rows + extra, "doc_id long, text string")         .repartition(32).write.mode("overwrite")         .parquet(os.path.join(root, "rich_corpus"))
+
     for t, p in [("scale10/documents", f"{s10}/documents.parquet"),
                  ("sf1/lineitem", f"{sf1}/lineitem.parquet"),
                  ("sf1/events", f"{sf1}/events.parquet"),
