@@ -1634,3 +1634,57 @@ def tfidf_cosine_pairs(
             F.round("__dot", round_digits).alias("cosine"),
         )
     )
+
+
+# ----------------------------------------------------- LSH band planning
+
+def lsh_plan(
+    threshold: float,
+    num_hashes: int = 64,
+    target_recall: float = 0.95,
+) -> dict:
+    """Pick MinHash banding ``(bands, rows)`` for a Jaccard threshold:
+    evaluates the S-curve ``P(candidate | jaccard=s) = 1 - (1 - s^r)^b``
+    for every divisor split of ``num_hashes`` and returns the plan with
+    the FEWEST bands (fewest bucket-join shuffle keys, least candidate
+    fan-out) whose recall at the threshold still meets
+    ``target_recall`` — and, among plans tied on bands, the lowest
+    false-positive mass below the threshold.
+
+    Returns ``{bands, rows, recall_at_threshold, fp_at_08_threshold,
+    curve}`` where ``curve`` maps jaccard in 0.1 steps to candidate
+    probability — print it to see what a (bands, rows) choice actually
+    buys.  Pure driver-side math (no Spark): run it BEFORE a 100 TB
+    dedup job; a wrong banding either misses near-dups (recall) or
+    explodes candidate buckets (precision), and both are expensive to
+    discover at scale."""
+    if not (0.0 < threshold < 1.0):
+        raise ValueError("threshold must be in (0, 1)")
+    if not (0.0 < target_recall < 1.0):
+        raise ValueError("target_recall must be in (0, 1)")
+
+    def p_cand(s: float, b: int, r: int) -> float:
+        return 1.0 - (1.0 - s ** r) ** b
+
+    plans = []
+    for r in range(1, num_hashes + 1):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        rec = p_cand(threshold, b, r)
+        fp = p_cand(0.8 * threshold, b, r)
+        plans.append({"bands": b, "rows": r,
+                      "recall_at_threshold": rec,
+                      "fp_at_08_threshold": fp})
+    ok = [p for p in plans if p["recall_at_threshold"] >= target_recall]
+    if not ok:  # nothing meets recall: return the best-recall plan
+        best = max(plans, key=lambda p: p["recall_at_threshold"])
+    else:
+        best = min(ok, key=lambda p: (p["bands"], p["fp_at_08_threshold"]))
+    best = dict(best)
+    best["curve"] = {
+        round(s / 10.0, 1): round(
+            p_cand(s / 10.0, best["bands"], best["rows"]), 4)
+        for s in range(1, 10)
+    }
+    return best

