@@ -811,6 +811,7 @@ def dsir_importance(
     ngrams: tuple[int, ...] = (1, 2),
     hash_fn: str = "xxhash64",
     round_digits: int = 9,
+    model: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document DSIR importance log-weights (Xie et al. 2023,
     *Data Selection for Language Models via Importance Resampling*):
@@ -841,6 +842,36 @@ def dsir_importance(
     shuffle on (id, bucket); the model is an ``n_buckets``-row
     broadcast; the fold is one grouped sum on the id.  Document
     bodies never shuffle.  Returns ``(id_col, logw DOUBLE)``."""
+    if model is not None:
+        # prebuilt (bucket, ratio) model from dsir_fit: score only
+        doc_b = _dsir_doc_buckets(df, id_col, text_col, target_flag,
+                                  n_buckets, ngrams, hash_fn)
+        ratio = model.select(F.col("bucket").alias("__b"),
+                             F.col("ratio").alias("__r"))
+    else:
+        doc_b, ratio = _dsir_doc_buckets_and_model(
+            df, id_col, text_col, target_flag, n_buckets, ngrams, hash_fn,
+            round_digits,
+        )
+    return (
+        doc_b.join(F.broadcast(ratio), "__b")
+        .groupBy("__id")
+        .agg(
+            F.sum(
+                (F.col("__c").cast("decimal(18,0)")
+                 * F.col("__r").cast("decimal(20,12)"))
+                .cast("decimal(38,12)")
+            ).cast("double").alias("logw")
+        )
+        .withColumnRenamed("__id", id_col)
+    )
+
+
+def _dsir_doc_buckets(df, id_col, text_col, target_flag, n_buckets,
+                      ngrams, hash_fn):
+    """(id, bucket, count, target?) rows — the shared featurization of
+    the fit and score paths.  One (id, bucket) shuffle; the bigram
+    assembly is a lead window on the same id key."""
     if not ngrams or any(n not in (1, 2) for n in ngrams):
         raise ValueError("ngrams must be a non-empty subset of (1, 2)")
     from .operators.dedup import _token_hash_sql
@@ -875,20 +906,20 @@ def dsir_importance(
         "__id", "__tgt",
         F.explode(F.array_compact(F.array(*feats))).alias("__b"),
     )
-    doc_b = grams.groupBy("__id", "__b").agg(
+    return grams.groupBy("__id", "__b").agg(
         F.count("*").alias("__c"), F.first("__tgt").alias("__tgt")
     )
-    model = (
-        doc_b.groupBy("__b")
-        .agg(
-            F.sum(F.when(F.col("__tgt"), F.col("__c")).otherwise(F.lit(0))
-                  ).alias("__ct"),
-            F.sum("__c").alias("__cr"),
-        )
-        .select(
-            "__b", "__ct", "__cr",
-            # totals folded in below; keep per-bucket counts mergeable
-        )
+
+
+def _dsir_doc_buckets_and_model(df, id_col, text_col, target_flag,
+                                n_buckets, ngrams, hash_fn, round_digits):
+    B = int(n_buckets)
+    doc_b = _dsir_doc_buckets(df, id_col, text_col, target_flag,
+                              n_buckets, ngrams, hash_fn)
+    model = doc_b.groupBy("__b").agg(
+        F.sum(F.when(F.col("__tgt"), F.col("__c")).otherwise(F.lit(0))
+              ).alias("__ct"),
+        F.sum("__c").alias("__cr"),
     )
     tot = model.agg(F.sum("__ct").alias("tt"), F.sum("__cr").alias("tr")
                     ).collect()[0]  # one-row scalar
@@ -903,18 +934,89 @@ def dsir_importance(
             round_digits,
         ).alias("__r"),
     )
-    return (
-        doc_b.join(F.broadcast(ratio), "__b")
-        .groupBy("__id")
-        .agg(
-            F.sum(
-                (F.col("__c").cast("decimal(18,0)")
-                 * F.col("__r").cast("decimal(20,12)"))
-                .cast("decimal(38,12)")
-            ).cast("double").alias("logw")
-        )
-        .withColumnRenamed("__id", id_col)
+    return doc_b, ratio
+
+
+def dsir_fit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_flag: str,
+    n_buckets: int = 2048,
+    ngrams: tuple[int, ...] = (1, 2),
+    hash_fn: str = "xxhash64",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Fit the DSIR bucket model alone: returns ``(bucket, ratio)`` —
+    the per-bucket target/raw log-likelihood ratio (rounded to
+    ``round_digits``) that ``dsir_importance(model=...)`` or the
+    streaming scorer applies.  Persist it with a plain parquet write;
+    it is ``n_buckets`` rows regardless of corpus size."""
+    _, ratio = _dsir_doc_buckets_and_model(
+        df, id_col, text_col, target_flag, n_buckets, ngrams, hash_fn,
+        round_digits,
     )
+    return ratio.select(F.col("__b").alias("bucket"),
+                        F.col("__r").alias("ratio"))
+
+
+def dsir_logw_expr(
+    model_rows,
+    text_col: str,
+    n_buckets: int = 2048,
+    ngrams: tuple[int, ...] = (1, 2),
+    hash_fn: str = "xxhash64",
+):
+    """Pure-expression DSIR scorer: given the FITTED model as driver
+    rows (``[(bucket, ratio), ...]`` — bounded: n_buckets rows), build
+    a Column computing the SAME logw as ``dsir_importance`` for the
+    document in ``text_col`` — stateless, so it scores a structured
+    STREAM row-by-row (no per-doc aggregation state) and matches the
+    batch scorer bit-for-bit (the fold accumulates the same
+    DECIMAL(38,12) terms; decimal addition is order-free).
+
+    The model rides in the plan as a literal lookup map — fine for
+    n_buckets in the thousands; fit with a coarser bucket count if the
+    plan gets heavy.  Unknown buckets (never seen at fit time) score
+    0, matching the batch join semantics where they cannot appear."""
+    if not ngrams or any(n not in (1, 2) for n in ngrams):
+        raise ValueError("ngrams must be a non-empty subset of (1, 2)")
+    from .operators.dedup import _token_hash_sql
+
+    B = int(n_buckets)
+    pairs = []
+    for b, r in model_rows:
+        pairs.append(f"{int(b)}")
+        pairs.append(f"CAST({float(r)!r} AS DECIMAL(20,12))")
+    mp = f"map({', '.join(pairs)})" if pairs else "map()"
+    toks = f"filter(split(lower(trim({text_col})), ' +'), x -> x <> '')"
+    # the token array is bound ONCE as the lambda variable `ts` of a
+    # single-element transform (tokenize runs once, not per gram arm)
+    arms = []
+    if 1 in ngrams:
+        arms.append(
+            f"transform(ts, t -> pmod({_token_hash_sql('t', hash_fn)}, {B}))"
+        )
+    if 2 in ngrams:
+        arms.append(
+            "transform(slice(ts, 1, greatest(size(ts) - 1, 0)), "
+            "(t, i) -> pmod("
+            + _token_hash_sql("concat(t, ' ', element_at(ts, i + 2))",
+                              hash_fn)
+            + f", {B}))"
+        )
+    # the merge lambda must return the accumulator type exactly:
+    # decimal '+' widens (38,12)+(20,12) -> (38,11), so cast back
+    step = (
+        f"CAST(acc + coalesce(element_at({mp}, b), "
+        f"CAST(0 AS DECIMAL(20,12))) AS DECIMAL(38,12))"
+    )
+    agg = (
+        f"aggregate(concat({', '.join(arms)}), "
+        f"CAST(0 AS DECIMAL(38,12)), (acc, b) -> {step})"
+    )
+    fold = f"CAST({agg} AS DOUBLE)"
+    return F.expr(f"transform(array({toks}), ts -> {fold})[0]")
 
 
 def dsir_select(

@@ -2,6 +2,7 @@
 
 from .core import (  # noqa: F401
     dedup_stream,
+    dsir_score_stream,
     enrich_stream,
     foreach_batch_upsert,
     funnel_stream,

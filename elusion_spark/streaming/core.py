@@ -749,3 +749,31 @@ def funnel_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dsir_score_stream(
+    sdf: DataFrame,
+    model_rows,
+    text_col: str = "text",
+    n_buckets: int = 2048,
+    ngrams: tuple[int, ...] = (1, 2),
+    hash_fn: str = "xxhash64",
+    out_col: str = "logw",
+) -> DataFrame:
+    """Score a document STREAM with a prebuilt DSIR model
+    (``pipeline.dsir_fit`` collected to driver rows): stateless —
+    the whole featurize→fold pipeline is one row-level expression
+    (``pipeline.dsir_logw_expr``), so there is no aggregation state,
+    any output mode works, and the scores are bit-identical to the
+    batch ``dsir_importance(model=...)`` path (same rounded per-bucket
+    ratios, same order-free DECIMAL fold).  The model is bounded at
+    ``n_buckets`` rows by construction — it rides in the plan, not in
+    state.  This is the "filter the firehose toward the target domain
+    while it lands" deployment of DSIR."""
+    from ..pipeline import dsir_logw_expr
+
+    return sdf.withColumn(
+        out_col,
+        dsir_logw_expr(model_rows, text_col, n_buckets=n_buckets,
+                       ngrams=ngrams, hash_fn=hash_fn),
+    )

@@ -4178,3 +4178,33 @@ def test_lsh_plan_s_curve_and_empirical_recall(spark):
     # impossible target degrades to the max-recall split
     p_hard = lsh_plan(0.1, 4, target_recall=0.999999)
     assert p_hard["bands"] == 4 and p_hard["rows"] == 1
+
+
+def test_dsir_fit_apply_expr_equality(spark):
+    """The three DSIR scoring paths agree exactly: inline fit+score,
+    prebuilt-model scoring, and the stateless row expression (the
+    streaming scorer) — same rounded ratios, same order-free decimal
+    fold."""
+    from elusion_spark.pipeline import (
+        dsir_fit,
+        dsir_importance,
+        dsir_logw_expr,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .limit(200)
+    kw = dict(n_buckets=128, hash_fn="md5")
+    inline = {r["doc_id"]: r["logw"] for r in
+              dsir_importance(d, "doc_id", "text", "lang = 'en'",
+                              **kw).collect()}
+    model = dsir_fit(d, "doc_id", "text", "lang = 'en'", **kw)
+    applied = {r["doc_id"]: r["logw"] for r in
+               dsir_importance(d, "doc_id", "text", "lang = 'en'",
+                               model=model, **kw).collect()}
+    rows = [(r["bucket"], r["ratio"]) for r in model.collect()]
+    expr = dsir_logw_expr(rows, "text", **kw)
+    perrow = {r["doc_id"]: r["logw"] for r in
+              d.select("doc_id", expr.alias("logw")).collect()}
+    assert inline == applied
+    assert set(perrow) == set(inline)
+    assert all(perrow[k] == inline[k] for k in inline)

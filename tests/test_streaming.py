@@ -642,3 +642,32 @@ def test_bpe_encode_on_stream_matches_batch(spark, tmp_path):
                "doc_id", "n_tokens",
                F.md5(F.array_join("tokens", " ")).alias("h")).collect()}
     assert got == exp and len(got) == 200
+
+
+def test_dsir_score_stream_matches_batch(spark, tmp_path):
+    """Streaming DSIR scoring == batch dsir_importance with the same
+    fitted model, bit-for-bit: the scorer is a stateless row expression
+    folding the same rounded decimal ratios, so stream==batch holds
+    exactly (not approximately) and no state survives the batch."""
+    from elusion_spark.pipeline import dsir_fit, dsir_importance
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    model = dsir_fit(docs, "doc_id", "text", "lang = 'en'",
+                     n_buckets=128, hash_fn="md5")
+    rows = [(r["bucket"], r["ratio"]) for r in model.collect()]
+    batch = {r["doc_id"]: r["logw"] for r in
+             dsir_importance(docs, "doc_id", "text", "lang = 'en'",
+                             n_buckets=128, hash_fn="md5",
+                             model=model).collect()}
+
+    src = str(tmp_path / "dsir_stream")
+    docs.coalesce(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = ST.read_file_stream(spark, src, schema)
+    out = ST.dsir_score_stream(stream, rows, "text", n_buckets=128,
+                               hash_fn="md5")
+    got = {r["doc_id"]: r["logw"] for r in
+           ST.run_available_now_to_memory(
+               out.select("doc_id", "logw")).collect()}
+    assert set(got) == set(batch)
+    assert all(got[k] == batch[k] for k in batch)
