@@ -187,7 +187,10 @@ def minhash_dedup_pairs(
     w = Window.partitionBy("band_idx", "band_hash").orderBy("__id")
     banded = (
         banded.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= max_bucket_size)
+        .filter(F.col("__rn") <= F.lit(
+            max_bucket_size if max_bucket_size is not None
+            else (1 << 62)  # None = uncapped, NOT <= NULL (empty!)
+        ))
         .drop("__rn")
         # feeds BOTH sides of the bucket self-join; the broadcast side
         # cannot reuse the streamed side's shuffle exchange, so without a
@@ -407,7 +410,10 @@ def hamming_near_dup_pairs(
     w = Window.partitionBy(*gcols, "band_idx", "band_val").orderBy("__id")
     banded = (
         banded.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= max_bucket_size)
+        .filter(F.col("__rn") <= F.lit(
+            max_bucket_size if max_bucket_size is not None
+            else (1 << 62)  # None = uncapped, NOT <= NULL (empty!)
+        ))
         .drop("__rn")
         # both self-join sides read this; see minhash_dedup_pairs — an
         # unpersisted frame would run the explode+cap chain twice
@@ -843,7 +849,10 @@ def incremental_minhash_pairs(
     w = Window.partitionBy("band_idx", "band_hash").orderBy("id")
     both = (
         both.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= max_bucket_size)
+        .filter(F.col("__rn") <= F.lit(
+            max_bucket_size if max_bucket_size is not None
+            else (1 << 62)  # None = uncapped, NOT <= NULL (empty!)
+        ))
         .drop("__rn")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

@@ -1059,3 +1059,85 @@ def dsir_select(
         key = F.col("logw").alias("key")
     out = lw.select(id_col, "logw", key)
     return out.orderBy(F.desc("key"), F.col(id_col)).limit(int(k))
+
+
+# -------------------------------------------- contrastive pair mining
+
+def mine_contrastive_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    negatives_per_anchor: int = 3,
+    salt: int = 0,
+    id_space: int | None = None,
+) -> DataFrame:
+    """Training pairs for an embedding/reranker model from a document
+    corpus: POSITIVES are the near-duplicate pairs the dedup stack
+    already mines (``pairs`` = any (id_a, id_b) table — MinHash,
+    SimHash, TF-IDF cosine, or embedding near-dups); NEGATIVES are
+    ``negatives_per_anchor`` deterministic hash-draws per anchor from
+    the whole corpus (the standard random-negative recipe), with
+    accidental positives anti-joined away and self-pairs dropped.
+    Output: ``(anchor, other, label)`` with label 1/0 — the (query,
+    passage, relevance) triple shape retrieval trainers consume.
+
+    Determinism/auditability: negative j for anchor a is the document
+    at dense position ``md5int('salt:a:j') % N`` — the same draw on
+    every run, any partitioning, and any SQL engine (the q149 oracle
+    replays it).  ``id_space``: pass N when ids are already dense
+    0..N-1 to skip the indexing step entirely; otherwise a dense index
+    is built with a row_number over the distinct ids — an ID-SIZED
+    single-partition sort, fine for corpus-catalog scales (ids are
+    ~1% of corpus bytes); at 100 TB pass dense ids and skip it."""
+    from pyspark.sql import Window
+
+    pos = pairs.select(
+        F.col(pairs.columns[0]).alias("anchor"),
+        F.col(pairs.columns[1]).alias("other"),
+        F.lit(1).alias("label"),
+    )
+    if id_space is not None:
+        n = int(id_space)
+        idx = None
+    else:
+        idx = (
+            df.select(F.col(id_col).alias("__nid")).distinct()
+            .withColumn(
+                "__pos",
+                F.row_number().over(Window.orderBy("__nid")) - 1,
+            )
+        )
+        n = idx.count()
+    draws = (
+        pos.select("anchor").distinct()
+        .select(
+            "anchor",
+            F.explode(F.array(*[F.lit(j) for j in
+                                range(int(negatives_per_anchor))])
+                      ).alias("__j"),
+        )
+        .withColumn(
+            "__pos",
+            F.expr(
+                f"pmod(cast(conv(substr(md5(concat('{int(salt)}:', "
+                f"cast(anchor as string), ':', cast(__j as string))), "
+                f"1, 15), 16, 10) as bigint), {n})"
+            ),
+        )
+    )
+    if idx is not None:
+        negs = draws.join(F.broadcast(idx), "__pos").select(
+            "anchor", F.col("__nid").alias("other"))
+    else:
+        negs = draws.select(
+            "anchor", F.col("__pos").cast("bigint").alias("other"))
+    sym = pos.select("anchor", "other").unionByName(
+        pos.select(F.col("other").alias("anchor"),
+                   F.col("anchor").alias("other")))
+    negs = (
+        negs.filter(F.col("anchor") != F.col("other"))
+        .distinct()
+        .join(sym, ["anchor", "other"], "left_anti")
+        .withColumn("label", F.lit(0))
+    )
+    return pos.unionByName(negs)

@@ -6000,6 +6000,85 @@ def q148(spark, sf):
     )
 
 
+@q(
+    "q149_contrastive_pairs",
+    """
+    WITH toks AS (SELECT doc_id, list_distinct(
+             string_split_regex(lower(trim(text)), ' +')) AS ts
+           FROM documents),
+    th AS (SELECT doc_id,
+             list_transform(ts, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)
+               AS hs
+           FROM toks),
+    sig AS (SELECT doc_id, list_sum(list_transform(range(0, 60), j ->
+             CASE WHEN list_sum(list_transform(hs, h ->
+                    CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                  THEN 1::BIGINT << j ELSE 0::BIGINT END))::BIGINT AS sg
+            FROM th),
+    pos AS (
+        SELECT a.doc_id AS anchor, b.doc_id AS other
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sg, b.sg)) <= 2
+    ),
+    idx AS (
+        SELECT doc_id AS nid,
+               row_number() OVER (ORDER BY doc_id) - 1 AS pos_i
+        FROM (SELECT DISTINCT doc_id FROM documents)
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM idx),
+    draws AS (
+        SELECT anchor, j,
+               ('0x' || substr(md5('0:' || CAST(anchor AS VARCHAR) || ':'
+                                   || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+               % (SELECT n FROM nn) AS pos_i
+        FROM (SELECT DISTINCT anchor FROM pos), range(0, 3) t(j)
+    ),
+    sym AS (SELECT anchor, other FROM pos
+            UNION ALL SELECT other, anchor FROM pos),
+    negs AS (
+        SELECT DISTINCT d.anchor, i.nid AS other
+        FROM draws d JOIN idx i USING (pos_i)
+        WHERE d.anchor <> i.nid
+          AND NOT EXISTS (SELECT 1 FROM sym s
+                          WHERE s.anchor = d.anchor
+                            AND s.other = i.nid)
+    )
+    SELECT CAST(anchor AS BIGINT) AS anchor, CAST(other AS BIGINT) AS other,
+           CAST(label AS INT) AS label
+    FROM (SELECT anchor, other, 1 AS label FROM pos
+          UNION ALL SELECT anchor, other, 0 AS label FROM negs)
+    ORDER BY label DESC, anchor, other
+    """,
+)
+def q149(spark, sf):
+    """Contrastive training pairs (pipeline.py mine_contrastive_pairs):
+    positives = SimHash(md5) near-dup pairs (the q31-replayable
+    blocking), negatives = 3 deterministic md5-position draws per
+    anchor against the dense doc index, accidental positives
+    anti-joined away — the (query, passage, label) triples an
+    embedding/reranker trainer consumes.  The oracle replays the
+    ENTIRE mining: signatures, pairs, the dense index, every draw,
+    and the exclusion rule."""
+    from .operators.dedup import simhash_dedup_pairs
+    from .pipeline import mine_contrastive_pairs
+
+    d = _t(spark, sf, "documents", "d").df
+    pairs = simhash_dedup_pairs(d, "doc_id", "text", max_hamming=2,
+                                bits=60, bands=3, hash_fn="md5",
+                                max_bucket_size=1_000_000)
+    out = mine_contrastive_pairs(d, pairs.select("id_a", "id_b"),
+                                 "doc_id", negatives_per_anchor=3,
+                                 salt=0)
+    return (
+        out.select(
+            F.col("anchor").cast("bigint").alias("anchor"),
+            F.col("other").cast("bigint").alias("other"),
+            F.col("label").cast("int").alias("label"),
+        )
+        .orderBy(F.desc("label"), "anchor", "other")
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -6018,7 +6097,7 @@ _NEEDS_EVIDENCE = [
     "q141_random_projection", "q142_pq_adc_topk", "q143_ivf_pq_search",
     "q144_image_near_dup", "q145_audio_near_dup",
     "q146_tfidf_cosine_pairs", "q147_dsir_importance",
-    "q148_pmi_collocations",
+    "q148_pmi_collocations", "q149_contrastive_pairs",
     # Priority 2 — the 41 queries whose latest driver evidence is r2:
     "q01_pricing_summary", "q02_top_orders", "q03_region_rollup",
     "q04_segment_monthly", "q05_window_rank", "q06_running_total",

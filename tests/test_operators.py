@@ -4208,3 +4208,51 @@ def test_dsir_fit_apply_expr_equality(spark):
     assert inline == applied
     assert set(perrow) == set(inline)
     assert all(perrow[k] == inline[k] for k in inline)
+
+
+def test_bucket_cap_none_means_uncapped_not_empty(spark):
+    """max_bucket_size=None must mean 'no cap', never a silent
+    <= NULL filter that drops every candidate (the footgun q149's
+    first draft hit)."""
+    from elusion_spark.operators.dedup import (
+        hamming_near_dup_pairs,
+        minhash_dedup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 7 ^ 1)], "id long, sig long")
+    got = hamming_near_dup_pairs(df, "id", "sig", max_hamming=2,
+                                 bands=4, max_bucket_size=None)
+    assert got.count() == 3
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")], "id long, text string")
+    pairs = minhash_dedup_pairs(docs, "id", "text", num_hashes=16,
+                                bands=4, threshold=0.5,
+                                max_bucket_size=None)
+    assert pairs.count() == 1
+
+
+def test_mine_contrastive_pairs_semantics(spark):
+    """Positives pass through labeled 1; negatives are deterministic,
+    exclude self-pairs and any (a,b) that is a positive in EITHER
+    direction; id_space fast path equals the indexed path on dense
+    ids; draws are reproducible across partitionings."""
+    from elusion_spark.pipeline import mine_contrastive_pairs
+
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (5, 6)], "id_a long, id_b long")
+    out = mine_contrastive_pairs(docs, pairs, "doc_id",
+                                 negatives_per_anchor=4, salt=1)
+    rows = {(r["anchor"], r["other"], r["label"]) for r in out.collect()}
+    assert {(0, 1, 1), (0, 2, 1), (5, 6, 1)} <= rows
+    negs = {(a, o) for a, o, l in rows if l == 0}
+    assert all(a != o for a, o in negs)
+    pos_sym = {(0, 1), (1, 0), (0, 2), (2, 0), (5, 6), (6, 5)}
+    assert not (negs & pos_sym)
+    # dense-id fast path (id_space=20) agrees with the indexed path
+    out2 = mine_contrastive_pairs(docs.repartition(5), pairs, "doc_id",
+                                  negatives_per_anchor=4, salt=1,
+                                  id_space=20)
+    rows2 = {(r["anchor"], r["other"], r["label"]) for r in out2.collect()}
+    assert rows == rows2
