@@ -3906,21 +3906,29 @@ def test_tfidf_cosine_pairs_prefix_filter_is_lossless(spark, seed):
     from elusion_spark.operators.dedup import tfidf_cosine_pairs
 
     rng = _random.Random(seed)
+    ngram = 1 if seed < 2 else 2  # seeds 2-3 fuzz the bigram features
     vocab = [f"w{i}" for i in range(10 + 5 * seed)]
     template = rng.sample(vocab, 5)
     docs = []
     for i in range(40):
         base = list(template) if rng.random() < 0.5 else []
-        base += rng.choices(vocab, k=rng.randint(1, 12))
+        base += rng.choices(vocab, k=rng.randint(2, 12))
         rng.shuffle(base)
         docs.append((i, " ".join(base)))
     df = spark.createDataFrame(docs, "doc_id long, text string")
     t = 0.7
     got = {(r["id_a"], r["id_b"]) for r in
-           tfidf_cosine_pairs(df, "doc_id", "text", threshold=t).collect()}
+           tfidf_cosine_pairs(df, "doc_id", "text", threshold=t,
+                              ngram=ngram).collect()}
 
-    # numpy brute force with the same tf-idf recipe
-    toks = [d.split() for _, d in docs]
+    # numpy brute force with the same tf-idf recipe (same feature grain)
+    def _feats(text):
+        ws = text.split()
+        if ngram == 1:
+            return ws
+        return [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    toks = [_feats(d) for _, d in docs]
     n = len(docs)
     dfreq = {}
     for ts in toks:
