@@ -86,11 +86,11 @@ BUDGETS_SF01 = {
     "q30_minhash_pairs": 2.3, "q31_simhash_pairs": 2.0,
     "q32_embedding_near_dup": 1.9, "q35_media_kinds": 0.35,
     "q39_string_functions": 0.4, "q44_window_frames": 0.3,
-    "q45_agg_whitelist": 0.5, "q51_percentiles": 1.9,
+    "q45_agg_whitelist": 0.8, "q51_percentiles": 1.9,
     "q57_asof_join": 0.75, "q59_time_rollup": 0.55,
     "q60_sessionize": 0.55, "q61_distinct_sketch": 0.3,
     "q62_skew_join_salted": 1.2, "q63_decontamination": 1.7,
-    "q64_repetition_signals": 2.0, "q65_semantic_dedup": 2.6,
+    "q64_repetition_signals": 4.5, "q65_semantic_dedup": 2.6,
     "q72_lm_score": 1.2, "q73_knn_join": 3.7,
     "q74_chunk_documents": 0.55, "q75_threshold_sweep": 0.6,
     "q76_lm_score_bigram": 2.1, "q77_containment_pairs": 2.2,
@@ -99,7 +99,7 @@ BUDGETS_SF01 = {
     "q103_top_k_per_group": 0.4, "q106_ohlc_resample": 0.5,
     "q107_gapfill_linear": 0.8, "q113_forecast_revenue": 0.3,
     "q115_market_share": 1.3, "q121_waiting_suppliers": 1.6,
-    "q133_leakage_safe_split": 0.8, "q134_bloom_prejoin": 1.8,
+    "q133_leakage_safe_split": 0.8, "q134_bloom_prejoin": 2.4,
     "q135_dedup_repeated_spans": 2.0, "q136_retrieval_metrics": 1.2,
     "q138_token_budget_mix": 0.6, "q140_bpe_encode": 3.5,
     "q141_random_projection": 1.2, "q142_pq_adc_topk": 2.2,
