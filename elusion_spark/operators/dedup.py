@@ -1528,8 +1528,14 @@ def tfidf_cosine_pairs(
     survive both the prefix AND position filters, so the verify is
     effectively all-pairs).  ``ngram=2`` squares the vocabulary and
     restores selectivity, exactly as MinHash shingles at k=3 rather
-    than hashing single words.  Use 1 only for rich natural-language
-    vocabularies.
+    than hashing single words.  Rule of thumb: pick the feature grain
+    so the expected feature document-frequency stays SUBLINEAR in the
+    corpus size — with a fixed vocabulary the per-pair collision rate
+    is constant and candidates grow ~N² (measured: 145k → 619k →
+    2.56M candidates for 21k → 42k → 84k docs at unigram on a 30k
+    fixed vocab, vs near-linear wall at bigram — SCALE.md).  Real
+    corpora grow vocabulary with size (Heaps' law), which keeps
+    unigram viable far longer.
 
     100 TB: every shuffle carries (id, token, double) triples;
     document bodies never leave the scan.  The candidate count is
