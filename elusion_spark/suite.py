@@ -4963,7 +4963,8 @@ def q131(spark, sf):
     "q132_grouping_builder",
     f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
-           {DSUM('o_totalprice')} AS total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,9))) AS DECIMAL(18,2))
+               AS total,
            CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
            CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
            o_orderstatus, o_orderpriority
@@ -4986,7 +4987,14 @@ def q132(spark, sf):
         .select(["o_orderstatus", "o_orderpriority"])
         .agg([
             "COUNT(*) AS cnt",
-            f"{DSUM('o_totalprice')} AS total",
+            # DECIMAL(18,2) output, NOT the DSUM double: DuckDB's
+            # decimal->double cast goes through int128->double and is
+            # off by 1 ulp for totals whose scaled integer exceeds
+            # 2^53 (this table's grand total: ...620.0600004 vs the
+            # correctly rounded ...620.06) — keeping the exact decimal
+            # on BOTH sides removes the double cast entirely
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,9)))"
+            " AS DECIMAL(18,2)) AS total",
             "CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status",
             "CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio",
         ])
