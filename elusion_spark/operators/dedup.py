@@ -132,8 +132,15 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
     max_bucket_size: int = 200,
     verify: str = "estimate",
+    group_col: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    ``group_col`` scopes the blocking: bucket joins happen inside
+    (group, band) so pairs never cross groups — per-language or
+    per-domain dedup in ONE pass instead of a loop over filters, the
+    same contract as ``hamming_near_dup_pairs(group_col=...)``.  The
+    output gains the group column when set.
 
     Pipeline: shingle → minhash(H) → B bands of H/B rows → bucket join on
     (band_idx, band_hash) → Jaccard filter.
@@ -161,20 +168,25 @@ def minhash_dedup_pairs(
     from .similarity import _ensure_parallelism
 
     rows = num_hashes // bands
+    gsel = [F.col(group_col).alias("__grp")] if group_col else []
+    gcols = ["__grp"] if group_col else []
     hashed = (
         _ensure_parallelism(
-            df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+            df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"),
+                      *gsel)
         )
-        .select("__id", shingle_hash_expr("__text", shingle_k).alias("__h"))
+        .select("__id", *gcols,
+                shingle_hash_expr("__text", shingle_k).alias("__h"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sig_df = hashed.select(
-        "__id", minhash_signature_from_hashes("__h", num_hashes).alias("__sig")
+        "__id", *gcols,
+        minhash_signature_from_hashes("__h", num_hashes).alias("__sig")
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    # band explode carries ONLY (id, band_idx, band_hash)
+    # band explode carries ONLY (id, [group,] band_idx, band_hash)
     banded = sig_df.select(
-        "__id",
+        "__id", *gcols,
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), b -> "
@@ -184,7 +196,7 @@ def minhash_dedup_pairs(
     )
     # skew guard: cap pathological buckets (boilerplate explosion) —
     # a bucket of B docs yields B² candidate pairs
-    w = Window.partitionBy("band_idx", "band_hash").orderBy("__id")
+    w = Window.partitionBy(*gcols, "band_idx", "band_hash").orderBy("__id")
     banded = (
         banded.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= F.lit(
@@ -201,8 +213,9 @@ def minhash_dedup_pairs(
     )
     cand = (
         banded.alias("l")
-        .join(banded.alias("r"), ["band_idx", "band_hash"])
-        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .join(banded.alias("r"), gcols + ["band_idx", "band_hash"])
+        .select(*gcols, F.col("l.__id").alias("id_a"),
+                F.col("r.__id").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -230,7 +243,9 @@ def minhash_dedup_pairs(
                                 F.col("__h").alias("sh_b")), "id_b")
             .withColumn("jaccard", jaccard_expr("sh_a", "sh_b"))
         )
+    out_g = [F.col("__grp").alias(group_col)] if group_col else []
     return scored.filter(F.col("jaccard") >= threshold).select(
+        *out_g,
         F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"), "jaccard"
     )
 

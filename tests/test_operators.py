@@ -4264,3 +4264,34 @@ def test_mine_contrastive_pairs_semantics(spark):
                                   id_space=20)
     rows2 = {(r["anchor"], r["other"], r["label"]) for r in out2.collect()}
     assert rows == rows2
+
+
+def test_minhash_group_scoped_equals_per_group_runs(spark):
+    """minhash_dedup_pairs(group_col=...) == running the unscoped
+    operator once per group, and identical docs planted in DIFFERENT
+    groups never pair (per-language dedup contract — same as the
+    Hamming engine's group_col)."""
+    from elusion_spark.operators.dedup import minhash_dedup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    rid = 0
+    for g in ("en", "de"):
+        for i in range(4):
+            rows.append((rid, g, base + (" extra" if i == 3 else "")))
+            rid += 1
+    df = spark.createDataFrame(rows, "id long, lang string, text string")
+    kw = dict(num_hashes=32, bands=8, threshold=0.5, verify="exact")
+    got = {(r["lang"], r["id_a"], r["id_b"]) for r in
+           minhash_dedup_pairs(df, "id", "text", group_col="lang",
+                               **kw).collect()}
+    exp = set()
+    for g in ("en", "de"):
+        for r in minhash_dedup_pairs(df.filter(f"lang = '{g}'"),
+                                     "id", "text", **kw).collect():
+            exp.add((g, r["id_a"], r["id_b"]))
+    assert got == exp and got
+    # identical texts across groups: never a cross-group pair
+    assert all(
+        (a < 4) == (b < 4) for _, a, b in got
+    )
