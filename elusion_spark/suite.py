@@ -6087,6 +6087,48 @@ def q149(spark, sf):
     )
 
 
+@q(
+    "q150_minhash_by_lang",
+    f"""
+    WITH sh AS (
+        SELECT doc_id AS id, lang,
+               CASE WHEN len(string_split_regex(lower(trim(text)), ' +')) < 3
+               THEN [array_to_string(
+                        string_split_regex(lower(trim(text)), ' +'), ' ')]
+               ELSE list_distinct(list_transform(
+                    range(0, len(string_split_regex(lower(trim(text)),
+                                                    ' +')) - 2),
+                    i -> array_to_string(list_slice(
+                         string_split_regex(lower(trim(text)), ' +'),
+                         i + 1, i + 3), ' ')))
+               END AS s
+        FROM documents
+    )
+    SELECT a.lang AS lang, CAST(a.id AS BIGINT) AS id_a,
+           CAST(b.id AS BIGINT) AS id_b,
+           {_DUCK_JACCARD} AS jaccard
+    FROM sh a JOIN sh b ON a.id < b.id AND a.lang = b.lang
+    WHERE {_DUCK_JACCARD} >= 0.5
+    ORDER BY a.lang, id_a, id_b
+    """,
+)
+def q150(spark, sf):
+    """Group-scoped MinHash dedup (minhash_dedup_pairs(group_col=
+    'lang')): bucket joins happen inside (lang, band), so per-language
+    dedup runs in ONE pass with no cross-language pairs — the
+    multilingual-corpus contract the Hamming engine already had, now
+    on the Jaccard path.  verify='exact' + the q30 recall-1 argument
+    makes the banded result equal the oracle's per-language
+    brute-force true-Jaccard scan."""
+    d = _t(spark, sf, "documents", "d").df
+    return (
+        D.minhash_dedup_pairs(d, "doc_id", "text", num_hashes=64,
+                              bands=16, shingle_k=3, threshold=0.5,
+                              verify="exact", group_col="lang")
+        .orderBy("lang", "id_a", "id_b")
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -6106,6 +6148,7 @@ _NEEDS_EVIDENCE = [
     "q144_image_near_dup", "q145_audio_near_dup",
     "q146_tfidf_cosine_pairs", "q147_dsir_importance",
     "q148_pmi_collocations", "q149_contrastive_pairs",
+    "q150_minhash_by_lang",
     # Priority 2 — the 41 queries whose latest driver evidence is r2:
     "q01_pricing_summary", "q02_top_orders", "q03_region_rollup",
     "q04_segment_monthly", "q05_window_rank", "q06_running_total",
