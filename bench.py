@@ -104,7 +104,7 @@ BUDGETS_SF01 = {
     "q138_token_budget_mix": 0.6, "q140_bpe_encode": 3.5,
     "q141_random_projection": 1.2, "q142_pq_adc_topk": 2.2,
     "q143_ivf_pq_search": 2.4,
-    "q147_dsir_importance": 7.0, "q148_pmi_collocations": 2.5,
+    "q147_dsir_importance": 4.0, "q148_pmi_collocations": 2.5,
     "q46_training_corpus": 4.8,
     "q01_cache_miss": 2.4, "q01_cache_hit": 0.5,
 }

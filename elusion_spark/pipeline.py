@@ -913,9 +913,16 @@ def _dsir_doc_buckets(df, id_col, text_col, target_flag, n_buckets,
 
 def _dsir_doc_buckets_and_model(df, id_col, text_col, target_flag,
                                 n_buckets, ngrams, hash_fn, round_digits):
+    from pyspark import StorageLevel
+
     B = int(n_buckets)
+    # the featurization feeds THREE consumers (model counts, the totals
+    # scalar, and the scoring join): persist the (id, bucket, count)
+    # rows — corpus-vocabulary-sized — so the tokenize+hash explode
+    # runs once, not three times (measured 5.2 -> ~2.6 s at sf0.1 md5)
     doc_b = _dsir_doc_buckets(df, id_col, text_col, target_flag,
-                              n_buckets, ngrams, hash_fn)
+                              n_buckets, ngrams, hash_fn).persist(
+        StorageLevel.MEMORY_AND_DISK)
     model = doc_b.groupBy("__b").agg(
         F.sum(F.when(F.col("__tgt"), F.col("__c")).otherwise(F.lit(0))
               ).alias("__ct"),
