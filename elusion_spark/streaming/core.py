@@ -475,8 +475,21 @@ def near_dup_candidates_stream(
     )
 
     rows = num_hashes // bands
+    # Key the state on the NATIVE id type (matching the batch
+    # minhash_dedup_pairs, dedup.py:175): integral ids stay long,
+    # anything else (string/UUID/decimal ids) rides through as string.
+    # A blanket cast-to-long NULLs string ids, collapsing every
+    # document into one __id=NULL state group (silent garbage pairs).
+    # The anchor rule only needs a deterministic total order, which
+    # both long `<` and lexicographic string `<` provide.
+    _id_type = sdf.schema[id_col].dataType
+    _integral = isinstance(
+        _id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    )
+    _id_spark_t = T.LongType() if _integral else T.StringType()
+    _id_cast = "long" if _integral else "string"
     sig = sdf.select(
-        F.col(id_col).cast("long").alias("__id"),
+        F.col(id_col).cast(_id_cast).alias("__id"),
         shingle_hash_expr(text_col, shingle_k).alias("__h"),
     ).select(
         "__id",
@@ -494,19 +507,20 @@ def near_dup_candidates_stream(
 
     out_schema = T.StructType([
         T.StructField("band_idx", T.IntegerType()),
-        T.StructField("anchor_id", T.LongType()),
-        T.StructField("doc_id", T.LongType()),
+        T.StructField("anchor_id", _id_spark_t),
+        T.StructField("doc_id", _id_spark_t),
     ])
-    state_schema = T.StructType([T.StructField("min_id", T.LongType())])
+    state_schema = T.StructType([T.StructField("min_id", _id_spark_t)])
+    _coerce = int if _integral else str
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        ids: list[int] = []
+        ids = []
         for pdf in pdfs:
-            ids.extend(int(x) for x in pdf["__id"])
+            ids.extend(_coerce(x) for x in pdf["__id"])
         if not ids:
             return
         cur = min(ids)
-        displaced: set[int] = set()
+        displaced = set()
         if state.exists:
             old = state.get[0]
             anchor = min(cur, old)
@@ -515,7 +529,7 @@ def near_dup_candidates_stream(
                 # must itself be emitted or the pair (new_min, old_anchor)
                 # — and transitively old_anchor's whole star — would be
                 # disconnected from the new root.
-                displaced.add(int(old))
+                displaced.add(_coerce(old))
         else:
             anchor = cur
         state.update((anchor,))

@@ -4963,8 +4963,8 @@ def q131(spark, sf):
     "q132_grouping_builder",
     f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,9))) AS DECIMAL(18,2))
-               AS total,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,9)))
+                AS DECIMAL(18,2)) AS DOUBLE) AS total,
            CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
            CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
            o_orderstatus, o_orderpriority
@@ -4987,14 +4987,14 @@ def q132(spark, sf):
         .select(["o_orderstatus", "o_orderpriority"])
         .agg([
             "COUNT(*) AS cnt",
-            # DECIMAL(18,2) output, NOT the DSUM double: DuckDB's
-            # decimal->double cast goes through int128->double and is
-            # off by 1 ulp for totals whose scaled integer exceeds
-            # 2^53 (this table's grand total: ...620.0600004 vs the
-            # correctly rounded ...620.06) — keeping the exact decimal
-            # on BOTH sides removes the double cast entirely
-            "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,9)))"
-            " AS DECIMAL(18,2)) AS total",
+            # DSUM discipline: sum exactly in DECIMAL(38,9), round to
+            # 2 decimals, THEN cast to DOUBLE.  The rounded total's
+            # scaled integer (~3.76e11 at sf0.01, ~3.8e13 at sf1) is
+            # far below 2^53, so the decimal->double cast is exact and
+            # bit-identical on both engines; a raw DECIMAL output column
+            # is hash-canonicalized differently per engine by the driver.
+            "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,9)))"
+            " AS DECIMAL(18,2)) AS DOUBLE) AS total",
             "CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status",
             "CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio",
         ])

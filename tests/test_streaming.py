@@ -335,6 +335,79 @@ def test_near_dup_candidates_stream_matches_batch_star_pairs(spark, tmp_path):
     assert got == expected
 
 
+def test_near_dup_candidates_stream_string_ids(spark, tmp_path):
+    """Same stream==batch parity with STRING (UUID-style) document ids.
+    Regression for the silent-garbage bug where the stream cast ids to
+    long: string ids became NULL, collapsing every document into one
+    __id=NULL state group.  Ids are zero-padded so lexicographic order
+    == numeric order; the anchor rule (bucket min) is identical on both
+    paths because both use the native string ordering."""
+    from elusion_spark.operators.dedup import (
+        minhash_signature_from_hashes,
+        shingle_hash_expr,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = []
+    for i in range(40):
+        sid = f"doc-{i:04d}-beef"
+        if i % 4 == 0:
+            docs.append((sid, base + f" tail{i % 8}"))
+        else:
+            docs.append((sid, f"unique document number {i} with words "
+                              f"entirely its own {i * 7} {i * 13}"))
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+
+    src = str(tmp_path / "docs_src_str")
+    df.filter("doc_id < 'doc-0020'").coalesce(1).write.parquet(src + "/batch=a")
+    df.filter("doc_id >= 'doc-0020'").coalesce(1).write.parquet(src + "/batch=b")
+
+    num_hashes, bands, k = 32, 16, 3
+    rows = num_hashes // bands
+    banded = (
+        df.select(
+            F.col("doc_id").alias("__id"),
+            shingle_hash_expr("text", k).alias("__h"),
+        )
+        .select("__id",
+                minhash_signature_from_hashes("__h", num_hashes).alias("__sig"))
+        .select(
+            "__id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {bands - 1}), b -> "
+                    f"hash(slice(__sig, b * {rows} + 1, {rows})))"
+                )
+            ).alias("band_idx", "band_hash"),
+        )
+    )
+    anchors = banded.groupBy("band_idx", "band_hash").agg(
+        F.min("__id").alias("anchor_id")
+    )
+    expected = {
+        (r["anchor_id"], r["__id"])
+        for r in banded.join(anchors, ["band_idx", "band_hash"])
+        .filter(F.col("__id") != F.col("anchor_id"))
+        .collect()
+    }
+    assert expected, "construction must produce collisions"
+
+    schema = spark.read.parquet(src + "/batch=a").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    cand = ST.near_dup_candidates_stream(
+        stream, "doc_id", "text",
+        num_hashes=num_hashes, bands=bands, shingle_k=k,
+    )
+    assert dict(cand.dtypes)["anchor_id"] == "string"
+    got_df = ST.run_available_now_update_to_memory(cand)
+    got = {(r["anchor_id"], r["doc_id"]) for r in got_df.collect()}
+    assert got == expected
+
+
 def test_stream_to_rollup_matches_batch(spark, tmp_path):
     """Streaming rollup maintenance == batch aggregation over the same
     files, with the stream split into multiple micro-batches; replaying
