@@ -6129,6 +6129,62 @@ def q150(spark, sf):
     )
 
 
+_Q151_NF = ("(('0x' || substr(md5(hex(text::BLOB)), 1, 15))::BIGINT % 8) + 1")
+
+
+@q(
+    "q151_video_near_dup",
+    f"""
+    WITH vid AS (
+        SELECT doc_id AS id, md5(hex(text::BLOB)) AS pj,
+               {_Q151_NF} AS n_frames
+        FROM documents WHERE doc_id % 3 = 2
+    ), dup AS (
+        SELECT doc_id + 1000000 AS id, md5(hex(text::BLOB)) AS pj,
+               {_Q151_NF} AS n_frames
+        FROM documents WHERE doc_id % 3 = 2 AND doc_id < 60
+    ), a AS (SELECT * FROM vid UNION ALL SELECT * FROM dup)
+    SELECT CAST(l.id AS BIGINT) AS id_a, CAST(r.id AS BIGINT) AS id_b,
+           CAST(l.n_frames AS INT) AS shared_frames,
+           CAST(0.0 AS DOUBLE) AS mean_hamming
+    FROM a l JOIN a r ON l.pj = r.pj AND l.id < r.id
+    WHERE l.n_frames >= 2
+    ORDER BY id_a, id_b
+    """,
+)
+def q151(spark, sf):
+    """Video near-duplicate pairs (multimodal.video_near_dup_pairs) —
+    completes the multimodal dedup triad's driver evidence (image q144,
+    audio q145).  Frames are sampled per video (q37's deterministic
+    fake: n = digest%8+1), each frame perceptual-hashed, and matched AT
+    THE SAME SAMPLED INDEX through the shared banded Hamming engine
+    (group_col=frame_idx), then video pairs keep >=2 matching
+    positions.  The corpus gains exact duplicate payloads under shifted
+    ids: identical payloads yield identical frame sets, so every true
+    pair shares all n_frames positions at hamming 0, and unrelated
+    videos' 60-bit frame digests never land within hamming<=3 (the
+    engine's pigeonhole blocking is exact for max_hamming < bands, so
+    the result is exactly the digest-equality pairs the oracle
+    replays, filtered to n_frames >= 2)."""
+    from .operators.multimodal import video_near_dup_pairs
+
+    vids = _media_df(spark, sf).filter(F.col("id") % 3 == 2)
+    dups = (_media_df(spark, sf)
+            .filter((F.col("id") % 3 == 2) & (F.col("id") < 60))
+            .withColumn("id", F.col("id") + F.lit(1000000)))
+    allv = vids.unionByName(dups)
+    return (
+        video_near_dup_pairs(allv, "id", "payload", every_n=30,
+                             max_frames=8, max_hamming=3, bands=8,
+                             min_shared_frames=2, max_bucket_size=1000)
+        .select(F.col("id_a").cast("bigint").alias("id_a"),
+                F.col("id_b").cast("bigint").alias("id_b"),
+                "shared_frames",
+                F.col("mean_hamming").cast("double").alias("mean_hamming"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -6137,38 +6193,22 @@ def q150(spark, sf):
 # keep their round-1 evidence even if they fall past a cap.
 # ---------------------------------------------------------------------
 _NEEDS_EVIDENCE = [
-    # Round-5 rotation (VERDICT r4 ask #1): oldest driver evidence
-    # first.  Priority 1 — queries NEW in round 5 (no evidence yet):
-    "q131_approx_auc", "q132_grouping_builder",
-    "q133_leakage_safe_split", "q134_bloom_prejoin",
-    "q135_dedup_repeated_spans", "q136_retrieval_metrics",
-    "q137_calibration_report", "q138_token_budget_mix",
-    "q139_bpe_fit", "q140_bpe_encode",
-    "q141_random_projection", "q142_pq_adc_topk", "q143_ivf_pq_search",
-    "q144_image_near_dup", "q145_audio_near_dup",
-    "q146_tfidf_cosine_pairs", "q147_dsir_importance",
-    "q148_pmi_collocations", "q149_contrastive_pairs",
-    "q150_minhash_by_lang",
-    # Priority 2 — the 41 queries whose latest driver evidence is r2:
-    "q01_pricing_summary", "q02_top_orders", "q03_region_rollup",
-    "q04_segment_monthly", "q05_window_rank", "q06_running_total",
-    "q07_pivot_linestatus", "q08_unpivot_part", "q10_text_stats",
-    "q11_lang_id", "q12_fill_null", "q13_drop_null", "q14_fill_down",
-    "q15_except", "q16_intersect", "q17_union", "q18_cosine_topk",
-    "q19_ngram_jaccard", "q20_raw_sql_cte", "q21_date_breakdown",
-    "q22_corr_manual", "q23_null_analysis", "q24_string_group",
-    "q25_having_raw", "q26_case_tier", "q27_offset", "q33_ivf_topk",
-    "q36_image_decode", "q37_frame_sample", "q38_media_features_topk",
+    # Round-6 rotation (VERDICT r5 ask #3): 50 driver slots.
+    # Priority 1 — the one red row in r5 (hash-type fix applied this
+    # round, must re-evidence) and the query NEW this round:
+    "q132_grouping_builder", "q151_video_near_dup",
+    # Priority 2 — the 11 queries whose latest driver evidence is r2:
     "q52_audio_decode", "q53_corpus_boilerplate", "q54_date_bin",
     "q56_semi_anti", "q57_asof_join", "q58_range_join",
     "q59_time_rollup", "q60_sessionize", "q61_distinct_sketch",
     "q63_decontamination", "q66_pack_sequences",
-    # Priority 3 — r3-latest queries whose implementation was touched
-    # this round (gap_stats key fix, hashed_tf zero-vector contract,
-    # fuzzy_join count filter, sq8 rework) or that VERDICT flagged:
-    "q96_fuzzy_match", "q81_sq8_topk", "q99_grouping_sets",
-    # Priority 4 — remaining r3-latest, oldest-band first (overflow
-    # past the 50-slot cap rotates into round 6):
+    # Priority 3 — r3-latest queries VERDICT r5 flagged or whose
+    # implementation is touched this round (q77 drift root-cause,
+    # tfidf n_docs/decimal fixes hit no r3 query but q77's plan):
+    "q77_containment_pairs", "q81_sq8_topk", "q96_fuzzy_match",
+    # Priority 4 — remaining r3-latest, 36 of which fit the cap;
+    # the two most fuzz-covered plain-TPC-H entries sit last and
+    # rotate into round 7:
     "q09_dedup_exact", "q30_minhash_pairs", "q31_simhash_pairs",
     "q32_embedding_near_dup", "q35_media_kinds", "q39_string_functions",
     "q40_datetime_functions", "q41_math_functions",
@@ -6177,13 +6217,14 @@ _NEEDS_EVIDENCE = [
     "q67_classifier_filter", "q68_sample_and_cap", "q69_exists_subquery",
     "q70_scalar_subquery", "q71_train_val_test_split", "q72_lm_score",
     "q73_knn_join", "q74_chunk_documents", "q75_threshold_sweep",
-    "q76_lm_score_bigram", "q77_containment_pairs",
-    "q78_incremental_dedup", "q79_upsample_by_weight",
-    "q80_temperature_mix", "q82_shipping_priority",
-    "q83_local_supplier_volume", "q84_promo_revenue",
-    "q85_bracket_predicates", "q86_returned_items", "q92_histogram",
-    "q94_weighted_sample", "q97_except_all", "q98_distribution_windows",
+    "q76_lm_score_bigram", "q78_incremental_dedup",
+    "q79_upsample_by_weight", "q80_temperature_mix",
+    "q85_bracket_predicates",
+    "q86_returned_items", "q92_histogram", "q94_weighted_sample",
+    "q97_except_all", "q98_distribution_windows", "q99_grouping_sets",
     "q100_corpus_report_card",
+    "q82_shipping_priority", "q83_local_supplier_volume",
+    "q84_promo_revenue",
 ]
 _NEEDS_EVIDENCE = [k for k in _NEEDS_EVIDENCE if k in QUERIES]
 QUERIES = {
