@@ -1421,7 +1421,11 @@ def tfidf_weights(
     ``(id, token, w)`` with ``w = tf * (ln((N+1)/(df+1)) + 1)``
     normalized so each document vector has unit L2 norm, plus the
     feature document frequency ``tok_df`` (the prefix-filter sort
-    key).  ``ngram`` picks the feature: 1 = word unigrams, n>1 =
+    key).  ``N`` counts documents with >= 1 feature at this grain
+    (docs shorter than ``ngram`` tokens contribute nothing, including
+    to the IDF).  The per-document norm is accumulated in
+    DECIMAL(38,18) so it is order-independent across partitions —
+    weight values are engine-reproducible bit-for-bit.  ``ngram`` picks the feature: 1 = word unigrams, n>1 =
     space-joined word n-grams — on tiny-vocabulary/templated corpora
     n-gram features are what keep the downstream prefix filter
     selective (the same reason MinHash shingles at k=3 instead of
@@ -1471,7 +1475,13 @@ def tfidf_weights(
     else:
         toks = toks.select("__id", "__t")
     tf = toks.groupBy("__id", "__t").agg(F.count("*").alias("__tf"))
-    n_docs = df.select(F.col(id_col)).distinct().count()  # one-row scalar
+    # N = docs CONTRIBUTING >= 1 feature (not all input ids): documents
+    # with fewer than ``ngram`` tokens (or empty text) produce no
+    # features and therefore no vector — counting them into the IDF
+    # would shift every weight while leaving those docs unpairable
+    # anyway.  This is also the definition a SQL replay derives from
+    # the tf relation itself (one-row scalar; bounded collect).
+    n_docs = tf.select("__id").distinct().count()
     dfreq = tf.groupBy("__t").agg(F.count("*").alias("__df"))
     w = (
         tf.join(dfreq, "__t")
@@ -1485,7 +1495,17 @@ def tfidf_weights(
     )
     nrm = Window.partitionBy("__id")
     return (
-        w.withColumn("__n", F.sqrt(F.sum(F.col("__w") * F.col("__w")).over(nrm)))
+        # DECIMAL accumulation: an unordered double window sum is
+        # order-dependent across partitions; decimal sums are exact, so
+        # the norm (and every downstream w) is run/engine stable
+        w.withColumn(
+            "__n",
+            F.sqrt(
+                F.sum(
+                    (F.col("__w") * F.col("__w")).cast("decimal(38,18)")
+                ).over(nrm).cast("double")
+            ),
+        )
         .select(
             F.col("__id").alias(id_col),
             F.col("__t").alias("token"),
@@ -1495,14 +1515,64 @@ def tfidf_weights(
     )
 
 
+def tfidf_auto_grain(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    auto_df_frac: float = 0.01,
+) -> tuple[int, dict]:
+    """Measure unigram vocabulary selectivity and pick the TF-IDF
+    feature grain for ``tfidf_cosine_pairs(ngram='auto')``.
+
+    The measured quantity is the MEAN feature document-frequency
+    fraction ``frac = |distinct (doc, token)| / (V * N)`` — the
+    probability that a random (token, doc) combination co-occurs, i.e.
+    the per-token collision rate driving the prefix join's candidate
+    count (~frac² * N² per token).  On a Heaps'-law corpus vocabulary
+    grows with N so frac stays tiny and unigrams prune well; on a
+    fixed-vocabulary / templated corpus frac is tokens-per-doc / V —
+    constant in N — and candidates grow quadratically (measured in
+    SCALE.md: 145k → 2.56M candidates for 21k → 84k docs on a 30k
+    fixed vocab).  ``frac > auto_df_frac`` (default 1%) escalates to
+    bigrams, which square the effective vocabulary.
+
+    One extra tokenize pass (a single 3-scalar aggregate over the
+    distinct (doc, token) frame — vocabulary-per-doc sized, bodies
+    never shuffle); returns ``(grain, stats)`` with the measured
+    numbers for audit logs."""
+    d = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), " +")
+            ).alias("__t"),
+        )
+        .filter(F.col("__t") != "")
+        .distinct()
+    )
+    row = d.agg(
+        F.count("*").alias("pairs"),
+        F.countDistinct("__id").alias("n_docs"),
+        F.countDistinct("__t").alias("vocab"),
+    ).collect()[0]
+    pairs, n_docs, vocab = int(row["pairs"]), int(row["n_docs"]), int(row["vocab"])
+    frac = pairs / (vocab * n_docs) if vocab and n_docs else 0.0
+    grain = 2 if frac > auto_df_frac else 1
+    stats = {"mean_df_frac": frac, "n_docs": n_docs, "vocab": vocab,
+             "distinct_doc_tokens": pairs, "threshold": auto_df_frac,
+             "grain": grain}
+    return grain, stats
+
+
 def tfidf_cosine_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     threshold: float = 0.8,
-    ngram: int = 1,
+    ngram: int | str = 1,
     max_bucket_size: int | None = None,
     round_digits: int = 6,
+    auto_df_frac: float = 0.01,
 ) -> DataFrame:
     """Token-weighted near-duplicate pairs: all (id_a < id_b) document
     pairs whose **TF-IDF cosine similarity** is >= ``threshold`` —
@@ -1552,6 +1622,14 @@ def tfidf_cosine_pairs(
     corpora grow vocabulary with size (Heaps' law), which keeps
     unigram viable far longer.
 
+    ``ngram='auto'`` measures that rule instead of asking the caller
+    to know it: ``tfidf_auto_grain`` computes the mean feature
+    document-frequency fraction from one tokenize pass and escalates
+    to bigrams when it exceeds ``auto_df_frac`` (default 1%), logging
+    the measured numbers and the choice at INFO on the
+    ``elusion_spark.dedup`` logger.  A templated fixed-vocab corpus
+    lands at bigram; a zipf/Heaps corpus stays unigram.
+
     100 TB: every shuffle carries (id, token, double) triples;
     document bodies never leave the scan.  The candidate count is
     sum over tokens of |prefix_t| x |postings_t|, bounded by the
@@ -1567,6 +1645,19 @@ def tfidf_cosine_pairs(
         raise ValueError("threshold must be in (0, 1]")
     from pyspark import StorageLevel
     from pyspark.sql.window import Window
+
+    if ngram == "auto":
+        import logging
+
+        ngram, stats = tfidf_auto_grain(df, id_col, text_col, auto_df_frac)
+        logging.getLogger("elusion_spark.dedup").info(
+            "tfidf_cosine_pairs auto grain: ngram=%d "
+            "(mean_df_frac=%.5f vs threshold %.5f; vocab=%d, n_docs=%d)",
+            ngram, stats["mean_df_frac"], stats["threshold"],
+            stats["vocab"], stats["n_docs"],
+        )
+    elif not isinstance(ngram, int):
+        raise ValueError("ngram must be an int or 'auto'")
 
     # the weight table feeds THREE consumers (prefix index and both
     # verify sides): persist it so the tokenize+TF-IDF lineage (3
@@ -1656,12 +1747,23 @@ def tfidf_cosine_pairs(
         cand.join(wa, "__a")
         .join(wb, ["__b", "token"])
         .groupBy("__a", "__b")
-        .agg(F.sum(F.col("__wa") * F.col("__wb")).alias("__dot"))
-        .filter(F.col("__dot") >= F.lit(threshold))
+        # DECIMAL accumulation for the membership-deciding sum: a
+        # grouped double sum is partition-order-dependent, and this one
+        # feeds a raw `>= threshold` cut — a boundary-adjacent pair
+        # could flip membership across runs/engines.  Each product is
+        # deterministic double math; rounding it once to scale 18 and
+        # summing exactly makes the cosine (hence membership) stable.
+        .agg(
+            F.sum(
+                (F.col("__wa") * F.col("__wb")).cast("decimal(38,18)")
+            ).alias("__dot")
+        )
+        .filter(F.col("__dot") >= F.lit(threshold).cast("decimal(38,18)"))
         .select(
             F.col("__a").alias("id_a"),
             F.col("__b").alias("id_b"),
-            F.round("__dot", round_digits).alias("cosine"),
+            F.round(F.col("__dot").cast("double"), round_digits)
+            .alias("cosine"),
         )
     )
 

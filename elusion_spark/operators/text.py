@@ -1039,8 +1039,18 @@ def pmi_collocations(
         tok.withColumn("__t2", F.lead("__t", 1).over(w))
         .filter(F.col("__t2").isNotNull())
     )
-    uni = tok.groupBy("__t").agg(F.count("*").alias("__c1"))
-    pairs = big.groupBy("__t", "__t2").agg(F.count("*").alias("__c12"))
+    from pyspark import StorageLevel
+
+    # uni feeds THREE consumers (the Nt scalar + two broadcast joins)
+    # and pairs TWO (the Nb scalar + the scoring join): persist both —
+    # they are VOCABULARY-sized, not corpus-sized — so the tokenize+
+    # explode+window lineage runs once per count table instead of once
+    # per consumer (same multi-consumer discipline as
+    # _dsir_doc_buckets_and_model's measured 2.7x).
+    uni = tok.groupBy("__t").agg(F.count("*").alias("__c1")).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    pairs = big.groupBy("__t", "__t2").agg(
+        F.count("*").alias("__c12")).persist(StorageLevel.MEMORY_AND_DISK)
     tots = uni.agg(F.sum("__c1").alias("nt")).collect()[0]  # one-row
     nb = pairs.agg(F.sum("__c12").alias("nb")).collect()[0]
     nt, nbig = float(tots["nt"] or 0), float(nb["nb"] or 0)

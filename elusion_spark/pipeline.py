@@ -806,7 +806,7 @@ def dsir_importance(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    target_flag: str,
+    target_flag: str | None = None,
     n_buckets: int = 2048,
     ngrams: tuple[int, ...] = (1, 2),
     hash_fn: str = "xxhash64",
@@ -828,7 +828,10 @@ def dsir_importance(
     marking the target-domain exemplars (e.g. ``"source = 'wiki'"``).
     Both models are fit from the SAME featurization pass: one grouped
     conditional aggregation per bucket, so the whole fit is ONE job
-    over a vocabulary-sized (``n_buckets``-row) table.
+    over a vocabulary-sized (``n_buckets``-row) table.  Required only
+    when fitting; with a prebuilt ``model`` the flag is ignored (the
+    main scoring use case — a raw crawl scored with a model fit
+    elsewhere — has no exemplar column at all).
 
     Determinism / auditability: the per-bucket log-ratio is rounded to
     ``round_digits`` and the per-doc fold accumulates
@@ -843,12 +846,18 @@ def dsir_importance(
     broadcast; the fold is one grouped sum on the id.  Document
     bodies never shuffle.  Returns ``(id_col, logw DOUBLE)``."""
     if model is not None:
-        # prebuilt (bucket, ratio) model from dsir_fit: score only
-        doc_b = _dsir_doc_buckets(df, id_col, text_col, target_flag,
+        # prebuilt (bucket, ratio) model from dsir_fit: score only.
+        # The featurization's __tgt column is unused here, so pass a
+        # constant flag — scoring a fresh corpus must not require the
+        # fit corpus's exemplar columns to exist.
+        doc_b = _dsir_doc_buckets(df, id_col, text_col, "true",
                                   n_buckets, ngrams, hash_fn)
         ratio = model.select(F.col("bucket").alias("__b"),
                              F.col("ratio").alias("__r"))
     else:
+        if target_flag is None:
+            raise ValueError(
+                "target_flag is required when fitting (model=None)")
         doc_b, ratio = _dsir_doc_buckets_and_model(
             df, id_col, text_col, target_flag, n_buckets, ngrams, hash_fn,
             round_digits,
@@ -1077,6 +1086,7 @@ def mine_contrastive_pairs(
     negatives_per_anchor: int = 3,
     salt: int = 0,
     id_space: int | None = None,
+    exact_n: bool = False,
 ) -> DataFrame:
     """Training pairs for an embedding/reranker model from a document
     corpus: POSITIVES are the near-duplicate pairs the dedup stack
@@ -1095,7 +1105,21 @@ def mine_contrastive_pairs(
     0..N-1 to skip the indexing step entirely; otherwise a dense index
     is built with a row_number over the distinct ids — an ID-SIZED
     single-partition sort, fine for corpus-catalog scales (ids are
-    ~1% of corpus bytes); at 100 TB pass dense ids and skip it."""
+    ~1% of corpus bytes); at 100 TB pass dense ids and skip it.
+
+    Negative-count contract: by default (``exact_n=False``) an anchor
+    can receive FEWER than ``negatives_per_anchor`` negatives —
+    deterministic, but not exactly N: draw collisions collapse under
+    the dedup, and self-pairs / accidental positives are dropped
+    without a redraw (~N_draws²/2·corpus_size expected shortfall, i.e.
+    rare on real corpora but guaranteed ragged on tiny ones).
+    Trainers that assume fixed-size groups should pass
+    ``exact_n=True``: the miner over-draws 2x the j values and
+    rank-limits (by draw order) to the first ``negatives_per_anchor``
+    survivors — still fully deterministic and replayable, and exact-N
+    unless more than half of an anchor's draws die (vanishingly
+    unlikely beyond toy corpora; the shortfall, if any, is still
+    deterministic)."""
     from pyspark.sql import Window
 
     pos = pairs.select(
@@ -1115,12 +1139,12 @@ def mine_contrastive_pairs(
             )
         )
         n = idx.count()
+    n_draws = int(negatives_per_anchor) * (2 if exact_n else 1)
     draws = (
         pos.select("anchor").distinct()
         .select(
             "anchor",
-            F.explode(F.array(*[F.lit(j) for j in
-                                range(int(negatives_per_anchor))])
+            F.explode(F.array(*[F.lit(j) for j in range(n_draws)])
                       ).alias("__j"),
         )
         .withColumn(
@@ -1134,17 +1158,25 @@ def mine_contrastive_pairs(
     )
     if idx is not None:
         negs = draws.join(F.broadcast(idx), "__pos").select(
-            "anchor", F.col("__nid").alias("other"))
+            "anchor", F.col("__nid").alias("other"), "__j")
     else:
         negs = draws.select(
-            "anchor", F.col("__pos").cast("bigint").alias("other"))
+            "anchor", F.col("__pos").cast("bigint").alias("other"), "__j")
     sym = pos.select("anchor", "other").unionByName(
         pos.select(F.col("other").alias("anchor"),
                    F.col("anchor").alias("other")))
     negs = (
         negs.filter(F.col("anchor") != F.col("other"))
-        .distinct()
+        # dedup colliding draws keeping the EARLIEST j (deterministic
+        # rank key for the exact_n limit; same pair set as distinct())
+        .groupBy("anchor", "other").agg(F.min("__j").alias("__j"))
         .join(sym, ["anchor", "other"], "left_anti")
-        .withColumn("label", F.lit(0))
     )
+    if exact_n:
+        wnd = Window.partitionBy("anchor").orderBy("__j")
+        negs = (
+            negs.withColumn("__r", F.row_number().over(wnd))
+            .filter(F.col("__r") <= int(negatives_per_anchor))
+        )
+    negs = negs.select("anchor", "other").withColumn("label", F.lit(0))
     return pos.unionByName(negs)

@@ -5851,17 +5851,21 @@ def q145(spark, sf):
                tf.tf * (ln((n.n + 1.0) / (dfq.df + 1.0)) + 1.0) AS w
         FROM tf, dfq, n WHERE tf.t = dfq.t
     ),
-    nm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY doc_id),
+    nm AS (SELECT doc_id,
+                  sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE))
+                      AS nrm
+           FROM w GROUP BY doc_id),
     u AS (SELECT w.doc_id, w.t, w.w / nm.nrm AS w
           FROM w JOIN nm USING (doc_id)),
     dots AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dot
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               SUM(CAST(a.w * b.w AS DECIMAL(38,18))) AS dot
         FROM u a JOIN u b ON a.t = b.t AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
-           round(dot, 6) AS cosine
-    FROM dots WHERE dot >= 0.9 ORDER BY id_a, id_b
+           round(CAST(dot AS DOUBLE), 6) AS cosine
+    FROM dots WHERE dot >= CAST(0.9 AS DECIMAL(38,18)) ORDER BY id_a, id_b
     """,
 )
 def q146(spark, sf):

@@ -3984,6 +3984,69 @@ def test_tfidf_cosine_prefix_index_prunes(spark):
     assert boiler < 60
 
 
+def test_tfidf_weights_n_excludes_featureless_docs(spark):
+    """IDF's N counts documents CONTRIBUTING >= 1 feature: a doc
+    shorter than the n-gram grain (here 1 token at bigram) must not
+    shift every other doc's weights (ADVICE r5).  Verified against a
+    numpy replay that uses n = contributing docs."""
+    import numpy as np
+
+    from elusion_spark.operators.dedup import tfidf_weights
+
+    docs = [(0, "alpha beta gamma"), (1, "alpha beta delta"),
+            (2, "solo")]  # doc 2 has zero bigrams
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["doc_id"], r["token"]): r["w"]
+           for r in tfidf_weights(df, "doc_id", "text", ngram=2).collect()}
+    assert not any(k[0] == 2 for k in got)
+
+    feats = {0: ["alpha beta", "beta gamma"], 1: ["alpha beta", "beta delta"]}
+    n = 2  # contributing docs, NOT 3
+    dfreq = {"alpha beta": 2, "beta gamma": 1, "beta delta": 1}
+    for d, fs in feats.items():
+        ws = {t: np.log((n + 1.0) / (dfreq[t] + 1.0)) + 1.0 for t in fs}
+        nrm = np.sqrt(sum(x * x for x in ws.values()))
+        for t, x in ws.items():
+            assert abs(got[(d, t)] - x / nrm) < 1e-12, (d, t)
+
+
+def test_tfidf_auto_grain_selection(spark):
+    """ngram='auto' escalates to bigrams on a templated fixed-vocab
+    corpus (mean feature df fraction above the 1% default) and stays
+    at unigrams on a rich growing vocabulary; the auto result equals
+    the explicitly-chosen grain's result."""
+    import random as _random
+
+    from elusion_spark.operators.dedup import (
+        tfidf_auto_grain,
+        tfidf_cosine_pairs,
+    )
+
+    rng = _random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]  # tiny fixed vocabulary
+    templated = [(i, " ".join(rng.choices(vocab, k=15)))
+                 for i in range(60)]
+    tdf = spark.createDataFrame(templated, "doc_id long, text string")
+    g_t, stats_t = tfidf_auto_grain(tdf, "doc_id", "text")
+    assert g_t == 2 and stats_t["mean_df_frac"] > 0.01, stats_t
+
+    # mean df frac ≈ unique-tokens-per-doc / vocab; vocab must outgrow
+    # docs×tokens for the Heaps'-law signal, hence 200 docs here
+    rich = [(i, " ".join(f"uniq{i}_{j}" for j in range(12)) + " common")
+            for i in range(200)]
+    rdf = spark.createDataFrame(rich, "doc_id long, text string")
+    g_r, stats_r = tfidf_auto_grain(rdf, "doc_id", "text")
+    assert g_r == 1 and stats_r["mean_df_frac"] <= 0.01, stats_r
+
+    auto = {(r["id_a"], r["id_b"], r["cosine"]) for r in
+            tfidf_cosine_pairs(tdf, "doc_id", "text", threshold=0.7,
+                               ngram="auto").collect()}
+    explicit = {(r["id_a"], r["id_b"], r["cosine"]) for r in
+                tfidf_cosine_pairs(tdf, "doc_id", "text", threshold=0.7,
+                                   ngram=2).collect()}
+    assert auto == explicit
+
+
 # -------------------------------------------------- DSIR importance weights
 
 @pytest.mark.parametrize("seed", range(3))
@@ -4218,6 +4281,31 @@ def test_dsir_fit_apply_expr_equality(spark):
     assert all(perrow[k] == inline[k] for k in inline)
 
 
+def test_dsir_scoring_needs_no_flag_columns(spark):
+    """The fit/apply split's main use case: score a fresh corpus that
+    does NOT carry the fit corpus's exemplar columns (ADVICE r5 — the
+    scoring path used to evaluate target_flag anyway and crash).
+    Scores must equal the inline path's."""
+    from elusion_spark.pipeline import dsir_fit, dsir_importance
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .limit(150)
+    kw = dict(n_buckets=128, hash_fn="md5")
+    model = dsir_fit(d, "doc_id", "text", "lang = 'en'", **kw)
+    inline = {r["doc_id"]: r["logw"] for r in
+              dsir_importance(d, "doc_id", "text", "lang = 'en'",
+                              **kw).collect()}
+    bare = d.select("doc_id", "text")  # no lang column at all
+    scored = {r["doc_id"]: r["logw"] for r in
+              dsir_importance(bare, "doc_id", "text", model=model,
+                              **kw).collect()}
+    assert scored == inline
+    # fitting without a flag is a loud error, not a silent null model
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="target_flag"):
+        dsir_importance(bare, "doc_id", "text", **kw).collect()
+
+
 def test_bucket_cap_none_means_uncapped_not_empty(spark):
     """max_bucket_size=None must mean 'no cap', never a silent
     <= NULL filter that drops every candidate (the footgun q149's
@@ -4264,6 +4352,47 @@ def test_mine_contrastive_pairs_semantics(spark):
                                   id_space=20)
     rows2 = {(r["anchor"], r["other"], r["label"]) for r in out2.collect()}
     assert rows == rows2
+
+
+def test_mine_contrastive_pairs_exact_n(spark):
+    """exact_n=True over-draws and rank-limits so every anchor gets
+    exactly negatives_per_anchor negatives where the default path
+    under-delivers to draw collisions / self-pairs (ADVICE r5); the
+    exact-N negatives are a prefix-by-draw-order subset of a
+    deterministic draw sequence, so the result is still reproducible."""
+    from pyspark.sql import functions as F
+
+    from elusion_spark.pipeline import mine_contrastive_pairs
+
+    # tiny id space (8 docs) makes collisions near-certain
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (2, 3), (4, 5)], "id_a long, id_b long")
+    kw = dict(negatives_per_anchor=3, salt=0, id_space=8)
+    dflt = (mine_contrastive_pairs(docs, pairs, "doc_id", **kw)
+            .filter("label = 0").groupBy("anchor")
+            .agg(F.count("*").alias("n")))
+    dcounts = {r["anchor"]: r["n"] for r in dflt.collect()}
+    exact = (mine_contrastive_pairs(docs, pairs, "doc_id", exact_n=True,
+                                    **kw)
+             .filter("label = 0").groupBy("anchor")
+             .agg(F.count("*").alias("n")))
+    ecounts = {r["anchor"]: r["n"] for r in exact.collect()}
+    assert set(ecounts) == {0, 2, 4}
+    assert all(v == 3 for v in ecounts.values()), ecounts
+    assert any(v < 3 for v in dcounts.values()), (
+        "fixture must exercise the under-delivery the default documents",
+        dcounts,
+    )
+    # determinism across partitionings
+    again = (mine_contrastive_pairs(docs.repartition(4), pairs, "doc_id",
+                                    exact_n=True, **kw)
+             .filter("label = 0"))
+    s1 = {(r["anchor"], r["other"]) for r in again.collect()}
+    s2 = {(r["anchor"], r["other"]) for r in
+          mine_contrastive_pairs(docs, pairs, "doc_id", exact_n=True,
+                                 **kw).filter("label = 0").collect()}
+    assert s1 == s2
 
 
 def test_minhash_group_scoped_equals_per_group_runs(spark):
