@@ -1441,15 +1441,23 @@ def pq_adc_topk(
                 sum(qj * float(c[j]) for j, qj in enumerate(qs))
                 for c in model.codebooks[s]
             ])
-    score = None
-    for s, lut in enumerate(luts):
-        # D-suffixed literals: bare numerics in SQL text parse as
-        # DECIMAL, which would silently switch the score arithmetic
-        arr = "array(" + ", ".join(f"{float(v)!r}D" for v in lut) + ")"
-        term = F.expr(
-            f"element_at({arr}, element_at({codes_col}, {s + 1}) + 1)"
-        )
-        score = term if score is None else score + term
+    if model.m * model.k > 1024:
+        # Large codebooks: the literal-LUT expression tree carries
+        # m*k literal doubles and evaluates interpreted — measured
+        # SLOWER than a brute-force dot at m=32 k=256 (1.16 s vs
+        # 0.27 s per query over 200k rows).  Same cutover as
+        # pq_encode_expr: one numpy gather per Arrow batch.
+        score = _pq_adc_vectorized(codes_col, luts)
+    else:
+        score = None
+        for s, lut in enumerate(luts):
+            # D-suffixed literals: bare numerics in SQL text parse as
+            # DECIMAL, which would silently switch the score arithmetic
+            arr = "array(" + ", ".join(f"{float(v)!r}D" for v in lut) + ")"
+            term = F.expr(
+                f"element_at({arr}, element_at({codes_col}, {s + 1}) + 1)"
+            )
+            score = term if score is None else score + term
     direction = (F.col("adc").asc() if metric == "l2"
                  else F.col("adc").desc())
     return (
@@ -1460,6 +1468,107 @@ def pq_adc_topk(
         .orderBy(direction, F.col(id_col))
         .limit(k)
     )
+
+
+def pq_refine_topk(
+    encoded: DataFrame,
+    raw: DataFrame,
+    id_col: str,
+    codes_col: str,
+    vec_col: str,
+    query: list[float],
+    model: "PQModel",
+    k: int = 10,
+    candidates: int = 100,
+    metric: str = "l2",
+    centroids: list[list[float]] | None = None,
+    nprobe: int = 4,
+    cluster_col: str = "cluster_id",
+    round_digits: int = 7,
+) -> DataFrame:
+    """Two-stage compressed ANN (the FAISS ``IndexRefineFlat`` /
+    DiskANN pattern): ADC-scan the PQ codes for a ``candidates``-sized
+    shortlist, then re-rank JUST those ids with exact math over the raw
+    vectors and return the top ``k``.
+
+    Why this exists: pure ADC ranking pays the full quantization error
+    at the final cut — on structureless (isotropic random) vectors at
+    aggressive code budgets, recall@10 sits at 0.2-0.35 (measured,
+    SCALE.md round 6).  Reranking restores almost all of it for the
+    price of reading ``candidates`` raw vectors per query: the scan
+    stays compressed (8-21x fewer bytes), and the exact stage touches
+    ~100 rows instead of the corpus — recall is then bounded only by
+    whether the true top-k made the shortlist.  Measured at 200k x
+    64-dim: m=16 k=64 goes 0.225 -> 0.685 (C=100) -> 0.875 (C=400) on
+    the adversarial random fixture and 0.34 -> 0.935 -> 0.99 on the
+    clustered one; m=32 k=256 + C=100 reaches recall 1.0 on both.
+
+    ``centroids`` switches the shortlist stage to ``ivf_pq_search``
+    (coarse-cell probe + ADC inside), composing both IO reductions with
+    the recall restore.  The rerank is a BROADCAST semi-join on the
+    candidate ids — at 100 TB the raw table is id-keyed storage and
+    only ``candidates`` rows cross the wire; no shuffle of the corpus.
+
+    Returns ``(id_col, score)`` — ``score`` is exact (squared L2
+    ascending, or inner product descending for ``metric='ip'``),
+    rounded with an id tiebreak for a cross-engine total order."""
+    if metric not in ("l2", "ip"):
+        raise ValueError(f"metric must be 'l2' or 'ip', got {metric!r}")
+    if centroids is not None:
+        shortlist = ivf_pq_search(encoded, centroids, model, id_col,
+                                  codes_col, query, k=candidates,
+                                  nprobe=nprobe, cluster_col=cluster_col)
+    else:
+        shortlist = pq_adc_topk(encoded, id_col, codes_col, query, model,
+                                k=candidates, metric=metric)
+    ids = shortlist.select(id_col)
+    if metric == "l2":
+        # sequential-fold Σ(x−q)² — NOT ||v||²−2⟨v,q⟩+||q||²: the
+        # elementwise left-associated chain is what an external SQL
+        # replay writes as an unrolled `+` chain, so scores are
+        # bit-identical cross-engine (the q152 oracle relies on this);
+        # it only ever evaluates on the `candidates` surviving rows
+        q = _vec_literal(query)
+        score = F.expr(
+            f"aggregate(zip_with({vec_col}, {q}, "
+            f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        direction = F.col("score").asc()
+    else:
+        score = dot_expr(vec_col, query)
+        direction = F.col("score").desc()
+    return (
+        raw.join(F.broadcast(ids), id_col, "left_semi")
+        .select(F.col(id_col), F.round(score, round_digits).alias("score"))
+        .orderBy(direction, F.col(id_col))
+        .limit(k)
+    )
+
+
+def _pq_adc_vectorized(codes_col: str, luts: list[list[float]]) -> Column:
+    """ADC score as one numpy gather+sum per Arrow batch — the large-
+    codebook path of ``pq_adc_topk``.  Accumulates LEFT-ASSOCIATED in
+    float64, subspace by subspace, exactly like the expression path's
+    chained double adds, so both strategies are bit-identical and the
+    cutover can never flip an oracle-checked ranking."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    L = [np.asarray(t, dtype=np.float64) for t in luts]
+
+    def _score(cs):
+        if len(cs) == 0:
+            return pd.Series([], dtype="float64")
+        C = np.asarray(cs.tolist(), dtype=np.int64)
+        out = L[0][C[:, 0]]
+        for s in range(1, len(L)):
+            out = out + L[s][C[:, s]]
+        return pd.Series(out)
+
+    _score.__annotations__ = {"cs": pd.Series, "return": pd.Series}
+    return pandas_udf(_score, "double")(F.col(codes_col))
 
 
 def recall_at_k(

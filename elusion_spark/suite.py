@@ -6189,6 +6189,67 @@ def q151(spark, sf):
     )
 
 
+_Q152_C = 50  # ADC shortlist size the exact rerank reads
+
+
+def _q152_oracle() -> str:
+    """q142's full ADC chain demoted to a shortlist CTE (LIMIT C), then
+    the exact rerank: an unrolled left-associated Σ(x−q)² chain —
+    bit-identical to the engine's sequential zip_with fold."""
+    base = _q142_oracle()
+    head, tail = base.rsplit("rows_in AS (SELECT vec_id, ", 1)
+    cols, rest = tail.split(" FROM embeddings)", 1)
+    short_body = rest.replace("LIMIT 10", f"LIMIT {_Q152_C}").strip()
+    q = [repr(float(v)) for v in _Q142_QUERY]
+    exact = (
+        f"(x01 - {q[0]}) * (x01 - {q[0]}) + "
+        f"(x02 - {q[1]}) * (x02 - {q[1]}) + "
+        f"(x11 - {q[2]}) * (x11 - {q[2]}) + "
+        f"(x12 - {q[3]}) * (x12 - {q[3]})"
+    )
+    return (
+        head
+        + "rows_in AS (SELECT vec_id, " + cols + " FROM embeddings),\n"
+        + "short AS (" + short_body + ")\n"
+        + f"""
+    SELECT CAST(r.vec_id AS BIGINT) AS vec_id,
+           ROUND({exact}, 7) AS score
+    FROM rows_in r
+    WHERE r.vec_id IN (SELECT vec_id FROM short)
+    ORDER BY score, r.vec_id LIMIT 10
+    """
+    )
+
+
+@q("q152_pq_refine", _q152_oracle())
+def q152(spark, sf):
+    """Two-stage compressed ANN (similarity.py pq_refine_topk, the
+    FAISS IndexRefineFlat pattern): ADC-scan the PQ codes for a
+    C-sized shortlist, then re-rank ONLY those ids with exact math
+    over the raw vectors — the scan stays compressed, the exact stage
+    touches C rows, and recall is bounded only by shortlist misses
+    (measured recall study in SCALE.md round 6: rerank lifts
+    0.225→0.875 on the adversarial random fixture, →1.0 at m=32
+    k=256).  The oracle replays BOTH stages: q142's full unrolled
+    Lloyd+encode+ADC chain as the shortlist CTE, then the identical
+    left-associated Σ(x−q)² rerank."""
+    from .operators.similarity import (
+        pq_encode_expr, pq_fit, pq_refine_topk)
+
+    e = _t(spark, sf, "embeddings", "e").df.selectExpr(
+        "vec_id",
+        f"transform(slice(embedding, 1, {_Q142_M * _Q142_DSUB}), "
+        "x -> CAST(x AS DOUBLE)) AS v",
+    )
+    model = pq_fit(e, "v", dim=_Q142_M * _Q142_DSUB, m=_Q142_M, k=2,
+                   iters=_Q142_ITERS, init_centroids=_Q142_INIT)
+    enc = e.withColumn("codes", pq_encode_expr("v", model))
+    return pq_refine_topk(
+        enc, enc, "vec_id", "codes", "v", _Q142_QUERY, model,
+        k=10, candidates=_Q152_C,
+    ).select(F.col("vec_id").cast("bigint").alias("vec_id"), "score")
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -6199,8 +6260,8 @@ def q151(spark, sf):
 _NEEDS_EVIDENCE = [
     # Round-6 rotation (VERDICT r5 ask #3): 50 driver slots.
     # Priority 1 — the one red row in r5 (hash-type fix applied this
-    # round, must re-evidence) and the query NEW this round:
-    "q132_grouping_builder", "q151_video_near_dup",
+    # round, must re-evidence) and the queries NEW this round:
+    "q132_grouping_builder", "q151_video_near_dup", "q152_pq_refine",
     # Priority 2 — the 11 queries whose latest driver evidence is r2:
     "q52_audio_decode", "q53_corpus_boilerplate", "q54_date_bin",
     "q56_semi_anti", "q57_asof_join", "q58_range_join",

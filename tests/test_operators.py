@@ -3700,6 +3700,88 @@ def test_pq_adc_topk_ip_metric(spark):
         pq_adc_topk(enc, "id", "codes", q, model, metric="cosine")
 
 
+def test_pq_adc_vectorized_path_bit_equals_expression_path(spark):
+    """The large-codebook ADC branch (numpy gather, left-associated
+    float64 accumulation) must be BIT-identical to the literal-LUT
+    expression branch — the m*k>1024 cutover can never flip an
+    oracle-checked ranking."""
+    import random as _random
+
+    from pyspark.sql import functions as FF
+
+    from elusion_spark.operators.similarity import _pq_adc_vectorized
+
+    rng = _random.Random(3)
+    m, k = 4, 5
+    luts = [[rng.uniform(0, 2) for _ in range(k)] for _ in range(m)]
+    rows = [(i, [rng.randrange(k) for _ in range(m)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, codes array<int>")
+    expr = None
+    for s, lut in enumerate(luts):
+        arr = "array(" + ", ".join(f"{float(v)!r}D" for v in lut) + ")"
+        term = FF.expr(f"element_at(array({', '.join(f'{float(v)!r}D' for v in lut)}), "
+                       f"element_at(codes, {s + 1}) + 1)")
+        expr = term if expr is None else expr + term
+    got = df.select(
+        "id", expr.alias("a"),
+        _pq_adc_vectorized("codes", luts).alias("b"),
+    ).collect()
+    assert all(r["a"] == r["b"] for r in got)  # exact, not approx
+
+
+def test_pq_refine_topk_restores_exact_ranking(spark):
+    """Two-stage refine (ADC shortlist -> exact rerank): with the
+    shortlist covering the whole corpus the result must EQUAL the
+    brute-force exact top-k (the rerank is exact math, so any recall
+    loss can only come from shortlist misses); with a small shortlist
+    the output is a subset of the ADC candidates; the IVF-probed
+    variant agrees with the flat variant when probing all cells."""
+    import numpy as np
+
+    from elusion_spark.operators.similarity import (
+        assign_clusters_col, pq_adc_topk, pq_encode_expr, pq_fit,
+        pq_refine_topk)
+
+    X = _pq_fixture(seed=31, n=60, dim=8)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "id long, v array<double>",
+    )
+    init = [[[float(X[r][s * 4 + j]) for j in range(4)] for r in (0, 1, 2)]
+            for s in range(2)]
+    model = pq_fit(df, "v", dim=8, m=2, k=3, iters=2, init_centroids=init)
+    enc = df.withColumn("codes", pq_encode_expr("v", model))
+    q = [float(v) for v in _pq_fixture(seed=79, n=1, dim=8)[0]]
+
+    got = pq_refine_topk(enc, df, "id", "codes", "v", q, model, k=5,
+                         candidates=60).collect()
+    d2 = sorted((round(float(((X[i] - np.array(q)) ** 2).sum()), 7), i)
+                for i in range(len(X)))
+    assert [r["id"] for r in got] == [i for _, i in d2[:5]]
+    assert all(abs(r["score"] - s) < 1e-6 for r, (s, _) in zip(got, d2))
+
+    short = {r["id"] for r in
+             pq_adc_topk(enc, "id", "codes", q, model, k=8).collect()}
+    small = {r["id"] for r in
+             pq_refine_topk(enc, df, "id", "codes", "v", q, model, k=5,
+                            candidates=8).collect()}
+    assert small <= short and len(small) == 5
+
+    cents = [[float(v) for v in X[0]], [float(v) for v in X[1]]]
+    ivf = enc.withColumn("cluster_id", assign_clusters_col("v", cents))
+    via_ivf = pq_refine_topk(ivf, df, "id", "codes", "v", q, model, k=5,
+                             candidates=60, centroids=cents,
+                             nprobe=2).collect()
+    assert [r["id"] for r in via_ivf] == [i for _, i in d2[:5]]
+
+    # MIPS metric: exact rerank ranks by true inner product
+    ip = pq_refine_topk(enc, df, "id", "codes", "v", q, model, k=5,
+                        candidates=60, metric="ip").collect()
+    best = sorted(((-round(float(X[i] @ np.array(q)), 7), i)
+                   for i in range(len(X))))
+    assert [r["id"] for r in ip] == [i for _, i in best[:5]]
+
+
 def test_l2_normalize_expr(spark):
     import numpy as np
 

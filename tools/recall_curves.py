@@ -1,15 +1,23 @@
 #!/usr/bin/env python
 """Recall@10 vs speed for the compressed-ANN path (VERDICT r5 ask #7):
-PQ-ADC and IVF-PQ measured against brute-force ground truth, so the
+PQ-ADC, IVF-PQ, and the two-stage refine (ADC shortlist -> exact
+rerank) measured against brute-force ground truth, so the
 storage/speed claims in SCALE.md carry their accuracy cost.
 
-Fixture: 200k UNIQUE 64-dim gaussian vectors (seeded, /tmp/recall_emb).
-The 200k/2M SCALE fixtures are key-shift REPLICAS — fine for throughput,
-degenerate for recall (every true top-k is 100 copies of one base
-vector) — so accuracy is measured on unique vectors and throughput
-numbers stay with the replica fixtures.
+Two fixtures, both 200k x 64-dim unit vectors, both UNIQUE rows:
+- ``random``: isotropic gaussians — PQ's worst case (no manifold
+  structure; all pairwise distances concentrate), the honest lower
+  bound.
+- ``clustered``: a 200-center gaussian mixture (sigma=0.15 before
+  normalization) — the low-intrinsic-dimension shape real embedding
+  models produce, where coarse+fine quantization actually has
+  structure to exploit.
 
-Prints one markdown table (for SCALE.md) + one JSON line.
+(The 200k/2M SCALE fixtures are key-shift REPLICAS — fine for
+throughput, degenerate for recall, so accuracy is measured here and
+throughput numbers stay with the replica fixtures.)
+
+Prints one markdown table per fixture (for SCALE.md) + one JSON line.
 """
 
 from __future__ import annotations
@@ -22,47 +30,59 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N, DIM, K, NQ = 200_000, 64, 10, 20
-FIX = "/tmp/recall_emb"
 
 
-def _build_fixture(spark):
+def _unit(m):
     import numpy as np
 
-    if os.path.exists(f"{FIX}/_SUCCESS"):
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def _build_fixture(spark, kind: str, path: str):
+    import numpy as np
+
+    if os.path.exists(f"{path}/_SUCCESS"):
         return
-    rng = np.random.default_rng(11)
-    # unit-normalized gaussians: L2 ranking == cosine ranking, matching
-    # the ADC l2 metric and the brute-force cosine baseline alike
-    v = rng.standard_normal((N, DIM))
-    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    rng = np.random.default_rng(11 if kind == "random" else 13)
+    if kind == "random":
+        v = rng.standard_normal((N, DIM))
+    else:
+        centers = _unit(rng.standard_normal((200, DIM)))
+        assign = rng.integers(0, 200, size=N)
+        v = centers[assign] + 0.15 * rng.standard_normal((N, DIM))
+    v = _unit(v)
     rows = [(i, [float(x) for x in v[i]]) for i in range(N)]
     spark.createDataFrame(rows, "vec_id long, v array<double>") \
-        .repartition(32).write.mode("overwrite").parquet(FIX)
+        .repartition(32).write.mode("overwrite").parquet(path)
 
 
-def _queries():
+def _queries(kind: str):
     import numpy as np
 
     rng = np.random.default_rng(12)
-    q = rng.standard_normal((NQ, DIM))
-    q /= np.linalg.norm(q, axis=1, keepdims=True)
-    return [[float(x) for x in q[i]] for i in range(NQ)]
+    if kind == "random":
+        q = rng.standard_normal((NQ, DIM))
+    else:
+        crng = np.random.default_rng(13)
+        centers = _unit(crng.standard_normal((200, DIM)))
+        q = centers[rng.integers(0, 200, size=NQ)] \
+            + 0.15 * rng.standard_normal((NQ, DIM))
+    return [[float(x) for x in r] for r in _unit(q)]
 
 
-def main() -> None:
+def run_fixture(spark, kind: str, results: list) -> float:
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
     from elusion_spark.operators.similarity import (
         assign_clusters_col, dot_expr, ivf_pq_search, kmeans_fit,
-        pq_adc_topk, pq_encode_expr, pq_fit)
-    from elusion_spark.session import get_spark
+        pq_adc_topk, pq_encode_expr, pq_fit, pq_refine_topk)
 
-    spark = get_spark("recall_curves")
-    _build_fixture(spark)
-    df = spark.read.parquet(FIX).persist(StorageLevel.MEMORY_AND_DISK)
+    path = f"/tmp/recall_emb_{kind}"
+    _build_fixture(spark, kind, path)
+    df = spark.read.parquet(path).persist(StorageLevel.MEMORY_AND_DISK)
     df.count()
-    queries = _queries()
+    queries = _queries(kind)
 
     # exact ground truth: unit vectors, so argmin L2 == argmax dot
     def exact_topk(q):
@@ -74,35 +94,40 @@ def main() -> None:
     truth = {i: set(exact_topk(q)) for i, q in enumerate(queries)}
     brute_sec = (time.perf_counter() - t0) / NQ
 
-    results = []
-
     def eval_scan(label, scan_fn, extra):
-        # warm once (codegen for this lut shape), then time all queries
-        scan_fn(queries[0]).collect()
+        scan_fn(queries[0]).collect()  # warm this lut shape
         hits, t0 = 0, time.perf_counter()
         for i, q in enumerate(queries):
             got = {r[0] for r in scan_fn(q).collect()}
             hits += len(got & truth[i])
         sec = (time.perf_counter() - t0) / NQ
-        rec = hits / (K * NQ)
-        results.append({"config": label, "recall_at_10": round(rec, 4),
+        results.append({"fixture": kind, "config": label,
+                        "recall_at_10": round(hits / (K * NQ), 4),
                         "sec_per_query": round(sec, 4), **extra})
 
-    for m, k, iters in [(8, 16, 3), (16, 64, 2), (8, 256, 2)]:
+    for m, k, iters in [(16, 64, 2), (32, 256, 2)]:
         model = pq_fit(df, "v", dim=DIM, m=m, k=k, iters=iters,
                        sample_fraction=min(1.0, 100_000 / N))
         enc = df.select("vec_id", pq_encode_expr("v", model).alias("codes")) \
             .persist(StorageLevel.MEMORY_AND_DISK)
         enc.count()
         bits = m * max(1, (k - 1).bit_length())
+        comp = round(DIM * 32 / bits, 1)
         eval_scan(
             f"PQ-ADC m={m} k={k}",
-            lambda q, _e=enc, _m=model: pq_adc_topk(_e, "vec_id", "codes",
-                                                    q, _m, k=K),
-            {"code_bits": bits, "compression_vs_f32":
-             round(DIM * 32 / bits, 1)},
+            lambda q, _e=enc, _m=model: pq_adc_topk(
+                _e, "vec_id", "codes", q, _m, k=K),
+            {"code_bits": bits, "compression_vs_f32": comp},
         )
-        if (m, k) == (16, 64):
+        for cand in (100, 400):
+            eval_scan(
+                f"PQ-ADC m={m} k={k} + exact rerank C={cand}",
+                lambda q, _e=enc, _m=model, _c=cand: pq_refine_topk(
+                    _e, df, "vec_id", "codes", "v", q, _m, k=K,
+                    candidates=_c),
+                {"code_bits": bits, "compression_vs_f32": comp},
+            )
+        if (m, k) == (32, 256):
             cents = kmeans_fit(df, "v", dim=DIM, k=64, iters=3,
                                sample_fraction=min(1.0, 100_000 / N)
                                ).centroids
@@ -112,31 +137,52 @@ def main() -> None:
                               "cluster_id")), "vec_id") \
                 .persist(StorageLevel.MEMORY_AND_DISK)
             ivf.count()
-            for nprobe in (1, 4, 8, 16):
+            for nprobe in (4, 16):
                 eval_scan(
-                    f"IVF-PQ nlist=64 nprobe={nprobe} (m=16 k=64)",
+                    f"IVF-PQ nlist=64 nprobe={nprobe} (m=32 k=256)",
                     lambda q, _np=nprobe: ivf_pq_search(
                         ivf, cents, model, "vec_id", "codes", q,
                         k=K, nprobe=_np),
                     {"cells_scanned_frac": round(nprobe / 64, 3)},
                 )
+            eval_scan(
+                "IVF-PQ nprobe=16 + exact rerank C=100 (m=32 k=256)",
+                lambda q: pq_refine_topk(
+                    ivf, df, "vec_id", "codes", "v", q, model, k=K,
+                    candidates=100, centroids=cents, nprobe=16),
+                {"cells_scanned_frac": 0.25},
+            )
             ivf.unpersist()
         enc.unpersist()
+    df.unpersist()
+    return brute_sec
 
-    print(f"\nbrute-force exact (dot codegen, {N} rows): "
-          f"{brute_sec:.4f} s/query\n")
-    print("| config | recall@10 | s/query | notes |")
-    print("|---|---|---|---|")
-    for r in results:
-        note = (f"{r['compression_vs_f32']}x vs f32"
-                if "compression_vs_f32" in r
-                else f"{r['cells_scanned_frac']} of cells")
-        print(f"| {r['config']} | {r['recall_at_10']} | "
-              f"{r['sec_per_query']} | {note} |")
+
+def main() -> None:
+    from elusion_spark.session import get_spark
+
+    spark = get_spark("recall_curves")
+    results: list = []
+    brute = {}
+    for kind in ("random", "clustered"):
+        brute[kind] = round(run_fixture(spark, kind, results), 4)
+
+    for kind in ("random", "clustered"):
+        print(f"\n### {kind} fixture ({N} x {DIM}-dim unit vectors; "
+              f"brute-force exact {brute[kind]} s/query)\n")
+        print("| config | recall@10 | s/query | notes |")
+        print("|---|---|---|---|")
+        for r in results:
+            if r["fixture"] != kind:
+                continue
+            note = (f"{r['compression_vs_f32']}x vs f32"
+                    if "compression_vs_f32" in r
+                    else f"{r['cells_scanned_frac']} of cells")
+            print(f"| {r['config']} | {r['recall_at_10']} | "
+                  f"{r['sec_per_query']} | {note} |")
     print()
     print(json.dumps({"n": N, "dim": DIM, "k": K, "n_queries": NQ,
-                      "brute_sec_per_query": round(brute_sec, 4),
-                      "results": results}))
+                      "brute_sec_per_query": brute, "results": results}))
 
 
 if __name__ == "__main__":
