@@ -312,8 +312,25 @@ SHUFFLE_BUDGETS = {
     # prints its build lineage once per consumer (runtime materializes
     # it once — the persist CUT wall 5.2 -> 1.9 s at sf0.1)
     "q147_dsir_importance": 6,
-    # gram explode + two gram-count shuffles + broadcast unigram joins
-    "q148_pmi_collocations": 5,
+    # gram explode + two gram-count shuffles + broadcast unigram joins;
+    # 9 in PLAN TEXT since round 6: uni and pairs are persisted
+    # (vocabulary-sized, 3+2 consumers) and each InMemoryRelation
+    # prints its build lineage per consumer — runtime materializes each
+    # once (same phenomenon as q147's pin)
+    "q148_pmi_collocations": 9,
+    # the multimodal dedup triad: hash pass is narrow mapInPandas /
+    # pandas_udf; the banded Hamming engine's bucket-cap window + the
+    # self-join + pair dedup are the exchanges — frame/payload bytes
+    # never shuffle
+    "q144_image_near_dup": 6,
+    "q145_audio_near_dup": 6,
+    "q151_video_near_dup": 7,  # +1: the per-video shared-frame fold
+    # group-scoped MinHash: banding + bucket join + verify, all keyed
+    # under (lang, band)
+    "q150_minhash_by_lang": 8,
+    # ADC shortlist (TakeOrdered, 0-shuffle) -> broadcast semi-join ->
+    # exact rerank TakeOrdered: ZERO exchanges in the returned plan
+    "q152_pq_refine": 0,
 }
 
 
