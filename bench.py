@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     # SCALE.md's rich-corpus section, its correctness gate at sf0.01.
     "q150_minhash_by_lang",   # group-scoped MinHash (per-language dedup)
     "q151_video_near_dup",    # frame-aligned perceptual-hash video dedup
+    "q152_pq_refine",         # ADC shortlist + exact rerank (0-shuffle)
     "q46_training_corpus",    # end-to-end curation composite (9 stages)
 ]
 
@@ -128,7 +129,8 @@ BUDGETS_SF01 = {
     "q141_random_projection": 0.75, "q142_pq_adc_topk": 1.25,
     "q143_ivf_pq_search": 1.3, "q147_dsir_importance": 2.45,
     "q148_pmi_collocations": 2.2, "q150_minhash_by_lang": 1.9,
-    "q151_video_near_dup": 2.35, "q46_training_corpus": 5.7,
+    "q151_video_near_dup": 2.4, "q152_pq_refine": 1.55,
+    "q46_training_corpus": 5.7,
     "q01_cache_miss": 1.8, "q01_cache_hit": 0.35,
 }
 

@@ -439,9 +439,11 @@ def near_dup_candidates_stream(
     pair ``(anchor_id, doc_id, band_idx)``.
 
     State model (``applyInPandasWithState`` keyed by ``(band_idx,
-    band_hash)``): one long per live bucket — the minimum document id
-    seen. A new document joins its bucket's anchor; the anchor itself
-    emits nothing. With ids arriving in increasing order the emitted
+    band_hash)``): one value per live bucket — the minimum document id
+    seen, in the id column's NATIVE ordering (long for integral ids,
+    lexicographic string otherwise — the anchor rule only needs a
+    deterministic total order). A new document joins its bucket's
+    anchor; the anchor itself emits nothing. With ids arriving in increasing order the emitted
     set equals the batch pipeline's star pairs exactly (the parity
     test's construction). Out-of-order arrivals are handled too: when a
     batch brings an id SMALLER than the stored anchor, the anchor moves
@@ -455,7 +457,7 @@ def near_dup_candidates_stream(
     band-grain emission is intentional so the verifier can weigh
     multi-band collisions.
 
-    100 TB/day notes: state is ~24 B per live band bucket, NOT per
+    100 TB/day notes: state is ~24 B (one id) per live band bucket, NOT per
     document pair; an eviction policy (watermark + timeout) bounds it
     for unbounded streams — add ``GroupStateTimeout`` when buckets
     should expire. The band explode multiplies the stream by ``bands``
