@@ -31,6 +31,36 @@ from pyspark.sql import functions as F
 
 # ------------------------------------------------------------------- exact
 
+def _integral_id(df: DataFrame, col: str) -> bool:
+    from pyspark.sql import types as T
+
+    return isinstance(
+        df.schema[col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
+
+
+def _id_out(df: DataFrame, id_col: str):
+    """Output-boundary id normalization, shared by every pair-emitting
+    operator: integral input ids widen to bigint (stable schemas for
+    the SQL oracles), any OTHER id type passes through NATIVE.  A
+    blanket ``cast("bigint")`` on the output silently NULLed
+    string/UUID document ids — every pair became (NULL, NULL) and the
+    downstream anti-join dropped nothing — the same defect class as
+    the stream_minhash/funnel_stream state-key casts, at the batch
+    output boundary.  Decided from the INPUT frame's id type, before
+    any internal renames."""
+    widen = _integral_id(df, id_col)
+
+    def _c(name: str, alias: str | None = None) -> Column:
+        c = F.col(name)
+        if widen:
+            c = c.cast("bigint")
+        return c.alias(alias) if alias else c
+
+    return _c
+
+
 def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """Keep one row per distinct (cols) combination — hash-groupBy shuffle."""
     return df.dropDuplicates(cols) if cols else df.dropDuplicates()
@@ -39,11 +69,14 @@ def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
 def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Group identical texts by content hash: (text_hash, keep_id,
     dup_count).  Shuffles only (hash, id) — not the text bodies."""
+    keep = F.min(id_col)
+    if _integral_id(df, id_col):
+        keep = keep.cast("bigint")
     return (
         df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
         .groupBy("text_hash")
         .agg(
-            F.min(id_col).cast("bigint").alias("keep_id"),
+            keep.alias("keep_id"),
             F.count("*").cast("bigint").alias("dup_count"),
         )
     )
@@ -244,9 +277,9 @@ def minhash_dedup_pairs(
             .withColumn("jaccard", jaccard_expr("sh_a", "sh_b"))
         )
     out_g = [F.col("__grp").alias(group_col)] if group_col else []
+    oc = _id_out(df, id_col)
     return scored.filter(F.col("jaccard") >= threshold).select(
-        *out_g,
-        F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"), "jaccard"
+        *out_g, oc("id_a"), oc("id_b"), "jaccard"
     )
 
 
@@ -402,6 +435,7 @@ def hamming_near_dup_pairs(
     width = bits // bands
     sig = F.col(sig_col) if isinstance(sig_col, str) else sig_col
     gcols = [group_col] if group_col else []
+    oc = _id_out(df, id_col)
     # persisted: the (possibly expensive) signature feeds both join sides
     sigged = (
         _ensure_parallelism(df)
@@ -456,11 +490,7 @@ def hamming_near_dup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(gcols + ["id_a", "id_b"])
-        .select(
-            *gcols,
-            F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"),
-            "hamming",
-        )
+        .select(*gcols, oc("id_a"), oc("id_b"), "hamming")
     )
 
 
@@ -489,6 +519,26 @@ def ngram_jaccard_vs_reference(
 
 
 # ------------------------------------------------------- cluster resolve
+
+def _require_integral_pair_ids(pairs: DataFrame, fn: str) -> None:
+    """Connected-components algorithms key their labels/union-find on
+    longs; a silent bigint cast would NULL string ids and collapse the
+    whole edge set into one phantom component.  Fail loudly instead,
+    with the standard escapes."""
+    from pyspark.sql import types as T
+
+    for c in ("id_a", "id_b"):
+        t = pairs.schema[c].dataType
+        if not isinstance(
+            t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            raise ValueError(
+                f"{fn} requires integral pair ids (got {c}: "
+                f"{t.simpleString()}); map string/UUID ids to longs "
+                "first — F.xxhash64(id) (collision odds ~2^-64) or a "
+                "row_number id catalog — and join the labels back."
+            )
+
 
 def connected_components(
     pairs: DataFrame,
@@ -519,6 +569,7 @@ def connected_components(
     (O(log² n) rounds) — dedup edge sets don't normally need it."""
     from pyspark import StorageLevel
 
+    _require_integral_pair_ids(pairs, "connected_components")
     edges = pairs.select(
         F.col("id_a").cast("bigint").alias("src"),
         F.col("id_b").cast("bigint").alias("dst"),
@@ -602,6 +653,7 @@ def connected_components_star(
     from pyspark import StorageLevel
 
     spark = pairs.sparkSession
+    _require_integral_pair_ids(pairs, "connected_components_star")
     e = (
         pairs.select(
             F.col("id_a").cast("bigint").alias("src"),
@@ -899,9 +951,9 @@ def incremental_minhash_pairs(
                             F.col("__ch").alias("sh_b")), "id_b")
             .withColumn("jaccard", jaccard_expr("sh_a", "sh_b"))
         )
+        oc = _id_out(new_df, id_col)
         return scored.filter(F.col("jaccard") >= threshold).select(
-            F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"),
-            "jaccard"
+            oc("id_a"), oc("id_b"), "jaccard"
         )
     scored = (
         cand.join(all_sigs.select(F.col("id").alias("id_a"),
@@ -916,8 +968,9 @@ def incremental_minhash_pairs(
             ),
         )
     )
+    oc = _id_out(new_df, id_col)
     return scored.filter(F.col("jaccard") >= threshold).select(
-        F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"), "jaccard"
+        oc("id_a"), oc("id_b"), "jaccard"
     )
 
 
@@ -953,6 +1006,7 @@ def containment_pairs(
 
     from .similarity import _ensure_parallelism
 
+    oc = _id_out(df, id_col)
     hashed = (
         _ensure_parallelism(
             df.select(F.col(id_col).alias("__id"),
@@ -1001,8 +1055,7 @@ def containment_pairs(
             ),
         )
         .filter(F.col("containment") >= threshold)
-        .select(F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"),
-                "containment")
+        .select(oc("id_a"), oc("id_b"), "containment")
     )
 
 

@@ -228,6 +228,9 @@ def embedding_near_dup_pairs(
     # id, vec, norm, bucket × tables) result rather than recompute
     from pyspark import StorageLevel
 
+    from .dedup import _id_out
+
+    oc = _id_out(df, id_col)
     nb = _norm_buckets_udf(dim, n_planes, n_tables, seed)
     b = (
         _ensure_parallelism(df)
@@ -264,9 +267,7 @@ def embedding_near_dup_pairs(
             ),
         )
         .filter(F.col("cosine") >= cosine_threshold)
-        .select(
-            F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"), "cosine"
-        )
+        .select(oc("id_a"), oc("id_b"), "cosine")
     )
 
 
@@ -863,7 +864,18 @@ def semantic_dedup(
 
     Returns the surviving rows of ``df`` (or the removed ids with their
     component root when ``return_removed``)."""
-    from .dedup import connected_components
+    from .dedup import _integral_id, connected_components
+
+    if not _integral_id(df, id_col):
+        # the intra-cluster pair stage and connected components both key
+        # on longs; a silent coercion would NULL string ids — fail loudly
+        # with the standard escapes instead
+        raise ValueError(
+            f"semantic_dedup requires an integral id column (got "
+            f"{df.schema[id_col].dataType.simpleString()}); map ids to "
+            "longs first (F.xxhash64(id) or a row_number catalog) and "
+            "join the survivors back."
+        )
 
     assigned, _ = ivf_build(
         df, vec_col, dim, nlist=n_clusters,

@@ -33,6 +33,17 @@ STOPWORDS = {
 }
 
 
+
+def _id_widen(df: DataFrame, id_col: str, out_name: str):
+    """Integral ids widen to bigint (stable oracle schemas); any other
+    id type passes through NATIVE — a blanket bigint cast NULLs
+    string/UUID ids (see dedup._id_out)."""
+    from .dedup import _integral_id
+
+    c = F.col(out_name)
+    return c.cast("bigint") if _integral_id(df, id_col) else c
+
+
 def char_count(col: str = "text") -> Column:
     return F.expr(f"CAST(length({col}) AS BIGINT)")
 
@@ -195,7 +206,7 @@ def lm_score(
             F.sum("__logp").alias("__slp"),
         )
         .select(
-            F.col("__id").cast("bigint").alias(id_col),
+            _id_widen(df, id_col, "__id").alias(id_col),
             F.col("__n").cast("bigint").alias("n_tokens"),
             F.round(
                 -F.col("__slp").cast("double") / F.col("__n").cast("double"),
@@ -293,7 +304,7 @@ def lm_score_bigram(
         .groupBy("__id")
         .agg(F.count("*").alias("__n"), F.sum("__logp").alias("__slp"))
         .select(
-            F.col("__id").cast("bigint").alias(id_col),
+            _id_widen(df, id_col, "__id").alias(id_col),
             F.col("__n").cast("bigint").alias("n_bigrams"),
             F.round(
                 -F.col("__slp").cast("double") / F.col("__n").cast("double"),
@@ -341,7 +352,7 @@ def chunk_documents(
             ).alias("chunk_idx", "__chunk"),
         )
         .select(
-            F.col(id_col).cast("bigint").alias(id_col),
+            _id_widen(df, id_col, id_col).alias(id_col),
             F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
             F.size("__chunk").cast("bigint").alias("n_tokens"),
             F.array_join("__chunk", " ").alias("chunk_text"),

@@ -173,9 +173,24 @@ def _knuth_uniform_hash(id_col: str, salt: int = 0):
     row makes the same draw" holds ACROSS operators too.  ``pmod``
     keeps negative ids in range (for the non-negative ids the fixtures
     and oracles use, ``pmod(id, m) == id % m``, so the documented ANSI
-    form ``(id % 2^31)`` still reproduces it from any engine)."""
+    form ``(id % 2^31)`` still reproduces it from any engine).
+
+    Id-type contract: numeric ids (and numeric strings) take the
+    arithmetic fold above — bit-compatible with every oracle replay to
+    date; NON-numeric ids (UUIDs, URLs) fold through
+    ``conv(substr(md5(id), 1, 15), 16, 10)`` first — still
+    deterministic, partitioning-independent, and ANSI-replayable
+    (``('0x' || substr(md5(id), 1, 15))::BIGINT`` in DuckDB).  A blind
+    ``CAST(id AS BIGINT)`` NULLed string ids, which made every draw
+    NULL and silently EMPTIED hash_sample / collapsed splits — the
+    stream_minhash/funnel_stream defect class at the sampling layer."""
     m = 1 << 32
-    folded = F.pmod(F.col(id_col).cast("bigint"), F.lit(1 << 31)) + F.lit(salt)
+    norm = F.expr(
+        f"coalesce(try_cast({id_col} AS BIGINT), "
+        f"cast(conv(substr(md5(cast({id_col} AS STRING)), 1, 15), 16, 10) "
+        f"AS BIGINT))"
+    )
+    folded = F.pmod(norm, F.lit(1 << 31)) + F.lit(salt)
     return folded * F.lit(2654435761) % F.lit(m)
 
 

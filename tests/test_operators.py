@@ -4477,6 +4477,77 @@ def test_mine_contrastive_pairs_exact_n(spark):
     assert s1 == s2
 
 
+def test_string_ids_survive_the_dedup_and_sampling_stack(spark):
+    """String/UUID document ids must pass through every pair-emitting
+    and sampling operator NATIVE, never silently NULLed by an output
+    bigint cast (the stream_minhash/funnel_stream defect class at the
+    batch boundary); operators that structurally need longs (connected
+    components, semantic_dedup) must fail LOUDLY instead."""
+    import pytest as _pytest
+
+    from elusion_spark.operators.dedup import (
+        connected_components,
+        containment_pairs,
+        exact_dup_groups,
+        minhash_dedup,
+        minhash_dedup_pairs,
+        simhash_dedup_pairs,
+    )
+    from elusion_spark.operators.text import chunk_documents, lm_score
+    from elusion_spark.pipeline import hash_sample, train_val_test_split
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(f"doc-{i:03d}-u", base if i < 3 else
+             f"totally unique document number {i} " * 3)
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+
+    pairs = minhash_dedup_pairs(df, "doc_id", "text", num_hashes=32,
+                                bands=8, threshold=0.5, verify="exact")
+    got = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    assert got and all(a and b for a, b in got), got
+    assert dict(pairs.dtypes)["id_a"] == "string"
+    # the keep-one wrapper anti-joins on those ids — must actually drop
+    kept = minhash_dedup(df, "doc_id", "text", num_hashes=32, bands=8,
+                         threshold=0.5, verify="exact").count()
+    assert kept < 12
+
+    sh = simhash_dedup_pairs(df, "doc_id", "text", max_hamming=10,
+                             bands=16)
+    assert all(r["id_a"] and r["id_b"] for r in sh.collect())
+
+    ct = containment_pairs(df, "doc_id", "text", shingle_k=3,
+                           threshold=0.5)
+    assert all(r["id_a"] and r["id_b"] for r in ct.collect())
+
+    g = exact_dup_groups(df, "text", "doc_id")
+    assert all(r["keep_id"] for r in g.collect())
+
+    # sampling/splits: the Knuth fold now md5-folds non-numeric ids —
+    # deterministic, partitioning-independent, and NOT empty/NULL
+    s1 = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.5).collect()}
+    s2 = {r["doc_id"] for r in
+          hash_sample(df.repartition(5), "doc_id", 0.5).collect()}
+    assert s1 == s2 and 0 < len(s1) < 12
+    sp = train_val_test_split(df, "doc_id")
+    assert sp.filter("split IS NULL").count() == 0
+    assert sp.select("split").distinct().count() >= 2
+
+    lm = lm_score(df, "doc_id", "text")
+    assert all(r["doc_id"] for r in lm.collect())
+    ch = chunk_documents(df, "doc_id", "text", chunk_size=4)
+    assert all(r["doc_id"] for r in ch.collect())
+
+    # structurally-long algorithms: loud error, not silent garbage
+    with _pytest.raises(ValueError, match="integral"):
+        connected_components(pairs).collect()
+    from elusion_spark.operators.similarity import semantic_dedup
+
+    emb = df.selectExpr("doc_id", "array(1.0D, 2.0D) AS v")
+    with _pytest.raises(ValueError, match="integral"):
+        semantic_dedup(emb, "doc_id", "v", dim=2)
+
+
 def test_minhash_group_scoped_equals_per_group_runs(spark):
     """minhash_dedup_pairs(group_col=...) == running the unscoped
     operator once per group, and identical docs planted in DIFFERENT
