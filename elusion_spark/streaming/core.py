@@ -364,7 +364,11 @@ def run_available_now_to_memory(sdf: DataFrame, name: str | None = None,
     sinks are driver-bounded — never for production data volumes."""
     name = name or f"mem_{uuid.uuid4().hex[:8]}"
     spark = sdf.sparkSession
-    with tempfile.TemporaryDirectory(prefix="es_ckpt_") as ckpt:
+    # ignore_cleanup_errors: the state-store maintenance thread can
+    # still be flushing when awaitTermination returns — deleting the
+    # checkpoint must not race it into an OSError
+    with tempfile.TemporaryDirectory(prefix="es_ckpt_",
+                                     ignore_cleanup_errors=True) as ckpt:
         q = (
             sdf.writeStream.format("memory")
             .queryName(name)
@@ -374,6 +378,7 @@ def run_available_now_to_memory(sdf: DataFrame, name: str | None = None,
             .start()
         )
         q.awaitTermination(timeout_s)
+        q.stop()
     return spark.table(name)
 
 
@@ -383,7 +388,11 @@ def run_available_now_update_to_memory(sdf: DataFrame, name: str | None = None,
     applyInPandasWithState / dropDuplicatesWithinWatermark outputs)."""
     name = name or f"mem_{uuid.uuid4().hex[:8]}"
     spark = sdf.sparkSession
-    with tempfile.TemporaryDirectory(prefix="es_ckpt_") as ckpt:
+    # ignore_cleanup_errors: the state-store maintenance thread can
+    # still be flushing when awaitTermination returns — deleting the
+    # checkpoint must not race it into an OSError
+    with tempfile.TemporaryDirectory(prefix="es_ckpt_",
+                                     ignore_cleanup_errors=True) as ckpt:
         q = (
             sdf.writeStream.format("memory")
             .queryName(name)
@@ -393,6 +402,7 @@ def run_available_now_update_to_memory(sdf: DataFrame, name: str | None = None,
             .start()
         )
         q.awaitTermination(timeout_s)
+        q.stop()
     return spark.table(name)
 
 
@@ -431,6 +441,7 @@ def near_dup_candidates_stream(
     num_hashes: int = 32,
     bands: int = 16,
     shingle_k: int = 3,
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming MinHash-LSH near-duplicate candidate detection — the
     incremental form of ``operators.dedup.minhash_dedup_pairs``: each
@@ -458,9 +469,15 @@ def near_dup_candidates_stream(
     multi-band collisions.
 
     100 TB/day notes: state is ~24 B (one id) per live band bucket, NOT per
-    document pair; an eviction policy (watermark + timeout) bounds it
-    for unbounded streams — add ``GroupStateTimeout`` when buckets
-    should expire. The band explode multiplies the stream by ``bands``
+    document pair; ``state_ttl_ms`` bounds it for unbounded streams —
+    a bucket untouched for that long is evicted (processing-time
+    timeout; each arrival on a bucket renews it).  Eviction trades
+    recall across quiet periods for bounded state, exactly like the
+    batch bucket caps trade recall for bounded fan-out: a duplicate
+    arriving after its anchor's bucket expired re-seeds the bucket and
+    pairs only with later arrivals.  ``None`` (default) keeps state
+    forever — right for bounded backfills and the stream==batch parity
+    contract.  The band explode multiplies the stream by ``bands``
     rows of (id, 2 ints) — fixed-width, independent of document size;
     bodies never enter the stateful shuffle.
 
@@ -516,6 +533,10 @@ def near_dup_candidates_stream(
     _coerce = int if _integral else str
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state_ttl_ms is not None and state.hasTimedOut:
+            # quiet bucket: evict the anchor; the next arrival re-seeds
+            state.remove()
+            return
         ids = []
         for pdf in pdfs:
             ids.extend(_coerce(x) for x in pdf["__id"])
@@ -535,6 +556,9 @@ def near_dup_candidates_stream(
         else:
             anchor = cur
         state.update((anchor,))
+        if state_ttl_ms is not None:
+            # every arrival renews the bucket's lease
+            state.setTimeoutDuration(int(state_ttl_ms))
         out = sorted({i for i in ids if i != anchor} | displaced)
         if out:
             yield pd.DataFrame(
@@ -545,12 +569,16 @@ def near_dup_candidates_stream(
                 }
             )
 
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None else GroupStateTimeout.NoTimeout
+    )
     return banded.groupBy("band_idx", "band_hash").applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout_conf,
     )
 
 

@@ -408,6 +408,36 @@ def test_near_dup_candidates_stream_string_ids(spark, tmp_path):
     assert got == expected
 
 
+def test_near_dup_candidates_stream_ttl_plumbing(spark, tmp_path):
+    """state_ttl_ms wires ProcessingTimeTimeout + per-arrival lease
+    renewal; within a fast availableNow run no bucket is quiet for an
+    hour, so the candidate set must EQUAL the untimed contract — this
+    pins the timeout plumbing (a wrong timeoutConf or a missing
+    setTimeoutDuration raises; a hasTimedOut mishandle changes the
+    output) without a flaky sleep-based expiry assertion."""
+    docs = [(i, "the quick brown fox jumps over the lazy dog " +
+             ("" if i % 2 == 0 else f"unique {i} " * 3))
+            for i in range(16)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    src = str(tmp_path / "ttl_src")
+    df.filter("doc_id < 8").coalesce(1).write.parquet(src + "/b=a")
+    df.filter("doc_id >= 8").coalesce(1).write.parquet(src + "/b=b")
+    schema = spark.read.parquet(src + "/b=a").schema
+
+    def run(**kw):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        cand = ST.near_dup_candidates_stream(
+            stream, "doc_id", "text", num_hashes=16, bands=8,
+            shingle_k=3, **kw)
+        got = ST.run_available_now_update_to_memory(cand)
+        return {(r["anchor_id"], r["doc_id"]) for r in got.collect()}
+
+    base = run()
+    with_ttl = run(state_ttl_ms=3_600_000)
+    assert base and with_ttl == base
+
+
 def test_stream_to_rollup_matches_batch(spark, tmp_path):
     """Streaming rollup maintenance == batch aggregation over the same
     files, with the stream split into multiple micro-batches; replaying
