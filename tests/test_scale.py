@@ -321,13 +321,18 @@ SHUFFLE_BUDGETS = {
     # the multimodal dedup triad: hash pass is narrow mapInPandas /
     # pandas_udf; the banded Hamming engine's bucket-cap window + the
     # self-join + pair dedup are the exchanges — frame/payload bytes
-    # never shuffle
-    "q144_image_near_dup": 6,
-    "q145_audio_near_dup": 6,
-    "q151_video_near_dup": 7,  # +1: the per-video shared-frame fold
-    # group-scoped MinHash: banding + bucket join + verify, all keyed
-    # under (lang, band)
-    "q150_minhash_by_lang": 8,
+    # never shuffle.  PLAN-TEXT counts: the engine persists the hashed
+    # frame (both self-join sides), and an unmaterialized
+    # InMemoryRelation prints its build lineage per consumer (runtime
+    # materializes once — the q147/q148 phenomenon); PLANS.md's
+    # post-materialization report shows the runtime counts (6/6/7/8)
+    "q144_image_near_dup": 14,
+    "q145_audio_near_dup": 14,
+    "q151_video_near_dup": 15,  # +1: the per-video shared-frame fold
+    # group-scoped MinHash: banding + bucket join + exact verify, all
+    # keyed under (lang, band); two persisted frames (signatures +
+    # capped banded) multiply in plan text as above
+    "q150_minhash_by_lang": 26,
     # ADC shortlist (TakeOrdered, 0-shuffle) -> broadcast semi-join ->
     # exact rerank TakeOrdered: ZERO exchanges in the returned plan
     "q152_pq_refine": 0,
