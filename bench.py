@@ -17,6 +17,16 @@ replans compile), then three timed passes reporting per-query min.
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver collect, no column-pruning shortcut a bare count() would allow).
+
+Contention guard (round 7, VERDICT r6 ask #1): every group times a
+fixed JVM-only canary at the start and end of its timed region; the
+parent converts it to a host-drift factor, auto-reruns any group where
+>= half the budgeted entries violate (a contended child slice, not a
+regression — BENCH_r06's 8 false violations were exactly this), and
+annotates every reported violation with the drift so the artifact can
+distinguish "this query regressed" from "this child ran on a slow host
+slice".  The full result JSON is also dual-written to BENCH_local.json
+because the driver's stdout capture tail-truncates long lines.
 """
 
 from __future__ import annotations
@@ -89,6 +99,7 @@ BENCH_QUERIES = [
     "q150_minhash_by_lang",   # group-scoped MinHash (per-language dedup)
     "q151_video_near_dup",    # frame-aligned perceptual-hash video dedup
     "q152_pq_refine",         # ADC shortlist + exact rerank (0-shuffle)
+    "q153_ivfpq_residual",    # residual-encoded IVF-PQ (per-cell LUTs)
     "q46_training_corpus",    # end-to-end curation composite (9 stages)
 ]
 
@@ -130,7 +141,7 @@ BUDGETS_SF01 = {
     "q143_ivf_pq_search": 1.3, "q147_dsir_importance": 2.45,
     "q148_pmi_collocations": 2.2, "q150_minhash_by_lang": 1.9,
     "q151_video_near_dup": 2.4, "q152_pq_refine": 1.55,
-    "q46_training_corpus": 5.7,
+    "q153_ivfpq_residual": 1.9, "q46_training_corpus": 5.7,
     "q01_cache_miss": 1.8, "q01_cache_hit": 0.35,
 }
 
@@ -146,8 +157,54 @@ SF1_QUERIES = [
     "q115_market_share", "q121_waiting_suppliers",
 ]
 
+# Entries whose sf0.1 wall is dominated by FIXED per-stage scheduling
+# cost, not data cost (VERDICT r6 ask #8): at sf0.1 these queries run
+# many tiny stages over kilobyte shuffle tables, so their wall measures
+# the JVM scheduling floor — their budget-to-floor ratio does NOT
+# reflect data cost, and a host-contention blip trips them first.  The
+# real scale evidence is the 10x/50x output-bounded curves in SCALE.md
+# (q77: SCALE.md "containment" 10x/50x points, root-cause at
+# SCALE.md:721; q73/q65: IVF cogroup + SemDeDup sections).  They stay
+# in the sf0.1 bench for CORRECTNESS-adjacent drift detection, but a
+# violation here is annotated floor_bound so the reader weighs it
+# against the canary drift before calling it a regression.
+FLOOR_BOUND = {
+    "q77_containment_pairs",  # 11 shuffles of KB (hash,id) tables
+    "q73_knn_join",           # cogroup GEMM over 5k docs: stage floor
+    "q65_semantic_dedup",     # k-means + CC: many vocabulary-sized jobs
+    "q46_training_corpus",    # 9-stage composition of the above
+}
+
 GROUP_SIZE = int(os.environ.get("SPARK_GRAFT_BENCH_GROUP", "10"))
 _SENTINEL = "BENCH_CHILD_RESULT:"
+TIMED_PASSES = 3
+
+# Contention canary (VERDICT r6 ask #1): a fixed JVM-only computation
+# (no file IO, no python workers, no AQE variance) timed at the START
+# and END of every group's timed region.  BENCH_r06 reported 8 false
+# violations because ONE child process ran on a contended host slice —
+# uniformly ~1.7-1.9x slow with bit-identical plans; the canary makes
+# that measurable: a group whose canary runs well above CANARY_FLOOR
+# was slow for host reasons, not code reasons.  The floor is calibrated
+# on idle hardware (10 steady-state runs on this machine: 0.14-0.23 s,
+# typical 0.17); drift = mean(start, end)/floor, clamped at 1.0.
+CANARY_FLOOR = float(os.environ.get("SPARK_GRAFT_CANARY_FLOOR", "0.17"))
+# A group where at least this fraction of budgeted entries violate is
+# re-run once (fresh child process on a hopefully-idle slice) and each
+# query keeps the min of both passes — a real regression survives the
+# rerun, a contended slice doesn't.
+RERUN_FRACTION = 0.5
+
+
+def _canary_time(spark) -> float:
+    """One fixed-size JVM-side pass: hash 25M longs and fold. ~0.2 s on
+    idle hardware, pure codegen, zero IO — scales only with host CPU
+    availability, which is exactly what it exists to measure."""
+    t0 = time.perf_counter()
+    spark.range(0, 25_000_000, 1, 8).selectExpr(
+        "CAST(xxhash64(id) AS DOUBLE) AS h").groupBy().sum(
+        "h").write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
 
 
 def _run_group(queries: list[str], sf_dir: str, cache_pair: bool) -> dict:
@@ -184,12 +241,18 @@ def _run_group(queries: list[str], sf_dir: str, cache_pair: bool) -> dict:
     # ~10 query shapes, not 55, so a short pause suffices.
     time.sleep(5)
 
+    # canary brackets the timed region: warm once, then min-of-2 at
+    # start and at end — a contended host slice shows up as drift on
+    # at least one bracket for any contention long enough to matter
+    _canary_time(spark)
+    canary_start = min(_canary_time(spark), _canary_time(spark))
+
     # min-of-3: measured on the heavy HOF/LSH shapes (q30/q77), a fresh
     # JVM needs ~3 executions past the untimed warm before C2 reaches
     # the steady floor; two passes left 0.5-1.2 s of compile tail in
     # the min.
     times: dict[str, float] = {}
-    for _pass in range(3):
+    for _pass in range(TIMED_PASSES):
         for name in queries:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
@@ -198,6 +261,8 @@ def _run_group(queries: list[str], sf_dir: str, cache_pair: bool) -> dict:
             if name not in times or el < times[name]:
                 times[name] = el
         spark.catalog.clearCache()
+    canary_end = min(_canary_time(spark), _canary_time(spark))
+    canary = {"start": canary_start, "end": canary_end}
 
     if cache_pair:
         # Cache hit-vs-miss pair, mirroring the reference's headline
@@ -220,9 +285,9 @@ def _run_group(queries: list[str], sf_dir: str, cache_pair: bool) -> dict:
         times["q01_cache_hit"] = min(_run_cached(), _run_cached())
         cstats = cache_stats()  # diagnosability: 1 miss + 2 hits expected
         clear_cache()
-        return {"times": times,
+        return {"times": times, "canary": canary,
                 "cache_stats": {k: cstats[k] for k in ("hits", "misses")}}
-    return {"times": times}
+    return {"times": times, "canary": canary}
 
 
 def _run_sf1() -> dict:
@@ -287,6 +352,58 @@ def _spawn(spec: dict, timeout: int = 1800) -> dict:
     )
 
 
+def _group_drift(canary: dict | None) -> float:
+    """Host-contention factor for one child process: mean of its two
+    canary brackets over the idle-hardware floor, clamped at 1.0."""
+    if not canary:
+        return 1.0
+    return max(
+        1.0,
+        round(((canary["start"] + canary["end"]) / 2) / CANARY_FLOOR, 3),
+    )
+
+
+def _should_rerun(group_times: dict[str, float],
+                  budgets: dict[str, float] | None = None,
+                  fraction: float = RERUN_FRACTION) -> bool:
+    """True when a group's violation pattern looks like a contended
+    child process (>= `fraction` of its budgeted entries over budget)
+    rather than a single-query regression.  A real regression survives
+    the rerun; a slow host slice doesn't."""
+    budgets = BUDGETS_SF01 if budgets is None else budgets
+    budgeted = [n for n in group_times if n in budgets]
+    if len(budgeted) < 2:
+        return False
+    viol = [n for n in budgeted if group_times[n] > budgets[n]]
+    return len(viol) >= fraction * len(budgeted)
+
+
+def _merge_min(a: dict[str, float], b: dict[str, float]) -> dict[str, float]:
+    return {n: min(a[n], b[n]) if n in b else a[n] for n in a}
+
+
+def _annotate_violations(times: dict[str, float],
+                         group_of: dict[str, int],
+                         drifts: dict[int, float],
+                         budgets: dict[str, float] | None = None) -> dict:
+    """Budget check with the contention evidence attached: every
+    violation carries its group's canary drift, the drift-adjusted
+    wall, `contention_suspect` (adjusted time within budget — the
+    violation disappears on an idle host), and `floor_bound` (the
+    query's sf0.1 wall measures scheduling floor, see FLOOR_BOUND)."""
+    budgets = BUDGETS_SF01 if budgets is None else budgets
+    out = {}
+    for n, t in times.items():
+        if n in budgets and t > budgets[n]:
+            drift = drifts.get(group_of.get(n, -1), 1.0)
+            adj = round(t / drift, 3)
+            out[n] = {"sec": t, "budget": budgets[n],
+                      "canary_drift": drift, "adjusted_sec": adj,
+                      "contention_suspect": adj <= budgets[n],
+                      "floor_bound": n in FLOOR_BOUND}
+    return out
+
+
 def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--child":
         _child_main(json.loads(sys.argv[2]))
@@ -298,20 +415,51 @@ def main() -> None:
     times: dict[str, float] = {}
     cstats = None
     errors: dict[str, str] = {}
+    group_of: dict[str, int] = {}
+    drifts: dict[int, float] = {}
+    canaries: dict[str, dict] = {}
+    reruns: dict[str, dict] = {}
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+    budget_run = abs(sf - 0.1) < 1e-9
+
     for gi, grp in enumerate(groups):
         spec = {"queries": grp, "sf_dir": sf_dir,
                 "cache_pair": "q01_pricing_summary" in grp}
         try:
             res = _spawn(spec)
-            times.update(res["times"])
+            gtimes = res["times"]
+            drift = _group_drift(res.get("canary"))
+            canaries[f"group_{gi}"] = {**(res.get("canary") or {}),
+                                       "drift": drift}
+            if budget_run and _should_rerun(gtimes):
+                # contended-slice suspect: one fresh child retry; each
+                # query keeps the min, the group keeps the better drift
+                try:
+                    res2 = _spawn(spec)
+                    gtimes2 = res2["times"]
+                    drift2 = _group_drift(res2.get("canary"))
+                    reruns[f"group_{gi}"] = {
+                        "first_pass": gtimes, "first_drift": drift,
+                        "second_pass": gtimes2, "second_drift": drift2,
+                    }
+                    gtimes = _merge_min(gtimes, gtimes2)
+                    drift = min(drift, drift2)
+                    canaries[f"group_{gi}"]["drift"] = drift
+                    if "cache_stats" in res2:
+                        res["cache_stats"] = res2["cache_stats"]
+                except Exception as exc:
+                    errors[f"group_{gi}_rerun"] = str(exc)[:300]
+            times.update(gtimes)
+            for n in gtimes:
+                group_of[n] = gi
+            drifts[gi] = drift
             if "cache_stats" in res:
                 cstats = res["cache_stats"]
         except Exception as exc:  # a dead group must not kill the bench
             errors[f"group_{gi}"] = str(exc)[:300]
-    try:
-        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    except ValueError:
-        sf = -1.0
 
     out: dict = {
         "metric": "suite_seconds",
@@ -323,9 +471,17 @@ def main() -> None:
             "isolation": "fresh JVM per group", "group_size": GROUP_SIZE,
             "groups": len(groups),
             "per_group": "sf0.001 warm + untimed target-sf pass + "
-                         "min of 2 timed passes",
+                         f"min of {TIMED_PASSES} timed passes",
+            "contention_guard": (
+                f"25M-xxhash canary min-of-2 at group start+end; drift "
+                f"= mean/{CANARY_FLOOR}s floor; groups with >= "
+                f"{int(RERUN_FRACTION * 100)}% budget violations rerun "
+                "once (per-query min of both passes)"),
         },
+        "canaries": canaries,
     }
+    if reruns:
+        out["group_reruns"] = reruns
     if cstats is not None:
         # expected {hits: 2, misses: 1}: a slow q01_cache_hit with
         # hits==2 is block eviction / process noise, with misses==2 a
@@ -336,12 +492,9 @@ def main() -> None:
 
     # wall-time budget check (sf0.1 runs only — budgets are calibrated
     # to that scale factor)
-    if abs(sf - 0.1) < 1e-9:
-        out["budget_violations"] = {
-            n: {"sec": t, "budget": BUDGETS_SF01[n]}
-            for n, t in times.items()
-            if n in BUDGETS_SF01 and t > BUDGETS_SF01[n]
-        }
+    if budget_run:
+        out["budget_violations"] = _annotate_violations(
+            times, group_of, drifts)
         # sf1 slope block in its own fresh JVM
         if os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1":
             try:
@@ -349,6 +502,17 @@ def main() -> None:
             except Exception as exc:   # fixture build/run failure must
                 out["sf1"] = {"error": str(exc)[:200]}  # not kill bench
 
+    # dual-write the FULL result next to the repo: the driver's stdout
+    # capture is tail-truncated on long lines (BENCH_r06.json lost the
+    # head of the queries dict, `parsed: null`) — the file copy is the
+    # durable artifact the next round reads
+    try:
+        with open(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_local.json"), "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:
+        pass
     print(json.dumps(out))
 
 

@@ -83,6 +83,7 @@ def bpe_fit(
     lowercase: bool = True,
     word_counts: DataFrame | None = None,
     checkpoint_every: int = 16,
+    merges_per_round: int = 1,
 ) -> list[dict]:
     """Learn ``num_merges`` BPE merges.  Returns a list of dicts
     ``{merge_rank, lft, rgt, pair_count}`` in learning order (bounded:
@@ -92,9 +93,33 @@ def bpe_fit(
     persisted/reused across fits) to skip the corpus scan.  The vocab
     lineage grows one `replace` per merge; every ``checkpoint_every``
     merges the vocab re-persists to keep plans shallow — at vocab scale
-    this is pennies."""
+    this is pennies.
+
+    ``merges_per_round`` (default 1 = exact Sennrich order): a real
+    tokenizer wants 10k-30k merges, and one vocab-sized aggregation
+    per merge means 30k Spark jobs — hundreds of cluster round-trips
+    per minute of useful work.  ``merges_per_round=N`` applies the top
+    N NON-OVERLAPPING pairs per counting pass (greedy by the same
+    (count DESC, left, right) order, skipping any pair that shares a
+    symbol with one already taken this round), cutting the job count
+    ``N``-fold — the standard scalable approximation (used by
+    Hugging Face's and SentencePiece's parallel trainers in spirit:
+    batch what cannot interact).  DIVERGENCE from strict BPE, stated
+    honestly: pairs ranked 2..N in a round are chosen by PRE-round
+    counts.  Strict BPE recounts after every merge, so when merge #1
+    changes the count of a pair ranked below it (they overlap
+    textually but not symbol-wise — e.g. merging "t h" changes
+    "h e" counts), the batched order can differ from exact order;
+    skipped overlapping pairs are NOT lost, they win a later round
+    with fresh counts.  Symbol-disjoint top pairs (the common case in
+    a natural-language tail) are unaffected, and the merge SET
+    converges to the same vocabulary in practice (measured overlap at
+    64 merges on the sf0.1 corpus: see SCALE.md round 7).  The emitted
+    ``pair_count`` for intra-round ranks 2..N is the pre-round count."""
     if num_merges < 1:
         raise ValueError("num_merges must be >= 1")
+    if merges_per_round < 1:
+        raise ValueError("merges_per_round must be >= 1")
     wc = word_counts
     if wc is None:
         wc = bpe_word_counts(df, text_col, lowercase=lowercase)
@@ -102,8 +127,10 @@ def bpe_fit(
     vocab = vocab.persist()
     persisted = [vocab]
     merges: list[dict] = []
+    since_ckpt = 0
     try:
-        for rank in range(1, num_merges + 1):
+        while len(merges) < num_merges:
+            take = min(merges_per_round, num_merges - len(merges))
             syms = _sym_array(F.col("sym"))
             pairs = F.when(
                 F.size(syms) >= 2,
@@ -112,33 +139,53 @@ def bpe_fit(
                     "i -> struct(__a[i-1] AS l, __a[i] AS r))"
                 ),
             ).otherwise(F.array())
+            # over-fetch: shared symbols block candidates aggressively
+            # (on a 26-letter alphabet at most ~13 disjoint pairs exist
+            # at all early on — measured ~8 selected of 136 fetched on
+            # a zipf word corpus), so fetch 16x + slack; the candidate
+            # rows are (sym, sym, long) triples, pennies to collect
             top = (
                 vocab.withColumn("__a", syms)
                 .select(F.explode(pairs).alias("p"), "freq")
                 .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
                 .agg(F.sum("freq").cast("bigint").alias("c"))
                 .orderBy(F.col("c").desc(), F.col("l"), F.col("r"))
-                .limit(1)
+                .limit(take if take == 1 else take * 16 + 64)
                 .collect()
             )
             if not top:
                 break
-            l, r, c = top[0]["l"], top[0]["r"], top[0]["c"]
-            merges.append(
-                {"merge_rank": rank, "lft": l, "rgt": r, "pair_count": c}
-            )
-            vocab = vocab.withColumn(
-                "sym",
-                F.replace(
-                    F.col("sym"),
-                    F.lit(_wrap(l) + _wrap(r)),
-                    F.lit(_wrap(l + r)),
-                ),
-            )
-            if rank % checkpoint_every == 0:
+            used: set[str] = set()
+            selected = []
+            for row in top:
+                l, r = row["l"], row["r"]
+                if l in used or r in used:
+                    continue
+                selected.append((l, r, row["c"]))
+                used.update((l, r, l + r))
+                if len(selected) == take:
+                    break
+            if not selected:
+                # every candidate overlapped (pathological single-chain
+                # vocab): fall back to the exact top-1 for this round
+                selected = [(top[0]["l"], top[0]["r"], top[0]["c"])]
+            for l, r, c in selected:
+                merges.append({"merge_rank": len(merges) + 1,
+                               "lft": l, "rgt": r, "pair_count": c})
+                vocab = vocab.withColumn(
+                    "sym",
+                    F.replace(
+                        F.col("sym"),
+                        F.lit(_wrap(l) + _wrap(r)),
+                        F.lit(_wrap(l + r)),
+                    ),
+                )
+            since_ckpt += len(selected)
+            if since_ckpt >= checkpoint_every:
                 vocab = vocab.persist()
                 vocab.count()
                 persisted.append(vocab)
+                since_ckpt = 0
     finally:
         for p in persisted:
             p.unpersist()

@@ -1568,52 +1568,99 @@ def tfidf_weights(
     )
 
 
-def tfidf_auto_grain(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    auto_df_frac: float = 0.01,
-) -> tuple[int, dict]:
-    """Measure unigram vocabulary selectivity and pick the TF-IDF
-    feature grain for ``tfidf_cosine_pairs(ngram='auto')``.
+def _grain_df_stats(
+    df: DataFrame, id_col: str, text_col: str, ngram: int
+) -> tuple[int, int, int]:
+    """``(|distinct (doc, feature)|, n_docs, vocab)`` at one feature
+    grain — the same tokenize/n-gram assembly ``tfidf_weights`` uses
+    (posexplode + ``lead`` window on the id key for n>1), reduced to a
+    3-scalar aggregate over the distinct (doc, feature) frame.  Bodies
+    never shuffle; the frame is vocabulary-per-doc sized."""
+    from pyspark.sql.window import Window
 
-    The measured quantity is the MEAN feature document-frequency
-    fraction ``frac = |distinct (doc, token)| / (V * N)`` — the
-    probability that a random (token, doc) combination co-occurs, i.e.
-    the per-token collision rate driving the prefix join's candidate
-    count (~frac² * N² per token).  On a Heaps'-law corpus vocabulary
-    grows with N so frac stays tiny and unigrams prune well; on a
-    fixed-vocabulary / templated corpus frac is tokens-per-doc / V —
-    constant in N — and candidates grow quadratically (measured in
-    SCALE.md: 145k → 2.56M candidates for 21k → 84k docs on a 30k
-    fixed vocab).  ``frac > auto_df_frac`` (default 1%) escalates to
-    bigrams, which square the effective vocabulary.
-
-    One extra tokenize pass (a single 3-scalar aggregate over the
-    distinct (doc, token) frame — vocabulary-per-doc sized, bodies
-    never shuffle); returns ``(grain, stats)`` with the measured
-    numbers for audit logs."""
-    d = (
+    toks = (
         df.select(
             F.col(id_col).alias("__id"),
-            F.explode(
+            F.posexplode(
                 F.split(F.lower(F.trim(F.col(text_col))), " +")
-            ).alias("__t"),
+            ).alias("__pos", "__t"),
         )
         .filter(F.col("__t") != "")
-        .distinct()
     )
+    if ngram > 1:
+        wl = Window.partitionBy("__id").orderBy("__pos")
+        parts = [F.col("__t")] + [
+            F.lead("__t", j).over(wl) for j in range(1, ngram)
+        ]
+        toks = (
+            toks.withColumn("__g", F.concat_ws(" ", *parts))
+            .withColumn("__last", parts[-1])
+            .filter(F.col("__last").isNotNull())
+            .select("__id", F.col("__g").alias("__t"))
+        )
+    d = toks.select("__id", "__t").distinct()
     row = d.agg(
         F.count("*").alias("pairs"),
         F.countDistinct("__id").alias("n_docs"),
         F.countDistinct("__t").alias("vocab"),
     ).collect()[0]
-    pairs, n_docs, vocab = int(row["pairs"]), int(row["n_docs"]), int(row["vocab"])
-    frac = pairs / (vocab * n_docs) if vocab and n_docs else 0.0
-    grain = 2 if frac > auto_df_frac else 1
+    return int(row["pairs"]), int(row["n_docs"]), int(row["vocab"])
+
+
+def tfidf_auto_grain(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    auto_df_frac: float = 0.01,
+    max_grain: int = 3,
+) -> tuple[int, dict]:
+    """Measure feature-vocabulary selectivity and pick the TF-IDF
+    feature grain for ``tfidf_cosine_pairs(ngram='auto')``.
+
+    The measured quantity per grain is the MEAN feature
+    document-frequency fraction ``frac = |distinct (doc, feature)| /
+    (V * N)`` — the probability that a random (feature, doc)
+    combination co-occurs, i.e. the per-feature collision rate driving
+    the prefix join's candidate count (~frac² * N² per feature).  On a
+    Heaps'-law corpus vocabulary grows with N so frac stays tiny and
+    unigrams prune well; on a fixed-vocabulary / templated corpus frac
+    is features-per-doc / V — constant in N — and candidates grow
+    quadratically (measured in SCALE.md: 145k → 2.56M candidates for
+    21k → 84k docs on a 30k fixed vocab).
+
+    Escalation (VERDICT r6 ask #6): grains are measured in order
+    1, 2, …, ``max_grain`` (default 3) and the FIRST whose frac is
+    <= ``auto_df_frac`` (default 1%) wins — each step multiplies the
+    effective vocabulary by ~|V|, so most corpora stop at 1 or 2 and
+    pay one extra tokenize pass at most.  A corpus where even
+    ``max_grain`` exceeds the threshold (tiny vocab AND repetitive
+    higher-order structure) gets ``grain=max_grain`` plus
+    ``stats['recommend_minhash']=True`` — at that density exact cosine
+    is intrinsically near-all-pairs and the probabilistic path
+    (``minhash_dedup_pairs``, candidate fan-out bounded by banding
+    instead of vocabulary) is the right tool; the caller logs the
+    recommendation.
+
+    Each measurement is a single 3-scalar aggregate over the distinct
+    (doc, feature) frame; returns ``(grain, stats)`` with the measured
+    numbers for audit logs (``grains_measured`` keeps every probed
+    grain's frac)."""
+    measured = []
+    grain, frac, n_docs, vocab, pairs = max_grain, 1.0, 0, 0, 0
+    for n in range(1, max_grain + 1):
+        pairs, n_docs, vocab = _grain_df_stats(df, id_col, text_col, n)
+        frac = pairs / (vocab * n_docs) if vocab and n_docs else 0.0
+        measured.append({"grain": n, "mean_df_frac": frac,
+                         "vocab": vocab, "distinct_doc_features": pairs})
+        if frac <= auto_df_frac:
+            grain = n
+            break
+    else:
+        grain = max_grain
     stats = {"mean_df_frac": frac, "n_docs": n_docs, "vocab": vocab,
              "distinct_doc_tokens": pairs, "threshold": auto_df_frac,
-             "grain": grain}
+             "grain": grain, "grains_measured": measured,
+             "recommend_minhash": frac > auto_df_frac}
     return grain, stats
 
 
@@ -1677,11 +1724,14 @@ def tfidf_cosine_pairs(
 
     ``ngram='auto'`` measures that rule instead of asking the caller
     to know it: ``tfidf_auto_grain`` computes the mean feature
-    document-frequency fraction from one tokenize pass and escalates
-    to bigrams when it exceeds ``auto_df_frac`` (default 1%), logging
-    the measured numbers and the choice at INFO on the
+    document-frequency fraction per grain and escalates 1 → 2 → 3
+    until it drops under ``auto_df_frac`` (default 1%), logging the
+    measured numbers and the choice at INFO on the
     ``elusion_spark.dedup`` logger.  A templated fixed-vocab corpus
-    lands at bigram; a zipf/Heaps corpus stays unigram.
+    lands at bigram; a zipf/Heaps corpus stays unigram; a corpus where
+    even trigrams stay dense runs at trigram AND logs a WARNING
+    recommending ``minhash_dedup_pairs`` instead (exact cosine there
+    is intrinsically near-all-pairs at any grain).
 
     100 TB: every shuffle carries (id, token, double) triples;
     document bodies never leave the scan.  The candidate count is
@@ -1709,6 +1759,15 @@ def tfidf_cosine_pairs(
             ngram, stats["mean_df_frac"], stats["threshold"],
             stats["vocab"], stats["n_docs"],
         )
+        if stats.get("recommend_minhash"):
+            logging.getLogger("elusion_spark.dedup").warning(
+                "tfidf_cosine_pairs auto grain: even %d-grams exceed the "
+                "df-frac threshold (%.5f > %.5f) — this corpus's exact "
+                "cosine join is intrinsically near-all-pairs at any "
+                "grain; prefer minhash_dedup_pairs (banded candidate "
+                "fan-out bounded by the LSH plan, not the vocabulary).",
+                ngram, stats["mean_df_frac"], stats["threshold"],
+            )
     elif not isinstance(ngram, int):
         raise ValueError("ngram must be an int or 'auto'")
 
@@ -1811,7 +1870,16 @@ def tfidf_cosine_pairs(
                 (F.col("__wa") * F.col("__wb")).cast("decimal(38,18)")
             ).alias("__dot")
         )
-        .filter(F.col("__dot") >= F.lit(threshold).cast("decimal(38,18)"))
+        # build the cut from the threshold's DECIMAL STRING, not the
+        # double: casting the double literal rounds it (0.9 ->
+        # 0.900000000000000022) while a SQL oracle casting '0.9' gets
+        # 0.900000000000000000 exactly — a dot in that ~2e-17 window
+        # would flip membership between engines, the very boundary
+        # instability the decimal accumulation exists to remove
+        .filter(
+            F.col("__dot")
+            >= F.expr(f"CAST('{threshold!r}' AS DECIMAL(38,18))")
+        )
         .select(
             F.col("__a").alias("id_a"),
             F.col("__b").alias("id_b"),

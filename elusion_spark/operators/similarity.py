@@ -618,6 +618,8 @@ def ivf_pq_search(
     k: int = 10,
     nprobe: int = 4,
     cluster_col: str = "cluster_id",
+    metric: str = "l2",
+    residuals_of: list[list[float]] | None = None,
 ) -> DataFrame:
     """The full FAISS IVF-PQ architecture on Spark storage: the coarse
     quantizer (``ivf_build`` cluster ids) prunes to the ``nprobe``
@@ -632,18 +634,96 @@ def ivf_pq_search(
 
     ``encoded`` needs ``(id_col, codes_col, cluster_col)`` — the
     output of ``ivf_build`` + ``pq_encode_expr``, typically persisted
-    once, partitioned by cluster."""
-    order = sorted(
-        range(len(centroids)),
-        key=lambda ci: sum(
-            (float(a) - b) * (float(a) - b)
-            for a, b in zip(query, centroids[ci])
-        ),
-    )
+    once, partitioned by cluster.
+
+    ``metric='ip'`` scores inner product (MIPS): cells probe by
+    descending ``<query, centroid>`` and the ADC inside ranks
+    descending, mirroring FAISS ``METRIC_INNER_PRODUCT``.
+
+    ``residuals_of`` (FAISS IVFPQ's defining trick): when the codes
+    were trained/encoded on RESIDUALS ``v - centroid[cluster]``
+    (see ``ivf_residual_expr``), pass the same coarse centroids here
+    and each probed cell ADC-scans with its OWN lookup table built
+    from the shifted query ``q - centroid[cell]`` — exact because
+    ``||v - q||² = ||r_v - (q - c)||²`` within a cell.  Residuals are
+    what lift the recall ceiling: raw-vector codes spend their entire
+    code budget re-describing the coarse structure the cell id already
+    captures, so at nprobe=16/m=16/k=64 on isotropic vectors recall@10
+    plateaus at ~0.6-0.7; residual codes quantize the (much smaller)
+    within-cell displacement instead (measured: see SCALE.md round 7).
+    The plan stays 0-shuffle: one filtered ADC scan per probed cell
+    (``nprobe`` branch unions of TakeOrdered heads) merged by one
+    global top-k.  L2 only — for MIPS the per-cell constant
+    ``<q, c>`` would have to be folded in pre-rounding; unsupported
+    until needed."""
+    if metric not in ("l2", "ip"):
+        raise ValueError(f"metric must be 'l2' or 'ip', got {metric!r}")
+    if residuals_of is not None and metric != "l2":
+        raise ValueError(
+            "residuals_of requires metric='l2' (IP needs the per-cell "
+            "<query, centroid> constant folded into the ADC score)")
+    if metric == "ip":
+        order = sorted(
+            range(len(centroids)),
+            key=lambda ci: -sum(
+                float(a) * b for a, b in zip(query, centroids[ci])
+            ),
+        )
+    else:
+        order = sorted(
+            range(len(centroids)),
+            key=lambda ci: sum(
+                (float(a) - b) * (float(a) - b)
+                for a, b in zip(query, centroids[ci])
+            ),
+        )
     probe = order[:nprobe]
-    return pq_adc_topk(
-        encoded.filter(F.col(cluster_col).isin(probe)),
-        id_col, codes_col, query, model, k=k,
+    if residuals_of is None:
+        return pq_adc_topk(
+            encoded.filter(F.col(cluster_col).isin(probe)),
+            id_col, codes_col, query, model, k=k, metric=metric,
+        )
+    # residual path: per-cell query shift -> per-cell LUTs; each branch
+    # is its own TakeOrderedAndProject head, the union is nprobe*k rows
+    parts = []
+    for ci in probe:
+        qr = [float(a) - float(b) for a, b in zip(query, residuals_of[ci])]
+        parts.append(
+            pq_adc_topk(
+                encoded.filter(F.col(cluster_col) == ci),
+                id_col, codes_col, qr, model, k=k,
+            )
+        )
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionAll(p)
+    return merged.orderBy(F.col("adc").asc(), F.col(id_col)).limit(k)
+
+
+def ivf_residual_expr(
+    vec_col: str,
+    cluster_col: str,
+    centroids: list[list[float]],
+) -> Column:
+    """The residual ``v - centroid[cluster]`` as an ``array<double>``
+    column — what FAISS IVFPQ feeds its product quantizer instead of
+    the raw vector (`faiss/IndexIVFPQ` ``by_residual``, the default).
+    Compose: ``ivf_build`` assigns cells, this produces the residual,
+    ``pq_fit``/``pq_encode_expr`` run UNCHANGED on it, and
+    ``ivf_pq_search(..., residuals_of=centroids)`` searches with
+    per-cell shifted-query LUTs.
+
+    Pure codegen (one literal ``array<array<double>>`` lookup + a
+    ``zip_with`` subtract): encoding a 100 TB corpus stays a
+    zero-shuffle narrow map."""
+    cells = ("array(" + ", ".join(
+        "array(" + ", ".join(f"{float(v)!r}D" for v in c) + ")"
+        for c in centroids
+    ) + ")")
+    return F.expr(
+        f"zip_with(transform({vec_col}, x -> CAST(x AS DOUBLE)), "
+        f"element_at({cells}, CAST({cluster_col} AS INT) + 1), "
+        f"(x, c) -> x - c)"
     )
 
 
@@ -1497,6 +1577,7 @@ def pq_refine_topk(
     nprobe: int = 4,
     cluster_col: str = "cluster_id",
     round_digits: int = 7,
+    residuals_of: list[list[float]] | None = None,
 ) -> DataFrame:
     """Two-stage compressed ANN (the FAISS ``IndexRefineFlat`` /
     DiskANN pattern): ADC-scan the PQ codes for a ``candidates``-sized
@@ -1516,10 +1597,15 @@ def pq_refine_topk(
     clustered one; m=32 k=256 + C=100 reaches recall 1.0 on both.
 
     ``centroids`` switches the shortlist stage to ``ivf_pq_search``
-    (coarse-cell probe + ADC inside), composing both IO reductions with
-    the recall restore.  The rerank is a BROADCAST semi-join on the
-    candidate ids — at 100 TB the raw table is id-keyed storage and
-    only ``candidates`` rows cross the wire; no shuffle of the corpus.
+    (coarse-cell probe + ADC inside; ``metric`` is plumbed through, so
+    MIPS probes by descending ``<q, c>`` and ranks descending),
+    composing both IO reductions with the recall restore.
+    ``residuals_of`` additionally tells the shortlist stage the codes
+    encode residuals (see ``ivf_residual_expr``) — the highest-recall
+    compressed configuration.  The rerank is a BROADCAST semi-join on
+    the candidate ids — at 100 TB the raw table is id-keyed storage
+    and only ``candidates`` rows cross the wire; no shuffle of the
+    corpus.
 
     Returns ``(id_col, score)`` — ``score`` is exact (squared L2
     ascending, or inner product descending for ``metric='ip'``),
@@ -1529,7 +1615,9 @@ def pq_refine_topk(
     if centroids is not None:
         shortlist = ivf_pq_search(encoded, centroids, model, id_col,
                                   codes_col, query, k=candidates,
-                                  nprobe=nprobe, cluster_col=cluster_col)
+                                  nprobe=nprobe, cluster_col=cluster_col,
+                                  metric=metric,
+                                  residuals_of=residuals_of)
     else:
         shortlist = pq_adc_topk(encoded, id_col, codes_col, query, model,
                                 k=candidates, metric=metric)

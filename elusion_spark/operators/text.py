@@ -1026,7 +1026,14 @@ def pmi_collocations(
     only — no cross-document false bigrams); unigram and bigram counts
     are each one shuffle on the gram; the unigram table joins back
     twice BROADCAST (vocabulary-sized, not corpus-sized); totals are
-    one-row aggregates.  Document bodies never shuffle."""
+    one-row aggregates.  Document bodies never shuffle.
+
+    Lifecycle note: the scored table is materialized EAGERLY (one
+    ``localCheckpoint`` of the vocabulary-sized result) so the two
+    count caches the computation needs can be unpersisted before
+    returning — repeated calls in a resident session no longer
+    accumulate vocabulary-sized cached frames.  The returned frame is
+    therefore already computed; transformations on it are cheap."""
     from pyspark.sql.window import Window
 
     # id BEFORE the generator: projected alongside posexplode it would
@@ -1062,10 +1069,26 @@ def pmi_collocations(
         StorageLevel.MEMORY_AND_DISK)
     pairs = big.groupBy("__t", "__t2").agg(
         F.count("*").alias("__c12")).persist(StorageLevel.MEMORY_AND_DISK)
-    tots = uni.agg(F.sum("__c1").alias("nt")).collect()[0]  # one-row
-    nb = pairs.agg(F.sum("__c12").alias("nb")).collect()[0]
-    nt, nbig = float(tots["nt"] or 0), float(nb["nb"] or 0)
-    out = (
+    try:
+        tots = uni.agg(F.sum("__c1").alias("nt")).collect()[0]  # one-row
+        nb = pairs.agg(F.sum("__c12").alias("nb")).collect()[0]
+        nt, nbig = float(tots["nt"] or 0), float(nb["nb"] or 0)
+        out = _pmi_score(uni, pairs, nt, nbig, min_count, round_digits)
+        # vocabulary-sized: cut lineage eagerly so uni/pairs can be
+        # unpersisted NOW instead of leaking per call (the checkpoint
+        # blocks are RDD-scoped and reclaimed by the ContextCleaner
+        # when the result frame is garbage-collected)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        uni.unpersist()
+        pairs.unpersist()
+    if top_k is not None:
+        return out.orderBy(F.desc("pmi"), "w1", "w2").limit(int(top_k))
+    return out
+
+
+def _pmi_score(uni, pairs, nt, nbig, min_count, round_digits):
+    return (
         pairs.filter(F.col("__c12") >= int(min_count))
         .join(F.broadcast(uni), "__t")
         .join(
@@ -1089,6 +1112,3 @@ def pmi_collocations(
             ).alias("pmi"),
         )
     )
-    if top_k is not None:
-        return out.orderBy(F.desc("pmi"), "w1", "w2").limit(int(top_k))
-    return out

@@ -6250,6 +6250,179 @@ def q152(spark, sf):
     ).select(F.col("vec_id").cast("bigint").alias("vec_id"), "score")
 
 
+# q153: IVF-PQ with RESIDUAL encoding (FAISS IVFPQ by_residual) —
+# pinned coarse cells over the full 4-dim subvector space; PQ codebooks
+# train on v - cell with the q142 pinned init; search builds a
+# per-probed-cell LUT from the shifted query q - cell.
+_Q153_CELLS = [
+    [-0.8, -0.8, 0.0, 0.0],
+    [-0.8, 0.8, 0.0, 0.0],
+    [0.8, -0.8, 0.0, 0.0],
+    [0.8, 0.8, 0.0, 0.0],
+]
+_Q153_NPROBE = 2
+
+
+def _q153_oracle() -> str:
+    """Full residual-IVF-PQ replay: 4-dim first-min cell assignment,
+    residual features, BOTH subspace Lloyd trainings unrolled ON THE
+    RESIDUALS, in-SQL encode, then a per-cell ADC whose lookup tables
+    use the shifted query ``q - cell`` (literals folded exactly as the
+    engine's driver computes them).  ``||v - q||² = ||r - (q - c)||²``
+    inside a cell, so scores are bit-identical before the ROUND."""
+    cells = _Q153_CELLS
+    ndim = 4
+    # probe set, replicated from ivf_pq_search's driver-side sort
+    order = sorted(
+        range(len(cells)),
+        key=lambda ci: sum(
+            (float(a) - b) * (float(a) - b)
+            for a, b in zip(_Q142_QUERY, cells[ci])
+        ),
+    )
+    probe = sorted(order[:_Q153_NPROBE])
+    cell_d = [
+        "(" + " + ".join(
+            f"((x{j + 1} - ({cells[i][j]!r})) * "
+            f"(x{j + 1} - ({cells[i][j]!r})))"
+            for j in range(ndim)
+        ) + ")"
+        for i in range(len(cells))
+    ]
+    least = "LEAST(" + ", ".join(cell_d) + ")"
+    cell = ("CASE " + " ".join(
+        f"WHEN {cell_d[i]} = {least} THEN {i}" for i in range(len(cells))
+    ) + " END")
+
+    def comp(dim: int) -> str:  # residual component for 0-based dim
+        return ("CASE cell " + " ".join(
+            f"WHEN {i} THEN x{dim + 1} - ({cells[i][dim]!r})"
+            for i in range(len(cells))
+        ) + " END")
+
+    ctes = [
+        "base AS MATERIALIZED (SELECT vec_id, "
+        + ", ".join(
+            f"CAST(embedding[{j + 1}] AS DOUBLE) AS x{j + 1}"
+            for j in range(ndim))
+        + " FROM embeddings)",
+        "asg AS MATERIALIZED (SELECT vec_id, "
+        + ", ".join(f"x{j + 1}" for j in range(ndim))
+        + f", {cell} AS cell FROM base)",
+        "res AS MATERIALIZED (SELECT vec_id, cell, "
+        + ", ".join(
+            f"{comp(s * _Q142_DSUB + j)} AS r{s}{j + 1}"
+            for s in range(_Q142_M) for j in range(_Q142_DSUB))
+        + " FROM asg)",
+    ]
+    # unrolled Lloyd per subspace ON THE RESIDUALS (q142's discipline)
+    sub_prev = []
+    for s in range(_Q142_M):
+        ctes.append(
+            f"f{s} AS MATERIALIZED (SELECT r{s}1 AS x1, r{s}2 AS x2 "
+            f"FROM res)")
+        cs = [[repr(v) for v in c] for c in _Q142_INIT[s]]
+        prev = None
+        for it in range(1, _Q142_ITERS + 1):
+            if prev:
+                cs = [[f"(SELECT c{i}x FROM {prev})",
+                       f"(SELECT c{i}y FROM {prev})"] for i in range(2)]
+            d = [f"((x1 - {cs[i][0]}) * (x1 - {cs[i][0]}) + "
+                 f"(x2 - {cs[i][1]}) * (x2 - {cs[i][1]}))" for i in range(2)]
+            a = f"CASE WHEN {d[0]} <= {d[1]} THEN 0 ELSE 1 END"
+            sels = []
+            for i in range(2):
+                cnt = f"SUM(CASE WHEN {a} = {i} THEN 1 ELSE 0 END)"
+                for ax, col in (("x", "x1"), ("y", "x2")):
+                    sm = (f"CAST(SUM(CASE WHEN {a} = {i} THEN "
+                          f"CAST({col} AS DECIMAL(38,9)) END) AS DOUBLE)")
+                    sels.append(f"{sm} / {cnt} AS c{i}{ax}")
+            ctes.append(f"g{s}it{it} AS MATERIALIZED (SELECT "
+                        + ", ".join(sels) + f" FROM f{s})")
+            prev = f"g{s}it{it}"
+        sub_prev.append(prev)
+    # in-SQL encode against the trained residual centroids
+    code_exprs = []
+    for s in range(_Q142_M):
+        p = sub_prev[s]
+        cs = [[f"(SELECT c{i}x FROM {p})", f"(SELECT c{i}y FROM {p})"]
+              for i in range(2)]
+        d = [f"((x{s}1 - {cs[i][0]}) * (x{s}1 - {cs[i][0]}) + "
+             f"(x{s}2 - {cs[i][1]}) * (x{s}2 - {cs[i][1]}))"
+             for i in range(2)]
+        code_exprs.append(f"CASE WHEN {d[0]} <= {d[1]} THEN 0 ELSE 1 END")
+
+    # per-probed-cell ADC: LUTs from the SHIFTED query (engine computes
+    # q - cell driver-side in python floats; repr round-trips exactly)
+    def lut(ci: int, s: int, i: int) -> str:
+        p = sub_prev[s]
+        csx = f"(SELECT c{i}x FROM {p})"
+        csy = f"(SELECT c{i}y FROM {p})"
+        q1 = repr(float(_Q142_QUERY[s * _Q142_DSUB])
+                  - float(cells[ci][s * _Q142_DSUB]))
+        q2 = repr(float(_Q142_QUERY[s * _Q142_DSUB + 1])
+                  - float(cells[ci][s * _Q142_DSUB + 1]))
+        return (f"(({q1} - {csx}) * ({q1} - {csx}) + "
+                f"({q2} - {csy}) * ({q2} - {csy}))")
+
+    adc_cell = {
+        ci: " + ".join(
+            f"(CASE WHEN ({code_exprs[s]}) = 0 THEN {lut(ci, s, 0)} "
+            f"ELSE {lut(ci, s, 1)} END)"
+            for s in range(_Q142_M))
+        for ci in probe
+    }
+    adc = ("CASE cell " + " ".join(
+        f"WHEN {ci} THEN ({adc_cell[ci]})" for ci in probe) + " END")
+    rows_cols = ", ".join(
+        f"r{s}{j + 1} AS x{s}{j + 1}"
+        for s in range(_Q142_M) for j in range(_Q142_DSUB))
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+    rows_in AS (SELECT vec_id, cell, {rows_cols} FROM res)
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, ROUND({adc}, 7) AS adc
+    FROM rows_in WHERE cell IN ({', '.join(map(str, probe))})
+    ORDER BY adc, vec_id LIMIT 10
+    """
+    )
+
+
+@q("q153_ivfpq_residual", _q153_oracle())
+def q153(spark, sf):
+    """Residual-encoded IVF-PQ (similarity.py ivf_residual_expr +
+    ivf_pq_search(residuals_of=...), FAISS IVFPQ ``by_residual``):
+    assign each vector its nearest pinned coarse cell, PQ-train and
+    encode the RESIDUAL v - cell (codes describe the within-cell
+    displacement instead of re-describing the coarse structure the
+    cell id already captures — what lifts the compressed recall
+    ceiling, SCALE.md round 7), then search the 2 query-nearest cells
+    with per-cell lookup tables built from the shifted query q - cell.
+    Plan: one filtered ADC TakeOrdered head per probed cell, one
+    nprobe*k-row union, zero shuffles.  The oracle replays cell
+    assignment, residual computation, both residual Lloyd trainings,
+    the encode, and the per-cell shifted-query ADC bit-for-bit."""
+    from .operators.similarity import (
+        assign_clusters_col, ivf_pq_search, ivf_residual_expr,
+        pq_encode_expr, pq_fit)
+
+    dim = _Q142_M * _Q142_DSUB
+    e = _t(spark, sf, "embeddings", "e").df.selectExpr(
+        "vec_id",
+        f"transform(slice(embedding, 1, {dim}), "
+        "x -> CAST(x AS DOUBLE)) AS v",
+    )
+    asg = e.withColumn("cluster_id", assign_clusters_col("v", _Q153_CELLS))
+    r = asg.withColumn(
+        "r", ivf_residual_expr("v", "cluster_id", _Q153_CELLS))
+    model = pq_fit(r, "r", dim=dim, m=_Q142_M, k=2,
+                   iters=_Q142_ITERS, init_centroids=_Q142_INIT)
+    enc = r.withColumn("codes", pq_encode_expr("r", model))
+    out = ivf_pq_search(
+        enc, _Q153_CELLS, model, "vec_id", "codes", _Q142_QUERY,
+        k=10, nprobe=_Q153_NPROBE, residuals_of=_Q153_CELLS)
+    return out.select(F.col("vec_id").cast("bigint").alias("vec_id"), "adc")
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -6258,38 +6431,37 @@ def q152(spark, sf):
 # keep their round-1 evidence even if they fall past a cap.
 # ---------------------------------------------------------------------
 _NEEDS_EVIDENCE = [
-    # Round-6 rotation (VERDICT r5 ask #3): 50 driver slots.
-    # Priority 1 — the one red row in r5 (hash-type fix applied this
-    # round, must re-evidence) and the queries NEW this round:
-    "q132_grouping_builder", "q151_video_near_dup", "q152_pq_refine",
-    # Priority 2 — the 11 queries whose latest driver evidence is r2:
-    "q52_audio_decode", "q53_corpus_boilerplate", "q54_date_bin",
-    "q56_semi_anti", "q57_asof_join", "q58_range_join",
-    "q59_time_rollup", "q60_sessionize", "q61_distinct_sketch",
-    "q63_decontamination", "q66_pack_sequences",
-    # Priority 3 — r3-latest queries VERDICT r5 flagged or whose
-    # implementation is touched this round (q77 drift root-cause,
-    # tfidf n_docs/decimal fixes hit no r3 query but q77's plan):
-    "q77_containment_pairs", "q81_sq8_topk", "q96_fuzzy_match",
-    # Priority 4 — remaining r3-latest, 36 of which fit the cap;
-    # the two most fuzz-covered plain-TPC-H entries sit last and
-    # rotate into round 7:
-    "q09_dedup_exact", "q30_minhash_pairs", "q31_simhash_pairs",
-    "q32_embedding_near_dup", "q35_media_kinds", "q39_string_functions",
-    "q40_datetime_functions", "q41_math_functions",
-    "q46_training_corpus", "q55_left_mark", "q62_skew_join_salted",
-    "q64_repetition_signals", "q65_semantic_dedup",
-    "q67_classifier_filter", "q68_sample_and_cap", "q69_exists_subquery",
-    "q70_scalar_subquery", "q71_train_val_test_split", "q72_lm_score",
-    "q73_knn_join", "q74_chunk_documents", "q75_threshold_sweep",
-    "q76_lm_score_bigram", "q78_incremental_dedup",
-    "q79_upsample_by_weight", "q80_temperature_mix",
-    "q85_bracket_predicates",
-    "q86_returned_items", "q92_histogram", "q94_weighted_sample",
-    "q97_except_all", "q98_distribution_windows", "q99_grouping_sets",
-    "q100_corpus_report_card",
+    # Round-7 rotation (VERDICT r6 ask #2): 50 driver slots.
+    # Priority 1 — NEW this round (no driver evidence yet):
+    "q153_ivfpq_residual",
+    # Priority 2 — the 4 rows whose latest driver evidence is r3 (the
+    # judge's freshness tail; three plain TPC-H shapes + the report
+    # card, deliberately last in the r6 rotation):
     "q82_shipping_priority", "q83_local_supplier_volume",
-    "q84_promo_revenue",
+    "q84_promo_revenue", "q100_corpus_report_card",
+    # Priority 3 — the 49 rows whose latest driver evidence is r4; 45
+    # fit the remaining slots, the last 4 (heavily fuzz-covered
+    # TPC-H star shapes) spill to round 8:
+    "q28_calendar", "q29_json_extract", "q34_quality_fingerprint",
+    "q42_union_all_append", "q43_drop_duplicates_by_col",
+    "q44_window_frames", "q45_agg_whitelist", "q47_rollup",
+    "q48_string_agg", "q49_array_agg_distinct", "q50_pii_redaction",
+    "q51_percentiles", "q87_event_rate_anomaly", "q88_order_gap_stats",
+    "q89_funnel", "q90_cohort_retention", "q91_bm25_search",
+    "q93_hybrid_search", "q95_mad_outliers", "q101_batched_hybrid",
+    "q102_latest_by_key", "q103_top_k_per_group", "q104_url_filter",
+    "q105_assign_shards", "q106_ohlc_resample", "q107_gapfill_linear",
+    "q108_best_quality_dedup", "q124_train_quality_classifier",
+    "q125_hashed_tf_features", "q126_classifier_eval", "q127_kmeans_fit",
+    "q128_tfidf_features", "q129_snapshot_diff", "q130_join_audit",
+    "q109_order_priority", "q110_priority_shipping_mix",
+    "q111_large_volume_customer", "q112_supplier_part_counts",
+    "q113_forecast_revenue", "q114_nation_volume_shipping",
+    "q115_market_share", "q116_product_profit",
+    "q117_customer_distribution", "q118_top_supplier",
+    "q119_small_quantity_revenue",
+    "q120_sales_opportunity", "q121_waiting_suppliers",
+    "q122_min_cost_supplier", "q123_part_promotion_suppliers",
 ]
 _NEEDS_EVIDENCE = [k for k in _NEEDS_EVIDENCE if k in QUERIES]
 QUERIES = {

@@ -75,3 +75,91 @@ def test_child_sentinel_parsing(monkeypatch):
 
     with pytest.raises(RuntimeError, match="boom"):
         b._spawn({"queries": ["q"], "sf_dir": "x"})
+
+
+# ---------------------------------------------------------------------
+# Contention guard (VERDICT r6 ask #1): synthetic-contention scenarios
+# against the parent-side decision logic — a uniformly slowed group is
+# flagged for rerun and its violations carry the canary evidence; a
+# single-query regression is NOT rerun and survives annotation as a
+# real violation.
+# ---------------------------------------------------------------------
+
+_BUDGETS = {"qa": 1.0, "qb": 1.0, "qc": 1.0, "qd": 1.0}
+
+
+def test_group_drift_computation():
+    b = _load_bench()
+    # idle host: canary at/below floor -> clamped to 1.0
+    assert b._group_drift({"start": b.CANARY_FLOOR * 0.8,
+                           "end": b.CANARY_FLOOR}) == 1.0
+    # contended host: 1.8x slowed canary -> drift ~1.8
+    d = b._group_drift({"start": b.CANARY_FLOOR * 1.8,
+                        "end": b.CANARY_FLOOR * 1.8})
+    assert abs(d - 1.8) < 0.01
+    # missing canary (old child / dead parse) degrades to no adjustment
+    assert b._group_drift(None) == 1.0
+
+
+def test_synthetic_contention_triggers_group_rerun():
+    b = _load_bench()
+    # the BENCH_r06 pattern: every entry in the group ~1.8x its budget
+    contended = {n: 1.8 for n in _BUDGETS}
+    assert b._should_rerun(contended, budgets=_BUDGETS)
+    # a single regressed query does NOT look like contention
+    one_bad = {"qa": 5.0, "qb": 0.5, "qc": 0.5, "qd": 0.5}
+    assert not b._should_rerun(one_bad, budgets=_BUDGETS)
+    # exactly half violating is the boundary: rerun (>= fraction)
+    half = {"qa": 1.5, "qb": 1.5, "qc": 0.5, "qd": 0.5}
+    assert b._should_rerun(half, budgets=_BUDGETS)
+    # a group with <2 budgeted entries can't establish a pattern
+    assert not b._should_rerun({"qa": 9.9}, budgets=_BUDGETS)
+
+
+def test_merge_min_keeps_best_pass():
+    b = _load_bench()
+    first = {"qa": 1.8, "qb": 1.9}
+    second = {"qa": 0.7, "qb": 2.5}
+    assert b._merge_min(first, second) == {"qa": 0.7, "qb": 1.9}
+    # a query missing from the rerun keeps its first-pass time
+    assert b._merge_min({"qa": 1.0}, {}) == {"qa": 1.0}
+
+
+def test_violation_annotation_separates_contention_from_regression():
+    b = _load_bench()
+    times = {"qa": 1.8, "qb": 0.5, "qc": 3.0}
+    group_of = {"qa": 0, "qb": 0, "qc": 1}
+    drifts = {0: 1.9, 1: 1.0}   # group 0 contended, group 1 idle
+    v = b._annotate_violations(times, group_of, drifts, budgets=_BUDGETS)
+    # qa violates raw but its drift-adjusted wall is within budget
+    assert v["qa"]["contention_suspect"] is True
+    assert v["qa"]["canary_drift"] == 1.9
+    assert v["qa"]["adjusted_sec"] == round(1.8 / 1.9, 3)
+    # qb is under budget: no entry
+    assert "qb" not in v
+    # qc violates on an idle group: a REAL regression, not suspect
+    assert v["qc"]["contention_suspect"] is False
+    assert v["qc"]["canary_drift"] == 1.0
+
+
+def test_floor_bound_annotation():
+    b = _load_bench()
+    budgets = {"q77_containment_pairs": 1.0, "qa": 1.0}
+    v = b._annotate_violations(
+        {"q77_containment_pairs": 1.5, "qa": 1.5},
+        {"q77_containment_pairs": 0, "qa": 0}, {0: 1.0}, budgets=budgets)
+    assert v["q77_containment_pairs"]["floor_bound"] is True
+    assert v["qa"]["floor_bound"] is False
+
+
+def test_methodology_string_matches_timed_passes():
+    """ADVICE r6: the emitted protocol description must match the
+    actual pass count (r6 said 'min of 2' while running 3)."""
+    b = _load_bench()
+    import inspect
+
+    src = inspect.getsource(b._run_group)
+    assert f"range(TIMED_PASSES)" in src
+    # the parent derives the string from the same constant
+    main_src = inspect.getsource(b.main)
+    assert 'f"min of {TIMED_PASSES} timed passes"' in main_src

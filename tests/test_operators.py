@@ -3388,6 +3388,149 @@ def test_bpe_fuzz_vs_python_reference(spark, seed):
         assert enc[i][1] == len(etoks)
 
 
+def _ref_bpe_batched(texts, num_merges, per_round, lowercase=True):
+    """Pure-python replay of the BATCHED merge rule (VERDICT r6 ask
+    #5): per counting pass, greedy top-N non-overlapping pairs by
+    (count DESC, l, r), `used` covering each taken pair's l, r and
+    merged symbol; apply all N before recounting."""
+    import collections
+    wc = collections.Counter()
+    for t in texts:
+        for w in t.split():
+            wc[w.lower() if lowercase else w] += 1
+    vocab = collections.Counter()
+    for w, f in wc.items():
+        vocab[tuple(w)] += f
+    merges = []
+
+    def apply(vocab, l, r):
+        nv = collections.Counter()
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i < len(syms) - 1 and syms[i] == l
+                        and syms[i + 1] == r):
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] += f
+        return nv
+
+    while len(merges) < num_merges:
+        take = min(per_round, num_merges - len(merges))
+        pc = collections.Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        ranked = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if take > 1:
+            ranked = ranked[:take * 16 + 64]
+        used, selected = set(), []
+        for (l, r), c in ranked:
+            if l in used or r in used:
+                continue
+            selected.append((l, r, c))
+            used.update((l, r, l + r))
+            if len(selected) == take:
+                break
+        if not selected:
+            (l, r), c = ranked[0]
+            selected = [(l, r, c)]
+        for l, r, c in selected:
+            merges.append({"merge_rank": len(merges) + 1, "lft": l,
+                           "rgt": r, "pair_count": c})
+            vocab = apply(vocab, l, r)
+    return merges
+
+
+@pytest.mark.parametrize("seed,per_round", [(0, 2), (1, 3), (2, 4), (3, 2)])
+def test_bpe_batched_matches_batched_replay(spark, seed, per_round):
+    """merges_per_round=N replays the documented batched rule exactly
+    (pre-round counts, greedy non-overlap, same tiebreak) — the
+    divergence from strict Sennrich is a DEFINED approximation, not
+    engine noise."""
+    import random
+
+    from elusion_spark.operators.bpe import bpe_fit
+
+    rng = random.Random(100 + seed)
+    alphabet = "abcd"
+    texts = [
+        " ".join(
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+            for _ in range(rng.randint(5, 20))
+        )
+        for _ in range(rng.randint(4, 12))
+    ]
+    n_merges = rng.randint(3, 7)
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = bpe_fit(df, "text", num_merges=n_merges,
+                  merges_per_round=per_round)
+    exp = _ref_bpe_batched(texts, n_merges, per_round)
+    assert got == exp, (seed, per_round, got, exp)
+
+
+def test_bpe_batched_equals_exact_on_disjoint_top_pairs(spark):
+    """When the top pairs are symbol-disjoint with well-separated
+    counts (the natural-language common case), the batched path
+    produces the IDENTICAL merge list to exact Sennrich — the
+    approximation only bites on interacting pairs."""
+    from elusion_spark.operators.bpe import bpe_fit
+
+    # four disjoint two-letter words with strictly separated counts
+    corpus = ["ab " * 50 + "cd " * 40 + "ef " * 30 + "gh " * 20]
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    exact = bpe_fit(df, "text", num_merges=4)
+    batched = bpe_fit(df, "text", num_merges=4, merges_per_round=4)
+    assert batched == exact == _ref_bpe(corpus, 4)
+
+
+def test_bpe_batched_round_pairs_are_non_overlapping(spark):
+    """Within one round no two selected pairs share a symbol — the
+    invariant that makes batched application order-independent."""
+    from elusion_spark.operators.bpe import bpe_fit
+
+    corpus = ["aa ab ba bb ab aa ba " * 10]
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    merges = bpe_fit(df, "text", num_merges=2, merges_per_round=2)
+    # one round produced both merges: symbols must be disjoint
+    syms0 = {merges[0]["lft"], merges[0]["rgt"]}
+    syms1 = {merges[1]["lft"], merges[1]["rgt"]}
+    assert not (syms0 & syms1), merges
+
+
+def test_bpe_batched_job_count_scales_down(spark):
+    """The point of batching: counting passes drop N-fold.  Pinned as
+    a job-count comparison — 8 merges at merges_per_round=4 must
+    launch strictly fewer jobs than at merges_per_round=1 (2 counting
+    aggs vs 8)."""
+    from tests.test_scale import _jobs_for
+
+    from elusion_spark.operators.bpe import bpe_fit
+
+    texts = ["abcdefgh " * 5 + "ababab cdcdcd efefef ghghgh " * 3] * 4
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    wc_cache = None
+
+    def run(per_round, tag):
+        from elusion_spark.operators.bpe import bpe_word_counts
+        wc = bpe_word_counts(df, "text").persist()
+        wc.count()
+        n = _jobs_for(spark, tag, lambda: bpe_fit(
+            df, "text", num_merges=8, merges_per_round=per_round,
+            word_counts=wc))
+        wc.unpersist()
+        return n
+
+    exact_jobs = run(1, "bpe_exact_jobs")
+    batched_jobs = run(4, "bpe_batched_jobs")
+    assert batched_jobs <= exact_jobs - 4, (exact_jobs, batched_jobs)
+
+
 # -----------------------------------------------------------------------
 # Random projection + product quantization
 # -----------------------------------------------------------------------
@@ -3597,6 +3740,171 @@ def test_ivf_pq_search_prunes_and_matches_full_scan(spark):
     cells = {r["id"] for r in enc.filter(
         SF.col("cluster_id").isin(order[:2])).collect()}
     assert probed <= cells
+
+
+def test_ivf_residual_search_matches_numpy_replay(spark):
+    """Residual IVF-PQ (VERDICT r6 ask #4): ivf_residual_expr computes
+    v - centroid[cluster] exactly, and ivf_pq_search(residuals_of=...)
+    scores every probed row as the per-cell shifted-query ADC —
+    replayed bit-for-bit in numpy with the same LUT arithmetic."""
+    import numpy as np
+
+    from elusion_spark.operators.similarity import (
+        assign_clusters_col, ivf_pq_search, ivf_residual_expr,
+        pq_encode_expr, pq_fit)
+
+    rng = np.random.default_rng(23)
+    X = rng.normal(size=(90, 8))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(90)],
+        "id long, v array<double>",
+    )
+    cents = [[float(v) for v in c] for c in rng.normal(size=(3, 8))]
+    asg = df.withColumn("cluster_id", assign_clusters_col("v", cents))
+    r = asg.withColumn("r", ivf_residual_expr("v", "cluster_id", cents))
+    # residual values: v - centroid[cluster], checked exactly
+    rows = r.select("id", "cluster_id", "r").collect()
+    C = np.asarray(cents)
+    cl = {row["id"]: row["cluster_id"] for row in rows}
+    for row in rows:
+        exp = X[row["id"]] - C[row["cluster_id"]]
+        assert np.array_equal(np.asarray(row["r"]), exp), row["id"]
+
+    init = [[[float(X[t][s * 4 + j]) for j in range(4)] for t in (0, 1)]
+            for s in range(2)]
+    model = pq_fit(r, "r", dim=8, m=2, k=2, iters=2, init_centroids=init)
+    enc = r.withColumn("codes", pq_encode_expr("r", model))
+    codes = {row["id"]: row["codes"]
+             for row in enc.select("id", "codes").collect()}
+    q = [float(v) for v in rng.normal(size=8)]
+
+    got = ivf_pq_search(enc, cents, model, "id", "codes", q,
+                        k=90, nprobe=3, residuals_of=cents).collect()
+    # numpy replay: per-cell LUT from the shifted query, same fold
+    B = [np.asarray(b) for b in model.codebooks]
+    exp_scores = {}
+    for i in range(90):
+        qr = np.asarray(q) - C[cl[i]]
+        s = 0.0
+        for sub in range(2):
+            c = B[sub][codes[i][sub]]
+            d = qr[sub * 4:(sub + 1) * 4] - c
+            s = s + float((d * d).sum())
+        exp_scores[i] = round(s, 7)
+    for row in got:
+        assert row["adc"] == exp_scores[row["id"]], row["id"]
+    # ordering: (adc, id) ascending
+    key = [(row["adc"], row["id"]) for row in got]
+    assert key == sorted(key)
+
+
+def test_ivf_residual_beats_raw_codes_on_clustered_data(spark):
+    """The reason residual encoding exists: on clustered data, raw
+    codes spend their budget re-describing coarse structure the cell
+    id already captures.  With far-apart clusters and a tiny code
+    budget, residual-encoded search recalls the true top-k strictly
+    better than raw-encoded search at the same (m, k, nprobe)."""
+    import numpy as np
+
+    from elusion_spark.operators.similarity import (
+        assign_clusters_col, ivf_pq_search, ivf_residual_expr,
+        pq_encode_expr, pq_fit)
+
+    rng = np.random.default_rng(41)
+    centers = rng.normal(size=(4, 8)) * 10.0     # far-apart clusters
+    assign = rng.integers(0, 4, size=160)
+    X = centers[assign] + 0.5 * rng.normal(size=(160, 8))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(160)],
+        "id long, v array<double>",
+    )
+    cents = [[float(v) for v in c] for c in centers]
+    asg = df.withColumn("cluster_id", assign_clusters_col("v", cents))
+    q = [float(v) for v in centers[1] + 0.5 * rng.normal(size=8)]
+    truth = {int(i) for i in
+             np.argsort(((X - np.asarray(q)) ** 2).sum(axis=1))[:10]}
+
+    # in-distribution init for BOTH paths (first 4 rows of the feature
+    # each path actually quantizes — raw vectors vs residuals)
+    C = np.asarray(cents)
+    R = X - C[np.argmin(
+        ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), axis=1)]
+
+    def recall(enc_df, vec, residuals, M):
+        init = [[[float(M[t][s * 4 + j]) for j in range(4)]
+                 for t in range(4)] for s in range(2)]
+        model = pq_fit(enc_df, vec, dim=8, m=2, k=4, iters=3,
+                       init_centroids=init)
+        enc = enc_df.withColumn("codes", pq_encode_expr(vec, model))
+        got = ivf_pq_search(
+            enc, cents, model, "id", "codes", q, k=10, nprobe=4,
+            residuals_of=cents if residuals else None).collect()
+        return len({row["id"] for row in got} & truth)
+
+    res = asg.withColumn("r", ivf_residual_expr("v", "cluster_id", cents))
+    raw_recall = recall(asg, "v", residuals=False, M=X)
+    res_recall = recall(res, "r", residuals=True, M=R)
+    # measured on this fixture: raw=1, residual=7 — pin the direction
+    # with margin, not the exact values
+    assert res_recall - raw_recall >= 4, (res_recall, raw_recall)
+    assert res_recall >= 6, (res_recall, raw_recall)
+
+
+def test_ivf_pq_search_metric_plumbing():
+    """ADVICE r6: metric validation — residuals require l2; bad metric
+    strings fail loudly instead of silently scanning with L2 LUTs."""
+    import pytest as _pytest
+
+    from elusion_spark.operators.similarity import PQModel, ivf_pq_search
+
+    model = PQModel([[[0.0, 0.0], [1.0, 1.0]]], 2)
+    with _pytest.raises(ValueError, match="metric"):
+        ivf_pq_search(None, [[0.0, 0.0]], model, "id", "codes",
+                      [0.0, 0.0], metric="cosine")
+    with _pytest.raises(ValueError, match="residuals_of"):
+        ivf_pq_search(None, [[0.0, 0.0]], model, "id", "codes",
+                      [0.0, 0.0], metric="ip", residuals_of=[[0.0, 0.0]])
+
+
+def test_ivf_pq_search_ip_probes_by_inner_product(spark):
+    """metric='ip' probe order: cells rank by descending <q, c>, and
+    with nprobe=nlist the result equals the flat MIPS ADC scan."""
+    import numpy as np
+
+    from elusion_spark.operators.similarity import (
+        assign_clusters_col, ivf_pq_search, pq_adc_topk,
+        pq_encode_expr, pq_fit)
+
+    rng = np.random.default_rng(59)
+    X = rng.normal(size=(80, 8))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(80)],
+        "id long, v array<double>",
+    )
+    cents = [[float(v) for v in c] for c in rng.normal(size=(4, 8))]
+    init = [[[float(X[t][s * 4 + j]) for j in range(4)] for t in (0, 1, 2)]
+            for s in range(2)]
+    model = pq_fit(df, "v", dim=8, m=2, k=3, iters=2, init_centroids=init)
+    enc = df.withColumn("cluster_id", assign_clusters_col("v", cents)) \
+        .withColumn("codes", pq_encode_expr("v", model))
+    q = [float(v) for v in rng.normal(size=8)]
+    flat = pq_adc_topk(enc, "id", "codes", q, model, k=5,
+                       metric="ip").collect()
+    probed = ivf_pq_search(enc, cents, model, "id", "codes", q, k=5,
+                           nprobe=4, metric="ip").collect()
+    assert [(r["id"], r["adc"]) for r in flat] == \
+        [(r["id"], r["adc"]) for r in probed]
+    # small nprobe draws only from the top-IP cells
+    got2 = {r["id"] for r in
+            ivf_pq_search(enc, cents, model, "id", "codes", q, k=5,
+                          nprobe=2, metric="ip").collect()}
+    order = sorted(range(4), key=lambda ci: -sum(
+        a * b for a, b in zip(q, cents[ci])))
+    from pyspark.sql import functions as SF
+
+    allowed = {r["id"] for r in enc.filter(
+        SF.col("cluster_id").isin(order[:2])).collect()}
+    assert got2 <= allowed
 
 
 @pytest.mark.parametrize("seed", range(6))
@@ -4094,9 +4402,9 @@ def test_tfidf_weights_n_excludes_featureless_docs(spark):
 
 def test_tfidf_auto_grain_selection(spark):
     """ngram='auto' escalates to bigrams on a templated fixed-vocab
-    corpus (mean feature df fraction above the 1% default) and stays
-    at unigrams on a rich growing vocabulary; the auto result equals
-    the explicitly-chosen grain's result."""
+    corpus (unigram df fraction above the 1% default, bigram below)
+    and stays at unigrams on a rich growing vocabulary; the auto
+    result equals the explicitly-chosen grain's result."""
     import random as _random
 
     from elusion_spark.operators.dedup import (
@@ -4104,13 +4412,19 @@ def test_tfidf_auto_grain_selection(spark):
         tfidf_cosine_pairs,
     )
 
+    # vocab 100 / 200 docs: dense at unigram (12/100), but the
+    # OBSERVED bigram vocabulary (~2k of 10k possible) dilutes the
+    # bigram frac under 1% — grain 2 is genuinely selective here
     rng = _random.Random(7)
-    vocab = [f"w{i}" for i in range(30)]  # tiny fixed vocabulary
-    templated = [(i, " ".join(rng.choices(vocab, k=15)))
-                 for i in range(60)]
+    vocab = [f"w{i}" for i in range(100)]  # small fixed vocabulary
+    templated = [(i, " ".join(rng.choices(vocab, k=12)))
+                 for i in range(200)]
     tdf = spark.createDataFrame(templated, "doc_id long, text string")
     g_t, stats_t = tfidf_auto_grain(tdf, "doc_id", "text")
-    assert g_t == 2 and stats_t["mean_df_frac"] > 0.01, stats_t
+    assert g_t == 2, stats_t
+    assert stats_t["grains_measured"][0]["mean_df_frac"] > 0.01
+    assert stats_t["mean_df_frac"] <= 0.01
+    assert not stats_t["recommend_minhash"]
 
     # mean df frac ≈ unique-tokens-per-doc / vocab; vocab must outgrow
     # docs×tokens for the Heaps'-law signal, hence 200 docs here
@@ -4119,6 +4433,7 @@ def test_tfidf_auto_grain_selection(spark):
     rdf = spark.createDataFrame(rich, "doc_id long, text string")
     g_r, stats_r = tfidf_auto_grain(rdf, "doc_id", "text")
     assert g_r == 1 and stats_r["mean_df_frac"] <= 0.01, stats_r
+    assert len(stats_r["grains_measured"]) == 1  # stopped at grain 1
 
     auto = {(r["id_a"], r["id_b"], r["cosine"]) for r in
             tfidf_cosine_pairs(tdf, "doc_id", "text", threshold=0.7,
@@ -4127,6 +4442,58 @@ def test_tfidf_auto_grain_selection(spark):
                 tfidf_cosine_pairs(tdf, "doc_id", "text", threshold=0.7,
                                    ngram=2).collect()}
     assert auto == explicit
+
+
+def test_tfidf_auto_grain_escalates_to_trigram(spark):
+    """The VERDICT r6 ask #6 adversarial case: tiny unigram vocabulary
+    AND repetitive bigrams — grains 1 and 2 both exceed the threshold,
+    trigram diversity finally prunes, so auto picks n=3 (without the
+    minhash recommendation)."""
+    import random as _random
+
+    from elusion_spark.operators.dedup import tfidf_auto_grain
+
+    # 12-word vocab, 12-token docs: unigram frac ~0.6, bigram ~11/144
+    # ~0.08; 300 docs grow the observed trigram vocab to ~1.4k of
+    # 1728 possible -> trigram frac ~0.007 under the 1% threshold
+    rng = _random.Random(3)
+    vocab = [f"v{i}" for i in range(12)]
+    docs = [(i, " ".join(rng.choices(vocab, k=12))) for i in range(300)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    g, stats = tfidf_auto_grain(df, "doc_id", "text")
+    assert g == 3, stats
+    assert not stats["recommend_minhash"], stats
+    fr = [m["mean_df_frac"] for m in stats["grains_measured"]]
+    assert fr[0] > 0.01 and fr[1] > 0.01 and fr[2] <= 0.01, fr
+
+
+def test_tfidf_auto_grain_recommends_minhash(spark, caplog):
+    """Pathological corpus where even trigrams stay dense (docs are
+    repeats of four 2-word phrases over a 3-letter vocabulary): auto
+    lands at max_grain=3 with recommend_minhash=True, and
+    tfidf_cosine_pairs(ngram='auto') logs the WARNING pointing at
+    minhash_dedup_pairs."""
+    import logging
+    import random as _random
+
+    from elusion_spark.operators.dedup import (
+        tfidf_auto_grain,
+        tfidf_cosine_pairs,
+    )
+
+    rng = _random.Random(9)
+    phrases = ["a b", "b c", "c a", "a c"]
+    docs = [(i, " ".join(rng.choice(phrases) for _ in range(10)))
+            for i in range(80)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    g, stats = tfidf_auto_grain(df, "doc_id", "text")
+    assert g == 3 and stats["recommend_minhash"], stats
+    assert all(m["mean_df_frac"] > 0.01 for m in stats["grains_measured"])
+
+    with caplog.at_level(logging.WARNING, logger="elusion_spark.dedup"):
+        tfidf_cosine_pairs(df, "doc_id", "text", threshold=0.9,
+                           ngram="auto")
+    assert any("minhash_dedup_pairs" in r.message for r in caplog.records)
 
 
 # -------------------------------------------------- DSIR importance weights
