@@ -12,6 +12,7 @@ from .core import (  # noqa: F401
     read_rate_stream,
     run_available_now_to_memory,
     run_available_now_update_to_memory,
+    start_update_collect,
     running_totals_stateful,
     score_event_rate_store,
     session_agg,

@@ -406,6 +406,42 @@ def run_available_now_update_to_memory(sdf: DataFrame, name: str | None = None,
     return spark.table(name)
 
 
+def start_update_collect(
+    sdf: DataFrame, checkpoint: str, trigger_ms: int = 200
+):
+    """Start a LIVE update-mode query that collects every emitted row
+    into a driver-side list; returns ``(query, rows)``.  The caller
+    drives it — ``q.processAllAvailable()`` after appending source
+    files, ``q.stop()`` when done — and reads ``rows`` afterwards.
+
+    This is the long-stream study harness (the TTL recall study in
+    tools/ttl_recall_study.py): a live micro-batch trigger keeps
+    running empty batches between data arrivals, which is exactly what
+    FIRES processing-time state timers during quiet periods.  An
+    availableNow run is the WRONG harness for a TTL stream: with
+    ProcessingTimeTimeout the stateful operator always requests
+    another batch (Spark's shouldRunAnotherBatch is unconditionally
+    true for that timeout conf, so expired timers are never missed),
+    and the trigger therefore never self-terminates — it spins empty
+    micro-batches until the awaitTermination deadline.
+
+    Driver-bounded (collect per micro-batch) — a test/measurement
+    harness, never a production sink."""
+    rows: list = []
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        rows.extend(batch_df.collect())
+
+    q = (
+        sdf.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_ms} milliseconds")
+        .start()
+    )
+    return q, rows
+
+
 def stream_write_files(
     sdf: DataFrame,
     path: str,
@@ -477,7 +513,13 @@ def near_dup_candidates_stream(
     arriving after its anchor's bucket expired re-seeds the bucket and
     pairs only with later arrivals.  ``None`` (default) keeps state
     forever — right for bounded backfills and the stream==batch parity
-    contract.  The band explode multiplies the stream by ``bands``
+    contract.  NOTE: with ``state_ttl_ms`` set, drive the query with a
+    live trigger (``processingTime``) — ProcessingTimeTimeout makes the
+    stateful operator request a batch every trigger so expired timers
+    always fire, which means an ``availableNow`` run never
+    self-terminates (it spins empty micro-batches until its
+    awaitTermination deadline).  The measured recall cost of eviction
+    is tabled in SCALE.md ("streaming TTL recall trade").  The band explode multiplies the stream by ``bands``
     rows of (id, 2 ints) — fixed-width, independent of document size;
     bodies never enter the stateful shuffle.
 

@@ -410,11 +410,24 @@ def test_near_dup_candidates_stream_string_ids(spark, tmp_path):
 
 def test_near_dup_candidates_stream_ttl_plumbing(spark, tmp_path):
     """state_ttl_ms wires ProcessingTimeTimeout + per-arrival lease
-    renewal; within a fast availableNow run no bucket is quiet for an
-    hour, so the candidate set must EQUAL the untimed contract — this
-    pins the timeout plumbing (a wrong timeoutConf or a missing
+    renewal; with a 1h TTL no bucket can expire inside the run, so the
+    candidate set must EQUAL the untimed contract — this pins the
+    timeout plumbing (a wrong timeoutConf or a missing
     setTimeoutDuration raises; a hasTimedOut mishandle changes the
-    output) without a flaky sleep-based expiry assertion."""
+    output) without a sleep-based expiry assertion.  The TTL leg runs
+    on a LIVE trigger driven by the committed file-log offset:
+    ProcessingTimeTimeout makes the stateful operator request a batch
+    every trigger, so an availableNow run never self-terminates (it
+    would burn the whole awaitTermination budget spinning empty
+    batches)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools"))
+    from ttl_recall_study import _await_file_log_offset
+
     docs = [(i, "the quick brown fox jumps over the lazy dog " +
              ("" if i % 2 == 0 else f"unique {i} " * 3))
             for i in range(16)]
@@ -424,18 +437,62 @@ def test_near_dup_candidates_stream_ttl_plumbing(spark, tmp_path):
     df.filter("doc_id >= 8").coalesce(1).write.parquet(src + "/b=b")
     schema = spark.read.parquet(src + "/b=a").schema
 
-    def run(**kw):
-        stream = (spark.readStream.schema(schema)
-                  .option("maxFilesPerTrigger", 1).parquet(src))
-        cand = ST.near_dup_candidates_stream(
-            stream, "doc_id", "text", num_hashes=16, bands=8,
-            shingle_k=3, **kw)
-        got = ST.run_available_now_update_to_memory(cand)
-        return {(r["anchor_id"], r["doc_id"]) for r in got.collect()}
+    def stream():
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(src))
 
-    base = run()
-    with_ttl = run(state_ttl_ms=3_600_000)
+    base_cand = ST.near_dup_candidates_stream(
+        stream(), "doc_id", "text", num_hashes=16, bands=8, shingle_k=3)
+    base_df = ST.run_available_now_update_to_memory(base_cand)
+    base = {(r["anchor_id"], r["doc_id"]) for r in base_df.collect()}
+
+    ttl_cand = ST.near_dup_candidates_stream(
+        stream(), "doc_id", "text", num_hashes=16, bands=8, shingle_k=3,
+        state_ttl_ms=3_600_000)
+    q, rows = ST.start_update_collect(ttl_cand, str(tmp_path / "ttl_ckpt"))
+    try:
+        _await_file_log_offset(q, 1)  # both files committed (0-based)
+    finally:
+        q.stop()
+    with_ttl = {(r["anchor_id"], r["doc_id"]) for r in rows}
     assert base and with_ttl == base
+
+
+def test_near_dup_stream_ttl_recall_trade(spark, tmp_path):
+    """Pins the DOCUMENTED recall trade of state_ttl_ms on a long
+    stream (VERDICT r6 ask #3, measured in tools/ttl_recall_study.py
+    and tabled in SCALE.md): true near-dup pairs that straddle a quiet
+    period LONGER than the TTL are lost (the anchor's bucket was
+    evicted by the intervening traffic's batch), while (a) pairs inside
+    one period always survive and (b) the post-gap duplicates of the
+    straddling family still find EACH OTHER — eviction degrades
+    cross-period linking to per-period dedup, it never corrupts pairs.
+    A TTL longer than the quiet period recovers everything, matching
+    the TTL=None contract."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools"))
+    import ttl_recall_study as S
+
+    waves, truth = S.build_waves(n_cross=3, n_within=2, n_filler=4)
+    gap_s = 2.5
+    # TTL ≈ gap/3: the wave-1 batch runs well past every wave-0
+    # bucket's lease; TTL = 1h: nothing can expire inside this test.
+    lossy = S.score(
+        S.run_config(spark, waves, str(tmp_path), int(gap_s * 1000 / 3),
+                     gap_s, num_hashes=16, bands=8), truth)
+    safe = S.score(
+        S.run_config(spark, waves, str(tmp_path), 3_600_000,
+                     gap_s, num_hashes=16, bands=8), truth)
+    assert safe["within_recall"] == 1.0
+    assert safe["cross_recall"] == 1.0
+    assert safe["post_gap_cohesion"] == 1.0
+    assert lossy["within_recall"] == 1.0   # same-period pairs unharmed
+    assert lossy["cross_recall"] == 0.0    # the documented loss
+    assert lossy["post_gap_cohesion"] == 1.0  # re-seeded bucket dedups
 
 
 def test_stream_to_rollup_matches_batch(spark, tmp_path):
