@@ -153,6 +153,100 @@ def add_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+# ------------------------------------------------------- gopher rules
+
+def gopher_quality_signals(col: str = "text") -> dict[str, Column]:
+    """The per-document Gopher quality-rule signals (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", Appendix A1.1 — the
+    rule family MassiveWeb/FineWeb-style curation pipelines standardize
+    on), each as ONE whole-stage-codegen expression over the raw text:
+
+    - ``n_words`` — whitespace-token count;
+    - ``mean_word_len`` — mean characters per word;
+    - ``symbol_word_ratio`` — (``#`` + ``...``/``…``) per word;
+    - ``bullet_line_frac`` — fraction of lines starting with a bullet;
+    - ``ellipsis_line_frac`` — fraction of lines ending in an ellipsis;
+    - ``alpha_word_frac`` — fraction of words containing a letter;
+    - ``stop_hits`` — seed-stopword presence count (the paper's
+      "contains >= 2 of a small stopword set" rule).
+
+    All ratios are exact integer-count divisions in DOUBLE, so an
+    external ANSI replay (DuckDB ``list_filter`` + the identical
+    regexes) reproduces them bit-for-bit.  No UDFs, no shuffle — at
+    100 TB this whole family rides the parquet scan's projection."""
+    words = f"filter(split(trim({col}), '\\\\s+'), w -> w <> '')"
+    nw = f"size({words})"
+    nw1 = f"greatest({nw}, 1)"
+    lines = f"split({col}, '\\n')"
+    nl1 = f"greatest(size({lines}), 1)"
+    ell3 = (f"(length({col}) - length(replace({col}, '...', ''))) DIV 3 "
+            f"+ length({col}) - length(replace({col}, '…', ''))")
+    hashes = f"length({col}) - length(replace({col}, '#', ''))"
+    return {
+        "n_words": F.expr(f"CAST({nw} AS BIGINT)"),
+        "mean_word_len": F.expr(
+            f"CAST(aggregate({words}, 0L, (a, w) -> a + length(w)) "
+            f"AS DOUBLE) / CAST({nw1} AS DOUBLE)"),
+        "symbol_word_ratio": F.expr(
+            f"CAST({hashes} + {ell3} AS DOUBLE) / CAST({nw1} AS DOUBLE)"),
+        "bullet_line_frac": F.expr(
+            f"CAST(size(filter({lines}, l -> l rlike "
+            f"'^\\\\s*[-*•‣●]')) AS DOUBLE) "
+            f"/ CAST({nl1} AS DOUBLE)"),
+        "ellipsis_line_frac": F.expr(
+            f"CAST(size(filter({lines}, l -> l rlike "
+            f"'(\\\\.\\\\.\\\\.|…)\\\\s*$')) AS DOUBLE) "
+            f"/ CAST({nl1} AS DOUBLE)"),
+        "alpha_word_frac": F.expr(
+            f"CAST(size(filter({words}, w -> w rlike '[A-Za-z]')) "
+            f"AS DOUBLE) / CAST({nw1} AS DOUBLE)"),
+        "stop_hits": stopword_hits(col),
+    }
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    keep_signals: bool = True,
+    out_col: str = "gopher_pass",
+) -> DataFrame:
+    """Gopher document-quality filter: attach the rule signals (see
+    ``gopher_quality_signals``) and a conjunction verdict column with
+    the paper's default thresholds.  Returns the input with signal
+    columns (unless ``keep_signals=False``) and ``out_col`` boolean —
+    callers decide whether to ``filter`` or to keep the verdict for
+    audit (the usual curation-pipeline practice: keep signals, filter
+    late, so threshold sweeps don't re-scan the corpus).
+
+    Threshold comparisons run on the UNROUNDED doubles; since every
+    signal is an integer-count division, an external replay computes
+    the identical IEEE value and the verdict is engine-exact."""
+    sig = gopher_quality_signals(text_col)
+    verdict = (
+        (sig["n_words"] >= F.lit(min_words))
+        & (sig["n_words"] <= F.lit(max_words))
+        & (sig["mean_word_len"] >= F.lit(float(min_mean_word_len)))
+        & (sig["mean_word_len"] <= F.lit(float(max_mean_word_len)))
+        & (sig["symbol_word_ratio"] <= F.lit(float(max_symbol_word_ratio)))
+        & (sig["bullet_line_frac"] <= F.lit(float(max_bullet_line_frac)))
+        & (sig["ellipsis_line_frac"] <= F.lit(float(max_ellipsis_line_frac)))
+        & (sig["alpha_word_frac"] >= F.lit(float(min_alpha_word_frac)))
+        & (sig["stop_hits"] >= F.lit(min_stopword_hits))
+    )
+    cols = dict(sig) if keep_signals else {}
+    cols[out_col] = verdict
+    return df.withColumns(cols)
+
+
 # ------------------------------------------------------------ lm scoring
 
 def lm_score(

@@ -6423,6 +6423,81 @@ def q153(spark, sf):
     return out.select(F.col("vec_id").cast("bigint").alias("vec_id"), "adc")
 
 
+_Q154_WORDS = r"list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '')"
+_Q154_STOPS = " + ".join(
+    f"(CASE WHEN concat(' ', lower(text), ' ') LIKE '% {w} %' "
+    f"THEN 1 ELSE 0 END)"
+    for w in ["the", "and", "of", "to", "is"]
+)
+
+_Q154_SQL = f"""
+WITH s AS (
+    SELECT doc_id, {_Q154_WORDS} AS words,
+           regexp_split_to_array(text, '\\n') AS lines,
+           length(text) - length(replace(text, '#', '')) AS hashes,
+           (length(text) - length(replace(text, '...', ''))) // 3
+             + length(text) - length(replace(text, '…', '')) AS ells,
+           CAST({_Q154_STOPS} AS BIGINT) AS stop_hits
+    FROM documents
+), t AS (
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(coalesce(list_sum(list_transform(words, w -> length(w))), 0)
+                AS DOUBLE) / CAST(greatest(len(words), 1) AS DOUBLE)
+             AS mwl,
+           CAST(hashes + ells AS DOUBLE)
+             / CAST(greatest(len(words), 1) AS DOUBLE) AS swr,
+           CAST(len(list_filter(lines,
+                l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE)
+             / CAST(greatest(len(lines), 1) AS DOUBLE) AS elf,
+           CAST(len(list_filter(words,
+                w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+             / CAST(greatest(len(words), 1) AS DOUBLE) AS awf,
+           stop_hits
+    FROM s)
+SELECT doc_id, n_words,
+       ROUND(mwl, 6) AS mean_word_len,
+       ROUND(swr, 6) AS symbol_word_ratio,
+       ROUND(elf, 6) AS ellipsis_line_frac,
+       ROUND(awf, 6) AS alpha_word_frac,
+       stop_hits,
+       (n_words >= 50 AND n_words <= 100000
+        AND mwl >= 3.0 AND mwl <= 10.0
+        AND swr <= 0.1 AND elf <= 0.3 AND awf >= 0.8
+        AND stop_hits >= 1) AS gopher_pass
+FROM t ORDER BY doc_id
+"""
+
+
+@q("q154_gopher_filters", _Q154_SQL)
+def q154(spark, sf):
+    """Gopher document-quality rule family (Rae et al. 2021 A1.1 —
+    text.gopher_quality_filter): word-count bounds, mean word length,
+    symbol-to-word ratio, ellipsis-line fraction, alphabetic-word
+    fraction and stopword presence, each an integer-count division in
+    DOUBLE so the DuckDB oracle replays every signal AND the verdict
+    bit-for-bit.  min_stopword_hits is 1 here (the synthetic corpus is
+    query-plan vocabulary, nearly stopword-free); every other threshold
+    is the paper's default.  Zero shuffles — the whole family rides the
+    parquet scan projection (bullet_line_frac is computed by the
+    operator too, but single-line synthetic docs make it constant-0.0,
+    so the checked output keeps the six signals with variance)."""
+    from .operators.text import gopher_quality_filter
+
+    d = _t(spark, sf, "documents", "d").df
+    out = gopher_quality_filter(d, "text", min_stopword_hits=1)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("symbol_word_ratio", 6).alias("symbol_word_ratio"),
+        F.round("ellipsis_line_frac", 6).alias("ellipsis_line_frac"),
+        F.round("alpha_word_frac", 6).alias("alpha_word_frac"),
+        F.col("stop_hits"),
+        "gopher_pass",
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -6433,7 +6508,7 @@ def q153(spark, sf):
 _NEEDS_EVIDENCE = [
     # Round-7 rotation (VERDICT r6 ask #2): 50 driver slots.
     # Priority 1 — NEW this round (no driver evidence yet):
-    "q153_ivfpq_residual",
+    "q153_ivfpq_residual", "q154_gopher_filters",
     # Priority 2 — the 4 rows whose latest driver evidence is r3 (the
     # judge's freshness tail; three plain TPC-H shapes + the report
     # card, deliberately last in the r6 rotation):

@@ -4944,3 +4944,51 @@ def test_minhash_group_scoped_equals_per_group_runs(spark):
     assert all(
         (a < 4) == (b < 4) for _, a, b in got
     )
+
+
+def test_gopher_quality_filter_signals_and_verdict(spark):
+    """Gopher rule family (Rae et al. 2021 A1.1) on a fixture that
+    exercises every signal, including the line-based ones the
+    single-line driver corpus cannot (bullets, ellipsis line endings):
+    each rule flips the verdict for exactly the doc built to violate
+    it, and empty text degrades to zeros (never NULL/NaN)."""
+    from elusion_spark.operators.text import gopher_quality_filter
+
+    good_body = ("the quick brown fox jumps over the lazy dog and "
+                 "then naps where it is warm today ") * 3  # 51 words, stopwords
+    docs = [
+        (1, good_body),
+        (2, "short text only here"),                    # < min_words
+        (3, " ".join("x" * 15 for _ in range(60))),     # mean word len 15
+        (4, good_body + " " + "#" * 30),                # symbol ratio > 0.1
+        (5, "\n".join("• bullet item" for _ in range(10))),  # all bullets
+        (6, "\n".join(f"line {i} trails off..." for i in range(10))
+            + "\n" + good_body),                        # >30% ellipsis lines
+        (7, " ".join("1234" for _ in range(60))),       # no alpha words
+        (8, ""),                                        # empty
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           gopher_quality_filter(df, "text").collect()}
+
+    assert out[1]["gopher_pass"] is True
+    assert out[1]["n_words"] == 51 and out[1]["stop_hits"] >= 2
+    assert out[2]["gopher_pass"] is False and out[2]["n_words"] == 4
+    assert out[3]["gopher_pass"] is False
+    assert out[3]["mean_word_len"] == 15.0
+    assert out[4]["gopher_pass"] is False
+    assert out[4]["symbol_word_ratio"] > 0.1
+    assert out[5]["gopher_pass"] is False
+    assert out[5]["bullet_line_frac"] == 1.0
+    assert out[6]["gopher_pass"] is False
+    assert out[6]["ellipsis_line_frac"] == 10.0 / 11.0
+    assert out[7]["gopher_pass"] is False
+    assert out[7]["alpha_word_frac"] == 0.0
+    assert out[8]["gopher_pass"] is False
+    assert out[8]["n_words"] == 0 and out[8]["mean_word_len"] == 0.0
+
+    # keep_signals=False still verdicts; filtering matches the verdict
+    lean = gopher_quality_filter(df, "text", keep_signals=False)
+    assert "n_words" not in lean.columns
+    kept = {r["doc_id"] for r in lean.filter("gopher_pass").collect()}
+    assert kept == {1}

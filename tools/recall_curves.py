@@ -75,8 +75,8 @@ def run_fixture(spark, kind: str, results: list) -> float:
     from pyspark.sql import functions as F
 
     from elusion_spark.operators.similarity import (
-        assign_clusters_col, dot_expr, ivf_pq_search, kmeans_fit,
-        pq_adc_topk, pq_encode_expr, pq_fit, pq_refine_topk)
+        assign_clusters_col, dot_expr, ivf_pq_search, ivf_residual_expr,
+        kmeans_fit, pq_adc_topk, pq_encode_expr, pq_fit, pq_refine_topk)
 
     path = f"/tmp/recall_emb_{kind}"
     _build_fixture(spark, kind, path)
@@ -105,6 +105,12 @@ def run_fixture(spark, kind: str, results: list) -> float:
                         "recall_at_10": round(hits / (K * NQ), 4),
                         "sec_per_query": round(sec, 4), **extra})
 
+    # coarse quantizer shared by every IVF config (raw AND residual)
+    cents = kmeans_fit(df, "v", dim=DIM, k=64, iters=3,
+                       sample_fraction=min(1.0, 100_000 / N)).centroids
+    assigned = df.select(
+        "vec_id", "v", assign_clusters_col("v", cents).alias("cluster_id"))
+
     for m, k, iters in [(16, 64, 2), (32, 256, 2)]:
         model = pq_fit(df, "v", dim=DIM, m=m, k=k, iters=iters,
                        sample_fraction=min(1.0, 100_000 / N))
@@ -128,13 +134,8 @@ def run_fixture(spark, kind: str, results: list) -> float:
                 {"code_bits": bits, "compression_vs_f32": comp},
             )
         if (m, k) == (32, 256):
-            cents = kmeans_fit(df, "v", dim=DIM, k=64, iters=3,
-                               sample_fraction=min(1.0, 100_000 / N)
-                               ).centroids
             ivf = enc.join(
-                df.select("vec_id",
-                          assign_clusters_col("v", cents).alias(
-                              "cluster_id")), "vec_id") \
+                assigned.select("vec_id", "cluster_id"), "vec_id") \
                 .persist(StorageLevel.MEMORY_AND_DISK)
             ivf.count()
             for nprobe in (4, 16):
@@ -154,6 +155,42 @@ def run_fixture(spark, kind: str, results: list) -> float:
             )
             ivf.unpersist()
         enc.unpersist()
+
+        # residual-encoded IVF-PQ (FAISS by_residual, VERDICT r6 ask
+        # #4): same coarse cells, the PQ trained/encoded on
+        # v - centroid[cell] so the code budget describes the
+        # within-cell displacement instead of re-describing the coarse
+        # structure the cell id already captures
+        rdf = assigned.select(
+            "vec_id", "cluster_id",
+            ivf_residual_expr("v", "cluster_id", cents).alias("r")) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        rdf.count()
+        rmodel = pq_fit(rdf, "r", dim=DIM, m=m, k=k, iters=iters,
+                        sample_fraction=min(1.0, 100_000 / N))
+        renc = rdf.select(
+            "vec_id", "cluster_id",
+            pq_encode_expr("r", rmodel).alias("codes")) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        renc.count()
+        rdf.unpersist()
+        for nprobe in (4, 16):
+            eval_scan(
+                f"IVF-PQ RESIDUAL nlist=64 nprobe={nprobe} (m={m} k={k})",
+                lambda q, _np=nprobe: ivf_pq_search(
+                    renc, cents, rmodel, "vec_id", "codes", q,
+                    k=K, nprobe=_np, residuals_of=cents),
+                {"cells_scanned_frac": round(nprobe / 64, 3)},
+            )
+        eval_scan(
+            f"IVF-PQ RESIDUAL nprobe=16 + exact rerank C=100 (m={m} k={k})",
+            lambda q: pq_refine_topk(
+                renc, df, "vec_id", "codes", "v", q, rmodel, k=K,
+                candidates=100, centroids=cents, nprobe=16,
+                residuals_of=cents),
+            {"cells_scanned_frac": 0.25},
+        )
+        renc.unpersist()
     df.unpersist()
     return brute_sec
 
