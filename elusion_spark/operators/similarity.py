@@ -1283,6 +1283,172 @@ def rp_project(
 
 
 # ---------------------------------------------------------------------
+# PCA / whitening (embedding-space preprocessing)
+# ---------------------------------------------------------------------
+
+
+class PCAModel:
+    """Principal components of an embedding corpus: ``k × dim`` axes
+    (rows orthonormal, ordered by descending eigenvalue), the corpus
+    mean, and the per-axis eigenvalues of the population covariance.
+    ``whiten`` scales each projected coordinate by ``1/sqrt(λ+eps)`` so
+    the output has identity covariance — what the SemDeDup/retrieval
+    literature preconditions cosine spaces with (whitening decorrelates
+    the dominant directions that otherwise drown near-dup contrast)."""
+
+    def __init__(self, mean: list[float], components: list[list[float]],
+                 eigenvalues: list[float], whiten: bool = False,
+                 eps: float = 1e-9, total_variance: float | None = None):
+        self.mean = [float(x) for x in mean]
+        self.components = [[float(x) for x in c] for c in components]
+        self.eigenvalues = [float(x) for x in eigenvalues]
+        self.whiten = bool(whiten)
+        self.eps = float(eps)
+        self.dim = len(self.mean)
+        self.k = len(self.components)
+        # trace of the covariance (sum over ALL dim eigenvalues), so the
+        # ratio is sklearn-comparable even when k < dim
+        self.total_variance = float(
+            total_variance if total_variance is not None
+            else sum(self.eigenvalues))
+
+    @property
+    def explained_variance_ratio(self) -> list[float]:
+        tot = self.total_variance or 1.0
+        return [v / tot for v in self.eigenvalues]
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    k: int,
+    whiten: bool = False,
+    sample_cap: int = 100_000,
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+    eps: float = 1e-9,
+    full_data: bool = False,
+) -> PCAModel:
+    """Fit PCA (optionally whitening) on an embedding column.
+
+    Default path (``full_data=False``): ONE sample collect of at most
+    ``sample_cap`` rows, then driver-side numpy eigendecomposition —
+    covariance estimation saturates around 1e5 rows regardless of
+    corpus size (the same argument as ``pq_fit``'s codebook sampling),
+    so at 100 TB the fit cost is constant and the only corpus-sized
+    pass is the PROJECTION, which is a zero-shuffle codegen map
+    (``pca_project_expr``).
+
+    ``full_data=True`` computes EXACT full-corpus moments instead: one
+    ``mapInPandas`` pass emits per-partition ``(n, Σx, ΣxxT)`` partials
+    (float64 GEMM per Arrow batch, d+d² doubles per partition — never
+    row-sized) and the driver reduces them.  Caveat stated honestly:
+    partials add in partition order, so last-ulp float differences are
+    possible across different partitionings (unlike ``kmeans_fit``'s
+    decimal sums); eigenvector SIGNS are pinned either way (largest-
+    magnitude coordinate made positive), and cross-engine exactness
+    comes from pinning the MODEL, not the fit — the oracle pattern
+    q155 uses.
+
+    Eigenvalues are of the population covariance (divide by n)."""
+    import numpy as np
+
+    if k <= 0 or k > dim:
+        raise ValueError(f"k must be in [1, dim]; got k={k} dim={dim}")
+    proj = df.select(F.col(vec_col).alias("__v")).filter(
+        F.col("__v").isNotNull())
+    if full_data:
+        import pandas as pd
+
+        def _partials(it):
+            n, s, g = 0, np.zeros(dim), np.zeros((dim, dim))
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                V = np.asarray(pdf["__v"].tolist(), dtype=np.float64)
+                n += V.shape[0]
+                s += V.sum(axis=0)
+                g += V.T @ V
+            yield pd.DataFrame({
+                "n": [n], "s": [s.tolist()],
+                "g": [g.reshape(-1).tolist()],
+            })
+
+        parts = proj.mapInPandas(
+            _partials, "n long, s array<double>, g array<double>"
+        ).collect()
+        n = sum(r["n"] for r in parts)
+        if n < 2:
+            raise ValueError("pca_fit needs at least 2 vectors")
+        s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
+        g = np.sum([np.asarray(r["g"]).reshape(dim, dim) for r in parts],
+                   axis=0)
+        mean = s / n
+        cov = g / n - np.outer(mean, mean)
+    else:
+        samp = proj
+        if sample_fraction < 1.0:
+            samp = samp.sample(fraction=sample_fraction, seed=seed)
+        rows = samp.limit(sample_cap).collect()
+        if len(rows) < 2:
+            raise ValueError("pca_fit needs at least 2 vectors")
+        X = np.asarray([list(map(float, r[0])) for r in rows],
+                       dtype=np.float64)
+        mean = X.mean(axis=0)
+        Xc = X - mean
+        cov = (Xc.T @ Xc) / X.shape[0]
+    vals, vecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps, eig = [], []
+    for idx in order:
+        v = vecs[:, idx]
+        # deterministic sign: the largest-|coordinate| entry is positive
+        j = int(np.argmax(np.abs(v)))
+        if v[j] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+        eig.append(float(max(vals[idx], 0.0)))
+    return PCAModel([float(x) for x in mean], comps, eig,
+                    whiten=whiten, eps=eps,
+                    total_variance=float(np.trace(cov)))
+
+
+def pca_project_expr(vec_col: str, model: PCAModel) -> Column:
+    """The projection ``(x - mean) @ componentsᵀ`` (times
+    ``1/sqrt(λ+eps)`` per axis when the model whitens) as ONE unrolled
+    whole-stage-codegen expression — a left-associated ``+`` chain per
+    output coordinate, so an external SQL replay (DuckDB, the q155
+    oracle) reproduces every coordinate bit-for-bit from the model
+    literals.  Zero shuffles, no UDF, no broadcast: the matrix folds
+    into the plan like ``rp_project``'s sign matrix, and projecting a
+    100 TB corpus rides the parquet scan."""
+    import math
+
+    outs = []
+    for ci, comp in enumerate(model.components):
+        const = sum(m * c for m, c in zip(model.mean, comp))
+        terms = " + ".join(
+            f"{float(c)!r} * CAST(element_at({vec_col}, {i + 1}) AS DOUBLE)"
+            for i, c in enumerate(comp)
+        )
+        e = f"({terms}) - {float(const)!r}"
+        if model.whiten:
+            w = 1.0 / math.sqrt(model.eigenvalues[ci] + model.eps)
+            e = f"({e}) * {float(w)!r}"
+        outs.append(F.expr(e))
+    return F.array(*outs)
+
+
+def pca_project(
+    df: DataFrame, vec_col: str, model: PCAModel, out_col: str = "pca"
+) -> DataFrame:
+    """Attach the (optionally whitened) PCA projection — see
+    ``pca_project_expr`` for the scale shape."""
+    return df.withColumn(out_col, pca_project_expr(vec_col, model))
+
+
+# ---------------------------------------------------------------------
 # Product quantization (IVF-PQ's compression half)
 # ---------------------------------------------------------------------
 

@@ -6498,6 +6498,75 @@ def q154(spark, sf):
     ).orderBy("doc_id")
 
 
+# q155: whitened PCA projection with a PINNED model — the fit is
+# driver-side eigendecomposition (not SQL-expressible; pinned by numpy
+# replay tests instead, test_operators.py), so the ORACLE gate covers
+# what actually touches the corpus: the zero-shuffle codegen projection.
+_Q155_MODEL_SPEC = {
+    "mean": [0.05, -0.125, 0.2, 0.0, -0.3, 0.15, 0.075, -0.05],
+    "components": [
+        [0.5, 0.5, 0.5, 0.5, 0.0, 0.0, 0.0, 0.0],
+        [0.5, -0.5, 0.5, -0.5, 0.0, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, 0.0, 0.5, 0.5, -0.5, -0.5],
+    ],
+    "eigenvalues": [0.04, 0.01, 0.0025],
+}
+
+
+def _q155_oracle() -> str:
+    """Replays the engine's unrolled projection chain term-for-term:
+    identical repr literals, identical left-associated `+` chain,
+    identical `- const` then `* 1/sqrt(λ+eps)` whitening factor
+    (computed ONCE in python, embedded in both engines)."""
+    import math
+
+    spec = _Q155_MODEL_SPEC
+    outs = []
+    for ci, comp in enumerate(spec["components"]):
+        const = sum(m * c for m, c in zip(spec["mean"], comp))
+        terms = " + ".join(
+            f"{float(c)!r} * CAST(embedding[{i + 1}] AS DOUBLE)"
+            for i, c in enumerate(comp)
+        )
+        w = 1.0 / math.sqrt(spec["eigenvalues"][ci] + 1e-9)
+        outs.append(f"ROUND((({terms}) - {float(const)!r}) * {float(w)!r}, 6)"
+                    f" AS pc{ci + 1}")
+    return f"""
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           {', '.join(outs)}
+    FROM embeddings ORDER BY vec_id
+    """
+
+
+@q("q155_pca_whiten", _q155_oracle())
+def q155(spark, sf):
+    """Whitened PCA projection (similarity.pca_project_expr) over the
+    embeddings table with a pinned 8-dim → 3-axis model: the projection
+    matrix, mean offset and 1/sqrt(λ+eps) whitening factors all fold
+    into ONE whole-stage-codegen expression per output coordinate —
+    zero shuffles, no UDF, no broadcast, so projecting a 100 TB corpus
+    rides the parquet scan (the rp_project argument, with a learned
+    matrix).  The oracle replays the identical literal chain; the FIT
+    path (sampled + exact-moments) is pinned against numpy replays in
+    the unit suite."""
+    from .operators.similarity import PCAModel, pca_project_expr
+
+    spec = _Q155_MODEL_SPEC
+    model = PCAModel(spec["mean"], spec["components"],
+                     spec["eigenvalues"], whiten=True, eps=1e-9)
+    e = _t(spark, sf, "embeddings", "e").df
+    # element_at reads dims 1..model.dim directly — no slice needed
+    p = e.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        pca_project_expr("embedding", model).alias("__p"),
+    )
+    return p.select(
+        "vec_id",
+        *[F.round(F.element_at("__p", i + 1), 6).alias(f"pc{i + 1}")
+          for i in range(model.k)],
+    ).orderBy("vec_id")
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -6508,7 +6577,7 @@ def q154(spark, sf):
 _NEEDS_EVIDENCE = [
     # Round-7 rotation (VERDICT r6 ask #2): 50 driver slots.
     # Priority 1 — NEW this round (no driver evidence yet):
-    "q153_ivfpq_residual", "q154_gopher_filters",
+    "q153_ivfpq_residual", "q154_gopher_filters", "q155_pca_whiten",
     # Priority 2 — the 4 rows whose latest driver evidence is r3 (the
     # judge's freshness tail; three plain TPC-H shapes + the report
     # card, deliberately last in the r6 rotation):

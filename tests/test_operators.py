@@ -4992,3 +4992,78 @@ def test_gopher_quality_filter_signals_and_verdict(spark):
     assert "n_words" not in lean.columns
     kept = {r["doc_id"] for r in lean.filter("gopher_pass").collect()}
     assert kept == {1}
+
+
+def test_pca_fit_matches_numpy_and_projection_is_exact(spark):
+    """pca_fit (sampled path collecting ALL rows) == driver numpy
+    eigendecomposition exactly — same arithmetic, and the deterministic
+    sign convention (largest-|coordinate| positive) makes components
+    comparable without abs() tricks.  pca_project_expr then reproduces
+    (X - mean) @ C.T to float tolerance (the SQL chain and numpy
+    associate additions differently)."""
+    import numpy as np
+
+    from elusion_spark.operators.similarity import (
+        pca_fit, pca_project, pca_project_expr)
+
+    rng = np.random.default_rng(5)
+    # anisotropic: well-separated eigenvalues so eigh ordering is stable
+    base = rng.standard_normal((400, 6)) * np.array(
+        [4.0, 2.0, 1.0, 0.5, 0.25, 0.1])
+    rows = [(i, [float(x) for x in base[i]]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    model = pca_fit(df, "v", dim=6, k=3, sample_cap=1000)
+    mean = base.mean(axis=0)
+    cov = (base - mean).T @ (base - mean) / base.shape[0]
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:3]
+    for rank, idx in enumerate(order):
+        v = vecs[:, idx]
+        j = int(np.argmax(np.abs(v)))
+        if v[j] < 0:
+            v = -v
+        assert np.allclose(model.components[rank], v, atol=1e-12)
+        assert abs(model.eigenvalues[rank] - vals[idx]) < 1e-12
+    assert np.allclose(model.mean, mean, atol=1e-12)
+    assert abs(sum(model.explained_variance_ratio) - (
+        sum(model.eigenvalues) / vals.sum())) < 1e-9
+
+    got = {r["vec_id"]: r["pca"] for r in
+           pca_project(df, "v", model).select("vec_id", "pca").collect()}
+    C = np.asarray(model.components)
+    want = (base - np.asarray(model.mean)) @ C.T
+    for i in range(400):
+        assert np.allclose(got[i], want[i], atol=1e-9)
+
+
+def test_pca_whiten_identity_covariance_and_full_data_path(spark):
+    """Whitened projection has ~identity covariance over the fit data;
+    full_data=True (exact mapInPandas moments) agrees with the sampled
+    path when the sample is the whole corpus, under a different
+    partitioning (last-ulp tolerance, per the documented caveat)."""
+    import numpy as np
+
+    from elusion_spark.operators.similarity import pca_fit, pca_project
+
+    rng = np.random.default_rng(6)
+    base = rng.standard_normal((500, 5)) * np.array(
+        [3.0, 1.5, 0.8, 0.4, 0.2])
+    rows = [(i, [float(x) for x in base[i]]) for i in range(500)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    m1 = pca_fit(df, "v", dim=5, k=4, whiten=True, sample_cap=1000)
+    P = np.asarray([r["pca"] for r in
+                    pca_project(df, "v", m1).select("pca").collect()])
+    cov = (P - P.mean(axis=0)).T @ (P - P.mean(axis=0)) / P.shape[0]
+    assert np.allclose(cov, np.eye(4), atol=1e-6)
+
+    m2 = pca_fit(df.repartition(7), "v", dim=5, k=4, whiten=True,
+                 full_data=True)
+    assert np.allclose(m1.mean, m2.mean, atol=1e-9)
+    assert np.allclose(m1.eigenvalues, m2.eigenvalues, atol=1e-9)
+    assert np.allclose(m1.components, m2.components, atol=1e-7)
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        pca_fit(df, "v", dim=5, k=6)
