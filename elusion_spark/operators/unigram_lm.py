@@ -1,0 +1,324 @@
+"""Distributed unigram-LM (SentencePiece-style) tokenizer training and
+encoding — the second member of the tokenizer family next to
+``operators.bpe`` (the reference has no tokenizer surface; this is
+beyond-parity for the training-data pipeline).
+
+Algorithm (Kudo 2018, "Subword Regularization", the model behind
+SentencePiece's default trainer), with the standard word-frequency
+factorization that makes it corpus-size-independent:
+
+1. The ONLY corpus-sized job is the word-frequency aggregation
+   (shared with BPE: ``bpe_word_counts``).  Everything below touches
+   the *vocabulary* table — unique words + frequencies.
+2. Seed candidates: every substring of every word up to
+   ``max_piece_len`` chars, counted with word-frequency weights (one
+   vocab-sized explode+agg); keep the ``seed_size`` most frequent plus
+   ALL single characters (coverage guarantee).
+3. EM: the E-step runs forward-backward over each word's segmentation
+   lattice in a vectorized ``mapInPandas`` pass (piece probabilities in
+   the closure — model-sized, broadcast with the task), emitting
+   per-piece expected counts; the shuffle is piece-vocab-sized, never
+   corpus-sized, and the per-word float64 counts are cast to
+   DECIMAL(38,18) before the grouped sum so accumulated counts are
+   bit-identical under any partitioning (the ``pq_fit``/``kmeans_fit``
+   contract).  The M-step renormalizes on the driver (the vocab IS the
+   model — model-sized collect, same as k-means centroids).
+4. Pruning: after each EM round past the first, drop the
+   lowest-probability multi-char pieces until ``vocab_size`` remains
+   (single chars are never pruned).  DIVERGENCE from SentencePiece,
+   stated honestly: SentencePiece ranks prune candidates by likelihood
+   LOSS if removed; probability ranking is the common approximation
+   and converges to similar vocabularies — exactness of the EM math
+   itself is pinned by a brute-force python replay in the tests.
+
+Encoding is Viterbi over the final vocab.  Tie-breaking is fully
+deterministic and EXTERNALLY REPLAYABLE: log-likelihoods are quantized
+to integer MICRO-LOGS (``quantize_logprobs``) so path scores are exact
+integers — float sums would not be prefix-independent (a strict 1-ulp
+win can round into a tie once both paths gain the same suffix, making
+a local DP decision diverge from the global argmax) — and among
+equal-score segmentations the longer piece wins right-to-left
+(formally: max by Σ micro-log, then by the sequence of piece lengths
+read from the END, lexicographically).  With exact scores the local DP
+rule is globally optimal, and a SQL engine replays the identical
+choice by enumerating lattice paths with a recursive CTE and ordering
+by ``(Σ micro-log DESC, reversed-length-key DESC)`` — the q156 oracle
+does exactly that.  The OUTPUT is token strings — no float ever
+crosses the comparison boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .bpe import bpe_word_counts
+
+
+def _seed_candidates(
+    wc: DataFrame, max_piece_len: int, seed_size: int
+) -> DataFrame:
+    """Substring candidates with frequency-weighted counts: one
+    vocab-sized explode + one agg.  Returns (piece, cnt) of the top
+    ``seed_size`` pieces UNION all single characters."""
+    subs = F.expr(
+        "flatten(transform(sequence(1, length(word)), i -> "
+        f"transform(sequence(1, least({int(max_piece_len)}, "
+        "length(word) - i + 1)), n -> substr(word, i, n))))"
+    )
+    counted = (
+        wc.select(F.explode(subs).alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+    )
+    top = (
+        counted.filter(F.length("piece") > 1)
+        .orderBy(F.col("cnt").desc(), "piece")
+        .limit(int(seed_size))
+    )
+    chars = counted.filter(F.length("piece") == 1)
+    return top.unionByName(chars)
+
+
+def _lattice_pieces(word: str, probs: dict, max_len: int):
+    """(start, end, piece) arcs of the segmentation lattice."""
+    n = len(word)
+    for i in range(n):
+        for ln in range(1, min(max_len, n - i) + 1):
+            p = word[i:i + ln]
+            if p in probs:
+                yield i, i + ln, p
+
+
+def _expected_counts(word: str, freq: float, probs: dict,
+                     max_len: int, out: dict) -> None:
+    """Forward-backward over one word's lattice; adds freq-weighted
+    expected piece counts into ``out``.  Pure float64 — the per-word
+    result is partitioning-independent by construction."""
+    n = len(word)
+    arcs = list(_lattice_pieces(word, probs, max_len))
+    if not arcs:
+        return
+    alpha = [0.0] * (n + 1)
+    alpha[0] = 1.0
+    for i, j, p in arcs:          # arcs are in increasing i order
+        if alpha[i] > 0.0:
+            alpha[j] += alpha[i] * probs[p]
+    if alpha[n] <= 0.0:
+        return                    # word not coverable (missing char)
+    beta = [0.0] * (n + 1)
+    beta[n] = 1.0
+    for i, j, p in reversed(arcs):
+        if beta[j] > 0.0:
+            beta[i] += probs[p] * beta[j]
+    z = alpha[n]
+    for i, j, p in arcs:
+        c = alpha[i] * probs[p] * beta[j] / z
+        if c > 0.0:
+            out[p] = out.get(p, 0.0) + freq * c
+
+
+def unigram_lm_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 2000,
+    max_piece_len: int = 8,
+    seed_size: int | None = None,
+    em_iters: int = 2,
+    lowercase: bool = True,
+    word_counts: DataFrame | None = None,
+) -> list[dict]:
+    """Train a unigram-LM tokenizer vocabulary.  Returns a driver-sized
+    list of ``{piece, logprob}`` dicts (natural log), ordered by
+    descending probability — the model ``unigram_lm_encode`` consumes.
+
+    Pass ``word_counts`` (a ``bpe_word_counts`` output) to skip the one
+    corpus-sized job; at 100 TB that table is the only thing that ever
+    scans the corpus, and it is shared with ``bpe_fit``."""
+    import math
+
+    if vocab_size < 1 or max_piece_len < 1 or em_iters < 0:
+        raise ValueError("vocab_size, max_piece_len >= 1; em_iters >= 0")
+    seed_size = int(seed_size or 4 * vocab_size)
+    wc = word_counts
+    if wc is None:
+        wc = bpe_word_counts(df, text_col, lowercase=lowercase)
+    wc = wc.persist()
+    try:
+        seeds = _seed_candidates(wc, max_piece_len, seed_size).collect()
+        total = float(sum(r["cnt"] for r in seeds)) or 1.0
+        probs = {r["piece"]: r["cnt"] / total for r in seeds}
+        n_chars = sum(1 for p in probs if len(p) == 1)
+        if vocab_size < n_chars:
+            raise ValueError(
+                f"vocab_size={vocab_size} below the {n_chars} single "
+                "characters needed for coverage")
+
+        def _prune(pr: dict) -> dict:
+            if len(pr) <= vocab_size:
+                return pr
+            multi = sorted(
+                ((p, v) for p, v in pr.items() if len(p) > 1),
+                key=lambda kv: (-kv[1], kv[0]))
+            keep = vocab_size - sum(1 for p in pr if len(p) == 1)
+            out = {p: v for p, v in pr.items() if len(p) == 1}
+            out.update(dict(multi[:max(keep, 0)]))
+            z = sum(out.values()) or 1.0
+            return {p: v / z for p, v in out.items()}
+
+        for _it in range(em_iters):
+            cur, mx = dict(probs), max_piece_len
+
+            def _estep(pdfs):
+                import pandas as pd
+
+                for pdf in pdfs:
+                    acc: dict = {}
+                    for w, f_ in zip(pdf["word"], pdf["freq"]):
+                        _expected_counts(str(w), float(f_), cur, mx, acc)
+                    if acc:
+                        yield pd.DataFrame(
+                            {"piece": list(acc), "c": list(acc.values())})
+
+            counts = (
+                wc.mapInPandas(_estep, "piece string, c double")
+                .groupBy("piece")
+                # DECIMAL(38,18) sum: bit-identical accumulation under
+                # any partitioning (per-word float64 terms are already
+                # partitioning-independent)
+                .agg(F.sum(F.col("c").cast("decimal(38,18)")).alias("c"))
+                .collect()
+            )
+            tot = float(sum(float(r["c"]) for r in counts)) or 1.0
+            new = {r["piece"]: float(r["c"]) / tot for r in counts}
+            # chars must survive with nonzero mass even if unused
+            floor = 1e-12
+            for p in list(probs):
+                if len(p) == 1 and new.get(p, 0.0) <= 0.0:
+                    new[p] = floor
+            probs = _prune(new)
+
+        probs = _prune(probs)   # em_iters=0 still honors vocab_size
+        return [
+            {"piece": p, "logprob": math.log(pr)}
+            for p, pr in sorted(probs.items(), key=lambda kv: (-kv[1], kv[0]))
+        ]
+    finally:
+        wc.unpersist()
+
+
+def quantize_logprobs(logprobs: dict) -> dict:
+    """Float logprobs → integer MICRO-LOGS (round(lp · 1e6)).  Exact
+    integer arithmetic is what makes the Viterbi argmax replayable:
+    float path sums are not prefix-independent (a strict 1-ulp win can
+    round into a tie after both paths gain the same suffix, so a local
+    DP decision and a global enumeration can disagree), while integer
+    sums order identically under any association and any engine.  The
+    1e-6 grid only perturbs TIE-BREAKING between segmentations whose
+    true log-likelihoods differ by < 1e-6 — noise-level for
+    segmentation quality, determinism-level for the oracle contract."""
+    return {p: int(round(float(lp) * 1e6)) for p, lp in logprobs.items()}
+
+
+def viterbi_segment(word: str, logprobs: dict, max_len: int) -> list[str]:
+    """Deterministic Viterbi: maximize Σ micro-log (integer-quantized
+    logprob, see ``quantize_logprobs`` — pass EITHER float logprobs or
+    an already-quantized int dict); ties prefer the longer LAST piece
+    at each DP position.  With exact integer scores the local rule is
+    globally optimal (prefix independence holds), so the result equals
+    the enumeration argmax under ``(Σ micro-log DESC, piece lengths
+    end-to-start lexicographically DESC)`` — the order the q156 SQL
+    oracle replays.  Returns [] when the word is not coverable."""
+    n = len(word)
+    best: list[int | None] = [None] * (n + 1)
+    back = [0] * (n + 1)
+    best[0] = 0
+    for j in range(1, n + 1):
+        # longer last piece wins ties -> iterate lengths ascending and
+        # take >=, so the longest tying length is kept
+        for ln in range(1, min(max_len, j) + 1):
+            p = word[j - ln:j]
+            lp = logprobs.get(p)
+            if lp is None or best[j - ln] is None:
+                continue
+            ilp = lp if isinstance(lp, int) else int(round(float(lp) * 1e6))
+            cand = best[j - ln] + ilp
+            if best[j] is None or cand >= best[j]:
+                best[j], back[j] = cand, ln
+    if best[n] is None:
+        return []
+    out, j = [], n
+    while j > 0:
+        out.append(word[j - back[j]:j])
+        j -= back[j]
+    return out[::-1]
+
+
+def unigram_lm_encode(
+    df: DataFrame,
+    text_col: str = "text",
+    model: list[dict] | None = None,
+    lowercase: bool = True,
+    out_col: str = "tokens",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Viterbi-encode a corpus with a ``unigram_lm_fit`` model: tokens
+    as ``array<string>`` in ``out_col`` (word order preserved; words
+    not coverable by the vocab are dropped, mirroring SentencePiece's
+    behavior without byte-fallback).
+
+    Scale shape: segmentation happens ONCE PER DISTINCT WORD — the
+    corpus explodes to (row, pos, word), distinct words segment in a
+    vectorized ``mapInPandas`` (model in the closure), and a broadcast
+    join maps words back to token arrays before a grouped re-assembly.
+    Cost: one distinct-word agg + one broadcast join + one group-back —
+    2 shuffles of (id, pos, small-array) rows; the heavy text never
+    shuffles twice."""
+    if not model:
+        raise ValueError("model (unigram_lm_fit output) is required")
+    lp = quantize_logprobs(
+        {m["piece"]: m["logprob"] for m in model})
+    mx = max(len(p) for p in lp)
+
+    base = df
+    rid = "__uid"
+    if id_col is None:
+        base = base.withColumn(rid, F.monotonically_increasing_id())
+    else:
+        base = base.withColumn(rid, F.col(id_col))
+    txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    words = base.select(
+        rid,
+        F.posexplode(
+            F.filter(F.split(F.trim(txt), r"\s+"), lambda w: w != "")
+        ).alias("__pos", "__w"),
+    )
+    distinct_w = words.select("__w").distinct()
+
+    def _seg(pdfs):
+        import pandas as pd
+
+        for pdf in pdfs:
+            toks = [viterbi_segment(str(w), lp, mx) for w in pdf["__w"]]
+            yield pd.DataFrame({"__w": pdf["__w"], "__t": toks})
+
+    seg = distinct_w.mapInPandas(_seg, "__w string, __t array<string>")
+    joined = words.join(F.broadcast(seg), "__w")
+    packed = (
+        joined.groupBy(rid)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__t"))),
+                    lambda s: s["__t"],
+                )
+            ).alias(out_col)
+        )
+    )
+    out = base.join(packed, rid, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.array().cast("array<string>"))
+    )
+    if id_col is None:
+        out = out.drop(rid)
+    return out

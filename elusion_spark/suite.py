@@ -6567,6 +6567,102 @@ def q155(spark, sf):
     ).orderBy("vec_id")
 
 
+# q156: unigram-LM (SentencePiece-style) Viterbi encode with a PINNED
+# vocab — integer micro-log scores make the argmax exactly replayable
+# (operators/unigram_lm.py module docstring); the EM fit itself is
+# pinned by brute-force python replays in the unit suite (not
+# SQL-expressible: per-word float forward-backward).
+_Q156_VOCAB = {
+    **{c: -4.605170 for c in "abcdefghijklmnopqrstuvwxyz"},
+    "ta": -3.2, "le": -3.4, "an": -3.3, "sc": -3.6, "ra": -3.45,
+    "as": -3.55, "ow": -3.5,
+    "table": -2.3, "row": -2.8, "scan": -2.6, "hash": -2.7,
+    "value": -2.4, "part": -2.75, "key": -2.9, "fast": -2.65,
+    "slow": -2.85, "merge": -2.5, "batch": -2.55, "spark": -2.45,
+    "sort": -2.78, "agg": -2.95, "window": -2.35, "line": -2.88,
+}
+_Q156_WORDS_DUCK = (
+    r"list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), "
+    "x -> x <> '')"
+)
+
+
+def _q156_oracle() -> str:
+    """Recursive-CTE replay of the deterministic Viterbi: enumerate
+    every lattice path per DISTINCT word, score with the SAME integer
+    micro-logs, pick per word by (score DESC, end-to-start piece-length
+    string DESC) — exactly the DP's documented global order (exact
+    integer scores make the DP's local tie rule globally optimal) —
+    then reassemble documents in word order."""
+    rows = ", ".join(
+        f"('{p}', {len(p)}, {int(round(lp * 1e6))})"
+        for p, lp in sorted(_Q156_VOCAB.items())
+    )
+    return f"""
+WITH RECURSIVE
+pieces(pc, ln, lp) AS (SELECT * FROM (VALUES {rows}) v(pc, ln, lp)),
+docw AS (
+    SELECT doc_id, i AS pos, ws[i] AS w
+    FROM (SELECT doc_id, {_Q156_WORDS_DUCK} AS ws FROM documents) d,
+         unnest(generate_series(1, len(ws))) AS u(i)
+),
+wrds AS (SELECT DISTINCT w FROM docw),
+paths(w, pos, sc, toks, revlen) AS (
+    SELECT w, 0, CAST(0 AS BIGINT), '', '' FROM wrds
+  UNION ALL
+    SELECT p.w, p.pos + pc.ln, p.sc + pc.lp,
+           CASE WHEN p.toks = '' THEN pc.pc
+                ELSE p.toks || '|' || pc.pc END,
+           CAST(pc.ln AS VARCHAR) || p.revlen
+    FROM paths p JOIN pieces pc
+      ON substr(p.w, p.pos + 1, pc.ln) = pc.pc
+    WHERE p.pos < length(p.w)
+),
+best AS (
+    SELECT w, toks,
+           ROW_NUMBER() OVER (PARTITION BY w
+                              ORDER BY sc DESC, revlen DESC) AS rn
+    FROM paths WHERE pos = length(w)
+),
+seg AS (SELECT w, toks FROM best WHERE rn = 1),
+j AS (SELECT docw.doc_id, docw.pos, seg.toks
+      FROM docw JOIN seg ON seg.w = docw.w),
+a AS (SELECT doc_id,
+             string_agg(toks, '|' ORDER BY pos) AS tokens,
+             CAST(SUM(length(toks) - length(replace(toks, '|', '')) + 1)
+                  AS BIGINT) AS n_tokens
+      FROM j GROUP BY doc_id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       coalesce(a.tokens, '') AS tokens,
+       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id
+ORDER BY doc_id
+"""
+
+
+@q("q156_unigram_encode", _q156_oracle())
+def q156(spark, sf):
+    """Unigram-LM tokenizer encode (operators/unigram_lm.py, the
+    SentencePiece-family sibling of q139/q140's BPE): Viterbi-segment
+    every document against a pinned 49-piece vocab.  Scale shape: one
+    distinct-word agg, one vectorized mapInPandas over DISTINCT words
+    only, one broadcast join back, one ordered re-assembly — the heavy
+    text shuffles once; at 100 TB the segmentation cost is
+    vocabulary-sized.  Determinism: integer micro-log scores + the
+    longer-last-piece tie rule make the argmax engine-exact; the oracle
+    replays it with a recursive CTE over every lattice path."""
+    from .operators.unigram_lm import unigram_lm_encode
+
+    d = _t(spark, sf, "documents", "d").df
+    model = [{"piece": p, "logprob": lp} for p, lp in _Q156_VOCAB.items()]
+    enc = unigram_lm_encode(d, "text", model, id_col="doc_id")
+    return enc.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.array_join("tokens", "|").alias("tokens"),
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -6578,6 +6674,7 @@ _NEEDS_EVIDENCE = [
     # Round-7 rotation (VERDICT r6 ask #2): 50 driver slots.
     # Priority 1 — NEW this round (no driver evidence yet):
     "q153_ivfpq_residual", "q154_gopher_filters", "q155_pca_whiten",
+    "q156_unigram_encode",
     # Priority 2 — the 4 rows whose latest driver evidence is r3 (the
     # judge's freshness tail; three plain TPC-H shapes + the report
     # card, deliberately last in the r6 rotation):

