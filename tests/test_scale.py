@@ -336,6 +336,12 @@ SHUFFLE_BUDGETS = {
     # ADC shortlist (TakeOrdered, 0-shuffle) -> broadcast semi-join ->
     # exact rerank TakeOrdered: ZERO exchanges in the returned plan
     "q152_pq_refine": 0,
+    "q154_gopher_filters": 1,   # pure scan projection + the output sort
+    "q155_pca_whiten": 1,       # folded-matrix projection + output sort
+    # distinct-word agg + token-array group-back + the rid re-attach
+    # SMJ pair; the corpus text crosses the wire in the group-back and
+    # the re-attach, the word/segment tables are vocabulary-sized
+    "q156_unigram_encode": 4,
 }
 
 
