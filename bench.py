@@ -100,6 +100,9 @@ BENCH_QUERIES = [
     "q151_video_near_dup",    # frame-aligned perceptual-hash video dedup
     "q152_pq_refine",         # ADC shortlist + exact rerank (0-shuffle)
     "q153_ivfpq_residual",    # residual-encoded IVF-PQ (per-cell LUTs)
+    "q154_gopher_filters",    # Gopher rule family (pure scan projection)
+    "q155_pca_whiten",        # folded-matrix whitened PCA projection
+    "q156_unigram_encode",    # unigram-LM Viterbi encode (distinct words)
     "q46_training_corpus",    # end-to-end curation composite (9 stages)
 ]
 
@@ -142,6 +145,9 @@ BUDGETS_SF01 = {
     "q148_pmi_collocations": 2.2, "q150_minhash_by_lang": 1.9,
     "q151_video_near_dup": 2.4, "q152_pq_refine": 1.55,
     "q153_ivfpq_residual": 1.9, "q46_training_corpus": 5.7,
+    # round-7 provisional (dual calibration pending this round's runs)
+    "q154_gopher_filters": 3.0, "q155_pca_whiten": 3.0,
+    "q156_unigram_encode": 3.0,
     "q01_cache_miss": 1.8, "q01_cache_hit": 0.35,
 }
 
