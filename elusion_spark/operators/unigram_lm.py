@@ -273,7 +273,14 @@ def unigram_lm_encode(
     join maps words back to token arrays before a grouped re-assembly.
     Cost: one distinct-word agg + one broadcast join + one group-back —
     2 shuffles of (id, pos, small-array) rows; the heavy text never
-    shuffles twice."""
+    shuffles twice.
+
+    Give ``id_col`` whenever the input has a key.  Without one, a
+    synthetic id comes from ``monotonically_increasing_id()``, which is
+    only stable when the plan below it re-evaluates identically (a
+    plain file scan); shuffled/AQE-replanned inputs must pass a real
+    ``id_col`` or the re-attach join can mispair — the classic Spark
+    nondeterministic-id footgun, surfaced here instead of hidden."""
     if not model:
         raise ValueError("model (unigram_lm_fit output) is required")
     lp = quantize_logprobs(
