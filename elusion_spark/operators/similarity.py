@@ -645,12 +645,21 @@ def ivf_pq_search(
     (see ``ivf_residual_expr``), pass the same coarse centroids here
     and each probed cell ADC-scans with its OWN lookup table built
     from the shifted query ``q - centroid[cell]`` — exact because
-    ``||v - q||² = ||r_v - (q - c)||²`` within a cell.  Residuals are
-    what lift the recall ceiling: raw-vector codes spend their entire
-    code budget re-describing the coarse structure the cell id already
-    captures, so at nprobe=16/m=16/k=64 on isotropic vectors recall@10
-    plateaus at ~0.6-0.7; residual codes quantize the (much smaller)
-    within-cell displacement instead (measured: see SCALE.md round 7).
+    ``||v - q||² = ||r_v - (q - c)||²`` within a cell.
+
+    MEASURED honestly (SCALE.md round 7): on 64-dim fixtures the
+    recall ceiling is PROBE recall — the fraction of true neighbors
+    whose cell gets probed (0.725 at nprobe=16 on the isotropic
+    fixture, 0.985 clustered) — and ``pq_refine_topk``'s exact rerank
+    already reaches that ceiling exactly, so residual codes are
+    recall-NEUTRAL there (isotropic coarse centroids sit near the
+    origin; the residual ≈ the raw vector) while costing ~nprobe×
+    per query (one LUT branch per probed cell vs one shared-LUT
+    scan).  Reach for residuals only when no rerank stage is possible
+    AND the coarse quantizer captures real structure (strongly
+    clustered data, nlist ≫ intrinsic cluster count); to lift recall
+    itself, raise ``nprobe`` — the only lever that moves the ceiling
+    (0.725 → 0.915 at nprobe=32 on the isotropic fixture).
     The plan stays 0-shuffle: one filtered ADC scan per probed cell
     (``nprobe`` branch unions of TakeOrdered heads) merged by one
     global top-k.  L2 only — for MIPS the per-cell constant

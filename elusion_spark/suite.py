@@ -6394,8 +6394,9 @@ def q153(spark, sf):
     assign each vector its nearest pinned coarse cell, PQ-train and
     encode the RESIDUAL v - cell (codes describe the within-cell
     displacement instead of re-describing the coarse structure the
-    cell id already captures — what lifts the compressed recall
-    ceiling, SCALE.md round 7), then search the 2 query-nearest cells
+    cell id already captures — FAISS's default; measured in SCALE.md
+    round 7 to be recall-neutral on 64-dim fixtures, where the probe
+    recall is the binding ceiling), then search the 2 query-nearest cells
     with per-cell lookup tables built from the shifted query q - cell.
     Plan: one filtered ADC TakeOrdered head per probed cell, one
     nprobe*k-row union, zero shuffles.  The oracle replays cell
