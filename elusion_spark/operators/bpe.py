@@ -84,6 +84,7 @@ def bpe_fit(
     word_counts: DataFrame | None = None,
     checkpoint_every: int = 16,
     merges_per_round: int = 1,
+    min_round_count_frac: float = 0.0,
 ) -> list[dict]:
     """Learn ``num_merges`` BPE merges.  Returns a list of dicts
     ``{merge_rank, lft, rgt, pair_count}`` in learning order (bounded:
@@ -111,15 +112,30 @@ def bpe_fit(
     textually but not symbol-wise — e.g. merging "t h" changes
     "h e" counts), the batched order can differ from exact order;
     skipped overlapping pairs are NOT lost, they win a later round
-    with fresh counts.  Symbol-disjoint top pairs (the common case in
-    a natural-language tail) are unaffected, and the merge SET
-    converges to the same vocabulary in practice (measured overlap at
-    64 merges on the sf0.1 corpus: see SCALE.md round 7).  The emitted
-    ``pair_count`` for intra-round ranks 2..N is the pre-round count."""
+    with fresh counts.  MEASURED divergence (SCALE.md round 7): at a
+    64-merge budget with unguarded batching the merge-set overlap vs
+    exact order is 0.31-0.55 — early merges interact heavily (merge #1
+    spawns new high-count pairs exact BPE takes immediately), so naive
+    batching reorders the head of the vocabulary even though each
+    individual choice was a then-top pair.
+
+    ``min_round_count_frac`` is the adaptive guard that bounds this:
+    a round stops accepting pairs once a candidate's PRE-round count
+    falls below ``frac × (the round leader's count)``.  Counts change
+    fastest exactly where they are steep, so the guard keeps rounds
+    small early (near-exact order) and lets them grow on the flat
+    Zipf tail (full batching where reordering is harmless) — measured
+    at frac=0.5 / mpr=16 on a 20k-word Zipf fixture: merge-set overlap
+    0.31 → 0.80 at 64 merges for 64 vs 46 jobs at a 256-merge budget —
+    still 8.8× fewer jobs (and 10× less wall) than exact's 561
+    (SCALE.md round 7 table).  The emitted ``pair_count`` for
+    intra-round ranks 2..N is the pre-round count."""
     if num_merges < 1:
         raise ValueError("num_merges must be >= 1")
     if merges_per_round < 1:
         raise ValueError("merges_per_round must be >= 1")
+    if not 0.0 <= min_round_count_frac <= 1.0:
+        raise ValueError("min_round_count_frac must be in [0, 1]")
     wc = word_counts
     if wc is None:
         wc = bpe_word_counts(df, text_col, lowercase=lowercase)
@@ -157,8 +173,12 @@ def bpe_fit(
                 break
             used: set[str] = set()
             selected = []
+            floor_c = (top[0]["c"] * float(min_round_count_frac)
+                       if min_round_count_frac > 0.0 else None)
             for row in top:
                 l, r = row["l"], row["r"]
+                if floor_c is not None and row["c"] < floor_c and selected:
+                    break   # steep count drop: stop batching this round
                 if l in used or r in used:
                     continue
                 selected.append((l, r, row["c"]))
