@@ -1457,6 +1457,31 @@ def pca_project(
     return df.withColumn(out_col, pca_project_expr(vec_col, model))
 
 
+def pca_save(model: PCAModel, path: str) -> None:
+    """Persist a PCAModel as one JSON file (driver-sized: k·dim floats)."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump({
+            "format": "elusion_pca_v1", "mean": model.mean,
+            "components": model.components,
+            "eigenvalues": model.eigenvalues, "whiten": model.whiten,
+            "eps": model.eps, "total_variance": model.total_variance,
+        }, f)
+
+
+def pca_load(path: str) -> PCAModel:
+    import json
+
+    with open(path) as f:
+        d = json.load(f)
+    if d.get("format") != "elusion_pca_v1":
+        raise ValueError(f"not a PCA model file: {path}")
+    return PCAModel(d["mean"], d["components"], d["eigenvalues"],
+                    whiten=d["whiten"], eps=d["eps"],
+                    total_variance=d["total_variance"])
+
+
 # ---------------------------------------------------------------------
 # Product quantization (IVF-PQ's compression half)
 # ---------------------------------------------------------------------

@@ -207,6 +207,25 @@ def unigram_lm_fit(
         wc.unpersist()
 
 
+def unigram_lm_save(model: list[dict], path: str) -> None:
+    """Persist a ``unigram_lm_fit`` model as one JSON file (the model
+    is driver-sized: vocab_size rows of (piece, logprob))."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump({"format": "elusion_unigram_lm_v1", "model": model}, f)
+
+
+def unigram_lm_load(path: str) -> list[dict]:
+    import json
+
+    with open(path) as f:
+        d = json.load(f)
+    if d.get("format") != "elusion_unigram_lm_v1":
+        raise ValueError(f"not a unigram-LM model file: {path}")
+    return d["model"]
+
+
 def quantize_logprobs(logprobs: dict) -> dict:
     """Float logprobs → integer MICRO-LOGS (round(lp · 1e6)).  Exact
     integer arithmetic is what makes the Viterbi argmax replayable:

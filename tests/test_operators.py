@@ -5294,3 +5294,33 @@ def test_bpe_count_frac_guard_tracks_exact_order_closer(spark):
     with _pt.raises(ValueError):
         bpe_fit(None, num_merges=2, word_counts=wc,
                 min_round_count_frac=1.5)
+
+
+def test_unigram_and_pca_model_persistence(tmp_path):
+    """JSON round-trip for the two driver-sized model types; wrong
+    format fails loudly."""
+    import pytest as _pt
+
+    from elusion_spark.operators.similarity import (
+        PCAModel, pca_load, pca_save)
+    from elusion_spark.operators.unigram_lm import (
+        unigram_lm_load, unigram_lm_save)
+
+    m = [{"piece": "ab", "logprob": -1.25}, {"piece": "a", "logprob": -2.5}]
+    p = str(tmp_path / "uni.json")
+    unigram_lm_save(m, p)
+    assert unigram_lm_load(p) == m
+
+    pm = PCAModel([0.5, -0.5], [[1.0, 0.0]], [2.0], whiten=True,
+                  eps=1e-8, total_variance=3.0)
+    pp = str(tmp_path / "pca.json")
+    pca_save(pm, pp)
+    got = pca_load(pp)
+    assert (got.mean, got.components, got.eigenvalues,
+            got.whiten, got.eps, got.total_variance) == (
+        pm.mean, pm.components, pm.eigenvalues, True, 1e-8, 3.0)
+
+    with _pt.raises(ValueError):
+        unigram_lm_load(pp)
+    with _pt.raises(ValueError):
+        pca_load(p)
