@@ -219,6 +219,13 @@ TIMED_PASSES = 3
 # on idle hardware (10 steady-state runs on this machine: 0.14-0.23 s,
 # typical 0.17); drift = mean(start, end)/floor, clamped at 1.0.
 CANARY_FLOOR = float(os.environ.get("SPARK_GRAFT_CANARY_FLOOR", "0.17"))
+# Shuffle-canary floor (32-task stage pair + one exchange, min-of-2;
+# idle fresh-JVM child context 0.29-0.35 s, resident-JVM 0.42-0.48;
+# the floor is the child-context typical since that is where it runs).
+# This is the probe for the contention class the CPU canary missed
+# twice in round 7 — slow groups with 1.0-drift CPU canaries.
+SHUFFLE_CANARY_FLOOR = float(
+    os.environ.get("SPARK_GRAFT_SHUFFLE_CANARY_FLOOR", "0.35"))
 # A group where at least this fraction of budgeted entries violate is
 # re-run once (fresh child process on a hopefully-idle slice) and each
 # query keeps the min of both passes — a real regression survives the
@@ -234,6 +241,21 @@ def _canary_time(spark) -> float:
     spark.range(0, 25_000_000, 1, 8).selectExpr(
         "CAST(xxhash64(id) AS DOUBLE) AS h").groupBy().sum(
         "h").write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
+
+
+def _canary_shuffle_time(spark) -> float:
+    """Second canary for the contention class the CPU canary is BLIND
+    to (seen twice in round 7: whole groups 1.5-2x slow with 1.0-drift
+    CPU canaries, reproduced clean on idle re-runs): a fixed 32-task
+    stage pair with one real exchange — task scheduling, shuffle
+    write/fetch and disk-adjacent work, i.e. the machinery the actual
+    bench queries run on.  ~0.2-0.35 s idle (32 tasks x 2 stages);
+    kworker writeback / IO interference shows here first."""
+    t0 = time.perf_counter()
+    spark.range(0, 8_000_000, 1, 32).selectExpr(
+        "pmod(xxhash64(id), 256) AS k", "id AS v").groupBy("k").sum(
+        "v").write.format("noop").mode("overwrite").save()
     return round(time.perf_counter() - t0, 3)
 
 
@@ -275,7 +297,10 @@ def _run_group(queries: list[str], sf_dir: str, cache_pair: bool) -> dict:
     # start and at end — a contended host slice shows up as drift on
     # at least one bracket for any contention long enough to matter
     _canary_time(spark)
+    _canary_shuffle_time(spark)
     canary_start = min(_canary_time(spark), _canary_time(spark))
+    shuffle_start = min(_canary_shuffle_time(spark),
+                        _canary_shuffle_time(spark))
 
     # min-of-3: measured on the heavy HOF/LSH shapes (q30/q77), a fresh
     # JVM needs ~3 executions past the untimed warm before C2 reaches
@@ -292,7 +317,10 @@ def _run_group(queries: list[str], sf_dir: str, cache_pair: bool) -> dict:
                 times[name] = el
         spark.catalog.clearCache()
     canary_end = min(_canary_time(spark), _canary_time(spark))
-    canary = {"start": canary_start, "end": canary_end}
+    shuffle_end = min(_canary_shuffle_time(spark),
+                      _canary_shuffle_time(spark))
+    canary = {"start": canary_start, "end": canary_end,
+              "shuffle_start": shuffle_start, "shuffle_end": shuffle_end}
 
     if cache_pair:
         # Cache hit-vs-miss pair, mirroring the reference's headline
@@ -425,14 +453,21 @@ def _spawn(spec: dict, timeout: int = 1800) -> dict:
 
 
 def _group_drift(canary: dict | None) -> float:
-    """Host-contention factor for one child process: mean of its two
-    canary brackets over the idle-hardware floor, clamped at 1.0."""
+    """Host-contention factor for one child process: the WORSE of the
+    CPU and shuffle canary drifts (each = mean of its two brackets
+    over its idle floor), clamped at 1.0.  Taking the max means a
+    group slowed by IO/scheduler interference the CPU canary cannot
+    see is still adjudicated as host-contended when the shuffle canary
+    caught it."""
     if not canary:
         return 1.0
-    return max(
-        1.0,
-        round(((canary["start"] + canary["end"]) / 2) / CANARY_FLOOR, 3),
-    )
+    cpu = ((canary["start"] + canary["end"]) / 2) / CANARY_FLOOR
+    drifts = [cpu]
+    if "shuffle_start" in canary:
+        drifts.append(
+            ((canary["shuffle_start"] + canary["shuffle_end"]) / 2)
+            / SHUFFLE_CANARY_FLOOR)
+    return max(1.0, round(max(drifts), 3))
 
 
 def _should_rerun(group_times: dict[str, float],
@@ -545,8 +580,10 @@ def main() -> None:
             "per_group": "sf0.001 warm + untimed target-sf pass + "
                          f"min of {TIMED_PASSES} timed passes",
             "contention_guard": (
-                f"25M-xxhash canary min-of-2 at group start+end; drift "
-                f"= mean/{CANARY_FLOOR}s floor; groups with >= "
+                f"25M-xxhash CPU canary (floor {CANARY_FLOOR}s) + "
+                f"32-task shuffle canary (floor {SHUFFLE_CANARY_FLOOR}s)"
+                ", each min-of-2 at group start+end; drift = worse of "
+                "the two mean/floor ratios; groups with >= "
                 f"{int(RERUN_FRACTION * 100)}% budget violations rerun "
                 "once (per-query min of both passes)"),
         },

@@ -99,6 +99,20 @@ def test_group_drift_computation():
     assert abs(d - 1.8) < 0.01
     # missing canary (old child / dead parse) degrades to no adjustment
     assert b._group_drift(None) == 1.0
+    # the round-7 blind spot: CPU canary idle but the SHUFFLE canary
+    # caught IO/scheduler interference -> the worse drift wins
+    d = b._group_drift({
+        "start": b.CANARY_FLOOR * 0.6, "end": b.CANARY_FLOOR * 0.6,
+        "shuffle_start": b.SHUFFLE_CANARY_FLOOR * 1.7,
+        "shuffle_end": b.SHUFFLE_CANARY_FLOOR * 1.7,
+    })
+    assert abs(d - 1.7) < 0.01
+    # both idle -> clamp holds with the shuffle keys present
+    assert b._group_drift({
+        "start": b.CANARY_FLOOR * 0.6, "end": b.CANARY_FLOOR * 0.6,
+        "shuffle_start": b.SHUFFLE_CANARY_FLOOR * 0.9,
+        "shuffle_end": b.SHUFFLE_CANARY_FLOOR,
+    }) == 1.0
 
 
 def test_synthetic_contention_triggers_group_rerun():
