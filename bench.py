@@ -18,15 +18,19 @@ replans compile), then three timed passes reporting per-query min.
 Each query is forced end-to-end with the noop sink (full computation, no
 driver collect, no column-pruning shortcut a bare count() would allow).
 
-Contention guard (round 7, VERDICT r6 ask #1): every group times a
-fixed JVM-only canary at the start and end of its timed region; the
-parent converts it to a host-drift factor, auto-reruns any group where
->= half the budgeted entries violate (a contended child slice, not a
-regression — BENCH_r06's 8 false violations were exactly this), and
-annotates every reported violation with the drift so the artifact can
-distinguish "this query regressed" from "this child ran on a slow host
-slice".  The full result JSON is also dual-written to BENCH_local.json
-because the driver's stdout capture tail-truncates long lines.
+Contention guard (round 7, VERDICT r6 ask #1): every group times TWO
+fixed canaries at the start and end of its timed region — a pure-
+codegen CPU probe and a 32-task shuffle probe (added after two
+round-7 incidents where whole groups ran 1.5-2x slow with idle CPU
+canaries: IO-side interference the codegen probe cannot see).  The
+parent converts the WORSE of the two drifts into the group's host
+factor, auto-reruns any group where >= half the budgeted entries
+violate (a contended child slice, not a regression — BENCH_r06's 8
+false violations were exactly this), and annotates every reported
+violation with the drift so the artifact can distinguish "this query
+regressed" from "this child ran on a slow host slice".  The full
+result JSON is also dual-written to BENCH_local.json because the
+driver's stdout capture tail-truncates long lines.
 """
 
 from __future__ import annotations
