@@ -185,10 +185,9 @@ def bpe_fit(
                 used.update((l, r, l + r))
                 if len(selected) == take:
                     break
-            if not selected:
-                # every candidate overlapped (pathological single-chain
-                # vocab): fall back to the exact top-1 for this round
-                selected = [(top[0]["l"], top[0]["r"], top[0]["c"])]
+            # top[0] is always selected: `used` is empty on the first
+            # iteration and the count floor only breaks once selected
+            # is non-empty — so `selected` cannot come back empty here
             for l, r, c in selected:
                 merges.append({"merge_rank": len(merges) + 1,
                                "lft": l, "rgt": r, "pair_count": c})

@@ -1464,6 +1464,61 @@ def dedup_repeated_spans(
 
 # --------------------------------------------- sparse TF-IDF cosine pairs
 
+def _doc_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int,
+    repartition_for_window: bool = False,
+) -> DataFrame:
+    """THE feature definition of the sparse TF-IDF family: lowercase,
+    trim, split on ``' +'``, drop empties; for ``ngram > 1``,
+    space-joined word n-grams assembled with a ``lead`` window on the
+    id key (a NULL last lead marks a truncated tail gram).  Returns
+    ``(__id, __t)``.
+
+    SINGLE SOURCE OF TRUTH shared by ``tfidf_weights`` (the features
+    the prefix join actually pairs on) and ``_grain_df_stats`` (the
+    features the auto-grain rule measures) — if these ever diverged,
+    ``tfidf_auto_grain`` would silently measure a different feature
+    space than the one ``tfidf_cosine_pairs`` joins on.
+
+    ``repartition_for_window``: the n-gram window stage is
+    compute-heavy per shuffle byte and AQE's size-based coalescing
+    starves it (same measured pathology as repetition_signals); the
+    weights path pins an explicit defaultParallelism repartition that
+    the window then reuses (same key).  The stats path skips it (its
+    downstream is one distinct + 3-scalar agg)."""
+    from pyspark.sql.window import Window
+
+    toks = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(
+                F.split(F.lower(F.trim(F.col(text_col))), " +")
+            ).alias("__pos", "__t"),
+        )
+        .filter(F.col("__t") != "")
+    )
+    if ngram <= 1:
+        return toks.select("__id", "__t")
+    if repartition_for_window:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        toks = toks.repartition(par, "__id")
+    wl = Window.partitionBy("__id").orderBy("__pos")
+    parts = [F.col("__t")] + [
+        F.lead("__t", j).over(wl) for j in range(1, ngram)
+    ]
+    return (
+        toks.withColumn("__g", F.concat_ws(" ", *parts))
+        # a NULL lead marks a truncated tail gram: concat_ws skips
+        # NULLs, so detect via the last lead instead
+        .withColumn("__last", parts[-1])
+        .filter(F.col("__last").isNotNull())
+        .select("__id", F.col("__g").alias("__t"))
+    )
+
+
 def tfidf_weights(
     df: DataFrame,
     id_col: str,
@@ -1497,36 +1552,8 @@ def tfidf_weights(
 
     if ngram < 1:
         raise ValueError("ngram must be >= 1")
-    toks = (
-        df.select(
-            F.col(id_col).alias("__id"),
-            F.posexplode(
-                F.split(F.lower(F.trim(F.col(text_col))), " +")
-            ).alias("__pos", "__t"),
-        )
-        .filter(F.col("__t") != "")
-    )
-    if ngram > 1:
-        # explicit numPartitions repartition: the n-gram window stage is
-        # compute-heavy per shuffle byte and AQE's size-based coalescing
-        # starves it (same measured pathology as repetition_signals);
-        # the window then reuses this exchange (same key)
-        par = df.sparkSession.sparkContext.defaultParallelism
-        toks = toks.repartition(par, "__id")
-        wl = Window.partitionBy("__id").orderBy("__pos")
-        parts = [F.col("__t")] + [
-            F.lead("__t", j).over(wl) for j in range(1, ngram)
-        ]
-        toks = (
-            toks.withColumn("__g", F.concat_ws(" ", *parts))
-            # a NULL lead marks a truncated tail gram: concat_ws skips
-            # NULLs, so detect via the last lead instead
-            .withColumn("__last", parts[-1])
-            .filter(F.col("__last").isNotNull())
-            .select("__id", F.col("__g").alias("__t"))
-        )
-    else:
-        toks = toks.select("__id", "__t")
+    toks = _doc_features(df, id_col, text_col, ngram,
+                         repartition_for_window=True)
     tf = toks.groupBy("__id", "__t").agg(F.count("*").alias("__tf"))
     # N = docs CONTRIBUTING >= 1 feature (not all input ids): documents
     # with fewer than ``ngram`` tokens (or empty text) produce no
@@ -1576,29 +1603,7 @@ def _grain_df_stats(
     (posexplode + ``lead`` window on the id key for n>1), reduced to a
     3-scalar aggregate over the distinct (doc, feature) frame.  Bodies
     never shuffle; the frame is vocabulary-per-doc sized."""
-    from pyspark.sql.window import Window
-
-    toks = (
-        df.select(
-            F.col(id_col).alias("__id"),
-            F.posexplode(
-                F.split(F.lower(F.trim(F.col(text_col))), " +")
-            ).alias("__pos", "__t"),
-        )
-        .filter(F.col("__t") != "")
-    )
-    if ngram > 1:
-        wl = Window.partitionBy("__id").orderBy("__pos")
-        parts = [F.col("__t")] + [
-            F.lead("__t", j).over(wl) for j in range(1, ngram)
-        ]
-        toks = (
-            toks.withColumn("__g", F.concat_ws(" ", *parts))
-            .withColumn("__last", parts[-1])
-            .filter(F.col("__last").isNotNull())
-            .select("__id", F.col("__g").alias("__t"))
-        )
-    d = toks.select("__id", "__t").distinct()
+    d = _doc_features(df, id_col, text_col, ngram).distinct()
     row = d.agg(
         F.count("*").alias("pairs"),
         F.countDistinct("__id").alias("n_docs"),
@@ -1878,7 +1883,7 @@ def tfidf_cosine_pairs(
         # instability the decimal accumulation exists to remove
         .filter(
             F.col("__dot")
-            >= F.expr(f"CAST('{threshold!r}' AS DECIMAL(38,18))")
+            >= F.expr(f"CAST('{float(threshold)!r}' AS DECIMAL(38,18))")
         )
         .select(
             F.col("__a").alias("id_a"),

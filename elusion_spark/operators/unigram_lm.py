@@ -141,9 +141,13 @@ def unigram_lm_fit(
         raise ValueError("vocab_size, max_piece_len >= 1; em_iters >= 0")
     seed_size = int(seed_size or 4 * vocab_size)
     wc = word_counts
-    if wc is None:
-        wc = bpe_word_counts(df, text_col, lowercase=lowercase)
-    wc = wc.persist()
+    own_wc = wc is None
+    if own_wc:
+        # persist only a table THIS call built — unpersisting a
+        # caller-supplied (possibly shared-with-bpe_fit) word_counts
+        # would evict the caller's cache and silently re-trigger the
+        # corpus scan for every operator after this one
+        wc = bpe_word_counts(df, text_col, lowercase=lowercase).persist()
     try:
         seeds = _seed_candidates(wc, max_piece_len, seed_size).collect()
         total = float(sum(r["cnt"] for r in seeds)) or 1.0
@@ -204,7 +208,8 @@ def unigram_lm_fit(
             for p, pr in sorted(probs.items(), key=lambda kv: (-kv[1], kv[0]))
         ]
     finally:
-        wc.unpersist()
+        if own_wc:
+            wc.unpersist()
 
 
 def unigram_lm_save(model: list[dict], path: str) -> None:
@@ -342,9 +347,8 @@ def unigram_lm_encode(
             ).alias(out_col)
         )
     )
-    out = base.join(packed, rid, "left").withColumn(
+    # rid is an internal helper either way (a synthetic id, or a copy
+    # of id_col) — never part of the caller's schema
+    return base.join(packed, rid, "left").withColumn(
         out_col, F.coalesce(F.col(out_col), F.array().cast("array<string>"))
-    )
-    if id_col is None:
-        out = out.drop(rid)
-    return out
+    ).drop(rid)

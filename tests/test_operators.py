@@ -5324,3 +5324,49 @@ def test_unigram_and_pca_model_persistence(tmp_path):
         unigram_lm_load(pp)
     with _pt.raises(ValueError):
         pca_load(p)
+
+
+def test_tfidf_threshold_accepts_numpy_scalar(spark):
+    """Regression (round-7 review): the decimal membership cut
+    interpolates the threshold into SQL — a numpy scalar's repr under
+    numpy>=2.0 ('np.float64(0.8)') would CAST to NULL and silently
+    drop every pair.  float() normalization makes numpy thresholds
+    (np.arange sweeps) behave exactly like python floats."""
+    import numpy as np
+
+    from elusion_spark.operators.dedup import tfidf_cosine_pairs
+
+    docs = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+            (3, "completely different words here")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = {(r["id_a"], r["id_b"]) for r in
+         tfidf_cosine_pairs(df, "doc_id", "text", threshold=0.8).collect()}
+    b = {(r["id_a"], r["id_b"]) for r in
+         tfidf_cosine_pairs(df, "doc_id", "text",
+                            threshold=np.float64(0.8)).collect()}
+    assert a == b == {(1, 2)}
+
+
+def test_unigram_encode_schema_and_shared_wordcounts(spark):
+    """Regression (round-7 review): (a) no internal __uid column leaks
+    into the output when id_col is given; (b) a caller-supplied
+    persisted word_counts table is still cached after the fit (the fit
+    must not evict a cache it does not own)."""
+    from elusion_spark.operators.bpe import bpe_word_counts
+    from elusion_spark.operators.unigram_lm import (
+        unigram_lm_encode, unigram_lm_fit)
+
+    df = spark.createDataFrame(
+        [(1, "abab abba"), (2, "cab abab")], "doc_id long, text string")
+    wc = bpe_word_counts(df, "text").persist()
+    wc.count()
+    model = unigram_lm_fit(df, "text", vocab_size=8, max_piece_len=3,
+                           em_iters=1, word_counts=wc)
+    assert wc.storageLevel.useMemory, "caller's persist must survive"
+    wc.unpersist()
+
+    out = unigram_lm_encode(df, "text", model, id_col="doc_id")
+    assert "__uid" not in out.columns
+    assert set(out.columns) == {"doc_id", "text", "tokens"}
+    no_id = unigram_lm_encode(df, "text", model)
+    assert "__uid" not in no_id.columns
