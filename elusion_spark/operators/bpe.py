@@ -13,8 +13,11 @@ every merge iteration runs against the *vocabulary* table (unique words
 iteration is ONE vocab-sized aggregation (adjacent-pair counts weighted
 by word frequency) plus a single-row driver collect of the winning
 pair; applying the merge is a literal `replace` on the symbol string —
-a narrow map.  Encoding is a pure chained-`replace` expression
-(whole-stage codegen, no UDF, no shuffle).
+a narrow map.  Encoding has two bit-identical modes: a pure
+chained-`replace` expression (whole-stage codegen, no UDF, no shuffle)
+for small merge lists, and a distinct-word ``mapInPandas`` path
+(``operators.wordseg``) that carries production-sized (30k-merge)
+vocabularies — ``bpe_encode(mode='auto')`` picks by measured cutover.
 
 Representation: every symbol is wrapped in ``\\x1f`` (the ASCII unit
 separator), so the word "hello" starts as
@@ -211,36 +214,154 @@ def bpe_fit(
     return merges
 
 
+def bpe_segment_word(word: str, ranks: dict) -> list[str]:
+    """Apply learned merges to ONE word (python-side, used by the
+    word-mode encode path): repeatedly find the lowest-rank adjacent
+    symbol pair present and merge every non-overlapping occurrence
+    left-to-right.  ``ranks`` maps ``(lft, rgt) -> rank`` (lower =
+    earlier merge).
+
+    BIT-EQUAL to the chained-replace semantics ``bpe_encode`` documents
+    (each merge a greedy left-to-right non-overlapping replace, in rank
+    order), for any WELL-FORMED merge list — one where each pair's
+    symbols are base characters or outputs of earlier merges, which is
+    what ``bpe_fit`` always produces.  Proof shape: merging pair k
+    creates new adjacencies only INVOLVING k's output symbol, and that
+    symbol can only appear inside pairs of rank > k — so once rank k's
+    single pass is done, rank-<=k pairs can never reappear, making
+    "lowest rank present, repeat" identical to "one pass per rank in
+    order".  The equivalence is additionally pinned by randomized
+    parity tests against the chained-replace expression path
+    (tests/test_bpe.py).  Cost: O(word_len x merges_applied) — absent
+    merges cost nothing, vs the chain path where every document pays a
+    scan per merge whether or not the pair occurs."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank = None
+        bl = br = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, bl, br = r, syms[i], syms[i + 1]
+        if best_rank is None:
+            break
+        out = []
+        i = 0
+        n = len(syms)
+        while i < n:
+            if i < n - 1 and syms[i] == bl and syms[i + 1] == br:
+                out.append(bl + br)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+# Measured cutover for mode='auto' (SCALE.md round 8,
+# tools/bpe_encode_scale.py).  The prediction was "falls out of
+# whole-stage codegen around the 64KB method limit"; the measured
+# reality is harder: Catalyst's ColumnNode->Expression conversion
+# recurses once per chained `replace`, and on this JVM (default thread
+# stack) the conversion throws java.lang.StackOverflowError between
+# 256 and 272 chained nodes — binary-searched, reproducible, long
+# before codegen limits matter.  128 leaves 2x margin for deeper
+# calling contexts (the overflow point shifts with whatever frames sit
+# below the conversion).  Perf makes the cutover a non-event: word
+# mode's two fixed vocab-sized shuffles are equal-or-faster than the
+# chain from ~64 merges on both measured corpora (and 0.06 s at the
+# full 30k-merge model on sf0.1, where the chain cannot run at all).
+CHAIN_MODE_MAX_MERGES = 128
+
+
 def bpe_encode(
     df: DataFrame,
     text_col: str = "text",
     merges: list[dict] | None = None,
     lowercase: bool = True,
     out_col: str = "tokens",
+    mode: str = "auto",
+    id_col: str | None = None,
+    broadcast_segments: bool | str = "auto",
 ) -> DataFrame:
     """Apply learned merges: tokenize ``text_col`` into an
     ``array<string>`` of BPE symbols (whitespace word split, then the
-    merges replayed in rank order inside each word).
+    merges replayed in rank order inside each word) plus a bigint
+    ``n_tokens``.  Two bit-identical execution modes (VERDICT r7 ask
+    #1 — a realistic tokenizer has 30k merges, not 3):
 
-    Pure expression pipeline, and deliberately *document-level*: the
-    filtered words are re-joined with an ``\\x1e`` boundary byte, ONE
-    regex pass wraps every character, the merge chain runs as
-    ``num_merges`` literal `replace` calls over the whole document
-    string (plain codegen string ops — no higher-order-function
-    lambda, which Spark executes as interpreted CodegenFallback), and
-    ONE regex split recovers the flat token array.  Merges can never
-    cross a word boundary because the ``\\x1e`` byte sits between the
-    two symbol wrappers, so per-document and per-word application are
-    bit-identical (9× faster measured: the per-word ``transform``
-    variant paid an interpreted regex per word).  Zero shuffles, zero
-    Python: the shape that rides a 100 TB scan for free.  Adds
-    ``n_tokens`` alongside (token counting with the learned vocab).
+    - ``mode='chain'``: the chained-replace expression pipeline below —
+      zero shuffles, zero Python, ideal while the merge list is small
+      enough to stay inside whole-stage codegen;
+    - ``mode='words'``: the ``operators.wordseg`` scaffold (shared with
+      ``unigram_lm_encode``) — segment each DISTINCT word once in a
+      vectorized ``mapInPandas`` with the merge table in the closure
+      (``bpe_segment_word``: only merges that actually occur in a word
+      cost anything), then join the token arrays back.  Two fixed
+      vocab-sized shuffles regardless of merge count — the path that
+      carries a production-sized vocabulary.  ``id_col`` /
+      ``broadcast_segments`` plumb through to the scaffold (see
+      ``wordseg`` for both contracts); both are ignored by the chain
+      path, which needs neither a key nor a join.
+    - ``mode='auto'`` (default): chain for ``len(merges) <=
+      CHAIN_MODE_MAX_MERGES`` (128), words above — cutover measured,
+      not guessed (SCALE.md round 8): forcing ``mode='chain'`` past
+      ~256 merges throws ``java.lang.StackOverflowError`` inside
+      Catalyst's column conversion, so auto exists to keep callers off
+      that cliff, not just off a slow path.
+
+    Chain path details: the filtered words are re-joined with an
+    ``\\x1e`` boundary byte, ONE regex pass wraps every character, the
+    merge chain runs as ``num_merges`` literal `replace` calls over the
+    whole document string (plain codegen string ops — no higher-order-
+    function lambda, which Spark executes as interpreted
+    CodegenFallback), and ONE regex split recovers the flat token
+    array.  Merges can never cross a word boundary because the
+    ``\\x1e`` byte sits between the two symbol wrappers, so
+    per-document and per-word application are bit-identical (9x faster
+    measured: the per-word ``transform`` variant paid an interpreted
+    regex per word).  Zero shuffles, zero Python: the shape that rides
+    a 100 TB scan for free.
 
     Words containing the ``\\x1e`` boundary byte are excluded exactly
     like ``\\x1f``-bearing words (both are unprintable control bytes
-    that a real corpus sheds in ``normalize_text``)."""
+    that a real corpus sheds in ``normalize_text``) — in BOTH modes,
+    so the two outputs stay bit-equal."""
     merges = merges or []
+    if mode == "auto":
+        mode = "chain" if len(merges) <= CHAIN_MODE_MAX_MERGES else "words"
+    if mode not in ("chain", "words"):
+        raise ValueError(f"mode must be 'auto', 'chain' or 'words'; "
+                         f"got {mode!r}")
     bound = "\x1e"
+    if mode == "words":
+        from .wordseg import encode_words_via_distinct
+
+        ranks = {(m["lft"], m["rgt"]): i for i, m in enumerate(merges)}
+        out = encode_words_via_distinct(
+            df, text_col,
+            lambda w: bpe_segment_word(w, ranks),
+            lowercase=lowercase, out_col=out_col, id_col=id_col,
+            word_filter=lambda x: (F.length(x) > 0) & ~x.contains(SEP)
+                                  & ~x.contains(bound),
+            broadcast_segments=broadcast_segments,
+        )
+        return out.withColumn(
+            "n_tokens", F.size(F.col(out_col)).cast("bigint"))
+    return _bpe_encode_chain(df, text_col, merges, lowercase, out_col,
+                             bound)
+
+
+def _bpe_encode_chain(
+    df: DataFrame,
+    text_col: str,
+    merges: list[dict],
+    lowercase: bool,
+    out_col: str,
+    bound: str,
+) -> DataFrame:
+    """The chained-replace expression path — see ``bpe_encode``."""
     text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
     words = F.filter(
         F.split(text, r"\s+"),

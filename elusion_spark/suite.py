@@ -6664,6 +6664,178 @@ def q156(spark, sf):
     ).orderBy("doc_id")
 
 
+@q(
+    "q157_bpe_word_encode",
+    _BPE_ORACLE_HEAD + """
+    , words AS (
+        SELECT doc_id, arr[i] AS w, i AS wi
+        FROM (
+            SELECT doc_id, arr,
+                   unnest(generate_series(1, len(arr))) AS i
+            FROM (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           x -> length(x) > 0
+                               AND NOT contains(x, chr(31))) AS arr
+                FROM documents
+            )
+        )
+    ), enc AS (
+        SELECT doc_id, wi,
+               string_split(trim(
+                   replace(replace(replace(
+                       chr(31) || array_to_string(
+                           regexp_split_to_array(w, ''),
+                           chr(31) || chr(31)) || chr(31),
+                       chr(31) || m1.l || chr(31) || chr(31) || m1.r
+                           || chr(31),
+                       chr(31) || m1.l || m1.r || chr(31)),
+                       chr(31) || m2.l || chr(31) || chr(31) || m2.r
+                           || chr(31),
+                       chr(31) || m2.l || m2.r || chr(31)),
+                       chr(31) || m3.l || chr(31) || chr(31) || m3.r
+                           || chr(31),
+                       chr(31) || m3.l || m3.r || chr(31)),
+                   chr(31)), chr(31) || chr(31)) AS syms
+        FROM words, m1, m2, m3
+    )
+    SELECT doc_id,
+           CAST(SUM(len(syms)) AS BIGINT) AS n_tokens,
+           MD5(STRING_AGG(array_to_string(syms, ' '), ' ' ORDER BY wi))
+               AS tok_md5
+    FROM enc GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q157(spark, sf):
+    """BPE encode via the WORD-MODE path (bpe.py bpe_encode
+    mode='words' — VERDICT r7 ask #1): the same 3 learned merges as
+    q140, applied by segmenting each DISTINCT word once in a vectorized
+    ``mapInPandas`` (``bpe_segment_word``, merge table in the closure)
+    and joining the token arrays back through the shared ``wordseg``
+    scaffold.  This is the path that carries a production-sized
+    (30k-merge) vocabulary — cost is two vocab-sized shuffles
+    regardless of merge count, where the chain path grows one
+    expression node per merge.  The oracle is q140's chained-replace
+    SQL replay unchanged: the two modes are bit-identical by contract
+    (bpe_segment_word docstring has the equivalence argument; the
+    randomized parity suite pins it), so one oracle checks both."""
+    from .operators.bpe import bpe_encode, bpe_fit
+
+    d = _t(spark, sf, "documents", "d").df
+    merges = bpe_fit(d.select("text"), "text", num_merges=3)
+    enc = bpe_encode(d.select("doc_id", "text"), "text", merges=merges,
+                     mode="words", id_col="doc_id")
+    return (
+        enc.filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.md5(F.array_join("tokens", " ")).alias("tok_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# q158: unigram-LM encode with BYTE FALLBACK over the SHUFFLE-join
+# path (VERDICT r7 ask #2): the vocab deliberately omits the letters
+# j/k/q/y and every piece containing them, so corpus words like "key",
+# "spark", "query", "join" are NOT coverable and must surface as
+# SentencePiece-style <0xNN> byte pieces instead of being dropped.
+_Q158_VOCAB = {
+    p: lp for p, lp in _Q156_VOCAB.items()
+    if not any(c in p for c in "jkqy")
+}
+
+
+def _q158_oracle() -> str:
+    """q156's recursive-CTE Viterbi replay, extended with the byte
+    fallback: words with NO lattice path get one ``<0xNN>`` piece per
+    UTF-8 byte (DuckDB ``hex(encode(w))`` chunked in 2s — uppercase
+    hex, exactly python's ``%02X``)."""
+    rows = ", ".join(
+        f"('{p}', {len(p)}, {int(round(lp * 1e6))})"
+        for p, lp in sorted(_Q158_VOCAB.items())
+    )
+    return f"""
+WITH RECURSIVE
+pieces(pc, ln, lp) AS (SELECT * FROM (VALUES {rows}) v(pc, ln, lp)),
+docw AS (
+    SELECT doc_id, i AS pos, ws[i] AS w
+    FROM (SELECT doc_id, {_Q156_WORDS_DUCK} AS ws FROM documents) d,
+         unnest(generate_series(1, len(ws))) AS u(i)
+),
+wrds AS (SELECT DISTINCT w FROM docw),
+paths(w, pos, sc, toks, revlen) AS (
+    SELECT w, 0, CAST(0 AS BIGINT), '', '' FROM wrds
+  UNION ALL
+    SELECT p.w, p.pos + pc.ln, p.sc + pc.lp,
+           CASE WHEN p.toks = '' THEN pc.pc
+                ELSE p.toks || '|' || pc.pc END,
+           CAST(pc.ln AS VARCHAR) || p.revlen
+    FROM paths p JOIN pieces pc
+      ON substr(p.w, p.pos + 1, pc.ln) = pc.pc
+    WHERE p.pos < length(p.w)
+),
+best AS (
+    SELECT w, toks,
+           ROW_NUMBER() OVER (PARTITION BY w
+                              ORDER BY sc DESC, revlen DESC) AS rn
+    FROM paths WHERE pos = length(w)
+),
+seg AS (
+    SELECT wrds.w,
+           coalesce(b.toks,
+               array_to_string(list_transform(
+                   generate_series(1, octet_length(encode(wrds.w))),
+                   i -> '<0x' || substr(hex(encode(wrds.w)),
+                                        2 * i - 1, 2) || '>'),
+                   '|')) AS toks
+    FROM wrds LEFT JOIN (SELECT w, toks FROM best WHERE rn = 1) b
+      ON b.w = wrds.w
+),
+j AS (SELECT docw.doc_id, docw.pos, seg.toks
+      FROM docw JOIN seg ON seg.w = docw.w),
+a AS (SELECT doc_id,
+             string_agg(toks, '|' ORDER BY pos) AS tokens,
+             CAST(SUM(length(toks) - length(replace(toks, '|', '')) + 1)
+                  AS BIGINT) AS n_tokens
+      FROM j GROUP BY doc_id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       coalesce(a.tokens, '') AS tokens,
+       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id
+ORDER BY doc_id
+"""
+
+
+@q("q158_unigram_byte_fallback", _q158_oracle())
+def q158(spark, sf):
+    """Unigram-LM Viterbi encode with byte_fallback=True over the
+    PINNED SHUFFLE-join path (operators/unigram_lm.py + wordseg —
+    VERDICT r7 ask #2's two knobs, driver-checked together): the vocab
+    omits j/k/q/y so high-frequency corpus words ("key", "spark",
+    "query", "join") are uncoverable and emit <0xNN> UTF-8 byte pieces
+    instead of silently vanishing (SentencePiece's production
+    byte_fallback default), while broadcast_segments=False forces the
+    segment join down the shuffle path a web-scale (Heaps'-law)
+    vocabulary would take — proving it bit-equal to the broadcast plan
+    the fixture would otherwise pick.  The oracle replays the lattice
+    Viterbi by recursive-CTE enumeration exactly like q156, plus the
+    byte expansion via hex(encode(w))."""
+    from .operators.unigram_lm import unigram_lm_encode
+
+    d = _t(spark, sf, "documents", "d").df
+    model = [{"piece": p, "logprob": lp} for p, lp in _Q158_VOCAB.items()]
+    enc = unigram_lm_encode(d, "text", model, id_col="doc_id",
+                            byte_fallback=True, broadcast_segments=False)
+    return enc.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.array_join("tokens", "|").alias("tokens"),
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
