@@ -1334,7 +1334,7 @@ def pca_fit(
     k: int,
     whiten: bool = False,
     sample_cap: int = 100_000,
-    sample_fraction: float = 1.0,
+    sample_fraction: float | None = None,
     seed: int = 42,
     eps: float = 1e-9,
     full_data: bool = False,
@@ -1348,6 +1348,15 @@ def pca_fit(
     so at 100 TB the fit cost is constant and the only corpus-sized
     pass is the PROJECTION, which is a zero-shuffle codegen map
     (``pca_project_expr``).
+
+    Sampling (ADVICE r7): ``sample_fraction=None`` (default) runs one
+    count and derives ``min(1, 1.3 x sample_cap / n)`` so the
+    ``.sample()`` draws the cap's worth of rows ACROSS the corpus —
+    a bare ``limit(sample_cap)`` would pull the first partitions only,
+    which on any sorted/time-partitioned table is a head-biased prefix,
+    not a sample.  Pass an explicit fraction to skip the count job
+    (``pq_fit``'s contract), or exactly ``1.0`` to deliberately collect
+    the unsampled head (only sound when the input is known unordered).
 
     ``full_data=True`` computes EXACT full-corpus moments instead: one
     ``mapInPandas`` pass emits per-partition ``(n, Σx, ΣxxT)`` partials
@@ -1396,9 +1405,13 @@ def pca_fit(
         mean = s / n
         cov = g / n - np.outer(mean, mean)
     else:
+        frac = sample_fraction
+        if frac is None:
+            n_total = proj.count()
+            frac = min(1.0, 1.3 * sample_cap / max(n_total, 1))
         samp = proj
-        if sample_fraction < 1.0:
-            samp = samp.sample(fraction=sample_fraction, seed=seed)
+        if frac < 1.0:
+            samp = samp.sample(fraction=frac, seed=seed)
         rows = samp.limit(sample_cap).collect()
         if len(rows) < 2:
             raise ValueError("pca_fit needs at least 2 vectors")

@@ -6451,6 +6451,9 @@ WITH s AS (
            CAST(len(list_filter(lines,
                 l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE)
              / CAST(greatest(len(lines), 1) AS DOUBLE) AS elf,
+           CAST(len(list_filter(lines,
+                l -> regexp_matches(l, '^\\s*[-*•‣●]'))) AS DOUBLE)
+             / CAST(greatest(len(lines), 1) AS DOUBLE) AS blf,
            CAST(len(list_filter(words,
                 w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
              / CAST(greatest(len(words), 1) AS DOUBLE) AS awf,
@@ -6464,7 +6467,7 @@ SELECT doc_id, n_words,
        stop_hits,
        (n_words >= 50 AND n_words <= 100000
         AND mwl >= 3.0 AND mwl <= 10.0
-        AND swr <= 0.1 AND elf <= 0.3 AND awf >= 0.8
+        AND swr <= 0.1 AND blf <= 0.9 AND elf <= 0.3 AND awf >= 0.8
         AND stop_hits >= 1) AS gopher_pass
 FROM t ORDER BY doc_id
 """
@@ -6480,9 +6483,11 @@ def q154(spark, sf):
     bit-for-bit.  min_stopword_hits is 1 here (the synthetic corpus is
     query-plan vocabulary, nearly stopword-free); every other threshold
     is the paper's default.  Zero shuffles — the whole family rides the
-    parquet scan projection (bullet_line_frac is computed by the
-    operator too, but single-line synthetic docs make it constant-0.0,
-    so the checked output keeps the six signals with variance)."""
+    parquet scan projection (bullet_line_frac is constant-0.0 on the
+    single-line synthetic docs so the checked output keeps the six
+    signals with variance, but the oracle still computes it and its
+    <= 0.9 conjunct — ADVICE r7 — so the verdict comparison would catch
+    a divergence if the fixture ever gained bullet-led lines)."""
     from .operators.text import gopher_quality_filter
 
     d = _t(spark, sf, "documents", "d").df

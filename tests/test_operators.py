@@ -5069,6 +5069,36 @@ def test_pca_whiten_identity_covariance_and_full_data_path(spark):
         pca_fit(df, "v", dim=5, k=6)
 
 
+def test_pca_fit_default_sampling_not_head_biased(spark):
+    """ADVICE r7: on a SORTED corpus larger than sample_cap, the
+    default fit must draw its rows across the corpus, not collect the
+    first partitions.  Fixture: mean shifts linearly with row index
+    (head mean ~= +0 on axis 0, tail ~= +40); a head-prefix fit sees
+    mean ~= cap/2 * slope, the corrected default lands near the true
+    global mean.  The explicit sample_fraction=1.0 escape keeps the
+    old head-collect behavior for known-unordered inputs."""
+    import numpy as np
+
+    from elusion_spark.operators.similarity import pca_fit
+
+    n, cap = 4000, 400
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((n, 3)) * 0.1
+    base[:, 0] += np.arange(n) * 0.01          # sorted drift: 0 .. 40
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, v array<double>").coalesce(4)
+    true_mean = float(base[:, 0].mean())        # ~= 20
+
+    m_auto = pca_fit(df, "v", dim=3, k=2, sample_cap=cap)
+    m_head = pca_fit(df, "v", dim=3, k=2, sample_cap=cap,
+                     sample_fraction=1.0)
+    assert abs(m_auto.mean[0] - true_mean) < 4.0, m_auto.mean
+    # the head collect is provably biased on this fixture — it must
+    # stay biased (the escape hatch is the documented old behavior)
+    assert m_head.mean[0] < true_mean / 2
+
+
 def _enumerate_segs(word, pieces):
     """All segmentations of word into pieces (test-side brute force)."""
     if word == "":
