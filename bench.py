@@ -18,19 +18,21 @@ replans compile), then three timed passes reporting per-query min.
 Each query is forced end-to-end with the noop sink (full computation, no
 driver collect, no column-pruning shortcut a bare count() would allow).
 
-Contention guard (round 7, VERDICT r6 ask #1): every group times TWO
-fixed canaries at the start and end of its timed region — a pure-
-codegen CPU probe and a 32-task shuffle probe (added after two
-round-7 incidents where whole groups ran 1.5-2x slow with idle CPU
-canaries: IO-side interference the codegen probe cannot see).  The
-parent converts the WORSE of the two drifts into the group's host
-factor, auto-reruns any group where >= half the budgeted entries
-violate (a contended child slice, not a regression — BENCH_r06's 8
-false violations were exactly this), and annotates every reported
-violation with the drift so the artifact can distinguish "this query
-regressed" from "this child ran on a slow host slice".  The full
-result JSON is also dual-written to BENCH_local.json because the
-driver's stdout capture tail-truncates long lines.
+Contention guard (rounds 7-8, VERDICT r6 ask #1 / r7 ask #3): every
+group times THREE fixed canaries at the start and end of its timed
+region — a pure-codegen CPU probe, a 32-task shuffle probe, and a
+write+fsync IO probe (round 7's three unexplained incidents were all
+disk-writeback interference invisible to the first two).  The parent
+converts the WORST of the three drifts into the group's host factor,
+auto-reruns any group where >= half the budgeted entries violate OR
+any entry violates while the canaries drifted (a contended child
+slice, not a regression — BENCH_r06's 8 false violations were exactly
+this), annotates every reported violation with the drift, and emits
+per-group "provenance" (every run's times, drift, violations, rerun
+reason, and which numbers were chosen) so the artifact is fully
+machine-attributed with no prose adjudication.  The full result JSON
+is also dual-written to BENCH_local.json because the driver's stdout
+capture tail-truncates long lines.
 """
 
 from __future__ import annotations
@@ -230,11 +232,52 @@ CANARY_FLOOR = float(os.environ.get("SPARK_GRAFT_CANARY_FLOOR", "0.17"))
 # twice in round 7 — slow groups with 1.0-drift CPU canaries.
 SHUFFLE_CANARY_FLOOR = float(
     os.environ.get("SPARK_GRAFT_SHUFFLE_CANARY_FLOOR", "0.35"))
+# IO canary (VERDICT r7 ask #3): 32 MiB write+fsync on the same ext4
+# the Spark local dirs and fixture rebuilds live on.  Three round-7
+# incidents were IO-side contention (kworker writeback after the 13 GB
+# fixture rebuild; group-wide 1.5-2x slowdowns) that BOTH the CPU and
+# shuffle canaries missed (drift 1.0 while queries ran slow) and only
+# the rerun guard + prose adjudication recovered.  Floor calibrated to
+# the IN-BENCH steady state, not a silent machine: bare-idle runs are
+# 0.071-0.082 s, but a normally-running bench keeps its own dirty
+# pages in flight (parquet reads, shuffle spill) and the canary's
+# min-of-2 brackets sit at 0.08-0.12 s across a clean full run —
+# that background is baseline, not contention, so the floor is 0.11
+# (group medians of a clean sf0.01 sweep).  A real writeback storm
+# (the r7 class: queries 1.5-2x slow) measures >= 2x this floor.
+IO_CANARY_FLOOR = float(os.environ.get("SPARK_GRAFT_IO_CANARY_FLOOR",
+                                       "0.11"))
 # A group where at least this fraction of budgeted entries violate is
 # re-run once (fresh child process on a hopefully-idle slice) and each
 # query keeps the min of both passes — a real regression survives the
-# rerun, a contended slice doesn't.
+# rerun, a contended slice doesn't.  Independently, ANY violation in a
+# group whose canaries drifted past RERUN_DRIFT is retried: the drift
+# already attributes the slowdown to the host, so the number should be
+# re-measured rather than shipped annotated.
 RERUN_FRACTION = 0.5
+RERUN_DRIFT = 1.2
+
+
+def _canary_io_time() -> float:
+    """Write + fsync 32 MiB under /tmp (the filesystem Spark's local
+    dirs, shuffle spill and the scale fixtures share): the probe for
+    write-back/IO contention that is invisible to the CPU canary and
+    only weakly visible to the shuffle canary (noop sinks do not
+    fsync).  ~0.075 s idle; kworker writeback shows here first."""
+    import tempfile
+
+    buf = b"\x5a" * (4 << 20)
+    t0 = time.perf_counter()
+    fd, path = tempfile.mkstemp(dir="/tmp", prefix="bench_io_canary_")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            for _ in range(8):
+                f.write(buf)
+            f.flush()
+            os.fsync(f.fileno())
+    finally:
+        os.unlink(path)
+    return round(time.perf_counter() - t0, 3)
 
 
 def _canary_time(spark) -> float:
@@ -302,9 +345,11 @@ def _run_group(queries: list[str], sf_dir: str, cache_pair: bool) -> dict:
     # at least one bracket for any contention long enough to matter
     _canary_time(spark)
     _canary_shuffle_time(spark)
+    _canary_io_time()
     canary_start = min(_canary_time(spark), _canary_time(spark))
     shuffle_start = min(_canary_shuffle_time(spark),
                         _canary_shuffle_time(spark))
+    io_start = min(_canary_io_time(), _canary_io_time())
 
     # min-of-3: measured on the heavy HOF/LSH shapes (q30/q77), a fresh
     # JVM needs ~3 executions past the untimed warm before C2 reaches
@@ -323,8 +368,10 @@ def _run_group(queries: list[str], sf_dir: str, cache_pair: bool) -> dict:
     canary_end = min(_canary_time(spark), _canary_time(spark))
     shuffle_end = min(_canary_shuffle_time(spark),
                       _canary_shuffle_time(spark))
+    io_end = min(_canary_io_time(), _canary_io_time())
     canary = {"start": canary_start, "end": canary_end,
-              "shuffle_start": shuffle_start, "shuffle_end": shuffle_end}
+              "shuffle_start": shuffle_start, "shuffle_end": shuffle_end,
+              "io_start": io_start, "io_end": io_end}
 
     if cache_pair:
         # Cache hit-vs-miss pair, mirroring the reference's headline
@@ -366,13 +413,22 @@ def _run_sf1() -> dict:
             check=True, capture_output=True, timeout=900,
         )
     spark = get_spark("elusion_spark_bench")
-    for wname in SF1_QUERIES:      # untimed warm at sf1
-        QUERIES[wname](spark, sf1_dir).write.format("noop").mode(
-            "overwrite").save()
-    spark.catalog.clearCache()
+    # TWO untimed warms + min-of-3 timed (round 8, VERDICT r7 ask #4):
+    # q121's 2.6-7.7 s round-to-round spread was diagnosed as C2
+    # compile tail, not AQE — six instrumented same-JVM runs kept
+    # bit-identical join plans while walls fell 9.1 -> 2.0 s
+    # monotonically; one warm + min-of-2 sampled that curve wherever
+    # the compiler happened to be.  The heaviest sf1 shapes need ~3
+    # executions past the first before the steady floor (same finding
+    # as the sf0.1 groups' min-of-3).
+    for _w in range(2):
+        for wname in SF1_QUERIES:      # untimed warms at sf1
+            QUERIES[wname](spark, sf1_dir).write.format("noop").mode(
+                "overwrite").save()
+        spark.catalog.clearCache()
     time.sleep(5)
     t1: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in SF1_QUERIES:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf1_dir).write.format("noop").mode(
@@ -385,7 +441,8 @@ def _run_sf1() -> dict:
         "queries": t1,
         "total": round(sum(t1.values()), 3),
         "note": "10x key-shift replica of sf0.1 (6M lineitem); slope vs "
-                "the sf0.1 queries above; own fresh JVM",
+                "the sf0.1 queries above; own fresh JVM; 2 untimed "
+                "warms + min-of-3 timed (C2 tail, see SCALE.md r8)",
     }
 
 
@@ -458,11 +515,11 @@ def _spawn(spec: dict, timeout: int = 1800) -> dict:
 
 def _group_drift(canary: dict | None) -> float:
     """Host-contention factor for one child process: the WORSE of the
-    CPU and shuffle canary drifts (each = mean of its two brackets
+    CPU, shuffle and IO canary drifts (each = mean of its two brackets
     over its idle floor), clamped at 1.0.  Taking the max means a
-    group slowed by IO/scheduler interference the CPU canary cannot
-    see is still adjudicated as host-contended when the shuffle canary
-    caught it."""
+    group slowed by interference that only ONE probe class can see
+    (pure scheduler pressure / shuffle machinery / disk write-back) is
+    still adjudicated as host-contended."""
     if not canary:
         return 1.0
     cpu = ((canary["start"] + canary["end"]) / 2) / CANARY_FLOOR
@@ -471,21 +528,32 @@ def _group_drift(canary: dict | None) -> float:
         drifts.append(
             ((canary["shuffle_start"] + canary["shuffle_end"]) / 2)
             / SHUFFLE_CANARY_FLOOR)
+    if "io_start" in canary:
+        drifts.append(
+            ((canary["io_start"] + canary["io_end"]) / 2)
+            / IO_CANARY_FLOOR)
     return max(1.0, round(max(drifts), 3))
 
 
 def _should_rerun(group_times: dict[str, float],
                   budgets: dict[str, float] | None = None,
-                  fraction: float = RERUN_FRACTION) -> bool:
-    """True when a group's violation pattern looks like a contended
-    child process (>= `fraction` of its budgeted entries over budget)
-    rather than a single-query regression.  A real regression survives
-    the rerun; a slow host slice doesn't."""
+                  fraction: float = RERUN_FRACTION,
+                  drift: float = 1.0) -> bool:
+    """True when a group's violations look host-caused rather than
+    like a single-query regression: either >= `fraction` of its
+    budgeted entries are over budget (the BENCH_r06 contended-slice
+    pattern), or there is at least one violation AND the group's
+    canaries drifted past RERUN_DRIFT (the canaries have already
+    attributed the slowdown to the host, so re-measure instead of
+    shipping an annotated number).  A real regression survives the
+    rerun; a slow host slice doesn't."""
     budgets = BUDGETS_SF01 if budgets is None else budgets
     budgeted = [n for n in group_times if n in budgets]
+    viol = [n for n in budgeted if group_times[n] > budgets[n]]
+    if viol and drift > RERUN_DRIFT:
+        return True
     if len(budgeted) < 2:
         return False
-    viol = [n for n in budgeted if group_times[n] > budgets[n]]
     return len(viol) >= fraction * len(budgeted)
 
 
@@ -529,7 +597,11 @@ def main() -> None:
     group_of: dict[str, int] = {}
     drifts: dict[int, float] = {}
     canaries: dict[str, dict] = {}
-    reruns: dict[str, dict] = {}
+    provenance: dict[str, dict] = {}
+
+    def _viol_names(ts: dict[str, float]) -> list[str]:
+        return sorted(n for n in ts
+                      if n in BUDGETS_SF01 and ts[n] > BUDGETS_SF01[n])
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
@@ -545,17 +617,27 @@ def main() -> None:
             drift = _group_drift(res.get("canary"))
             canaries[f"group_{gi}"] = {**(res.get("canary") or {}),
                                        "drift": drift}
-            if budget_run and _should_rerun(gtimes):
+            # per-run provenance (VERDICT r7 ask #3): every number in
+            # "queries" is machine-attributed — which run produced it,
+            # what the canaries said, what triggered a retry — so no
+            # prose adjudication note is ever needed
+            runs = [{"run": 1, "drift": drift,
+                     "violations": _viol_names(gtimes) if budget_run
+                     else [], "times": gtimes}]
+            if budget_run and _should_rerun(gtimes, drift=drift):
                 # contended-slice suspect: one fresh child retry; each
                 # query keeps the min, the group keeps the better drift
+                reason = ("mass_violation"
+                          if _should_rerun(gtimes, drift=1.0)
+                          else "violation_with_canary_drift")
                 try:
                     res2 = _spawn(spec)
                     gtimes2 = res2["times"]
                     drift2 = _group_drift(res2.get("canary"))
-                    reruns[f"group_{gi}"] = {
-                        "first_pass": gtimes, "first_drift": drift,
-                        "second_pass": gtimes2, "second_drift": drift2,
-                    }
+                    runs.append({"run": 2, "drift": drift2,
+                                 "violations": _viol_names(gtimes2),
+                                 "times": gtimes2,
+                                 "rerun_reason": reason})
                     gtimes = _merge_min(gtimes, gtimes2)
                     drift = min(drift, drift2)
                     canaries[f"group_{gi}"]["drift"] = drift
@@ -563,6 +645,12 @@ def main() -> None:
                         res["cache_stats"] = res2["cache_stats"]
                 except Exception as exc:
                     errors[f"group_{gi}_rerun"] = str(exc)[:300]
+            provenance[f"group_{gi}"] = {
+                "queries": grp,
+                "runs": runs,
+                "chosen": ("per_query_min_of_runs" if len(runs) > 1
+                           else "single_run"),
+            }
             times.update(gtimes)
             for n in gtimes:
                 group_of[n] = gi
@@ -586,15 +674,17 @@ def main() -> None:
             "contention_guard": (
                 f"25M-xxhash CPU canary (floor {CANARY_FLOOR}s) + "
                 f"32-task shuffle canary (floor {SHUFFLE_CANARY_FLOOR}s)"
-                ", each min-of-2 at group start+end; drift = worse of "
-                "the two mean/floor ratios; groups with >= "
-                f"{int(RERUN_FRACTION * 100)}% budget violations rerun "
-                "once (per-query min of both passes)"),
+                f" + 32MiB write-fsync IO canary (floor "
+                f"{IO_CANARY_FLOOR}s), each min-of-2 at group "
+                "start+end; drift = worst of the three mean/floor "
+                f"ratios; groups with >= {int(RERUN_FRACTION * 100)}% "
+                "budget violations, or any violation at drift > "
+                f"{RERUN_DRIFT}, rerun once (per-query min of both "
+                "passes; full per-run evidence in 'provenance')"),
         },
         "canaries": canaries,
+        "provenance": provenance,
     }
-    if reruns:
-        out["group_reruns"] = reruns
     if cstats is not None:
         # expected {hits: 2, misses: 1}: a slow q01_cache_hit with
         # hits==2 is block eviction / process noise, with misses==2 a

@@ -6849,38 +6849,36 @@ def q158(spark, sf):
 # keep their round-1 evidence even if they fall past a cap.
 # ---------------------------------------------------------------------
 _NEEDS_EVIDENCE = [
-    # Round-7 rotation (VERDICT r6 ask #2): 50 driver slots.
+    # Round-8 rotation (VERDICT r7 ask #5, standing practice): 50
+    # driver slots, oldest evidence first.
     # Priority 1 — NEW this round (no driver evidence yet):
-    "q153_ivfpq_residual", "q154_gopher_filters", "q155_pca_whiten",
-    "q156_unigram_encode",
-    # Priority 2 — the 4 rows whose latest driver evidence is r3 (the
-    # judge's freshness tail; three plain TPC-H shapes + the report
-    # card, deliberately last in the r6 rotation):
-    "q82_shipping_priority", "q83_local_supplier_volume",
-    "q84_promo_revenue", "q100_corpus_report_card",
-    # Priority 3 — the 49 rows whose latest driver evidence is r4; 45
-    # fit the remaining slots, the last 4 (heavily fuzz-covered
-    # TPC-H star shapes) spill to round 8:
-    "q28_calendar", "q29_json_extract", "q34_quality_fingerprint",
-    "q42_union_all_append", "q43_drop_duplicates_by_col",
-    "q44_window_frames", "q45_agg_whitelist", "q47_rollup",
-    "q48_string_agg", "q49_array_agg_distinct", "q50_pii_redaction",
-    "q51_percentiles", "q87_event_rate_anomaly", "q88_order_gap_stats",
-    "q89_funnel", "q90_cohort_retention", "q91_bm25_search",
-    "q93_hybrid_search", "q95_mad_outliers", "q101_batched_hybrid",
-    "q102_latest_by_key", "q103_top_k_per_group", "q104_url_filter",
-    "q105_assign_shards", "q106_ohlc_resample", "q107_gapfill_linear",
-    "q108_best_quality_dedup", "q124_train_quality_classifier",
-    "q125_hashed_tf_features", "q126_classifier_eval", "q127_kmeans_fit",
-    "q128_tfidf_features", "q129_snapshot_diff", "q130_join_audit",
-    "q109_order_priority", "q110_priority_shipping_mix",
-    "q111_large_volume_customer", "q112_supplier_part_counts",
-    "q113_forecast_revenue", "q114_nation_volume_shipping",
-    "q115_market_share", "q116_product_profit",
+    "q157_bpe_word_encode", "q158_unigram_byte_fallback",
+    # Priority 2 — the 7 rows whose latest driver evidence is r4 (the
+    # TPC-H star shapes that spilled from the r7 window):
     "q117_customer_distribution", "q118_top_supplier",
-    "q119_small_quantity_revenue",
-    "q120_sales_opportunity", "q121_waiting_suppliers",
-    "q122_min_cost_supplier", "q123_part_promotion_suppliers",
+    "q119_small_quantity_revenue", "q120_sales_opportunity",
+    "q121_waiting_suppliers", "q122_min_cost_supplier",
+    "q123_part_promotion_suppliers",
+    # Priority 3 — 41 of the 49 rows whose latest driver evidence is
+    # r5; the 8 spilled to round 9 (q12-q17 null-handling/set ops,
+    # q24, q27) are the most hypothesis-fuzzed basic shapes in the
+    # local suite.
+    "q01_pricing_summary", "q02_top_orders", "q03_region_rollup",
+    "q04_segment_monthly", "q05_window_rank", "q06_running_total",
+    "q07_pivot_linestatus", "q08_unpivot_part", "q10_text_stats",
+    "q11_lang_id", "q18_cosine_topk", "q19_ngram_jaccard",
+    "q20_raw_sql_cte", "q21_date_breakdown", "q22_corr_manual",
+    "q23_null_analysis", "q25_having_raw", "q26_case_tier",
+    "q33_ivf_topk", "q36_image_decode", "q37_frame_sample",
+    "q38_media_features_topk", "q131_approx_auc",
+    "q133_leakage_safe_split", "q134_bloom_prejoin",
+    "q135_dedup_repeated_spans", "q136_retrieval_metrics",
+    "q137_calibration_report", "q138_token_budget_mix", "q139_bpe_fit",
+    "q140_bpe_encode", "q141_random_projection", "q142_pq_adc_topk",
+    "q143_ivf_pq_search", "q144_image_near_dup", "q145_audio_near_dup",
+    "q146_tfidf_cosine_pairs", "q147_dsir_importance",
+    "q148_pmi_collocations", "q149_contrastive_pairs",
+    "q150_minhash_by_lang",
 ]
 _NEEDS_EVIDENCE = [k for k in _NEEDS_EVIDENCE if k in QUERIES]
 QUERIES = {

@@ -113,6 +113,24 @@ def test_group_drift_computation():
         "shuffle_start": b.SHUFFLE_CANARY_FLOOR * 0.9,
         "shuffle_end": b.SHUFFLE_CANARY_FLOOR,
     }) == 1.0
+    # the round-8 closure of the last blind spot: CPU and shuffle
+    # canaries idle, write-fsync IO canary caught disk writeback
+    d = b._group_drift({
+        "start": b.CANARY_FLOOR * 0.6, "end": b.CANARY_FLOOR * 0.6,
+        "shuffle_start": b.SHUFFLE_CANARY_FLOOR * 0.8,
+        "shuffle_end": b.SHUFFLE_CANARY_FLOOR * 0.8,
+        "io_start": b.IO_CANARY_FLOOR * 2.2,
+        "io_end": b.IO_CANARY_FLOOR * 2.2,
+    })
+    assert abs(d - 2.2) < 0.01
+    # all three idle -> clamp still holds
+    assert b._group_drift({
+        "start": b.CANARY_FLOOR, "end": b.CANARY_FLOOR,
+        "shuffle_start": b.SHUFFLE_CANARY_FLOOR,
+        "shuffle_end": b.SHUFFLE_CANARY_FLOOR,
+        "io_start": b.IO_CANARY_FLOOR * 0.9,
+        "io_end": b.IO_CANARY_FLOOR,
+    }) == 1.0
 
 
 def test_synthetic_contention_triggers_group_rerun():
@@ -128,6 +146,27 @@ def test_synthetic_contention_triggers_group_rerun():
     assert b._should_rerun(half, budgets=_BUDGETS)
     # a group with <2 budgeted entries can't establish a pattern
     assert not b._should_rerun({"qa": 9.9}, budgets=_BUDGETS)
+    # round 8: a single violation WITH canary drift is host-attributed
+    # -> re-measure instead of shipping an annotated number
+    one_bad = {"qa": 5.0, "qb": 0.5, "qc": 0.5, "qd": 0.5}
+    assert b._should_rerun(one_bad, budgets=_BUDGETS,
+                           drift=b.RERUN_DRIFT + 0.1)
+    # ...but drifted canaries with ZERO violations never rerun
+    clean = {n: 0.5 for n in _BUDGETS}
+    assert not b._should_rerun(clean, budgets=_BUDGETS, drift=2.0)
+    # and the single-entry group rule is overridden by drift+violation
+    assert b._should_rerun({"qa": 9.9}, budgets=_BUDGETS, drift=2.0)
+
+
+def test_io_canary_runs_and_is_fast():
+    """The IO canary is a real write+fsync (non-negative wall, file
+    cleaned up) — smoke, not a timing assertion."""
+    import glob
+
+    b = _load_bench()
+    t = b._canary_io_time()
+    assert t >= 0.0
+    assert not glob.glob("/tmp/bench_io_canary_*")
 
 
 def test_merge_min_keeps_best_pass():

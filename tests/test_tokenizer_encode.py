@@ -199,3 +199,102 @@ def test_unigram_byte_fallback_all_words_uncoverable(spark):
     out = unigram_lm_encode(df, "text", _model(), id_col="doc_id",
                             byte_fallback=True).collect()[0]
     assert out["tokens"] == ["<0x7A>", "<0x7A>", "<0x71>", "<0x71>"]
+
+
+# ------------------------------------------------- model IO / interop
+
+def test_bpe_save_load_roundtrip(tmp_path):
+    from elusion_spark.operators.tokenizer_io import bpe_load, bpe_save
+
+    merges = [{"merge_rank": 1, "lft": "a", "rgt": "b", "pair_count": 9},
+              {"merge_rank": 2, "lft": "ab", "rgt": "c", "pair_count": 4}]
+    p = str(tmp_path / "bpe.json")
+    bpe_save(merges, p)
+    assert bpe_load(p) == merges
+    import pytest as _pt
+    bad = str(tmp_path / "bad.json")
+    open(bad, "w").write('{"format": "other"}')
+    with _pt.raises(ValueError, match="BPE model"):
+        bpe_load(bad)
+
+
+def test_hf_export_bpe_shape(tmp_path):
+    """The exported tokenizer.json carries HF's BPE fields: canonical
+    'lft rgt' merge strings, a vocab that covers every base char and
+    every merge output with deterministic ids, and the pinned
+    WhitespaceSplit + Lowercase pipeline."""
+    import json
+
+    from elusion_spark.operators.tokenizer_io import (
+        export_hf_tokenizer_json)
+
+    merges = [{"merge_rank": 1, "lft": "a", "rgt": "b", "pair_count": 9},
+              {"merge_rank": 2, "lft": "ab", "rgt": "c", "pair_count": 4}]
+    p = str(tmp_path / "tokenizer.json")
+    out = export_hf_tokenizer_json(p, bpe_merges=merges)
+    on_disk = json.load(open(p))
+    assert on_disk == out
+    m = out["model"]
+    assert m["type"] == "BPE"
+    assert m["merges"] == ["a b", "ab c"]
+    assert m["vocab"] == {"a": 0, "b": 1, "c": 2, "ab": 3, "abc": 4}
+    assert out["pre_tokenizer"]["type"] == "WhitespaceSplit"
+    assert out["normalizer"]["type"] == "Lowercase"
+    assert export_hf_tokenizer_json(
+        p, bpe_merges=merges, lowercase=False)["normalizer"] is None
+
+
+def test_hf_export_unigram_shape(tmp_path):
+    import json
+
+    from elusion_spark.operators.tokenizer_io import (
+        export_hf_tokenizer_json)
+
+    model = [{"piece": "ab", "logprob": -1.5},
+             {"piece": "a", "logprob": -2.5},
+             {"piece": "b", "logprob": -3.0}]
+    p = str(tmp_path / "uni.json")
+    out = export_hf_tokenizer_json(p, unigram_model=model)
+    assert out["model"]["type"] == "Unigram"
+    assert out["model"]["vocab"] == [["ab", -1.5], ["a", -2.5],
+                                     ["b", -3.0]]
+    assert out["model"]["byte_fallback"] is False
+    # byte_fallback appends all 256 byte pieces below every real piece
+    out2 = export_hf_tokenizer_json(p, unigram_model=model,
+                                    byte_fallback=True)
+    vocab2 = out2["model"]["vocab"]
+    assert len(vocab2) == 3 + 256
+    assert ["<0x00>", -13.0] in [list(v) for v in vocab2]
+    assert all(lp < -3.0 for _, lp in vocab2[3:])
+    assert json.load(open(p)) == out2
+    import pytest as _pt
+    with _pt.raises(ValueError, match="exactly one"):
+        export_hf_tokenizer_json(p)
+    with _pt.raises(ValueError, match="exactly one"):
+        export_hf_tokenizer_json(p, bpe_merges=[], unigram_model=model)
+
+
+def test_hf_export_roundtrip_through_tokenizers_lib(spark, tmp_path):
+    """When the `tokenizers` library is present, a from-file HF
+    Tokenizer built from the export must reproduce the engine's encode
+    exactly (BPE chain path == HF BPE; unigram Viterbi argmax == HF
+    Unigram up to score ties).  Gated: the lib is not in this
+    container."""
+    import pytest as _pt
+    tokenizers = _pt.importorskip("tokenizers")
+
+    from elusion_spark.operators.bpe import bpe_encode, bpe_fit
+    from elusion_spark.operators.tokenizer_io import (
+        export_hf_tokenizer_json)
+
+    texts = ["the cat sat on the mat", "a cat ate the hat"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    merges = bpe_fit(df.select("text"), "text", num_merges=6)
+    p = str(tmp_path / "tokenizer.json")
+    export_hf_tokenizer_json(p, bpe_merges=merges)
+    tok = tokenizers.Tokenizer.from_file(p)
+    ours = {r["doc_id"]: r["tokens"] for r in
+            bpe_encode(df, "text", merges).collect()}
+    for i, t in enumerate(texts):
+        assert tok.encode(t).tokens == ours[i], t
