@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     "q154_gopher_filters",    # Gopher rule family (pure scan projection)
     "q155_pca_whiten",        # folded-matrix whitened PCA projection
     "q156_unigram_encode",    # unigram-LM Viterbi encode (distinct words)
+    "q157_bpe_word_encode",   # BPE word-mode encode (wordseg scaffold)
+    "q158_unigram_byte_fallback",  # byte fallback over pinned shuffle join
     "q46_training_corpus",    # end-to-end curation composite (9 stages)
 ]
 
@@ -127,7 +129,7 @@ BUDGETS_SF01 = {
     "q04_segment_monthly": 0.75, "q05_window_rank": 0.35,
     "q06_running_total": 0.5, "q07_pivot_linestatus": 1.1,
     "q10_text_stats": 0.3, "q18_cosine_topk": 0.5,
-    "q30_minhash_pairs": 2.45, "q31_simhash_pairs": 2.9,
+    "q30_minhash_pairs": 2.45, "q31_simhash_pairs": 2.0,
     "q32_embedding_near_dup": 1.8, "q35_media_kinds": 0.35,
     "q39_string_functions": 0.3, "q44_window_frames": 0.35,
     "q45_agg_whitelist": 0.6, "q51_percentiles": 1.7,
@@ -136,9 +138,9 @@ BUDGETS_SF01 = {
     "q62_skew_join_salted": 1.1, "q63_decontamination": 1.4,
     "q64_repetition_signals": 2.05, "q65_semantic_dedup": 2.4,
     "q72_lm_score": 1.05, "q73_knn_join": 3.05,
-    "q74_chunk_documents": 0.5, "q75_threshold_sweep": 0.6,
-    "q76_lm_score_bigram": 2.0, "q77_containment_pairs": 3.05,
-    "q81_sq8_topk": 0.75, "q82_shipping_priority": 1.2,
+    "q74_chunk_documents": 0.45, "q75_threshold_sweep": 0.6,
+    "q76_lm_score_bigram": 1.7, "q77_containment_pairs": 2.4,
+    "q81_sq8_topk": 0.75, "q82_shipping_priority": 1.1,
     "q93_hybrid_search": 2.1, "q101_batched_hybrid": 2.65,
     "q103_top_k_per_group": 0.45, "q106_ohlc_resample": 0.45,
     "q107_gapfill_linear": 0.9, "q113_forecast_revenue": 0.3,
@@ -148,7 +150,7 @@ BUDGETS_SF01 = {
     "q138_token_budget_mix": 0.55, "q140_bpe_encode": 3.7,
     "q141_random_projection": 0.75, "q142_pq_adc_topk": 1.25,
     "q143_ivf_pq_search": 1.3, "q147_dsir_importance": 2.45,
-    "q148_pmi_collocations": 2.2,
+    "q148_pmi_collocations": 1.85,
     # group 5 recalibrated round 7: its composition grew to 8 entries
     # when q154-q156 joined; 1.3x the worst of three same-day CLEAN
     # runs (run 1's group-wide 1.5-2x blip with 1.0-drift canaries was
@@ -158,6 +160,10 @@ BUDGETS_SF01 = {
     "q153_ivfpq_residual": 1.6, "q46_training_corpus": 4.8,
     "q154_gopher_filters": 1.4, "q155_pca_whiten": 0.35,
     "q156_unigram_encode": 1.6,
+    # round-8 entries: 1.3x the worse of two same-day clean
+    # calibration runs (q157's wall is dominated by the 3-merge
+    # bpe_fit's vocab jobs, shared shape with q140)
+    "q157_bpe_word_encode": 2.85, "q158_unigram_byte_fallback": 1.6,
     "q01_cache_miss": 1.8, "q01_cache_hit": 0.35,
 }
 
@@ -207,8 +213,8 @@ FLOOR10X_QUERIES = ["q77_containment_pairs", "q46_training_corpus"]
 # min-of-2 in a fresh JVM after an untimed 10x pass; 1.3x the worse of
 # two same-day calibration runs (same discipline as BUDGETS_SF01)
 BUDGETS_FLOOR10X = {
-    "q77_containment_pairs": 4.6,   # worse of two runs 3.374 x 1.3
-    "q46_training_corpus": 8.5,     # worse of two runs 6.513 x 1.3
+    "q77_containment_pairs": 3.5,   # r8: worse of two runs 2.659 x 1.3
+    "q46_training_corpus": 6.7,     # r8: worse of two runs 5.132 x 1.3
 }
 
 GROUP_SIZE = int(os.environ.get("SPARK_GRAFT_BENCH_GROUP", "10"))

@@ -342,6 +342,13 @@ SHUFFLE_BUDGETS = {
     # SMJ pair; the corpus text crosses the wire in the group-back and
     # the re-attach, the word/segment tables are vocabulary-sized
     "q156_unigram_encode": 4,
+    # word-mode BPE: distinct-word agg + group-back + re-attach (the
+    # digest projection rides the re-attach output, one fewer exchange
+    # than q156's select-from-base shape)
+    "q157_bpe_word_encode": 3,
+    # q156's shape + the PINNED shuffle join (merge hint) adds the
+    # segment-side and words-side exchanges the broadcast plan elides
+    "q158_unigram_byte_fallback": 6,
 }
 
 
