@@ -268,10 +268,14 @@ def bpe_segment_word(word: str, ranks: dict) -> list[str]:
 # 256 and 272 chained nodes — binary-searched, reproducible, long
 # before codegen limits matter.  128 leaves 2x margin for deeper
 # calling contexts (the overflow point shifts with whatever frames sit
-# below the conversion).  Perf makes the cutover a non-event: word
-# mode's two fixed vocab-sized shuffles are equal-or-faster than the
-# chain from ~64 merges on both measured corpora (and 0.06 s at the
-# full 30k-merge model on sf0.1, where the chain cannot run at all).
+# below the conversion).  Perf makes the cutover a non-event: map mode
+# (zero-shuffle, per-task memo) measures FASTER than the chain at
+# every merge count on both corpora (0.025-0.033 s vs 0.033-0.054 s,
+# and 0.025 s at the full 30k-merge model where the chain cannot run
+# at all); chain stays the small-model default only because it is
+# zero-PYTHON — no Arrow transfer of the corpus through workers, which
+# is the conservative choice when the python worker pool is the
+# contended resource.
 CHAIN_MODE_MAX_MERGES = 128
 
 
@@ -294,18 +298,24 @@ def bpe_encode(
     - ``mode='chain'``: the chained-replace expression pipeline below —
       zero shuffles, zero Python, ideal while the merge list is small
       enough to stay inside whole-stage codegen;
-    - ``mode='words'``: the ``operators.wordseg`` scaffold (shared with
-      ``unigram_lm_encode``) — segment each DISTINCT word once in a
-      vectorized ``mapInPandas`` with the merge table in the closure
+    - ``mode='map'``: ZERO-shuffle ``wordseg.encode_words_in_task`` —
+      one ``mapInPandas`` pass with the merge table in the closure and
+      a per-task distinct-word memo (repeated words cost a dict
+      lookup).  Nothing crosses the wire; the path that rides a 100 TB
+      scan with an arbitrarily large vocabulary.
+    - ``mode='words'``: the ``operators.wordseg`` distinct-word
+      scaffold (shared with ``unigram_lm_encode``) — segment each
+      DISTINCT word once GLOBALLY in a vectorized ``mapInPandas``
       (``bpe_segment_word``: only merges that actually occur in a word
-      cost anything), then join the token arrays back.  Two fixed
-      vocab-sized shuffles regardless of merge count — the path that
-      carries a production-sized vocabulary.  ``id_col`` /
+      cost anything), then join the token arrays back.  Pays two
+      corpus-sized shuffles (positions out, arrays back); wins only
+      when per-word segmentation is very expensive and words repeat
+      across tasks but not within them.  ``id_col`` /
       ``broadcast_segments`` plumb through to the scaffold (see
       ``wordseg`` for both contracts); both are ignored by the chain
-      path, which needs neither a key nor a join.
+      and map paths, which need neither a key nor a join.
     - ``mode='auto'`` (default): chain for ``len(merges) <=
-      CHAIN_MODE_MAX_MERGES`` (128), words above — cutover measured,
+      CHAIN_MODE_MAX_MERGES`` (128), map above — cutover measured,
       not guessed (SCALE.md round 8): forcing ``mode='chain'`` past
       ~256 merges throws ``java.lang.StackOverflowError`` inside
       Catalyst's column conversion, so auto exists to keep callers off
@@ -330,11 +340,23 @@ def bpe_encode(
     so the two outputs stay bit-equal."""
     merges = merges or []
     if mode == "auto":
-        mode = "chain" if len(merges) <= CHAIN_MODE_MAX_MERGES else "words"
-    if mode not in ("chain", "words"):
-        raise ValueError(f"mode must be 'auto', 'chain' or 'words'; "
-                         f"got {mode!r}")
+        mode = "chain" if len(merges) <= CHAIN_MODE_MAX_MERGES else "map"
+    if mode not in ("chain", "words", "map"):
+        raise ValueError(f"mode must be 'auto', 'chain', 'words' or "
+                         f"'map'; got {mode!r}")
     bound = "\x1e"
+    if mode == "map":
+        from .wordseg import encode_words_in_task
+
+        ranks = {(m["lft"], m["rgt"]): i for i, m in enumerate(merges)}
+        out = encode_words_in_task(
+            df, text_col,
+            lambda w: bpe_segment_word(w, ranks),
+            lowercase=lowercase, out_col=out_col,
+            word_filter_py=lambda w: SEP not in w and bound not in w,
+        )
+        return out.withColumn(
+            "n_tokens", F.size(F.col(out_col)).cast("bigint"))
     if mode == "words":
         from .wordseg import encode_words_via_distinct
 

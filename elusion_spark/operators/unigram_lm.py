@@ -296,6 +296,7 @@ def unigram_lm_encode(
     id_col: str | None = None,
     byte_fallback: bool = False,
     broadcast_segments: bool | str = "auto",
+    mode: str = "distinct",
 ) -> DataFrame:
     """Viterbi-encode a corpus with a ``unigram_lm_fit`` model: tokens
     as ``array<string>`` in ``out_col`` (word order preserved).  Words
@@ -320,9 +321,18 @@ def unigram_lm_encode(
     forces the broadcast (only when the vocabulary is KNOWN small);
     ``False`` pins the shuffle join.  See ``wordseg`` for the full
     contract, and its docstring for the ``id_col`` /
-    ``monotonically_increasing_id`` footgun."""
-    from .wordseg import encode_words_via_distinct
+    ``monotonically_increasing_id`` footgun.
 
+    ``mode='map'`` switches to the ZERO-shuffle
+    ``wordseg.encode_words_in_task`` path: one ``mapInPandas`` with
+    the model in the closure and a per-task distinct-word memo —
+    nothing crosses the wire, the shape that rides a 100 TB scan
+    (``id_col``/``broadcast_segments`` are then irrelevant and
+    ignored).  Default stays ``'distinct'``; bit-parity between the
+    two is pinned by tests."""
+    if mode not in ("distinct", "map"):
+        raise ValueError(
+            f"mode must be 'distinct' or 'map'; got {mode!r}")
     if not model:
         raise ValueError("model (unigram_lm_fit output) is required")
     lp = quantize_logprobs(
@@ -334,6 +344,15 @@ def unigram_lm_encode(
         if not toks and byte_fallback:
             toks = byte_fallback_tokens(w)
         return toks
+
+    if mode == "map":
+        from .wordseg import encode_words_in_task
+
+        return encode_words_in_task(
+            df, text_col, _segment,
+            lowercase=lowercase, out_col=out_col,
+        )
+    from .wordseg import encode_words_via_distinct
 
     return encode_words_via_distinct(
         df, text_col, _segment,

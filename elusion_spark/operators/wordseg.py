@@ -17,8 +17,14 @@ This module owns that scaffold once:
    document with an ``array_sort(collect_list(struct(pos, toks)))``
    fold — one id-keyed shuffle of (id, pos, small-array) rows.
 
-The document BODIES never shuffle: only ids, positions, words and
-token arrays cross the wire.
+The RAW document bodies never shuffle, but the (id, pos, word) explode
+and the token-array group-back are corpus-sized exchanges — at 100 TB
+this path pays ~2 corpus-wide shuffles.  ``encode_words_in_task`` below
+is the ZERO-shuffle alternative (per-task distinct-word memo, model in
+the closure) and measures faster at every merge count on both test
+corpora (SCALE.md round 8); the distinct path remains for workloads
+where per-word segmentation is expensive enough that once-GLOBALLY
+matters, and as the SQL-joinable form its oracle replays.
 
 Broadcast policy for the join in step 4 (VERDICT r7 ask #2): the
 segmented table is vocabulary-sized, which on fixture corpora is
@@ -47,6 +53,77 @@ from typing import Callable
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def encode_words_in_task(
+    df: DataFrame,
+    text_col: str,
+    segment_word: Callable[[str], list[str]],
+    *,
+    lowercase: bool = True,
+    out_col: str = "tokens",
+    word_filter_py: Callable[[str], bool] | None = None,
+) -> DataFrame:
+    """ZERO-SHUFFLE sibling of ``encode_words_via_distinct``: tokenize
+    each document inside one ``mapInPandas`` pass with the model in
+    the closure and a per-task DISTINCT-WORD MEMO (the design HF's
+    tokenizers library uses) — repeated words cost a dict lookup, so
+    the per-occurrence python cost collapses toward the per-distinct
+    cost within every task, and NOTHING crosses the wire: no explode,
+    no join, no group-back.  At 100 TB this is the path that rides the
+    scan; the distinct-word path pays two corpus-sized shuffles
+    (positions out, token arrays back) in exchange for segmenting each
+    word once GLOBALLY instead of once per task.  Rule of thumb from
+    the measured crossover (SCALE.md round 8): map mode wins whenever
+    the corpus is large relative to the per-task distinct-word count —
+    i.e. almost always at scale; the distinct path wins only when
+    segmentation is extremely expensive per word AND words repeat
+    heavily ACROSS tasks but not within them.
+
+    Bit-parity contract with the distinct path: words are split on the
+    ASCII whitespace class ``[ \\t\\n\\x0b\\f\\r]`` (exactly Java's
+    ``\\s``, which the expression path's ``split(.., '\\\\s+')`` uses —
+    python's default ``str.split`` would also split on U+00A0 etc. and
+    diverge), empty strings are dropped, and ``word_filter_py`` mirrors
+    any extra Column-side exclusions.  Lowercasing uses python
+    ``str.lower`` vs the JVM's ``lower`` — identical on ASCII and
+    common accented text (pinned by tests); exotic locale-dependent
+    case mappings are the documented divergence edge."""
+    import re
+
+    from pyspark.sql import types as T
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    flt = word_filter_py if word_filter_py is not None else (
+        lambda w: True)
+    # fresh StructType — df.schema is cached on the DataFrame and
+    # StructType.add mutates in place
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, T.ArrayType(T.StringType()))])
+
+    def _fn(pdfs):
+        for pdf in pdfs:
+            memo: dict = {}
+            col = []
+            for t in pdf[text_col]:
+                toks: list[str] = []
+                if t is not None:
+                    t2 = str(t).lower() if lowercase else str(t)
+                    for w in ws.split(t2):
+                        if not w or not flt(w):
+                            continue
+                        r = memo.get(w)
+                        if r is None:
+                            r = segment_word(w)
+                            memo[w] = r
+                        toks.extend(r)
+                col.append(toks)
+            pdf = pdf.copy()
+            pdf[out_col] = col
+            yield pdf
+
+    return df.mapInPandas(_fn, schema)
 
 
 def encode_words_via_distinct(

@@ -298,3 +298,67 @@ def test_hf_export_roundtrip_through_tokenizers_lib(spark, tmp_path):
             bpe_encode(df, "text", merges).collect()}
     for i, t in enumerate(texts):
         assert tok.encode(t).tokens == ours[i], t
+
+
+# --------------------------------------------- mode='map' (zero-shuffle)
+
+def test_three_mode_parity_with_edge_docs(spark):
+    """chain == words == map bit-for-bit on control-byte words, nulls,
+    blank docs and a U+00A0 (non-ASCII whitespace) doc — the map path
+    must split on Java's ASCII \\s class, not python's unicode split,
+    or doc 2 ('ab\\xa0cd') would tokenize as two words."""
+    from elusion_spark.operators.bpe import bpe_encode
+
+    docs = [(1, "ab\tcd  ab\nxy"), (2, "ab\xa0cd"), (3, None),
+            (4, " "), (5, "a\x1fb a\x1eb ab")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    m = [{"merge_rank": 1, "lft": "a", "rgt": "b", "pair_count": 2}]
+    outs = {}
+    for mode in ("chain", "words", "map"):
+        outs[mode] = {r["doc_id"]: (r["tokens"], r["n_tokens"]) for r in
+                      bpe_encode(df, "text", m, mode=mode,
+                                 id_col="doc_id").collect()}
+    assert outs["chain"] == outs["words"] == outs["map"]
+    assert outs["map"][2] == (["ab", "\xa0", "c", "d"], 4)  # ONE word
+    assert outs["map"][3] == ([], 0)
+    assert outs["map"][5] == (["ab"], 1)
+
+
+def test_map_mode_is_zero_shuffle(spark):
+    """The map path's whole plan is scan -> mapInPandas -> sink: no
+    Exchange anywhere (the 100 TB shape), and auto picks it past the
+    chain cliff."""
+    from elusion_spark.operators.bpe import (
+        CHAIN_MODE_MAX_MERGES, bpe_encode)
+    from elusion_spark.operators.scale import explain_shuffles
+
+    df = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    m = [{"merge_rank": 1, "lft": "a", "rgt": "b", "pair_count": 2}]
+    enc = bpe_encode(df, "text", m, mode="map")
+    assert explain_shuffles(enc) == 0
+    assert "MapInPandas" in _plan(enc)
+    big, sym = [], "a"
+    for i in range(CHAIN_MODE_MAX_MERGES + 1):
+        big.append({"merge_rank": i + 1, "lft": sym, "rgt": "b",
+                    "pair_count": 1})
+        sym += "b"
+    auto = bpe_encode(df, "text", big, mode="auto")
+    assert explain_shuffles(auto) == 0, "auto past the cliff must be map"
+
+
+def test_unigram_map_mode_parity(spark):
+    """unigram_lm_encode(mode='map') == the distinct path, including
+    byte fallback; invalid mode raises."""
+    from elusion_spark.operators.unigram_lm import unigram_lm_encode
+
+    df = spark.createDataFrame(
+        [(1, "ab cab abab"), (2, ""), (3, "ta xq cab")],
+        "doc_id long, text string")
+    d1 = {r["doc_id"]: r["tokens"] for r in unigram_lm_encode(
+        df, "text", _model(), id_col="doc_id",
+        byte_fallback=True).collect()}
+    d2 = {r["doc_id"]: r["tokens"] for r in unigram_lm_encode(
+        df, "text", _model(), byte_fallback=True, mode="map").collect()}
+    assert d1 == d2
+    with pytest.raises(ValueError, match="mode"):
+        unigram_lm_encode(df, "text", _model(), mode="task")

@@ -41,6 +41,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CHAIN_COUNTS = [64, 256, 512, 1024, 2048]
 WORD_COUNTS_ = [64, 512, 2048, 5000, 30000]
+MAP_COUNTS = [64, 512, 2048, 5000, 30000]
 
 
 def train_bpe_incremental(word_freqs: dict[str, int],
@@ -186,6 +187,11 @@ def main() -> None:
             if n > len(model_30k):
                 continue
             runs.append(_time_encode(spark, df, model_30k[:n], "words",
+                                     id_col))
+        for n in MAP_COUNTS:
+            if n > len(model_30k):
+                continue
+            runs.append(_time_encode(spark, df, model_30k[:n], "map",
                                      id_col))
         out["corpora"][cname] = runs
     zipf.unpersist()
