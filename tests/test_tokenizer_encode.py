@@ -362,3 +362,39 @@ def test_unigram_map_mode_parity(spark):
     assert d1 == d2
     with pytest.raises(ValueError, match="mode"):
         unigram_lm_encode(df, "text", _model(), mode="task")
+
+
+def test_map_mode_tokenizes_streams(spark, tmp_path):
+    """mode='map' is STATELESS (one mapInPandas, no aggregation), so
+    both tokenizers run unchanged on a streaming DataFrame — the
+    distinct-word path cannot (its groupBy needs batch semantics).
+    Stream == batch, exactly."""
+    from elusion_spark.operators.bpe import bpe_encode
+    from elusion_spark.operators.unigram_lm import unigram_lm_encode
+
+    docs = [(i, t) for i, t in enumerate(
+        ["ab ab cd", "cab ab", "", "xq ab"])]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    src = str(tmp_path / "tok_src")
+    df.coalesce(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+
+    m = [{"merge_rank": 1, "lft": "a", "rgt": "b", "pair_count": 3}]
+    enc_s = bpe_encode(stream, "text", m, mode="map")
+    assert enc_s.isStreaming
+    name = "tok_stream_mem"
+    q = (enc_s.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    q.stop()
+    got = {r["doc_id"]: (r["tokens"], r["n_tokens"])
+           for r in spark.table(name).collect()}
+    want = {r["doc_id"]: (r["tokens"], r["n_tokens"])
+            for r in bpe_encode(df, "text", m, mode="map").collect()}
+    assert got == want
+
+    u = unigram_lm_encode(stream, "text", _model(), mode="map",
+                          byte_fallback=True)
+    assert u.isStreaming
