@@ -43,9 +43,13 @@ def _bpe_vocab_from_merges(merges: list[dict]) -> dict[str, int]:
     alphabet = sorted({c for m in merges for c in m["lft"] + m["rgt"]})
     vocab = {c: i for i, c in enumerate(alphabet)}
     for m in merges:
-        sym = m["lft"] + m["rgt"]
-        if sym not in vocab:
-            vocab[sym] = len(vocab)
+        # sides first: no-op for well-formed (bpe_fit) lists where each
+        # side is a base char or an earlier output, but keeps the
+        # export loadable (HF requires merge sides in-vocab) if a
+        # caller hands a truncated/hand-built list
+        for sym in (m["lft"], m["rgt"], m["lft"] + m["rgt"]):
+            if sym not in vocab:
+                vocab[sym] = len(vocab)
     return vocab
 
 

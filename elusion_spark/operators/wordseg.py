@@ -103,8 +103,8 @@ def encode_words_in_task(
         + [T.StructField(out_col, T.ArrayType(T.StringType()))])
 
     def _fn(pdfs):
-        for pdf in pdfs:
-            memo: dict = {}
+        memo: dict = {}       # per-PARTITION memo: survives Arrow
+        for pdf in pdfs:      # batch boundaries within one task
             col = []
             for t in pdf[text_col]:
                 toks: list[str] = []

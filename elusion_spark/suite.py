@@ -6652,7 +6652,7 @@ def q156(spark, sf):
     SentencePiece-family sibling of q139/q140's BPE): Viterbi-segment
     every document against a pinned 49-piece vocab.  Scale shape: one
     distinct-word agg, one vectorized mapInPandas over DISTINCT words
-    only, one broadcast join back, one ordered re-assembly — the heavy
+    only, one AQE-size-gated join back, one ordered re-assembly — the heavy
     text shuffles once; at 100 TB the segmentation cost is
     vocabulary-sized.  Determinism: integer micro-log scores + the
     longer-last-piece tie rule make the argmax engine-exact; the oracle
