@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "q156_unigram_encode",    # unigram-LM Viterbi encode (distinct words)
     "q157_bpe_word_encode",   # BPE word-mode encode (wordseg scaffold)
     "q158_unigram_byte_fallback",  # byte fallback over pinned shuffle join
+    "q159_bpe_map_encode",    # zero-shuffle map encode (per-task memo)
     "q46_training_corpus",    # end-to-end curation composite (9 stages)
 ]
 
@@ -164,6 +165,7 @@ BUDGETS_SF01 = {
     # calibration runs (q157's wall is dominated by the 3-merge
     # bpe_fit's vocab jobs, shared shape with q140)
     "q157_bpe_word_encode": 2.85, "q158_unigram_byte_fallback": 1.6,
+    "q159_bpe_map_encode": 2.45,   # 1.3x worse of two same-day runs (1.87)
     "q01_cache_miss": 1.8, "q01_cache_hit": 0.35,
 }
 

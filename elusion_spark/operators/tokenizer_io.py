@@ -118,3 +118,52 @@ def export_hf_tokenizer_json(
     with open(path, "w") as f:
         json.dump(out, f)
     return out
+
+
+def import_hf_tokenizer_json(path: str) -> dict:
+    """Load a HuggingFace ``tokenizer.json`` into engine-native model
+    form — the other half of the interop: run a PUBLISHED tokenizer
+    over a 100 TB corpus with the engine's encode paths.
+
+    Returns ``{"kind": "bpe", "merges": [...], "lowercase": bool}``
+    (feed ``merges`` to ``bpe_encode``) or ``{"kind": "unigram",
+    "model": [...], "byte_fallback": bool, "lowercase": bool}`` (feed
+    ``model`` to ``unigram_lm_encode``).  ``lowercase`` reflects the
+    file's normalizer (only ``Lowercase``/none map exactly; any other
+    normalizer raises rather than silently diverging).  HF byte pieces
+    ``<0xNN>`` in a unigram vocab are preserved verbatim — they are
+    exactly what ``byte_fallback_tokens`` emits, so encodes line up.
+
+    Round-trips bit-exactly with ``export_hf_tokenizer_json`` (tested
+    without the ``tokenizers`` library; the gated lib test covers
+    foreign files)."""
+    with open(path) as f:
+        d = json.load(f)
+    norm = d.get("normalizer")
+    if norm is None:
+        lowercase = False
+    elif isinstance(norm, dict) and norm.get("type") == "Lowercase":
+        lowercase = True
+    else:
+        raise ValueError(
+            f"unsupported normalizer {norm!r}: only Lowercase/none map "
+            "exactly onto the engine's encode paths")
+    model = d.get("model") or {}
+    mtype = model.get("type")
+    if mtype == "BPE":
+        merges = []
+        for i, m in enumerate(model.get("merges", [])):
+            if isinstance(m, str):      # "lft rgt" canonical form
+                lft, _, rgt = m.partition(" ")
+            else:                       # newer HF also allows pairs
+                lft, rgt = m
+            merges.append({"merge_rank": i + 1, "lft": lft, "rgt": rgt,
+                           "pair_count": 0})
+        return {"kind": "bpe", "merges": merges, "lowercase": lowercase}
+    if mtype == "Unigram":
+        pieces = [{"piece": p, "logprob": float(lp)}
+                  for p, lp in model.get("vocab", [])]
+        return {"kind": "unigram", "model": pieces,
+                "byte_fallback": bool(model.get("byte_fallback", False)),
+                "lowercase": lowercase}
+    raise ValueError(f"unsupported model type {mtype!r} in {path}")

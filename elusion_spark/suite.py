@@ -6742,6 +6742,42 @@ def q157(spark, sf):
     )
 
 
+@q(
+    "q159_bpe_map_encode",
+    ORACLES["q157_bpe_word_encode"],
+)
+def q159(spark, sf):
+    """BPE encode via the ZERO-SHUFFLE map path (bpe.py bpe_encode
+    mode='map' — wordseg.encode_words_in_task): one mapInPandas pass
+    with the merge table in the closure and a per-task distinct-word
+    memo; nothing crosses the wire, the plan that rides a 100 TB scan
+    with an arbitrarily large vocabulary (measured fastest at every
+    merge count incl. 30k — SCALE.md round 8).  Same 3 learned merges
+    and the same chained-replace SQL oracle as q140/q157: all three
+    encode modes are bit-identical by contract, so one oracle checks
+    the whole family; this row is the driver evidence for the third
+    mode."""
+    from .operators.bpe import bpe_encode, bpe_fit
+
+    d = _t(spark, sf, "documents", "d").df
+    merges = bpe_fit(d.select("text"), "text", num_merges=3)
+    enc = bpe_encode(d.select("doc_id", "text"), "text", merges=merges,
+                     mode="map")
+    return (
+        enc.filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.md5(F.array_join("tokens", " ")).alias("tok_md5"),
+        )
+        # the encode map is zero-shuffle, same reasoning as q140: one
+        # tiny digest-row exchange instead of a RangePartitioning
+        # sample pass that would run the narrow map twice
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
 # q158: unigram-LM encode with BYTE FALLBACK over the SHUFFLE-join
 # path (VERDICT r7 ask #2): the vocab deliberately omits the letters
 # j/k/q/y and every piece containing them, so corpus words like "key",
@@ -6853,16 +6889,18 @@ _NEEDS_EVIDENCE = [
     # driver slots, oldest evidence first.
     # Priority 1 — NEW this round (no driver evidence yet):
     "q157_bpe_word_encode", "q158_unigram_byte_fallback",
+    "q159_bpe_map_encode",
     # Priority 2 — the 7 rows whose latest driver evidence is r4 (the
     # TPC-H star shapes that spilled from the r7 window):
     "q117_customer_distribution", "q118_top_supplier",
     "q119_small_quantity_revenue", "q120_sales_opportunity",
     "q121_waiting_suppliers", "q122_min_cost_supplier",
     "q123_part_promotion_suppliers",
-    # Priority 3 — 41 of the 49 rows whose latest driver evidence is
-    # r5; the 8 spilled to round 9 (q12-q17 null-handling/set ops,
-    # q24, q27) are the most hypothesis-fuzzed basic shapes in the
-    # local suite.
+    # Priority 3 — 40 of the 49 rows whose latest driver evidence is
+    # r5; the 9 spilled to round 9 (q12-q17 null-handling/set ops,
+    # q24, q27, q150) are the most hypothesis-fuzzed basic shapes in
+    # the local suite plus the one whose operator family q30/q157-q159
+    # already re-evidence this round.
     "q01_pricing_summary", "q02_top_orders", "q03_region_rollup",
     "q04_segment_monthly", "q05_window_rank", "q06_running_total",
     "q07_pivot_linestatus", "q08_unpivot_part", "q10_text_stats",
@@ -6878,7 +6916,6 @@ _NEEDS_EVIDENCE = [
     "q143_ivf_pq_search", "q144_image_near_dup", "q145_audio_near_dup",
     "q146_tfidf_cosine_pairs", "q147_dsir_importance",
     "q148_pmi_collocations", "q149_contrastive_pairs",
-    "q150_minhash_by_lang",
 ]
 _NEEDS_EVIDENCE = [k for k in _NEEDS_EVIDENCE if k in QUERIES]
 QUERIES = {

@@ -349,6 +349,8 @@ SHUFFLE_BUDGETS = {
     # q156's shape + the PINNED shuffle join (merge hint) adds the
     # segment-side and words-side exchanges the broadcast plan elides
     "q158_unigram_byte_fallback": 6,
+    # zero-shuffle map encode + the single digest-row repartition(1)
+    "q159_bpe_map_encode": 1,
 }
 
 

@@ -398,3 +398,71 @@ def test_map_mode_tokenizes_streams(spark, tmp_path):
     u = unigram_lm_encode(stream, "text", _model(), mode="map",
                           byte_fallback=True)
     assert u.isStreaming
+
+
+def test_hf_import_roundtrip_without_lib(tmp_path):
+    """import(export(model)) == model, for both kinds, with lowercase
+    and byte_fallback faithfully carried; unsupported shapes raise."""
+    import json
+
+    from elusion_spark.operators.tokenizer_io import (
+        export_hf_tokenizer_json, import_hf_tokenizer_json)
+
+    merges = [{"merge_rank": 1, "lft": "a", "rgt": "b", "pair_count": 9},
+              {"merge_rank": 2, "lft": "ab", "rgt": "c", "pair_count": 4}]
+    p = str(tmp_path / "t.json")
+    export_hf_tokenizer_json(p, bpe_merges=merges)
+    got = import_hf_tokenizer_json(p)
+    assert got["kind"] == "bpe" and got["lowercase"] is True
+    assert [(m["lft"], m["rgt"], m["merge_rank"]) for m in got["merges"]] \
+        == [("a", "b", 1), ("ab", "c", 2)]
+
+    model = [{"piece": "ab", "logprob": -1.5},
+             {"piece": "a", "logprob": -2.5}]
+    export_hf_tokenizer_json(p, unigram_model=model, lowercase=False,
+                             byte_fallback=True)
+    got = import_hf_tokenizer_json(p)
+    assert got["kind"] == "unigram" and got["lowercase"] is False
+    assert got["byte_fallback"] is True
+    assert got["model"][:2] == model            # byte pieces appended after
+    assert got["model"][2]["piece"].startswith("<0x")
+
+    # pair-form merges (newer HF writes ["a", "b"] lists)
+    d = json.load(open(p))
+    d["model"] = {"type": "BPE", "merges": [["a", "b"]], "vocab": {}}
+    json.dump(d, open(p, "w"))
+    assert import_hf_tokenizer_json(p)["merges"][0]["lft"] == "a"
+
+    import pytest as _pt
+    d["normalizer"] = {"type": "NFKC"}
+    json.dump(d, open(p, "w"))
+    with _pt.raises(ValueError, match="normalizer"):
+        import_hf_tokenizer_json(p)
+    d["normalizer"] = None
+    d["model"] = {"type": "WordPiece"}
+    json.dump(d, open(p, "w"))
+    with _pt.raises(ValueError, match="model type"):
+        import_hf_tokenizer_json(p)
+
+
+def test_hf_import_drives_engine_encode(spark, tmp_path):
+    """End-to-end interop: export an engine-trained model, import it
+    back, and encode with the round-tripped merges — identical tokens
+    to the original model (the 'run a published tokenizer at scale'
+    path, minus the external file)."""
+    from elusion_spark.operators.bpe import bpe_encode, bpe_fit
+    from elusion_spark.operators.tokenizer_io import (
+        export_hf_tokenizer_json, import_hf_tokenizer_json)
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "a cat ate")], "doc_id long, text string")
+    merges = bpe_fit(df.select("text"), "text", num_merges=5)
+    p = str(tmp_path / "t.json")
+    export_hf_tokenizer_json(p, bpe_merges=merges)
+    imp = import_hf_tokenizer_json(p)
+    a = {r["doc_id"]: r["tokens"] for r in bpe_encode(
+        df, "text", merges, mode="map").collect()}
+    b = {r["doc_id"]: r["tokens"] for r in bpe_encode(
+        df, "text", imp["merges"], mode="map",
+        lowercase=imp["lowercase"]).collect()}
+    assert a == b
