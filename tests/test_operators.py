@@ -3351,6 +3351,89 @@ def test_bpe_fit_single_char_words_and_exhaustion(spark):
     assert len(got) == 1  # only (a,b) is ever mergeable
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_bpe_fit_driver_equals_distributed(spark, seed):
+    """VERDICT r8 ask #1 parity pin: mode='driver' (collected vocab +
+    incremental-index Sennrich) produces the BIT-IDENTICAL merge list —
+    ranks, pairs AND counts — to the exact distributed loop, on
+    tie-heavy small-alphabet corpora where any tie-rule divergence
+    would surface immediately."""
+    import random
+
+    from elusion_spark.operators.bpe import bpe_fit
+
+    rng = random.Random(400 + seed)
+    alphabet = "abc" if seed % 2 == 0 else "abcd"
+    texts = [
+        " ".join(
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+            for _ in range(rng.randint(5, 20)))
+        for _ in range(rng.randint(4, 12))
+    ]
+    n_merges = rng.randint(3, 8)
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    drv = bpe_fit(df, "text", num_merges=n_merges, mode="driver")
+    dst = bpe_fit(df, "text", num_merges=n_merges, mode="distributed")
+    assert drv == dst == _ref_bpe(texts, n_merges), (seed, drv, dst)
+
+
+def test_bpe_fit_mode_guards_and_auto_fallback(spark):
+    """Mode contract: driver+batching knobs raise (batching is a
+    distributed-loop approximation); explicit driver raises when the
+    floored vocab overflows max_driver_vocab; auto falls back to the
+    distributed loop on the same overflow and still learns the exact
+    merges; min_freq floors the vocabulary in both modes."""
+    from elusion_spark.operators.bpe import bpe_fit
+
+    texts = ["ab ab ab cd cd ef", "ab cd cd zq"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    with pytest.raises(ValueError, match="distributed"):
+        bpe_fit(df, "text", num_merges=2, mode="driver",
+                merges_per_round=4)
+    with pytest.raises(ValueError, match="max_driver_vocab"):
+        bpe_fit(df, "text", num_merges=2, mode="driver",
+                max_driver_vocab=2)
+    exact = bpe_fit(df, "text", num_merges=3, mode="distributed")
+    auto_fb = bpe_fit(df, "text", num_merges=3, max_driver_vocab=2)
+    assert auto_fb == exact == _ref_bpe(texts, 3)
+    # min_freq floor: 'zq' (freq 1) contributes no pairs at floor 2 —
+    # both modes agree with the floored python replay
+    floored_texts_replay = _ref_bpe(
+        ["ab ab ab cd cd", "ab cd cd"], 3)  # zq/ef dropped (freq 1)
+    for mode in ("driver", "distributed"):
+        got = bpe_fit(df, "text", num_merges=3, mode=mode, min_freq=2)
+        assert got == floored_texts_replay, (mode, got)
+
+
+def test_bpe_fit_driver_job_count(spark):
+    """The point of mode='driver': given a persisted word_counts table
+    the whole fit is ONE Spark job (the probe collect that doubles as
+    the training table), vs one vocab aggregation per merge in the
+    distributed loop."""
+    from tests.test_scale import _jobs_for
+
+    from elusion_spark.operators.bpe import bpe_fit, bpe_word_counts
+
+    texts = ["abcdefgh " * 5 + "ababab cdcdcd efefef ghghgh " * 3] * 4
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    wc = bpe_word_counts(df, "text").persist()
+    wc.count()
+    box = {}
+    n_drv = _jobs_for(spark, "bpe_driver_jobs", lambda: box.update(
+        m=bpe_fit(None, num_merges=8, word_counts=wc, mode="driver")))
+    n_dst = _jobs_for(spark, "bpe_dist_jobs", lambda: box.update(
+        d=bpe_fit(None, num_merges=8, word_counts=wc,
+                  mode="distributed")))
+    wc.unpersist()
+    assert box["m"] == box["d"]
+    # CollectLimit executes incrementally (1 partition, then scale-up
+    # by spark.sql.limit.scaleUpFactor) so the single probe can span
+    # a few jobs — the pin is O(1) in num_merges, not literally 1
+    assert n_drv <= 4, n_drv
+    assert n_dst >= 8, n_dst
+    assert n_drv < n_dst - 3, (n_drv, n_dst)
+
+
 @pytest.mark.parametrize("seed", range(8))
 def test_bpe_fuzz_vs_python_reference(spark, seed):
     """8-seed fuzz: random small-alphabet corpora (so merges collide
@@ -3522,7 +3605,7 @@ def test_bpe_batched_job_count_scales_down(spark):
         wc.count()
         n = _jobs_for(spark, tag, lambda: bpe_fit(
             df, "text", num_merges=8, merges_per_round=per_round,
-            word_counts=wc))
+            word_counts=wc, mode="distributed"))
         wc.unpersist()
         return n
 
@@ -5300,7 +5383,8 @@ def test_bpe_count_frac_guard_tracks_exact_order_closer(spark):
         def run():
             box["m"] = bpe_fit(
                 None, num_merges=48, word_counts=wc,
-                merges_per_round=mpr, min_round_count_frac=frac)
+                merges_per_round=mpr, min_round_count_frac=frac,
+                mode="distributed")
 
         jobs = _jobs_for(spark, tag, run)
         return [(x["lft"], x["rgt"]) for x in box["m"]], jobs

@@ -44,57 +44,12 @@ WORD_COUNTS_ = [64, 512, 2048, 5000, 30000]
 MAP_COUNTS = [64, 512, 2048, 5000, 30000]
 
 
-def train_bpe_incremental(word_freqs: dict[str, int],
-                          num_merges: int) -> list[dict]:
-    """Driver-side Sennrich BPE with an incremental pair index —
-    O(touched words) per merge instead of a full recount, so 30k
-    merges over a 20k-word vocabulary train in seconds.  Tie rule
-    matches bpe_fit exactly: (count DESC, l ASC, r ASC)."""
-    words = {w: list(w) for w in word_freqs}
-    pair_count: dict[tuple, int] = {}
-    pair_words: dict[tuple, set] = {}
-
-    def _add(w):
-        syms, f = words[w], word_freqs[w]
-        for i in range(len(syms) - 1):
-            p = (syms[i], syms[i + 1])
-            pair_count[p] = pair_count.get(p, 0) + f
-            pair_words.setdefault(p, set()).add(w)
-
-    def _remove(w):
-        syms, f = words[w], word_freqs[w]
-        for i in range(len(syms) - 1):
-            p = (syms[i], syms[i + 1])
-            pair_count[p] -= f
-            if pair_count[p] <= 0:
-                del pair_count[p]
-                pair_words.pop(p, None)
-            else:
-                s = pair_words.get(p)
-                if s is not None:
-                    s.discard(w)
-
-    for w in words:
-        _add(w)
-    merges: list[dict] = []
-    while len(merges) < num_merges and pair_count:
-        (l, r), c = min(pair_count.items(),
-                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
-        merges.append({"merge_rank": len(merges) + 1, "lft": l,
-                       "rgt": r, "pair_count": c})
-        for w in list(pair_words.get((l, r), ())):
-            _remove(w)
-            syms, out, i = words[w], [], 0
-            while i < len(syms):
-                if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
-                    out.append(l + r)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            words[w] = out
-            _add(w)
-    return merges
+# promoted to the operator surface in round 9 (VERDICT r8 ask #1):
+# the exact incremental-index Sennrich trainer now lives in
+# operators/bpe.py as `train_bpe_incremental` and powers
+# `bpe_fit(mode='driver'|'auto')` — this tool measures through the
+# same code path users get
+from elusion_spark.operators.bpe import train_bpe_incremental  # noqa: E402
 
 
 def _zipf_vocab(n_words: int = 20_000, seed: int = 17):
