@@ -97,27 +97,42 @@ def train_bpe_incremental(word_freqs: dict[str, int],
 
     This is the merge engine behind ``bpe_fit(mode='driver')``; it is
     public so measurement tools and callers holding an already-
-    collected frequency table can drive it directly."""
+    collected frequency table can drive it directly.
+
+    Winner selection is a lazy-deletion heap keyed ``(-count, l, r)``
+    (exactly the tie rule): every count change pushes a fresh entry,
+    pops discard entries whose count no longer matches the live table
+    — so each merge costs O(touched-words + log heap), not O(live
+    pairs).  Measured on the 18k-word Zipf vocabulary: the naive
+    min()-scan loop took 180 s for 30k merges; the heap loop takes
+    ~2 s (SCALE.md round 9)."""
+    import heapq
+
     words = {w: list(w) for w in word_freqs}
     pair_count: dict[tuple, int] = {}
     pair_words: dict[tuple, set] = {}
+    heap: list[tuple] = []
 
     def _add(w):
         syms, f = words[w], word_freqs[w]
         for i in range(len(syms) - 1):
             p = (syms[i], syms[i + 1])
-            pair_count[p] = pair_count.get(p, 0) + f
+            c = pair_count.get(p, 0) + f
+            pair_count[p] = c
             pair_words.setdefault(p, set()).add(w)
+            heapq.heappush(heap, (-c, p[0], p[1]))
 
     def _remove(w):
         syms, f = words[w], word_freqs[w]
         for i in range(len(syms) - 1):
             p = (syms[i], syms[i + 1])
-            pair_count[p] -= f
-            if pair_count[p] <= 0:
+            c = pair_count[p] - f
+            if c <= 0:
                 del pair_count[p]
                 pair_words.pop(p, None)
             else:
+                pair_count[p] = c
+                heapq.heappush(heap, (-c, p[0], p[1]))
                 s = pair_words.get(p)
                 if s is not None:
                     s.discard(w)
@@ -126,8 +141,16 @@ def train_bpe_incremental(word_freqs: dict[str, int],
         _add(w)
     merges: list[dict] = []
     while len(merges) < num_merges and pair_count:
-        (l, r), c = min(pair_count.items(),
-                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        # pop until a live entry: count must match the current table
+        while heap:
+            negc, l, r = heap[0]
+            if pair_count.get((l, r)) == -negc:
+                break
+            heapq.heappop(heap)
+        if not heap:
+            break
+        negc, l, r = heapq.heappop(heap)
+        c = -negc
         merges.append({"merge_rank": len(merges) + 1, "lft": l,
                        "rgt": r, "pair_count": c})
         for w in list(pair_words.get((l, r), ())):

@@ -1349,14 +1349,19 @@ def pca_fit(
     pass is the PROJECTION, which is a zero-shuffle codegen map
     (``pca_project_expr``).
 
-    Sampling (ADVICE r7): ``sample_fraction=None`` (default) runs one
-    count and derives ``min(1, 1.3 x sample_cap / n)`` so the
-    ``.sample()`` draws the cap's worth of rows ACROSS the corpus —
-    a bare ``limit(sample_cap)`` would pull the first partitions only,
-    which on any sorted/time-partitioned table is a head-biased prefix,
-    not a sample.  Pass an explicit fraction to skip the count job
-    (``pq_fit``'s contract), or exactly ``1.0`` to deliberately collect
-    the unsampled head (only sound when the input is known unordered).
+    Sampling (ADVICE r7, revised per ADVICE r8 #4):
+    ``sample_fraction=None`` (default) draws a UNIFORM
+    exactly-min(n, cap) sample in ONE corpus pass — bottom-k by a
+    seeded ``rand()`` key (TakeOrderedAndProject: each task keeps a
+    cap-sized heap, the driver merges; no count job, no shuffle, no
+    second scan).  The r7 fix ran a full ``count()`` first to derive
+    a fraction — statistically the same sample, but TWO corpus scans
+    at exactly the 100 TB scale the fit targets.  Pass an explicit
+    fraction to use ``.sample(fraction)`` + cap instead (``pq_fit``'s
+    contract — cheaper per row than the heap when the fraction is
+    tiny and a count is already on hand), or exactly ``1.0`` to
+    deliberately collect the unsampled head (only sound when the
+    input is known unordered).
 
     ``full_data=True`` computes EXACT full-corpus moments instead: one
     ``mapInPandas`` pass emits per-partition ``(n, Σx, ΣxxT)`` partials
@@ -1405,14 +1410,16 @@ def pca_fit(
         mean = s / n
         cov = g / n - np.outer(mean, mean)
     else:
-        frac = sample_fraction
-        if frac is None:
-            n_total = proj.count()
-            frac = min(1.0, 1.3 * sample_cap / max(n_total, 1))
-        samp = proj
-        if frac < 1.0:
-            samp = samp.sample(fraction=frac, seed=seed)
-        rows = samp.limit(sample_cap).collect()
+        if sample_fraction is None:
+            # one-pass uniform bottom-k: rand key + global top-cap
+            rows = (proj.withColumn("__r", F.rand(seed))
+                        .orderBy("__r").limit(sample_cap)
+                        .select("__v").collect())
+        else:
+            samp = proj
+            if sample_fraction < 1.0:
+                samp = samp.sample(fraction=sample_fraction, seed=seed)
+            rows = samp.limit(sample_cap).collect()
         if len(rows) < 2:
             raise ValueError("pca_fit needs at least 2 vectors")
         X = np.asarray([list(map(float, r[0])) for r in rows],

@@ -63,6 +63,7 @@ def encode_words_in_task(
     lowercase: bool = True,
     out_col: str = "tokens",
     word_filter_py: Callable[[str], bool] | None = None,
+    segment_first_word: Callable[[str], list[str]] | None = None,
 ) -> DataFrame:
     """ZERO-SHUFFLE sibling of ``encode_words_via_distinct``: tokenize
     each document inside one ``mapInPandas`` pass with the model in
@@ -88,7 +89,14 @@ def encode_words_in_task(
     any extra Column-side exclusions.  Lowercasing uses python
     ``str.lower`` vs the JVM's ``lower`` — identical on ASCII and
     common accented text (pinned by tests); exotic locale-dependent
-    case mappings are the documented divergence edge."""
+    case mappings are the documented divergence edge.
+
+    ``segment_first_word``: optional distinct segmenter for each
+    document's FIRST (surviving) word — position-sensitive
+    pre-tokenizers need it (HF ByteLevel attaches the preceding space
+    to a word's first piece, so the document-initial word differs;
+    Metaspace ``prepend_scheme='never'`` skips the prefix only there).
+    Memoized separately from the mid-document memo."""
     import re
 
     from pyspark.sql import types as T
@@ -96,27 +104,44 @@ def encode_words_in_task(
     ws = re.compile(r"[ \t\n\x0b\f\r]+")
     flt = word_filter_py if word_filter_py is not None else (
         lambda w: True)
+    seg_first = (segment_first_word if segment_first_word is not None
+                 else segment_word)
     # fresh StructType — df.schema is cached on the DataFrame and
-    # StructType.add mutates in place
+    # StructType.add mutates in place; an existing out_col field is
+    # REPLACED (appended at the end), matching withColumn's semantics
+    # on the chain path so the modes stay schema-identical
     schema = T.StructType(
-        list(df.schema.fields)
+        [f for f in df.schema.fields if f.name != out_col]
         + [T.StructField(out_col, T.ArrayType(T.StringType()))])
 
     def _fn(pdfs):
-        memo: dict = {}       # per-PARTITION memo: survives Arrow
-        for pdf in pdfs:      # batch boundaries within one task
+        memo: dict = {}       # per-PARTITION memos: survive Arrow
+        # share one memo when first-word segmentation is not special
+        memo_first: dict = (
+            {} if segment_first_word is not None else memo)
+        for pdf in pdfs:
+            if out_col in pdf.columns:
+                pdf = pdf.drop(columns=[out_col])
             col = []
             for t in pdf[text_col]:
                 toks: list[str] = []
+                first = True
                 if t is not None:
                     t2 = str(t).lower() if lowercase else str(t)
                     for w in ws.split(t2):
                         if not w or not flt(w):
                             continue
-                        r = memo.get(w)
-                        if r is None:
-                            r = segment_word(w)
-                            memo[w] = r
+                        if first:
+                            r = memo_first.get(w)
+                            if r is None:
+                                r = seg_first(w)
+                                memo_first[w] = r
+                            first = False
+                        else:
+                            r = memo.get(w)
+                            if r is None:
+                                r = segment_word(w)
+                                memo[w] = r
                         toks.extend(r)
                 col.append(toks)
             pdf = pdf.copy()

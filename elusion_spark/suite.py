@@ -6877,6 +6877,117 @@ def q158(spark, sf):
     ).orderBy("doc_id")
 
 
+# q160: encode with an IMPORTED HuggingFace tokenizer.json carrying a
+# Metaspace pre-tokenizer (the SentencePiece/Llama family surface —
+# VERDICT r8 ask #2): the engine must replay the file's normalizer
+# (Lowercase), pre-tokenizer (the ▁ word marker) and BPE merges.  The
+# model is STATIC (written fresh to /tmp each run) so the oracle can
+# replay training-free: per word, '▁'||w, then the q140 chained-
+# replace discipline with the three pinned merges — two of which merge
+# THROUGH the ▁ marker, proving the pre-token actually reached the
+# merge loop (a whitespace-only replay would produce zero ▁-merges).
+_Q160_MERGES = [("▁", "t"), ("h", "e"), ("▁t", "he")]
+
+
+def _q160_oracle() -> str:
+    m1, m2, m3 = _Q160_MERGES
+    U = "'▁'"   # the ▁ marker as a SQL literal
+
+    def rep(expr, l, r):
+        return (f"replace({expr}, chr(31) || '{l}' || chr(31) || "
+                f"chr(31) || '{r}' || chr(31), chr(31) || '{l}{r}' || "
+                "chr(31))")
+
+    chain = "chr(31) || array_to_string(regexp_split_to_array(" \
+            f"{U} || w, ''), chr(31) || chr(31)) || chr(31)"
+    for l, r in (m1, m2, m3):
+        chain = rep(chain, l, r)
+    return f"""
+    WITH words AS (
+        SELECT doc_id, arr[i] AS w, i AS wi
+        FROM (
+            SELECT doc_id, arr,
+                   unnest(generate_series(1, len(arr))) AS i
+            FROM (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           x -> length(x) > 0) AS arr
+                FROM documents
+            )
+        )
+    ), enc AS (
+        SELECT doc_id, wi,
+               string_split(trim({chain}, chr(31)),
+                            chr(31) || chr(31)) AS syms
+        FROM words
+    )
+    SELECT doc_id,
+           CAST(SUM(len(syms)) AS BIGINT) AS n_tokens,
+           MD5(STRING_AGG(array_to_string(syms, ' '), ' ' ORDER BY wi))
+               AS tok_md5
+    FROM enc GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@q("q160_hf_import_encode", _q160_oracle())
+def q160(spark, sf):
+    """Published-tokenizer interop end-to-end (tokenizer_io.py —
+    VERDICT r8 ask #2): write a HF ``tokenizer.json`` (Lowercase
+    normalizer, Metaspace pre-tokenizer, 3-merge BPE), import it with
+    ``import_hf_tokenizer_json`` (which validates the pre-tokenizer
+    LOUDLY — ByteLevel/Metaspace replay, everything else raises), and
+    encode the corpus with ``hf_tokenizer_encode`` — the zero-shuffle
+    map-mode path with the compiled per-word ▁ transform in the
+    closure.  Merges 1 and 3 consume the ▁ marker itself, so a green
+    hash proves the pre-tokenizer ran inside the encode, not beside
+    it.  Oracle: per-word '▁'||w then the q140 chained-replace replay
+    (bpe_segment_word ≡ rank-order replaces for well-formed lists)."""
+    import json as _json
+    import os
+    import tempfile
+
+    from .operators.tokenizer_io import (hf_tokenizer_encode,
+                                         import_hf_tokenizer_json)
+
+    vocab_syms = sorted({c for l, r in _Q160_MERGES for c in l + r})
+    doc = {
+        "version": "1.0", "truncation": None, "padding": None,
+        "added_tokens": [],
+        "normalizer": {"type": "Lowercase"},
+        "pre_tokenizer": {"type": "Metaspace", "replacement": "▁",
+                          "prepend_scheme": "always"},
+        "post_processor": None, "decoder": None,
+        "model": {
+            "type": "BPE", "dropout": None, "unk_token": None,
+            "continuing_subword_prefix": None,
+            "end_of_word_suffix": None, "fuse_unk": False,
+            "byte_fallback": False, "ignore_merges": False,
+            "vocab": {s: i for i, s in enumerate(
+                vocab_syms + [l + r for l, r in _Q160_MERGES])},
+            "merges": [f"{l} {r}" for l, r in _Q160_MERGES],
+        },
+    }
+    fd, path = tempfile.mkstemp(suffix=".json", prefix="q160_tok_")
+    with os.fdopen(fd, "w") as f:
+        _json.dump(doc, f)
+    model = import_hf_tokenizer_json(path)
+    d = _t(spark, sf, "documents", "d").df
+    enc = hf_tokenizer_encode(d.select("doc_id", "text"), "text", model)
+    return (
+        enc.filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.md5(F.array_join("tokens", " ")).alias("tok_md5"),
+        )
+        # zero-shuffle encode map: one tiny digest-row exchange, the
+        # q140/q159 ordering discipline
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -6885,37 +6996,33 @@ def q158(spark, sf):
 # keep their round-1 evidence even if they fall past a cap.
 # ---------------------------------------------------------------------
 _NEEDS_EVIDENCE = [
-    # Round-8 rotation (VERDICT r7 ask #5, standing practice): 50
+    # Round-9 rotation (VERDICT r8 ask #4, standing practice): 50
     # driver slots, oldest evidence first.
     # Priority 1 — NEW this round (no driver evidence yet):
-    "q157_bpe_word_encode", "q158_unigram_byte_fallback",
-    "q159_bpe_map_encode",
-    # Priority 2 — the 7 rows whose latest driver evidence is r4 (the
-    # TPC-H star shapes that spilled from the r7 window):
-    "q117_customer_distribution", "q118_top_supplier",
-    "q119_small_quantity_revenue", "q120_sales_opportunity",
-    "q121_waiting_suppliers", "q122_min_cost_supplier",
-    "q123_part_promotion_suppliers",
-    # Priority 3 — 40 of the 49 rows whose latest driver evidence is
-    # r5; the 9 spilled to round 9 (q12-q17 null-handling/set ops,
-    # q24, q27, q150) are the most hypothesis-fuzzed basic shapes in
-    # the local suite plus the one whose operator family q30/q157-q159
-    # already re-evidence this round.
-    "q01_pricing_summary", "q02_top_orders", "q03_region_rollup",
-    "q04_segment_monthly", "q05_window_rank", "q06_running_total",
-    "q07_pivot_linestatus", "q08_unpivot_part", "q10_text_stats",
-    "q11_lang_id", "q18_cosine_topk", "q19_ngram_jaccard",
-    "q20_raw_sql_cte", "q21_date_breakdown", "q22_corr_manual",
-    "q23_null_analysis", "q25_having_raw", "q26_case_tier",
-    "q33_ivf_topk", "q36_image_decode", "q37_frame_sample",
-    "q38_media_features_topk", "q131_approx_auc",
-    "q133_leakage_safe_split", "q134_bloom_prejoin",
-    "q135_dedup_repeated_spans", "q136_retrieval_metrics",
-    "q137_calibration_report", "q138_token_budget_mix", "q139_bpe_fit",
-    "q140_bpe_encode", "q141_random_projection", "q142_pq_adc_topk",
-    "q143_ivf_pq_search", "q144_image_near_dup", "q145_audio_near_dup",
-    "q146_tfidf_cosine_pairs", "q147_dsir_importance",
-    "q148_pmi_collocations", "q149_contrastive_pairs",
+    "q160_hf_import_encode",
+    # Priority 2 — the last 9 rows whose latest driver evidence is r5
+    # (VERDICT r8 ask #4 names them explicitly):
+    "q12_fill_null", "q13_drop_null", "q14_fill_down", "q15_except",
+    "q16_intersect", "q17_union", "q24_string_group", "q27_offset",
+    "q150_minhash_by_lang",
+    # Priority 3 — 40 of the r6-evidenced rows, oldest cohort first
+    # (q139 re-included: bpe_fit's default path changed to
+    # mode='driver' this round and deserves fresh driver evidence):
+    "q139_bpe_fit",
+    "q09_dedup_exact", "q30_minhash_pairs", "q31_simhash_pairs",
+    "q32_embedding_near_dup", "q35_media_kinds", "q39_string_functions",
+    "q40_datetime_functions", "q41_math_functions",
+    "q46_training_corpus", "q52_audio_decode", "q53_corpus_boilerplate",
+    "q54_date_bin", "q55_left_mark", "q56_semi_anti", "q57_asof_join",
+    "q58_range_join", "q59_time_rollup", "q60_sessionize",
+    "q61_distinct_sketch", "q62_skew_join_salted",
+    "q63_decontamination", "q64_repetition_signals",
+    "q65_semantic_dedup", "q66_pack_sequences", "q67_classifier_filter",
+    "q68_sample_and_cap", "q69_exists_subquery", "q70_scalar_subquery",
+    "q71_train_val_test_split", "q72_lm_score", "q73_knn_join",
+    "q74_chunk_documents", "q75_threshold_sweep", "q76_lm_score_bigram",
+    "q77_containment_pairs", "q78_incremental_dedup",
+    "q79_upsample_by_weight", "q80_temperature_mix", "q81_sq8_topk",
 ]
 _NEEDS_EVIDENCE = [k for k in _NEEDS_EVIDENCE if k in QUERIES]
 QUERIES = {

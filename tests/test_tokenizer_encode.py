@@ -466,3 +466,256 @@ def test_hf_import_drives_engine_encode(spark, tmp_path):
         df, "text", imp["merges"], mode="map",
         lowercase=imp["lowercase"]).collect()}
     assert a == b
+
+
+# --------------------------------------- HF pre-tokenizers (round 9)
+
+def test_gpt2_word_pieces_hand_verified():
+    """The GPT-2 regex emulation against hand-verified splits:
+    contraction precedence only at match start, greedy other-runs
+    consuming later apostrophes, a space-preceded apostrophe joining
+    the other-run (NOT the contraction), case-sensitive contraction
+    literals, unicode letters staying one run."""
+    from elusion_spark.operators.tokenizer_io import gpt2_word_pieces
+
+    cases = [
+        ("don't", ["don", "'t"]),
+        (" don't.", [" don", "'t", "."]),
+        ("'s", ["'s"]),
+        (" 's", [" '", "s"]),
+        ("abc123!!", ["abc", "123", "!!"]),
+        (" abc123!!", [" abc", "123", "!!"]),
+        ("x''s", ["x", "''", "s"]),
+        ("DON'T", ["DON", "'", "T"]),
+        ("été", ["été"]),
+        (" été9", [" été", "9"]),
+        ("we'll", ["we", "'ll"]),
+        ("o'clock", ["o", "'", "clock"]),
+    ]
+    for s, exp in cases:
+        assert gpt2_word_pieces(s) == exp, (s, gpt2_word_pieces(s), exp)
+
+
+def test_bytes_to_unicode_table():
+    """GPT-2 byte table invariants: printable ASCII maps to itself,
+    space->Ġ (U+0120), newline->Ċ, the map is a bijection over 256."""
+    from elusion_spark.operators.tokenizer_io import _bytes_to_unicode
+
+    b2u = _bytes_to_unicode()
+    assert len(b2u) == 256 and len(set(b2u.values())) == 256
+    assert b2u[ord("a")] == "a" and b2u[ord("!")] == "!"
+    assert b2u[32] == "Ġ" and b2u[10] == "Ċ"
+
+
+def test_parse_hf_pre_tokenizer_contract():
+    """Replayable specs normalize; everything else raises LOUDLY
+    (ADVICE r8 #1: a silently-accepted ByteLevel file used to encode
+    wrongly — now nothing unreplayable gets through import)."""
+    import pytest as _pt
+
+    from elusion_spark.operators.tokenizer_io import (
+        parse_hf_pre_tokenizer)
+
+    assert parse_hf_pre_tokenizer(None) == {"type": "whitespace"}
+    assert parse_hf_pre_tokenizer(
+        {"type": "WhitespaceSplit"}) == {"type": "whitespace"}
+    bl = parse_hf_pre_tokenizer(
+        {"type": "ByteLevel", "add_prefix_space": False,
+         "trim_offsets": True, "use_regex": True})
+    assert bl == {"type": "byte_level", "add_prefix_space": False,
+                  "use_regex": True}
+    ms = parse_hf_pre_tokenizer(
+        {"type": "Metaspace", "replacement": "▁",
+         "prepend_scheme": "first"})
+    assert ms == {"type": "metaspace", "replacement": "▁",
+                  "prepend_first": True}
+    # legacy add_prefix_space bool maps to a scheme
+    assert parse_hf_pre_tokenizer(
+        {"type": "Metaspace", "add_prefix_space": False}
+    )["prepend_first"] is False
+    for bad in ({"type": "Sequence", "pretokenizers": []},
+                {"type": "Digits"}, {"type": "Punctuation"},
+                {"type": "Whitespace"}, {"type": "Split"}):
+        with _pt.raises(ValueError):
+            parse_hf_pre_tokenizer(bad)
+
+
+def test_hf_import_added_tokens_policy(tmp_path):
+    """Special added tokens are surfaced (not applied — corpus text is
+    literal); a special=false added token raises (it would change how
+    ordinary text tokenizes, which the engine does not replay)."""
+    import json
+
+    import pytest as _pt
+
+    from elusion_spark.operators.tokenizer_io import (
+        import_hf_tokenizer_json)
+
+    d = {"version": "1.0", "normalizer": None, "pre_tokenizer": None,
+         "added_tokens": [
+             {"id": 0, "content": "<|endoftext|>", "special": True}],
+         "model": {"type": "BPE", "vocab": {"a": 0},
+                   "merges": ["a b"]}}
+    p = str(tmp_path / "t.json")
+    json.dump(d, open(p, "w"))
+    got = import_hf_tokenizer_json(p)
+    assert got["special_tokens"] == ["<|endoftext|>"]
+    d["added_tokens"].append(
+        {"id": 1, "content": "customword", "special": False})
+    json.dump(d, open(p, "w"))
+    with _pt.raises(ValueError, match="special=false"):
+        import_hf_tokenizer_json(p)
+
+
+def test_hf_import_rejects_bytelevel_silently_no_more(tmp_path):
+    """The r8 correctness trap, closed from the other side: a GPT-2
+    style ByteLevel file now IMPORTS (it is replayable) and carries
+    the parsed spec; an exotic pre_tokenizer (Sequence) raises at
+    import instead of encoding wrongly later."""
+    import json
+
+    import pytest as _pt
+
+    from elusion_spark.operators.tokenizer_io import (
+        import_hf_tokenizer_json)
+
+    d = {"version": "1.0", "normalizer": None,
+         "pre_tokenizer": {"type": "ByteLevel",
+                           "add_prefix_space": False,
+                           "trim_offsets": True, "use_regex": True},
+         "added_tokens": [],
+         "model": {"type": "BPE", "vocab": {},
+                   "merges": ["Ġ t", "h e"]}}
+    p = str(tmp_path / "t.json")
+    json.dump(d, open(p, "w"))
+    got = import_hf_tokenizer_json(p)
+    assert got["pre_tokenizer"]["type"] == "byte_level"
+    d["pre_tokenizer"] = {"type": "Sequence", "pretokenizers": [
+        {"type": "WhitespaceSplit"}, {"type": "Digits"}]}
+    json.dump(d, open(p, "w"))
+    with _pt.raises(ValueError, match="pre_tokenizer"):
+        import_hf_tokenizer_json(p)
+
+
+def test_hf_bytelevel_encode_hand_computed(spark, tmp_path):
+    """End-to-end ByteLevel BPE through hf_tokenizer_encode against
+    hand-computed GPT-2 semantics: mid-document words carry Ġ, the
+    document-initial word does not (add_prefix_space=false),
+    contractions split before merging, merges over the byte-level
+    alphabet apply by rank."""
+    import json
+
+    from elusion_spark.operators.tokenizer_io import (
+        hf_tokenizer_encode, import_hf_tokenizer_json)
+
+    # merges over byte-level symbols: "Ġt h" is deliberately absent so
+    # "Ġthe" stays ["Ġt","he"]; "t h" never fires mid-word because Ġt
+    # merges first on mid-document "the"
+    d = {"version": "1.0", "normalizer": None,
+         "pre_tokenizer": {"type": "ByteLevel",
+                           "add_prefix_space": False,
+                           "use_regex": True},
+         "added_tokens": [],
+         "model": {"type": "BPE", "vocab": {},
+                   "merges": ["Ġ t", "h e", "t h"]}}
+    p = str(tmp_path / "t.json")
+    json.dump(d, open(p, "w"))
+    model = import_hf_tokenizer_json(p)
+    df = spark.createDataFrame(
+        [(1, "the theme isn't thin"), (2, "hello")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["tokens"] for r in
+           hf_tokenizer_encode(df, "text", model).collect()}
+    # doc 1: "the" initial, no Ġ: t+h+e -> th,e ("t h" fires, "h e"
+    # first? rank: Ġt(0) he(1) th(2): "the" -> pairs (t,h),(h,e):
+    # he wins (rank 1) -> t,he ; (t,he) absent -> ["t","he"]
+    assert out[1][0:2] == ["t", "he"]
+    # " theme": Ġ+t+h+e+m+e -> Ġt (rank0) -> Ġt,h,e,m,e -> he(1) ->
+    # Ġt,he,m,e ; no more -> ["Ġt","he","m","e"]
+    assert out[1][2:6] == ["Ġt", "he", "m", "e"]
+    # " isn't" -> pieces " isn","'t" -> Ġ,i,s,n + ',t (no merges hit
+    # except none) -> ["Ġ","i","s","n","'","t"]
+    assert out[1][6:12] == ["Ġ", "i", "s", "n", "'", "t"]
+    # " thin": Ġt -> Ġt,h,i,n (he can't fire: no e)
+    assert out[1][12:] == ["Ġt", "h", "i", "n"]
+    # doc 2: initial word, no prefix: h+e -> he -> ["he","l","l","o"]
+    assert out[2] == ["he", "l", "l", "o"]
+
+
+def test_hf_metaspace_encode_schemes(spark, tmp_path):
+    """Metaspace prepend schemes: 'always'/'first' mark every word
+    (incl. the initial one); 'never' leaves the document-initial word
+    bare; replacement char is configurable; unigram models get the
+    same treatment (Viterbi over ▁-prefixed pre-tokens)."""
+    import json
+
+    from elusion_spark.operators.tokenizer_io import (
+        hf_tokenizer_encode, import_hf_tokenizer_json)
+
+    def mk(scheme, model):
+        d = {"version": "1.0", "normalizer": None,
+             "pre_tokenizer": {"type": "Metaspace", "replacement": "▁",
+                               "prepend_scheme": scheme},
+             "added_tokens": [], "model": model}
+        p = str(tmp_path / f"m_{scheme}_{model['type']}.json")
+        json.dump(d, open(p, "w"))
+        return import_hf_tokenizer_json(p)
+
+    df = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    bpe = {"type": "BPE", "vocab": {},
+           "merges": ["▁ a", "▁a b", "a b"]}
+    out_a = hf_tokenizer_encode(df, "text", mk("always", bpe)).collect()
+    assert out_a[0]["tokens"] == ["▁ab", "▁ab"]
+    out_n = hf_tokenizer_encode(df, "text", mk("never", bpe)).collect()
+    assert out_n[0]["tokens"] == ["ab", "▁ab"]
+    uni = {"type": "Unigram", "unk_id": None, "byte_fallback": False,
+           "vocab": [["▁ab", -1.0], ["▁", -3.0], ["a", -3.5],
+                     ["b", -3.5], ["ab", -2.0]]}
+    out_u = hf_tokenizer_encode(df, "text", mk("never", uni)).collect()
+    assert out_u[0]["tokens"] == ["ab", "▁ab"]
+
+
+def test_hf_bytelevel_roundtrip_through_tokenizers_lib(spark, tmp_path):
+    """When the `tokenizers` library is present: a real ByteLevel BPE
+    and a Metaspace BPE file must encode single-space-separated text
+    token-for-token identically through hf_tokenizer_encode and
+    through tokenizers.Tokenizer (the whitespace-run divergence is out
+    of scope by construction of the fixture).  Gated: the lib is not
+    baked into this container."""
+    import json
+
+    import pytest as _pt
+    tokenizers = _pt.importorskip("tokenizers")
+
+    from elusion_spark.operators.tokenizer_io import (
+        hf_tokenizer_encode, import_hf_tokenizer_json)
+
+    texts = ["the cat isn't on the mat!", "Numbers 123 and x''s end"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    # byte-level file with a usable vocab (HF requires in-vocab sides)
+    from elusion_spark.operators.tokenizer_io import _bytes_to_unicode
+    b2u = _bytes_to_unicode()
+    alphabet = sorted({b2u[b] for t in texts for b in t.encode()})
+    merges = ["Ġ t", "h e", "Ġt he", "a t"]
+    vocab = {s: i for i, s in enumerate(alphabet)}
+    for m in merges:
+        l, r = m.split(" ")
+        for s in (l, r, l + r):
+            if s not in vocab:
+                vocab[s] = len(vocab)
+    d = {"version": "1.0", "normalizer": None,
+         "pre_tokenizer": {"type": "ByteLevel",
+                           "add_prefix_space": False,
+                           "use_regex": True},
+         "added_tokens": [],
+         "model": {"type": "BPE", "unk_token": None, "vocab": vocab,
+                   "merges": merges}}
+    p = str(tmp_path / "bl.json")
+    json.dump(d, open(p, "w"))
+    tok = tokenizers.Tokenizer.from_file(p)
+    model = import_hf_tokenizer_json(p)
+    ours = {r["doc_id"]: r["tokens"] for r in
+            hf_tokenizer_encode(df, "text", model).collect()}
+    for i, t in enumerate(texts):
+        assert ours[i] == tok.encode(t).tokens, t
