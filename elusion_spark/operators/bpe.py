@@ -84,6 +84,44 @@ def _sym_array(col):
     )
 
 
+def pretokenize_word_counts(
+    wc: DataFrame,
+    pre_tokenizer: dict,
+) -> DataFrame:
+    """Transform a ``bpe_word_counts`` table into PRE-TOKEN frequency
+    space: each distinct word maps to its pre-tokenizer pieces
+    (ByteLevel: GPT-2 regex split + byte→unicode remap of the
+    space-preceded form; Metaspace: the ``▁``-marked form), frequencies
+    re-aggregated per piece.  One ``mapInPandas`` + one agg, both
+    VOCAB-sized — the corpus never re-scans.  Accepts an HF
+    ``pre_tokenizer`` block or an already-parsed spec; a plain
+    whitespace spec is a no-op.  Words are transformed in their
+    mid-document (space-preceded) form — see ``bpe_fit``'s
+    approximation note."""
+    from .tokenizer_io import (make_pre_word_transforms,
+                               parse_hf_pre_tokenizer)
+
+    spec = parse_hf_pre_tokenizer(pre_tokenizer)
+    if spec["type"] == "whitespace":
+        return wc
+    mid_fn, _first_fn = make_pre_word_transforms(spec)
+
+    def _fn(pdfs):
+        import pandas as pd
+
+        for pdf in pdfs:
+            words, freqs = [], []
+            for w, f in zip(pdf["word"], pdf["freq"]):
+                for piece in mid_fn(str(w)):
+                    words.append(piece)
+                    freqs.append(int(f))
+            yield pd.DataFrame({"word": words, "freq": freqs})
+
+    return (wc.mapInPandas(_fn, "word string, freq bigint")
+              .groupBy("word")
+              .agg(F.sum("freq").cast("bigint").alias("freq")))
+
+
 def train_bpe_incremental(word_freqs: dict[str, int],
                           num_merges: int) -> list[dict]:
     """Driver-side exact Sennrich BPE with an incremental pair index —
@@ -180,6 +218,7 @@ def bpe_fit(
     mode: str = "auto",
     min_freq: int = 1,
     max_driver_vocab: int = 2_000_000,
+    pre_tokenizer: dict | None = None,
 ) -> list[dict]:
     """Learn ``num_merges`` BPE merges.  Returns a list of dicts
     ``{merge_rank, lft, rgt, pair_count}`` in learning order (bounded:
@@ -217,6 +256,22 @@ def bpe_fit(
       ``min_round_count_frac > 0`` resolves to distributed: those
       knobs define the batched approximation, which only exists
       cluster-side.
+
+    ``pre_tokenizer`` (round 9 — train in a PUBLISHED tokenizer's
+    space): an HF ``pre_tokenizer`` block or a
+    ``parse_hf_pre_tokenizer`` spec.  The word-frequency table is
+    transformed VOCAB-SIDE (one ``mapInPandas`` over distinct words —
+    never corpus-sized) into pre-token pieces before merging, so the
+    learned merges live in ByteLevel (GPT-2 ``Ġword`` byte-alphabet)
+    or Metaspace (``▁word``) space and export/encode cleanly as a
+    real published-format tokenizer (see
+    ``export_hf_tokenizer_json(pre_tokenizer=...)`` /
+    ``hf_tokenizer_encode``).  Documented approximation: every word
+    is counted in its MID-DOCUMENT form (space-preceded) — exact for
+    ``add_prefix_space=True`` / Metaspace ``always``; for GPT-2's
+    ``add_prefix_space=False`` the document-INITIAL word (one word in
+    ~100) trains as if space-preceded, the same factorization HF's own
+    trainer makes when fed line-split text.
 
     ``min_freq`` floors the vocabulary in EVERY mode (``freq >=
     min_freq``).  This is the honest Heaps'-law guard for the driver
@@ -289,6 +344,8 @@ def bpe_fit(
         wc = bpe_word_counts(df, text_col, lowercase=lowercase)
     if min_freq > 1:
         wc = wc.filter(F.col("freq") >= F.lit(int(min_freq)))
+    if pre_tokenizer is not None:
+        wc = pretokenize_word_counts(wc, pre_tokenizer)
     if mode in ("auto", "driver"):
         # the probe-collect doubles as the training table — no
         # separate counting job is ever launched

@@ -138,6 +138,8 @@ def parse_hf_pre_tokenizer(pt: dict | None) -> dict:
     if pt is None:
         return {"type": "whitespace"}
     t = pt.get("type") if isinstance(pt, dict) else None
+    if t in ("whitespace", "byte_level", "metaspace"):
+        return dict(pt)     # already-parsed spec: idempotent
     if t in ("WhitespaceSplit", "Whitespace"):
         # Whitespace (\w+|[^\w\s]+) additionally splits punctuation
         # off words — NOT replayed; only the pure split maps exactly
@@ -171,6 +173,25 @@ def parse_hf_pre_tokenizer(pt: dict | None) -> dict:
         "WhitespaceSplit/ByteLevel/Metaspace can be replayed exactly "
         "by the engine's encode paths — refusing to import a file "
         "that would silently tokenize wrongly")
+
+
+def hf_pre_tokenizer_block(spec: dict) -> dict:
+    """The inverse of ``parse_hf_pre_tokenizer``: serialize a parsed
+    spec back into the HF ``tokenizer.json`` ``pre_tokenizer`` block
+    (used by ``export_hf_tokenizer_json(pre_tokenizer=...)``)."""
+    spec = parse_hf_pre_tokenizer(spec)
+    t = spec["type"]
+    if t == "whitespace":
+        return {"type": "WhitespaceSplit"}
+    if t == "byte_level":
+        return {"type": "ByteLevel",
+                "add_prefix_space": bool(spec["add_prefix_space"]),
+                "trim_offsets": True,
+                "use_regex": bool(spec["use_regex"])}
+    return {"type": "Metaspace", "replacement": spec["replacement"],
+            "prepend_scheme": ("always" if spec["prepend_first"]
+                               else "never"),
+            "split": True}
 
 
 def make_pre_word_transforms(
@@ -260,6 +281,7 @@ def export_hf_tokenizer_json(
     byte_fallback: bool = False,
     alphabet: Iterable[str] | None = None,
     unk_token: str | None = None,
+    pre_tokenizer: dict | None = None,
 ) -> dict:
     """Write a HuggingFace ``tokenizer.json``-shaped file for EITHER a
     ``bpe_fit`` merge list OR a ``unigram_lm_fit`` model (exactly one).
@@ -291,7 +313,14 @@ def export_hf_tokenizer_json(
         "padding": None,
         "added_tokens": [],
         "normalizer": {"type": "Lowercase"} if lowercase else None,
-        "pre_tokenizer": {"type": "WhitespaceSplit"},
+        # default: the engine's own whitespace pipeline; models TRAINED
+        # in a pre-token space (bpe_fit(pre_tokenizer=...)) pass the
+        # matching spec so the exported file replays it (ByteLevel /
+        # Metaspace), making the export a real published-format
+        # tokenizer
+        "pre_tokenizer": (hf_pre_tokenizer_block(pre_tokenizer)
+                          if pre_tokenizer is not None
+                          else {"type": "WhitespaceSplit"}),
         "post_processor": None,
         "decoder": None,
     }

@@ -6988,6 +6988,47 @@ def q160(spark, sf):
     )
 
 
+# q161: BPE fit IN PRE-TOKEN SPACE (round 9): train the merges over
+# the Metaspace-marked vocabulary — the form a SentencePiece/Llama
+# family tokenizer is actually trained in — proving the vocab-side
+# pretokenize_word_counts transform feeds the same exact trainer.
+# Oracle: q139's unrolled 3-merge replay with '▁' || w injected at the
+# symbol-wrap, nothing else changed (the transform IS that injection).
+@q(
+    "q161_pretokenized_fit",
+    _BPE_ORACLE_HEAD.replace("regexp_split_to_array(w, '')",
+                             "regexp_split_to_array('▁' || w, '')")
+    + """
+    SELECT merge_rank, l AS lft, r AS rgt, c AS pair_count FROM (
+        SELECT 1 AS merge_rank, l, r, c FROM m1
+        UNION ALL SELECT 2, l, r, c FROM m2
+        UNION ALL SELECT 3, l, r, c FROM m3
+    ) ORDER BY merge_rank
+    """,
+)
+def q161(spark, sf):
+    """BPE training in Metaspace pre-token space (bpe.py bpe_fit
+    pre_tokenizer= + pretokenize_word_counts): the corpus-sized job is
+    unchanged (bpe_word_counts); the distinct-word table is then
+    transformed VOCAB-SIDE into ▁-marked pieces (one mapInPandas +
+    one agg, both vocabulary-sized) and the same exact trainer runs —
+    here mode='driver' (the production path, 1 bounded collect), whose
+    merges are tie-rule-identical to the distributed loop and to the
+    oracle's unrolled replay over '▁' || w."""
+    from .operators.bpe import bpe_fit
+
+    d = _t(spark, sf, "documents", "d").df.select("text")
+    merges = bpe_fit(
+        d, "text", num_merges=3, lowercase=True, mode="driver",
+        pre_tokenizer={"type": "Metaspace", "replacement": "▁",
+                       "prepend_scheme": "always"})
+    return spark.createDataFrame(
+        [(m["merge_rank"], m["lft"], m["rgt"], m["pair_count"])
+         for m in merges],
+        "merge_rank int, lft string, rgt string, pair_count bigint",
+    ).orderBy("merge_rank")
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -6999,7 +7040,7 @@ _NEEDS_EVIDENCE = [
     # Round-9 rotation (VERDICT r8 ask #4, standing practice): 50
     # driver slots, oldest evidence first.
     # Priority 1 — NEW this round (no driver evidence yet):
-    "q160_hf_import_encode",
+    "q160_hf_import_encode", "q161_pretokenized_fit",
     # Priority 2 — the last 9 rows whose latest driver evidence is r5
     # (VERDICT r8 ask #4 names them explicitly):
     "q12_fill_null", "q13_drop_null", "q14_fill_down", "q15_except",
@@ -7022,7 +7063,7 @@ _NEEDS_EVIDENCE = [
     "q71_train_val_test_split", "q72_lm_score", "q73_knn_join",
     "q74_chunk_documents", "q75_threshold_sweep", "q76_lm_score_bigram",
     "q77_containment_pairs", "q78_incremental_dedup",
-    "q79_upsample_by_weight", "q80_temperature_mix", "q81_sq8_topk",
+    "q79_upsample_by_weight", "q80_temperature_mix",
 ]
 _NEEDS_EVIDENCE = [k for k in _NEEDS_EVIDENCE if k in QUERIES]
 QUERIES = {
