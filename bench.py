@@ -439,6 +439,19 @@ def _run_sf1() -> dict:
                 "overwrite").save()
         spark.catalog.clearCache()
     time.sleep(5)
+    # canary brackets (round 9, VERDICT r8 ask #5): three same-day
+    # isolated runs of this block spanned 14.7 / 11.3 / 7.5 s with
+    # IDENTICAL code — host contention swings the block ~2x, so the
+    # block now carries the same three-canary drift the sf0.1 groups
+    # have; a creeping total with drift ~1.0 is a real regression, a
+    # creeping total at drift >> 1 is the machine (SCALE.md round 9)
+    _canary_time(spark)
+    _canary_shuffle_time(spark)
+    _canary_io_time()
+    canary_start = min(_canary_time(spark), _canary_time(spark))
+    shuffle_start = min(_canary_shuffle_time(spark),
+                        _canary_shuffle_time(spark))
+    io_start = min(_canary_io_time(), _canary_io_time())
     t1: dict[str, float] = {}
     for _pass in range(3):
         for name in SF1_QUERIES:
@@ -449,12 +462,25 @@ def _run_sf1() -> dict:
             if name not in t1 or el < t1[name]:
                 t1[name] = el
         spark.catalog.clearCache()
+    canary_end = min(_canary_time(spark), _canary_time(spark))
+    shuffle_end = min(_canary_shuffle_time(spark),
+                      _canary_shuffle_time(spark))
+    io_end = min(_canary_io_time(), _canary_io_time())
+    canary = {"start": canary_start, "end": canary_end,
+              "floor": CANARY_FLOOR,
+              "shuffle_start": shuffle_start, "shuffle_end": shuffle_end,
+              "shuffle_floor": SHUFFLE_CANARY_FLOOR,
+              "io_start": io_start, "io_end": io_end,
+              "io_floor": IO_CANARY_FLOOR}
     return {
         "queries": t1,
         "total": round(sum(t1.values()), 3),
+        "canary": {**canary, "drift": _group_drift(canary)},
         "note": "10x key-shift replica of sf0.1 (6M lineitem); slope vs "
                 "the sf0.1 queries above; own fresh JVM; 2 untimed "
-                "warms + min-of-3 timed (C2 tail, see SCALE.md r8)",
+                "warms + min-of-3 timed (C2 tail, see SCALE.md r8); "
+                "canary-bracketed since r9 (drift attributes host "
+                "contention, SCALE.md r9)",
     }
 
 

@@ -346,12 +346,22 @@ def bpe_fit(
         wc = wc.filter(F.col("freq") >= F.lit(int(min_freq)))
     if pre_tokenizer is not None:
         wc = pretokenize_word_counts(wc, pre_tokenizer)
+    wc_pinned = None
     if mode in ("auto", "driver"):
+        if mode == "auto" and word_counts is None:
+            # pin the word-count table across the probe: if the probe
+            # overflows and we fall back to the distributed loop, the
+            # corpus-sized aggregation must not re-run — at 100 TB a
+            # second corpus scan is the whole cost of the fit
+            wc = wc.persist()
+            wc_pinned = wc
         # the probe-collect doubles as the training table — no
         # separate counting job is ever launched
         head = (wc.select("word", "freq")
                   .limit(max_driver_vocab + 1).collect())
         if len(head) <= max_driver_vocab:
+            if wc_pinned is not None:
+                wc_pinned.unpersist()
             return train_bpe_incremental(
                 {r["word"]: int(r["freq"]) for r in head}, num_merges)
         if mode == "driver":
@@ -361,9 +371,7 @@ def bpe_fit(
                 "guard), raise max_driver_vocab, or pass "
                 "mode='distributed'")
         # auto: vocabulary genuinely does not fit the driver — fall
-        # back to the all-cluster loop (wc is lazy; the loop persists
-        # its derived vocab below, so only the probe's partial scan of
-        # the vocab table is paid twice — vocab-sized, pennies)
+        # back to the all-cluster loop over the PINNED table
     vocab = wc.select(_sym_repr(F.col("word")).alias("sym"), "freq")
     vocab = vocab.persist()
     persisted = [vocab]
@@ -433,6 +441,8 @@ def bpe_fit(
     finally:
         for p in persisted:
             p.unpersist()
+        if wc_pinned is not None:
+            wc_pinned.unpersist()
     return merges
 
 
