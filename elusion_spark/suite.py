@@ -5400,14 +5400,17 @@ _BPE_ORACLE_HEAD = """
     """,
 )
 def q139(spark, sf):
-    """Distributed BPE tokenizer training (bpe.py bpe_fit): the corpus
-    collapses to a word-frequency table in its ONE corpus-sized job;
-    each of the 3 merges is then a single vocab-sized adjacent-pair
-    aggregation with a (count DESC, l, r) winner, applied as a literal
-    greedy-non-overlapping replace on the wrapped-symbol strings —
-    semantics shared exactly by Spark's and DuckDB's `replace`, so the
-    oracle unrolls the entire training loop (the q124/q127 unrolled-
-    iteration discipline) and matches bit-for-bit."""
+    """BPE tokenizer training (bpe.py bpe_fit, default mode='auto' —
+    since round 9 this resolves to the DRIVER path: the corpus
+    collapses to a word-frequency table in its ONE corpus-sized job,
+    the bounded probe-collect doubles as the training table, and the
+    exact incremental-heap Sennrich loop picks each (count DESC, l, r)
+    winner driver-side — tie-rule-identical to the distributed loop,
+    parity-fuzzed).  Merges apply as literal greedy-non-overlapping
+    replaces on the wrapped-symbol strings — semantics shared exactly
+    by Spark's and DuckDB's `replace`, so the oracle unrolls the
+    entire training loop (the q124/q127 unrolled-iteration discipline)
+    and matches bit-for-bit whichever mode ran."""
     from .operators.bpe import bpe_fit
 
     d = _t(spark, sf, "documents", "d").df.select("text")
