@@ -430,7 +430,15 @@ def import_hf_tokenizer_json(path: str) -> dict:
                 lft, rgt = m
             merges.append({"merge_rank": i + 1, "lft": lft, "rgt": rgt,
                            "pair_count": 0})
-        return {"kind": "bpe", "merges": merges, **common}
+        # vocab + unk/ignore_merges semantics travel with the model so
+        # the encode can replay FOREIGN files exactly (Llama-3-family
+        # files set ignore_merges; restricted vocabs drop/unk symbols)
+        return {"kind": "bpe", "merges": merges,
+                "vocab": set(model.get("vocab") or ()),
+                "unk_token": model.get("unk_token"),
+                "ignore_merges": bool(model.get("ignore_merges",
+                                                False)),
+                **common}
     if mtype == "Unigram":
         pieces = [{"piece": p, "logprob": float(lp)}
                   for p, lp in model.get("vocab", [])]
@@ -471,14 +479,32 @@ def hf_tokenizer_encode(
     if model is None:
         raise ValueError(
             "model (import_hf_tokenizer_json output) is required")
+    # parse_hf_pre_tokenizer is idempotent: hand-built model dicts may
+    # carry either a raw HF block or an already-parsed spec
     mid_fn, first_fn = make_pre_word_transforms(
-        model.get("pre_tokenizer") or {"type": "whitespace"})
+        parse_hf_pre_tokenizer(model.get("pre_tokenizer")))
     if model["kind"] == "bpe":
         ranks = {(m["lft"], m["rgt"]): i
                  for i, m in enumerate(model["merges"])}
+        vocab = model.get("vocab") or None
+        unk = model.get("unk_token")
+        ignore_merges = bool(model.get("ignore_merges", False))
 
         def seg(pre: str) -> list[str]:
-            return bpe_segment_word(pre, ranks)
+            # HF BPE semantics for foreign files: ignore_merges emits
+            # an in-vocab pre-token whole (Llama-3 family — tokens
+            # added directly to the vocab, not derivable from merges);
+            # a non-empty vocab maps post-merge symbols outside it to
+            # unk_token, or DROPS them when unk is None (exactly what
+            # HF does — the engine-export path seeds the full alphabet
+            # so this branch never fires on our own files)
+            if ignore_merges and vocab is not None and pre in vocab:
+                return [pre]
+            toks = bpe_segment_word(pre, ranks)
+            if vocab:
+                toks = [t if t in vocab else unk for t in toks]
+                toks = [t for t in toks if t is not None]
+            return toks
     elif model["kind"] == "unigram":
         from .unigram_lm import (byte_fallback_tokens, quantize_logprobs,
                                  viterbi_segment)

@@ -6953,7 +6953,15 @@ def q160(spark, sf):
     from .operators.tokenizer_io import (hf_tokenizer_encode,
                                          import_hf_tokenizer_json)
 
-    vocab_syms = sorted({c for l, r in _Q160_MERGES for c in l + r})
+    # a WELL-FORMED file: the vocab seeds the full printable-ASCII
+    # alphabet + the ▁ marker (the shape export_hf_tokenizer_json
+    # writes with alphabet=...), so the import-side vocab/unk
+    # semantics (round 9: out-of-vocab symbols drop/unk, HF-exact)
+    # never fire on this corpus — and the engine result is the pure
+    # merge replay the oracle unrolls
+    vocab_syms = sorted(
+        {chr(c) for c in range(33, 127)} | {"▁"}
+        | {c for l, r in _Q160_MERGES for c in l + r})
     doc = {
         "version": "1.0", "truncation": None, "padding": None,
         "added_tokens": [],

@@ -809,3 +809,44 @@ def test_pretokenized_fit_export_import_encode_roundtrip(spark, tmp_path):
     import json
     vocab = json.load(open(p))["model"]["vocab"]
     assert alphabet <= set(vocab)
+
+
+def test_hf_bpe_vocab_unk_and_ignore_merges(spark, tmp_path):
+    """Foreign-file BPE semantics (round 9): with a restricted vocab,
+    post-merge symbols outside it are DROPPED when unk_token is None
+    and mapped to unk_token when set (HF behavior — previously the
+    engine emitted them, silently diverging); ignore_merges=true emits
+    an in-vocab pre-token whole without running merges (the Llama-3
+    family's direct-vocab tokens)."""
+    import json
+
+    from elusion_spark.operators.tokenizer_io import (
+        hf_tokenizer_encode, import_hf_tokenizer_json)
+
+    def enc(d, text):
+        p = str(tmp_path / "v.json")
+        json.dump(d, open(p, "w"))
+        model = import_hf_tokenizer_json(p)
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return hf_tokenizer_encode(df, "text", model).collect()[0]["tokens"]
+
+    base = {"version": "1.0", "normalizer": None,
+            "pre_tokenizer": {"type": "WhitespaceSplit"},
+            "added_tokens": [],
+            "model": {"type": "BPE", "unk_token": None,
+                      "ignore_merges": False,
+                      "vocab": {"a": 0, "b": 1, "ab": 2},
+                      "merges": ["a b"]}}
+    # 'c' and 'x' are out-of-vocab: dropped under unk None
+    assert enc(base, "cab axb") == ["ab", "a", "b"]
+    # ...mapped under an explicit unk
+    base["model"]["unk_token"] = "<unk>"
+    base["model"]["vocab"]["<unk>"] = 3
+    assert enc(base, "cab axb") == ["<unk>", "ab", "a", "<unk>", "b"]
+    # ignore_merges: whole pre-token in vocab short-circuits merging
+    base["model"]["vocab"]["axb"] = 4
+    base["model"]["ignore_merges"] = True
+    assert enc(base, "cab axb") == ["<unk>", "ab", "axb"]
+    # engine-round-trip files are unaffected: empty vocab = no filter
+    base["model"] = {"type": "BPE", "vocab": {}, "merges": ["a b"]}
+    assert enc(base, "cab axb") == ["c", "ab", "a", "x", "b"]
