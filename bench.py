@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "q159_bpe_map_encode",    # zero-shuffle map encode (per-task memo)
     "q46_training_corpus",    # end-to-end curation composite (9 stages)
     "q160_hf_import_encode",  # imported HF tokenizer (Metaspace) map encode
+    "q162_wordpiece_encode",  # imported BERT-family WordPiece map encode
 ]
 
 # Per-query wall-time budgets at sf0.1 (seconds, min-of-3 in a fresh
@@ -167,9 +168,12 @@ BUDGETS_SF01 = {
     # bpe_fit's vocab jobs, shared shape with q140)
     "q157_bpe_word_encode": 2.85, "q158_unigram_byte_fallback": 1.6,
     "q159_bpe_map_encode": 2.45,   # 1.3x worse of two same-day runs (1.87)
-    # round-9 entry: 1.3x the worse of two same-day clean calibration
-    # runs of its (3-entry) group (0.662 / 0.734 at drift <= 1.006)
+    # round-9 entries: 1.3x the worse of two same-day CLEAN calibration
+    # runs of the final group (q160: 0.662/0.734 at drift <= 1.006;
+    # q162: 0.715/0.634 at drift <= 1.087 — a third run at drift 2.27
+    # was discarded per the canary rule)
     "q160_hf_import_encode": 0.95,
+    "q162_wordpiece_encode": 0.95,
     "q01_cache_miss": 1.8, "q01_cache_hit": 0.35,
 }
 

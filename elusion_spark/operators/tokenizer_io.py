@@ -11,16 +11,26 @@ into this container).
 
 Engine-trained exports pin the engine's own pipeline
 (``WhitespaceSplit`` + optional ``Lowercase``).  IMPORT additionally
-replays the two pre-tokenizers published tokenizers actually ship —
-``ByteLevel`` (GPT-2 family: byte-to-unicode remap + the GPT-2
-contraction/letter/digit/other split) and ``Metaspace``
-(SentencePiece/Llama family: ``▁`` word markers) — as per-word string
-transforms inside the zero-shuffle map-mode encode
-(``hf_tokenizer_encode``).  Any pre-tokenizer outside
-{absent, WhitespaceSplit, Whitespace, ByteLevel, Metaspace} raises
-LOUDLY at import (VERDICT r8 ask #2): importing a file the engine
-cannot replay and encoding wrongly is a correctness trap, not a
-feature.
+replays the pre-tokenizers and models published tokenizers actually
+ship, each as a per-word transform inside the zero-shuffle map-mode
+encode (``hf_tokenizer_encode``):
+
+- ``ByteLevel`` (GPT-2/RoBERTa family): byte→unicode remap + the
+  GPT-2 contraction/letter/digit/other split; BPE vocab semantics
+  (out-of-vocab drop/unk, ``ignore_merges``) replayed exactly;
+- ``Metaspace`` (SentencePiece/Llama family): ``▁`` word markers —
+  both the explicit pre-tokenizer form and the Llama conversion's
+  normalizer ``Sequence([Prepend ▁, Replace ' '→▁])`` form;
+- ``Whitespace`` (regex ``\\w+|[^\\w\\s]+``): punctuation split off
+  word-char runs;
+- the BERT family: ``BertNormalizer`` (lowercase / strip-accents /
+  clean-text / CJK isolation) + ``BertPreTokenizer`` (punctuation
+  isolation) + the ``WordPiece`` model (greedy longest-match with
+  ``##`` continuations, whole-word unk).
+
+Anything else raises LOUDLY at import (VERDICT r8 ask #2): importing
+a file the engine cannot replay and encoding wrongly is a
+correctness trap, not a feature.
 
 Honest divergence note for the replayed ones: the engine is
 whitespace-split FIRST, so whitespace runs collapse — a document with
@@ -124,6 +134,98 @@ def gpt2_word_pieces(s: str) -> list[str]:
     return pieces
 
 
+def _is_word_char(c: str) -> bool:
+    """Approximation of the regex-crate ``\\w`` (UTS#18 ``\\p{Word}``
+    = Alphabetic + M + Nd + Pc + Join_Control) via unicodedata
+    categories: letters, marks, decimal digits, connector
+    punctuation, ZWJ/ZWNJ.  Exact on ASCII and common text; the
+    documented approximation edge is exotic Alphabetic members
+    outside category L (e.g. circled letters)."""
+    import unicodedata
+
+    cat = unicodedata.category(c)
+    return (cat[0] in ("L", "M") or cat == "Nd" or cat == "Pc"
+            or c in ("‌", "‍"))
+
+
+def _hf_whitespace_pieces(w: str) -> list[str]:
+    """HF ``Whitespace`` pre-tokenizer applied to one whitespace word:
+    the regex ``\\w+|[^\\w\\s]+`` — alternating runs of word chars and
+    non-word non-space chars (splits punctuation off words)."""
+    pieces: list[str] = []
+    i, n = 0, len(w)
+    while i < n:
+        wordy = _is_word_char(w[i])
+        j = i + 1
+        while j < n and _is_word_char(w[j]) == wordy:
+            j += 1
+        pieces.append(w[i:j])
+        i = j
+    return pieces
+
+
+def _is_bert_punct(c: str) -> bool:
+    """BERT's punctuation class: the four ASCII symbol ranges
+    (33-47, 58-64, 91-96, 123-126) plus every Unicode P* category —
+    HF tokenizers' ``is_bert_punc`` exactly."""
+    import unicodedata
+
+    cp = ord(c)
+    if (33 <= cp <= 47 or 58 <= cp <= 64 or 91 <= cp <= 96
+            or 123 <= cp <= 126):
+        return True
+    return unicodedata.category(c).startswith("P")
+
+
+def _is_cjk(c: str) -> bool:
+    """The CJK ranges BertNormalizer isolates (HF's
+    ``is_chinese_char``)."""
+    cp = ord(c)
+    return (0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
+            or 0x20000 <= cp <= 0x2A6DF or 0x2A700 <= cp <= 0x2B73F
+            or 0x2B740 <= cp <= 0x2B81F or 0x2B820 <= cp <= 0x2CEAF
+            or 0xF900 <= cp <= 0xFAFF or 0x2F800 <= cp <= 0x2FA1F)
+
+
+def _make_bert_word_transform(spec: dict):
+    """BERT-family per-word transform: optional clean_text (drop
+    control chars), optional CJK isolation (each ideograph its own
+    pre-token), optional strip_accents (NFD, drop Mn), then the
+    BertPreTokenizer punctuation split (each punct char isolated).
+    Lowercasing is handled by the engine's document-level flag."""
+    import unicodedata
+
+    clean = bool(spec.get("clean_text", False))
+    cjk = bool(spec.get("cjk", False))
+    strip = bool(spec.get("strip_accents", False))
+
+    def fn(w: str) -> list[str]:
+        if clean:
+            w = "".join(c for c in w
+                        if unicodedata.category(c)[0] != "C"
+                        and c not in ("\x00", "�"))
+        if strip:
+            w = "".join(c for c in unicodedata.normalize("NFD", w)
+                        if unicodedata.category(c) != "Mn")
+        if not w:
+            return []
+        pieces: list[str] = []
+        buf: list[str] = []
+        for c in w:
+            if _is_bert_punct(c) or (cjk and _is_cjk(c)):
+                if buf:
+                    pieces.append("".join(buf))
+                    buf = []
+                pieces.append(c)
+            else:
+                buf.append(c)
+        if buf:
+            pieces.append("".join(buf))
+        return pieces
+
+    return fn
+
+
 def parse_hf_pre_tokenizer(pt: dict | None) -> dict:
     """Normalize a ``tokenizer.json`` ``pre_tokenizer`` block into the
     engine's replayable spec — or raise loudly (ADVICE r8 #1: silence
@@ -138,18 +240,23 @@ def parse_hf_pre_tokenizer(pt: dict | None) -> dict:
     if pt is None:
         return {"type": "whitespace"}
     t = pt.get("type") if isinstance(pt, dict) else None
-    if t in ("whitespace", "byte_level", "metaspace"):
+    if t in ("whitespace", "byte_level", "metaspace", "hf_whitespace",
+             "bert"):
         return dict(pt)     # already-parsed spec: idempotent
-    if t in ("WhitespaceSplit", "Whitespace"):
-        # Whitespace (\w+|[^\w\s]+) additionally splits punctuation
-        # off words — NOT replayed; only the pure split maps exactly
-        if t == "Whitespace":
-            raise ValueError(
-                "unsupported pre_tokenizer 'Whitespace' (it splits "
-                "punctuation from words); only WhitespaceSplit, "
-                "ByteLevel and Metaspace map onto the engine's "
-                "encode paths")
+    if t == "WhitespaceSplit":
         return {"type": "whitespace"}
+    if t == "Whitespace":
+        # the regex form \w+|[^\w\s]+: word-char runs vs other runs
+        # (splits punctuation off words) — replayed per word since
+        # round 9; \w is approximated as Unicode
+        # letters/marks/decimal-digits/Pc/ZWJ/ZWNJ (exact on ASCII)
+        return {"type": "hf_whitespace"}
+    if t == "BertPreTokenizer":
+        # bare BertPreTokenizer (no BertNormalizer): whitespace split
+        # + each punctuation char isolated; normalizer-side extras
+        # default off
+        return {"type": "bert", "strip_accents": False,
+                "clean_text": False, "cjk": False}
     if t == "ByteLevel":
         return {"type": "byte_level",
                 "add_prefix_space": bool(pt.get("add_prefix_space",
@@ -183,6 +290,10 @@ def hf_pre_tokenizer_block(spec: dict) -> dict:
     t = spec["type"]
     if t == "whitespace":
         return {"type": "WhitespaceSplit"}
+    if t == "hf_whitespace":
+        return {"type": "Whitespace"}
+    if t == "bert":
+        return {"type": "BertPreTokenizer"}
     if t == "byte_level":
         return {"type": "ByteLevel",
                 "add_prefix_space": bool(spec["add_prefix_space"]),
@@ -207,6 +318,12 @@ def make_pre_word_transforms(
     t = spec["type"]
     if t == "whitespace":
         fn = (lambda w: [w])
+        return fn, fn
+    if t == "hf_whitespace":
+        fn = _hf_whitespace_pieces
+        return fn, fn
+    if t == "bert":
+        fn = _make_bert_word_transform(spec)
         return fn, fn
     if t == "metaspace":
         rep = spec["replacement"]
@@ -367,6 +484,26 @@ def export_hf_tokenizer_json(
     return out
 
 
+def _is_llama_metaspace_normalizer(norm: dict) -> bool:
+    """The exact normalizer shape SentencePiece→HF conversions emit
+    for the Llama family: ``Sequence([Prepend(▁), Replace(' '→▁)])``
+    (a trailing ``Replace`` with the same content also matches)."""
+    if not (isinstance(norm, dict) and norm.get("type") == "Sequence"):
+        return False
+    subs = norm.get("normalizers") or []
+    if not subs or subs[0].get("type") != "Prepend":
+        return False
+    rep = subs[0].get("prepend", "▁")
+    for s in subs[1:]:
+        if s.get("type") != "Replace":
+            return False
+        pat = s.get("pattern")
+        pat_s = pat.get("String") if isinstance(pat, dict) else pat
+        if pat_s != " " or s.get("content") != rep:
+            return False
+    return True
+
+
 def import_hf_tokenizer_json(path: str) -> dict:
     """Load a HuggingFace ``tokenizer.json`` into engine-native model
     form — the other half of the interop: run a PUBLISHED tokenizer
@@ -399,15 +536,53 @@ def import_hf_tokenizer_json(path: str) -> dict:
     with open(path) as f:
         d = json.load(f)
     norm = d.get("normalizer")
+    raw_pre = d.get("pre_tokenizer")
+    lowercase = False
+    bert_norm = None
     if norm is None:
-        lowercase = False
+        pass
     elif isinstance(norm, dict) and norm.get("type") == "Lowercase":
         lowercase = True
+    elif isinstance(norm, dict) and norm.get("type") == "BertNormalizer":
+        # the BERT family: normalizer carries lowercase/strip_accents/
+        # clean_text/CJK isolation; pre_tokenizer must be the matching
+        # punctuation splitter (checked below)
+        lowercase = bool(norm.get("lowercase", True))
+        sa = norm.get("strip_accents")
+        bert_norm = {
+            "clean_text": bool(norm.get("clean_text", True)),
+            "cjk": bool(norm.get("handle_chinese_chars", True)),
+            # HF: strip_accents=None means "follow lowercase"
+            "strip_accents": lowercase if sa is None else bool(sa),
+        }
+    elif _is_llama_metaspace_normalizer(norm):
+        # real Llama-1/2 SentencePiece conversions carry the metaspace
+        # transform as normalizer Sequence[Prepend ▁, Replace ' '→▁]
+        # with pre_tokenizer null.  Mapped to the Metaspace per-word
+        # transform (prepend always).  Documented approximation: with
+        # no pre-tokenizer HF segments the WHOLE text as one lattice,
+        # so vocab pieces that span a ▁ boundary (rare in practice;
+        # SentencePiece's split-by-whitespace training default
+        # excludes them) could join words the engine keeps apart.
+        if raw_pre is not None:
+            raise ValueError(
+                "Metaspace-normalizer file with an explicit "
+                f"pre_tokenizer {raw_pre!r}: unsupported combination")
+        rep = norm["normalizers"][0].get("prepend", "▁")
+        raw_pre = {"type": "Metaspace", "replacement": rep,
+                   "prepend_scheme": "always"}
     else:
         raise ValueError(
-            f"unsupported normalizer {norm!r}: only Lowercase/none map "
-            "exactly onto the engine's encode paths")
-    pre = parse_hf_pre_tokenizer(d.get("pre_tokenizer"))
+            f"unsupported normalizer {norm!r}: only Lowercase/none/"
+            "BertNormalizer/the Llama Metaspace Sequence map onto the "
+            "engine's encode paths")
+    pre = parse_hf_pre_tokenizer(raw_pre)
+    if bert_norm is not None:
+        if pre["type"] != "bert":
+            raise ValueError(
+                "BertNormalizer requires the BertPreTokenizer "
+                f"pre_tokenizer; file has {raw_pre!r}")
+        pre.update(bert_norm)
     special = []
     for at in d.get("added_tokens") or []:
         if not at.get("special", False):
@@ -444,6 +619,17 @@ def import_hf_tokenizer_json(path: str) -> dict:
                   for p, lp in model.get("vocab", [])]
         return {"kind": "unigram", "model": pieces,
                 "byte_fallback": bool(model.get("byte_fallback", False)),
+                **common}
+    if mtype == "WordPiece":
+        # the BERT-family model: greedy longest-match with a
+        # continuing-subword prefix; whole word -> unk on any miss
+        return {"kind": "wordpiece",
+                "vocab": set(model.get("vocab") or ()),
+                "unk_token": model.get("unk_token", "[UNK]"),
+                "continuing_subword_prefix": model.get(
+                    "continuing_subword_prefix", "##"),
+                "max_input_chars_per_word": int(model.get(
+                    "max_input_chars_per_word", 100)),
                 **common}
     raise ValueError(f"unsupported model type {mtype!r} in {path}")
 
@@ -505,6 +691,37 @@ def hf_tokenizer_encode(
                 toks = [t if t in vocab else unk for t in toks]
                 toks = [t for t in toks if t is not None]
             return toks
+    elif model["kind"] == "wordpiece":
+        wp_vocab = model["vocab"]
+        wp_unk = model.get("unk_token")
+        wp_prefix = model.get("continuing_subword_prefix", "##")
+        wp_max = int(model.get("max_input_chars_per_word", 100))
+
+        def seg(pre: str) -> list[str]:
+            # HF WordPiece exactly: greedy longest-match from the
+            # left, continuations carry the prefix; any unmatched
+            # position makes the WHOLE word unk
+            if len(pre) > wp_max:
+                return [wp_unk] if wp_unk else []
+            out: list[str] = []
+            start = 0
+            n = len(pre)
+            while start < n:
+                end = n
+                cur = None
+                while start < end:
+                    sub = pre[start:end]
+                    if start > 0:
+                        sub = wp_prefix + sub
+                    if sub in wp_vocab:
+                        cur = sub
+                        break
+                    end -= 1
+                if cur is None:
+                    return [wp_unk] if wp_unk else []
+                out.append(cur)
+                start = end
+            return out
     elif model["kind"] == "unigram":
         from .unigram_lm import (byte_fallback_tokens, quantize_logprobs,
                                  viterbi_segment)

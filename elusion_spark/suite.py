@@ -7040,6 +7040,125 @@ def q161(spark, sf):
     ).orderBy("merge_rank")
 
 
+# q162: WordPiece (BERT-family) encode through the HF import path
+# (round 9): greedy longest-match with ## continuations and
+# whole-word [UNK] on any miss — the oracle replays the EXACT greedy
+# loop as a recursive CTE with a LATERAL longest-match probe per
+# position.  The vocab drops '##y' so real corpus words ("key",
+# "query", "any") hit the unk path, proving the miss semantics, not
+# just the happy path.
+_Q162_CHARS = "abcdefghijklmnopqrstuvwy"
+_Q162_VOCAB = (
+    ["[UNK]"] + list(_Q162_CHARS)
+    + ["##" + c for c in _Q162_CHARS if c != "y"]
+    + ["the", "##ing", "wor", "##d"]
+)
+
+
+def _q162_oracle() -> str:
+    vals = ", ".join(f"('{p}')" for p in _Q162_VOCAB if p != "[UNK]")
+    return f"""
+    WITH RECURSIVE vocab(piece) AS (VALUES {vals}),
+    v2 AS (
+      SELECT piece,
+             CASE WHEN piece LIKE '##%' THEN substr(piece, 3)
+                  ELSE piece END AS raw,
+             piece LIKE '##%' AS cont
+      FROM vocab
+    ),
+    words AS (
+        SELECT doc_id, arr[i] AS w, i AS wi
+        FROM (
+            SELECT doc_id, arr,
+                   unnest(generate_series(1, len(arr))) AS i
+            FROM (SELECT doc_id,
+                         list_filter(
+                             regexp_split_to_array(lower(text), '\\s+'),
+                             x -> length(x) > 0) AS arr
+                  FROM documents)
+        )
+    ),
+    seg AS (
+      SELECT doc_id, wi, w, 0 AS pos, CAST('' AS VARCHAR) AS toks,
+             FALSE AS failed
+      FROM words
+      UNION ALL
+      SELECT s.doc_id, s.wi, s.w,
+             CASE WHEN b.piece IS NULL THEN len(s.w)
+                  ELSE s.pos + len(b.raw) END,
+             CASE WHEN b.piece IS NULL THEN s.toks
+                  ELSE s.toks || CASE WHEN s.toks = '' THEN ''
+                                 ELSE ' ' END || b.piece END,
+             s.failed OR b.piece IS NULL
+      FROM seg s LEFT JOIN LATERAL (
+          SELECT piece, raw FROM v2
+          WHERE cont = (s.pos > 0)
+            AND substr(s.w, s.pos + 1, len(raw)) = raw
+          ORDER BY len(raw) DESC, piece LIMIT 1
+      ) b ON TRUE
+      WHERE s.pos < len(s.w) AND NOT s.failed
+    ),
+    fin AS (
+      SELECT doc_id, wi,
+             CASE WHEN failed THEN '[UNK]' ELSE toks END AS toks,
+             CASE WHEN failed THEN 1
+                  ELSE len(string_split(toks, ' ')) END AS n
+      FROM seg WHERE pos >= len(w) OR failed
+    )
+    SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+           MD5(STRING_AGG(toks, ' ' ORDER BY wi)) AS tok_md5
+    FROM fin GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@q("q162_wordpiece_encode", _q162_oracle())
+def q162(spark, sf):
+    """WordPiece encode via the published-tokenizer path
+    (tokenizer_io.py, round 9): write a BERT-family ``tokenizer.json``
+    (Lowercase + WhitespaceSplit + WordPiece), import it, encode with
+    ``hf_tokenizer_encode`` — zero shuffles, vocab-set greedy
+    longest-match in the closure, per-task distinct-word memo.  The
+    vocab omits ``##y`` so y-bearing words exercise the whole-word
+    [UNK] rule the oracle's recursive CTE replays position by
+    position.  (Corpus words are far below
+    max_input_chars_per_word=100, so that clamp is inert here —
+    pinned by the local BERT-file tests instead.)"""
+    import json as _json
+    import os
+    import tempfile
+
+    from .operators.tokenizer_io import (hf_tokenizer_encode,
+                                         import_hf_tokenizer_json)
+
+    doc = {
+        "version": "1.0", "truncation": None, "padding": None,
+        "added_tokens": [],
+        "normalizer": {"type": "Lowercase"},
+        "pre_tokenizer": {"type": "WhitespaceSplit"},
+        "post_processor": None, "decoder": None,
+        "model": {"type": "WordPiece", "unk_token": "[UNK]",
+                  "continuing_subword_prefix": "##",
+                  "max_input_chars_per_word": 100,
+                  "vocab": {p: i for i, p in enumerate(_Q162_VOCAB)}},
+    }
+    fd, path = tempfile.mkstemp(suffix=".json", prefix="q162_tok_")
+    with os.fdopen(fd, "w") as f:
+        _json.dump(doc, f)
+    model = import_hf_tokenizer_json(path)
+    d = _t(spark, sf, "documents", "d").df
+    enc = hf_tokenizer_encode(d.select("doc_id", "text"), "text", model)
+    return (
+        enc.filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.md5(F.array_join("tokens", " ")).alias("tok_md5"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -7052,6 +7171,7 @@ _NEEDS_EVIDENCE = [
     # driver slots, oldest evidence first.
     # Priority 1 — NEW this round (no driver evidence yet):
     "q160_hf_import_encode", "q161_pretokenized_fit",
+    "q162_wordpiece_encode",
     # Priority 2 — the last 9 rows whose latest driver evidence is r5
     # (VERDICT r8 ask #4 names them explicitly):
     "q12_fill_null", "q13_drop_null", "q14_fill_down", "q15_except",
@@ -7074,7 +7194,7 @@ _NEEDS_EVIDENCE = [
     "q71_train_val_test_split", "q72_lm_score", "q73_knn_join",
     "q74_chunk_documents", "q75_threshold_sweep", "q76_lm_score_bigram",
     "q77_containment_pairs", "q78_incremental_dedup",
-    "q79_upsample_by_weight", "q80_temperature_mix",
+    "q79_upsample_by_weight",
 ]
 _NEEDS_EVIDENCE = [k for k in _NEEDS_EVIDENCE if k in QUERIES]
 QUERIES = {

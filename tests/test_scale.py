@@ -351,9 +351,11 @@ SHUFFLE_BUDGETS = {
     "q158_unigram_byte_fallback": 6,
     # zero-shuffle map encode + the single digest-row repartition(1)
     "q159_bpe_map_encode": 1,
-    # imported-HF encode is the same zero-shuffle map shape as q159
-    # (pre-tokenizer rides the closure) + the digest repartition(1)
+    # imported-HF encodes are the same zero-shuffle map shape as q159
+    # (pre-tokenizer + model ride the closure) + the digest
+    # repartition(1)
     "q160_hf_import_encode": 1,
+    "q162_wordpiece_encode": 1,
 }
 
 

@@ -439,7 +439,8 @@ def test_hf_import_roundtrip_without_lib(tmp_path):
     with _pt.raises(ValueError, match="normalizer"):
         import_hf_tokenizer_json(p)
     d["normalizer"] = None
-    d["model"] = {"type": "WordPiece"}
+    # WordPiece imports since round 9; WordLevel remains unsupported
+    d["model"] = {"type": "WordLevel"}
     json.dump(d, open(p, "w"))
     with _pt.raises(ValueError, match="model type"):
         import_hf_tokenizer_json(p)
@@ -533,9 +534,14 @@ def test_parse_hf_pre_tokenizer_contract():
     assert parse_hf_pre_tokenizer(
         {"type": "Metaspace", "add_prefix_space": False}
     )["prepend_first"] is False
+    # round 9: Whitespace (regex form) and BertPreTokenizer parse too
+    assert parse_hf_pre_tokenizer(
+        {"type": "Whitespace"}) == {"type": "hf_whitespace"}
+    assert parse_hf_pre_tokenizer(
+        {"type": "BertPreTokenizer"})["type"] == "bert"
     for bad in ({"type": "Sequence", "pretokenizers": []},
                 {"type": "Digits"}, {"type": "Punctuation"},
-                {"type": "Whitespace"}, {"type": "Split"}):
+                {"type": "Split"}):
         with _pt.raises(ValueError):
             parse_hf_pre_tokenizer(bad)
 
@@ -850,3 +856,145 @@ def test_hf_bpe_vocab_unk_and_ignore_merges(spark, tmp_path):
     # engine-round-trip files are unaffected: empty vocab = no filter
     base["model"] = {"type": "BPE", "vocab": {}, "merges": ["a b"]}
     assert enc(base, "cab axb") == ["c", "ab", "a", "x", "b"]
+
+
+def test_hf_whitespace_and_bert_word_transforms():
+    """Round-9 pre-tokenizers, pure-python hand checks: Whitespace
+    (regex \\w+|[^\\w\\s]+) alternates word-char/other runs with
+    underscore counting as a word char; the BERT transform isolates
+    every punctuation char, optionally each CJK ideograph, and can
+    strip accents via NFD."""
+    from elusion_spark.operators.tokenizer_io import (
+        _hf_whitespace_pieces, _make_bert_word_transform)
+
+    assert _hf_whitespace_pieces("don't.") == ["don", "'", "t", "."]
+    assert _hf_whitespace_pieces("abc_12") == ["abc_12"]
+    assert _hf_whitespace_pieces("a-b--c") == ["a", "-", "b", "--", "c"]
+    assert _hf_whitespace_pieces("!!!") == ["!!!"]
+
+    bert = _make_bert_word_transform(
+        {"clean_text": False, "cjk": False, "strip_accents": False})
+    assert bert("hello!") == ["hello", "!"]
+    assert bert("don't") == ["don", "'", "t"]
+    assert bert("a,b.c") == ["a", ",", "b", ".", "c"]
+    bert_cjk = _make_bert_word_transform(
+        {"clean_text": False, "cjk": True, "strip_accents": True})
+    assert bert_cjk("ab中c") == ["ab", "中", "c"]
+    assert bert_cjk("héllo") == ["hello"]
+
+
+def test_hf_wordpiece_bert_file_end_to_end(spark, tmp_path):
+    """A full BERT-family tokenizer.json (BertNormalizer +
+    BertPreTokenizer + WordPiece) imports and encodes with exact HF
+    semantics: greedy longest-match with ## continuations, whole-word
+    [UNK] on any miss, punctuation isolated, lowercase from the
+    normalizer."""
+    import json
+
+    from elusion_spark.operators.tokenizer_io import (
+        hf_tokenizer_encode, import_hf_tokenizer_json)
+
+    vocab = ["[UNK]", "un", "##aff", "##able", "the", "cat", "!",
+             "run", "##ning"]
+    d = {"version": "1.0",
+         "normalizer": {"type": "BertNormalizer", "clean_text": True,
+                        "handle_chinese_chars": True,
+                        "strip_accents": None, "lowercase": True},
+         "pre_tokenizer": {"type": "BertPreTokenizer"},
+         "added_tokens": [],
+         "model": {"type": "WordPiece", "unk_token": "[UNK]",
+                   "continuing_subword_prefix": "##",
+                   "max_input_chars_per_word": 100,
+                   "vocab": {v: i for i, v in enumerate(vocab)}}}
+    p = str(tmp_path / "bert.json")
+    json.dump(d, open(p, "w"))
+    model = import_hf_tokenizer_json(p)
+    assert model["kind"] == "wordpiece" and model["lowercase"] is True
+    assert model["pre_tokenizer"]["type"] == "bert"
+    assert model["pre_tokenizer"]["strip_accents"] is True  # follows lc
+    df = spark.createDataFrame(
+        [(1, "The unaffable cat! runs unaffordable running")],
+        "doc_id long, text string")
+    out = hf_tokenizer_encode(df, "text", model).collect()[0]
+    assert out["tokens"] == [
+        "the", "un", "##aff", "##able", "cat", "!",
+        "[UNK]",                      # "runs": no "##s" piece
+        "[UNK]",                      # "unaffordable": miss mid-word
+        "run", "##ning"]
+    assert out["n_tokens"] == 10
+
+
+def test_hf_llama_metaspace_normalizer_import(spark, tmp_path):
+    """Real Llama-1/2 SentencePiece conversions carry metaspace as a
+    normalizer Sequence([Prepend ▁, Replace ' '→▁]) with a null
+    pre_tokenizer — the import maps it to the Metaspace per-word
+    transform and a Unigram encode runs end-to-end."""
+    import json
+
+    from elusion_spark.operators.tokenizer_io import (
+        hf_tokenizer_encode, import_hf_tokenizer_json)
+
+    d = {"version": "1.0",
+         "normalizer": {"type": "Sequence", "normalizers": [
+             {"type": "Prepend", "prepend": "▁"},
+             {"type": "Replace", "pattern": {"String": " "},
+              "content": "▁"}]},
+         "pre_tokenizer": None, "added_tokens": [],
+         "model": {"type": "Unigram", "unk_id": None,
+                   "byte_fallback": False,
+                   "vocab": [["▁ab", -1.0], ["▁", -3.0], ["a", -3.5],
+                             ["b", -3.5], ["ab", -2.0]]}}
+    p = str(tmp_path / "llama.json")
+    json.dump(d, open(p, "w"))
+    model = import_hf_tokenizer_json(p)
+    assert model["pre_tokenizer"] == {
+        "type": "metaspace", "replacement": "▁", "prepend_first": True}
+    assert model["lowercase"] is False
+    df = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    out = hf_tokenizer_encode(df, "text", model).collect()[0]
+    assert out["tokens"] == ["▁ab", "▁ab"]
+    # an explicit pre_tokenizer alongside the metaspace normalizer is
+    # an unsupported combination — loud, not silent
+    import pytest as _pt
+    d["pre_tokenizer"] = {"type": "WhitespaceSplit"}
+    json.dump(d, open(p, "w"))
+    with _pt.raises(ValueError, match="unsupported combination"):
+        import_hf_tokenizer_json(p)
+
+
+def test_hf_bert_wordpiece_through_tokenizers_lib(spark, tmp_path):
+    """Gated: the BERT-family import must match tokenizers.Tokenizer
+    token-for-token on single-space text, and the Whitespace(regex)
+    BPE path likewise."""
+    import json
+
+    import pytest as _pt
+    tokenizers = _pt.importorskip("tokenizers")
+
+    from elusion_spark.operators.tokenizer_io import (
+        hf_tokenizer_encode, import_hf_tokenizer_json)
+
+    texts = ["The unaffable cat! runs, héllo don't", "a-b 123 running"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    vocab = ["[UNK]", "un", "##aff", "##able", "the", "cat", "!", ",",
+             "run", "##ning", "a", "b", "-", "'", "hello", "don", "t",
+             "##2", "1", "##3", "runs"]
+    d = {"version": "1.0",
+         "normalizer": {"type": "BertNormalizer", "clean_text": True,
+                        "handle_chinese_chars": True,
+                        "strip_accents": None, "lowercase": True},
+         "pre_tokenizer": {"type": "BertPreTokenizer"},
+         "added_tokens": [],
+         "model": {"type": "WordPiece", "unk_token": "[UNK]",
+                   "continuing_subword_prefix": "##",
+                   "max_input_chars_per_word": 100,
+                   "vocab": {v: i for i, v in enumerate(vocab)}}}
+    p = str(tmp_path / "bert.json")
+    json.dump(d, open(p, "w"))
+    tok = tokenizers.Tokenizer.from_file(p)
+    model = import_hf_tokenizer_json(p)
+    ours = {r["doc_id"]: r["tokens"] for r in
+            hf_tokenizer_encode(df, "text", model).collect()}
+    for i, t in enumerate(texts):
+        assert ours[i] == tok.encode(t).tokens, t
