@@ -167,7 +167,11 @@ BUDGETS_SF01 = {
     # calibration runs (q157's wall is dominated by the 3-merge
     # bpe_fit's vocab jobs, shared shape with q140)
     "q157_bpe_word_encode": 2.85, "q158_unigram_byte_fallback": 1.6,
-    "q159_bpe_map_encode": 2.45,   # 1.3x worse of two same-day runs (1.87)
+    # r9 ratchet: q159's final-group composition changed (3-4 small
+    # entries after q46 moved ahead of it) and five clean same-day
+    # readings sat at 0.87-1.08; 1.3x the worse clean pair (1.055 /
+    # 1.076) — was 2.45 from the r8 grouping
+    "q159_bpe_map_encode": 1.45,
     # round-9 entries: 1.3x the worse of two same-day CLEAN calibration
     # runs of the final group (q160: 0.662/0.734 at drift <= 1.006;
     # q162: 0.715/0.634 at drift <= 1.087 — a third run at drift 2.27
