@@ -467,7 +467,16 @@ def bpe_segment_word(word: str, ranks: dict) -> list[str]:
     (tests/test_bpe.py).  Cost: O(word_len x merges_applied) — absent
     merges cost nothing, vs the chain path where every document pays a
     scan per merge whether or not the pair occurs."""
-    syms = list(word)
+    return bpe_segment_syms(list(word), ranks)
+
+
+def bpe_segment_syms(syms: list[str], ranks: dict) -> list[str]:
+    """``bpe_segment_word`` on an already-built initial symbol list —
+    the entry HF-interop needs: foreign files with a restricted vocab
+    unk-map or drop unknown CHARACTERS before merges run (HF's
+    ``merge_word`` order), so the initial sequence may contain
+    multi-char symbols like ``<unk>`` (see tokenizer_io.py
+    ``hf_tokenizer_encode``)."""
     while len(syms) > 1:
         best_rank = None
         bl = br = None

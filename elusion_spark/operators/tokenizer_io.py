@@ -277,9 +277,11 @@ def parse_hf_pre_tokenizer(pt: dict | None) -> dict:
                 "prepend_first": scheme in ("always", "first")}
     raise ValueError(
         f"unsupported pre_tokenizer {pt!r}: only absent/"
-        "WhitespaceSplit/ByteLevel/Metaspace can be replayed exactly "
-        "by the engine's encode paths — refusing to import a file "
-        "that would silently tokenize wrongly")
+        "WhitespaceSplit/Whitespace/ByteLevel/Metaspace/"
+        "BertPreTokenizer (and Sequence[Split(known regex), "
+        "ByteLevel]) can be replayed exactly by the engine's encode "
+        "paths — refusing to import a file that would silently "
+        "tokenize wrongly")
 
 
 def hf_pre_tokenizer_block(spec: dict) -> dict:
@@ -293,6 +295,20 @@ def hf_pre_tokenizer_block(spec: dict) -> dict:
     if t == "hf_whitespace":
         return {"type": "Whitespace"}
     if t == "bert":
+        if any(spec.get(k) for k in
+               ("strip_accents", "clean_text", "cjk")):
+            # those knobs live in the NORMALIZER block in HF's format
+            # (BertNormalizer), which this function cannot emit —
+            # serializing just {'type': 'BertPreTokenizer'} would
+            # silently drop them (ADVICE r9 #4).
+            # export_hf_tokenizer_json handles full bert specs by
+            # writing the matching BertNormalizer itself.
+            raise ValueError(
+                "bert spec carries normalizer-side options "
+                "(strip_accents/clean_text/cjk) that a pre_tokenizer "
+                "block alone cannot express — use "
+                "export_hf_tokenizer_json(pre_tokenizer=<bert spec>), "
+                "which emits the matching BertNormalizer block")
         return {"type": "BertPreTokenizer"}
     if t == "byte_level":
         return {"type": "ByteLevel",
@@ -424,20 +440,44 @@ def export_hf_tokenizer_json(
     if (bpe_merges is None) == (unigram_model is None):
         raise ValueError(
             "pass exactly one of bpe_merges / unigram_model")
+    normalizer = {"type": "Lowercase"} if lowercase else None
+    if pre_tokenizer is not None:
+        pre_spec = parse_hf_pre_tokenizer(pre_tokenizer)
+        if pre_spec["type"] == "bert" and any(
+                pre_spec.get(k) for k in
+                ("strip_accents", "clean_text", "cjk")):
+            # BERT specs with normalizer-side options serialize as the
+            # matching BertNormalizer + BertPreTokenizer pair (ADVICE
+            # r9 #4: emitting Lowercase + BertPreTokenizer would
+            # silently drop strip_accents/clean_text/cjk, so a
+            # re-exported imported-BERT file would import back with
+            # different semantics).  Round-trips bit-exactly through
+            # import_hf_tokenizer_json's BertNormalizer branch.
+            normalizer = {
+                "type": "BertNormalizer",
+                "clean_text": bool(pre_spec.get("clean_text", False)),
+                "handle_chinese_chars": bool(pre_spec.get("cjk", False)),
+                "strip_accents": bool(pre_spec.get("strip_accents",
+                                                   False)),
+                "lowercase": bool(lowercase),
+            }
+            pre_block: dict | None = {"type": "BertPreTokenizer"}
+        else:
+            pre_block = hf_pre_tokenizer_block(pre_spec)
+    else:
+        pre_block = {"type": "WhitespaceSplit"}
     out: dict = {
         "version": "1.0",
         "truncation": None,
         "padding": None,
         "added_tokens": [],
-        "normalizer": {"type": "Lowercase"} if lowercase else None,
+        "normalizer": normalizer,
         # default: the engine's own whitespace pipeline; models TRAINED
         # in a pre-token space (bpe_fit(pre_tokenizer=...)) pass the
         # matching spec so the exported file replays it (ByteLevel /
         # Metaspace), making the export a real published-format
         # tokenizer
-        "pre_tokenizer": (hf_pre_tokenizer_block(pre_tokenizer)
-                          if pre_tokenizer is not None
-                          else {"type": "WhitespaceSplit"}),
+        "pre_tokenizer": pre_block,
         "post_processor": None,
         "decoder": None,
     }
@@ -611,6 +651,7 @@ def import_hf_tokenizer_json(path: str) -> dict:
         return {"kind": "bpe", "merges": merges,
                 "vocab": set(model.get("vocab") or ()),
                 "unk_token": model.get("unk_token"),
+                "fuse_unk": bool(model.get("fuse_unk", False)),
                 "ignore_merges": bool(model.get("ignore_merges",
                                                 False)),
                 **common}
@@ -659,7 +700,7 @@ def hf_tokenizer_encode(
     library token-for-token (gated test); whitespace runs collapse."""
     from pyspark.sql import functions as F
 
-    from .bpe import bpe_segment_word
+    from .bpe import bpe_segment_syms, bpe_segment_word
     from .wordseg import encode_words_in_task
 
     if model is None:
@@ -674,23 +715,35 @@ def hf_tokenizer_encode(
                  for i, m in enumerate(model["merges"])}
         vocab = model.get("vocab") or None
         unk = model.get("unk_token")
+        fuse_unk = bool(model.get("fuse_unk", False))
         ignore_merges = bool(model.get("ignore_merges", False))
 
         def seg(pre: str) -> list[str]:
             # HF BPE semantics for foreign files: ignore_merges emits
             # an in-vocab pre-token whole (Llama-3 family — tokens
-            # added directly to the vocab, not derivable from merges);
-            # a non-empty vocab maps post-merge symbols outside it to
-            # unk_token, or DROPS them when unk is None (exactly what
-            # HF does — the engine-export path seeds the full alphabet
-            # so this branch never fires on our own files)
+            # added directly to the vocab, not derivable from merges).
+            # A non-empty vocab filters the CHARACTER sequence BEFORE
+            # merges run — HF's merge_word order (ADVICE r9 #1):
+            # unknown chars map to unk_token (adjacent ones fused when
+            # fuse_unk) or are DROPPED when unk is None, and the
+            # SURVIVING neighbors then merge (vocab {a,b,ab}, merge
+            # 'a b', word 'axb' → ['ab'], matching HF).  Merge outputs
+            # are in-vocab by HF's own load-time validation, so no
+            # post-merge filter is needed.  The engine-export path
+            # seeds the full alphabet so none of this fires on our own
+            # files.
             if ignore_merges and vocab is not None and pre in vocab:
                 return [pre]
-            toks = bpe_segment_word(pre, ranks)
-            if vocab:
-                toks = [t if t in vocab else unk for t in toks]
-                toks = [t for t in toks if t is not None]
-            return toks
+            if not vocab:
+                return bpe_segment_word(pre, ranks)
+            syms: list[str] = []
+            for c in pre:
+                if c in vocab:
+                    syms.append(c)
+                elif unk is not None and not (
+                        fuse_unk and syms and syms[-1] == unk):
+                    syms.append(unk)
+            return bpe_segment_syms(syms, ranks)
     elif model["kind"] == "wordpiece":
         wp_vocab = model["vocab"]
         wp_unk = model.get("unk_token")

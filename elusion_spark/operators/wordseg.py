@@ -108,11 +108,17 @@ def encode_words_in_task(
                  else segment_word)
     # fresh StructType — df.schema is cached on the DataFrame and
     # StructType.add mutates in place; an existing out_col field is
-    # REPLACED (appended at the end), matching withColumn's semantics
-    # on the chain path so the modes stay schema-identical
-    schema = T.StructType(
-        [f for f in df.schema.fields if f.name != out_col]
-        + [T.StructField(out_col, T.ArrayType(T.StringType()))])
+    # REPLACED IN PLACE (keeping its original position — withColumn's
+    # semantics on the chain path, ADVICE r9 #5), so the modes stay
+    # schema-identical including column ORDER
+    out_field = T.StructField(out_col, T.ArrayType(T.StringType()))
+    if out_col in df.columns:
+        schema = T.StructType(
+            [out_field if f.name == out_col else f
+             for f in df.schema.fields])
+    else:
+        schema = T.StructType(list(df.schema.fields) + [out_field])
+    col_order = [f.name for f in schema.fields]
 
     def _fn(pdfs):
         memo: dict = {}       # per-PARTITION memos: survive Arrow
@@ -128,6 +134,14 @@ def encode_words_in_task(
                 first = True
                 if t is not None:
                     t2 = str(t).lower() if lowercase else str(t)
+                    # a document that STARTS with whitespace has its
+                    # first surviving word space-preceded in the
+                    # original text — position-sensitive
+                    # pre-tokenizers (ByteLevel apfs=False, Metaspace
+                    # 'never') must see it as mid-document (ADVICE r9
+                    # #2: ' hello' is HF's ['Ġhello'], not ['hello'])
+                    if ws.match(t2):
+                        first = False
                     for w in ws.split(t2):
                         if not w or not flt(w):
                             continue
@@ -146,7 +160,7 @@ def encode_words_in_task(
                 col.append(toks)
             pdf = pdf.copy()
             pdf[out_col] = col
-            yield pdf
+            yield pdf[col_order]
 
     return df.mapInPandas(_fn, schema)
 

@@ -818,12 +818,16 @@ def test_pretokenized_fit_export_import_encode_roundtrip(spark, tmp_path):
 
 
 def test_hf_bpe_vocab_unk_and_ignore_merges(spark, tmp_path):
-    """Foreign-file BPE semantics (round 9): with a restricted vocab,
-    post-merge symbols outside it are DROPPED when unk_token is None
-    and mapped to unk_token when set (HF behavior — previously the
-    engine emitted them, silently diverging); ignore_merges=true emits
-    an in-vocab pre-token whole without running merges (the Llama-3
-    family's direct-vocab tokens)."""
+    """Foreign-file BPE semantics (round 9, char-order fixed per
+    ADVICE r9 #1): with a restricted vocab, unknown CHARACTERS are
+    filtered BEFORE merges run — HF's merge_word order — so under
+    unk_token=None the surviving neighbors of a dropped char can merge
+    ('axb' with vocab {a,b,ab} and merge 'a b' → ['ab'], exactly HF);
+    under an explicit unk the unknown char becomes the unk symbol IN
+    the pre-merge sequence (blocking the a·b adjacency in 'axb');
+    fuse_unk collapses ADJACENT unknowns into one unk; ignore_merges=
+    true emits an in-vocab pre-token whole without running merges (the
+    Llama-3 family's direct-vocab tokens)."""
     import json
 
     from elusion_spark.operators.tokenizer_io import (
@@ -843,12 +847,19 @@ def test_hf_bpe_vocab_unk_and_ignore_merges(spark, tmp_path):
                       "ignore_merges": False,
                       "vocab": {"a": 0, "b": 1, "ab": 2},
                       "merges": ["a b"]}}
-    # 'c' and 'x' are out-of-vocab: dropped under unk None
-    assert enc(base, "cab axb") == ["ab", "a", "b"]
-    # ...mapped under an explicit unk
+    # 'c' and 'x' are out-of-vocab: dropped BEFORE merging, so the
+    # surviving a·b in BOTH words merges (HF merge_word order)
+    assert enc(base, "cab axb") == ["ab", "ab"]
+    # ...mapped under an explicit unk: the unk symbol sits between a
+    # and b in 'axb', so that pair never becomes adjacent
     base["model"]["unk_token"] = "<unk>"
     base["model"]["vocab"]["<unk>"] = 3
     assert enc(base, "cab axb") == ["<unk>", "ab", "a", "<unk>", "b"]
+    # fuse_unk: ADJACENT unknowns collapse into one unk symbol
+    base["model"]["fuse_unk"] = True
+    assert enc(base, "cxxa") == ["<unk>", "a"]
+    base["model"]["fuse_unk"] = False
+    assert enc(base, "cxxa") == ["<unk>", "<unk>", "<unk>", "a"]
     # ignore_merges: whole pre-token in vocab short-circuits merging
     base["model"]["vocab"]["axb"] = 4
     base["model"]["ignore_merges"] = True
@@ -856,6 +867,44 @@ def test_hf_bpe_vocab_unk_and_ignore_merges(spark, tmp_path):
     # engine-round-trip files are unaffected: empty vocab = no filter
     base["model"] = {"type": "BPE", "vocab": {}, "merges": ["a b"]}
     assert enc(base, "cab axb") == ["c", "ab", "a", "x", "b"]
+
+
+def test_hf_bpe_restricted_vocab_roundtrip_vs_tokenizers_lib(
+        spark, tmp_path):
+    """Gated: the restricted-vocab drop path (unk=None, a char missing
+    from the vocab) against the real ``tokenizers`` library — the
+    branch the full-alphabet gated test never exercises (ADVICE r9
+    #1)."""
+    import json
+
+    import pytest
+
+    tokenizers = pytest.importorskip("tokenizers")
+    from elusion_spark.operators.tokenizer_io import (
+        hf_tokenizer_encode, import_hf_tokenizer_json)
+
+    d = {"version": "1.0", "normalizer": None,
+         "pre_tokenizer": {"type": "WhitespaceSplit"},
+         "added_tokens": [],
+         "model": {"type": "BPE", "dropout": None, "unk_token": None,
+                   "continuing_subword_prefix": None,
+                   "end_of_word_suffix": None, "fuse_unk": False,
+                   "byte_fallback": False, "ignore_merges": False,
+                   "vocab": {"a": 0, "b": 1, "c": 2, "ab": 3, "abc": 4},
+                   "merges": ["a b", "ab c"]}}
+    p = str(tmp_path / "rv.json")
+    json.dump(d, open(p, "w"))
+    tok = tokenizers.Tokenizer.from_file(p)
+    model = import_hf_tokenizer_json(p)
+    texts = ["axbc", "abxc", "xxabc", "abcx", "axxb cxa"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["doc_id"]: r["tokens"]
+           for r in hf_tokenizer_encode(df, "text", model).collect()}
+    for i, t in enumerate(texts):
+        want = [tok2 for w in t.split()
+                for tok2 in tok.encode(w).tokens]
+        assert got[i] == want, (t, got[i], want)
 
 
 def test_hf_whitespace_and_bert_word_transforms():
@@ -998,3 +1047,102 @@ def test_hf_bert_wordpiece_through_tokenizers_lib(spark, tmp_path):
             hf_tokenizer_encode(df, "text", model).collect()}
     for i, t in enumerate(texts):
         assert ours[i] == tok.encode(t).tokens, t
+
+
+def test_leading_whitespace_first_word_is_space_preceded(spark, tmp_path):
+    """ADVICE r9 #2: a document that STARTS with whitespace has its
+    first surviving word space-preceded in the original text, so
+    position-sensitive pre-tokenizers must treat it as mid-document:
+    ByteLevel add_prefix_space=False keeps the Ġ marker (' hello' →
+    ['Ġhello'], HF-exact), Metaspace prepend_scheme='never' keeps the
+    ▁."""
+    import json
+
+    from elusion_spark.operators.tokenizer_io import (
+        hf_tokenizer_encode, import_hf_tokenizer_json)
+
+    def enc(pre, texts):
+        d = {"version": "1.0", "normalizer": None, "pre_tokenizer": pre,
+             "added_tokens": [],
+             "model": {"type": "BPE", "unk_token": None,
+                       "vocab": {}, "merges": []}}
+        p = str(tmp_path / "lw.json")
+        json.dump(d, open(p, "w"))
+        model = import_hf_tokenizer_json(p)
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string")
+        return {r["doc_id"]: r["tokens"] for r in
+                hf_tokenizer_encode(df, "text", model).collect()}
+
+    bl = {"type": "ByteLevel", "add_prefix_space": False,
+          "use_regex": True}
+    got = enc(bl, ["hi", " hi", "\thi", "a hi"])
+    assert got[0] == list("hi")                   # true document start
+    assert got[1] == ["Ġ"] + list("hi")[1:] or got[1][0].startswith("Ġ")
+    assert got[1] == got[3][-len(got[1]):]        # == mid-document form
+    assert got[2] == got[1]                       # any leading ws run
+    ms = {"type": "Metaspace", "replacement": "▁",
+          "prepend_scheme": "never"}
+    got = enc(ms, ["hi", " hi", "x hi"])
+    assert got[0] == list("hi")
+    assert got[1] == ["▁"] + list("hi") or got[1][0] == "▁h"
+    assert got[1] == got[2][-len(got[1]):]
+
+
+def test_bert_export_emits_bert_normalizer(tmp_path):
+    """ADVICE r9 #4: exporting a bert pre-tokenizer spec that carries
+    normalizer-side options writes the matching BertNormalizer block
+    (not Lowercase), so import→export→import is semantics-identical;
+    hf_pre_tokenizer_block alone raises rather than silently dropping
+    the options."""
+    import json
+
+    import pytest
+
+    from elusion_spark.operators.tokenizer_io import (
+        export_hf_tokenizer_json, hf_pre_tokenizer_block,
+        import_hf_tokenizer_json)
+
+    spec = {"type": "bert", "strip_accents": True, "clean_text": True,
+            "cjk": True}
+    with pytest.raises(ValueError, match="BertNormalizer"):
+        hf_pre_tokenizer_block(spec)
+    # plain bert (no extras) still serializes as the bare block
+    assert hf_pre_tokenizer_block(
+        {"type": "bert", "strip_accents": False, "clean_text": False,
+         "cjk": False}) == {"type": "BertPreTokenizer"}
+
+    p = str(tmp_path / "bert_export.json")
+    export_hf_tokenizer_json(
+        p, bpe_merges=[{"merge_rank": 1, "lft": "a", "rgt": "b",
+                        "pair_count": 2}],
+        lowercase=True, alphabet=set("abc"), pre_tokenizer=spec)
+    d = json.load(open(p))
+    assert d["normalizer"]["type"] == "BertNormalizer"
+    assert d["normalizer"]["strip_accents"] is True
+    assert d["normalizer"]["handle_chinese_chars"] is True
+    assert d["normalizer"]["lowercase"] is True
+    assert d["pre_tokenizer"] == {"type": "BertPreTokenizer"}
+    back = import_hf_tokenizer_json(p)
+    assert back["lowercase"] is True
+    assert back["pre_tokenizer"] == {
+        "type": "bert", "strip_accents": True, "clean_text": True,
+        "cjk": True}
+
+
+def test_encode_out_col_replaced_in_place(spark):
+    """ADVICE r9 #5: when out_col already exists, encode_words_in_task
+    replaces the field AT ITS ORIGINAL POSITION (withColumn semantics),
+    so both encode modes produce the same column order."""
+    from elusion_spark.operators.wordseg import encode_words_in_task
+
+    df = spark.createDataFrame(
+        [(1, ["old"], "a b")], "id long, tokens array<string>, text string")
+    out = encode_words_in_task(df, "text", lambda w: [w])
+    assert out.columns == ["id", "tokens", "text"]
+    assert out.collect()[0]["tokens"] == ["a", "b"]
+    # chain-path parity: withColumn keeps the replaced column's slot
+    from pyspark.sql import functions as F
+    assert df.withColumn(
+        "tokens", F.split("text", " ")).columns == out.columns
