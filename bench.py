@@ -150,7 +150,12 @@ BUDGETS_SF01 = {
     "q115_market_share": 1.35, "q121_waiting_suppliers": 1.45,
     "q133_leakage_safe_split": 0.6, "q134_bloom_prejoin": 1.9,
     "q135_dedup_repeated_spans": 1.5, "q136_retrieval_metrics": 1.45,
-    "q138_token_budget_mix": 0.55, "q140_bpe_encode": 3.7,
+    # q138 re-banded r10 (VERDICT r9 ask #5): 0.55 was 1.45x the 0.378
+    # clean floor — below the 1.5-1.7x headroom the group-4
+    # re-adjudication endorsed — and tripped on contention in the r9
+    # driver run (drift-adjusted 0.539, contention_suspect true).
+    # 0.378 x 1.6 = 0.60; SCALE.md r10 note.
+    "q138_token_budget_mix": 0.6, "q140_bpe_encode": 3.7,
     "q141_random_projection": 0.75, "q142_pq_adc_topk": 1.25,
     "q143_ivf_pq_search": 1.3, "q147_dsir_importance": 2.45,
     "q148_pmi_collocations": 1.85,
@@ -494,7 +499,16 @@ def _run_sf1() -> dict:
 
 def _run_floor10x() -> dict:
     """Child body: the floor-bound pair re-timed at the 10x documents
-    fixture, own fresh JVM (see FLOOR10X_QUERIES)."""
+    fixture, own fresh JVM (see FLOOR10X_QUERIES).
+
+    Canary-bracketed since round 10 (VERDICT r9 ask #1 — this was the
+    ONLY harness slice without the drift instrument, and the r9
+    driver-run violations here were unadjudicatable by construction:
+    same-code committed runs read 1.96/4.27 while the driver run read
+    4.63/8.05 with the sibling sf1 block at drift 1.214).  The same
+    three-probe bracket the sf0.1 groups and the sf1 block carry: a
+    violation at drift >> 1 is the machine, at ~1.0 a real
+    regression."""
     from elusion_spark.session import get_spark
     from elusion_spark.suite import QUERIES
 
@@ -512,6 +526,13 @@ def _run_floor10x() -> dict:
             "overwrite").save()
     spark.catalog.clearCache()
     time.sleep(3)
+    _canary_time(spark)
+    _canary_shuffle_time(spark)
+    _canary_io_time()
+    canary_start = min(_canary_time(spark), _canary_time(spark))
+    shuffle_start = min(_canary_shuffle_time(spark),
+                        _canary_shuffle_time(spark))
+    io_start = min(_canary_io_time(), _canary_io_time())
     t1: dict[str, float] = {}
     for _pass in range(2):
         for name in FLOOR10X_QUERIES:
@@ -522,13 +543,32 @@ def _run_floor10x() -> dict:
             if name not in t1 or el < t1[name]:
                 t1[name] = el
         spark.catalog.clearCache()
+    canary_end = min(_canary_time(spark), _canary_time(spark))
+    shuffle_end = min(_canary_shuffle_time(spark),
+                      _canary_shuffle_time(spark))
+    io_end = min(_canary_io_time(), _canary_io_time())
+    canary = {"start": canary_start, "end": canary_end,
+              "floor": CANARY_FLOOR,
+              "shuffle_start": shuffle_start, "shuffle_end": shuffle_end,
+              "shuffle_floor": SHUFFLE_CANARY_FLOOR,
+              "io_start": io_start, "io_end": io_end,
+              "io_floor": IO_CANARY_FLOOR}
+    drift = _group_drift(canary)
     return {
         "queries": t1,
-        "violations": {n: {"sec": t1[n], "budget": BUDGETS_FLOOR10X[n]}
-                       for n in t1 if t1[n] > BUDGETS_FLOOR10X[n]},
+        "canary": {**canary, "drift": drift},
+        "violations": {
+            n: {"sec": t1[n], "budget": BUDGETS_FLOOR10X[n],
+                "canary_drift": drift,
+                "adjusted_sec": round(t1[n] / drift, 3),
+                "contention_suspect":
+                    round(t1[n] / drift, 3) <= BUDGETS_FLOOR10X[n]}
+            for n in t1 if t1[n] > BUDGETS_FLOOR10X[n]},
         "note": "10x documents replica (/tmp/scale10, pathological "
                 "exact-dup density); min-of-2, fresh JVM — the "
-                "data-cost view of the sf0.1 floor-bound entries",
+                "data-cost view of the sf0.1 floor-bound entries; "
+                "canary-bracketed since r10 (drift attributes host "
+                "contention, same instrument as the sf1 block)",
     }
 
 
@@ -750,11 +790,64 @@ def main() -> None:
                 out["sf1"] = _spawn({"mode": "sf1"}, timeout=2400)
             except Exception as exc:   # fixture build/run failure must
                 out["sf1"] = {"error": str(exc)[:200]}  # not kill bench
-        # floor-bound pair at its 10x fixture (data-cost view)
+        # floor-bound pair at its 10x fixture (data-cost view); same
+        # rerun-on-drift rule as the sf0.1 groups (VERDICT r9 ask #1):
+        # a violation whose canaries drifted past RERUN_DRIFT is
+        # re-measured in a fresh child rather than shipped annotated —
+        # per-query min of both runs, better drift kept, both runs in
+        # the block's own provenance
         if os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1":
             try:
-                out["floor_bound_10x"] = _spawn(
-                    {"mode": "floor10x"}, timeout=2400)
+                f10 = _spawn({"mode": "floor10x"}, timeout=2400)
+                runs = [{"run": 1,
+                         "drift": (f10.get("canary") or {}).get(
+                             "drift", 1.0),
+                         "violations": sorted(f10.get("violations")
+                                              or ()),
+                         "times": f10["queries"]}]
+                drift1 = runs[0]["drift"]
+                if f10.get("violations") and _should_rerun(
+                        f10["queries"], budgets=BUDGETS_FLOOR10X,
+                        drift=drift1):
+                    reason = ("mass_violation" if _should_rerun(
+                        f10["queries"], budgets=BUDGETS_FLOOR10X,
+                        drift=1.0) else "violation_with_canary_drift")
+                    try:
+                        f10b = _spawn({"mode": "floor10x"}, timeout=2400)
+                        drift2 = (f10b.get("canary") or {}).get(
+                            "drift", 1.0)
+                        runs.append({"run": 2, "drift": drift2,
+                                     "violations": sorted(
+                                         f10b.get("violations") or ()),
+                                     "times": f10b["queries"],
+                                     "rerun_reason": reason})
+                        merged = _merge_min(f10["queries"],
+                                            f10b["queries"])
+                        drift = min(drift1, drift2)
+                        f10["queries"] = merged
+                        f10["canary"] = (
+                            f10b["canary"] if drift2 < drift1
+                            else f10["canary"])
+                        f10["violations"] = {
+                            n: {"sec": merged[n],
+                                "budget": BUDGETS_FLOOR10X[n],
+                                "canary_drift": drift,
+                                "adjusted_sec": round(
+                                    merged[n] / drift, 3),
+                                "contention_suspect": round(
+                                    merged[n] / drift, 3)
+                                <= BUDGETS_FLOOR10X[n]}
+                            for n in merged
+                            if merged[n] > BUDGETS_FLOOR10X[n]}
+                    except Exception as exc:
+                        errors["floor_bound_10x_rerun"] = str(exc)[:300]
+                        out["errors"] = errors
+                f10["provenance"] = {
+                    "runs": runs,
+                    "chosen": ("per_query_min_of_runs"
+                               if len(runs) > 1 else "single_run"),
+                }
+                out["floor_bound_10x"] = f10
             except Exception as exc:
                 out["floor_bound_10x"] = {"error": str(exc)[:200]}
 
