@@ -64,6 +64,7 @@ def encode_words_in_task(
     out_col: str = "tokens",
     word_filter_py: Callable[[str], bool] | None = None,
     segment_first_word: Callable[[str], list[str]] | None = None,
+    specials: list[str] | None = None,
 ) -> DataFrame:
     """ZERO-SHUFFLE sibling of ``encode_words_via_distinct``: tokenize
     each document inside one ``mapInPandas`` pass with the model in
@@ -96,12 +97,29 @@ def encode_words_in_task(
     pre-tokenizers need it (HF ByteLevel attaches the preceding space
     to a word's first piece, so the document-initial word differs;
     Metaspace ``prepend_scheme='never'`` skips the prefix only there).
-    Memoized separately from the mid-document memo."""
+    Memoized separately from the mid-document memo.
+
+    ``specials`` (round 10, VERDICT r9 ask #6 — HF's added-token
+    extraction): literal strings matched on the RAW text BEFORE
+    lowercasing (HF special tokens default ``normalized=false``),
+    longest-first, each match emitting itself as ONE token; the text
+    between matches is processed per segment exactly like an
+    independent document (HF pre-tokenizes each section between added
+    tokens separately), so a segment starting right after a special
+    with no intervening space gets document-initial semantics and a
+    space-led segment gets the mid-document form."""
     import re
 
     from pyspark.sql import types as T
 
     ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    spec_re = None
+    spec_set: set[str] = set()
+    if specials:
+        spec_set = set(specials)
+        spec_re = re.compile("(" + "|".join(
+            re.escape(s) for s in
+            sorted(spec_set, key=len, reverse=True)) + ")")
     flt = word_filter_py if word_filter_py is not None else (
         lambda w: True)
     seg_first = (segment_first_word if segment_first_word is not None
@@ -131,32 +149,45 @@ def encode_words_in_task(
             col = []
             for t in pdf[text_col]:
                 toks: list[str] = []
-                first = True
                 if t is not None:
-                    t2 = str(t).lower() if lowercase else str(t)
-                    # a document that STARTS with whitespace has its
-                    # first surviving word space-preceded in the
-                    # original text — position-sensitive
-                    # pre-tokenizers (ByteLevel apfs=False, Metaspace
-                    # 'never') must see it as mid-document (ADVICE r9
-                    # #2: ' hello' is HF's ['Ġhello'], not ['hello'])
-                    if ws.match(t2):
-                        first = False
-                    for w in ws.split(t2):
-                        if not w or not flt(w):
+                    raw = str(t)
+                    # added-token extraction on the RAW text: captured
+                    # specials come back as their own list entries
+                    # (a plain segment can never EQUAL a special —
+                    # the split removed every occurrence)
+                    segs = ([raw] if spec_re is None
+                            else [s for s in spec_re.split(raw) if s])
+                    for seg in segs:
+                        if seg in spec_set:
+                            toks.append(seg)
                             continue
-                        if first:
-                            r = memo_first.get(w)
-                            if r is None:
-                                r = seg_first(w)
-                                memo_first[w] = r
-                            first = False
-                        else:
-                            r = memo.get(w)
-                            if r is None:
-                                r = segment_word(w)
-                                memo[w] = r
-                        toks.extend(r)
+                        t2 = seg.lower() if lowercase else seg
+                        # a segment that STARTS with whitespace has
+                        # its first surviving word space-preceded in
+                        # the original text — position-sensitive
+                        # pre-tokenizers (ByteLevel apfs=False,
+                        # Metaspace 'never') must see it as
+                        # mid-document (ADVICE r9 #2: ' hello' is
+                        # HF's ['Ġhello'], not ['hello']); a segment
+                        # starting flush after a special token gets
+                        # document-initial semantics, matching HF's
+                        # per-section pre-tokenization
+                        first = not ws.match(t2)
+                        for w in ws.split(t2):
+                            if not w or not flt(w):
+                                continue
+                            if first:
+                                r = memo_first.get(w)
+                                if r is None:
+                                    r = seg_first(w)
+                                    memo_first[w] = r
+                                first = False
+                            else:
+                                r = memo.get(w)
+                                if r is None:
+                                    r = segment_word(w)
+                                    memo[w] = r
+                            toks.extend(r)
                 col.append(toks)
             pdf = pdf.copy()
             pdf[out_col] = col

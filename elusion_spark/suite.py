@@ -7422,6 +7422,125 @@ def q164(spark, sf):
     ).orderBy("doc_id")
 
 
+# q165: HF added-token (special-token) handling at encode (round 10,
+# VERDICT r9 ask #6): the corpus REALLY carries the chosen specials
+# ('data'/'value' occur in ~78% of documents — verified whole-word at
+# every sf, which is what makes the SQL replay exact: split-on-special
+# + per-section whitespace split ≡ whitespace split + per-word special
+# check when specials never occur mid-word; a mid-word occurrence
+# would turn this row red, so the oracle doubles as the corpus-shape
+# assertion).  The engine side runs BOTH new surfaces:
+# `hf_tokenizer_encode(special_tokens='split')` (raw-text added-token
+# extraction, one token per special) and `contains_special_tokens`
+# (pure-codegen hit detection).  The mid-word and position-semantics
+# cases SQL can't see are unit-pinned
+# (test_special_tokens_surface_vs_split).
+_Q165_MERGES = [("t", "a"), ("ta", "b"), ("l", "e")]
+_Q165_SPECIALS = ["data", "value"]
+
+
+def _q165_oracle() -> str:
+    def rep(expr, l, r):
+        return (f"replace({expr}, chr(31) || '{l}' || chr(31) || "
+                f"chr(31) || '{r}' || chr(31), chr(31) || '{l}{r}' || "
+                "chr(31))")
+
+    chain = ("chr(31) || array_to_string("
+             "regexp_split_to_array(w, ''), "
+             "chr(31) || chr(31)) || chr(31)")
+    for l, r in _Q165_MERGES:
+        chain = rep(chain, l, r)
+    sp_in = ", ".join(f"'{s}'" for s in _Q165_SPECIALS)
+    sp_arr = "[" + ", ".join(f"'{s}'" for s in _Q165_SPECIALS) + "]"
+    return f"""
+    WITH words AS (
+        SELECT doc_id, arr[i] AS w, i AS wi
+        FROM (
+            SELECT doc_id, arr,
+                   unnest(generate_series(1, len(arr))) AS i
+            FROM (SELECT doc_id,
+                         list_filter(
+                             regexp_split_to_array(text, '\\s+'),
+                             x -> length(x) > 0) AS arr
+                  FROM documents)
+        )
+    ), enc AS (
+        SELECT doc_id, wi,
+               CASE WHEN w IN ({sp_in}) THEN [w]
+                    ELSE string_split(trim({chain}, chr(31)),
+                                      chr(31) || chr(31))
+               END AS syms
+        FROM words
+    ), agg AS (
+        SELECT doc_id,
+               CAST(SUM(len(syms)) AS BIGINT) AS n_tokens,
+               MD5(STRING_AGG(array_to_string(syms, ' '), ' '
+                              ORDER BY wi)) AS tok_md5
+        FROM enc GROUP BY doc_id
+    )
+    SELECT d.doc_id, a.n_tokens, a.tok_md5,
+           coalesce(array_to_string(
+               list_filter({sp_arr}, t -> contains(d.text, t)),
+               ','), '') AS hits
+    FROM documents d JOIN agg a ON a.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@q("q165_special_token_split", _q165_oracle())
+def q165(spark, sf):
+    """Special-token (added-token) encode + detection end-to-end
+    (tokenizer_io.py round 10 — VERDICT r9 ask #6): import a
+    tokenizer.json whose added_tokens are strings that REALLY occur in
+    the corpus, encode with `special_tokens='split'` (HF's added-token
+    extraction replayed: raw-text match before normalization, each
+    match one token, sections pre-tokenized independently), and attach
+    `contains_special_tokens`' pure-codegen hit array.  Zero shuffles
+    on the encode (one mapInPandas + one literal-array filter), one
+    digest-row exchange."""
+    import json as _json
+    import os
+    import tempfile
+
+    from .operators.tokenizer_io import (contains_special_tokens,
+                                         hf_tokenizer_encode,
+                                         import_hf_tokenizer_json)
+
+    doc = {
+        "version": "1.0", "truncation": None, "padding": None,
+        "added_tokens": [{"content": s, "special": True}
+                         for s in _Q165_SPECIALS],
+        "normalizer": None,
+        "pre_tokenizer": {"type": "WhitespaceSplit"},
+        "post_processor": None, "decoder": None,
+        "model": {"type": "BPE", "dropout": None, "unk_token": None,
+                  "continuing_subword_prefix": None,
+                  "end_of_word_suffix": None, "fuse_unk": False,
+                  "byte_fallback": False, "ignore_merges": False,
+                  "vocab": {},
+                  "merges": [f"{l} {r}" for l, r in _Q165_MERGES]},
+    }
+    fd, path = tempfile.mkstemp(suffix=".json", prefix="q165_tok_")
+    with os.fdopen(fd, "w") as f:
+        _json.dump(doc, f)
+    model = import_hf_tokenizer_json(path)
+    d = _t(spark, sf, "documents", "d").df
+    enc = hf_tokenizer_encode(d.select("doc_id", "text"), "text", model,
+                              special_tokens="split")
+    enc = contains_special_tokens(enc, "text", model)
+    return (
+        enc.filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.md5(F.array_join("tokens", " ")).alias("tok_md5"),
+            F.array_join("special_token_hits", ",").alias("hits"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -7434,6 +7553,7 @@ _NEEDS_EVIDENCE = [
     # driver slots, oldest evidence first.
     # Priority 1 — NEW this round (no driver evidence yet):
     "q163_llama3_import_encode", "q164_sentencepiece_lifecycle",
+    "q165_special_token_split",
     # Priority 2 — the 13 rows whose latest driver evidence is r6
     # (VERDICT r9 ask #4 names them explicitly):
     "q80_temperature_mix", "q81_sq8_topk", "q85_bracket_predicates",
@@ -7441,8 +7561,8 @@ _NEEDS_EVIDENCE = [
     "q96_fuzzy_match", "q97_except_all", "q98_distribution_windows",
     "q99_grouping_sets", "q132_grouping_builder", "q151_video_near_dup",
     "q152_pq_refine",
-    # Priority 3 — 35 of the 50 r7-evidenced rows, lowest query number
-    # first (the remaining 15 — q113-q116, q124-q130, q153-q156 —
+    # Priority 3 — 34 of the 50 r7-evidenced rows, lowest query number
+    # first (the remaining 16 — q112-q116, q124-q130, q153-q156 —
     # roll to round 11):
     "q28_calendar", "q29_json_extract", "q34_quality_fingerprint",
     "q42_union_all_append", "q43_drop_duplicates_by_col",
@@ -7458,7 +7578,6 @@ _NEEDS_EVIDENCE = [
     "q106_ohlc_resample", "q107_gapfill_linear",
     "q108_best_quality_dedup", "q109_order_priority",
     "q110_priority_shipping_mix", "q111_large_volume_customer",
-    "q112_supplier_part_counts",
 ]
 _NEEDS_EVIDENCE = [k for k in _NEEDS_EVIDENCE if k in QUERIES]
 QUERIES = {

@@ -1326,3 +1326,103 @@ def test_unigram_fit_pre_tokenizer_kwarg(spark):
     # single chars of the MARKED alphabet survive pruning — ▁ itself
     # is a base char of the pre-token space
     assert "▁" in pieces
+
+
+def test_special_tokens_surface_vs_split(spark, tmp_path):
+    """VERDICT r9 ask #6: a corpus carrying LITERAL special-token
+    strings diverges from HF under the default ('surface' encodes
+    them as ordinary text — pinned here so the divergence is a
+    documented contract, not a surprise); special_tokens='split'
+    replays HF's added-token extraction (raw-text exact match,
+    longest-first, each match one token, per-section pre-tokenization
+    with document-initial semantics after a flush special);
+    contains_special_tokens detects the carriers with pure codegen."""
+    import json
+
+    from elusion_spark.operators.tokenizer_io import (
+        contains_special_tokens, hf_tokenizer_encode,
+        import_hf_tokenizer_json)
+
+    d = {"version": "1.0", "normalizer": None,
+         "pre_tokenizer": {"type": "ByteLevel",
+                           "add_prefix_space": False,
+                           "use_regex": True},
+         "added_tokens": [
+             {"content": "<|endoftext|>", "special": True},
+             {"content": "[SEP]", "special": True}],
+         "model": {"type": "BPE", "unk_token": None, "vocab": {},
+                   "merges": []}}
+    p = str(tmp_path / "sp.json")
+    json.dump(d, open(p, "w"))
+    model = import_hf_tokenizer_json(p)
+    assert model["special_tokens"] == ["<|endoftext|>", "[SEP]"]
+
+    texts = ["a<|endoftext|>b", "x [SEP] y", "plain text",
+             "<|endoftext|>lead", "tail<|endoftext|>", None]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+    # the codegen corpus check (raw, case-sensitive, no UDF)
+    hits = {r["doc_id"]: r["special_token_hits"] for r in
+            contains_special_tokens(df, "text", model).collect()}
+    assert hits[0] == ["<|endoftext|>"]
+    assert hits[1] == ["[SEP]"]
+    assert hits[2] == []
+    assert hits[5] is None or hits[5] == []   # null text -> no hits
+
+    surface = {r["doc_id"]: r["tokens"] for r in
+               hf_tokenizer_encode(df, "text", model).collect()}
+    split = {r["doc_id"]: r["tokens"] for r in
+             hf_tokenizer_encode(df, "text", model,
+                                 special_tokens="split").collect()}
+    # surface: the special's characters byte-encode as ordinary text
+    assert "<|endoftext|>" not in surface[0]
+    assert surface[0] == list("a<|endoftext|>b")
+    # split: one token for the special; 'b' is section-initial (flush
+    # after the special, apfs=False -> NO Ġ)
+    assert split[0] == ["a", "<|endoftext|>", "b"]
+    # ' y' after ' [SEP] ': the section is ' y' -> space-preceded
+    assert split[1] == ["x", "[SEP]", "Ġ", "y"] or \
+        split[1] == ["x", "[SEP]", "Ġy"]
+    # no specials -> the two modes agree exactly
+    assert surface[2] == split[2]
+    assert split[3] == ["<|endoftext|>", "l", "e", "a", "d"]
+    assert split[4] == ["t", "a", "i", "l", "<|endoftext|>"]
+    # invalid mode raises
+    import pytest
+    with pytest.raises(ValueError, match="special_tokens"):
+        hf_tokenizer_encode(df, "text", model, special_tokens="trie")
+
+
+def test_special_tokens_longest_first_and_lowercase_immunity(
+        spark, tmp_path):
+    """Overlapping specials match longest-first (HF trie behavior),
+    and matching happens BEFORE the normalizer: a Lowercase file still
+    matches the upper-case '[SEP]' literally while the surrounding
+    text lowercases."""
+    import json
+
+    from elusion_spark.operators.tokenizer_io import (
+        hf_tokenizer_encode, import_hf_tokenizer_json)
+
+    d = {"version": "1.0", "normalizer": {"type": "Lowercase"},
+         "pre_tokenizer": {"type": "WhitespaceSplit"},
+         "added_tokens": [
+             {"content": "<s>", "special": True},
+             {"content": "<ss>", "special": True},
+             {"content": "[SEP]", "special": True}],
+         "model": {"type": "BPE", "unk_token": None, "vocab": {},
+                   "merges": ["a b"]}}
+    p = str(tmp_path / "sp2.json")
+    json.dump(d, open(p, "w"))
+    model = import_hf_tokenizer_json(p)
+    df = spark.createDataFrame(
+        [(1, "AB<ss>CD"), (2, "AB[SEP]ab CD")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["tokens"] for r in
+           hf_tokenizer_encode(df, "text", model,
+                               special_tokens="split").collect()}
+    # '<ss>' wins over '<s>' (longest-first); text lowercases, the
+    # special does not; 'ab' merges (merge 'a b')
+    assert got[1] == ["ab", "<ss>", "c", "d"]
+    assert got[2] == ["ab", "[SEP]", "ab", "c", "d"]
