@@ -1426,3 +1426,154 @@ def test_special_tokens_longest_first_and_lowercase_immunity(
     # special does not; 'ab' merges (merge 'a b')
     assert got[1] == ["ab", "<ss>", "c", "d"]
     assert got[2] == ["ab", "[SEP]", "ab", "c", "d"]
+
+
+# ----------------------------------------------- adversarial inputs
+# (round 10, VERDICT r9 stretch #8): empty/whitespace/null documents,
+# single-char corpora, astral-plane codepoints through ByteLevel,
+# words past WordPiece's max_input_chars_per_word, vocabularies with
+# no single-char coverage — each family checked against its
+# construction rule (byte-map reconstruction, whole-word [UNK],
+# byte-fallback surface forms), not just for absence of crashes.
+
+
+def test_hf_encode_adversarial_bytelevel_reconstruction(spark, tmp_path):
+    """ByteLevel with an empty vocab and no merges emits one token per
+    BYTE — so the inverse byte↔unicode table must reconstruct every
+    word's exact UTF-8 bytes, including astral-plane codepoints (4
+    UTF-8 bytes each) and mixed scripts; empty/whitespace-only/null
+    documents produce zero tokens."""
+    import json
+
+    from elusion_spark.operators.tokenizer_io import (
+        _bytes_to_unicode, hf_tokenizer_encode, import_hf_tokenizer_json)
+
+    d = {"version": "1.0", "normalizer": None,
+         "pre_tokenizer": {"type": "ByteLevel",
+                           "add_prefix_space": False,
+                           "use_regex": True},
+         "added_tokens": [],
+         "model": {"type": "BPE", "unk_token": None, "vocab": {},
+                   "merges": []}}
+    p = str(tmp_path / "adv_bl.json")
+    json.dump(d, open(p, "w"))
+    model = import_hf_tokenizer_json(p)
+    texts = ["", " ", "\t\n  ", None, "x", "🦄", "🦄🦄 ok",
+             "héllo 🌍 world", "𝒳y z𝒳", "a🦄b", "नमस्ते दुनिया"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["doc_id"]: r["tokens"] for r in
+           hf_tokenizer_encode(df, "text", model).collect()}
+    u2b = {u: bytes([b]) for b, u in _bytes_to_unicode().items()}
+
+    def _reconstruct(tokens):
+        return b"".join(u2b[c] for t in tokens for c in t).decode("utf-8")
+
+    import re
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    for i, t in enumerate(texts):
+        if t is None or not ws.sub("", t):
+            assert got[i] == [], (i, got[i])
+            continue
+        # documented divergence: whitespace runs collapse to ONE
+        # separator; the reconstruction is the single-space-joined form
+        words = [w for w in ws.split(t) if w]
+        lead = " " if ws.match(t) else ""
+        assert _reconstruct(got[i]) == lead + " ".join(words), (i, t)
+
+
+def test_hf_encode_adversarial_wordpiece_clamp(spark, tmp_path):
+    """WordPiece's max_input_chars_per_word: a word LONGER than the
+    clamp is whole-word [UNK] without running the quadratic matcher;
+    exactly AT the clamp it still matches; with unk_token null the
+    clamped word vanishes."""
+    import json
+
+    from elusion_spark.operators.tokenizer_io import (
+        hf_tokenizer_encode, import_hf_tokenizer_json)
+
+    vocab = ["[UNK]", "a", "##a"]
+    base = {"version": "1.0", "normalizer": None,
+            "pre_tokenizer": {"type": "WhitespaceSplit"},
+            "added_tokens": [],
+            "model": {"type": "WordPiece", "unk_token": "[UNK]",
+                      "continuing_subword_prefix": "##",
+                      "max_input_chars_per_word": 6,
+                      "vocab": {v: i for i, v in enumerate(vocab)}}}
+    p = str(tmp_path / "adv_wp.json")
+    json.dump(base, open(p, "w"))
+    model = import_hf_tokenizer_json(p)
+    df = spark.createDataFrame(
+        [(1, "aaaaaa aaaaaaa b " + "a" * 500)],
+        "doc_id long, text string")
+    out = hf_tokenizer_encode(df, "text", model).collect()[0]["tokens"]
+    # 6 a's: at the clamp -> greedy a + 5x ##a; 7 a's and 500 a's:
+    # past it -> [UNK]; 'b': in no piece -> whole-word [UNK]
+    assert out == (["a"] + ["##a"] * 5 + ["[UNK]", "[UNK]", "[UNK]"])
+    base["model"]["unk_token"] = None
+    p2 = str(tmp_path / "adv_wp2.json")
+    json.dump(base, open(p2, "w"))
+    out2 = hf_tokenizer_encode(
+        df, "text", import_hf_tokenizer_json(p2)).collect()[0]["tokens"]
+    assert out2 == ["a"] + ["##a"] * 5
+
+
+def test_hf_encode_adversarial_unigram_no_char_coverage(spark, tmp_path):
+    """A unigram vocab whose every piece is MULTI-char cannot cover
+    odd remainders: without byte_fallback uncoverable words drop;
+    with it they surface as <0xNN> byte pieces (multi-BYTE chars
+    expand per byte).  Single-char corpora and astral-only words hit
+    the same paths."""
+    import json
+
+    from elusion_spark.operators.tokenizer_io import (
+        hf_tokenizer_encode, import_hf_tokenizer_json)
+
+    def build(bf):
+        return {"version": "1.0", "normalizer": None,
+                "pre_tokenizer": {"type": "WhitespaceSplit"},
+                "added_tokens": [],
+                "model": {"type": "Unigram", "unk_id": None,
+                          "byte_fallback": bf,
+                          "vocab": [["ab", -1.0], ["cd", -1.5]]}}
+
+    texts = ["abab cdab", "aba", "x", "🦄", "ab🦄"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    p = str(tmp_path / "adv_ug.json")
+    json.dump(build(False), open(p, "w"))
+    drop = {r["doc_id"]: r["tokens"] for r in hf_tokenizer_encode(
+        df, "text", import_hf_tokenizer_json(p)).collect()}
+    assert drop[0] == ["ab", "ab", "cd", "ab"]
+    assert drop[1] == [] and drop[2] == [] and drop[3] == []
+    assert drop[4] == []          # partial coverage is NOT enough
+    p2 = str(tmp_path / "adv_ug_bf.json")
+    json.dump(build(True), open(p2, "w"))
+    keep = {r["doc_id"]: r["tokens"] for r in hf_tokenizer_encode(
+        df, "text", import_hf_tokenizer_json(p2)).collect()}
+    assert keep[0] == ["ab", "ab", "cd", "ab"]
+    assert keep[2] == ["<0x78>"]
+    assert keep[3] == ["<0xF0>", "<0x9F>", "<0xA6>", "<0x84>"]
+    assert keep[4] == ["<0x61>", "<0x62>", "<0xF0>", "<0x9F>",
+                       "<0xA6>", "<0x84>"]
+
+
+def test_scanner_adversarial_astral_and_marks():
+    """The Split scanners on astral symbols (So), combining marks (M),
+    and supplementary-plane letters, checked against the real regex
+    library — categories outside the common L/N/punct paths."""
+    import pytest
+
+    regex = pytest.importorskip("regex")
+    from elusion_spark.operators.tokenizer_io import (
+        _GPT2_SPLIT_REGEX, _LLAMA3_SPLIT_REGEX, gpt2_word_pieces,
+        llama3_word_pieces)
+
+    lpat = regex.compile(_LLAMA3_SPLIT_REGEX)
+    gpat = regex.compile(_GPT2_SPLIT_REGEX)
+    cases = ["🦄", " 🦄", "a🦄", " a🦄b", "🦄123", "éx",
+             " é", "́x", "𝔸𝔹", " 𝔸1", "१२३४",  # Devanagari digits
+             " ½", "Ⅷx", "🦄's", " 🦄's"]
+    for s in cases:
+        assert llama3_word_pieces(s) == lpat.findall(s), repr(s)
+        assert gpt2_word_pieces(s) == gpat.findall(s), repr(s)
