@@ -356,6 +356,15 @@ SHUFFLE_BUDGETS = {
     # repartition(1)
     "q160_hf_import_encode": 1,
     "q162_wordpiece_encode": 1,
+    # round 10: q163 (Llama-3 Sequence[Split,ByteLevel]) and q165
+    # (added-token split + codegen hits) are the same zero-shuffle map
+    # encode + digest repartition(1); q164's unigram fit collapses to
+    # the word-count agg + seed agg (vocab-sized) before the
+    # zero-shuffle encode — PLANS.md records 1 visible exchange in the
+    # returned plan (the fit's jobs run eagerly inside the query fn)
+    "q163_llama3_import_encode": 1,
+    "q164_sentencepiece_lifecycle": 1,
+    "q165_special_token_split": 1,
 }
 
 
