@@ -118,6 +118,9 @@ BENCH_QUERIES = [
     "q163_llama3_import_encode",   # Llama-3 Sequence[Split,ByteLevel] encode
     "q164_sentencepiece_lifecycle",  # unigram fit(▁)+export+import+encode
     "q165_special_token_split",    # added-token extraction + codegen hits
+    "q166_token_ids",              # piece→id stream (vectorized lookup)
+    "q167_decode_roundtrip",       # ByteLevel detokenize reconstruction
+    "q168_pack_token_ids",         # materialized fixed-length id rows
 ]
 
 # Per-query wall-time budgets at sf0.1 (seconds, min-of-3 in a fresh
@@ -196,6 +199,14 @@ BUDGETS_SF01 = {
     "q163_llama3_import_encode": 0.9,
     "q164_sentencepiece_lifecycle": 2.15,
     "q165_special_token_split": 0.9,
+    # q166-q168 joined the final group (now 10 entries), calibrated on
+    # runs at drift 1.059 / 1.209 whose walls agree within noise (a
+    # middle run at drift 1.391 was discarded per the canary rule;
+    # all 7 pre-existing entries re-read inside their budgets in both
+    # kept runs): q166 1.183/1.244, q167 1.037/1.038, q168 0.733/0.657
+    "q166_token_ids": 1.65,
+    "q167_decode_roundtrip": 1.35,
+    "q168_pack_token_ids": 0.95,
     "q01_cache_miss": 1.8, "q01_cache_hit": 0.35,
 }
 

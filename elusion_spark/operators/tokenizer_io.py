@@ -820,6 +820,7 @@ def import_hf_tokenizer_json(path: str) -> dict:
                 f"pre_tokenizer; file has {raw_pre!r}")
         pre.update(bert_norm)
     special = []
+    special_ids: dict[str, int] = {}
     for at in d.get("added_tokens") or []:
         if not at.get("special", False):
             raise ValueError(
@@ -828,9 +829,12 @@ def import_hf_tokenizer_json(path: str) -> dict:
                 "text tokenizes and the engine does not replay it — "
                 "refusing to import")
         special.append(at.get("content"))
+        if at.get("id") is not None:
+            special_ids[at["content"]] = int(at["id"])
     model = d.get("model") or {}
     mtype = model.get("type")
     common = {"lowercase": lowercase, "pre_tokenizer": pre,
+              "special_token_ids": special_ids,
               "special_tokens": special}
     if mtype == "BPE":
         merges = []
@@ -843,9 +847,14 @@ def import_hf_tokenizer_json(path: str) -> dict:
                            "pair_count": 0})
         # vocab + unk/ignore_merges semantics travel with the model so
         # the encode can replay FOREIGN files exactly (Llama-3-family
-        # files set ignore_merges; restricted vocabs drop/unk symbols)
+        # files set ignore_merges; restricted vocabs drop/unk symbols);
+        # vocab_ids (round 10) keeps the file's piece→id map so
+        # hf_tokenizer_encode(with_ids=True) can emit the id stream a
+        # training pipeline actually consumes
+        vocab_ids = dict(model.get("vocab") or {})
         return {"kind": "bpe", "merges": merges,
-                "vocab": set(model.get("vocab") or ()),
+                "vocab": set(vocab_ids),
+                "vocab_ids": vocab_ids,
                 "unk_token": model.get("unk_token"),
                 "fuse_unk": bool(model.get("fuse_unk", False)),
                 "ignore_merges": bool(model.get("ignore_merges",
@@ -855,13 +864,18 @@ def import_hf_tokenizer_json(path: str) -> dict:
         pieces = [{"piece": p, "logprob": float(lp)}
                   for p, lp in model.get("vocab", [])]
         return {"kind": "unigram", "model": pieces,
+                # HF Unigram ids are vocab-list positions
+                "vocab_ids": {p["piece"]: i
+                              for i, p in enumerate(pieces)},
                 "byte_fallback": bool(model.get("byte_fallback", False)),
                 **common}
     if mtype == "WordPiece":
         # the BERT-family model: greedy longest-match with a
         # continuing-subword prefix; whole word -> unk on any miss
+        vocab_ids = dict(model.get("vocab") or {})
         return {"kind": "wordpiece",
-                "vocab": set(model.get("vocab") or ()),
+                "vocab": set(vocab_ids),
+                "vocab_ids": vocab_ids,
                 "unk_token": model.get("unk_token", "[UNK]"),
                 "continuing_subword_prefix": model.get(
                     "continuing_subword_prefix", "##"),
@@ -909,6 +923,7 @@ def hf_tokenizer_encode(
     model: dict | None = None,
     out_col: str = "tokens",
     special_tokens: str = "surface",
+    with_ids: bool = False,
 ):
     """Encode a corpus with an ``import_hf_tokenizer_json`` model —
     pre-tokenizer replayed per word, zero shuffles.
@@ -1055,5 +1070,110 @@ def hf_tokenizer_encode(
         df, text_col, segment_word,
         lowercase=bool(model.get("lowercase", False)), out_col=out_col,
         segment_first_word=segment_first, specials=specials)
-    return out.withColumn(
+    out = out.withColumn(
         "n_tokens", F.size(F.col(out_col)).cast("bigint"))
+    if with_ids:
+        # the id stream a training pipeline actually consumes (round
+        # 10): the file's piece→id map (plus added-token ids, which
+        # win on overlap — HF's precedence) rides the closure of one
+        # vectorized pandas_udf; no shuffle, no driver round-trip.
+        # Engine encodes only ever emit in-vocab pieces when the file
+        # HAS a vocab, so an OOV lookup here is a model bug — raise
+        # with the offending piece rather than emit a wrong id.
+        idmap = {**(model.get("vocab_ids") or {}),
+                 **(model.get("special_token_ids") or {})}
+        if not idmap:
+            raise ValueError(
+                "with_ids=True needs a model with a vocab (the file's "
+                "piece→id map); this model has none")
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<bigint>")
+        def _ids(tok_col):
+            import pandas as pd
+
+            def look(toks):
+                try:
+                    return [idmap[t] for t in toks]
+                except KeyError as exc:
+                    raise ValueError(
+                        f"token {exc.args[0]!r} has no id in the "
+                        "model vocab — encode/vocab mismatch") from exc
+
+            return pd.Series([look(t) for t in tok_col])
+
+        out = out.withColumn("token_ids", _ids(F.col(out_col)))
+    return out
+
+
+def hf_tokenizer_decode(
+    df,
+    tokens_col: str = "tokens",
+    model: dict | None = None,
+    out_col: str = "decoded",
+):
+    """Detokenize: invert the model's decoder family exactly as HF's
+    ``Tokenizer.decode`` does (round 10) —
+
+    - ByteLevel (incl. the Llama-3 Sequence form): concatenate, map
+      each char back through the byte↔unicode table, UTF-8 decode
+      with ``errors='replace'`` (HF's lossy-byte behavior); chars
+      outside the table (e.g. from special tokens) pass through.
+    - Metaspace: concatenate, ``replacement → ' '``, strip the one
+      leading space the ``prepend_scheme`` added.
+    - WordPiece/BERT: space-join, strip `` ##`` continuations, then
+      HF's cleanup pass (no space before punctuation/contractions).
+    - WhitespaceSplit/Whitespace (``decoder: null`` files): HF joins
+      tokens with a single space — word-internal merges are NOT
+      separable from word boundaries in this family, the documented
+      lossy case.
+
+    One vectorized pandas_udf, no shuffle — rides the scan."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    if model is None:
+        raise ValueError(
+            "model (import_hf_tokenizer_json output) is required")
+    spec = parse_hf_pre_tokenizer(model.get("pre_tokenizer"))
+    t = spec["type"]
+    if t in ("byte_level", "seq_split_bytelevel"):
+        u2b = {u: bytes([b]) for b, u in _bytes_to_unicode().items()}
+
+        def dec(toks: list) -> str:
+            bs = b"".join(u2b.get(c, c.encode("utf-8"))
+                          for tk in toks for c in tk)
+            return bs.decode("utf-8", errors="replace")
+    elif t == "metaspace":
+        rep = spec["replacement"]
+        strip_first = bool(spec.get("prepend_first", True))
+
+        def dec(toks: list) -> str:
+            s = "".join(toks).replace(rep, " ")
+            if strip_first and s.startswith(" "):
+                s = s[1:]
+            return s
+    elif t == "bert" or model.get("kind") == "wordpiece":
+        prefix = " " + model.get("continuing_subword_prefix", "##")
+
+        def dec(toks: list) -> str:
+            s = " ".join(toks).replace(prefix, "")
+            # HF WordPiece decoder cleanup=True
+            for a, b in ((" .", "."), (" ?", "?"), (" !", "!"),
+                         (" ,", ","), (" ' ", "' "), (" n't", "n't"),
+                         (" 'm", "'m"), (" 's", "'s"), (" 've", "'ve"),
+                         (" 're", "'re")):
+                s = s.replace(a, b)
+            return s
+    else:
+        def dec(toks: list) -> str:
+            return " ".join(toks)
+
+    @pandas_udf("string")
+    def _dec(tok_col):
+        import pandas as pd
+
+        return pd.Series([None if toks is None else dec(list(toks))
+                          for toks in tok_col])
+
+    return df.withColumn(out_col, _dec(F.col(tokens_col)))

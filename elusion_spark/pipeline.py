@@ -672,6 +672,75 @@ def pack_sequences(
     )
 
 
+def pack_token_ids(
+    df,
+    ids_col: str = "token_ids",
+    seq_len: int = 2048,
+    id_col: str = "doc_id",
+    eos_id: int | None = None,
+    shard_col: str | None = None,
+    n_shards: int = 64,
+    drop_partial: bool = True,
+):
+    """MATERIALIZE the training sequences ``pack_sequences`` only
+    places (round 10): concatenate every document's token-id array in
+    deterministic (shard, id) order and slice the stream into fixed
+    ``seq_len`` rows — the literal tensor rows an LLM pre-training
+    job reads.  ``eos_id`` (e.g. the tokenizer's ``<|endoftext|>`` id)
+    is appended per document first, the standard document separator.
+
+    Returns ``(shard, seq, ids)`` with ``ids: array<bigint>`` of
+    exactly ``seq_len`` (``drop_partial=False`` keeps each shard's
+    trailing short row).  Deterministic by construction: placement is
+    ``pack_sequences``' cumulative window, a document spanning a
+    sequence boundary is split by pure Column slice arithmetic, and
+    the per-sequence reassembly sorts on the in-sequence offset.
+
+    Scale shape — everything stays JVM-side, 2 shuffles total: the
+    per-shard placement window, then ONE exchange keyed on
+    (shard, seq) carrying each document's id-array SLICES (a slice
+    crosses the wire at most once; a document overlapping k sequences
+    sends k disjoint slices, total = its own length).  No driver
+    collect, no python in the hot path; parallelism = n_shards on the
+    window and = #sequences on the reassembly."""
+    from pyspark.sql import functions as F
+
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    ids = F.col(ids_col).cast("array<bigint>")
+    if eos_id is not None:
+        ids = F.concat(ids, F.array(F.lit(int(eos_id)).cast("bigint")))
+    base = (df.select(F.col(id_col), ids.alias("__ids"))
+              .withColumn("__n", F.size("__ids"))
+              # F.sequence(first, last) DESCENDS when first > last —
+              # the empty-document degenerate (end == start) must not
+              # reach the explode
+              .filter(F.col("__n") > 0))
+    placed = pack_sequences(base, id_col, "__n", seq_len,
+                            shard_col=shard_col, n_shards=n_shards)
+    seqs = placed.withColumn(
+        "seq", F.explode(F.sequence("first_seq", "last_seq")))
+    lo = F.greatest(F.col("start_token"), F.col("seq") * seq_len)
+    hi = F.least(F.col("end_token"), (F.col("seq") + 1) * seq_len)
+    part = seqs.select(
+        "shard", "seq",
+        (lo % seq_len).alias("__off"),
+        F.slice("__ids", (lo - F.col("start_token") + 1).cast("int"),
+                (hi - lo).cast("int")).alias("__chunk"))
+    packed = part.groupBy("shard", "seq").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__off", "__chunk"))),
+                lambda s: s["__chunk"],
+            )
+        ).alias("ids"))
+    if drop_partial:
+        packed = packed.filter(F.size("ids") == seq_len)
+    return packed.select("shard",
+                         F.col("seq").cast("bigint").alias("seq"),
+                         "ids")
+
+
 def weighted_sample(
     df,
     id_col: str,

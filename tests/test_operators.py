@@ -5484,3 +5484,50 @@ def test_unigram_encode_schema_and_shared_wordcounts(spark):
     assert set(out.columns) == {"doc_id", "text", "tokens"}
     no_id = unigram_lm_encode(df, "text", model)
     assert "__uid" not in no_id.columns
+
+
+def test_pack_token_ids_semantics(spark):
+    """pack_token_ids materializes the concat-then-chop layout exactly
+    (round 10): deterministic (shard, doc_id) order, eos separators,
+    documents split across sequence boundaries by slice arithmetic,
+    trailing partial rows dropped (or kept with drop_partial=False),
+    empty documents contribute only their eos."""
+    from pyspark.sql import functions as F
+
+    from elusion_spark.pipeline import pack_token_ids
+
+    rows = [
+        (0, [1, 2, 3]),        # shard 0
+        (1, [4, 5]),           # shard 1
+        (2, [6, 7, 8, 9]),     # shard 0
+        (3, []),               # shard 1: empty -> just eos
+        (4, [10]),             # shard 0
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, token_ids array<long>")
+    packed = {(r["shard"], r["seq"]): r["ids"] for r in pack_token_ids(
+        df, "token_ids", seq_len=4, id_col="doc_id", eos_id=-1,
+        n_shards=2, drop_partial=False).collect()}
+    # shard 0 stream: doc0 [1,2,3,-1] doc2 [6,7,8,9,-1] doc4 [10,-1]
+    assert packed[(0, 0)] == [1, 2, 3, -1]
+    assert packed[(0, 1)] == [6, 7, 8, 9]    # doc2 split mid-document
+    assert packed[(0, 2)] == [-1, 10, -1]    # partial kept
+    # shard 1 stream: doc1 [4,5,-1] doc3 [-1]
+    assert packed[(1, 0)] == [4, 5, -1, -1]
+    # drop_partial=True keeps only exact-length rows
+    full = {(r["shard"], r["seq"]) for r in pack_token_ids(
+        df, "token_ids", seq_len=4, id_col="doc_id", eos_id=-1,
+        n_shards=2).collect()}
+    assert full == {(0, 0), (0, 1), (1, 0)}
+    # no eos: empty docs vanish entirely
+    ne = {(r["shard"], r["seq"]): r["ids"] for r in pack_token_ids(
+        df, "token_ids", seq_len=4, id_col="doc_id",
+        n_shards=2, drop_partial=False).collect()}
+    assert ne[(0, 0)] == [1, 2, 3, 6]
+    assert ne[(1, 0)] == [4, 5]
+    # every id crosses into exactly one sequence: total conservation
+    tot = sum(len(v) for v in ne.values())
+    assert tot == sum(len(r[1]) for r in rows)
+    import pytest
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_token_ids(df, "token_ids", seq_len=0)

@@ -365,6 +365,13 @@ SHUFFLE_BUDGETS = {
     "q163_llama3_import_encode": 1,
     "q164_sentencepiece_lifecycle": 1,
     "q165_special_token_split": 1,
+    # q166/q167 ride the same shape (the id/decode pandas_udfs add no
+    # exchange); q168 = per-shard placement window + (shard,seq)
+    # slice reassembly, then the digest repartition(1) — 2 visible in
+    # the returned plan (AQE folds the final single-row exchange)
+    "q166_token_ids": 1,
+    "q167_decode_roundtrip": 1,
+    "q168_pack_token_ids": 2,
 }
 
 

@@ -1577,3 +1577,120 @@ def test_scanner_adversarial_astral_and_marks():
     for s in cases:
         assert llama3_word_pieces(s) == lpat.findall(s), repr(s)
         assert gpt2_word_pieces(s) == gpat.findall(s), repr(s)
+
+
+def test_hf_encode_with_ids(spark, tmp_path):
+    """with_ids=True emits the file's piece→id stream alongside the
+    tokens (one vectorized pandas_udf, ids from vocab + added-token
+    ids which win on overlap); models without a vocab raise; an OOV
+    piece raises instead of emitting a wrong id."""
+    import json
+
+    import pytest
+
+    from elusion_spark.operators.tokenizer_io import (
+        hf_tokenizer_encode, import_hf_tokenizer_json)
+
+    d = {"version": "1.0", "normalizer": None,
+         "pre_tokenizer": {"type": "WhitespaceSplit"},
+         "added_tokens": [{"content": "<eot>", "special": True,
+                           "id": 99}],
+         "model": {"type": "BPE", "unk_token": None,
+                   "vocab": {"a": 0, "b": 1, "ab": 2},
+                   "merges": ["a b"]}}
+    p = str(tmp_path / "ids.json")
+    json.dump(d, open(p, "w"))
+    model = import_hf_tokenizer_json(p)
+    assert model["special_token_ids"] == {"<eot>": 99}
+    df = spark.createDataFrame(
+        [(1, "ab a<eot>b")], "doc_id long, text string")
+    row = hf_tokenizer_encode(df, "text", model, with_ids=True,
+                              special_tokens="split").collect()[0]
+    assert row["tokens"] == ["ab", "a", "<eot>", "b"]
+    assert row["token_ids"] == [2, 0, 99, 1]
+    # unigram ids are vocab positions
+    d2 = {"version": "1.0", "normalizer": None,
+          "pre_tokenizer": {"type": "WhitespaceSplit"},
+          "added_tokens": [],
+          "model": {"type": "Unigram", "unk_id": None,
+                    "byte_fallback": False,
+                    "vocab": [["ab", -1.0], ["a", -2.0], ["b", -2.0]]}}
+    p2 = str(tmp_path / "ids_ug.json")
+    json.dump(d2, open(p2, "w"))
+    m2 = import_hf_tokenizer_json(p2)
+    df2 = spark.createDataFrame(
+        [(1, "ab aabb")], "doc_id long, text string")
+    row2 = hf_tokenizer_encode(df2, "text", m2,
+                               with_ids=True).collect()[0]
+    assert row2["tokens"] == ["ab", "a", "ab", "b"]
+    assert row2["token_ids"] == [0, 1, 0, 2]
+    # vocab-less model refuses
+    d3 = dict(d2)
+    d3["model"] = {"type": "BPE", "unk_token": None, "vocab": {},
+                   "merges": []}
+    p3 = str(tmp_path / "ids_none.json")
+    json.dump(d3, open(p3, "w"))
+    with pytest.raises(ValueError, match="vocab"):
+        hf_tokenizer_encode(df, "text", import_hf_tokenizer_json(p3),
+                            with_ids=True)
+
+
+def test_hf_decode_families(spark, tmp_path):
+    """hf_tokenizer_decode inverts each decoder family per HF: the
+    ByteLevel byte table reconstructs exact text (astral bytes
+    included, leading space preserved for whitespace-led documents),
+    Metaspace strips its one prepended marker, WordPiece strips ##
+    and runs HF's cleanup, decoder-null files space-join."""
+    import json
+
+    from elusion_spark.operators.tokenizer_io import (
+        hf_tokenizer_decode, hf_tokenizer_encode,
+        import_hf_tokenizer_json)
+
+    def roundtrip(pre, texts, model_block=None, normalizer=None):
+        d = {"version": "1.0", "normalizer": normalizer,
+             "pre_tokenizer": pre, "added_tokens": [],
+             "model": model_block or {"type": "BPE", "unk_token": None,
+                                      "vocab": {}, "merges": []}}
+        p = str(tmp_path / "dec.json")
+        json.dump(d, open(p, "w"))
+        model = import_hf_tokenizer_json(p)
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string")
+        enc = hf_tokenizer_encode(df, "text", model)
+        return {r["doc_id"]: r["decoded"] for r in
+                hf_tokenizer_decode(enc, "tokens", model).collect()}
+
+    bl = {"type": "ByteLevel", "add_prefix_space": False,
+          "use_regex": True}
+    texts = ["hello world", "x 🦄 y", " led by space", "don't stop"]
+    got = roundtrip(bl, texts)
+    assert got[0] == "hello world"
+    assert got[1] == "x 🦄 y"
+    assert got[2] == " led by space"      # ONE leading space kept
+    assert got[3] == "don't stop"
+
+    ms = {"type": "Metaspace", "replacement": "▁",
+          "prepend_scheme": "always"}
+    got = roundtrip(ms, ["hello world", "one"])
+    assert got[0] == "hello world"        # leading ▁ stripped once
+    assert got[1] == "one"
+
+    wp = {"type": "BertPreTokenizer"}
+    vocab = ["[UNK]", "un", "##aff", "##able", "cat", "!", "the"]
+    got = roundtrip(
+        wp, ["the unaffable cat !"],
+        model_block={"type": "WordPiece", "unk_token": "[UNK]",
+                     "continuing_subword_prefix": "##",
+                     "max_input_chars_per_word": 100,
+                     "vocab": {v: i for i, v in enumerate(vocab)}})
+    # ## continuations re-joined; cleanup removes the space before '!'
+    assert got[0] == "the unaffable cat!"
+
+    # decoder-null files space-join tokens (HF's default), which is
+    # LOSSY for word-internal splits: 'ab' encodes to ['a','b'] under
+    # the empty-vocab char model and decodes to 'a b' — the documented
+    # whitespace-family limitation
+    got = roundtrip({"type": "WhitespaceSplit"}, ["a b", "ab"])
+    assert got[0] == "a b" and got[1] == "a b"
