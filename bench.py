@@ -660,7 +660,12 @@ def _should_rerun(group_times: dict[str, float],
     budgets = BUDGETS_SF01 if budgets is None else budgets
     budgeted = [n for n in group_times if n in budgets]
     viol = [n for n in budgeted if group_times[n] > budgets[n]]
-    if viol and drift > RERUN_DRIFT:
+    # inclusive: _group_drift ROUNDS to 3 decimals, and the one case
+    # this rule exists for landed on exactly 1.200 in the round-10
+    # closing run (q101 4.14 s at drift 1.2; the fresh-child rerun
+    # read 1.90 s — pure host blip).  A strict > let it ship annotated
+    # instead of re-measured.
+    if viol and drift >= RERUN_DRIFT:
         return True
     if len(budgeted) < 2:
         return False

@@ -885,6 +885,95 @@ def import_hf_tokenizer_json(path: str) -> dict:
     raise ValueError(f"unsupported model type {mtype!r} in {path}")
 
 
+def import_gpt2_files(
+    vocab_json_path: str,
+    merges_txt_path: str,
+    *,
+    add_prefix_space: bool = False,
+    unk_token: str | None = None,
+) -> dict:
+    """Import the LEGACY GPT-2/RoBERTa file pair — ``vocab.json``
+    (piece → id) + ``merges.txt`` (one ``lft rgt`` per line, optional
+    ``#version`` header) — the format many published models still ship
+    instead of a consolidated ``tokenizer.json`` (round 10).  Returns
+    the same model dict as ``import_hf_tokenizer_json``: ByteLevel
+    pre-tokenizer (GPT-2 regex + byte↔unicode), the vocab's drop/unk
+    semantics, ids for ``with_ids``.  ``add_prefix_space`` mirrors the
+    transformers-side flag (GPT-2 default False)."""
+    with open(vocab_json_path) as f:
+        vocab = json.load(f)
+    if not isinstance(vocab, dict) or not vocab:
+        raise ValueError(f"not a GPT-2 vocab.json: {vocab_json_path}")
+    merges = []
+    with open(merges_txt_path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#version"):
+                continue
+            lft, sep, rgt = line.partition(" ")
+            if not sep or not rgt or " " in rgt:
+                raise ValueError(
+                    f"malformed merges.txt line {line!r} in "
+                    f"{merges_txt_path}")
+            merges.append({"merge_rank": len(merges) + 1, "lft": lft,
+                           "rgt": rgt, "pair_count": 0})
+    return {"kind": "bpe", "merges": merges,
+            "vocab": set(vocab), "vocab_ids": dict(vocab),
+            "unk_token": unk_token, "fuse_unk": False,
+            "ignore_merges": False,
+            "lowercase": False,
+            "pre_tokenizer": {"type": "byte_level",
+                              "add_prefix_space": bool(add_prefix_space),
+                              "use_regex": True},
+            "special_tokens": [], "special_token_ids": {}}
+
+
+def import_bert_vocab(
+    vocab_txt_path: str,
+    *,
+    lowercase: bool = True,
+    strip_accents: bool | None = None,
+    unk_token: str = "[UNK]",
+    continuing_subword_prefix: str = "##",
+    max_input_chars_per_word: int = 100,
+) -> dict:
+    """Import the LEGACY BERT ``vocab.txt`` — one piece per line, id =
+    line number — into the engine's WordPiece model (round 10).
+    ``lowercase``/``strip_accents`` mirror transformers'
+    ``do_lower_case`` semantics (``strip_accents=None`` follows
+    lowercase, HF's rule); clean-text and CJK isolation are on, the
+    BertTokenizer defaults.  Lines that are known special tokens
+    ([PAD]/[UNK]/[CLS]/[SEP]/[MASK]) surface in ``special_tokens``."""
+    pieces: list[str] = []
+    with open(vocab_txt_path) as f:
+        for line in f:
+            pieces.append(line.rstrip("\n"))
+    while pieces and pieces[-1] == "":
+        pieces.pop()
+    if not pieces:
+        raise ValueError(f"empty vocab.txt: {vocab_txt_path}")
+    if unk_token not in pieces:
+        raise ValueError(
+            f"unk_token {unk_token!r} not in {vocab_txt_path} — not a "
+            "BERT vocab file")
+    vocab_ids = {p: i for i, p in enumerate(pieces)}
+    known_special = {"[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"}
+    specials = [p for p in pieces if p in known_special]
+    return {"kind": "wordpiece",
+            "vocab": set(vocab_ids), "vocab_ids": vocab_ids,
+            "unk_token": unk_token,
+            "continuing_subword_prefix": continuing_subword_prefix,
+            "max_input_chars_per_word": int(max_input_chars_per_word),
+            "lowercase": bool(lowercase),
+            "pre_tokenizer": {
+                "type": "bert", "clean_text": True, "cjk": True,
+                "strip_accents": (bool(lowercase)
+                                  if strip_accents is None
+                                  else bool(strip_accents))},
+            "special_tokens": specials,
+            "special_token_ids": {p: vocab_ids[p] for p in specials}}
+
+
 def contains_special_tokens(
     df,
     text_col: str = "text",
@@ -1111,6 +1200,7 @@ def hf_tokenizer_decode(
     tokens_col: str = "tokens",
     model: dict | None = None,
     out_col: str = "decoded",
+    from_ids: bool = False,
 ):
     """Detokenize: invert the model's decoder family exactly as HF's
     ``Tokenizer.decode`` does (round 10) —
@@ -1128,6 +1218,12 @@ def hf_tokenizer_decode(
       separable from word boundaries in this family, the documented
       lossy case.
 
+    ``from_ids=True`` decodes an id column (``hf_tokenizer_encode(
+    with_ids=True)`` output, or ids from any HF stack): ids map back
+    through the file's inverted vocab (+ added-token ids) before the
+    family decode; an unknown id raises — silently skipping ids would
+    corrupt the reconstruction.
+
     One vectorized pandas_udf, no shuffle — rides the scan."""
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
@@ -1135,6 +1231,15 @@ def hf_tokenizer_decode(
     if model is None:
         raise ValueError(
             "model (import_hf_tokenizer_json output) is required")
+    id2piece: dict | None = None
+    if from_ids:
+        idmap = {**(model.get("vocab_ids") or {}),
+                 **(model.get("special_token_ids") or {})}
+        if not idmap:
+            raise ValueError(
+                "from_ids=True needs a model with a vocab (the file's "
+                "piece→id map); this model has none")
+        id2piece = {i: p for p, i in idmap.items()}
     spec = parse_hf_pre_tokenizer(model.get("pre_tokenizer"))
     t = spec["type"]
     if t in ("byte_level", "seq_split_bytelevel"):
@@ -1173,7 +1278,20 @@ def hf_tokenizer_decode(
     def _dec(tok_col):
         import pandas as pd
 
-        return pd.Series([None if toks is None else dec(list(toks))
-                          for toks in tok_col])
+        def one(toks):
+            if toks is None:
+                return None
+            toks = list(toks)
+            if id2piece is not None:
+                try:
+                    toks = [id2piece[int(i)] for i in toks]
+                except KeyError as exc:
+                    raise ValueError(
+                        f"id {exc.args[0]!r} has no piece in the "
+                        "model vocab — wrong model for this id "
+                        "stream") from exc
+            return dec(toks)
+
+        return pd.Series([one(toks) for toks in tok_col])
 
     return df.withColumn(out_col, _dec(F.col(tokens_col)))

@@ -1694,3 +1694,118 @@ def test_hf_decode_families(spark, tmp_path):
     # whitespace-family limitation
     got = roundtrip({"type": "WhitespaceSplit"}, ["a b", "ab"])
     assert got[0] == "a b" and got[1] == "a b"
+
+
+def test_import_gpt2_legacy_files(spark, tmp_path):
+    """The legacy GPT-2 vocab.json + merges.txt pair imports into the
+    same model shape as a consolidated tokenizer.json — ByteLevel
+    regex replay, restricted-vocab semantics, ids — and the two forms
+    encode identically."""
+    import json
+
+    from elusion_spark.operators.tokenizer_io import (
+        hf_tokenizer_encode, import_gpt2_files,
+        import_hf_tokenizer_json)
+
+    b2u_chars = "abehlot"   # plain latin maps to itself
+    vocab = {c: i for i, c in enumerate(b2u_chars)}
+    vocab.update({"Ġ": 90, "he": 91, "Ġhe": 92, "llo": 93})
+    vp = str(tmp_path / "vocab.json")
+    json.dump(vocab, open(vp, "w"))
+    mp = str(tmp_path / "merges.txt")
+    open(mp, "w").write("#version: 0.2\nh e\nĠ he\nl l\nll o\n")
+    legacy = import_gpt2_files(vp, mp)
+    assert legacy["kind"] == "bpe"
+    assert legacy["pre_tokenizer"]["type"] == "byte_level"
+    assert legacy["vocab_ids"]["Ġhe"] == 92
+
+    d = {"version": "1.0", "normalizer": None,
+         "pre_tokenizer": {"type": "ByteLevel",
+                           "add_prefix_space": False,
+                           "use_regex": True},
+         "added_tokens": [],
+         "model": {"type": "BPE", "unk_token": None, "vocab": vocab,
+                   "merges": ["h e", "Ġ he", "l l", "ll o"]}}
+    jp = str(tmp_path / "tok.json")
+    json.dump(d, open(jp, "w"))
+    consolidated = import_hf_tokenizer_json(jp)
+    df = spark.createDataFrame(
+        [(1, "hello he the")], "doc_id long, text string")
+    a = hf_tokenizer_encode(df, "text", legacy,
+                            with_ids=True).collect()[0]
+    b = hf_tokenizer_encode(df, "text", consolidated,
+                            with_ids=True).collect()[0]
+    assert a["tokens"] == b["tokens"]
+    assert a["token_ids"] == b["token_ids"]
+    # malformed merges raise
+    bad = str(tmp_path / "bad.txt")
+    open(bad, "w").write("a b c\n")
+    import pytest
+    with pytest.raises(ValueError, match="merges.txt"):
+        import_gpt2_files(vp, bad)
+
+
+def test_import_bert_vocab_txt(spark, tmp_path):
+    """The legacy BERT vocab.txt (one piece per line, id = line
+    number) imports as the full WordPiece model with BertNormalizer
+    defaults; known specials surface with their line-number ids."""
+    import pytest
+
+    from elusion_spark.operators.tokenizer_io import (
+        hf_tokenizer_encode, import_bert_vocab)
+
+    pieces = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "the", "cat",
+              "un", "##aff", "##able", "!"]
+    vp = str(tmp_path / "vocab.txt")
+    open(vp, "w").write("\n".join(pieces) + "\n")
+    model = import_bert_vocab(vp)
+    assert model["special_token_ids"]["[SEP]"] == 3
+    assert model["pre_tokenizer"]["strip_accents"] is True  # follows lc
+    df = spark.createDataFrame(
+        [(1, "The unaffable CAT! zzz")], "doc_id long, text string")
+    row = hf_tokenizer_encode(df, "text", model,
+                              with_ids=True).collect()[0]
+    assert row["tokens"] == ["the", "un", "##aff", "##able", "cat",
+                             "!", "[UNK]"]
+    assert row["token_ids"] == [4, 6, 7, 8, 5, 9, 1]
+    with pytest.raises(ValueError, match="unk_token"):
+        import_bert_vocab(vp, unk_token="<unk>")
+
+
+def test_hf_decode_from_ids(spark, tmp_path):
+    """from_ids=True inverts the vocab before the family decode —
+    decode(encode(with_ids).token_ids) reconstructs the text; a
+    foreign id raises."""
+    import json
+
+    import pytest
+
+    from elusion_spark.operators.tokenizer_io import (
+        hf_tokenizer_decode, hf_tokenizer_encode,
+        import_hf_tokenizer_json)
+
+    vocab = {c: i for i, c in enumerate("ehlo ")}
+    vocab["Ġ"] = 80
+    d = {"version": "1.0", "normalizer": None,
+         "pre_tokenizer": {"type": "ByteLevel",
+                           "add_prefix_space": False,
+                           "use_regex": True},
+         "added_tokens": [],
+         "model": {"type": "BPE", "unk_token": None,
+                   "vocab": {k: v for k, v in vocab.items()
+                             if k != " "},
+                   "merges": []}}
+    p = str(tmp_path / "fi.json")
+    json.dump(d, open(p, "w"))
+    model = import_hf_tokenizer_json(p)
+    df = spark.createDataFrame(
+        [(1, "hello hole")], "doc_id long, text string")
+    enc = hf_tokenizer_encode(df, "text", model, with_ids=True)
+    dec = hf_tokenizer_decode(enc, "token_ids", model, from_ids=True)
+    assert dec.collect()[0]["decoded"] == "hello hole"
+    from pyspark.sql import functions as F
+    bad = enc.withColumn(
+        "token_ids", F.array(F.lit(12345).cast("bigint")))
+    with pytest.raises(Exception, match="no piece"):
+        hf_tokenizer_decode(bad, "token_ids", model,
+                            from_ids=True).collect()
