@@ -838,3 +838,50 @@ def test_dsir_score_stream_matches_batch(spark, tmp_path):
                out.select("doc_id", "logw")).collect()}
     assert set(got) == set(batch)
     assert all(got[k] == batch[k] for k in batch)
+
+
+def test_hf_tokenizer_encode_streaming_parity(spark, tmp_path):
+    """The imported-HF encode is a pure mapInPandas stage, so it runs
+    UNCHANGED on a file stream (round 10): readStream → 
+    hf_tokenizer_encode(with_ids) → availableNow memory sink equals
+    the batch encode row-for-row — the 100 TB ingestion shape
+    (tokenize documents as they land, no separate batch pass)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from elusion_spark.operators.tokenizer_io import (
+        hf_tokenizer_encode, import_hf_tokenizer_json)
+
+    d = {"version": "1.0", "normalizer": {"type": "Lowercase"},
+         "pre_tokenizer": {"type": "Metaspace", "replacement": "▁",
+                           "prepend_scheme": "always"},
+         "added_tokens": [],
+         "model": {"type": "BPE", "unk_token": None,
+                   "vocab": {s: i for i, s in enumerate(
+                       ["▁", "a", "b", "c", "▁a", "▁ab"])},
+                   "merges": ["▁ a", "▁a b"]}}
+    p = str(tmp_path / "s.json")
+    json.dump(d, open(p, "w"))
+    model = import_hf_tokenizer_json(p)
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["ab abc c", "a AB", "", "cab ab a"])],
+        "doc_id long, text string")
+    src = str(tmp_path / "docs")
+    docs.coalesce(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = ST.read_file_stream(spark, src, schema)
+    enc_s = hf_tokenizer_encode(stream, "text", model, with_ids=True)
+    got = {r["doc_id"]: (r["tokens"], r["token_ids"], r["n_tokens"])
+           for r in ST.run_available_now_to_memory(
+               enc_s.select("doc_id", "tokens", "token_ids",
+                            "n_tokens")).collect()}
+    want = {r["doc_id"]: (r["tokens"], r["token_ids"], r["n_tokens"])
+            for r in hf_tokenizer_encode(
+                spark.read.parquet(src), "text", model,
+                with_ids=True).select(
+                "doc_id", "tokens", "token_ids", "n_tokens").collect()}
+    assert got == want and len(got) == 4
