@@ -114,4 +114,18 @@ print("split mode keeps the special whole:")
 enc.filter(F.col("doc_id") % 100 == 0).select(
     "doc_id", F.slice("tokens", 1, 3).alias("first")).show(
     2, truncate=False)
+
+# -- 4. the id-stream tail: ids → packed training rows → decode ---------
+from elusion_spark import hf_tokenizer_decode, pack_token_ids  # noqa: E402
+
+ids = hf_tokenizer_encode(docs, "text", m1, with_ids=True)
+packed = pack_token_ids(ids, "token_ids", seq_len=512,
+                        id_col="doc_id", eos_id=0, n_shards=8)
+print("== 4. pack_token_ids (512-id training rows, 8 shards) ==")
+packed.agg(F.count("*").alias("sequences"),
+           F.sum(F.size("ids")).alias("ids_packed")).show()
+dec = hf_tokenizer_decode(ids, "token_ids", m1, from_ids=True)
+print("decode(ids) reconstructs the text (ByteLevel inverse):")
+dec.select("doc_id", F.substring("decoded", 1, 48).alias("head")).show(
+    2, truncate=False)
 print("published-tokenizer interop complete.")
