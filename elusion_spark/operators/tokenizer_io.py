@@ -1265,7 +1265,7 @@ def hf_tokenizer_decode(
             s = " ".join(toks).replace(prefix, "")
             # HF WordPiece decoder cleanup=True
             for a, b in ((" .", "."), (" ?", "?"), (" !", "!"),
-                         (" ,", ","), (" ' ", "' "), (" n't", "n't"),
+                         (" ,", ","), (" ' ", "'"), (" n't", "n't"),
                          (" 'm", "'m"), (" 's", "'s"), (" 've", "'ve"),
                          (" 're", "'re")):
                 s = s.replace(a, b)

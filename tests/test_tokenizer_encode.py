@@ -1809,3 +1809,30 @@ def test_hf_decode_from_ids(spark, tmp_path):
     with pytest.raises(Exception, match="no piece"):
         hf_tokenizer_decode(bad, "token_ids", model,
                             from_ids=True).collect()
+
+
+def test_hf_decode_wordpiece_cleanup_rules(spark, tmp_path):
+    """The WordPiece decoder cleanup list matches HF exactly —
+    including the " ' " → "'" rule (no residual space) and the
+    contraction joins."""
+    import json
+
+    from elusion_spark.operators.tokenizer_io import (
+        hf_tokenizer_decode, import_hf_tokenizer_json)
+
+    d = {"version": "1.0", "normalizer": None,
+         "pre_tokenizer": {"type": "BertPreTokenizer"},
+         "added_tokens": [],
+         "model": {"type": "WordPiece", "unk_token": "[UNK]",
+                   "continuing_subword_prefix": "##",
+                   "max_input_chars_per_word": 100,
+                   "vocab": {"x": 0}}}
+    p = str(tmp_path / "wpc.json")
+    json.dump(d, open(p, "w"))
+    model = import_hf_tokenizer_json(p)
+    df = spark.createDataFrame(
+        [(1, ["do", "n't", "stop", ",", "it", "'s", "a", "'", "b",
+              "fine", "."])],
+        "doc_id long, tokens array<string>")
+    out = hf_tokenizer_decode(df, "tokens", model).collect()[0]["decoded"]
+    assert out == "don't stop, it's a'b fine."
