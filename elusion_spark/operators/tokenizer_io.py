@@ -974,6 +974,49 @@ def import_bert_vocab(
             "special_token_ids": {p: vocab_ids[p] for p in specials}}
 
 
+def tokenizer_fertility(
+    df,
+    text_col: str = "text",
+    n_tokens_col: str = "n_tokens",
+    strata_col: str | None = None,
+):
+    """Corpus-level tokenizer evaluation metrics (round 10): per
+    stratum (language, domain — or the whole corpus when
+    ``strata_col`` is None), the numbers a data team compares
+    tokenizers by —
+
+    - ``fertility``: tokens per whitespace word (the standard
+      multilingual-tokenizer quality metric; lower = fewer splits);
+    - ``chars_per_token``: raw characters per emitted token (the
+      compression view — how much text one token carries).
+
+    Input is an ``hf_tokenizer_encode`` (or any encode) output
+    carrying the text and its token count.  Pure aggregation — one
+    shuffle on the strata key, exact BIGINT sums, one double division
+    at the end; rides a 100 TB encode for free."""
+    from pyspark.sql import functions as F
+
+    words = F.size(F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"),
+        lambda w: F.length(w) > 0)).cast("bigint")
+    keys = [F.col(strata_col)] if strata_col else []
+    agg = (df.select(*keys,
+                     F.col(n_tokens_col).cast("bigint").alias("__t"),
+                     words.alias("__w"),
+                     F.length(text_col).cast("bigint").alias("__c"))
+             .groupBy(*keys)
+             .agg(F.count("*").cast("bigint").alias("docs"),
+                  F.sum("__t").alias("tokens"),
+                  F.sum("__w").alias("words"),
+                  F.sum("__c").alias("chars")))
+    return agg.select(
+        *([F.col(strata_col)] if strata_col else []),
+        "docs", "tokens", "words", "chars",
+        F.round(F.col("tokens") / F.col("words"), 6).alias("fertility"),
+        F.round(F.col("chars") / F.col("tokens"), 6)
+        .alias("chars_per_token"))
+
+
 def contains_special_tokens(
     df,
     text_col: str = "text",

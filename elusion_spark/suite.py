@@ -7805,6 +7805,103 @@ def q168(spark, sf):
     )
 
 
+# q169: tokenizer fertility / compression report (round 10): the
+# corpus-level metrics a data team compares tokenizers by — tokens
+# per word (fertility) and chars per token — per language, computed
+# on the q166 Metaspace model's encode.  The oracle re-derives the
+# token counts with the q166 chained-replace replay and aggregates
+# the same exact BIGINT sums; the two ratio divisions are single
+# correctly-rounded double ops, identical on both engines.
+def _q169_oracle() -> str:
+    def rep(expr, l, r):
+        return (f"replace({expr}, chr(31) || '{l}' || chr(31) || "
+                f"chr(31) || '{r}' || chr(31), chr(31) || '{l}{r}' || "
+                "chr(31))")
+
+    chain = ("chr(31) || array_to_string(regexp_split_to_array("
+             "'▁' || w, ''), chr(31) || chr(31)) || chr(31)")
+    for l, r in _Q166_MERGES:
+        chain = rep(chain, l, r)
+    return f"""
+    WITH words AS (
+        SELECT doc_id, lang, arr[i] AS w
+        FROM (
+            SELECT doc_id, lang, arr,
+                   unnest(generate_series(1, len(arr))) AS i
+            FROM (
+                SELECT doc_id, lang,
+                       list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           x -> length(x) > 0) AS arr
+                FROM documents
+            )
+        )
+    ), tok AS (
+        SELECT doc_id, lang,
+               CAST(SUM(len(string_split(trim({chain}, chr(31)),
+                                         chr(31) || chr(31))))
+                    AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_words
+        FROM words GROUP BY doc_id, lang
+    ), agg AS (
+        SELECT t.lang,
+               CAST(COUNT(*) AS BIGINT) AS docs,
+               CAST(SUM(t.n_tokens) AS BIGINT) AS tokens,
+               CAST(SUM(t.n_words) AS BIGINT) AS words,
+               CAST(SUM(length(d.text)) AS BIGINT) AS chars
+        FROM tok t JOIN documents d ON d.doc_id = t.doc_id
+        GROUP BY t.lang
+    )
+    SELECT lang, docs, tokens, words, chars,
+           ROUND(tokens / words, 6) AS fertility,
+           ROUND(chars / tokens, 6) AS chars_per_token
+    FROM agg ORDER BY lang
+    """
+
+
+@q("q169_tokenizer_fertility", _q169_oracle())
+def q169(spark, sf):
+    """Tokenizer evaluation report (tokenizer_io.py::
+    tokenizer_fertility, round 10): encode the corpus with the q166
+    Metaspace BPE model, then per-language fertility (tokens/word)
+    and compression (chars/token) — exact BIGINT sums, one shuffle on
+    the language key on top of the zero-shuffle encode.  The numbers
+    that decide which tokenizer a 100 TB corpus gets."""
+    import json as _json
+    import os
+    import tempfile
+
+    from .operators.tokenizer_io import (hf_tokenizer_encode,
+                                         import_hf_tokenizer_json,
+                                         tokenizer_fertility)
+
+    doc = {
+        "version": "1.0", "truncation": None, "padding": None,
+        "added_tokens": [],
+        "normalizer": {"type": "Lowercase"},
+        "pre_tokenizer": {"type": "Metaspace", "replacement": "▁",
+                          "prepend_scheme": "always"},
+        "post_processor": None, "decoder": None,
+        "model": {
+            "type": "BPE", "dropout": None, "unk_token": None,
+            "continuing_subword_prefix": None,
+            "end_of_word_suffix": None, "fuse_unk": False,
+            "byte_fallback": False, "ignore_merges": False,
+            "vocab": {p: i for i, p in enumerate(_Q166_VOCAB)},
+            "merges": [f"{l} {r}" for l, r in _Q166_MERGES],
+        },
+    }
+    fd, path = tempfile.mkstemp(suffix=".json", prefix="q169_tok_")
+    with os.fdopen(fd, "w") as f:
+        _json.dump(doc, f)
+    model = import_hf_tokenizer_json(path)
+    d = _t(spark, sf, "documents", "d").df
+    enc = hf_tokenizer_encode(
+        d.select("doc_id", "lang", "text"), "text", model)
+    return tokenizer_fertility(enc, "text", "n_tokens",
+                               strata_col="lang").orderBy("lang")
+
+
 # ---------------------------------------------------------------------
 # Registry order: the driver's correctness runner recorded exactly 50
 # entries in round 1 (q01-q50, dict order), leaving q51-q61 unevidenced.
@@ -7819,6 +7916,7 @@ _NEEDS_EVIDENCE = [
     "q163_llama3_import_encode", "q164_sentencepiece_lifecycle",
     "q165_special_token_split", "q166_token_ids",
     "q167_decode_roundtrip", "q168_pack_token_ids",
+    "q169_tokenizer_fertility",
     # Priority 2 — the 13 rows whose latest driver evidence is r6
     # (VERDICT r9 ask #4 names them explicitly):
     "q80_temperature_mix", "q81_sq8_topk", "q85_bracket_predicates",
@@ -7826,8 +7924,8 @@ _NEEDS_EVIDENCE = [
     "q96_fuzzy_match", "q97_except_all", "q98_distribution_windows",
     "q99_grouping_sets", "q132_grouping_builder", "q151_video_near_dup",
     "q152_pq_refine",
-    # Priority 3 — 31 of the 50 r7-evidenced rows, lowest query number
-    # first (the remaining 19 — q109-q116, q124-q130, q153-q156 —
+    # Priority 3 — 30 of the 50 r7-evidenced rows, lowest query number
+    # first (the remaining 20 — q108-q116, q124-q130, q153-q156 —
     # roll to round 11):
     "q28_calendar", "q29_json_extract", "q34_quality_fingerprint",
     "q42_union_all_append", "q43_drop_duplicates_by_col",
@@ -7841,7 +7939,6 @@ _NEEDS_EVIDENCE = [
     "q101_batched_hybrid", "q102_latest_by_key",
     "q103_top_k_per_group", "q104_url_filter", "q105_assign_shards",
     "q106_ohlc_resample", "q107_gapfill_linear",
-    "q108_best_quality_dedup",
 ]
 _NEEDS_EVIDENCE = [k for k in _NEEDS_EVIDENCE if k in QUERIES]
 QUERIES = {

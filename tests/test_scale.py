@@ -372,6 +372,9 @@ SHUFFLE_BUDGETS = {
     "q166_token_ids": 1,
     "q167_decode_roundtrip": 1,
     "q168_pack_token_ids": 2,
+    # fertility report: zero-shuffle encode + the lang-key agg exchange
+    # + the 5-row ordered-output range exchange
+    "q169_tokenizer_fertility": 2,
 }
 
 

@@ -1836,3 +1836,24 @@ def test_hf_decode_wordpiece_cleanup_rules(spark, tmp_path):
         "doc_id long, tokens array<string>")
     out = hf_tokenizer_decode(df, "tokens", model).collect()[0]["decoded"]
     assert out == "don't stop, it's a'b fine."
+
+
+def test_tokenizer_fertility_metrics(spark):
+    """tokenizer_fertility: exact BIGINT sums, per-stratum and
+    whole-corpus forms, ratios = tokens/word and chars/token."""
+    from pyspark.sql import functions as F
+
+    from elusion_spark.operators.tokenizer_io import tokenizer_fertility
+
+    df = spark.createDataFrame(
+        [("en", "ab cd", 6), ("en", "x", 1), ("de", "hello there", 4)],
+        "lang string, text string, n_tokens long")
+    per = {r["lang"]: r for r in tokenizer_fertility(
+        df, "text", "n_tokens", strata_col="lang").collect()}
+    assert per["en"]["docs"] == 2 and per["en"]["tokens"] == 7
+    assert per["en"]["words"] == 3 and per["en"]["chars"] == 6
+    assert per["en"]["fertility"] == round(7 / 3, 6)
+    assert per["de"]["chars_per_token"] == round(11 / 4, 6)
+    whole = tokenizer_fertility(df, "text", "n_tokens").collect()
+    assert len(whole) == 1 and whole[0]["tokens"] == 11
+    assert whole[0]["words"] == 5
