@@ -733,6 +733,53 @@ def test_ivf_fit_numpy_speed():
     assert took < 20.0, f"IVF fit took {took:.1f}s at 100k x 64"
 
 
+def test_pq_sample_fit_numpy_speed(spark):
+    """pq_fit's per-subspace sample Lloyd uses the same allocation
+    discipline as ivf_build (r10: fromiter conversion + chunked
+    distance blocks): the 100k×64 m=8 codebook seed runs in seconds.
+    Before the r10 change the unchunked form allocated a fresh
+    ~12 MB distance temporary per (subspace, iteration) — 40 large
+    first-touch allocations that dominated the fit wall on
+    slow-fault hosts (measured 8-35 s vs 2-4 s chunked)."""
+    import time as _time
+
+    import numpy as np
+
+    from elusion_spark.operators import similarity as S
+
+    rng = np.random.default_rng(11)
+    rows = [(_p.tolist(),) for _p in rng.normal(size=(100_000, 64))]
+
+    class _FakeDF:
+        def select(self, *_a):
+            return self
+
+        def filter(self, *_a):
+            return self
+
+        def persist(self, *_a):
+            return self
+
+        def unpersist(self, *_a):
+            return self
+
+        def sample(self, **_k):
+            return self
+
+        def limit(self, _n):
+            return self
+
+        def collect(self):
+            return rows
+
+    t0 = _time.monotonic()
+    model = S.pq_fit(_FakeDF(), "v", dim=64, m=8, k=16, iters=0,
+                     sample_fraction=1.0)
+    took = _time.monotonic() - t0
+    assert model.m == 8 and model.k == 16 and model.dsub == 8
+    assert took < 20.0, f"PQ sample fit took {took:.1f}s at 100k x 64"
+
+
 def test_write_to_json_streams_without_collect(spark, tmp_path):
     """Array-form single-file JSON must not materialize the result on the
     driver (VERDICT r1: df.collect() OOMs at scale).  Verify the writer
