@@ -215,7 +215,15 @@ def minhash_dedup_pairs(
     sig_df = hashed.select(
         "__id", *gcols,
         minhash_signature_from_hashes("__h", num_hashes).alias("__sig")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if verify == "estimate":
+        # estimate mode reads sig_df from THREE plan branches (banding +
+        # both sides of the pair-scoring join) — persist it.  exact mode
+        # consumes it exactly once (banding; the verify joins reuse
+        # `hashed` instead), so persisting would cache a corpus×H-longs
+        # table nobody reads twice — skipped since r10 (measured: no
+        # sf0.1 wall change, O(docs·H·8B) less cache at scale).
+        sig_df = sig_df.persist(StorageLevel.MEMORY_AND_DISK)
 
     # band explode carries ONLY (id, [group,] band_idx, band_hash)
     banded = sig_df.select(

@@ -28,6 +28,16 @@ _DEFAULTS = {
     # code cache is raised to match so compiled code isn't flushed either.
     "spark.sql.codegen.cache.maxEntries": "1000",
     "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=1g",
+    # Prefer shuffled-hash join over sort-merge when the per-partition
+    # build side fits (guide §3.1/§9): same results, no sort pass.
+    # Measured r10 on the three SMJ-carrying bench entries: q158 -8%,
+    # q156 -7%, q136 flat (one of q158's two SMJs flips to SHJ; the
+    # other fails the planner's size gate and stays SMJ).  Scale note:
+    # SHJ builds a per-partition hash table — AQE skew splitting still
+    # applies, and the planner's own size conditions keep genuinely
+    # large-per-partition sides on SMJ, so this is the guide's
+    # recommended default, not a local[32] tune.
+    "spark.sql.join.preferSortMergeJoin": "false",
     # parquet split size: this is the LOCAL profile — sf0.1 tables are
     # 20-100 MB single files, so 128 MB splits would serialize the whole
     # scan on one of 32 cores; 8 MB keeps every core busy.  On a real

@@ -109,7 +109,10 @@ def test_bpe_word_mode_broadcast_knob(spark):
         if knob is True:
             assert "BroadcastHashJoin" in plan
         if knob is False:
-            assert "SortMergeJoin" in plan
+            # non-broadcast path = a SHUFFLE join; the planner picks
+            # SMJ or SHJ (preferSortMergeJoin=false since r10)
+            assert ("SortMergeJoin" in plan
+                    or "ShuffledHashJoin" in plan)
     assert outs["True"] == outs["False"] == outs["auto"]
     with pytest.raises(ValueError, match="broadcast_segments"):
         bpe_encode(df, "text", merges, mode="words",
@@ -158,7 +161,10 @@ def test_unigram_broadcast_segments_parity_and_plans(spark):
         if knob is True:
             assert "BroadcastHashJoin" in plan
         if knob is False:
-            assert "SortMergeJoin" in plan
+            # non-broadcast path = a SHUFFLE join; the planner picks
+            # SMJ or SHJ (preferSortMergeJoin=false since r10)
+            assert ("SortMergeJoin" in plan
+                    or "ShuffledHashJoin" in plan)
     assert outs["True"] == outs["False"] == outs["auto"]
 
 
