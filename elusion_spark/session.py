@@ -38,6 +38,11 @@ _DEFAULTS = {
     # large-per-partition sides on SMJ, so this is the guide's
     # recommended default, not a local[32] tune.
     "spark.sql.join.preferSortMergeJoin": "false",
+    # zstd parquet output (guide §6): measured r10 on sf0.1
+    # documents+lineitem — 20% smaller files (11.3 -> 9.0 MB), write
+    # wall equal-or-better (2.27 -> 2.02 s warm), read-back no slower.
+    # Codec of OUTPUT files only; inputs declare their own codec.
+    "spark.sql.parquet.compression.codec": "zstd",
     # parquet split size: this is the LOCAL profile — sf0.1 tables are
     # 20-100 MB single files, so 128 MB splits would serialize the whole
     # scan on one of 32 cores; 8 MB keeps every core busy.  On a real

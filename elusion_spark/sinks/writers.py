@@ -387,7 +387,7 @@ def stream_write(df: DataFrame, path: str, fmt: str = "csv",
         schema = pa.schema(
             [pa.field(f.name, _arrow_type(f.dataType)) for f in df.schema.fields]
         )
-        writer = pq.ParquetWriter(path, schema, compression="snappy")
+        writer = pq.ParquetWriter(path, schema, compression="zstd")
         buf: list[dict] = []
         try:
             if prior is not None:
@@ -497,7 +497,7 @@ def write_parquet_to_azure_with_sas(df: DataFrame, url: str, sas_token: str,
 
     table = pa.Table.from_pandas(df.toPandas())
     sink = io.BytesIO()
-    pq.write_table(table, sink, compression="snappy")
+    pq.write_table(table, sink, compression="zstd")
     _azure_write(url, sas_token, sink.getvalue(),
                  "application/octet-stream")
 
@@ -562,7 +562,7 @@ def write_parquet_to_fabric(df: DataFrame, onelake_url: str, **auth) -> None:
     tenant, cid, secret = _require_sp_creds(auth, "OneLake writes")
     table = pa.Table.from_pandas(df.toPandas())
     sink = io.BytesIO()
-    pq.write_table(table, sink, compression="snappy")
+    pq.write_table(table, sink, compression="zstd")
     try:
         token = _ms_token(tenant, cid, secret,
                           "https://storage.azure.com/.default")
