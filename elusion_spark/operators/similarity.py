@@ -835,7 +835,10 @@ def ivf_residual_expr(
 
 def _probe_clusters_udf(centroids: list[list[float]], nprobe: int):
     """pandas_udf: the ``nprobe`` nearest centroid ids per vector
-    (stable argsort — deterministic under distance ties)."""
+    (stable argsort — deterministic under distance ties).  Replaced in
+    ``knn_join`` by ``_probe_clusters_arrow_fn`` (r10, guide §4.2);
+    kept as the parity reference for
+    ``test_probe_clusters_arrow_parity``."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -856,6 +859,57 @@ def _probe_clusters_udf(centroids: list[list[float]], nprobe: int):
         return pd.Series(list(idx))
 
     return _probe
+
+
+def _probe_clusters_arrow_fn(centroids: list[list[float]], nprobe: int):
+    """Arrow-native probe assignment for ``knn_join`` IVF mode — the
+    mapInArrow replacement for ``_probe_clusters_udf`` (guide §4.2,
+    same template as ``_norm_buckets_arrow_fn``): the query vector
+    column is read as ONE contiguous buffer view instead of boxing a
+    fresh ndarray per row, the (__qid, __qv, __qn) columns pass
+    through as the same Arrow arrays, and the function emits ONE row
+    per input row (the ``nprobe`` probe ids as a list), leaving the
+    explode to the JVM.  float64 distance / stable-argsort arithmetic
+    is unchanged → probes bit-identical to the pandas path (pinned by
+    ``test_probe_clusters_arrow_parity``).
+
+    Input batches must carry exactly (__qid, __qv, __qn); output rows
+    are (__qid, __qv, __qn, __probes[min(nprobe, nlist)])."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+    nsel = min(nprobe, len(centroids))
+    dim = C.shape[1]
+
+    def _fn(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            vec = batch.column(1)
+            flat = vec.flatten().to_numpy(zero_copy_only=False)
+            if flat.size != n * dim:
+                raise ValueError(
+                    f"expected fixed-length {dim} vectors, got "
+                    f"{flat.size} values over {n} rows (ragged or null "
+                    f"embeddings are not supported)")
+            m = flat.reshape(n, dim).astype(np.float64, copy=False)
+            # ||v||^2 is constant per row — argmin order unaffected
+            d2 = c_sq - 2.0 * (m @ C.T)
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :nsel].astype(
+                np.int32)
+            probes = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * nsel, nsel,
+                                   dtype=np.int32)),
+                pa.array(idx.reshape(-1)),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), vec, batch.column(2), probes],
+                names=["__qid", "__qv", "__qn", "__probes"],
+            )
+
+    return _fn
 
 
 def knn_join(
@@ -910,7 +964,6 @@ def knn_join(
     candidate pool (recall loss, bounded memory); block mode needs no
     cap because its keys are hash-uniform by construction."""
     import numpy as np
-    import pandas as pd
 
     qn = queries.select(
         F.col(q_id).alias("__qid"),
@@ -923,8 +976,16 @@ def knn_join(
         norm_expr(c_vec).alias("__cn"),
     )
     if centroids is not None:
-        probe = _probe_clusters_udf(centroids, nprobe)
-        qk = qn.withColumn("__key", F.explode(probe(F.col("__qv"))))
+        from pyspark.sql import types as T
+
+        probe_schema = T.StructType(list(qn.schema.fields) + [
+            T.StructField("__probes", T.ArrayType(T.IntegerType()))])
+        qk = (
+            qn.mapInArrow(
+                _probe_clusters_arrow_fn(centroids, nprobe), probe_schema)
+            .select("__qid", "__qv", "__qn",
+                    F.explode("__probes").alias("__key"))
+        )
         ck = cn.withColumn(
             "__key", assign_clusters_col("__cv", centroids).cast("int")
         )
@@ -957,22 +1018,40 @@ def knn_join(
 
     local_k = k + 1 if exclude_self else k
 
-    def _topk(qpdf, cpdf):
-        if qpdf.empty or cpdf.empty:
-            return pd.DataFrame(
-                {"query_id": pd.Series(dtype="int64"),
-                 "neighbor_id": pd.Series(dtype="int64"),
-                 "cosine": pd.Series(dtype="float64")}
-            )
-        Q = np.asarray([np.asarray(v, dtype=np.float64) for v in qpdf["__qv"]])
-        Cv = np.asarray([np.asarray(v, dtype=np.float64) for v in cpdf["__cv"]])
+    def _topk(qt, ct):
+        # Arrow-native cogroup (guide §4.2): each side's vector column
+        # is read as ONE contiguous buffer view (ListArray.flatten →
+        # reshape) instead of the per-row ndarray boxing the pandas
+        # path paid before the GEMM.  float64 GEMM / round / lexsort
+        # arithmetic is unchanged → output bit-identical (pinned by
+        # test_knn_cogroup_arrow_parity).
+        import pyarrow as pa
+
+        def _mat(tbl, col):
+            a = tbl.column(col).combine_chunks()
+            n = len(a)
+            flat = a.flatten().to_numpy(zero_copy_only=False)
+            if n == 0 or flat.size % n:
+                raise ValueError(
+                    f"ragged or null vectors in {col!r}: {flat.size} "
+                    f"values over {n} rows")
+            return flat.reshape(n, flat.size // n).astype(
+                np.float64, copy=False)
+
+        if qt.num_rows == 0 or ct.num_rows == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())})
+        Q = _mat(qt, "__qv")
+        Cv = _mat(ct, "__cv")
         sims = (Q @ Cv.T) / np.outer(
-            qpdf["__qn"].to_numpy(dtype=np.float64),
-            cpdf["__cn"].to_numpy(dtype=np.float64),
+            qt.column("__qn").to_numpy(zero_copy_only=False),
+            ct.column("__cn").to_numpy(zero_copy_only=False),
         )
         sims = np.round(sims, round_digits)
-        qids = qpdf["__qid"].to_numpy()
-        cids = cpdf["__cid"].to_numpy()
+        qids = qt.column("__qid").to_numpy(zero_copy_only=False)
+        cids = ct.column("__cid").to_numpy(zero_copy_only=False)
         cut = min(local_k, sims.shape[1])
         out_q, out_c, out_s = [], [], []
         for i in range(sims.shape[0]):
@@ -982,16 +1061,18 @@ def knn_join(
             out_q.append(np.full(len(order), qids[i]))
             out_c.append(cids[order])
             out_s.append(sims[i][order])
-        return pd.DataFrame(
-            {"query_id": np.concatenate(out_q),
-             "neighbor_id": np.concatenate(out_c),
-             "cosine": np.concatenate(out_s)}
-        )
+        return pa.table(
+            {"query_id": pa.array(
+                np.concatenate(out_q).astype(np.int64, copy=False)),
+             "neighbor_id": pa.array(
+                np.concatenate(out_c).astype(np.int64, copy=False)),
+             "cosine": pa.array(
+                np.concatenate(out_s).astype(np.float64, copy=False))})
 
     cand = (
         qk.groupBy("__key")
         .cogroup(ck.groupBy("__key"))
-        .applyInPandas(_topk, "query_id long, neighbor_id long, cosine double")
+        .applyInArrow(_topk, "query_id long, neighbor_id long, cosine double")
     )
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1084,35 +1165,46 @@ def semantic_dedup(
             .filter(F.col("__rn") <= max_cluster_size)
             .drop("__rn")
         )
-    # Intra-cluster pairs via ONE blocked GEMM per cluster (applyInPandas):
-    # each cluster's members arrive as one Arrow batch group, the pairwise
+    # Intra-cluster pairs via ONE blocked GEMM per cluster (applyInArrow):
+    # each cluster's members arrive as one Arrow group, the pairwise
     # cosine matrix is a single numpy matmul, and only the (id_a, id_b)
     # index pairs above threshold are emitted.  This replaces a self-join
     # whose per-pair interpreted zip_with cosine was the bottleneck
-    # (measured ~6.5 s -> sub-second at sf0.1).  A whole cluster must fit
-    # in one executor's memory — that is SemDeDup's own operating point
-    # (the paper runs ~50k clusters over 100M+ points precisely so each
-    # cluster is small); size n_clusters for ~N/k of a few hundred
-    # thousand rows max, and cap stragglers with max_cluster_size.
-    def _pairs(pdf):
+    # (measured ~6.5 s -> sub-second at sf0.1); the Arrow form (guide
+    # §4.2) additionally reads the vector column as one contiguous
+    # buffer view instead of boxing a fresh ndarray per row — same
+    # float64 GEMM, bit-identical pairs (test_semdedup_pairs_arrow_parity).
+    # A whole cluster must fit in one executor's memory — that is
+    # SemDeDup's own operating point (the paper runs ~50k clusters over
+    # 100M+ points precisely so each cluster is small); size n_clusters
+    # for ~N/k of a few hundred thousand rows max, and cap stragglers
+    # with max_cluster_size.
+    def _pairs(tbl):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        ids = pdf["__id"].to_numpy()
-        V = np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
-        )
-        norms = pdf["__norm"].to_numpy(dtype=np.float64)
+        ids = tbl.column("__id").to_numpy(zero_copy_only=False)
+        va = tbl.column("__v").combine_chunks()
+        n = len(va)
+        flat = va.flatten().to_numpy(zero_copy_only=False)
+        if n == 0 or flat.size % n:
+            raise ValueError(
+                f"ragged or null vectors in '__v': {flat.size} values "
+                f"over {n} rows")
+        V = flat.reshape(n, flat.size // n).astype(np.float64, copy=False)
+        norms = tbl.column("__norm").to_numpy(zero_copy_only=False)
         sims = (V @ V.T) / np.outer(norms, norms)
         ia, ib = np.nonzero(np.triu(sims >= cosine_threshold, k=1))
         a, b_ = ids[ia], ids[ib]
         lo = np.minimum(a, b_)
         hi = np.maximum(a, b_)
-        return pd.DataFrame({"id_a": lo, "id_b": hi})
+        return pa.table(
+            {"id_a": pa.array(lo.astype(np.int64, copy=False)),
+             "id_b": pa.array(hi.astype(np.int64, copy=False))})
 
     edges = (
         b.groupBy("cluster_id")
-        .applyInPandas(_pairs, "id_a long, id_b long")
+        .applyInArrow(_pairs, "id_a long, id_b long")
     )
     comps = connected_components(edges)
     removed = comps.filter(F.col("id") != F.col("cluster_id")).select(

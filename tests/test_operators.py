@@ -5645,3 +5645,225 @@ def test_pack_token_ids_semantics(spark):
     import pytest
     with pytest.raises(ValueError, match="seq_len"):
         pack_token_ids(df, "token_ids", seq_len=0)
+
+
+def test_knn_cogroup_arrow_parity(spark):
+    """The applyInArrow cogroup top-k must be BIT-identical to the
+    applyInPandas form it replaced (r10: the rewrite reads each side's
+    vector column as one contiguous buffer instead of boxing a fresh
+    ndarray per row; the float64 GEMM / round / lexsort arithmetic is
+    unchanged).  The OLD stage is replicated here verbatim (block-mode
+    preprocessing + pandas cogroup + rank window) and compared against
+    the product ``knn_join`` over float32 vectors, several partitions
+    and a small Arrow batch size."""
+    import random
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from elusion_spark.operators.similarity import knn_join, norm_expr
+
+    dim, n, k, n_blocks, seed = 16, 193, 4, 3, 1234
+    rng = random.Random(seed)
+    rows = [(i, [rng.uniform(-3, 3) for _ in range(dim)])
+            for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>").repartition(5)
+    round_digits, local_k = 4, k + 1  # exclude_self=True
+
+    def old_knn():  # the pre-r10 cogroup stage, verbatim
+        qn = df.select(F.col("vec_id").alias("__qid"),
+                       F.col("embedding").alias("__qv"),
+                       norm_expr("embedding").alias("__qn"))
+        cn = df.select(F.col("vec_id").alias("__cid"),
+                       F.col("embedding").alias("__cv"),
+                       norm_expr("embedding").alias("__cn"))
+        blocks = spark.range(n_blocks).select(
+            F.col("id").cast("int").alias("__key"))
+        qk = qn.crossJoin(F.broadcast(blocks))
+        ck = cn.withColumn(
+            "__key",
+            F.pmod(F.xxhash64("__cid"), F.lit(n_blocks)).cast("int"))
+
+        def _topk(qpdf, cpdf):
+            if qpdf.empty or cpdf.empty:
+                return pd.DataFrame(
+                    {"query_id": pd.Series(dtype="int64"),
+                     "neighbor_id": pd.Series(dtype="int64"),
+                     "cosine": pd.Series(dtype="float64")})
+            Q = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in qpdf["__qv"]])
+            Cv = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in cpdf["__cv"]])
+            sims = (Q @ Cv.T) / np.outer(
+                qpdf["__qn"].to_numpy(dtype=np.float64),
+                cpdf["__cn"].to_numpy(dtype=np.float64))
+            sims = np.round(sims, round_digits)
+            qids = qpdf["__qid"].to_numpy()
+            cids = cpdf["__cid"].to_numpy()
+            cut = min(local_k, sims.shape[1])
+            out_q, out_c, out_s = [], [], []
+            for i in range(sims.shape[0]):
+                order = np.lexsort((cids, -sims[i]))[:cut]
+                out_q.append(np.full(len(order), qids[i]))
+                out_c.append(cids[order])
+                out_s.append(sims[i][order])
+            return pd.DataFrame(
+                {"query_id": np.concatenate(out_q),
+                 "neighbor_id": np.concatenate(out_c),
+                 "cosine": np.concatenate(out_s)})
+
+        cand = (qk.groupBy("__key").cogroup(ck.groupBy("__key"))
+                .applyInPandas(
+                    _topk, "query_id long, neighbor_id long, cosine double")
+                .filter(F.col("query_id") != F.col("neighbor_id")))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id"))
+        return (cand.withColumn(
+                    "rank", F.row_number().over(w).cast("bigint"))
+                .filter(F.col("rank") <= k))
+
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        old = old_knn().collect()
+        new = knn_join(df, df, k=k, n_blocks=n_blocks,
+                       exclude_self=True).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       old_batch)
+    old_m = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+             for r in old}
+    new_m = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+             for r in new}
+    assert len(old) == len(new) == n * k
+    assert old_m == new_m  # exact float equality — same bits
+
+
+def test_semdedup_pairs_arrow_parity(spark):
+    """The applyInArrow intra-cluster pair stage of ``semantic_dedup``
+    must reproduce the applyInPandas form it replaced bit-for-bit: the
+    OLD pipeline (same ivf_build clustering, pandas pair GEMM, same
+    connected components) is replicated here and both removed-sets are
+    compared exactly, over float32 vectors with planted near-dups and
+    a small Arrow batch size."""
+    import random
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from elusion_spark.operators.dedup import connected_components
+    from elusion_spark.operators.similarity import (
+        ivf_build, norm_expr, semantic_dedup,
+    )
+
+    dim, n, thr, n_clusters, seed = 12, 150, 0.98, 5, 77
+    rng = random.Random(seed)
+    base = [[rng.uniform(-2, 2) for _ in range(dim)] for _ in range(n)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    # planted near-dups: every 4th vector re-enters scaled by 1.01
+    # (cosine 1.0 after float32 storage rounding stays >= thr)
+    rows += [(1000 + i, [x * 1.01 for x in base[i]])
+             for i in range(0, n, 4)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>").repartition(4)
+
+    def old_removed():  # the pre-r10 pair stage, verbatim
+        assigned, _ = ivf_build(
+            df, "embedding", dim, nlist=n_clusters,
+            sample_fraction=1.0, iters=3, seed=42)
+        b = assigned.select(
+            F.col("vec_id").alias("__id"),
+            F.col("embedding").alias("__v"),
+            norm_expr("embedding").alias("__norm"),
+            "cluster_id")
+
+        def _pairs(pdf):
+            ids = pdf["__id"].to_numpy()
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+            norms = pdf["__norm"].to_numpy(dtype=np.float64)
+            sims = (V @ V.T) / np.outer(norms, norms)
+            ia, ib = np.nonzero(np.triu(sims >= thr, k=1))
+            a, b_ = ids[ia], ids[ib]
+            return pd.DataFrame({"id_a": np.minimum(a, b_),
+                                 "id_b": np.maximum(a, b_)})
+
+        edges = b.groupBy("cluster_id").applyInPandas(
+            _pairs, "id_a long, id_b long")
+        comps = connected_components(edges)
+        return comps.filter(F.col("id") != F.col("cluster_id")).select(
+            F.col("id").cast("bigint").alias("removed_id"),
+            F.col("cluster_id").cast("bigint").alias("kept_id"))
+
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        old = {(r["removed_id"], r["kept_id"])
+               for r in old_removed().collect()}
+        new = {(r["removed_id"], r["kept_id"])
+               for r in semantic_dedup(
+                   df, "vec_id", "embedding", dim, cosine_threshold=thr,
+                   n_clusters=n_clusters, iters=3,
+                   return_removed=True).collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       old_batch)
+    assert old, "fixture must plant at least one near-dup pair"
+    assert old == new
+
+
+def test_probe_clusters_arrow_parity(spark):
+    """The mapInArrow probe stage of ``knn_join`` IVF mode must be
+    BIT-identical to the pandas_udf + explode form it replaced (r10:
+    same float64 distance + stable argsort, only the boundary
+    conversion removed).  Fuzz over float32 vectors, odd row counts,
+    several partitions, small Arrow batches, and a nprobe that
+    truncates the centroid list."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from elusion_spark.operators.similarity import (
+        _probe_clusters_arrow_fn, _probe_clusters_udf, norm_expr,
+    )
+
+    dim, n, nlist, nprobe, seed = 16, 171, 7, 3, 4242
+    rng = random.Random(seed)
+    cents = [[rng.uniform(-2, 2) for _ in range(dim)]
+             for _ in range(nlist)]
+    rows = [(i, [rng.uniform(-2, 2) for _ in range(dim)])
+            for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>").repartition(5)
+    qn = df.select(F.col("vec_id").alias("__qid"),
+                   F.col("embedding").alias("__qv"),
+                   norm_expr("embedding").alias("__qn"))
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        probe = _probe_clusters_udf(cents, nprobe)
+        old = (qn.withColumn("__key", F.explode(probe(F.col("__qv"))))
+               .select("__qid", "__qn", "__key").collect())
+        schema = T.StructType(list(qn.schema.fields) + [
+            T.StructField("__probes", T.ArrayType(T.IntegerType()))])
+        new = (qn.mapInArrow(_probe_clusters_arrow_fn(cents, nprobe),
+                             schema)
+               .select("__qid", "__qn", F.explode("__probes").alias("__key"))
+               .collect())
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       old_batch)
+    assert len(old) == len(new) == n * nprobe
+    # probe lists are ordered (nearest first) — compare in order
+    old_m = {}
+    for r in old:
+        old_m.setdefault(r["__qid"], []).append((r["__key"], r["__qn"]))
+    new_m = {}
+    for r in new:
+        new_m.setdefault(r["__qid"], []).append((r["__key"], r["__qn"]))
+    assert old_m == new_m  # exact equality — same ids, same order, same bits
