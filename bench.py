@@ -704,6 +704,33 @@ def _annotate_violations(times: dict[str, float],
     return out
 
 
+def _slim_stdout(out: dict) -> dict:
+    """The one-line stdout JSON, reduced to what the driver parses: the
+    contract keys (metric/value/unit/queries/sf), violations with their
+    drift evidence, cache stats, errors, and the sf1/floor10x blocks'
+    queries + violations + drift.  Everything else (per-run provenance,
+    canary brackets, methodology prose) is in BENCH_local.json — the
+    full record whose size is exactly what tail-truncated BENCH_r09's
+    stdout capture into an unparseable line."""
+    slim = {"metric": out["metric"], "value": out["value"],
+            "unit": out["unit"], "queries": out["queries"],
+            "sf": out["sf"]}
+    for k in ("cache_stats", "budget_violations", "errors"):
+        if k in out:
+            slim[k] = out[k]
+    for blk in ("sf1", "floor_bound_10x"):
+        full = out.get(blk)
+        if isinstance(full, dict):
+            small = {k: full[k] for k in
+                     ("queries", "total", "violations", "error")
+                     if k in full}
+            drift = (full.get("canary") or {}).get("drift")
+            if drift is not None:
+                small["drift"] = drift
+            slim[blk] = small
+    return slim
+
+
 def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--child":
         _child_main(json.loads(sys.argv[2]))
@@ -886,6 +913,23 @@ def main() -> None:
             except Exception as exc:
                 out["floor_bound_10x"] = {"error": str(exc)[:200]}
 
+    # Scaling-evident entries (round 11, VERDICT r10 ask #2): the sf0.1
+    # headline fixtures are scheduling-floor-bound (0.2-2 s walls), so
+    # the driver's low-core instrument read every per-query 8-vs-32-core
+    # ratio ≈ 1 and raised `suspect_cpus_ignored` even though
+    # SPARK_GRAFT_CPUS is honored (session.py; BENCH_r10_c8's sf1 block
+    # runs 16.4 s at 8 cores vs 11.5 s at 32).  Promote the sf1 block's
+    # per-query walls into the top-level `queries` map (additive only —
+    # prefixed `sf1_`, no existing entry renamed or removed) so the
+    # instrument sees entries whose wall actually tracks core count.
+    # They carry no sf0.1 budget: they are slope instruments, and the
+    # sf1 block's own canary drift adjudicates them.
+    if budget_run:
+        sf1_q = (out.get("sf1") or {}).get("queries") or {}
+        if sf1_q:
+            times.update({f"sf1_{n}": t for n, t in sf1_q.items()})
+            out["value"] = round(sum(times.values()), 3)
+
     # dual-write the FULL result next to the repo: the driver's stdout
     # capture is tail-truncated on long lines (BENCH_r06.json lost the
     # head of the queries dict, `parsed: null`) — the file copy is the
@@ -897,7 +941,13 @@ def main() -> None:
             json.dump(out, f, indent=1)
     except OSError:
         pass
-    print(json.dumps(out))
+    # stdout gets the SLIM record (round 11, VERDICT r10 ask #1/#3):
+    # BENCH_r09's stdout JSON was tail-truncated and unparseable, which
+    # blinded PERF_r10 to its prev — the per-run provenance, canary
+    # brackets and methodology prose that made the line long live in
+    # BENCH_local.json only; stdout keeps the contract keys plus the
+    # violation/scaling evidence the driver parses.
+    print(json.dumps(_slim_stdout(out)))
 
 
 if __name__ == "__main__":

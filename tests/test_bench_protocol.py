@@ -205,6 +205,45 @@ def test_floor_bound_annotation():
     assert v["qa"]["floor_bound"] is False
 
 
+def test_slim_stdout_keeps_contract_and_drops_provenance():
+    """Round 11 (VERDICT r10 ask #1/#3): stdout must stay short enough
+    to survive the driver's line capture — the contract keys and the
+    violation/scaling evidence stay, the per-run provenance / canary
+    brackets / methodology prose move to BENCH_local.json only."""
+    b = _load_bench()
+    full = {
+        "metric": "suite_seconds", "value": 1.5, "unit": "sec",
+        "queries": {"q01": 1.0, "sf1_q01": 0.5}, "sf": 0.1,
+        "methodology": {"isolation": "x"},
+        "canaries": {"group_0": {"start": 0.1}},
+        "provenance": {"group_0": {"runs": []}},
+        "cache_stats": {"hits": 2, "misses": 1},
+        "budget_violations": {"q01": {"sec": 1.0, "budget": 0.9}},
+        "sf1": {"queries": {"q01": 0.5}, "total": 0.5,
+                "canary": {"drift": 1.3, "start": 0.2}, "note": "long"},
+        "floor_bound_10x": {"queries": {"q77": 1.9}, "violations": {},
+                            "canary": {"drift": 1.0},
+                            "provenance": {"runs": []}, "note": "long"},
+    }
+    slim = b._slim_stdout(full)
+    # contract keys intact (the driver parses these)
+    assert slim["metric"] == "suite_seconds" and slim["unit"] == "sec"
+    assert slim["queries"] == full["queries"] and slim["sf"] == 0.1
+    assert slim["budget_violations"] == full["budget_violations"]
+    assert slim["cache_stats"] == full["cache_stats"]
+    # scaling blocks keep queries+drift, shed notes/canary brackets
+    assert slim["sf1"] == {"queries": {"q01": 0.5}, "total": 0.5,
+                           "drift": 1.3}
+    assert slim["floor_bound_10x"] == {"queries": {"q77": 1.9},
+                                       "violations": {}, "drift": 1.0}
+    # the bulk (what truncated BENCH_r09) is gone from stdout
+    for k in ("methodology", "canaries", "provenance"):
+        assert k not in slim
+    # a failed sf1 block still reports its error compactly
+    slim2 = b._slim_stdout({**full, "sf1": {"error": "boom"}})
+    assert slim2["sf1"] == {"error": "boom"}
+
+
 def test_methodology_string_matches_timed_passes():
     """ADVICE r6: the emitted protocol description must match the
     actual pass count (r6 said 'min of 2' while running 3)."""
