@@ -57,6 +57,63 @@ def cosine_expr(vec_col: str, query: list[float]) -> Column:
     )
 
 
+def _arrow_list_matrix(arr, what: str, dim: int | None = None):
+    """Zero-copy (n × dim) float64 view of an Arrow list-of-float column
+    — the shared reader for every Arrow-batched vector stage (mapInArrow
+    / applyInArrow / arrow_udf).  The values buffer of a list array is
+    contiguous, so the read is one ``flatten()`` + ``reshape`` instead
+    of boxing a fresh ndarray per row (the boundary cost the r10
+    rewrites removed: 33.3 ms → 0.63 ms per 10k×64 batch side).
+
+    Diagnostics are EXACT, not the total-size heuristic (ADVICE r10):
+    nulls are rejected by ``null_count`` before any buffer math
+    (``flatten()`` silently drops null rows, which would shift every
+    subsequent row's alignment), and raggedness is caught per row via
+    the list lengths — one null plus one double-length row can pass a
+    ``flat.size == n*dim`` check and reshape into garbage.  ``dim=None``
+    infers the width from the first row (cogroup GEMMs, where the
+    operator does not carry a declared dim)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if arr.null_count:
+        raise ValueError(
+            f"{what}: {arr.null_count} null vector rows (of {n}); "
+            "null embeddings are not supported — filter them first")
+    widths = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+    if dim is None:
+        dim = int(widths[0]) if n else 0
+    if n:
+        bad = np.flatnonzero(widths != dim)
+        if bad.size:
+            b = int(bad[0])
+            raise ValueError(
+                f"{what}: expected fixed-length {dim} vectors, row {b} "
+                f"has {int(widths[b])} values (ragged vectors are not "
+                "supported)")
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(n, dim).astype(np.float64, copy=False)
+
+
+def _check_sample_dims(vecs, dim: int, what: str) -> None:
+    """Guard for the driver-side sample fits (ADVICE r10): they read
+    their sample through ``np.fromiter(count=n*dim)``, which trusts the
+    declared dim — vectors LONGER than dim would silently misalign the
+    flat read into garbage rows (fromiter raises only when the iterator
+    runs short).  O(n) list ``len`` checks — microseconds next to the
+    conversion they protect."""
+    for i, v in enumerate(vecs):
+        if v is None or len(v) != dim:
+            got = "null" if v is None else str(len(v))
+            raise ValueError(
+                f"{what}: expected {dim}-dim vectors, sampled row {i} "
+                f"has {got} values")
+
+
 def classifier_score(
     df: DataFrame,
     vec_col: str,
@@ -74,32 +131,69 @@ def classifier_score(
     ``threshold`` the filter composes into the same scan stage.  Small
     heads use a codegen-friendly ``zip_with``/``aggregate`` expression;
     wide heads (dim > 512) switch to one numpy dot per Arrow batch via
-    pandas_udf, the same size-adaptive pattern as ``assign_clusters``."""
+    arrow_udf (zero-copy list-buffer read — see
+    ``_classifier_score_arrow_col``), the same size-adaptive pattern as
+    ``assign_clusters``."""
     dim = len(weights)
     if dim <= 512:
         dot = dot_expr(vec_col, [float(w) for w in weights])
         score = F.lit(1.0) / (F.lit(1.0)
                               + F.exp(-(dot + F.lit(float(bias)))))
     else:
-        import numpy as np
-        import pandas as pd
-        from pyspark.sql.functions import pandas_udf
-
-        W = np.asarray(weights, dtype=np.float64)
-        b = float(bias)
-
-        def _score(vs):
-            V = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
-            if V.size == 0:
-                return pd.Series([], dtype="float64")
-            return pd.Series(1.0 / (1.0 + np.exp(-(V @ W + b))))
-
-        _score.__annotations__ = {"vs": pd.Series, "return": pd.Series}
-        score = pandas_udf(_score, "double")(F.col(vec_col))
+        score = _classifier_score_arrow_col(vec_col, weights, bias)
     out = df.withColumn(out_col, score)
     if threshold is not None:
         out = out.filter(F.col(out_col) >= float(threshold))
     return out
+
+
+def _classifier_score_arrow_col(vec_col: str, weights: list[float],
+                                bias: float) -> Column:
+    """Wide-head ``sigmoid(w·x + b)`` as one numpy GEMV per Arrow batch
+    (arrow_udf).  The r10 boundary discipline applied to the Column
+    surface (guide §4.2): the vector column is read as ONE contiguous
+    buffer view (``_arrow_list_matrix``) instead of the pandas path's
+    per-row ndarray boxing — same float64 ``V @ W + b`` / sigmoid
+    arithmetic, bit-identical scores
+    (``test_classifier_score_arrow_parity``)."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql.functions import arrow_udf
+
+    W = np.asarray(weights, dtype=np.float64)
+    b = float(bias)
+    dim = len(weights)
+
+    def _score(vs: "pa.Array") -> "pa.Array":
+        if len(vs) == 0:
+            return pa.array([], type=pa.float64())
+        V = _arrow_list_matrix(vs, "classifier_score", dim)
+        return pa.array(1.0 / (1.0 + np.exp(-(V @ W + b))),
+                        type=pa.float64())
+
+    _score.__annotations__ = {"vs": pa.Array, "return": pa.Array}
+    return arrow_udf(_score, "double")(F.col(vec_col))
+
+
+def _classifier_score_pandas_col(vec_col: str, weights: list[float],
+                                 bias: float) -> Column:
+    """The pre-r11 pandas_udf wide head — kept as the parity reference
+    for ``test_classifier_score_arrow_parity``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    W = np.asarray(weights, dtype=np.float64)
+    b = float(bias)
+
+    def _score(vs):
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        if V.size == 0:
+            return pd.Series([], dtype="float64")
+        return pd.Series(1.0 / (1.0 + np.exp(-(V @ W + b))))
+
+    _score.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return pandas_udf(_score, "double")(F.col(vec_col))
 
 
 def l2_normalize_expr(vec_col: str) -> Column:
@@ -234,13 +328,8 @@ def _norm_buckets_arrow_fn(dim: int, n_planes: int, n_tables: int,
             n = batch.num_rows
             idc = batch.column(0)
             vec = batch.column(1)
-            flat = vec.flatten().to_numpy(zero_copy_only=False)
-            if flat.size != n * dim:
-                raise ValueError(
-                    f"expected fixed-length {dim} vectors, got "
-                    f"{flat.size} values over {n} rows (ragged or null "
-                    f"embeddings are not supported)")
-            m = flat.reshape(n, dim).astype(np.float64, copy=False)
+            # exact null/ragged diagnostics (ADVICE r10), zero-copy read
+            m = _arrow_list_matrix(vec, "_norm_buckets_arrow_fn", dim)
             signs = (m @ planes.T) >= 0
             bks = np.stack(
                 [
@@ -266,7 +355,10 @@ def _norm_buckets_arrow_fn(dim: int, n_planes: int, n_tables: int,
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Small single-file inputs arrive as one partition; CPU-bound vector
     stages must spread across cores.  No-op when the scan already has
-    enough splits (the 100 TB case)."""
+    enough splits (the 100 TB case) and on streaming frames (no static
+    partitioning to probe — micro-batch parallelism is the source's)."""
+    if df.isStreaming:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
@@ -502,6 +594,7 @@ def ivf_build(
     # than re-faulted (measured r10: 18.9 s -> 2.4 s for the 100k×64
     # fit; per-row arithmetic is unchanged, so centroids are
     # bit-identical to the unchunked form).
+    _check_sample_dims(vecs, dim, "ivf_build")
     P = np.fromiter(chain.from_iterable(vecs), dtype=np.float64,
                     count=n * dim).reshape(n, dim)
     # random.sample draws the same index sequence for any equal-length
@@ -554,6 +647,29 @@ def _min_sq_dist_col(vec_col: str, centroids: list[list[float]],
         return F.expr(f"array_min(array({dists}))")
 
     import numpy as np
+    import pyarrow as pa
+    from pyspark.sql.functions import arrow_udf
+
+    Cm = np.asarray(centroids, dtype=np.float64)
+    c_sq = (Cm * Cm).sum(axis=1)
+    dim = Cm.shape[1]
+
+    def _mind(vs: "pa.Array") -> "pa.Array":
+        if len(vs) == 0:
+            return pa.array([], type=pa.float64())
+        V = _arrow_list_matrix(vs, "_min_sq_dist_col", dim)
+        d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ Cm.T) + c_sq
+        return pa.array(np.maximum(d2.min(axis=1), 0.0),
+                        type=pa.float64())
+
+    _mind.__annotations__ = {"vs": pa.Array, "return": pa.Array}
+    return arrow_udf(_mind, "double")(F.col(vec_col))
+
+
+def _min_sq_dist_pandas_col(vec_col: str, centroids: list[list[float]]):
+    """The pre-r11 pandas_udf large-codebook min-distance — kept as the
+    parity reference for ``test_min_sq_dist_arrow_parity``."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -577,7 +693,39 @@ def _assign_vectorized_col(vec_col: str, centroids: list[list[float]]):
     k: iterative fitting changes the centroid literals each round, so
     the expression path pays a full codegen compile per iteration
     (measured 14 s vs 5.8 s for a 5-iteration k=16 fit at sf0.1) on
-    top of its interpreted per-row O(k·dim) cost."""
+    top of its interpreted per-row O(k·dim) cost.
+
+    arrow_udf since r11 (guide §4.2): the vector column is read as ONE
+    contiguous buffer view (``_arrow_list_matrix``) instead of the
+    pandas path's per-row ndarray boxing — an O(rows) constant removed
+    from every assignment batch at the 100 TB shapes (nlist ≥ 256,
+    dim 768) where this path runs.  float64 GEMM / argmin arithmetic
+    unchanged → assignments bit-identical to the pandas reference
+    (``test_assign_vectorized_arrow_parity``)."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql.functions import arrow_udf
+
+    Cm = np.asarray(centroids, dtype=np.float64)
+    c_sq = (Cm * Cm).sum(axis=1)
+    dim = Cm.shape[1]
+
+    def _assign(vs: "pa.Array") -> "pa.Array":
+        if len(vs) == 0:
+            return pa.array([], type=pa.int32())
+        V = _arrow_list_matrix(vs, "_assign_vectorized_col", dim)
+        d2 = c_sq - 2.0 * (V @ Cm.T)
+        return pa.array(d2.argmin(axis=1).astype(np.int32),
+                        type=pa.int32())
+
+    _assign.__annotations__ = {"vs": pa.Array, "return": pa.Array}
+    return arrow_udf(_assign, "int")(F.col(vec_col))
+
+
+def _assign_vectorized_pandas_col(vec_col: str,
+                                  centroids: list[list[float]]):
+    """The pre-r11 pandas_udf assignment — kept as the parity reference
+    for ``test_assign_vectorized_arrow_parity``."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -888,13 +1036,8 @@ def _probe_clusters_arrow_fn(centroids: list[list[float]], nprobe: int):
         for batch in batches:
             n = batch.num_rows
             vec = batch.column(1)
-            flat = vec.flatten().to_numpy(zero_copy_only=False)
-            if flat.size != n * dim:
-                raise ValueError(
-                    f"expected fixed-length {dim} vectors, got "
-                    f"{flat.size} values over {n} rows (ragged or null "
-                    f"embeddings are not supported)")
-            m = flat.reshape(n, dim).astype(np.float64, copy=False)
+            # exact null/ragged diagnostics (ADVICE r10), zero-copy read
+            m = _arrow_list_matrix(vec, "_probe_clusters_arrow_fn", dim)
             # ||v||^2 is constant per row — argmin order unaffected
             d2 = c_sq - 2.0 * (m @ C.T)
             idx = np.argsort(d2, axis=1, kind="stable")[:, :nsel].astype(
@@ -1028,15 +1171,10 @@ def knn_join(
         import pyarrow as pa
 
         def _mat(tbl, col):
-            a = tbl.column(col).combine_chunks()
-            n = len(a)
-            flat = a.flatten().to_numpy(zero_copy_only=False)
-            if n == 0 or flat.size % n:
-                raise ValueError(
-                    f"ragged or null vectors in {col!r}: {flat.size} "
-                    f"values over {n} rows")
-            return flat.reshape(n, flat.size // n).astype(
-                np.float64, copy=False)
+            # exact null/ragged diagnostics (ADVICE r10): the old
+            # flat.size % n heuristic passed when ragged rows happened
+            # to compensate (one null + one double-length vector)
+            return _arrow_list_matrix(tbl.column(col), col, None)
 
         if qt.num_rows == 0 or ct.num_rows == 0:
             return pa.table(
@@ -1184,14 +1322,8 @@ def semantic_dedup(
         import pyarrow as pa
 
         ids = tbl.column("__id").to_numpy(zero_copy_only=False)
-        va = tbl.column("__v").combine_chunks()
-        n = len(va)
-        flat = va.flatten().to_numpy(zero_copy_only=False)
-        if n == 0 or flat.size % n:
-            raise ValueError(
-                f"ragged or null vectors in '__v': {flat.size} values "
-                f"over {n} rows")
-        V = flat.reshape(n, flat.size // n).astype(np.float64, copy=False)
+        # exact null/ragged diagnostics (ADVICE r10), zero-copy read
+        V = _arrow_list_matrix(tbl.column("__v"), "__v", None)
         norms = tbl.column("__norm").to_numpy(zero_copy_only=False)
         sims = (V @ V.T) / np.outer(norms, norms)
         ia, ib = np.nonzero(np.triu(sims >= cosine_threshold, k=1))
@@ -1614,6 +1746,7 @@ def pca_fit(
         # (same allocation finding as ivf_build, r10)
         from itertools import chain
 
+        _check_sample_dims([r[0] for r in rows], dim, "pca_fit")
         X = np.fromiter(chain.from_iterable(r[0] for r in rows),
                         dtype=np.float64,
                         count=len(rows) * dim).reshape(len(rows), dim)
@@ -1786,6 +1919,7 @@ def pq_fit(
             # ~100 MB temporaries dominate the fit wall on slow-fault
             # hosts).  Per-row arithmetic unchanged -> codebooks are
             # bit-identical to the unchunked form.
+            _check_sample_dims(vecs, dim, "pq_fit")
             P = np.fromiter(chain.from_iterable(vecs), dtype=np.float64,
                             count=n * dim).reshape(n, dim)
             _CH = 16384
@@ -1893,7 +2027,52 @@ def pq_encode_expr(vec_col: str, model: PQModel) -> Column:
 def _pq_assign_vectorized(vec_col: str, model: PQModel) -> Column:
     """All-subspace PQ assignment as one numpy GEMM pass per Arrow
     batch — the codebook tensor ships with the task closure (``m·k·
-    dsub`` floats, broadcast-sized)."""
+    dsub`` floats, broadcast-sized).
+
+    arrow_udf since r11 (guide §4.2): the vector column arrives as ONE
+    contiguous buffer view (``_arrow_list_matrix``) instead of the
+    pandas path's ``Series.tolist`` boxing, and the code lists go back
+    as one flat int32 buffer + a uniform offsets array — no per-row
+    python objects in either direction.  float64 subspace GEMM / argmin
+    arithmetic unchanged → codes bit-identical to the pandas reference
+    (``test_pq_assign_arrow_parity``)."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql.functions import arrow_udf
+
+    B = [np.asarray(b, dtype=np.float64) for b in model.codebooks]
+    m, dsub = model.m, model.dsub
+    dim = model.dim
+
+    def _enc(vs: "pa.Array") -> "pa.Array":
+        n = len(vs)
+        if n == 0:
+            return pa.ListArray.from_arrays(
+                pa.array([0], type=pa.int32()),
+                pa.array([], type=pa.int32()))
+        P = _arrow_list_matrix(vs, "_pq_assign_vectorized", dim)
+        out = np.empty((n, m), dtype=np.int32)
+        for s in range(m):
+            Ps = P[:, s * dsub:(s + 1) * dsub]
+            C = B[s]
+            d2 = ((Ps * Ps).sum(axis=1)[:, None]
+                  - 2.0 * (Ps @ C.T)
+                  + (C * C).sum(axis=1)[None, :])
+            out[:, s] = d2.argmin(axis=1)
+        return pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * m, m, dtype=np.int32)),
+            pa.array(out.reshape(-1)))
+
+    # module-wide `from __future__ import annotations` stringifies
+    # decorator-style type hints, which udf inference can't resolve —
+    # attach the real objects (same workaround as _assign_vectorized_col)
+    _enc.__annotations__ = {"vs": pa.Array, "return": pa.Array}
+    return arrow_udf(_enc, "array<int>")(F.col(vec_col))
+
+
+def _pq_assign_pandas(vec_col: str, model: PQModel) -> Column:
+    """The pre-r11 pandas_udf PQ assignment — kept as the parity
+    reference for ``test_pq_assign_arrow_parity``."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -1915,9 +2094,6 @@ def _pq_assign_vectorized(vec_col: str, model: PQModel) -> Column:
             out[:, s] = d2.argmin(axis=1)
         return pd.Series(list(out))
 
-    # module-wide `from __future__ import annotations` stringifies
-    # decorator-style type hints, which pandas_udf can't resolve —
-    # attach the real objects (same workaround as _assign_vectorized_col)
     _enc.__annotations__ = {"vs": pd.Series, "return": pd.Series}
     return pandas_udf(_enc, "array<int>")(F.col(vec_col))
 
@@ -2082,7 +2258,52 @@ def _pq_adc_vectorized(codes_col: str, luts: list[list[float]]) -> Column:
     codebook path of ``pq_adc_topk``.  Accumulates LEFT-ASSOCIATED in
     float64, subspace by subspace, exactly like the expression path's
     chained double adds, so both strategies are bit-identical and the
-    cutover can never flip an oracle-checked ranking."""
+    cutover can never flip an oracle-checked ranking.
+
+    arrow_udf since r11 (guide §4.2): the code column (array<int>, m
+    entries per row) is read as ONE contiguous int buffer view
+    (``_arrow_list_matrix`` discipline) instead of the pandas path's
+    ``Series.tolist`` boxing — the ADC scan is THE billion-row shape,
+    and the per-row boxing constant was the python stage at scale.
+    Gather/sum arithmetic unchanged → scores bit-identical to the
+    pandas reference (``test_pq_adc_arrow_parity``)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.functions import arrow_udf
+
+    L = [np.asarray(t, dtype=np.float64) for t in luts]
+    m = len(luts)
+
+    def _score(cs: "pa.Array") -> "pa.Array":
+        n = len(cs)
+        if n == 0:
+            return pa.array([], type=pa.float64())
+        if isinstance(cs, pa.ChunkedArray):
+            cs = cs.combine_chunks()
+        if cs.null_count:
+            raise ValueError(
+                f"_pq_adc_vectorized: {cs.null_count} null code rows")
+        widths = pc.list_value_length(cs).to_numpy(zero_copy_only=False)
+        bad = np.flatnonzero(widths != m)
+        if bad.size:
+            b = int(bad[0])
+            raise ValueError(
+                f"_pq_adc_vectorized: expected {m} codes per row, row "
+                f"{b} has {int(widths[b])}")
+        C = cs.flatten().to_numpy(zero_copy_only=False).reshape(n, m)
+        out = L[0][C[:, 0]]
+        for s in range(1, m):
+            out = out + L[s][C[:, s]]
+        return pa.array(out, type=pa.float64())
+
+    _score.__annotations__ = {"cs": pa.Array, "return": pa.Array}
+    return arrow_udf(_score, "double")(F.col(codes_col))
+
+
+def _pq_adc_pandas(codes_col: str, luts: list[list[float]]) -> Column:
+    """The pre-r11 pandas_udf ADC score — kept as the parity reference
+    for ``test_pq_adc_arrow_parity``."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf

@@ -5867,3 +5867,233 @@ def test_probe_clusters_arrow_parity(spark):
     for r in new:
         new_m.setdefault(r["__qid"], []).append((r["__key"], r["__qn"]))
     assert old_m == new_m  # exact equality — same ids, same order, same bits
+
+
+# ---------------------------------------------------------------------
+# Round 11 (VERDICT r10 ask #3): the Column-expression escape hatches —
+# the paths that run at 100 TB shapes (nlist >= 256, m*k >= 1024,
+# dim 768) — rewritten from pandas_udf to arrow_udf (zero-copy
+# list-buffer read, no per-row boxing).  Each test fuzzes float32
+# vectors at the REAL cutover shape, several partitions, small Arrow
+# batches, and pins BIT-exact equality against the retained pandas
+# reference.
+# ---------------------------------------------------------------------
+
+def _r11_vec_df(spark, n=257, dim=768, seed=1101, parts=5):
+    import random
+
+    rng = random.Random(seed)
+    rows = [(i, [rng.uniform(-2, 2) for _ in range(dim)])
+            for i in range(n)]
+    return rng, spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>").repartition(parts)
+
+
+def _small_batches(spark):
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        old = spark.conf.get(key)
+        spark.conf.set(key, "64")
+        try:
+            yield
+        finally:
+            spark.conf.set(key, old)
+
+    return _cm()
+
+
+def test_assign_vectorized_arrow_parity(spark):
+    """kmeans/IVF argmin assignment at the large-codebook cutover shape
+    (nlist=256, dim=768): the arrow_udf must be BIT-identical to the
+    pandas_udf it replaced — same float64 GEMM + argmin, only the
+    boundary boxing removed."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from elusion_spark.operators.similarity import (
+        _assign_vectorized_col, _assign_vectorized_pandas_col,
+    )
+
+    rng, df = _r11_vec_df(spark)
+    cents = [[rng.uniform(-2, 2) for _ in range(768)] for _ in range(256)]
+    with _small_batches(spark):
+        new = df.select("vec_id",
+                        _assign_vectorized_col("embedding", cents)
+                        .alias("c")).collect()
+        old = df.select("vec_id",
+                        _assign_vectorized_pandas_col("embedding", cents)
+                        .alias("c")).collect()
+    assert sorted(map(tuple, new)) == sorted(map(tuple, old))
+    assert len(new) == 257
+
+
+def test_min_sq_dist_arrow_parity(spark):
+    """kmeans inertia / min-distance at the cutover shape: arrow_udf
+    bit-identical to the pandas reference (same ||p||²-2p·c+||c||²
+    float64 chain, max(..., 0) clamp included)."""
+    import random
+
+    from elusion_spark.operators.similarity import (
+        _min_sq_dist_col, _min_sq_dist_pandas_col,
+    )
+
+    rng, df = _r11_vec_df(spark, seed=1102)
+    cents = [[rng.uniform(-2, 2) for _ in range(768)] for _ in range(256)]
+    with _small_batches(spark):
+        new = df.select("vec_id",
+                        _min_sq_dist_col("embedding", cents,
+                                         vectorized=True).alias("d")
+                        ).collect()
+        old = df.select("vec_id",
+                        _min_sq_dist_pandas_col("embedding", cents)
+                        .alias("d")).collect()
+    assert sorted(map(tuple, new)) == sorted(map(tuple, old))
+
+
+def test_classifier_score_arrow_parity(spark):
+    """Wide-head classifier_score (dim=768 > the 512 expression
+    cutover): the arrow_udf head must produce BIT-identical sigmoid
+    scores to the pandas reference, and classifier_score must route to
+    it at this dim (plan shows one python stage, no shuffle)."""
+    import random
+
+    from elusion_spark.operators.similarity import (
+        _classifier_score_arrow_col, _classifier_score_pandas_col,
+        classifier_score,
+    )
+
+    rng, df = _r11_vec_df(spark, seed=1103)
+    W = [rng.uniform(-1, 1) for _ in range(768)]
+    with _small_batches(spark):
+        new = df.select("vec_id",
+                        _classifier_score_arrow_col("embedding", W, 0.25)
+                        .alias("s")).collect()
+        old = df.select("vec_id",
+                        _classifier_score_pandas_col("embedding", W, 0.25)
+                        .alias("s")).collect()
+        routed = classifier_score(df, "embedding", W, bias=0.25).select(
+            "vec_id", "score").collect()
+    assert sorted(map(tuple, new)) == sorted(map(tuple, old))
+    assert sorted(map(tuple, routed)) == sorted(map(tuple, new))
+
+
+def test_pq_assign_arrow_parity(spark):
+    """PQ encode at the real codebook shape (m=8, k=256, dsub=96 —
+    m·k·dsub far past the 1024-float expression cutover): arrow_udf
+    codes bit-identical to the pandas reference, and pq_encode_expr
+    routes to the vectorized path at this size."""
+    import random
+
+    from elusion_spark.operators.similarity import (
+        PQModel, _pq_assign_pandas, _pq_assign_vectorized,
+        pq_encode_expr,
+    )
+
+    rng, df = _r11_vec_df(spark, seed=1104)
+    model = PQModel(
+        [[[rng.uniform(-2, 2) for _ in range(96)] for _ in range(256)]
+         for _ in range(8)], 768)
+    with _small_batches(spark):
+        new = df.select("vec_id",
+                        _pq_assign_vectorized("embedding", model)
+                        .alias("c")).collect()
+        old = df.select("vec_id",
+                        _pq_assign_pandas("embedding", model)
+                        .alias("c")).collect()
+        routed = df.select("vec_id",
+                           pq_encode_expr("embedding", model)
+                           .alias("c")).collect()
+    k = lambda r: (r["vec_id"], tuple(r["c"]))  # noqa: E731
+    assert sorted(map(k, new)) == sorted(map(k, old))
+    assert sorted(map(k, routed)) == sorted(map(k, new))
+
+
+def test_pq_adc_arrow_parity(spark):
+    """Large-codebook ADC scan (m=8, k=256 — m·k past the 1024 literal
+    cutover): arrow_udf scores bit-identical to the pandas reference
+    (same left-associated float64 gather+add chain)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from elusion_spark.operators.similarity import (
+        _pq_adc_pandas, _pq_adc_vectorized,
+    )
+
+    rng = random.Random(1105)
+    m, k = 8, 256
+    rows = [(i, [rng.randrange(k) for _ in range(m)]) for i in range(257)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, codes array<int>").repartition(5)
+    luts = [[rng.uniform(0.0, 4.0) for _ in range(k)] for _ in range(m)]
+    with _small_batches(spark):
+        new = df.select("vec_id",
+                        _pq_adc_vectorized("codes", luts).alias("adc")
+                        ).collect()
+        old = df.select("vec_id",
+                        _pq_adc_pandas("codes", luts).alias("adc")
+                        ).collect()
+    assert sorted(map(tuple, new)) == sorted(map(tuple, old))
+
+
+def test_arrow_list_matrix_guards(spark):
+    """ADVICE r10: the Arrow list readers must diagnose nulls and
+    ragged rows EXACTLY (flatten() silently drops null rows, and
+    compensating ragged rows can pass a total-size check) — both fail
+    loudly, and the compensating-ragged case that defeated the old
+    flat.size heuristic is caught."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from elusion_spark.operators.similarity import _arrow_list_matrix
+
+    ok = pa.array([[1.0, 2.0], [3.0, 4.0]], type=pa.list_(pa.float32()))
+    M = _arrow_list_matrix(ok, "t", 2)
+    assert M.dtype == np.float64 and M.shape == (2, 2)
+    assert M.tolist() == [[1.0, 2.0], [3.0, 4.0]]
+    # dim inference mode (cogroup GEMMs)
+    assert _arrow_list_matrix(ok, "t", None).shape == (2, 2)
+
+    with pytest.raises(ValueError, match="null"):
+        _arrow_list_matrix(
+            pa.array([[1.0, 2.0], None], type=pa.list_(pa.float32())),
+            "t", 2)
+    # the compensating-ragged case: 1 + 3 values over 2 rows passes a
+    # flat.size == n*dim check but misaligns every row
+    with pytest.raises(ValueError, match="row 0 has 1"):
+        _arrow_list_matrix(
+            pa.array([[1.0], [2.0, 3.0, 4.0]], type=pa.list_(pa.float32())),
+            "t", 2)
+    # chunked input (combine_chunks path)
+    ch = pa.chunked_array([ok, ok])
+    assert _arrow_list_matrix(ch, "t", 2).shape == (4, 2)
+    # empty input
+    empty = pa.array([], type=pa.list_(pa.float32()))
+    assert _arrow_list_matrix(empty, "t", 2).shape == (0, 2)
+
+
+def test_sample_fit_dim_validation(spark):
+    """ADVICE r10: the driver-side sample fits read their sample via
+    np.fromiter(count=n*dim), which trusts the declared dim — longer
+    vectors would silently misalign the flat read.  All three fits must
+    raise a clear error instead."""
+    import pytest
+
+    from elusion_spark.operators.similarity import (
+        ivf_build, pca_fit, pq_fit,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i + 1), float(i + 2)]) for i in range(40)],
+        "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="ivf_build.*2-dim"):
+        ivf_build(df, "embedding", dim=2, nlist=4, sample_fraction=1.0)
+    with pytest.raises(ValueError, match="pq_fit.*2-dim"):
+        pq_fit(df, "embedding", dim=2, m=2, k=2, sample_fraction=1.0)
+    with pytest.raises(ValueError, match="pca_fit.*2-dim"):
+        pca_fit(df, "embedding", dim=2, k=2)
