@@ -624,7 +624,19 @@ def _bpe_encode_chain(
     out_col: str,
     bound: str,
 ) -> DataFrame:
-    """The chained-replace expression path — see ``bpe_encode``."""
+    """The chained-replace expression path — see ``bpe_encode``.
+
+    The input is spread across cores first (round 11): a single-file
+    scan arrives as ONE partition (one parquet row group = one split),
+    which serialized the whole chained-replace map on one core —
+    measured at sf0.1 as a 2.7 s single-task stage inside q140's 2.76 s
+    wall.  ``_ensure_parallelism`` shuffles the doc text once (tiny next
+    to the per-doc replace work) and is a no-op at scale, where the scan
+    already has splits (guide §2.5: input with too few splits —
+    repartition immediately after the read)."""
+    from .similarity import _ensure_parallelism
+
+    df = _ensure_parallelism(df)
     text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
     words = F.filter(
         F.split(text, r"\s+"),

@@ -300,8 +300,12 @@ SHUFFLE_BUDGETS = {
     "q129_snapshot_diff": 3,
     # single-pass sort discipline: the one exchange is the tiny digest
     # repartition(1) that prevents the range-sampling double-compute of
-    # the shuffle-free narrow pipeline
-    "q140_bpe_encode": 1,
+    # the shuffle-free narrow pipeline; +1 in r11 for the deliberate
+    # _ensure_parallelism repartition that spreads the chained-replace
+    # encode across cores (sf0.1's single-row-group scan serialized the
+    # whole 2.7 s map on ONE task — fresh-JVM A/B 4.1 -> 2.2 s; no-op
+    # at scale where the scan already has splits)
+    "q140_bpe_encode": 2,
     "q141_random_projection": 1,
     # ADC scans are TakeOrderedAndProject over the (fit-materialized)
     # code column — zero exchanges in the returned plan
