@@ -86,14 +86,23 @@ def prepare_training_corpus(
 
     if exact_first:
         # cheap exact pass first shrinks the LSH input: keep min id per
-        # content hash (ids-only shuffle)
-        exact_keep = (
-            filtered.select(F.md5("text").alias("__h"), "id")
-            .groupBy("__h")
-            .agg(F.min("id").alias("keep_id"))
-            .select(F.col("keep_id").alias("id"))
+        # content hash.  ONE window pass (r11) instead of the previous
+        # groupBy(md5).agg(min) + left-semi join: the join form put the
+        # base lineage (scan + regex quality/lang/token expressions) on
+        # BOTH plan branches, so every consumer of `filtered` paid the
+        # scoring expressions twice and an extra agg exchange + join
+        # (q46 profile: 23 jobs, ~3.6 s of inter-job planning gaps over
+        # the doubled lineage).  row_number orderBy id == 1 keeps
+        # exactly the min-id row per content hash — the same survivor
+        # set — in one exchange, with the base evaluated once.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(F.md5("text")).orderBy("id")
+        filtered = (
+            filtered.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
         )
-        filtered = filtered.join(exact_keep, "id", "left_semi")
 
     if max_xent is not None:
         scored = TX.lm_score(filtered, "id", "text").filter(
