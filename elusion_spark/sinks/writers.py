@@ -485,11 +485,15 @@ def _azure_write(url: str, sas_token: str, data: bytes,
 
 
 def write_parquet_to_azure_with_sas(df: DataFrame, url: str, sas_token: str,
-                                    mode: str = "overwrite") -> None:
+                                    mode: str = "overwrite",
+                                    compression: str = "snappy") -> None:
     """elusion.rs:5785-5804: the reference serializes the WHOLE result to
     a parquet buffer driver-side and uploads one blob — same here
     (bounded-result sink; use hadoop-azure abfss:// for distributed
-    writes of big frames)."""
+    writes of big frames).  Default codec stays snappy to match the
+    reference's pinned Compression::SNAPPY for these externally-visible
+    cloud files (ADVICE r10) — pass ``compression='zstd'`` for the ~20%
+    smaller blobs when every downstream reader handles it."""
     import io
 
     import pyarrow as pa
@@ -497,7 +501,7 @@ def write_parquet_to_azure_with_sas(df: DataFrame, url: str, sas_token: str,
 
     table = pa.Table.from_pandas(df.toPandas())
     sink = io.BytesIO()
-    pq.write_table(table, sink, compression="zstd")
+    pq.write_table(table, sink, compression=compression)
     _azure_write(url, sas_token, sink.getvalue(),
                  "application/octet-stream")
 
@@ -546,11 +550,14 @@ def _onelake_upload(url: str, token: str, data: bytes) -> None:
     _req(f"{url}?action=flush&position={len(data)}", "PATCH")
 
 
-def write_parquet_to_fabric(df: DataFrame, onelake_url: str, **auth) -> None:
+def write_parquet_to_fabric(df: DataFrame, onelake_url: str,
+                            compression: str = "snappy", **auth) -> None:
     """fabric.rs:372-430 write path: whole-result parquet buffer →
     OneLake file via the ADLS create/append/flush sequence, service-
     principal bearer auth, stdlib HTTPS (bounded-result sink; use
-    hadoop-azure abfss:// for distributed writes)."""
+    hadoop-azure abfss:// for distributed writes).  Default codec stays
+    snappy to match the reference's pinned Compression::SNAPPY for
+    these externally-visible cloud files (ADVICE r10)."""
     import io
 
     import pyarrow as pa
@@ -562,7 +569,7 @@ def write_parquet_to_fabric(df: DataFrame, onelake_url: str, **auth) -> None:
     tenant, cid, secret = _require_sp_creds(auth, "OneLake writes")
     table = pa.Table.from_pandas(df.toPandas())
     sink = io.BytesIO()
-    pq.write_table(table, sink, compression="zstd")
+    pq.write_table(table, sink, compression=compression)
     try:
         token = _ms_token(tenant, cid, secret,
                           "https://storage.azure.com/.default")

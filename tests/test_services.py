@@ -526,8 +526,13 @@ def test_azure_sas_loader_and_writers(spark, monkeypatch):
     monkeypatch.setattr(W, "_azure_put", fake_put)
     df = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "v"])
     W.write_parquet_to_azure_with_sas(df, f"{base}/out.parquet", "sv=sig")
-    table = pq.read_table(io.BytesIO(puts[f"{base}/out.parquet"][0]))
+    buf = io.BytesIO(puts[f"{base}/out.parquet"][0])
+    table = pq.read_table(buf)
     assert sorted(table.to_pydict()["k"]) == [1, 2]
+    # ADVICE r10: cloud blobs stay SNAPPY by default (the reference pins
+    # Compression::SNAPPY for these externally-visible files)
+    meta = pq.ParquetFile(buf).metadata
+    assert meta.row_group(0).column(0).compression == "SNAPPY"
 
     W.write_json_to_azure_with_sas(df, f"{base}/out.json", "sv=sig")
     body, ctype = puts[f"{base}/out.json"]
