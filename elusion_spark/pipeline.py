@@ -1025,11 +1025,18 @@ def _dsir_doc_buckets_and_model(df, id_col, text_col, target_flag,
     doc_b = _dsir_doc_buckets(df, id_col, text_col, target_flag,
                               n_buckets, ngrams, hash_fn).persist(
         StorageLevel.MEMORY_AND_DISK)
+    # the bucket model has TWO consumers (the totals scalar below, and
+    # the ratio projection in the returned plan) and is <= n_buckets
+    # rows regardless of corpus size — persist it, or the full
+    # aggregation pass over the corpus-vocabulary-sized doc_b runs
+    # twice (profiled r11: 2 x 10.5 s executor CPU at sf0.1, stages
+    # s55/s64 byte-identical 289 KB agg outputs; the totals collect
+    # below is the action that materializes this cache)
     model = doc_b.groupBy("__b").agg(
         F.sum(F.when(F.col("__tgt"), F.col("__c")).otherwise(F.lit(0))
               ).alias("__ct"),
         F.sum("__c").alias("__cr"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     tot = model.agg(F.sum("__ct").alias("tt"), F.sum("__cr").alias("tr")
                     ).collect()[0]  # one-row scalar
     tt, tr = float(tot["tt"] or 0), float(tot["tr"] or 0)

@@ -80,6 +80,15 @@ SLOW_TESTS = {
     "test_delta_fallback_concurrent_append_commit_race",  # 9.8
     "test_union_distinct_and_append",                   # 22.9
     "test_order_insensitive_clauses",                   # 16.2
+    # second trim (r11): the default lane measured 1888 s contended —
+    # thin against the window that truncated r10 — so the next-heaviest
+    # tests NOT covering r11-changed code move over too (their operators
+    # are unchanged since r8-r10 and keep oracle/unit coverage in-lane
+    # via their query families)
+    "test_oracle_parity[q78_incremental_dedup]",        # 13.7
+    "test_oracle_parity[q64_repetition_signals]",       # 13.3
+    "test_cast_pipeline",                               # 13.1
+    "test_scd2_merge_versions_and_idempotency",         # 9.4
 }
 
 

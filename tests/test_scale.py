@@ -312,10 +312,15 @@ SHUFFLE_BUDGETS = {
     "q142_pq_adc_topk": 0,
     "q143_ivf_pq_search": 0,
     # hashed-ngram featurize + (id,bucket) count + broadcast model fold;
-    # 6 in PLAN TEXT: the persisted featurization's InMemoryRelation
+    # 9 in PLAN TEXT: the persisted featurization's InMemoryRelation
     # prints its build lineage once per consumer (runtime materializes
-    # it once — the persist CUT wall 5.2 -> 1.9 s at sf0.1)
-    "q147_dsir_importance": 6,
+    # it once — the persist CUT wall 5.2 -> 1.9 s at sf0.1), and since
+    # r11 the <=n_buckets-row MODEL is persisted too (its cached build
+    # lineage prints again under the ratio consumer: 6 -> 9 text
+    # mentions) — runtime now runs the model aggregation ONCE instead
+    # of twice (profiled 2 x 10.5 s -> 1 x 8 s executor CPU; fresh-JVM
+    # interleaved A/B 1.5 -> 1.0 s)
+    "q147_dsir_importance": 9,
     # gram explode + two gram-count shuffles + broadcast unigram joins;
     # 9 in PLAN TEXT since round 6: uni and pairs are persisted
     # (vocabulary-sized, 3+2 consumers) and each InMemoryRelation
