@@ -1280,9 +1280,20 @@ def semantic_dedup(
             "join the survivors back."
         )
 
-    assigned, _ = ivf_build(
+    _, cents = ivf_build(
         df, vec_col, dim, nlist=n_clusters,
         sample_fraction=sample_fraction, iters=iters, seed=seed,
+    )
+    # assign over the parallelism-ensured frame, NOT ivf_build's
+    # `assigned` (r11): the sf0.1 embeddings scan has 2 splits, so the
+    # whole norm+argmin map ran on 2 of 32 cores (profiled: 0.97 s of
+    # the 2.26 s executor CPU in one 2-task stage).  The fit above
+    # still samples the ORIGINAL df — repartitioning before the sample
+    # would reorder it and change the (oracle-replayed) centroids;
+    # repartitioning only the assignment input keeps every per-row
+    # value identical.  No-op at scale where the scan has splits.
+    assigned = _ensure_parallelism(df).withColumn(
+        "cluster_id", assign_clusters_col(vec_col, cents)
     )
     b = assigned.select(
         F.col(id_col).alias("__id"),
