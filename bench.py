@@ -146,7 +146,12 @@ BUDGETS_SF01 = {
     "q57_asof_join": 0.85, "q59_time_rollup": 0.6,
     "q60_sessionize": 0.5, "q61_distinct_sketch": 0.3,
     "q62_skew_join_salted": 1.1, "q63_decontamination": 1.4,
-    "q64_repetition_signals": 2.05, "q65_semantic_dedup": 2.4,
+    "q64_repetition_signals": 2.05,
+    # q65/q140/q46/q147 re-banded r11 (the round's changed queries):
+    # 1.3x the worse of two clean same-day final-code runs (58.2/59.5 s
+    # totals, zero violations, drift 1.0-1.05; pairs in
+    # OPTIMIZATION_r11.md §Bench measurements)
+    "q65_semantic_dedup": 1.4,
     "q72_lm_score": 1.05, "q73_knn_join": 3.05,
     "q74_chunk_documents": 0.45, "q75_threshold_sweep": 0.6,
     "q76_lm_score_bigram": 1.7, "q77_containment_pairs": 2.4,
@@ -162,9 +167,9 @@ BUDGETS_SF01 = {
     # re-adjudication endorsed — and tripped on contention in the r9
     # driver run (drift-adjusted 0.539, contention_suspect true).
     # 0.378 x 1.6 = 0.60; SCALE.md r10 note.
-    "q138_token_budget_mix": 0.6, "q140_bpe_encode": 3.7,
+    "q138_token_budget_mix": 0.6, "q140_bpe_encode": 1.9,
     "q141_random_projection": 0.75, "q142_pq_adc_topk": 1.25,
-    "q143_ivf_pq_search": 1.3, "q147_dsir_importance": 2.45,
+    "q143_ivf_pq_search": 1.3, "q147_dsir_importance": 1.6,
     "q148_pmi_collocations": 1.85,
     # group 5 recalibrated round 7: its composition grew to 8 entries
     # when q154-q156 joined; 1.3x the worst of three same-day CLEAN
@@ -172,7 +177,7 @@ BUDGETS_SF01 = {
     # fixture-rebuild writeback, reproduced clean twice after)
     "q150_minhash_by_lang": 1.8, "q151_video_near_dup": 2.15,
     "q152_pq_refine": 1.5,
-    "q153_ivfpq_residual": 1.6, "q46_training_corpus": 4.8,
+    "q153_ivfpq_residual": 1.6, "q46_training_corpus": 3.7,
     "q154_gopher_filters": 1.4, "q155_pca_whiten": 0.35,
     "q156_unigram_encode": 1.6,
     # round-8 entries: 1.3x the worse of two same-day clean
@@ -263,7 +268,7 @@ FLOOR10X_QUERIES = ["q77_containment_pairs", "q46_training_corpus"]
 # two same-day calibration runs (same discipline as BUDGETS_SF01)
 BUDGETS_FLOOR10X = {
     "q77_containment_pairs": 3.5,   # r8: worse of two runs 2.659 x 1.3
-    "q46_training_corpus": 6.7,     # r8: worse of two runs 5.132 x 1.3
+    "q46_training_corpus": 3.8,     # r11 window dedup: worse of two clean runs 2.91 x 1.3
 }
 
 GROUP_SIZE = int(os.environ.get("SPARK_GRAFT_BENCH_GROUP", "10"))
