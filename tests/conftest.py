@@ -23,9 +23,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 # paths (classifier_score / kmeans assign / PQ encode+ADC), the azure
 # writer codec, q46's pipeline and bench.py, so
 # test_classifier_score_paths_and_plan, test_kmeans_fit_converges…,
-# test_pq_fuzz_vs_numpy, oracle parity q127/q46/q73/q30/q64/q78,
+# test_pq_fuzz_vs_numpy, oracle parity q127/q46/q73/q30,
 # test_azure_sas_loader_and_writers and
 # test_prepare_training_corpus_end_to_end all STAY in the default lane.
+# (q64/q78 oracle parity moved to slow in the second trim below — their
+# operators are unchanged this round.)
 # ---------------------------------------------------------------------
 SLOW_TESTS = {
     # streaming parity end-to-ends (stream==batch, stable since r8-r9)
