@@ -380,11 +380,24 @@ def lm_score_bigram(
         ).alias("__bg"),
     ).select("__id", F.col("__bg.w1").alias("__w1"),
              F.col("__bg.w2").alias("__w2"))
+    from pyspark.sql.window import Window
+
+    # Context totals via a window over the pair counts (r11):
+    # count(w1 ·) == SUM over w2 of count(w1, w2) — an exact bigint
+    # identity — so the old separate `big.groupBy("__w1")` aggregation
+    # re-evaluated the corpus-sized tokenize+zip_with+explode lineage a
+    # THIRD time (profiled at sf0.1 as one of three ~0.45 s serial
+    # stages) for a table derivable from pair_counts alone.  The window
+    # needs a (vocab-sized) exchange on __w1, but the old join of
+    # pair_counts [hash(__w1,__w2)] with ctx_counts [hash(__w1)] paid
+    # that same exchange anyway — net: one full corpus pass and its
+    # map-side aggregation removed, zero new exchanges (guide §2.3/2.4).
     pair_counts = big.groupBy("__w1", "__w2").agg(
         F.count("*").alias("__pc")
     )
-    ctx_counts = big.groupBy("__w1").agg(F.count("*").alias("__cc"))
-    model = pair_counts.join(ctx_counts, "__w1").select(
+    model = pair_counts.withColumn(
+        "__cc", F.sum("__pc").over(Window.partitionBy("__w1"))
+    ).select(
         "__w1", "__w2",
         F.expr(
             f"CAST(ROUND(LN(CAST(__pc AS DOUBLE) / CAST(__cc AS DOUBLE)), "

@@ -1331,6 +1331,54 @@ def test_lm_score_bigram_word_order_signal(spark):
     assert rows == {2: 1}                    # <2 tokens -> no transitions
 
 
+def test_lm_score_bigram_single_model_pass(spark, tmp_path):
+    """r11: the model's context totals come from a window over the pair
+    counts (count(w1 ·) == SUM over w2 of count(w1, w2) — an exact
+    bigint identity), so the corpus-sized tokenize+explode lineage runs
+    TWICE in the plan (pair counts + the scoring join), not three
+    times.  Pins both the value (against a brute-force python replay,
+    exact to the rounded-DECIMAL contract) and the plan shape (scan
+    count 3 -> 2; measured executor CPU 1.53 -> 0.95 s at sf0.1)."""
+    import math
+    from collections import Counter
+
+    from elusion_spark.operators.text import lm_score_bigram
+
+    texts = ["the cat sat on the mat", "the dog sat on the cat",
+             "mat the on sat cat the", "a b a b a", "solo"]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1)\
+        .write.mode("overwrite").parquet(str(tmp_path / "docs"))
+    docs = spark.read.parquet(str(tmp_path / "docs"))
+
+    out = lm_score_bigram(docs, "doc_id", "text")
+    # plan shape: the parquet corpus is scanned exactly twice (model
+    # build + scoring join) — the third scan the old separate
+    # ctx-counts aggregation paid is gone
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 2, plan
+
+    # value replay: brute-force bigram conditional xent with the same
+    # round-to-6 DECIMAL-per-transition contract
+    bigs = []
+    for _i, t in rows:
+        ws = [w for w in t.lower().strip().split() if w]
+        bigs.extend(zip(ws, ws[1:]))
+    pc, cc = Counter(bigs), Counter(w1 for w1, _ in bigs)
+    logp = {p: round(math.log(pc[p] / cc[p[0]]), 6) for p in pc}
+    got = {r["doc_id"]: (r["n_bigrams"], r["xent"]) for r in out.collect()}
+    for i, t in rows:
+        ws = [w for w in t.lower().strip().split() if w]
+        trans = list(zip(ws, ws[1:]))
+        if not trans:
+            assert i not in got
+            continue
+        n = len(trans)
+        want = round(-sum(logp[p] for p in trans) / n, 6)
+        assert got[i][0] == n
+        assert abs(got[i][1] - want) < 1e-9, (i, got[i], want)
+
+
 def test_connected_components_star_equivalence(spark):
     """Star contraction labels == exact union-find on random graphs, and
     a 3000-node chain (diameter 3000 - label propagation's worst case)

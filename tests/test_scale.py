@@ -211,7 +211,13 @@ SHUFFLE_BUDGETS = {
     "q74_chunk_documents": 0,
     # one counter row through one partial->final agg; stack is narrow
     "q75_threshold_sweep": 1,
-    # pair-count agg + context-count agg + per-doc fold; model broadcasts
+    # pair-count agg + the model's vocab-sized window exchange + the
+    # per-doc fold; model broadcasts.  Count unchanged in r11 but the
+    # SECOND corpus pass is gone: context totals are now a window SUM
+    # over the pair counts (exact bigint identity), so the old separate
+    # corpus-sized ctx aggregation's map pass no longer exists (scan
+    # count 3 -> 2, executor CPU 1.53 -> 0.95 s at sf0.1 — pinned by
+    # test_lm_score_bigram_single_model_pass)
     "q76_lm_score_bigram": 3,
     # narrow map + bounded explode / pure scan-stage filter
     "q79_upsample_by_weight": 0,
